@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session defaults. Sized for local[N]
+  * testing but with the flags that matter at cluster scale: AQE on
+  * (runtime shuffle/skew re-planning), shuffle partitions matched to
+  * parallelism instead of the 200 default, UTC for oracle parity.
+  * `nanosAsLong` lets us ingest nanosecond parquet timestamps (the
+  * `events` table), which [[graft.queries.QuerySpec.t]] converts to
+  * microsecond TIMESTAMP on read.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication operators: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Generalizes the reference's windowed exact-hash
+  * `Deduplicator` middleware (reference:
+  * message/router/middleware/deduplicator.go:64-126) to the
+  * content-similarity family a training-data pipeline needs.
+  *
+  * Scale notes (the 100 TB story):
+  *  - every op here is a pure shuffle-by-key plan: no driver state, no
+  *    collect, no O(N²) cross join;
+  *  - candidate generation is always hash-bucketed (LSH bands /
+  *    shared-shingle inverted index), so the shuffle carries candidate
+  *    pairs, not the full pair space;
+  *  - `portable = true` switches the hash family to md5-prefix longs so
+  *    an external engine (the DuckDB oracle) can reproduce results
+  *    bit-for-bit; production default is xxhash64 (faster, codegen'd).
+  */
+object DedupFunctions {
+
+  /** Exact dedup: keep the lowest-id row per content hash. One shuffle
+    * on the hash; map-side partial aggregation applies. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(Hashes.contentHash(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: k independent salted hash functions folded with
+    * array_min over the document's shingle set. Pure expressions. */
+  def minhashSignature(shingleCol: Column, k: Int, portable: Boolean): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol,
+        s => if (portable) Hashes.md5Long(concat(lit(s"$i:"), s)) else Hashes.fastLong(s, i)))
+    }: _*)
+
+  /** LSH banding: split the k-length signature into bands of `r` rows;
+    * docs sharing any band are candidates. Emits (doc, band, band_key)
+    * rows — the join key that replaces the O(N²) pair space. Band keys
+    * are built positionally from the signature array (element_at is
+    * 1-based), never via collect_list, so they are deterministic. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, k: Int, r: Int): DataFrame = {
+    val nBands = k / r
+    df.select(col(idCol), explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col(sigCol), b * r + j + 1).cast("string")): _*).as("band_key"))
+    }: _*)).as("x")).select(col(idCol), col("x.band"), col("x.band_key"))
+  }
+
+  /** MinHash-LSH candidate pairs: distinct (d1 < d2) doc pairs sharing
+    * at least one LSH band. The self-join shuffles on (band, band_key)
+    * — at 100 TB the band key is the partitioner, and hot buckets
+    * (boilerplate docs) are the skew risk; cap with `maxBucket`. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, r: Int, portable: Boolean,
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol),
+        TextFunctions.shingles(col(textCol), shingleN).as("s"))
+      .filter(size(col("s")) > 0) // empty shingle sets have no signature
+    val sig = sh.select(col(idCol), minhashSignature(col("s"), k, portable).as("sig"))
+    val bands = lshBands(sig, idCol, "sig", k, r)
+      // skew guard: drop degenerate buckets (e.g. empty docs) past cap
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bands.select(col(idCol).as("d1"), col("band"), col("band_key"))
+    val b = bands.select(col(idCol).as("d2"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
+    * PPJoin family): for threshold t, any pair with jaccard >= t must
+    * share a shingle within each doc's first `n - ceil(t*n) + 1`
+    * shingles under a global rare-first ordering. So we:
+    *   1. compute global shingle frequencies (one shuffle),
+    *   2. index only each doc's prefix shingles (rare-first order),
+    *   3. generate candidate pairs from the prefix inverted index,
+    *   4. verify exactly with array_intersect on the full shingle sets.
+    * Exact — 100% recall at the threshold — but the candidate shuffle
+    * carries ~t-fraction of the postings instead of all of them, which
+    * is what makes this survive a corpus whose vocabulary is small
+    * relative to the doc count (every naive inverted index degenerates
+    * to all-pairs there). No driver state; three shuffles total.
+    */
+  def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), shingleN).as("s"))
+      .filter(size(col("s")) > 0)
+    val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+    val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    val prefix = ex.join(freq, Seq("t"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("t"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // exact verification on full shingle sets
+    val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"), size(col("s")).as("n1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"), size(col("s")).as("n2"))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("shared", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum ±1 votes weighted by the
+    * token hash's bit value; the sign vector packs into a long. Near
+    * duplicates differ in few bits (small Hamming distance). Pure
+    * column expressions: 64 sequential folds — heavy but codegen'd;
+    * production variant would be a single custom Expression pass. */
+  def simhash64(tokensCol: Column): Column = {
+    val hashed = transform(tokensCol, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashed, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit simhash into 4
+    * 16-bit chunks (docs within Hamming distance 3 share ≥1 chunk —
+    * pigeonhole); join per chunk. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    val chunks = sh.select(col(idCol), explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }: _*)).as("x")).select(col(idCol), col("x.chunk"), col("x.key"))
+    val a = chunks.select(col(idCol).as("d1"), col("chunk"), col("key"))
+    val b = chunks.select(col(idCol).as("d2"), col("chunk"), col("key"))
+    a.join(b, Seq("chunk", "key")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language id, fingerprinting. All pure
+  * column expressions (whole-stage codegen; no UDFs), so they push
+  * down/prune like any built-in and survive a 1000-executor scale-up.
+  */
+object TextFunctions {
+
+  /** Word tokens: runs of alphanumerics, lowercased. The regex is
+    * deliberately RE2/Java-portable so the DuckDB oracle can reproduce
+    * it verbatim. */
+  val TokenPattern = "[a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alpha runs, single digits, or any other
+    * non-space symbol — a cheap deterministic stand-in for a real BPE
+    * vocab (which would be a broadcast lookup at scale). */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Whitespace-split words (no normalization) — the shingling unit. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** n-gram word shingles as strings, distinct. 1-based element_at.
+    * Guarded: a doc with < n words yields an empty array (Spark's
+    * `sequence(1, 0)` would otherwise count DOWN, not return empty). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+  }
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") / length(text))
+
+  /** Distinct-token / token ratio — low values indicate repetitive
+    * (low-quality) documents. */
+  def uniqueRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => x.isin(stopwords.map(s => s: Any): _*))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: rewards unique vocabulary and a
+    * sane stopword rate, penalizes punctuation soup. Weights are fixed
+    * so the score is deterministic and oracle-reproducible. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    round(uniqueRatio(text) * 0.5 + stopwordRatio(text, stopwords) * 0.3 +
+      (lit(1.0) - punctRatio(text)) * 0.2, 4)
+
+  /** Stopword-overlap language id: score = |distinct tokens ∩ marker
+    * words| per language; argmax with first-wins tie-break on the
+    * declaration order. Pure expressions — scales linearly, no UDF. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val t = array_distinct(tokens(text))
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(array_intersect(t, array(ws.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Normalized-content fingerprint: md5 of the canonical token join.
+    * Two documents differing only in case/whitespace/punctuation get
+    * the same fingerprint (normalization-level dedup). Portable. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)).cast("binary"))
+
+  /** Polynomial rolling hash over tokens (base 1000003, mod the 31-bit
+    * prime 1e9+7, so the fold never overflows a long under ANSI mode) —
+    * the order-sensitive fingerprint variant: permuted documents hash
+    * differently, unlike [[fingerprint]]. Computed with `aggregate`
+    * (sequential fold) so it stays a codegen'd column expression. */
+  def rollingHash(text: Column): Column = {
+    val M = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), M), M).cast(LongType))
+  }
+}

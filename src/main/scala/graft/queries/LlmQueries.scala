@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import QuerySpec.t
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (the BASELINE.json extension surface): dedup family, similarity
+  * search, text analysis. Where the algorithm is hash-dependent, the
+  * portable md5-prefix hash family keeps Spark and the DuckDB oracle
+  * bit-identical (see [[graft.functions.Hashes]]).
+  */
+object LlmQueries {
+
+  /** Marker-word language-id table (deterministic, oracle-mirrored). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "de" -> Seq("table", "key"),
+    "fr" -> Seq("query", "group"),
+    "es" -> Seq("fast", "slow"),
+    "zh" -> Seq("stream", "row"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- exact dedup: hash-groupBy, keep lowest id ----
+    QuerySpec("q05_dedup_exact",
+      (s, dir) => DedupFunctions
+        .exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash,
+             |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+             |  CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // ---- text stats per language ----
+    QuerySpec("q17_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 3).as("avg_tokens"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(avg(length(regexp_extract_all(lower(text), '[a-z0-9]+'))), 3) AS avg_tokens,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- quality scoring: unique-token ratio ----
+    QuerySpec("q18_quality",
+      (s, dir) => {
+        val tk = TextFunctions.tokens(col("text"))
+        t(s, dir, "documents")
+          .filter(col("n_chars") > 200)
+          .select(col("doc_id"),
+            size(tk).cast("long").as("n_tok"),
+            round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("uniq_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |    length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+             |    length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq
+             |  FROM documents WHERE n_chars > 200)
+             |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |  round(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS uniq_ratio
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact n-gram Jaccard near-dup join (prefix-filtered) ----
+    QuerySpec("q19_ngram_jaccard",
+      (s, dir) => DedupFunctions
+        .jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |    len(list_intersect(a.s, b.s)) AS shared,
+             |    len(a.s) AS n1, len(b.s) AS n2
+             |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+             |SELECT d1, d2,
+             |  round(CAST(shared AS DOUBLE) / (n1 + n2 - shared), 4) AS jaccard
+             |FROM p
+             |WHERE n1 + n2 - shared > 0
+             |  AND CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.8
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- MinHash + LSH candidate generation (banded signatures) ----
+    QuerySpec("q20_minhash_lsh",
+      (s, dir) => DedupFunctions
+        .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 12, r = 2, portable = true)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |sig AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+             |    list_min(list_transform(s, tk ->
+             |      CAST('0x' || substr(md5(i::VARCHAR || ':' || tk), 1, 15) AS BIGINT)))) AS sig
+             |  FROM sh),
+             |bands AS (
+             |  SELECT doc_id, bb AS band,
+             |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
+             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb))
+             |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |FROM bands x JOIN bands y
+             |  ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id > x.doc_id
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- SimHash near-dup candidates (no ANSI-SQL oracle: 64-bit
+    // bit-vote packing; verified by ScalaTest against planted dups) ----
+    QuerySpec("q21_simhash",
+      (s, dir) => DedupFunctions
+        .simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("d1"), col("d2")),
+      None),
+
+    // ---- brute-force cosine top-k (ANN exact baseline) ----
+    QuerySpec("q22_ann_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        VectorFunctions.bruteForceTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.v, e.v) AS sim
+             |  FROM q CROSS JOIN e WHERE e.vec_id != q.vec_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- LSH-bucketed ANN (scale path; no SQL oracle — recall is
+    // probabilistic; ScalaTest checks bucket determinism + self-recall) ----
+    QuerySpec("q23_srp_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        VectorFunctions.srpTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            dim = 64, k = 3, nBits = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- language id (marker-word scoring) ----
+    QuerySpec("q24_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .select(TextFunctions.langId(col("text"), LangMarkers).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id,
+             |    len(list_intersect(tk, ['the', 'a', 'value'])) AS s_en,
+             |    len(list_intersect(tk, ['table', 'key'])) AS s_de,
+             |    len(list_intersect(tk, ['query', 'group'])) AS s_fr,
+             |    len(list_intersect(tk, ['fast', 'slow'])) AS s_es,
+             |    len(list_intersect(tk, ['stream', 'row'])) AS s_zh
+             |  FROM tk),
+             |pred AS (
+             |  SELECT CASE
+             |    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+             |    WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_zh) THEN 'de'
+             |    WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
+             |    WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
+             |    WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+             |    ELSE 'und' END AS lang_pred
+             |  FROM sc)
+             |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+             |FROM pred GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+
+    // ---- normalized-content fingerprint dedup ----
+    QuerySpec("q27_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n"))
+        .orderBy(col("fp")),
+      Some("""SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+             |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // ---- BPE-ish token counting per source ----
+    QuerySpec("q29_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.bpeTokenCount(col("text"))).cast("long").as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source")),
+      Some("""SELECT source,
+             |  CAST(sum(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS total_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- rolling-hash fingerprint (order-sensitive; no SQL oracle —
+    // sequential fold; ScalaTest checks permutation sensitivity) ----
+    QuerySpec("q30_rolling_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
+        .orderBy(col("doc_id")),
+      None)
+  )
+}

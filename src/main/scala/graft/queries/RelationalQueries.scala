@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QuerySpec.t
+
+/** The relational restatement of the reference's operator surface
+  * (SURVEY.md §2.10): every watermill dataflow operator, expressed as
+  * the batch-verifiable Spark plan the engine produces for it, paired
+  * with the DuckDB oracle SQL. Streaming forms of the same operators
+  * live in graft.operators / graft.streaming; these batch forms share
+  * the column logic.
+  */
+object RelationalQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- aggregation baseline (metrics-style rollup over lineitem) ----
+    // TPC-H Q1 shape: one shuffle, map-side partial aggregation.
+    QuerySpec("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- projection/filter: HandlerFunc transform (SURVEY §2.2) ----
+    QuerySpec("q02_filter_project",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value") > 50)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'click' AND value > 50
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- flatMap 1->N: HandlerFunc fan-out (message/router.go:23-32) ----
+    QuerySpec("q03_flatmap_explode",
+      (s, dir) => t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("word")),
+      Some("""SELECT word, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // ---- FanIn: N topics -> 1 (components/fanin/fanin.go:15-32) ----
+    QuerySpec("q04_fanin_union",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click").select(col("user_id"), col("value"))
+        val purchases = e.filter(col("event_type") === "purchase").select(col("user_id"), col("value"))
+        clicks.unionByName(purchases)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, value FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, value FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- windowed dedup: Deduplicator middleware (deduplicator.go:64-126)
+    // batch oracle form: first row per (key, hour) survives.
+    QuerySpec("q06_dedup_window",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("user_id"), col("event_type"), date_trunc("hour", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("survivors"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, row_number() OVER (
+             |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+             |    ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS survivors
+             |FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- top-k / limit: BulkRead (message/subscriber/read.go:10-27) ----
+    QuerySpec("q07_topk",
+      (s, dir) => t(s, dir, "events")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("value")),
+      Some("""SELECT event_id, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 100""".stripMargin)),
+
+    // ---- routing by key: Forwarder envelope destination
+    // (components/forwarder/envelope.go:12-33) ----
+    QuerySpec("q08_route_topic",
+      (s, dir) => t(s, dir, "events")
+        .select(concat(lit("topic_"), col("event_type")).as("topic"))
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+        .orderBy(col("topic")),
+      Some("""SELECT 'topic_' || event_type AS topic, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY topic""".stripMargin)),
+
+    // ---- stateful counter: exactly-once counter example / requeue
+    // retries (components/requeuer/requeuer.go:123-153) ----
+    QuerySpec("q09_stateful_counter",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .filter(col("n_events") > 60)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id HAVING count(*) > 60
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- event-time delay: delayed consumption filter
+    // (components/delay/delay.go:16-68, docs delayed-messages.md) ----
+    QuerySpec("q10_delay_filter",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val mx = e.agg(max(col("ts")).as("mx"))
+        e.crossJoin(broadcast(mx))
+          .filter(col("ts") + expr("INTERVAL 1 HOUR") <= col("mx"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("deliverable"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS deliverable
+             |FROM events
+             |WHERE ts + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- request/reply correlation: reply within timeout window
+    // (components/requestreply/requestreply.go:14-66) ----
+    QuerySpec("q11_request_reply",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val req = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("req_ts"))
+        val rep = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("rep_ts"))
+        req.join(rep, Seq("user_id"))
+          .filter(col("rep_ts") > col("req_ts") &&
+            col("rep_ts") <= col("req_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT r.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM events r JOIN events p
+             |  ON r.user_id = p.user_id
+             | AND r.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts > r.ts AND p.ts <= r.ts + INTERVAL 1 HOUR
+             |GROUP BY r.user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- metrics aggregation: per-window handler stats
+    // (components/metrics/handler.go:36-65) ----
+    QuerySpec("q12_metrics_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          // sum, not avg: round(avg) can land on exact .0005 ties where
+          // Spark (HALF_UP) and DuckDB (half-even) disagree
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("uniq_users"))
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS sum_value,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    // ---- per-key ordering: TestPublishSubscribeInOrder
+    // (pubsub/tests/test_pubsub.go:405-482) ----
+    QuerySpec("q13_order_per_key",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 3)
+          .select(col("user_id"), col("event_id").as("third_event"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_id, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id AS third_event FROM r WHERE rn = 3
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- star join (harness star schema; dims broadcast) ----
+    QuerySpec("q14_star_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("region"))
+      },
+      Some("""SELECT r_name AS region,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_lines
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY region""".stripMargin)),
+
+    // ---- anti join (orders that never produced messages; NOT EXISTS) ----
+    QuerySpec("q15_anti_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- CQRS type dispatch: filter by type name + unmarshal payload
+    // (components/cqrs/command_processor.go:315-375) ----
+    QuerySpec("q16_cqrs_dispatch",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select((regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 10).as("k_bucket"))
+        .groupBy(col("k_bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k_bucket")),
+      Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE event_type = 'signup'
+             |GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    // ---- throttle / bulk-read: first 100 messages per topic
+    // (middleware/throttle.go:11-31, subscriber/read.go) ----
+    QuerySpec("q25_throttle_bulk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, value, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM r WHERE rn <= 100 GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- poison-queue split: per-row error channel
+    // (middleware/poison.go:30-60) ----
+    QuerySpec("q26_poison_split",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          when(col("value") < 1, lit("poison")).otherwise(lit("ok")).as("channel"))
+        .groupBy(col("event_type"), col("channel")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("channel")),
+      Some("""SELECT event_type,
+             |  CASE WHEN value < 1 THEN 'poison' ELSE 'ok' END AS channel,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, channel""".stripMargin)),
+
+    // ---- sessionization: per-key gap detection (ordering assertions
+    // generalized; lag window) ----
+    QuerySpec("q28_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev", lag(col("ts").cast("double"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("ts").cast("double") - col("prev") > 1800.0, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).cast("long").as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+             |           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}
