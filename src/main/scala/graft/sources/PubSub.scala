@@ -49,24 +49,30 @@ class MemoryPubSub(spark: SparkSession) extends PubSub {
   private val streams =
     scala.collection.concurrent.TrieMap.empty[String, MemoryStream[Message]]
 
+  /** Driver-side replay history, the Persistent-GoChannel buffer
+    * (pubsub/gochannel/pubsub.go:115-122 appends to `persistedMessages`;
+    * replay to newcomers at :243-261). MemoryStream keeps its own copy
+    * for streaming readers; this one serves `subscribeBatch`.
+    */
+  private val history =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Message]]
+
   private def stream(topic: String): MemoryStream[Message] =
-    streams.getOrElseUpdate(topic, MemoryStream[Message](spark.sqlContext))
+    streams.getOrElseUpdate(topic, MemoryStream[Message](spark))
 
   override def publish(topic: String, msgs: Seq[Message]): Unit =
-    if (msgs.nonEmpty) stream(topic).addData(msgs)
+    if (msgs.nonEmpty) synchronized {
+      stream(topic).addData(msgs)
+      history(topic) = history.getOrElse(topic, Vector.empty) ++ msgs
+    }
 
   override def publishBatch(topic: String, df: DataFrame): Unit =
     publish(topic, df.as[Message].collect().toSeq) // test transport: driver collect
 
   override def subscribe(topic: String): DataFrame = stream(topic).toDF()
 
-  override def subscribeBatch(topic: String): DataFrame = {
-    val buffered: Seq[Message] = streams.get(topic) match {
-      case Some(s) => s.fullSchedule().flatMap(_ => Nil) // placeholder, overridden below
-      case None => Nil
-    }
-    buffered.toDF()
-  }
+  override def subscribeBatch(topic: String): DataFrame =
+    history.getOrElse(topic, Vector.empty[Message]).toDF()
 }
 
 /** File-backed transport: one parquet directory per topic under
