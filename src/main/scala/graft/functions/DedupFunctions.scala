@@ -61,11 +61,20 @@ object DedupFunctions {
         TextFunctions.shingles(col(textCol), shingleN).as("s"))
       .filter(size(col("s")) > 0) // empty shingle sets have no signature
     val sig = sh.select(col(idCol), minhashSignature(col("s"), k, portable).as("sig"))
-    val bands = lshBands(sig, idCol, "sig", k, r)
-      // skew guard: drop degenerate buckets (e.g. empty docs) past cap
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
+    val allBands = lshBands(sig, idCol, "sig", k, r)
+    // skew guard: drop degenerate buckets (e.g. boilerplate docs) past
+    // the cap. The over-cap bucket list is tiny by construction, so a
+    // broadcast anti-join beats a Window (which would shuffle the whole
+    // bands table a second time just to count bucket sizes).
+    val bands =
+      if (maxBucket == Int.MaxValue) allBands
+      else {
+        val hot = allBands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > maxBucket)
+          .select(col("band"), col("band_key"))
+        allBands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
     val a = bands.select(col(idCol).as("d1"), col("band"), col("band_key"))
     val b = bands.select(col(idCol).as("d2"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

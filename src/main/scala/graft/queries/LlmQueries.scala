@@ -38,11 +38,13 @@ object LlmQueries {
       (s, dir) => t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(TextFunctions.tokenCount(col("text"))), 3).as("avg_tokens"),
+          // sum, not round(avg(..)): Spark rounds HALF_UP, DuckDB
+          // half-even — rounding a division result makes the gate flaky
+          sum(TextFunctions.tokenCount(col("text"))).cast("long").as("sum_tokens"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang")),
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-             |  round(avg(length(regexp_extract_all(lower(text), '[a-z0-9]+'))), 3) AS avg_tokens,
+             |  CAST(sum(length(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -92,8 +94,10 @@ object LlmQueries {
     // ---- MinHash + LSH candidate generation (banded signatures) ----
     QuerySpec("q20_minhash_lsh",
       (s, dir) => DedupFunctions
+        // maxBucket disabled here: the DuckDB oracle doesn't replicate
+        // the skew cap; production callers keep the default cap
         .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, k = 12, r = 2, portable = true)
+          shingleN = 3, k = 12, r = 2, portable = true, maxBucket = Int.MaxValue)
         .orderBy(col("d1"), col("d2")),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (
