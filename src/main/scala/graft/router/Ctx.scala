@@ -1,0 +1,41 @@
+package graft.router
+
+/** Metadata-key conventions. The reference carries handler context in
+  * the per-message `context.Context` (reference:
+  * message/router_context.go:10-15) and control metadata in message
+  * headers (poison keys: message/router/middleware/poison.go:14-19;
+  * delay keys: components/delay/delay.go:56-59; requeuer counter:
+  * components/requeuer/requeuer.go:20-26). Our analogue is a single
+  * `metadata MAP<STRING,STRING>` column; `_graft_`-prefixed keys are
+  * engine-internal (the ctx analogue) and are stripped by the router
+  * sink before publish, everything else is transported.
+  */
+object Ctx {
+
+  // --- ctx-injection keys (router_context.go parity; stripped on publish)
+  val HandlerName = "_graft_handler_name"
+  val SubscribeTopic = "_graft_subscribe_topic"
+  val PublishTopic = "_graft_publish_topic"
+
+  // --- per-row destination override, consumed by the router sink.
+  // This is what makes Forwarder (envelope.go:12-33 destination_topic)
+  // and PoisonQueue routing per-row-native.
+  val TopicOverride = "_graft_topic"
+
+  // --- transported control metadata (kept on publish)
+  /** parity with middleware/poison.go:14-19 */
+  val ReasonPoisoned = "reason_poisoned"
+  val TopicPoisoned = "topic_poisoned"
+  val HandlerPoisoned = "handler_poisoned"
+  /** parity with middleware/correlation.go:8 */
+  val CorrelationId = "correlation_id"
+  /** parity with components/delay/delay.go:56-59 */
+  val DelayedUntil = "delayed_until"
+  val DelayedFor = "delayed_for"
+  /** parity with components/requeuer/requeuer.go:20-26 */
+  val RequeuerRetries = "requeuer_retries"
+  /** retry-count stamped by DelayOnError (delay_on_error.go:14-47) */
+  val Retries = "retries"
+
+  val InternalPrefix = "_graft_"
+}

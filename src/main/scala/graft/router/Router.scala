@@ -1,0 +1,232 @@
+package graft.router
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Message
+import graft.sources.{Publisher, Subscriber}
+import Middlewares.{Handler, Middleware}
+
+/** Dataset-level transform applied to the message stream before the
+  * per-message handler runs (streaming dedup, sampling, …). Unlike a
+  * [[Middlewares.Middleware]] these can introduce stateful Spark
+  * operators (watermarks, aggregations). */
+object Stages {
+  type Stage = Dataset[Message] => Dataset[Message]
+}
+
+/** Per-handler execution knobs. `Throttle` is the reference's
+  * rate-limit middleware (middleware/throttle.go:11-31) mapped to its
+  * Spark-native home: source-rate options + trigger interval, because
+  * rate limiting in a micro-batch engine is a property of how much the
+  * source hands each trigger, not a per-row gate. `maxPerTrigger`
+  * reaches transports that support it (Kafka `maxOffsetsPerTrigger`,
+  * files `maxFilesPerTrigger`); MemoryStream has no rate knob. */
+final case class HandlerOptions(
+    trigger: Option[Trigger] = None,
+    maxPerTrigger: Option[Long] = None)
+
+/** Batch-granular circuit breaker, parity with
+  * middleware/circuit_breaker.go:11-37 (closed/open/half-open). The
+  * reference trips per-message; a micro-batch engine's unit of failure
+  * is the batch, so consecutive failed batches open the circuit, the
+  * cooldown is counted in skipped batches, and the first batch after
+  * cooldown is the half-open probe (success closes, failure re-opens).
+  * Driver-side state only — never serialized to executors.
+  */
+final class CircuitBreaker(maxFailures: Int, cooldownBatches: Int) {
+  private var consecutive = 0
+  private var skipRemaining = 0
+  private var halfOpen = false
+
+  def isOpen: Boolean = synchronized(skipRemaining > 0)
+
+  /** Runs body unless open; tracks failures. Returns true if ran. */
+  def protect(body: => Unit): Boolean = {
+    val run = synchronized {
+      if (skipRemaining > 0) { skipRemaining -= 1; halfOpen = skipRemaining == 0; false }
+      else true
+    }
+    if (!run) return false
+    try {
+      body
+      synchronized { consecutive = 0; halfOpen = false }
+      true
+    } catch {
+      case e: Throwable =>
+        synchronized {
+          consecutive += 1
+          if (halfOpen || consecutive >= maxFailures) {
+            skipRemaining = cooldownBatches
+            consecutive = 0
+          }
+          halfOpen = false
+        }
+        throw e
+    }
+  }
+}
+
+private[router] final case class HandlerDef(
+    name: String,
+    subscribeTopic: String,
+    subscriber: Subscriber,
+    publishTopic: Option[String],
+    publisher: Option[Publisher],
+    handler: Handler,
+    middlewares: Seq[Middleware],
+    stages: Seq[Stages.Stage],
+    options: HandlerOptions,
+    breaker: Option[CircuitBreaker])
+
+/** The engine's core wiring API, parity with `message.Router`
+  * (reference: message/router.go:140-174 AddHandler, :386-422 Run,
+  * :563-609 Close). Each handler is one independent StreamingQuery:
+  *
+  *   subscriber.subscribe(topic)            — streaming envelope scan
+  *     → [stages]                           — dataset-level ops (dedup…)
+  *     → flatMap(middleware-onion(handler)) — ONE codegen'd stage
+  *     → foreachBatch sink                  — per-row topic routing
+  *
+  * Scale notes: the handler chain is a single narrow transform — no
+  * shuffle unless a stage introduces one; the sink groups rows by
+  * destination topic with a driver-side distinct over the handful of
+  * topic values (bounded by handler config, not data volume); offsets
+  * commit per micro-batch, which is the ack unit (SURVEY.md §7.4 —
+  * row-level failures route to poison/retry topics instead of failing
+  * the batch, exactly the reference's production PoisonQueue pattern).
+  */
+final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
+
+  private val routerMiddlewares = mutable.ArrayBuffer.empty[Middleware]
+  private val routerStages = mutable.ArrayBuffer.empty[Stages.Stage]
+  private val handlers = mutable.LinkedHashMap.empty[String, HandlerDef]
+  private val queries = TrieMap.empty[String, StreamingQuery]
+  private val ckptBase =
+    checkpointRoot.getOrElse(Files.createTempDirectory("graft-router-").toString)
+
+  /** Router-level middleware; first added = outermost
+    * (message/router.go:184,651-659). */
+  def addMiddleware(mw: Middleware*): this.type = { routerMiddlewares ++= mw; this }
+
+  /** Router-level dataset stages applied before every handler. */
+  def addStage(st: Stages.Stage*): this.type = { routerStages ++= st; this }
+
+  /** Parity with AddHandler (message/router.go:272-330): consume
+    * `subscribeTopic`, run `handler` through the middleware onion,
+    * publish results to `publishTopic` (or per-row override). */
+  def addHandler(name: String, subscribeTopic: String, subscriber: Subscriber,
+      publishTopic: String, publisher: Publisher, handler: Handler,
+      middlewares: Seq[Middleware] = Nil, stages: Seq[Stages.Stage] = Nil,
+      options: HandlerOptions = HandlerOptions(),
+      breaker: Option[CircuitBreaker] = None): this.type = {
+    require(!handlers.contains(name), s"handler $name already added (router.go:278)")
+    handlers(name) = HandlerDef(name, subscribeTopic, subscriber,
+      Some(publishTopic), Some(publisher), handler, middlewares.toSeq,
+      stages.toSeq, options, breaker)
+    this
+  }
+
+  /** Parity with AddConsumerHandler / NoPublishHandlerFunc
+    * (message/router.go:34-35,342): terminal consumer, no publish. */
+  def addConsumerHandler(name: String, subscribeTopic: String,
+      subscriber: Subscriber, consume: Message => Unit,
+      middlewares: Seq[Middleware] = Nil): this.type = {
+    require(!handlers.contains(name), s"handler $name already added")
+    val h: Handler = m => { consume(m); Seq.empty }
+    handlers(name) = HandlerDef(name, subscribeTopic, subscriber, None, None,
+      h, middlewares.toSeq, Nil, HandlerOptions(), None)
+    this
+  }
+
+  def handlerNames: Seq[String] = handlers.keys.toSeq
+
+  /** The streaming Dataset for one handler, pre-sink — exposed so tests
+    * and `.explain` audits can inspect the plan the router builds. */
+  def plan(name: String): Dataset[Message] = buildPlan(handlers(name))
+
+  private def buildPlan(h: HandlerDef): Dataset[Message] = {
+    import spark.implicits._
+    val src = h.subscriber.subscribe(h.subscribeTopic).as[Message]
+    val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
+    // ctx injection (router.go:766-788) + middleware onion, one flatMap.
+    // Locals only in the closure — the Router itself must not serialize.
+    val hName = h.name
+    val subTopic = h.subscribeTopic
+    val pubTopic = h.publishTopic.getOrElse("")
+    val composed = Middlewares.chain(routerMiddlewares.toSeq ++ h.middlewares)(h.handler)
+    staged.flatMap { m =>
+      composed(m
+        .withMeta(Ctx.HandlerName, hName)
+        .withMeta(Ctx.SubscribeTopic, subTopic)
+        .withMeta(Ctx.PublishTopic, pubTopic))
+    }
+  }
+
+  /** Publish one micro-batch, honoring per-row topic overrides and
+    * stripping `_graft_` ctx keys. The distinct-topic collect is over
+    * the tiny set of destination topics, never data-sized. */
+  private def sinkBatch(h: HandlerDef, batch: DataFrame): Unit = {
+    val pub = h.publisher.get
+    val default = h.publishTopic.get
+    val routed = batch.withColumn("_topic",
+      coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
+    val cleaned = routed.withColumn("metadata",
+      map_filter(col("metadata"), (k, _) => !k.startsWith(Ctx.InternalPrefix)))
+      .persist()
+    try {
+      val topics = cleaned.select(col("_topic")).distinct().collect().map(_.getString(0))
+      topics.foreach { t =>
+        pub.publishBatch(t,
+          cleaned.filter(col("_topic") === t)
+            .select(Message.columns.map(col): _*))
+      }
+    } finally { cleaned.unpersist(); () }
+  }
+
+  /** Start one StreamingQuery per handler, parity with Run + RunHandlers
+    * (message/router.go:386-493). Returns once all queries are started
+    * (the reference's `Running()` gate); callers await with
+    * [[awaitAnyTermination]] or drive with [[processAllAvailable]]. */
+  def run(): this.type = {
+    handlers.values.foreach { h =>
+      queries.getOrElseUpdate(h.name, {
+        val out = buildPlan(h).toDF()
+        val writer = out.writeStream
+          .queryName(s"graft-${h.name}")
+          .option("checkpointLocation", s"$ckptBase/${h.name}")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch) else batch.foreach(_ => ()) }
+            h.breaker match {
+              case Some(cb) => cb.protect(body()); ()
+              case None => body()
+            }
+          }
+        h.options.trigger.foreach(writer.trigger)
+        writer.start()
+      })
+    }
+    this
+  }
+
+  def running: Map[String, StreamingQuery] = queries.toMap
+
+  /** Test/drain helper: block until every handler has consumed all
+    * currently-available input (the `BlockPublishUntilSubscriberAck`
+    * analogue, pubsub/gochannel/pubsub.go:132-150). */
+  def processAllAvailable(): Unit = queries.values.foreach(_.processAllAvailable())
+
+  def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
+
+  /** Parity with Close (message/router.go:563-609): stop every query. */
+  def close(): Unit = {
+    queries.values.foreach(q => try q.stop() catch { case _: Throwable => () })
+    queries.clear()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.Message
+
+/** Publisher/Subscriber decorators, parity with
+  * `MessageTransformPublisherDecorator` /
+  * `MessageTransformSubscriberDecorator` (reference:
+  * message/decorator.go:10-34, message/router.go:64-68). The reference
+  * transforms one message at a time; the engine-native unit is the
+  * frame, so decorators carry both forms — `perMessage` for the
+  * driver-side Seq path and `perFrame` for the distributed path (keep
+  * them semantically identical).
+  */
+object Decorators {
+
+  final class TransformingPublisher(inner: Publisher,
+      perMessage: Message => Message,
+      perFrame: DataFrame => DataFrame) extends Publisher {
+    override def publish(topic: String, msgs: Seq[Message]): Unit =
+      inner.publish(topic, msgs.map(perMessage))
+    override def publishBatch(topic: String, df: DataFrame): Unit =
+      inner.publishBatch(topic, perFrame(df))
+    override def close(): Unit = inner.close()
+  }
+
+  final class TransformingSubscriber(inner: Subscriber,
+      perFrame: DataFrame => DataFrame) extends Subscriber {
+    override def subscribe(topic: String): DataFrame = perFrame(inner.subscribe(topic))
+    override def subscribeBatch(topic: String): DataFrame = perFrame(inner.subscribeBatch(topic))
+  }
+
+  def publisher(inner: Publisher, perMessage: Message => Message,
+      perFrame: DataFrame => DataFrame): Publisher =
+    new TransformingPublisher(inner, perMessage, perFrame)
+
+  def subscriber(inner: Subscriber, perFrame: DataFrame => DataFrame): Subscriber =
+    new TransformingSubscriber(inner, perFrame)
+}

@@ -42,7 +42,13 @@ trait PubSub extends Publisher with Subscriber
   * by design (the reference's GoChannel is likewise in-process); the
   * scale transports are [[FilePubSub]] / [[KafkaPubSub]].
   */
-class MemoryPubSub(spark: SparkSession) extends PubSub {
+/** @param numPartitions when Some(1), the transport guarantees global
+  *   delivery order (the reference's GuaranteedOrder capability,
+  *   pubsub/tests/test_pubsub.go:104-110) — one partition means one
+  *   task consumes in offset order. Default: session parallelism,
+  *   unordered across keys (like most real transports).
+  */
+class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None) extends PubSub {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
 
@@ -58,7 +64,10 @@ class MemoryPubSub(spark: SparkSession) extends PubSub {
     scala.collection.concurrent.TrieMap.empty[String, Vector[Message]]
 
   private def stream(topic: String): MemoryStream[Message] =
-    streams.getOrElseUpdate(topic, MemoryStream[Message](spark))
+    streams.getOrElseUpdate(topic, numPartitions match {
+      case Some(n) => MemoryStream[Message](spark, n)
+      case None => MemoryStream[Message](spark)
+    })
 
   override def publish(topic: String, msgs: Seq[Message]): Unit =
     if (msgs.nonEmpty) synchronized {
