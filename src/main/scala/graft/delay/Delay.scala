@@ -1,0 +1,105 @@
+package graft.delay
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Message
+import graft.router.{Ctx, Stages}
+import graft.sources.{Publisher, Subscriber}
+
+/** Delayed-message support, parity with `components/delay`
+  * (reference: components/delay/delay.go:16-68, publisher.go:14-83,
+  * docs/content/advanced/delayed-messages.md:9-41).
+  *
+  * A delay is metadata (`delayed_until` RFC3339 + `delayed_for`), and
+  * delayed consumption is an event-time filter on the consumer side —
+  * the reference's SQL-transport "broker hides rows until due" maps to
+  * filtering `delayed_until <= now` over a replayable staging topic.
+  */
+object Delay {
+
+  final case class Delay(untilMs: Long, forDesc: String)
+
+  /** delay.For (delay.go:24-30) */
+  def forMs(ms: Long, nowMs: Long = System.currentTimeMillis()): Delay =
+    Delay(nowMs + ms, s"${ms}ms")
+
+  /** delay.Until (delay.go:32-39) */
+  def until(at: Instant): Delay = Delay(at.toEpochMilli, s"until ${at.toString}")
+
+  /** delay.Message (delay.go:56-68): stamp the delay metadata. */
+  def message(m: Message, d: Delay): Message =
+    m.withMeta(Ctx.DelayedUntil, Instant.ofEpochMilli(d.untilMs).toString)
+      .withMeta(Ctx.DelayedFor, d.forDesc)
+
+  /** Column predicate: true when the row is deliverable as of `asOf`.
+    * Rows without delay metadata are always ready. */
+  def isReady(asOf: Column): Column = {
+    val until = element_at(col("metadata"), lit(Ctx.DelayedUntil))
+    until.isNull || to_timestamp(until) <= asOf
+  }
+}
+
+/** delay.NewPublisher (publisher.go:14-33,40-83): wraps a publisher so
+  * every published message gets delay metadata stamped. `allowNoDelay`
+  * parity: without a default delay and without pre-stamped metadata,
+  * publishing errors unless allowed. */
+final class DelayingPublisher(inner: Publisher, defaultDelay: Option[Delay.Delay],
+    allowNoDelay: Boolean = false) extends Publisher {
+
+  private def stamp(m: Message): Message =
+    if (m.get(Ctx.DelayedUntil).nonEmpty) m
+    else defaultDelay match {
+      case Some(d) => Delay.message(m, d)
+      case None if allowNoDelay => m
+      case None => throw new IllegalArgumentException(
+        "message has no delay and no default delay configured (publisher.go:59-66)")
+    }
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit =
+    inner.publish(topic, msgs.map(stamp))
+
+  override def publishBatch(topic: String, df: DataFrame): Unit = {
+    val until = element_at(col("metadata"), lit(Ctx.DelayedUntil))
+    val stamped = defaultDelay match {
+      case Some(d) => df.withColumn("metadata",
+        when(until.isNull, map_concat(col("metadata"),
+          map(lit(Ctx.DelayedUntil), lit(Instant.ofEpochMilli(d.untilMs).toString),
+            lit(Ctx.DelayedFor), lit(d.forDesc))))
+          .otherwise(col("metadata")))
+      case None if allowNoDelay => df
+      case None => throw new IllegalArgumentException(
+        "batch has no default delay configured")
+    }
+    inner.publishBatch(topic, stamped)
+  }
+  override def close(): Unit = inner.close()
+}
+
+/** Delayed consumption (delayed-messages.md:9-41). Two forms:
+  *  - [[stage]]: streaming filter for router handlers — rows not yet
+  *    due are dropped from THIS pass; pair with a replayable staging
+  *    topic and [[drain]] for redelivery.
+  *  - [[drain]]: the scheduled micro-batch form — re-scan the staging
+  *    topic, forward everything now due and not yet forwarded. Keyed
+  *    anti-join against the target topic, no driver state.
+  */
+object DelayedDelivery {
+
+  def ready(df: DataFrame, asOf: Column = current_timestamp()): DataFrame =
+    df.filter(Delay.isReady(asOf))
+
+  def stage(asOf: Column = current_timestamp()): Stages.Stage = ds =>
+    ds.filter(Delay.isReady(asOf)) // typed filter keeps Dataset[Message]
+
+  /** One drain pass: publish due-and-not-yet-forwarded staging rows to
+    * `target`. Call per schedule tick (or from a trigger). */
+  def drain(sub: Subscriber, pub: Publisher, stagingTopic: String,
+      target: String, asOf: Column = current_timestamp()): Unit = {
+    val staged = ready(sub.subscribeBatch(stagingTopic), asOf)
+    val already = sub.subscribeBatch(target).select(col("uuid"))
+    pub.publishBatch(target, staged.join(already, Seq("uuid"), "left_anti"))
+  }
+}

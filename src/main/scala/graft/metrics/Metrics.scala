@@ -1,0 +1,67 @@
+package graft.metrics
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Per-query counters, the analogue of the reference's Prometheus
+  * metric set (reference: components/metrics/builder.go:26-57,
+  * handler.go:36-65 exec-time histogram, publisher.go:19-68 publish
+  * counters, subscriber.go:16-57 received counter). In the micro-batch
+  * model the natural grain is the query progress event:
+  * `numInputRows` = received counter, sink `numOutputRows` = publish
+  * counter, `durationMs` feeds the exec-time histogram.
+  */
+final case class QueryStats(
+    batches: Long = 0,
+    inputRows: Long = 0,
+    outputRows: Long = 0,
+    totalDurationMs: Long = 0,
+    maxBatchDurationMs: Long = 0,
+    lastProcessedRowsPerSec: Double = 0.0) {
+
+  def avgBatchDurationMs: Double =
+    if (batches == 0) 0.0 else totalDurationMs.toDouble / batches
+}
+
+/** StreamingQueryListener bridge — attach once per session; stats
+  * accumulate per query name (router handlers are named
+  * `graft-<handler>`). A Prometheus exporter would scrape
+  * [[snapshot]]; the HTTP endpoint (metrics/http.go:14-41) maps to
+  * Spark's own metrics servlet and is intentionally not re-built. */
+final class GraftMetrics extends StreamingQueryListener {
+
+  private val stats = TrieMap.empty[String, QueryStats]
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    stats.putIfAbsent(Option(event.name).getOrElse(event.id.toString), QueryStats())
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    val out = Option(p.sink).map(_.numOutputRows).filter(_ >= 0).getOrElse(0L)
+    stats.updateWith(name) { prev =>
+      val s = prev.getOrElse(QueryStats())
+      Some(s.copy(
+        batches = s.batches + 1,
+        inputRows = s.inputRows + p.numInputRows,
+        outputRows = s.outputRows + out,
+        totalDurationMs = s.totalDurationMs + dur,
+        maxBatchDurationMs = math.max(s.maxBatchDurationMs, dur),
+        lastProcessedRowsPerSec = p.processedRowsPerSecond))
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  def snapshot: Map[String, QueryStats] = stats.toMap
+
+  def attach(spark: SparkSession): this.type = {
+    spark.streams.addListener(this); this
+  }
+
+  def detach(spark: SparkSession): Unit = spark.streams.removeListener(this)
+}

@@ -1,0 +1,121 @@
+package graft.requestreply
+
+import scala.reflect.ClassTag
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Message
+import graft.cqrs.JsonMarshaler
+import graft.router.{Middlewares, Router}
+import graft.sources.PubSub
+
+/** Request/reply over pub/sub, parity with `components/requestreply`
+  * (reference: requestreply.go:14-66 Backend/Reply,
+  * backend_pubsub.go:15-18,74-173 PubSubBackend,
+  * handler.go:16-67 NewCommandHandlerWithResult). Correlation is the
+  * `operation_id` metadata key (backend_pubsub_marshaler.go).
+  *
+  * Two consumption forms:
+  *  - interactive [[PubSubBackend.sendAndWait]] — publish the command,
+  *    poll the reply topic for the operation id until timeout (the
+  *    reference's ListenForNotifications future);
+  *  - streaming [[correlate]] — stream-stream equi-join of commands and
+  *    replies on operation_id with watermarks bounding state, the form
+  *    that scales to unbounded topics.
+  */
+object RequestReply {
+  val OperationIdKey = "operation_id"
+  val ErrorKey = "reply_error"
+
+  /** Command handler that publishes a reply notification carrying the
+    * command's operation id; handler errors are marshaled into the
+    * notification (handler.go:16-67 + backend_pubsub_marshaler.go:
+    * error-in-metadata), so the requester always gets an answer. */
+  def commandHandlerWithResult[C: ClassTag](marshaler: JsonMarshaler)(
+      handle: C => Any): Middlewares.Handler = { m =>
+    val opId = m.get(OperationIdKey)
+    val reply =
+      try marshaler.marshal(handle(marshaler.unmarshal[C](m)))
+      catch {
+        case NonFatal(e) =>
+          marshaler.marshal(Map("error" -> Option(e.getMessage).getOrElse(e.toString)))
+            .withMeta(ErrorKey, Option(e.getMessage).getOrElse(e.toString))
+      }
+    Seq(reply.withMeta(OperationIdKey, opId))
+  }
+
+  /** Streaming correlation join: commands ⋈ replies on operation_id,
+    * both sides watermarked so join state is evicted — the 100 TB form
+    * of backend_pubsub.go's per-operation subscription. Works on batch
+    * frames too (the q11 analogue). */
+  def correlate(commands: DataFrame, replies: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    def keyed(df: DataFrame, side: String) = {
+      val k = df.withColumn("op_id", element_at(col("metadata"), lit(OperationIdKey)))
+        .filter(col("op_id").isNotNull)
+      (if (k.isStreaming) k.withWatermark("ts", watermarkDelay) else k)
+        .select(col("op_id"),
+          col("uuid").as(s"${side}_uuid"),
+          col("payload").as(s"${side}_payload"),
+          col("ts").as(s"${side}_ts"))
+    }
+    keyed(commands, "command").join(keyed(replies, "reply"), Seq("op_id"))
+  }
+}
+
+/** Interactive backend, parity with `PubSubBackend`
+  * (backend_pubsub.go:74-173). The reference subscribes to the reply
+  * topic BEFORE publishing (race-free); our transport replays history
+  * to late readers (persistent semantics), which closes the same race
+  * without subscription ordering. */
+final class PubSubBackend(
+    pubsub: PubSub,
+    commandTopic: String = "rr_commands",
+    replyTopic: String = "rr_replies",
+    marshaler: JsonMarshaler = new JsonMarshaler()) {
+
+  import RequestReply._
+
+  /** Register the processing side on a router: one handler consuming
+    * the command topic and publishing correlated replies. */
+  def registerHandler[C: ClassTag](router: Router)(handle: C => Any): Router =
+    router.addHandler(s"rr-handler-$commandTopic", commandTopic, pubsub,
+      replyTopic, pubsub, commandHandlerWithResult[C](marshaler)(handle))
+
+  /** Publish a command stamped with a fresh operation id; returns it. */
+  def send(cmd: Any): String = {
+    val opId = graft.core.Ids.newUuid()
+    pubsub.publish(commandTopic,
+      Seq(marshaler.marshal(cmd).withMeta(OperationIdKey, opId)))
+    opId
+  }
+
+  /** Await the reply for an operation id by polling the replayable
+    * reply topic (requestreply.go:59-66 ReplyTimeoutError semantics:
+    * Left on timeout). `drive` runs between polls — pass
+    * `router.processAllAvailable` to push micro-batches in tests. */
+  def await(opId: String, timeoutMs: Long, pollMs: Long = 50,
+      drive: () => Unit = () => ()): Either[String, Message] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      drive()
+      val hit = pubsub.subscribeBatch(replyTopic)
+        .filter(element_at(col("metadata"), lit(OperationIdKey)) === opId)
+        .collect()
+      if (hit.nonEmpty) {
+        val r = hit.head
+        return Right(Message(r.getAs[String]("uuid"),
+          r.getAs[Map[String, String]]("metadata"),
+          r.getAs[Array[Byte]]("payload"), r.getAs[java.sql.Timestamp]("ts")))
+      }
+      Thread.sleep(pollMs)
+    }
+    Left(s"reply timeout after ${timeoutMs}ms for operation $opId")
+  }
+
+  def sendAndWait(cmd: Any, timeoutMs: Long,
+      drive: () => Unit = () => ()): Either[String, Message] =
+    await(send(cmd), timeoutMs, drive = drive)
+}

@@ -153,7 +153,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
 
   private def buildPlan(h: HandlerDef): Dataset[Message] = {
     import spark.implicits._
-    val src = h.subscriber.subscribe(h.subscribeTopic).as[Message]
+    val src = h.subscriber.subscribe(h.subscribeTopic, h.options.maxPerTrigger).as[Message]
     val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.
     // Locals only in the closure — the Router itself must not serialize.

@@ -26,6 +26,13 @@ trait Publisher {
 trait Subscriber {
   def subscribe(topic: String): DataFrame
   def subscribeBatch(topic: String): DataFrame
+
+  /** Rate-limited subscribe — the Throttle middleware's transport hook
+    * (middleware/throttle.go:11-31 maps to per-trigger source caps in a
+    * micro-batch engine). `maxPerTrigger` semantics are per-transport
+    * (Kafka: offsets; files: files); transports without a rate knob
+    * ignore it. */
+  def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = subscribe(topic)
 }
 
 trait PubSub extends Publisher with Subscriber
@@ -104,6 +111,12 @@ class FilePubSub(spark: SparkSession, root: String) extends PubSub {
   override def subscribe(topic: String): DataFrame =
     spark.readStream.schema(Message.schema).parquet(path(topic))
 
+  override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = {
+    val r = spark.readStream.schema(Message.schema)
+    maxPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path(topic))
+  }
+
   override def subscribeBatch(topic: String): DataFrame =
     spark.read.schema(Message.schema).parquet(path(topic))
 }
@@ -129,6 +142,23 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .save()
+
+  override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("includeHeaders", "true")
+    maxPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
+    r.load()
+      .select(
+        col("key").cast("string").as("uuid"),
+        map_from_arrays(
+          transform(col("headers"), h => h.getField("key")),
+          transform(col("headers"), h => h.getField("value").cast("string")))
+          .as("metadata"),
+        col("value").as("payload"),
+        col("timestamp").as("ts"))
+  }
 
   override def subscribe(topic: String): DataFrame =
     spark.readStream.format("kafka")

@@ -1,0 +1,68 @@
+package graft.delay
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+
+import graft.SparkSpec
+import graft.core.Message
+import graft.router.Ctx
+import graft.sources.MemoryPubSub
+
+class DelaySpec extends SparkSpec {
+
+  private def msg(u: String, meta: Map[String, String] = Map.empty) =
+    Message(u, meta, u.getBytes, new Timestamp(1700000000000L))
+
+  test("Delay.message stamps delayed_until/delayed_for (delay.go:56-68)") {
+    val d = Delay.forMs(5000, nowMs = 1700000000000L)
+    val m = Delay.message(msg("d1"), d)
+    assert(m.get(Ctx.DelayedUntil) == Instant.ofEpochMilli(1700000005000L).toString)
+    assert(m.get(Ctx.DelayedFor) == "5000ms")
+  }
+
+  test("DelayingPublisher refuses undelayed messages unless allowed (publisher.go:59-66)") {
+    val ps = new MemoryPubSub(spark)
+    val strict = new DelayingPublisher(ps, defaultDelay = None)
+    intercept[IllegalArgumentException](strict.publish("t", Seq(msg("x"))))
+    val lax = new DelayingPublisher(ps, defaultDelay = None, allowNoDelay = true)
+    lax.publish("t", Seq(msg("x")))
+    assert(ps.subscribeBatch("t").count() == 1)
+    val defaulted = new DelayingPublisher(ps, Some(Delay.forMs(1000, nowMs = 1700000000000L)))
+    defaulted.publish("t2", Seq(msg("y")))
+    val meta = ps.subscribeBatch("t2").collect().head.getAs[Map[String, String]]("metadata")
+    assert(meta(Ctx.DelayedUntil) == Instant.ofEpochMilli(1700000001000L).toString)
+  }
+
+  test("ready() hides rows until due, passes undelayed rows (delayed-messages.md:9-41)") {
+    val ps = new MemoryPubSub(spark)
+    val now = Instant.ofEpochMilli(1700000000000L)
+    ps.publish("staged", Seq(
+      Delay.message(msg("due"), Delay.until(now.minusSeconds(10))),
+      Delay.message(msg("future"), Delay.until(now.plusSeconds(3600))),
+      msg("undelayed")))
+    val asOf = to_timestamp(lit(now.toString))
+    val visible = DelayedDelivery.ready(ps.subscribeBatch("staged"), asOf)
+      .collect().map(_.getAs[String]("uuid")).toSet
+    assert(visible == Set("due", "undelayed"))
+  }
+
+  test("drain forwards due rows once, idempotently") {
+    val ps = new MemoryPubSub(spark)
+    val now = Instant.ofEpochMilli(1700000000000L)
+    ps.publish("dstage", Seq(
+      Delay.message(msg("a"), Delay.until(now.minusSeconds(1))),
+      Delay.message(msg("b"), Delay.until(now.plusSeconds(100)))))
+    val asOf = to_timestamp(lit(now.toString))
+    DelayedDelivery.drain(ps, ps, "dstage", "dtarget", asOf)
+    assert(ps.subscribeBatch("dtarget").collect().map(_.getAs[String]("uuid")).toSet == Set("a"))
+    // second drain: nothing new forwarded (anti-join on uuid)
+    DelayedDelivery.drain(ps, ps, "dstage", "dtarget", asOf)
+    assert(ps.subscribeBatch("dtarget").count() == 1)
+    // time passes: b becomes due
+    val later = to_timestamp(lit(now.plusSeconds(200).toString))
+    DelayedDelivery.drain(ps, ps, "dstage", "dtarget", later)
+    assert(ps.subscribeBatch("dtarget").collect().map(_.getAs[String]("uuid")).toSet == Set("a", "b"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.metrics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.Message
+import graft.router.{Middlewares, Router}
+import graft.sources.MemoryPubSub
+
+class MetricsSpec extends SparkSpec {
+
+  test("listener accumulates per-handler input/output counters (builder.go:26-57)") {
+    val metrics = new GraftMetrics().attach(spark)
+    try {
+      val ps = new MemoryPubSub(spark)
+      val router = new Router(spark)
+      router.addHandler("metered", "metrics_in", ps, "metrics_out", ps,
+        Middlewares.passthrough)
+      ps.publish("metrics_in", (0 until 25).map(i =>
+        Message(s"mm$i", Map.empty, "x".getBytes, new Timestamp(1700000000000L))))
+      router.run(); router.processAllAvailable(); router.close()
+      // listener events are async — wait for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      def stats = metrics.snapshot.get("graft-metered")
+      while (System.currentTimeMillis() < deadline &&
+        !stats.exists(_.inputRows >= 25)) Thread.sleep(100)
+      val s = stats.get
+      assert(s.inputRows == 25)
+      assert(s.batches >= 1)
+      assert(s.totalDurationMs > 0)
+    } finally metrics.detach(spark)
+  }
+}
