@@ -57,27 +57,32 @@ object DedupFunctions {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, r: Int, portable: Boolean,
       maxBucket: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol),
-        TextFunctions.shingles(col(textCol), shingleN).as("s"))
-      .filter(size(col("s")) > 0) // empty shingle sets have no signature
+    // two-step projection: words materialize once, THEN shingle — the
+    // HOF lambda must capture an attribute, not the split tree (see
+    // TextFunctions.shinglesFromWords perf note). The empty-doc guard
+    // filters on size(w) >= n (equivalent to size(shingles) > 0 but
+    // CHEAP): a filter on the shingle array would be pushed below the
+    // projection and re-evaluate the whole HOF expression per row.
+    val sh = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col(idCol), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
     val sig = sh.select(col(idCol), minhashSignature(col("s"), k, portable).as("sig"))
-    val allBands = lshBands(sig, idCol, "sig", k, r)
-    // skew guard: drop degenerate buckets (e.g. boilerplate docs) past
-    // the cap. The over-cap bucket list is tiny by construction, so a
-    // broadcast anti-join beats a Window (which would shuffle the whole
-    // bands table a second time just to count bucket sizes).
-    val bands =
-      if (maxBucket == Int.MaxValue) allBands
-      else {
-        val hot = allBands.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") > maxBucket)
-          .select(col("band"), col("band_key"))
-        allBands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
-      }
-    val a = bands.select(col(idCol).as("d1"), col("band"), col("band_key"))
-    val b = bands.select(col(idCol).as("d2"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+    val bands = lshBands(sig, idCol, "sig", k, r)
+    // The signature subtree (k hashes × shingles per doc — the
+    // expensive part) is referenced EXACTLY ONCE: one shuffle groups
+    // bucket members, then intra-bucket pairs come from a double
+    // explode. A bands-self-join would reference the subtree from both
+    // sides (and from the skew-count) — Catalyst re-evaluates each
+    // reference, and AQE's broadcast conversion defeats exchange reuse,
+    // so the self-join form recomputed the signatures up to 4×.
+    // The size cap is the skew guard (boilerplate buckets) and bounds
+    // the per-bucket pair blow-up at maxBucket².
+    val buckets = bands.groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col(idCol)).as("members"))
+      .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
   }
@@ -98,20 +103,39 @@ object DedupFunctions {
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("s"))
-      .filter(size(col("s")) > 0)
+    // size(w) >= n guard instead of size(s) > 0: equivalent, but does
+    // not re-evaluate the shingle HOF in a pushed-down filter
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
     val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    // rare-first prefix per doc, array-native: regroup the doc's
+    // postings, sort by (df, t) — array_sort's struct ordering matches
+    // the old Window orderBy — and slice the first n - ceil(t*n) + 1.
+    // One linear reference chain; the previous per-doc row_number
+    // Window fed a prefix SELF-join whose two sides each re-evaluated
+    // the whole postings pipeline (scan+shingle+freq-join+window).
     val prefix = ex.join(freq, Seq("t"))
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc_id"), col("t"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), collect_list(struct(col("df"), col("t"))).as("ps"))
+      .select(col("doc_id"),
+        slice(array_sort(col("ps")), lit(1),
+          (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+      .select(col("doc_id"), explode(col("pre")).as("p"))
+      .select(col("doc_id"), col("p.t").as("t"))
+    // candidates: intra-bucket pairs of the prefix inverted index —
+    // grouped once, pairs by double explode (no self-join recompute).
+    // No bucket cap here: prefix filtering is EXACT (100% recall), a
+    // cap would silently drop true matches.
+    val cand = prefix.groupBy(col("t"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("d1"), col("ds"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
     // exact verification on full shingle sets
     val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"), size(col("s")).as("n1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"), size(col("s")).as("n2"))
@@ -125,10 +149,15 @@ object DedupFunctions {
 
   /** 64-bit SimHash over tokens: per bit, sum ±1 votes weighted by the
     * token hash's bit value; the sign vector packs into a long. Near
-    * duplicates differ in few bits (small Hamming distance). Pure
-    * column expressions: 64 sequential folds — heavy but codegen'd;
-    * production variant would be a single custom Expression pass. */
-  def simhash64(tokensCol: Column): Column = {
+    * duplicates differ in few bits (small Hamming distance). Single
+    * custom-Expression pass ([[Hashes.simhash64]]) — the previous
+    * composed form re-walked the token array 64 times. */
+  def simhash64(tokensCol: Column): Column = Hashes.simhash64(tokensCol)
+
+  /** The composed-expression reference implementation (64 `aggregate`
+    * folds) — kept for the equivalence test that pins the custom
+    * Expression to the same bit pattern; do not use in query paths. */
+  private[graft] def simhash64Composed(tokensCol: Column): Column = {
     val hashed = transform(tokensCol, t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashed, lit(0L),

@@ -14,6 +14,53 @@ object HashUtil {
     a.update(bytes, 0, bytes.length)
     a.getValue
   }
+
+  /** Single-pass 64-bit SimHash over a token array: per token, hash
+    * once (Spark's own xxhash64, seed 42 — bit-identical to the
+    * `xxhash64` SQL function) and accumulate ±1 votes into 64 counters;
+    * sign-pack at the end. One traversal of the array, O(64) ints of
+    * scratch — replaces a 64-fold `aggregate` expression tree that
+    * re-walked the array per bit. */
+  def simhash64(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Single-pass SimHash of an `array<string>` column as a native
+  * Catalyst expression with codegen. Semantically identical to the
+  * composed form `sum_b(sign(sum_tok ±1(bit_b(xxhash64(tok)))) << b)`
+  * but one pass instead of 64 (reference for the dedup family:
+  * message/router/middleware/deduplicator.go generalized per SURVEY
+  * §2.10 extension surface).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
 }
 
 /** Adler32 checksum of a binary column, as a native Catalyst expression
@@ -43,6 +90,10 @@ object Hashes {
 
   def adler32(c: Column): Column = ColumnBridge.column(
     Adler32Expr(ColumnBridge.expression(c.cast(BinaryType))))
+
+  /** Single-pass SimHash of an array<string> column (codegen'd). */
+  def simhash64(tokens: Column): Column = ColumnBridge.column(
+    SimHash64Expr(ColumnBridge.expression(tokens)))
 
   /** First 15 hex chars of md5 as a positive 60-bit long. Engine-portable. */
   def md5Long(c: Column): Column =

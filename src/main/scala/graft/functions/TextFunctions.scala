@@ -34,14 +34,25 @@ object TextFunctions {
 
   /** n-gram word shingles as strings, distinct. 1-based element_at.
     * Guarded: a doc with < n words yields an empty array (Spark's
-    * `sequence(1, 0)` would otherwise count DOWN, not return empty). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+    * `sequence(1, 0)` would otherwise count DOWN, not return empty).
+    *
+    * PERFORMANCE: `w` MUST be a materialized attribute (project
+    * `words(text)` into its own column first). Higher-order-function
+    * lambdas re-evaluate captured expression TREES per element — if
+    * `w` were `split(text)` inline, the split would run 3× per shingle
+    * position, turning shingling O(words²). [[shingles]] takes care of
+    * the hoist; use [[shinglesFromWords]] when you already have the
+    * array column. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     when(size(w) < n, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
-  }
+
+  /** Convenience over [[shinglesFromWords]] — only safe when the plan
+    * materializes the split once (single reference). Prefer projecting
+    * `words(text)` first in hot paths. */
+  def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
   /** Ratio of punctuation chars to total chars. */
   def punctRatio(text: Column): Column =
@@ -72,10 +83,15 @@ object TextFunctions {
   /** Stopword-overlap language id: score = |distinct tokens ∩ marker
     * words| per language; argmax with first-wins tie-break on the
     * declaration order. Pure expressions — scales linearly, no UDF. */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val t = array_distinct(tokens(text))
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(array_distinct(tokens(text)), markers)
+
+  /** langId over a pre-computed distinct-token array — hoist the
+    * tokenization into a projection so the regex runs once per row,
+    * not once per language. */
+  def langIdFromTokens(distinctTokens: Column, markers: Seq[(String, Seq[String])]): Column = {
     val scores = markers.map { case (lang, ws) =>
-      lang -> size(array_intersect(t, array(ws.map(lit): _*)))
+      lang -> size(array_intersect(distinctTokens, array(ws.map(lit): _*)))
     }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), els) =>

@@ -50,15 +50,16 @@ object LlmQueries {
 
     // ---- quality scoring: unique-token ratio ----
     QuerySpec("q18_quality",
-      (s, dir) => {
-        val tk = TextFunctions.tokens(col("text"))
-        t(s, dir, "documents")
-          .filter(col("n_chars") > 200)
-          .select(col("doc_id"),
-            size(tk).cast("long").as("n_tok"),
-            round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("uniq_ratio"))
-          .orderBy(col("doc_id"))
-      },
+      // tokenize ONCE in a projection, then reuse the array — inlining
+      // tokens() at each use would run the regex twice per row
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("n_chars") > 200)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
+            .as("uniq_ratio"))
+        .orderBy(col("doc_id")),
       Some("""WITH x AS (
              |  SELECT doc_id,
              |    length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
@@ -94,11 +95,11 @@ object LlmQueries {
     // ---- MinHash + LSH candidate generation (banded signatures) ----
     QuerySpec("q20_minhash_lsh",
       (s, dir) => DedupFunctions
-        // maxBucket disabled here: the DuckDB oracle doesn't replicate
-        // the skew cap; production callers keep the default cap
         .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, k = 12, r = 2, portable = true, maxBucket = Int.MaxValue)
+          shingleN = 3, k = 12, r = 2, portable = true)
         .orderBy(col("d1"), col("d2")),
+      // the oracle mirrors the maxBucket=1000 skew cap (the `sized`/
+      // `kept` CTEs) so both engines drop the same degenerate buckets
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (
              |  SELECT doc_id, list_distinct(list_transform(
@@ -113,9 +114,14 @@ object LlmQueries {
              |bands AS (
              |  SELECT doc_id, bb AS band,
              |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
-             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb))
+             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (
+             |  SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (
+             |  SELECT b.* FROM bands b JOIN sized s USING (band, band_key)
+             |  WHERE s.n <= 1000)
              |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-             |FROM bands x JOIN bands y
+             |FROM kept x JOIN kept y
              |  ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id > x.doc_id
              |ORDER BY d1, d2""".stripMargin)),
 
@@ -164,8 +170,11 @@ object LlmQueries {
 
     // ---- language id (marker-word scoring) ----
     QuerySpec("q24_lang_id",
+      // distinct-token array computed once in a projection; langId's
+      // per-language scores then share it instead of re-tokenizing 5×
       (s, dir) => t(s, dir, "documents")
-        .select(TextFunctions.langId(col("text"), LangMarkers).as("lang_pred"))
+        .select(array_distinct(TextFunctions.tokens(col("text"))).as("tk"))
+        .select(TextFunctions.langIdFromTokens(col("tk"), LangMarkers).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred")),
       Some("""WITH tk AS (
@@ -222,6 +231,18 @@ object LlmQueries {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
         .orderBy(col("doc_id")),
+      None),
+
+    // ---- MinHash-LSH, production hash family (xxhash64) — the bench/
+    // scale path. q20 keeps the md5-portable family solely because the
+    // DuckDB oracle must reproduce hashes bit-for-bit; no SQL oracle
+    // here (engine-specific hash), ScalaTest checks recall on planted
+    // duplicates instead. ----
+    QuerySpec("q31_minhash_lsh_fast",
+      (s, dir) => DedupFunctions
+        .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 12, r = 2, portable = false)
+        .orderBy(col("d1"), col("d2")),
       None)
   )
 }

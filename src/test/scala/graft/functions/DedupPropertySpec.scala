@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The property tests that back the no-oracle queries (q21 simhash,
+  * q23 srp-ann, q30 rolling fingerprint, q31 fast minhash): their
+  * semantics aren't ANSI-SQL-expressible, so ScalaTest is the
+  * correctness signal the driver's DuckDB gate can't provide.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---------- q21: SimHash ----------
+
+  test("single-pass SimHash expression is bit-identical to the 64-fold composed form") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a b", "single", "", "repeated repeated repeated repeated")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    val both = df.select(col("doc_id"),
+      Hashes.simhash64(col("tk")).as("fast"),
+      DedupFunctions.simhash64Composed(col("tk")).as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
+  test("simhash: planted near-duplicates are candidates, unrelated docs are not") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and birds sing in the garden trees every morning"
+    val nearDup = base.replace("warm", "cold") // one token differs
+    val unrelated = "completely different content about database engines and " +
+      "distributed query processing with columnar storage and vectorized execution"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val cands = DedupFunctions.simhashCandidates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "near-dup pair must be a candidate")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)),
+      "unrelated doc must not pair with the others")
+  }
+
+  test("simhash of identical token multisets is identical; of disjoint vocab differs") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "zeta eta theta iota kappa")
+    val hs = d.select(col("doc_id"),
+        DedupFunctions.simhash64(TextFunctions.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  // ---------- q23: SRP ANN ----------
+
+  test("srp bucket assignment is deterministic across evaluations") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = vecs.select(col("vec_id"),
+      VectorFunctions.srpBucket(col("embedding").cast("array<double>"), 8, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      VectorFunctions.srpBucket(col("embedding").cast("array<double>"), 8, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 16)) // 4 bits
+  }
+
+  test("srp ann: identical vector is always retrieved (self-recall), ranked first") {
+    // corpus contains an exact copy of each query vector under id+1000
+    val base = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 17 + d * 3).toFloat))
+    }
+    val corpus = (base ++ base.map { case (i, v) => (i + 1000, v) })
+      .toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val top = VectorFunctions.srpTopK(queries, corpus, "vec_id", "embedding",
+      dim = 8, k = 1, nBits = 4)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // identical vector lands in the same bucket by construction and has sim=1
+    base.foreach { case (i, _) =>
+      assert(top(i) == i + 1000, s"query $i should retrieve its exact copy")
+    }
+  }
+
+  // ---------- q30: rolling hash ----------
+
+  test("rolling hash is order-sensitive where fingerprint is not") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "gamma beta alpha")
+    val r = d.select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("rh"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(1L)._1 != r(2L)._1, "permuted tokens must change the rolling hash")
+    // fingerprint sorts nothing — same tokens in different order differ too,
+    // but case/punctuation/whitespace do NOT change it:
+    val d2 = docs(3L -> "Alpha,  BETA!! gamma", 4L -> "alpha beta gamma")
+    val fp = d2.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(fp(3L) == fp(4L), "normalization-level variants share a fingerprint")
+  }
+
+  test("rolling hash stays within the 31-bit modulus (ANSI overflow safety)") {
+    val big = (1 to 2000).map(i => s"tok$i").mkString(" ")
+    val v = docs(1L -> big).select(TextFunctions.rollingHash(col("text")).as("rh"))
+      .collect().head.getLong(0)
+    assert(v >= 0 && v < 1000000007L)
+  }
+
+  // ---------- q31: fast minhash ----------
+
+  test("fast-family minhash LSH recalls planted near-duplicates") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val cands = DedupFunctions.minhashCandidates(d, "doc_id", "text",
+        shingleN = 3, k = 12, r = 2, portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("portable and fast minhash families produce the same candidates on clear dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 35) "X" else s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup)
+    Seq(true, false).foreach { portable =>
+      val cands = DedupFunctions.minhashCandidates(d, "doc_id", "text",
+          3, 12, 2, portable).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((1L, 2L)), s"portable=$portable")
+    }
+  }
+}
