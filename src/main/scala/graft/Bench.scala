@@ -30,7 +30,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // in-memory transport throughput (BASELINE.md headline: GoChannel
+    // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
+    val streaming =
+      try {
+        val r = graft.streaming.StreamingBench.run(spark)
+        f"""{"messages":${r.messages},"batches":${r.batches},"publish_msgs_per_sec":${r.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${r.subscribeMsgsPerSec}%.0f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
+        """{"error":true}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

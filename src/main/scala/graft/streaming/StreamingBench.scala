@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Message
+
+/** In-memory transport throughput — the BASELINE.md headline
+  * comparison (reference: README.md:155 GoChannel 315,776 pub /
+  * 138,743 sub msg/s, 16-byte messages, 16 CPU): `MemoryStream` →
+  * identity handler → memory sink, driven batch-by-batch so the
+  * subscriber number includes real micro-batch scheduling overhead
+  * (≥10 micro-batches), not one giant drain.
+  */
+object StreamingBench {
+
+  final case class Result(
+      messages: Long, batches: Int,
+      publishMsgsPerSec: Double, subscribeMsgsPerSec: Double)
+
+  def run(spark: SparkSession, nBatches: Int = 20, perBatch: Int = 100000): Result = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val stream = MemoryStream[Message](spark)
+    val payload = Array.fill[Byte](16)(7) // 16-byte messages, like the reference bench
+    val ts = new Timestamp(1700000000000L)
+    val batches = (0 until nBatches).map { b =>
+      (0 until perBatch).map(i => Message(s"$b-$i", Map.empty, payload, ts))
+    }
+
+    // counting consumer, the analogue of BenchSubscriber's receive-and-
+    // ack loop (pubsub/tests/bench_pubsub.go:16-41): every message is
+    // consumed (full pipeline materialization), nothing is collected
+    // row-by-row onto the driver.
+    val received = new java.util.concurrent.atomic.LongAdder
+    val q = stream.toDS().writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-sb-").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Message], _: Long) =>
+        // count + payload-byte sum: forces actual delivery of message
+        // bytes through the pipeline (a bare count() could prune the
+        // payload column and overstate throughput)
+        import org.apache.spark.sql.functions.{col, count, length, sum}
+        val r = b.agg(count(col("uuid")), sum(length(col("payload")))).collect()(0)
+        received.add(r.getLong(0)); ()
+      }
+      .start()
+    try {
+      var pubNanos = 0L
+      val t0 = System.nanoTime()
+      batches.foreach { b =>
+        val p0 = System.nanoTime()
+        stream.addData(b)
+        pubNanos += System.nanoTime() - p0
+        q.processAllAvailable() // one micro-batch per publish
+      }
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      val n = nBatches.toLong * perBatch
+      require(received.sum == n, s"sink saw ${received.sum} of $n messages")
+      Result(n, nBatches,
+        publishMsgsPerSec = n / (pubNanos / 1e9),
+        subscribeMsgsPerSec = n / totalSec)
+    } finally q.stop()
+  }
+}
