@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fake image container roundtrips through the stub decoder") {
+    val blob = MediaCodec.encodeFakeImage(16, 9, 3, seed = 7)
+    val px = MediaCodec.decodeImage(blob)
+    assert(px.width == 16 && px.height == 9 && px.channels == 3)
+    assert(px.data.length == 16 * 9 * 3)
+    // deterministic: same seed, same pixels
+    val px2 = MediaCodec.decodeImage(MediaCodec.encodeFakeImage(16, 9, 3, seed = 7))
+    assert(px.data.toSeq == px2.data.toSeq)
+  }
+
+  test("nearest-neighbor resize is exact on a known pattern") {
+    // 2x2 single-channel image; upscale 2x — each source pixel becomes a 2x2 block
+    val src = MediaCodec.Pixels(2, 2, 1, Array[Byte](10, 20, 30, 40))
+    val up = MediaCodec.resizeNearest(src, 4, 4)
+    assert(up.data.toSeq == Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40))
+    // downscale back recovers the original
+    val down = MediaCodec.resizeNearest(up, 2, 2)
+    assert(down.data.toSeq == src.data.toSeq)
+  }
+
+  test("grid mean-pool embedding: uniform image pools to its value") {
+    val flat = MediaCodec.Pixels(8, 8, 1, Array.fill[Byte](64)(100))
+    val emb = MediaCodec.gridMeanPool(flat, 2)
+    assert(emb.length == 4)
+    assert(emb.forall(v => math.abs(v - 100f) < 1e-4))
+  }
+
+  test("imageFeatures: distributed decode + embed with batched mapPartitions") {
+    val blobs = (0 until 40).map(i =>
+      (i.toLong, MediaCodec.encodeFakeImage(32, 24, 3, seed = i), "image/x-graft"))
+    val df = blobs.toDF("media_id", "bytes", "mime")
+    val out = Multimodal.imageFeatures(df, batchSize = 7).collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.width == 32 && r.height == 24 && r.channels == 3))
+    assert(out.forall(_.embedding.length == 4 * 4 * 3))
+    // determinism across runs
+    val again = Multimodal.imageFeatures(df, batchSize = 7).collect()
+    assert(out.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.embedding.toSeq == b.embedding.toSeq })
+  }
+
+  test("resized pipeline yields fixed-size embeddings regardless of input dims") {
+    val df = Seq(
+      (1L, MediaCodec.encodeFakeImage(64, 48, 3, 1), "i"),
+      (2L, MediaCodec.encodeFakeImage(10, 10, 3, 2), "i")).toDF("media_id", "bytes", "mime")
+    val out = Multimodal.imageFeaturesResized(df, 16, 16).collect()
+    assert(out.forall(r => r.width == 16 && r.height == 16))
+  }
+
+  test("audio RMS energy features from the stub decoder") {
+    val df = Seq((1L, MediaCodec.encodeFakeAudio(16000, 16000, seed = 3), "a"))
+      .toDF("media_id", "bytes", "mime")
+    val out = Multimodal.audioFeatures(df, windows = 8).collect()
+    assert(out.length == 1)
+    assert(out.head.sample_rate == 16000 && out.head.n_samples == 16000)
+    assert(out.head.energy.length == 8)
+    assert(out.head.energy.forall(_ > 0f)) // noise has energy
+  }
+
+  test("video frame sampling: 1 row to N frames at the requested rate") {
+    val frames = (0 until 30).map(i => MediaCodec.encodeFakeImage(8, 8, 1, seed = i))
+    val video = MediaCodec.encodeFakeVideo(fps = 10, frames) // 3 seconds
+    val df = Seq((5L, video, "video/x-graft")).toDF("media_id", "bytes", "mime")
+    // every 500ms at 10fps => every 5th frame => 6 frames
+    val out = Multimodal.sampleFrames(df, everyMs = 500).collect().sortBy(_.frame_idx)
+    assert(out.length == 6)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 5, 10, 15, 20, 25))
+    assert(out.head.ts_ms == 0 && out(1).ts_ms == 500)
+    assert(out.forall(_.embedding.nonEmpty))
+  }
+
+  test("media embeddings feed the similarity-search operators end to end") {
+    // near-identical images should be cosine-nearest
+    val a = MediaCodec.encodeFakeImage(32, 32, 1, seed = 42)
+    val aCopy = MediaCodec.encodeFakeImage(32, 32, 1, seed = 42)
+    val other = MediaCodec.encodeFakeImage(32, 32, 1, seed = 999)
+    val df = Seq((1L, a, "i"), (2L, aCopy, "i"), (3L, other, "i"))
+      .toDF("media_id", "bytes", "mime")
+    val emb = Multimodal.imageFeatures(df).toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val top = VectorFunctions.bruteForceTopK(
+      emb.filter(col("vec_id") === 1), emb, "vec_id", "embedding", k = 1).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("repartitionBySize packs partitions by blob bytes, not row count") {
+    val df = (0 until 64).map(i =>
+      (i.toLong, MediaCodec.encodeFakeImage(32, 32, 3, i), "i")).toDF("media_id", "bytes", "mime")
+    val total = 64L * (13 + 32 * 32 * 3)
+    val packed = Multimodal.repartitionBySize(df, "bytes", targetBytes = total / 8)
+    assert(packed.rdd.getNumPartitions == 8)
+    assert(packed.count() == 64)
+  }
+
+  test("corrupt blobs fail loudly at the stub boundary (poison-queue food)") {
+    intercept[Exception] {
+      val df = Seq((1L, "not-an-image".getBytes, "i")).toDF("media_id", "bytes", "mime")
+      Multimodal.imageFeatures(df).collect()
+    }
+  }
+}
