@@ -313,6 +313,26 @@ object RelationalQueries {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
-             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- FanOut: broadcast/multicast, 1 row -> M consumers
+    // (pubsub/gochannel/fanout.go:23-91; the batch form of
+    // graft.topology.FanOut's per-row multi-topic routing) ----
+    QuerySpec("q32_fanout_multicast",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          explode(array(lit("audit"), lit("billing"), lit("analytics"))).as("consumer"),
+          col("value"))
+        .groupBy(col("consumer"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("consumer")),
+      Some("""SELECT consumer, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM (SELECT event_id,
+             |        unnest(['audit', 'billing', 'analytics']) AS consumer,
+             |        value
+             |      FROM events WHERE event_type = 'purchase')
+             |GROUP BY consumer ORDER BY consumer""".stripMargin))
   )
 }

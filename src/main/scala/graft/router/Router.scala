@@ -106,6 +106,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
 
   private val routerMiddlewares = mutable.ArrayBuffer.empty[Middleware]
   private val routerStages = mutable.ArrayBuffer.empty[Stages.Stage]
+  private val plugins = mutable.ArrayBuffer.empty[Router => Unit]
   private val handlers = mutable.LinkedHashMap.empty[String, HandlerDef]
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val ckptBase =
@@ -114,6 +115,10 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
   /** Router-level middleware; first added = outermost
     * (message/router.go:184,651-659). */
   def addMiddleware(mw: Middleware*): this.type = { routerMiddlewares ++= mw; this }
+
+  /** Startup hooks, parity with RouterPlugin (message/router.go:61-62,
+    * :395-400 — plugins run when Run starts). */
+  def addPlugin(p: (Router => Unit)*): this.type = { plugins ++= p; this }
 
   /** Router-level dataset stages applied before every handler. */
   def addStage(st: Stages.Stage*): this.type = { routerStages ++= st; this }
@@ -195,6 +200,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
     * (the reference's `Running()` gate); callers await with
     * [[awaitAnyTermination]] or drive with [[processAllAvailable]]. */
   def run(): this.type = {
+    plugins.foreach(p => p(this))
     handlers.values.foreach { h =>
       queries.getOrElseUpdate(h.name, {
         val out = buildPlan(h).toDF()
@@ -228,5 +234,15 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
   def close(): Unit = {
     queries.values.foreach(q => try q.stop() catch { case _: Throwable => () })
     queries.clear()
+  }
+}
+
+object Router {
+  /** SignalsHandler plugin, parity with
+    * message/router/plugin/signals.go:13-27: SIGINT/SIGTERM → graceful
+    * close. The JVM signal surface is the shutdown hook. */
+  val signalsHandler: Router => Unit = { r =>
+    val t = new Thread(() => r.close(), "graft-router-shutdown")
+    java.lang.Runtime.getRuntime.addShutdownHook(t)
   }
 }

@@ -35,7 +35,14 @@ trait Subscriber {
   def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = subscribe(topic)
 }
 
-trait PubSub extends Publisher with Subscriber
+/** Optional eager topic init before first use, parity with
+  * `SubscribeInitializer` (message/pubsub.go:42-51) — maps to topic/
+  * table DDL on real transports. */
+trait SubscribeInitializer {
+  def subscribeInitialize(topic: String): Unit = ()
+}
+
+trait PubSub extends Publisher with Subscriber with SubscribeInitializer
 
 /** In-memory broker over `MemoryStream`, the engine's GoChannel
   * (reference: pubsub/gochannel/pubsub.go:15-34). Semantics mapping:
@@ -89,6 +96,8 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None) exten
 
   override def subscribeBatch(topic: String): DataFrame =
     history.getOrElse(topic, Vector.empty[Message]).toDF()
+
+  override def subscribeInitialize(topic: String): Unit = { stream(topic); () }
 }
 
 /** File-backed transport: one parquet directory per topic under
@@ -119,6 +128,11 @@ class FilePubSub(spark: SparkSession, root: String) extends PubSub {
 
   override def subscribeBatch(topic: String): DataFrame =
     spark.read.schema(Message.schema).parquet(path(topic))
+
+  /** Topic init = directory creation (empty topics readable at once). */
+  override def subscribeInitialize(topic: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path(topic))); ()
+  }
 }
 
 /** Kafka transport: thin option wiring over Spark's built-in source /
