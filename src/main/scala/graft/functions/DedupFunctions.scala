@@ -28,13 +28,27 @@ object DedupFunctions {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: k independent salted hash functions folded with
-    * array_min over the document's shingle set. Pure expressions. */
-  def minhashSignature(shingleCol: Column, k: Int, portable: Boolean): Column =
+  /** Affine MinHash family over pre-hashed shingles: hᵢ(x) = (aᵢ·x + bᵢ)
+    * mod p with p = 2^31−1 and deterministic aᵢ, bᵢ. The expensive
+    * content hash runs ONCE per shingle ([[baseHashes]]); the k
+    * permutations are integer multiply-adds over a long array. Inputs
+    * are masked to 30 bits so aᵢ·x stays far below 2^63 (ANSI mode
+    * throws on overflow). */
+  private val MinhashP = 2147483647L // 2^31 - 1, prime
+
+  def minhashSignatureFromHashes(hashedCol: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingleCol,
-        s => if (portable) Hashes.md5Long(concat(lit(s"$i:"), s)) else Hashes.fastLong(s, i)))
+      val a = 1000003L * i + 12289L
+      val b = 7919L * i + 104729L
+      array_min(transform(hashedCol, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
     }: _*)
+
+  /** One content hash per shingle, masked to 30 bits. `portable` uses
+    * the md5-prefix long (bit-reproducible in the DuckDB oracle);
+    * production uses xxhash64. */
+  def baseHashes(shingleCol: Column, portable: Boolean): Column =
+    transform(shingleCol, s =>
+      (if (portable) Hashes.md5Long(s) else xxhash64(s)).bitwiseAND(lit(0x3fffffffL)))
 
   /** LSH banding: split the k-length signature into bands of `r` rows;
     * docs sharing any band are candidates. Emits (doc, band, band_key)
@@ -66,7 +80,8 @@ object DedupFunctions {
     val sh = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col(idCol), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
-    val sig = sh.select(col(idCol), minhashSignature(col("s"), k, portable).as("sig"))
+    val hashed = sh.select(col(idCol), baseHashes(col("s"), portable).as("hs"))
+    val sig = hashed.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
     val bands = lshBands(sig, idCol, "sig", k, r)
     // The signature subtree (k hashes × shingles per doc — the
     // expensive part) is referenced EXACTLY ONCE: one shuffle groups
@@ -104,11 +119,18 @@ object DedupFunctions {
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     // size(w) >= n guard instead of size(s) > 0: equivalent, but does
-    // not re-evaluate the shingle HOF in a pushed-down filter
+    // not re-evaluate the shingle HOF in a pushed-down filter.
+    // Shingles are hashed to 64-bit longs immediately: the shingle
+    // CONTENT never reaches the output, so every downstream shuffle
+    // (postings, inverted index, candidate pairs) and the verify-stage
+    // array_intersect run over 8-byte longs instead of word strings.
+    // Collision odds at 2^64 are negligible against any real corpus
+    // slice's distinct-shingle count.
     val sh = docs
       .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
-      .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
+      .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("ss"))
+      .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
     val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // rare-first prefix per doc, array-native: regroup the doc's

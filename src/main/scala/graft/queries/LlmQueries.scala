@@ -98,19 +98,24 @@ object LlmQueries {
         .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, k = 12, r = 2, portable = true)
         .orderBy(col("d1"), col("d2")),
-      // the oracle mirrors the maxBucket=1000 skew cap (the `sized`/
-      // `kept` CTEs) so both engines drop the same degenerate buckets
+      // the oracle mirrors the maxBucket=1000 skew cap (`sized`/`kept`)
+      // and the affine MinHash family over one 30-bit md5 base hash
+      // per shingle ((1000003*i+12289)*h + (7919*i+104729) mod 2^31-1)
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (
              |  SELECT doc_id, list_distinct(list_transform(
              |    generate_series(1, len(w) - 2),
              |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM w WHERE len(w) >= 3),
+             |hs AS (
+             |  SELECT doc_id, list_transform(s, tk ->
+             |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) & 1073741823) AS hs
+             |  FROM sh),
              |sig AS (
              |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
-             |    list_min(list_transform(s, tk ->
-             |      CAST('0x' || substr(md5(i::VARCHAR || ':' || tk), 1, 15) AS BIGINT)))) AS sig
-             |  FROM sh),
+             |    list_min(list_transform(hs, h ->
+             |      ((1000003*i + 12289) * h + (7919*i + 104729)) % 2147483647))) AS sig
+             |  FROM hs),
              |bands AS (
              |  SELECT doc_id, bb AS band,
              |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
