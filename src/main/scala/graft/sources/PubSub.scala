@@ -157,6 +157,16 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
       .option("kafka.bootstrap.servers", bootstrap)
       .save()
 
+  /** Per-row topic routing (the Forwarder/outbox production path):
+    * rows carry their own destination in `topicCol` — Kafka's sink
+    * honors a `topic` column natively, no per-topic splitting. */
+  def publishRouted(df: DataFrame, topicCol: String): Unit =
+    df.select(col("uuid").as("key"), col("payload").as("value"),
+        col(topicCol).as("topic"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .save()
+
   override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = {
     val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
