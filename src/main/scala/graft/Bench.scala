@@ -34,8 +34,9 @@ object Bench {
     // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
     val streaming =
       try {
-        val r = graft.streaming.StreamingBench.run(spark)
-        f"""{"messages":${r.messages},"batches":${r.batches},"publish_msgs_per_sec":${r.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${r.subscribeMsgsPerSec}%.0f}"""
+        val m = graft.streaming.StreamingBench.run(spark)
+        val f = graft.streaming.StreamingBench.runFile(spark)
+        f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         """{"error":true}"""

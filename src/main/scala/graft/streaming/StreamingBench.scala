@@ -20,6 +20,45 @@ object StreamingBench {
       messages: Long, batches: Int,
       publishMsgsPerSec: Double, subscribeMsgsPerSec: Double)
 
+  /** Durable (file/parquet) transport throughput — the analogue of the
+    * reference's SQL-transport rows (README.md:159-160, 2.8k–9.5k
+    * msg/s): publish = parquet appends, subscribe = streaming file
+    * source drained through the same counting consumer. */
+  def runFile(spark: SparkSession, nBatches: Int = 10, perBatch: Int = 20000): Result = {
+    import org.apache.spark.sql.functions.{col, count, length, sum}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fb-").toString
+    val ps = new graft.sources.FilePubSub(spark, root)
+    ps.subscribeInitialize("bench")
+    val payload = Array.fill[Byte](16)(7)
+    val ts = new Timestamp(1700000000000L)
+    val n = nBatches.toLong * perBatch
+
+    val p0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      ps.publishBatch("bench", (0 until perBatch)
+        .map(i => Message(s"$b-$i", Map.empty, payload, ts)).toDF()
+        .coalesce(1)) // one file per publish, like one INSERT batch
+    }
+    val pubSec = (System.nanoTime() - p0) / 1e9
+
+    val received = new java.util.concurrent.atomic.LongAdder
+    val q = ps.subscribe("bench").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-fbck-").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.agg(count(col("uuid")), sum(length(col("payload")))).collect()(0)
+        received.add(r.getLong(0)); ()
+      }
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val subSec = (System.nanoTime() - t0) / 1e9
+      require(received.sum == n, s"file sink saw ${received.sum} of $n")
+      Result(n, nBatches, n / pubSec, n / subSec)
+    } finally q.stop()
+  }
+
   def run(spark: SparkSession, nBatches: Int = 20, perBatch: Int = 100000): Result = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
