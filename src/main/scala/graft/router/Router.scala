@@ -102,7 +102,13 @@ private[router] final case class HandlerDef(
   * row-level failures route to poison/retry topics instead of failing
   * the batch, exactly the reference's production PoisonQueue pattern).
   */
-final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
+/** @param group consumer-group id (test_pubsub.go:817 semantics): each
+  *   group is an independent set of streaming queries with its own
+  *   checkpoint lineage — every group sees every message. Distinct
+  *   groups may reuse handler names within one SparkSession.
+  */
+final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
+    group: Option[String] = None) {
 
   private val routerMiddlewares = mutable.ArrayBuffer.empty[Middleware]
   private val routerStages = mutable.ArrayBuffer.empty[Stages.Stage]
@@ -205,7 +211,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None) {
       queries.getOrElseUpdate(h.name, {
         val out = buildPlan(h).toDF()
         val writer = out.writeStream
-          .queryName(s"graft-${h.name}")
+          .queryName(group.fold(s"graft-${h.name}")(g => s"graft-$g-${h.name}"))
           .option("checkpointLocation", s"$ckptBase/${h.name}")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch) else batch.foreach(_ => ()) }
