@@ -184,20 +184,7 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
         col("timestamp").as("ts"))
   }
 
-  override def subscribe(topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("includeHeaders", "true")
-      .load()
-      .select(
-        col("key").cast("string").as("uuid"),
-        map_from_arrays(
-          transform(col("headers"), h => h.getField("key")),
-          transform(col("headers"), h => h.getField("value").cast("string")))
-          .as("metadata"),
-        col("value").as("payload"),
-        col("timestamp").as("ts"))
+  override def subscribe(topic: String): DataFrame = subscribe(topic, None)
 
   override def subscribeBatch(topic: String): DataFrame =
     spark.read.format("kafka")
