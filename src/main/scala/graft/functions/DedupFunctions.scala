@@ -126,11 +126,17 @@ object DedupFunctions {
     // array_intersect run over 8-byte longs instead of word strings.
     // Collision odds at 2^64 are negligible against any real corpus
     // slice's distinct-shingle count.
+    // The shingle relation is PERSISTED (memory-and-disk, spillable):
+    // the algorithm is inherently multi-pass — postings feed the
+    // frequency count and the prefix index, and both verification-join
+    // sides read the full sets — and recomputing scan+split+shingle+
+    // hash per pass is strictly worse at any scale.
     val sh = docs
       .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("ss"))
       .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
     val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // rare-first prefix per doc, array-native: regroup the doc's
