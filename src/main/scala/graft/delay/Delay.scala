@@ -43,16 +43,21 @@ object Delay {
 }
 
 /** delay.NewPublisher (publisher.go:14-33,40-83): wraps a publisher so
-  * every published message gets delay metadata stamped. `allowNoDelay`
-  * parity: without a default delay and without pre-stamped metadata,
-  * publishing errors unless allowed. */
-final class DelayingPublisher(inner: Publisher, defaultDelay: Option[Delay.Delay],
+  * every published message gets delay metadata stamped. The default is
+  * a GENERATOR invoked at publish time (parity with
+  * `DefaultDelayGenerator`, publisher.go:66-74) — an absolute Delay
+  * captured at construction would decay: a "60 s" default on a
+  * publisher created ten minutes ago would already be in the past.
+  * `allowNoDelay` parity: without a default and without pre-stamped
+  * metadata, publishing errors unless allowed. */
+final class DelayingPublisher(inner: Publisher,
+    defaultDelay: Option[() => Delay.Delay],
     allowNoDelay: Boolean = false) extends Publisher {
 
   private def stamp(m: Message): Message =
     if (m.get(Ctx.DelayedUntil).nonEmpty) m
     else defaultDelay match {
-      case Some(d) => Delay.message(m, d)
+      case Some(gen) => Delay.message(m, gen())
       case None if allowNoDelay => m
       case None => throw new IllegalArgumentException(
         "message has no delay and no default delay configured (publisher.go:59-66)")
@@ -64,11 +69,13 @@ final class DelayingPublisher(inner: Publisher, defaultDelay: Option[Delay.Delay
   override def publishBatch(topic: String, df: DataFrame): Unit = {
     val until = element_at(col("metadata"), lit(Ctx.DelayedUntil))
     val stamped = defaultDelay match {
-      case Some(d) => df.withColumn("metadata",
-        when(until.isNull, map_concat(col("metadata"),
-          map(lit(Ctx.DelayedUntil), lit(Instant.ofEpochMilli(d.untilMs).toString),
-            lit(Ctx.DelayedFor), lit(d.forDesc))))
-          .otherwise(col("metadata")))
+      case Some(gen) =>
+        val d = gen() // generated per publish call, one stamp per batch
+        df.withColumn("metadata",
+          when(until.isNull, map_concat(col("metadata"),
+            map(lit(Ctx.DelayedUntil), lit(Instant.ofEpochMilli(d.untilMs).toString),
+              lit(Ctx.DelayedFor), lit(d.forDesc))))
+            .otherwise(col("metadata")))
       case None if allowNoDelay => df
       case None => throw new IllegalArgumentException(
         "batch has no default delay configured")

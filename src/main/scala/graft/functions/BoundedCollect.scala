@@ -1,0 +1,81 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** collect_list with a hard cap: stops accumulating past `limit + 1`
+  * elements, so a degenerate group (the LSH boilerplate-bucket skew
+  * case) costs O(limit) memory instead of materializing millions of
+  * members in a non-spillable aggregation buffer before a size filter
+  * throws them away. A result longer than `limit` means "over cap" —
+  * callers filter on `size(...) <= limit` exactly as with collect_list,
+  * but the buffer never grows past limit + 1.
+  */
+case class BoundedCollectLong(
+    child: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): ArrayBuffer[Long] = {
+    if (buf.length <= limit) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[Long],
+      other: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    val room = limit + 1 - buf.length
+    if (room > 0) buf ++= other.take(room)
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[Long](n)
+    (0 until n).foreach(_ => buf += bb.getLong)
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_bounded_collect"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedCollectLong =
+    copy(child = newChildren.head)
+}
+
+object BoundedCollect {
+  /** Column form; `c` must be LongType (cast integral ids first). */
+  def longs(c: Column, limit: Int): Column = ColumnBridge.column(
+    BoundedCollectLong(ColumnBridge.expression(c), limit).toAggregateExpression())
+}

@@ -91,9 +91,26 @@ object DedupFunctions {
     // reference, and AQE's broadcast conversion defeats exchange reuse,
     // so the self-join form recomputed the signatures up to 4×.
     // The size cap is the skew guard (boilerplate buckets) and bounds
-    // the per-bucket pair blow-up at maxBucket².
+    // the per-bucket pair blow-up at maxBucket². Collection is CAPPED
+    // at the aggregation buffer (BoundedCollectLong): a degenerate
+    // bucket of millions of members costs O(maxBucket) memory, never a
+    // non-spillable multi-million-element collect_list that the size
+    // filter would discard anyway. Integral ids collect via the capped
+    // path; other id types fall back to collect_list (uncapped buffer).
+    val idIsIntegral = {
+      import org.apache.spark.sql.types._
+      bands.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    val memberAgg =
+      if (idIsIntegral)
+        BoundedCollect.longs(col(idCol).cast("long"),
+          if (maxBucket == Int.MaxValue) Int.MaxValue - 1 else maxBucket)
+      else collect_list(col(idCol))
     val buckets = bands.groupBy(col("band"), col("band_key"))
-      .agg(collect_list(col(idCol)).as("members"))
+      .agg(memberAgg.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
     buckets
       .select(explode(col("members")).as("d1"), col("members"))
@@ -116,8 +133,15 @@ object DedupFunctions {
     * relative to the doc count (every naive inverted index degenerates
     * to all-pairs there). No driver state; three shuffles total.
     */
+  /** @param persistShingles cache the hashed shingle relation
+    *   (memory-and-disk) for the algorithm's four passes. The cache
+    *   entry outlives the returned (lazy) frame — callers running many
+    *   joins in one long-lived session should pass false or
+    *   `spark.catalog.clearCache()` between runs; Spark's LRU evicts
+    *   it under pressure either way. */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double,
+      persistShingles: Boolean = true): DataFrame = {
     // size(w) >= n guard instead of size(s) > 0: equivalent, but does
     // not re-evaluate the shingle HOF in a pushed-down filter.
     // Shingles are hashed to 64-bit longs immediately: the shingle
@@ -131,12 +155,15 @@ object DedupFunctions {
     // frequency count and the prefix index, and both verification-join
     // sides read the full sets — and recomputing scan+split+shingle+
     // hash per pass is strictly worse at any scale.
-    val sh = docs
+    val shPlan = docs
       .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("ss"))
       .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (persistShingles)
+        shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlan
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
     val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // rare-first prefix per doc, array-native: regroup the doc's

@@ -27,14 +27,18 @@ object HashUtil {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+      // null elements hash to the seed (42): Spark's xxhash64 leaves
+      // the running hash untouched on null input, so the composed form
+      // votes with 42's bit pattern — match it for bit-equivalence
+      val h =
+        if (s != null)
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, org.apache.spark.sql.types.StringType, 42L)
+        else 42L
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }

@@ -194,14 +194,18 @@ object Multimodal {
     org.apache.spark.sql.types.StructField("mime",
       org.apache.spark.sql.types.StringType, nullable = true)))
 
-  /** Repartition so each partition carries ~targetBytes of blob data —
-    * media partitions are sized by BYTES, not row count (a 4K-video
-    * partition and a thumbnail partition differ by 10^4 in weight).
-    * One cheap agg + one shuffle; at 100 TB this is the difference
-    * between balanced executors and OOM stragglers. */
+  /** Repartition so each partition carries ~targetBytes of blob data:
+    * the PARTITION COUNT is derived from total bytes (a 4K-video table
+    * and a thumbnail table of equal row count differ by 10^4 in
+    * weight), and rows are spread round-robin, which balances bytes in
+    * expectation. Rows are not bin-packed individually — a partition
+    * that randomly draws several giant blobs can still run heavy; for
+    * hard per-row ceilings, split oversized blobs upstream. One cheap
+    * agg + one shuffle. */
   def repartitionBySize(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(length(col(bytesCol)))).collect()(0).getLong(0)
-    val parts = math.max(1, math.min(200000, (total + targetBytes - 1) / targetBytes)).toInt
+    val row = df.agg(sum(length(col(bytesCol)))).collect()(0)
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0) // empty frame sums to null
+    val parts = math.max(1L, math.min(200000L, (total + targetBytes - 1) / targetBytes)).toInt
     df.repartition(parts)
   }
 

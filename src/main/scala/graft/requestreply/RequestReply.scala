@@ -46,22 +46,32 @@ object RequestReply {
     Seq(reply.withMeta(OperationIdKey, opId))
   }
 
-  /** Streaming correlation join: commands ⋈ replies on operation_id,
-    * both sides watermarked so join state is evicted — the 100 TB form
-    * of backend_pubsub.go's per-operation subscription. Works on batch
-    * frames too (the q11 analogue). */
+  /** Streaming correlation join: commands ⋈ replies on operation_id.
+    * Watermarks alone do NOT bound inner stream-stream join state —
+    * Spark only evicts when the join condition constrains the two
+    * sides' event-time columns, so the reply window is part of the
+    * join: `reply_ts ∈ [command_ts, command_ts + replyWindow]`. A reply
+    * later than the window is a timeout (requestreply.go:59-66) and
+    * intentionally never matches. Works on batch frames too (the q11
+    * analogue — same predicate). */
   def correlate(commands: DataFrame, replies: DataFrame,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      replyWindow: String = "10 minutes"): DataFrame = {
     def keyed(df: DataFrame, side: String) = {
-      val k = df.withColumn("op_id", element_at(col("metadata"), lit(OperationIdKey)))
-        .filter(col("op_id").isNotNull)
-      (if (k.isStreaming) k.withWatermark("ts", watermarkDelay) else k)
-        .select(col("op_id"),
+      val k = df.withColumn(s"${side}_op_id",
+          element_at(col("metadata"), lit(OperationIdKey)))
+        .filter(col(s"${side}_op_id").isNotNull)
+      (if (k.isStreaming) k.withWatermark("ts", replyWindow) else k)
+        .select(col(s"${side}_op_id"),
           col("uuid").as(s"${side}_uuid"),
           col("payload").as(s"${side}_payload"),
           col("ts").as(s"${side}_ts"))
     }
-    keyed(commands, "command").join(keyed(replies, "reply"), Seq("op_id"))
+    keyed(commands, "command")
+      .join(keyed(replies, "reply"),
+        col("command_op_id") === col("reply_op_id") &&
+          col("reply_ts") >= col("command_ts") &&
+          col("reply_ts") <= col("command_ts") + expr(s"INTERVAL $replyWindow"))
+      .withColumnRenamed("command_op_id", "op_id").drop("reply_op_id")
   }
 }
 

@@ -33,42 +33,55 @@ final case class HandlerOptions(
     maxPerTrigger: Option[Long] = None)
 
 /** Batch-granular circuit breaker, parity with
-  * middleware/circuit_breaker.go:11-37 (closed/open/half-open). The
-  * reference trips per-message; a micro-batch engine's unit of failure
-  * is the batch, so consecutive failed batches open the circuit, the
-  * cooldown is counted in skipped batches, and the first batch after
-  * cooldown is the half-open probe (success closes, failure re-opens).
-  * Driver-side state only — never serialized to executors.
+  * middleware/circuit_breaker.go:11-37 (closed/open/half-open),
+  * re-based on micro-batch delivery semantics. A batch is never
+  * skipped (skipping would commit its offsets and silently drop it):
+  *
+  *  - closed, failure below the trip threshold → rethrow. The batch
+  *    stays uncommitted; restart redelivers it — the nack path.
+  *  - tripped (maxFailures consecutive failures) → OPEN: sleep the
+  *    cooldown, then probe by retrying the SAME batch in place
+  *    (half-open). Success closes the circuit; failure keeps it open
+  *    for another cooldown, up to `maxOpenCycles` before giving up
+  *    (rethrow → external restart policy takes over).
+  *
+  * So persistent downstream outages degrade to paced probes instead of
+  * hammering — the reference's fail-fast intent — while at-least-once
+  * delivery is preserved throughout. Driver-side state only.
   */
-final class CircuitBreaker(maxFailures: Int, cooldownBatches: Int) {
+final class CircuitBreaker(maxFailures: Int, cooldownMs: Long,
+    maxOpenCycles: Int = 1000,
+    sleep: Long => Unit = Thread.sleep) {
   private var consecutive = 0
-  private var skipRemaining = 0
-  private var halfOpen = false
+  private var open = false
 
-  def isOpen: Boolean = synchronized(skipRemaining > 0)
+  def isOpen: Boolean = synchronized(open)
 
-  /** Runs body unless open; tracks failures. Returns true if ran. */
-  def protect(body: => Unit): Boolean = {
-    val run = synchronized {
-      if (skipRemaining > 0) { skipRemaining -= 1; halfOpen = skipRemaining == 0; false }
-      else true
-    }
-    if (!run) return false
-    try {
-      body
-      synchronized { consecutive = 0; halfOpen = false }
-      true
-    } catch {
-      case e: Throwable =>
-        synchronized {
-          consecutive += 1
-          if (halfOpen || consecutive >= maxFailures) {
-            skipRemaining = cooldownBatches
-            consecutive = 0
+  /** Runs body with the policy above; always either completes the
+    * batch or throws — never drops it. */
+  def protect(body: => Unit): Unit = {
+    var openCycles = 0
+    while (true) {
+      val waitMs = synchronized { if (open) cooldownMs else 0L }
+      if (waitMs > 0) sleep(waitMs) // paced half-open probe
+      try {
+        body
+        synchronized { consecutive = 0; open = false }
+        return
+      } catch {
+        case e: Throwable =>
+          val giveUp = synchronized {
+            if (open) {
+              openCycles += 1 // failed probe: stay open
+              openCycles >= maxOpenCycles
+            } else {
+              consecutive += 1
+              if (consecutive >= maxFailures) { open = true; consecutive = 0; false }
+              else true // below threshold: fail the batch (nack), don't loop
+            }
           }
-          halfOpen = false
-        }
-        throw e
+          if (giveUp) throw e
+      }
     }
   }
 }

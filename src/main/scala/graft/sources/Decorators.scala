@@ -28,6 +28,10 @@ object Decorators {
   final class TransformingSubscriber(inner: Subscriber,
       perFrame: DataFrame => DataFrame) extends Subscriber {
     override def subscribe(topic: String): DataFrame = perFrame(inner.subscribe(topic))
+    // forward the rate-limited form too — the trait default would
+    // silently drop maxPerTrigger (Throttle) on decorated transports
+    override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame =
+      perFrame(inner.subscribe(topic, maxPerTrigger))
     override def subscribeBatch(topic: String): DataFrame = perFrame(inner.subscribeBatch(topic))
   }
 

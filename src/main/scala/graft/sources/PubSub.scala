@@ -190,5 +190,14 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
     spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
+      .option("includeHeaders", "true")
       .load()
+      .select(
+        col("key").cast("string").as("uuid"),
+        map_from_arrays(
+          transform(col("headers"), h => h.getField("key")),
+          transform(col("headers"), h => h.getField("value").cast("string")))
+          .as("metadata"),
+        col("value").as("payload"),
+        col("timestamp").as("ts")) // same envelope projection as subscribe
 }

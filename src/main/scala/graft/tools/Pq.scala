@@ -38,21 +38,35 @@ object Pq {
             .foreach(r => println(r.mkString("\t")))
         case "requeue" =>
           // move every poisoned message back to its origin topic with
-          // the requeue counter bumped (requeuer.go:123-153 semantics)
+          // the requeue counter bumped (requeuer.go:123-153 semantics).
+          // Idempotent over the append-only DLQ: a message is only
+          // re-published if the origin doesn't already hold a copy at
+          // the bumped retry count (anti-join on uuid + retries), so
+          // re-running pq requeues only NEW poisons.
           val rows = ps.subscribeBatch(dlq)
           val origins = rows
             .select(element_at(col("metadata"), lit(Ctx.TopicPoisoned)).as("o"))
             .filter(col("o").isNotNull).distinct().collect().map(_.getString(0))
           origins.foreach { origin =>
-            val back = rows
+            val bumped = rows
               .filter(element_at(col("metadata"), lit(Ctx.TopicPoisoned)) === origin)
               .withColumn("metadata", map_concat(
                 map_filter(col("metadata"), (k, _) => k =!= Ctx.RequeuerRetries),
                 map(lit(Ctx.RequeuerRetries),
                   (coalesce(element_at(col("metadata"), lit(Ctx.RequeuerRetries))
                     .cast("int"), lit(0)) + 1).cast("string"))))
-            ps.publishBatch(origin, back.select(graft.core.Message.columns.map(col): _*))
-            println(s"requeued ${back.count()} message(s) to $origin")
+              .withColumn("_retries", element_at(col("metadata"), lit(Ctx.RequeuerRetries)))
+            val already = ps.subscribeBatch(origin)
+              .select(col("uuid"),
+                coalesce(element_at(col("metadata"), lit(Ctx.RequeuerRetries)),
+                  lit("0")).as("_retries"))
+            val fresh = bumped.join(already, Seq("uuid", "_retries"), "left_anti")
+              .select(graft.core.Message.columns.map(col): _*)
+              .persist()
+            val n = fresh.count()
+            ps.publishBatch(origin, fresh)
+            fresh.unpersist()
+            println(s"requeued $n message(s) to $origin")
           }
         case other =>
           System.err.println(s"unknown command: $other"); sys.exit(2)

@@ -29,10 +29,17 @@ class DelaySpec extends SparkSpec {
     val lax = new DelayingPublisher(ps, defaultDelay = None, allowNoDelay = true)
     lax.publish("t", Seq(msg("x")))
     assert(ps.subscribeBatch("t").count() == 1)
-    val defaulted = new DelayingPublisher(ps, Some(Delay.forMs(1000, nowMs = 1700000000000L)))
+    // the default is a generator invoked AT PUBLISH TIME, so the delay
+    // is always relative to now, never a decayed construction-time stamp
+    var nowMs = 1700000000000L
+    val defaulted = new DelayingPublisher(ps, Some(() => Delay.forMs(1000, nowMs)))
     defaulted.publish("t2", Seq(msg("y")))
-    val meta = ps.subscribeBatch("t2").collect().head.getAs[Map[String, String]]("metadata")
-    assert(meta(Ctx.DelayedUntil) == Instant.ofEpochMilli(1700000001000L).toString)
+    nowMs = 1700000600000L // ten minutes later, same publisher
+    defaulted.publish("t2", Seq(msg("z")))
+    val metas = ps.subscribeBatch("t2").collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[Map[String, String]]("metadata")).toMap
+    assert(metas("y")(Ctx.DelayedUntil) == Instant.ofEpochMilli(1700000001000L).toString)
+    assert(metas("z")(Ctx.DelayedUntil) == Instant.ofEpochMilli(1700000601000L).toString)
   }
 
   test("ready() hides rows until due, passes undelayed rows (delayed-messages.md:9-41)") {

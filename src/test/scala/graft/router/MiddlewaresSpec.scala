@@ -127,28 +127,31 @@ class MiddlewaresSpec extends AnyFunSuite {
     intercept[RuntimeException](delayOnError("t", 10, maxRetries = 3)(boom)(m))
   }
 
-  test("circuit breaker opens after consecutive failures, half-open probe closes it") {
-    val cb = new CircuitBreaker(maxFailures = 2, cooldownBatches = 2)
+  test("circuit breaker: sub-threshold failures rethrow (nack) without opening") {
+    val cb = new CircuitBreaker(maxFailures = 2, cooldownMs = 100, sleep = _ => ())
     intercept[RuntimeException](cb.protect(throw new RuntimeException("f1")))
-    assert(!cb.isOpen)
-    intercept[RuntimeException](cb.protect(throw new RuntimeException("f2")))
-    assert(cb.isOpen)
-    // two batches skipped while open
-    var ran = false
-    assert(!cb.protect { ran = true })
-    assert(!cb.protect { ran = true })
-    assert(!ran)
-    // half-open probe: success closes
-    assert(cb.protect { ran = true })
-    assert(ran && !cb.isOpen)
+    assert(!cb.isOpen) // batch failed (will be redelivered), circuit still closed
   }
 
-  test("circuit breaker re-opens when half-open probe fails") {
-    val cb = new CircuitBreaker(maxFailures = 1, cooldownBatches = 1)
-    intercept[RuntimeException](cb.protect(throw new RuntimeException("f")))
-    assert(cb.isOpen)
-    assert(!cb.protect(()))   // skip (cooldown)
-    intercept[RuntimeException](cb.protect(throw new RuntimeException("probe fails")))
-    assert(cb.isOpen) // immediately re-open
+  test("circuit breaker trips at maxFailures, then paced probes retry the SAME batch until success") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cb = new CircuitBreaker(maxFailures = 2, cooldownMs = 100, sleep = slept += _)
+    var calls = 0
+    intercept[RuntimeException](cb.protect { calls += 1; throw new RuntimeException("f1") })
+    cb.protect { calls += 1; if (calls <= 2) throw new RuntimeException("f2") }
+    // call 2 tripped the circuit, call 3 was the successful probe after
+    // one cooldown — the batch completed, nothing was dropped
+    assert(calls == 3)
+    assert(slept.toSeq == Seq(100L))
+    assert(!cb.isOpen)
+  }
+
+  test("circuit breaker gives up after maxOpenCycles failed probes") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cb = new CircuitBreaker(maxFailures = 1, cooldownMs = 50,
+      maxOpenCycles = 3, sleep = slept += _)
+    intercept[RuntimeException](cb.protect(throw new RuntimeException("always down")))
+    assert(slept.toSeq == Seq(50L, 50L, 50L)) // 3 paced probes, then rethrow
+    assert(cb.isOpen) // stays open for the external restart policy
   }
 }
