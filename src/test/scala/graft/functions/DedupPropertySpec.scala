@@ -125,6 +125,22 @@ class DedupPropertySpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("bounded collect caps the aggregation buffer at limit+1 (skew guard)") {
+    val df = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "g")
+    val out = df.groupBy(col("g"))
+      .agg(BoundedCollect.longs(col("id"), limit = 5).as("m"))
+      .select(col("g"), size(col("m")).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // each group has 33-34 members; collection stops at limit+1 = 6,
+    // which is exactly the "over cap" signal the size filter reads
+    assert(out.values.toSet == Set(6))
+    // under the cap, everything is collected
+    val small = (1 to 4).map(i => (i.toLong, 0)).toDF("id", "g")
+      .groupBy(col("g")).agg(BoundedCollect.longs(col("id"), 5).as("m"))
+      .select(size(col("m"))).collect().head.getInt(0)
+    assert(small == 4)
+  }
+
   test("portable and fast minhash families produce the same candidates on clear dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 35) "X" else s"w$i").mkString(" ")

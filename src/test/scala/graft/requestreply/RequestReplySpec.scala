@@ -62,4 +62,17 @@ class RequestReplySpec extends SparkSpec {
     val pairs = joined.map(r => r.getAs[String]("command_uuid") -> r.getAs[String]("reply_uuid")).toSet
     assert(pairs == Set("c1" -> "r1", "c2" -> "r2"))
   }
+
+  test("correlate treats replies outside the reply window as timeouts (state-eviction bound)") {
+    import spark.implicits._
+    def at(u: String, op: String, tsMs: Long) =
+      Message(u, Map(RequestReply.OperationIdKey -> op), u.getBytes, new Timestamp(tsMs))
+    val t0 = 1700000000000L
+    val commands = Seq(at("c1", "op1", t0), at("c2", "op2", t0)).toDF()
+    val replies = Seq(
+      at("r1", "op1", t0 + 60000),            // within the 10-minute window
+      at("r2-late", "op2", t0 + 3600000)).toDF() // an hour late: timeout
+    val joined = RequestReply.correlate(commands, replies, "10 minutes").collect()
+    assert(joined.map(_.getAs[String]("command_uuid")).toSeq == Seq("c1"))
+  }
 }
