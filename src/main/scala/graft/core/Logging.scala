@@ -47,10 +47,16 @@ object NopLogger extends LoggerAdapter {
   override def trace(m: String, f: Map[String, Any]): Unit = ()
 }
 
+/** One captured log entry (top-level: a nested case class in a
+  * non-static outer emits unchecked-pattern-match warnings). */
+final case class LogEntry(level: String, msg: String,
+    err: Option[Throwable], fields: Map[String, Any])
+
 /** CaptureLoggerAdapter analogue — records entries for test asserts. */
 final class CaptureLogger extends LoggerAdapter {
-  final case class Entry(level: String, msg: String,
-      err: Option[Throwable], fields: Map[String, Any])
+  type Entry = LogEntry
+  private def Entry(level: String, msg: String, err: Option[Throwable],
+      fields: Map[String, Any]) = LogEntry(level, msg, err, fields)
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
   def entries: Seq[Entry] = { import scala.jdk.CollectionConverters._; buf.asScala.toSeq }
   def has(level: String, contains: String): Boolean =

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   *
   * Ack/nack channels (message/message.go:44-46) have no column here:
   * delivery state is carried by Structured Streaming's offset log, and
-  * per-row failure routing uses the `_error` convention column (see
-  * [[graft.operators.SafeOps]]).
+  * per-row failure routing is metadata-driven — poison/retry middleware
+  * stamp `reason_poisoned` / delay keys and a per-row topic override
+  * (see [[graft.router.Ctx]] and [[graft.router.Middlewares]]).
   */
 case class Message(
     uuid: String,
@@ -64,7 +65,7 @@ object Message {
     df.select(
       expr("uuid()").as("uuid"),
       m.as("metadata"),
-      to_json(struct(df.columns.map(col): _*)).cast(BinaryType).as("payload"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast(BinaryType).as("payload"),
       tsCol.map(col).getOrElse(current_timestamp()).as("ts"))
   }
 

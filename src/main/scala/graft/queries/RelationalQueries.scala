@@ -8,9 +8,9 @@ import QuerySpec.t
 /** The relational restatement of the reference's operator surface
   * (SURVEY.md §2.10): every watermill dataflow operator, expressed as
   * the batch-verifiable Spark plan the engine produces for it, paired
-  * with the DuckDB oracle SQL. Streaming forms of the same operators
-  * live in graft.operators / graft.streaming; these batch forms share
-  * the column logic.
+  * with the DuckDB oracle SQL. Streaming/component forms of the same
+  * operators live in graft.router / graft.streaming / graft.topology;
+  * these batch forms share the column logic.
   */
 object RelationalQueries {
 
