@@ -109,4 +109,43 @@ object DelayedDelivery {
     val already = sub.subscribeBatch(target).select(col("uuid"))
     pub.publishBatch(target, staged.join(already, Seq("uuid"), "left_anti"))
   }
+
+  /** True streaming delayed delivery — the broker-side "hide until
+    * due" of the reference's SQL transport (delayed-messages.md:9-41)
+    * as a stateful operator: undelayed rows pass straight through; a
+    * delayed row is buffered in keyed state with an EVENT-TIME timer at
+    * its `delayed_until`, and is released when the watermark passes it.
+    * State is exactly the not-yet-due backlog — keyed, bounded,
+    * checkpointed (SURVEY §7.3's flatMapGroupsWithState row). */
+  def releaseWhenDue(ds: org.apache.spark.sql.Dataset[graft.core.Message],
+      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[graft.core.Message] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.core.Message
+    implicit val me = E.product[Message]
+    implicit val se = E.STRING
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey((m: Message) => m.uuid)
+      .flatMapGroupsWithState[Message, Message](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, msgs: Iterator[Message], state: GroupState[Message]) =>
+          if (state.hasTimedOut) {
+            val due = state.get
+            state.remove()
+            Iterator.single(due)
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Message]
+            msgs.foreach { m =>
+              val untilStr = m.get(Ctx.DelayedUntil)
+              if (untilStr.isEmpty) out += m // undelayed: pass through
+              else {
+                val untilMs = java.time.Instant.parse(untilStr).toEpochMilli
+                if (untilMs <= state.getCurrentWatermarkMs()) out += m // already due
+                else { state.update(m); state.setTimeoutTimestamp(untilMs) }
+              }
+            }
+            out.iterator
+          }
+      }
+  }
 }

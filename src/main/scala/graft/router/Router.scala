@@ -194,9 +194,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   }
 
   /** Publish one micro-batch, honoring per-row topic overrides and
-    * stripping `_graft_` ctx keys. The distinct-topic collect is over
-    * the tiny set of destination topics, never data-sized. */
-  private def sinkBatch(h: HandlerDef, batch: DataFrame): Unit = {
+    * stripping `_graft_` ctx keys. Publishes through the idempotent
+    * epoch path — (handler, epochId, topic) identifies the write, so a
+    * batch retried after a sink failure cannot duplicate rows on
+    * transports with an idempotency handle. The distinct-topic collect
+    * is over the tiny set of destination topics, never data-sized. */
+  private def sinkBatch(h: HandlerDef, batch: DataFrame, epochId: Long): Unit = {
     val pub = h.publisher.get
     val default = h.publishTopic.get
     val routed = batch.withColumn("_topic",
@@ -207,9 +210,10 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     try {
       val topics = cleaned.select(col("_topic")).distinct().collect().map(_.getString(0))
       topics.foreach { t =>
-        pub.publishBatch(t,
+        pub.publishEpoch(t,
           cleaned.filter(col("_topic") === t)
-            .select(Message.columns.map(col): _*))
+            .select(Message.columns.map(col): _*),
+          writerId = s"${group.getOrElse("g")}-${h.name}-$epochId")
       }
     } finally { cleaned.unpersist(); () }
   }
@@ -226,8 +230,8 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         val writer = out.writeStream
           .queryName(group.fold(s"graft-${h.name}")(g => s"graft-$g-${h.name}"))
           .option("checkpointLocation", s"$ckptBase/${h.name}")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch) else batch.foreach(_ => ()) }
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch, epochId) else batch.foreach(_ => ()) }
             h.breaker match {
               case Some(cb) => cb.protect(body()); ()
               case None => body()

@@ -13,6 +13,15 @@ import graft.core.Message
 trait Publisher {
   def publish(topic: String, msgs: Seq[Message]): Unit
   def publishBatch(topic: String, df: DataFrame): Unit
+
+  /** Idempotent epoch write: re-delivering the SAME (writerId) batch —
+    * a micro-batch retried after a sink failure — must not duplicate
+    * rows. This is what upgrades foreachBatch from at-least-once to
+    * exactly-once (SURVEY §7.4 #5); the default is plain at-least-once
+    * append for transports without an idempotency handle. */
+  def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
+    publishBatch(topic, df)
+
   def close(): Unit = ()
 }
 
@@ -97,6 +106,15 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None) exten
   override def subscribeBatch(topic: String): DataFrame =
     history.getOrElse(topic, Vector.empty[Message]).toDF()
 
+  /** Exactly-once epoch publish: a writerId already delivered to this
+    * topic is dropped (the retry of an already-committed batch). */
+  private val seenEpochs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
+    if (seenEpochs.putIfAbsent((topic, writerId), true).isEmpty)
+      publishBatch(topic, df)
+
   override def subscribeInitialize(topic: String): Unit = { stream(topic); () }
 }
 
@@ -117,17 +135,28 @@ class FilePubSub(spark: SparkSession, root: String) extends PubSub {
     df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").parquet(path(topic))
 
-  override def subscribe(topic: String): DataFrame =
-    spark.readStream.schema(Message.schema).parquet(path(topic))
+  /** Exactly-once epoch publish: each writer epoch owns a
+    * deterministic subdirectory written with overwrite — a retried
+    * micro-batch rewrites the same subdir instead of appending
+    * duplicates. Readers list recursively, so flat appends and epoch
+    * dirs coexist. */
+  override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
+    df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(s"${path(topic)}/epoch_$writerId")
+
+  override def subscribe(topic: String): DataFrame = subscribe(topic, None)
 
   override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame = {
     val r = spark.readStream.schema(Message.schema)
+      .option("recursiveFileLookup", "true")
     maxPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(path(topic))
   }
 
   override def subscribeBatch(topic: String): DataFrame =
-    spark.read.schema(Message.schema).parquet(path(topic))
+    spark.read.schema(Message.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(path(topic))
 
   /** Topic init = directory creation (empty topics readable at once). */
   override def subscribeInitialize(topic: String): Unit = {

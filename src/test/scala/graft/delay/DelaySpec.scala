@@ -55,6 +55,41 @@ class DelaySpec extends SparkSpec {
     assert(visible == Set("due", "undelayed"))
   }
 
+  test("releaseWhenDue: streaming state holds delayed rows until the watermark passes") {
+    import spark.implicits._
+    val ps = new MemoryPubSub(spark)
+    val t0 = Instant.ofEpochMilli(1700000000000L)
+    val src = ps.subscribe("rel_in").as[Message]
+    val released = DelayedDelivery.releaseWhenDue(src)
+    val q = released.toDF().writeStream
+      .format("memory").queryName("rel_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-rel-").toString)
+      .start()
+    try {
+      def out = spark.table("rel_out").collect().map(_.getAs[String]("uuid")).toSet
+      // batch 1: one undelayed row, one delayed 60s into the future
+      ps.publish("rel_in", Seq(
+        Message("now", Map.empty, "x".getBytes, new Timestamp(t0.toEpochMilli)),
+        Delay.message(Message("later", Map.empty, "y".getBytes,
+          new Timestamp(t0.toEpochMilli)), Delay.until(t0.plusSeconds(60)))))
+      q.processAllAvailable()
+      assert(out == Set("now"), "delayed row must be held in state")
+      // batch 2: event time advances past the due point → watermark moves
+      ps.publish("rel_in", Seq(
+        Message("adv", Map.empty, "z".getBytes,
+          new Timestamp(t0.plusSeconds(120).toEpochMilli))))
+      q.processAllAvailable()
+      // batch 3: the event-time timer fires against the new watermark
+      ps.publish("rel_in", Seq(
+        Message("adv2", Map.empty, "w".getBytes,
+          new Timestamp(t0.plusSeconds(121).toEpochMilli))))
+      q.processAllAvailable()
+      assert(out == Set("now", "adv", "adv2", "later"),
+        s"delayed row must be released once due; got $out")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rel_out"); () }
+  }
+
   test("drain forwards due rows once, idempotently") {
     val ps = new MemoryPubSub(spark)
     val now = Instant.ofEpochMilli(1700000000000L)

@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.Message
+
+/** Exactly-once epoch publishing (SURVEY §7.4 #5 / the reference's
+  * ExactlyOnceDelivery capability flag, test_pubsub.go:99-100): a
+  * retried micro-batch re-publishes under the SAME writer id and must
+  * not duplicate rows.
+  */
+class ExactlyOnceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def frame(us: String*) =
+    us.map(u => Message(u, Map.empty, u.getBytes, new Timestamp(1700000000000L))).toDF()
+
+  test("file transport: same-epoch rewrite overwrites, not appends") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-").toString)
+    ps.publishEpoch("eo", frame("a", "b"), writerId = "h1-0")
+    ps.publishEpoch("eo", frame("a", "b"), writerId = "h1-0") // the retry
+    ps.publishEpoch("eo", frame("c"), writerId = "h1-1")      // next epoch
+    val got = ps.subscribeBatch("eo").collect().map(_.getAs[String]("uuid"))
+    assert(got.length == 3)
+    assert(got.toSet == Set("a", "b", "c"))
+  }
+
+  test("file transport: epoch dirs and flat appends coexist for readers") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo2-").toString)
+    ps.publish("mix", Seq(Message("flat", Map.empty, "x".getBytes,
+      new Timestamp(1700000000000L))))
+    ps.publishEpoch("mix", frame("epoch"), writerId = "w-0")
+    assert(ps.subscribeBatch("mix").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("flat", "epoch"))
+  }
+
+  test("memory transport: duplicate writer id is dropped") {
+    val ps = new MemoryPubSub(spark)
+    ps.publishEpoch("meo", frame("a"), writerId = "h-0")
+    ps.publishEpoch("meo", frame("a"), writerId = "h-0")
+    ps.publishEpoch("meo", frame("b"), writerId = "h-1")
+    assert(ps.subscribeBatch("meo").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("a", "b"))
+  }
+}
