@@ -222,19 +222,48 @@ object DedupFunctions {
     bits.reduce((a, b) => a + b)
   }
 
-  /** SimHash near-dup candidates: band the 64-bit simhash into 4
-    * 16-bit chunks (docs within Hamming distance 3 share ≥1 chunk —
-    * pigeonhole); join per chunk. */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash near-dup candidates: band the 64-bit simhash into
+    * `maxHamming + 1` chunks — by pigeonhole, two hashes within
+    * Hamming distance `maxHamming` agree on at least one full chunk —
+    * and join per chunk. Default maxHamming = 3 → 4 × 16-bit chunks.
+    * Same single-reference group-then-explode pair generation as the
+    * MinHash path (no self-join recompute), with the same bounded
+    * skew cap. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming out of range")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val extra = 64 % nChunks // first `extra` chunks get one more bit
     val sh = docs.select(col(idCol),
       simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
-    val chunks = sh.select(col(idCol), explode(array((0 until 4).map { c =>
+    val chunkCols = (0 until nChunks).map { c =>
+      val start = c * base + math.min(c, extra)
+      val width = base + (if (c < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
-    }: _*)).as("x")).select(col(idCol), col("x.chunk"), col("x.key"))
-    val a = chunks.select(col(idCol).as("d1"), col("chunk"), col("key"))
-    val b = chunks.select(col(idCol).as("d2"), col("chunk"), col("key"))
-    a.join(b, Seq("chunk", "key")).filter(col("d1") < col("d2"))
+        shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("key"))
+    }
+    val chunks = sh.select(col(idCol), explode(array(chunkCols: _*)).as("x"))
+      .select(col(idCol), col("x.chunk"), col("x.key"))
+    val members =
+      if (idIsIntegralType(chunks, idCol))
+        BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
+      else collect_list(col(idCol))
+    chunks.groupBy(col("chunk"), col("key"))
+      .agg(members.as("members"))
+      .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
+      .select(explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"))
+      .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  private def idIsIntegralType(df: DataFrame, idCol: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
   }
 }
