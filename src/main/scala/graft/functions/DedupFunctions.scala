@@ -259,6 +259,56 @@ object DedupFunctions {
       .select(col("d1"), col("d2")).distinct()
   }
 
+  /** Duplicate-cluster resolution: candidate/verified pairs form a
+    * graph; transitively-connected docs are one duplicate cluster and
+    * the canonical keeper is the minimum id. Iterative min-label
+    * propagation — each round every node adopts the smallest label in
+    * its neighborhood (one groupBy per round, no driver-side graph) —
+    * converging in O(cluster diameter) rounds; dup clusters in corpus
+    * dedup are shallow (near-cliques from banding), so the default cap
+    * is generous. Returns (doc_id, cluster_id = min reachable id).
+    *
+    * At 100 TB each round is one shuffle of the edge list; for
+    * adversarial long-chain graphs switch to large-star/small-star —
+    * not needed for the near-clique shapes candidate generation emits.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list + self-loops (so singletons keep their id
+    // and every node appears even when it only shows up as d2)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .union(pairs.select(col("d1").as("a"), col("d1").as("b")))
+      .union(pairs.select(col("d2").as("a"), col("d2").as("b")))
+      .distinct()
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("cluster_id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node takes the min of its neighbors' labels (incl. own)
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Keeper selection over [[dupClusters]]: one row per cluster with
+    * the canonical (minimum-id) keeper and the cluster size. */
+  def keepers(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    dupClusters(pairs, maxIter)
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cluster_size"))
+
   private def idIsIntegralType(df: DataFrame, idCol: String): Boolean = {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {

@@ -69,20 +69,38 @@ object VectorFunctions {
 
   /** IVF-style ANN: bucket corpus and queries by [[srpBucket]], join on
     * bucket, then exact top-k within candidates. Trades recall for a
-    * ~2^nBits candidate reduction; `probes > 1` would add neighboring
-    * buckets (not needed at test scale). */
+    * ~2^nBits candidate reduction. `probes` > 1 is MULTI-PROBE: each
+    * query also inspects the buckets at Hamming distance 1 from its
+    * own (flipping one hyperplane sign — the most likely place for a
+    * near neighbor to fall), recovering most of single-probe's lost
+    * recall for a probes× (not 2^nBits×) candidate increase. Only the
+    * (small, broadcast) query side multiplies; the corpus is bucketed
+    * once. */
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, nBits: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
+      vecCol: String, dim: Int, k: Int, nBits: Int = 4,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nBits + 1, "probes must be in [1, nBits+1]")
+    val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), dim, nBits))
+      .withColumn("home", srpBucket(col("qv"), dim, nBits))
       .withColumn("qn", l2Norm(col("qv")))
+    // probe buckets: home plus home with bit b flipped, b < probes-1 …
+    // flipping the LOWEST bits first is arbitrary but deterministic;
+    // a score-ordered probe sequence would need the margins, omitted
+    val q = q0.select(col("query_id"), col("qv"), col("qn"), col("home"),
+        explode(array((lit(-1) +: (0 until probes - 1).map(lit(_))): _*)).as("flip"))
+      .withColumn("bucket",
+        when(col("flip") < 0, col("home"))
+          .otherwise(col("home").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), flip)"))))
+      .drop("flip", "home")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), dim, nBits))
       .withColumn("cn", l2Norm(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      // a neighbor can appear via several probes — dedup before ranking
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

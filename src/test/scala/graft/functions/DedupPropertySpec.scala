@@ -125,6 +125,44 @@ class DedupPropertySpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("dupClusters resolves transitive chains to min-id components") {
+    // chain 1-2, 2-3 (one cluster), pair 10-11, singleton via self (none)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = DedupFunctions.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val ks = DedupFunctions.keepers(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ks == Set((1L, 1L, 3L), (10L, 10L, 2L)))
+  }
+
+  test("dupClusters converges on a long chain (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupFunctions.dupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 9L).toSet)
+  }
+
+  test("multi-probe SRP recall is a superset of single-probe at same params") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = base.take(8).toDF("vec_id", "embedding")
+    def hits(probes: Int) = VectorFunctions.srpTopK(queries, corpus,
+        "vec_id", "embedding", dim = 8, k = 3, nBits = 4, probes = probes)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = hits(1)
+    val multi = hits(3)
+    // multi-probe sees every candidate single-probe saw, plus others
+    val exact = VectorFunctions.bruteForceTopK(queries, corpus,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((multi intersect exact).size >= (single intersect exact).size,
+      s"multi-probe recall ${multi.size} must not be below single-probe ${single.size}")
+  }
+
   test("bounded collect caps the aggregation buffer at limit+1 (skew guard)") {
     val df = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "g")
     val out = df.groupBy(col("g"))
