@@ -274,12 +274,17 @@ object DedupFunctions {
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edge list + self-loops (so singletons keep their id
-    // and every node appears even when it only shows up as d2)
+    // and every node appears even when it only shows up as d2).
+    // PERSISTED: every propagation round joins against it — without
+    // the cache the upstream candidate-generation pipeline would be
+    // recomputed once per iteration. The edge list is the working set
+    // of the iteration and is small relative to the corpus.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .union(pairs.select(col("d1").as("a"), col("d1").as("b")))
       .union(pairs.select(col("d2").as("a"), col("d2").as("b")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("cluster_id"))
       .persist()
@@ -292,8 +297,13 @@ object DedupFunctions {
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).limit(1).count()
+      // banding emits near-cliques, which need 2 rounds minimum — skip
+      // the convergence-check job for round 1 (it would always say
+      // "changed") and pay it only from round 2 on
+      val changed =
+        if (i == 0) 1L
+        else next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("prev")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

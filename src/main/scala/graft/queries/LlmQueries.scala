@@ -248,6 +248,56 @@ object LlmQueries {
         .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, k = 12, r = 2, portable = false)
         .orderBy(col("d1"), col("d2")),
-      None)
+      None),
+
+    // ---- duplicate-cluster resolution over the portable MinHash
+    // candidates: transitive closure → min-id cluster labels. The
+    // oracle reproduces the closure with WITH RECURSIVE. ----
+    QuerySpec("q33_dup_clusters",
+      (s, dir) => DedupFunctions
+        .dupClusters(DedupFunctions.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 12, r = 2, portable = true))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |hs AS (
+             |  SELECT doc_id, list_transform(s, tk ->
+             |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) & 1073741823) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+             |    list_min(list_transform(hs, h ->
+             |      ((1000003*i + 12289) * h + (7919*i + 104729)) % 2147483647))) AS sig
+             |  FROM hs),
+             |bands AS (
+             |  SELECT doc_id, bb AS band,
+             |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
+             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (
+             |  SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (
+             |  SELECT b.* FROM bands b JOIN sized s USING (band, band_key)
+             |  WHERE s.n <= 1000),
+             |pairs AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM kept x JOIN kept y
+             |    ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id > x.doc_id),
+             |edges AS (
+             |  SELECT d1 AS a, d2 AS b FROM pairs
+             |  UNION SELECT d2, d1 FROM pairs
+             |  UNION SELECT d1, d1 FROM pairs
+             |  UNION SELECT d2, d2 FROM pairs),
+             |reach AS (
+             |  SELECT a AS node, b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+             |SELECT node AS doc_id, min(r) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
   )
 }
