@@ -250,6 +250,31 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2")),
       None),
 
+    // ---- quality-score components: emit COUNTS, not ratios — the
+    // score's divisions/rounding stay in Spark (HALF_UP vs half-even
+    // makes rounded ratios oracle-hostile); the oracle checks the
+    // inputs that determine the score ----
+    QuerySpec("q34_quality_components",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"),
+          length(col("text")).as("n_chars_txt"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("n_punct"))
+        .select(col("doc_id"), col("n_chars_txt").cast("long").as("n_chars_txt"),
+          col("n_punct"),
+          size(col("tk")).cast("long").as("n_tok"),
+          size(filter(col("tk"), x => x.isin("the", "a", "of", "and", "to")))
+            .cast("long").as("n_stop"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+             |  CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+             |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+             |  CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             |    t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) AS BIGINT) AS n_stop
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- duplicate-cluster resolution over the portable MinHash
     // candidates: transitive closure → min-id cluster labels. The
     // oracle reproduces the closure with WITH RECURSIVE. ----

@@ -125,6 +125,21 @@ class DedupPropertySpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
+    val stop = Seq("the", "a", "of")
+    val clean = "the quick brown fox runs over a hill of green grass"
+    val soup = "!!! ### $$$ %%% ^^^ &&& *** ((( )))"
+    val scores = Seq((1L, clean), (2L, soup)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text"), stop).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(scores(1L) > scores(2L))
+    // deterministic
+    val again = Seq((1L, clean)).toDF("doc_id", "text")
+      .select(TextFunctions.qualityScore(col("text"), stop)).collect().head.getDouble(0)
+    assert(again == scores(1L))
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     // chain 1-2, 2-3 (one cluster), pair 10-11, singleton via self (none)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
