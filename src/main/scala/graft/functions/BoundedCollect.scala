@@ -75,7 +75,12 @@ case class BoundedCollectLong(
 }
 
 object BoundedCollect {
-  /** Column form; `c` must be LongType (cast integral ids first). */
+  /** Column form; `c` must be LongType (cast integral ids first).
+    * `limit` is clamped to Int.MaxValue - 1 here so every caller is
+    * safe: merge() computes `limit + 1`, which would overflow to
+    * Int.MinValue at limit = Int.MaxValue and silently discard merged
+    * partial buffers (losing true candidate pairs). */
   def longs(c: Column, limit: Int): Column = ColumnBridge.column(
-    BoundedCollectLong(ColumnBridge.expression(c), limit).toAggregateExpression())
+    BoundedCollectLong(ColumnBridge.expression(c),
+      math.min(limit, Int.MaxValue - 1)).toAggregateExpression())
 }

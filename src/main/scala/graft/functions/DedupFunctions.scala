@@ -105,9 +105,7 @@ object DedupFunctions {
       }
     }
     val memberAgg =
-      if (idIsIntegral)
-        BoundedCollect.longs(col(idCol).cast("long"),
-          if (maxBucket == Int.MaxValue) Int.MaxValue - 1 else maxBucket)
+      if (idIsIntegral) BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
       else collect_list(col(idCol))
     val buckets = bands.groupBy(col("band"), col("band_key"))
       .agg(memberAgg.as("members"))
@@ -279,10 +277,17 @@ object DedupFunctions {
     // the cache the upstream candidate-generation pipeline would be
     // recomputed once per iteration. The edge list is the working set
     // of the iteration and is small relative to the corpus.
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .union(pairs.select(col("d1").as("a"), col("d1").as("b")))
-      .union(pairs.select(col("d2").as("a"), col("d2").as("b")))
+    // All four edge directions come from ONE reference to `pairs` via
+    // explode — a 4-way union would evaluate the upstream candidate
+    // pipeline once per branch (Catalyst does not CSE across union
+    // branches), quadrupling the expensive shingle/minhash/banding work.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")),
+        struct(col("d1").as("a"), col("d1").as("b")),
+        struct(col("d2").as("a"), col("d2").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("doc_id"))
