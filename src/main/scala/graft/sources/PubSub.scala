@@ -51,6 +51,21 @@ trait SubscribeInitializer {
   def subscribeInitialize(topic: String): Unit = ()
 }
 
+/** Capability trait for transports that can publish a batch whose rows
+  * carry their OWN destination topic in one data pass. The Forwarder
+  * (reference: components/forwarder/forwarder.go:52-98) makes topic
+  * cardinality data-dependent, so the router sink must not loop
+  * one filtered pass per topic — a transport advertising this trait
+  * receives the whole routed batch once (Kafka: native per-row `topic`
+  * column; files: `partitionBy` + O(topics) driver-side renames).
+  */
+trait RoutedPublisher { self: Publisher =>
+  /** One-pass routed publish; `topicCol` holds each row's destination.
+    * `writerId` gives micro-batch idempotency where the transport has a
+    * handle for it (same contract as [[Publisher.publishEpoch]]). */
+  def publishRoutedEpoch(df: DataFrame, topicCol: String, writerId: String): Unit
+}
+
 trait PubSub extends Publisher with Subscriber with SubscribeInitializer
 
 /** In-memory broker over `MemoryStream`, the engine's GoChannel
@@ -71,7 +86,8 @@ trait PubSub extends Publisher with Subscriber with SubscribeInitializer
   *   task consumes in offset order. Default: session parallelism,
   *   unordered across keys (like most real transports).
   */
-class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None) extends PubSub {
+class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None)
+  extends PubSub with RoutedPublisher {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
 
@@ -107,13 +123,35 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None) exten
     history.getOrElse(topic, Vector.empty[Message]).toDF()
 
   /** Exactly-once epoch publish: a writerId already delivered to this
-    * topic is dropped (the retry of an already-committed batch). */
+    * topic is dropped (the retry of an already-committed batch). The
+    * epoch is marked seen only once the publish SUCCEEDS — marking
+    * first would turn a transient publish failure into silent data
+    * loss: the sink's retry of the same micro-batch would be dropped
+    * as a duplicate (at-most-once, not exactly-once). */
   private val seenEpochs =
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
     if (seenEpochs.putIfAbsent((topic, writerId), true).isEmpty)
-      publishBatch(topic, df)
+      try publishBatch(topic, df)
+      catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
+
+  /** One-pass routed publish for the test transport: a single driver
+    * collect, then per-topic appends grouped in memory (the collect was
+    * always this transport's data pass — see [[publishBatch]]). */
+  override def publishRoutedEpoch(df: DataFrame, topicCol: String,
+      writerId: String): Unit = {
+    val rows = df
+      .select(org.apache.spark.sql.functions.col(topicCol).as("_1"),
+        org.apache.spark.sql.functions.struct(
+          Message.columns.map(org.apache.spark.sql.functions.col): _*).as("_2"))
+      .as[(String, Message)].collect()
+    rows.groupBy(_._1).foreach { case (topic, ms) =>
+      if (seenEpochs.putIfAbsent((topic, writerId), true).isEmpty)
+        try publish(topic, ms.map(_._2).toSeq)
+        catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
+    }
+  }
 
   override def subscribeInitialize(topic: String): Unit = { stream(topic); () }
 }
