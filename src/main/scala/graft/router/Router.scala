@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.Message
-import graft.sources.{Publisher, Subscriber}
+import graft.sources.{Publisher, RoutedPublisher, Subscriber}
 import Middlewares.{Handler, Middleware}
 
 /** Dataset-level transform applied to the message stream before the
@@ -197,25 +197,38 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * stripping `_graft_` ctx keys. Publishes through the idempotent
     * epoch path — (handler, epochId, topic) identifies the write, so a
     * batch retried after a sink failure cannot duplicate rows on
-    * transports with an idempotency handle. The distinct-topic collect
-    * is over the tiny set of destination topics, never data-sized. */
+    * transports with an idempotency handle.
+    *
+    * Transports advertising [[RoutedPublisher]] get the whole batch in
+    * ONE pass with a per-row `_topic` column — Forwarder-style routing
+    * has data-dependent destination cardinality, and O(topics) filtered
+    * passes would be the scale bottleneck. Only the fallback path (for
+    * plain publishers) does a distinct-topic collect + per-topic pass;
+    * that collect is over the set of destination topics, never
+    * data-sized. */
   private def sinkBatch(h: HandlerDef, batch: DataFrame, epochId: Long): Unit = {
     val pub = h.publisher.get
     val default = h.publishTopic.get
+    val writerId = s"${group.getOrElse("g")}-${h.name}-$epochId"
     val routed = batch.withColumn("_topic",
       coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
     val cleaned = routed.withColumn("metadata",
       map_filter(col("metadata"), (k, _) => !k.startsWith(Ctx.InternalPrefix)))
-      .persist()
-    try {
-      val topics = cleaned.select(col("_topic")).distinct().collect().map(_.getString(0))
-      topics.foreach { t =>
-        pub.publishEpoch(t,
-          cleaned.filter(col("_topic") === t)
-            .select(Message.columns.map(col): _*),
-          writerId = s"${group.getOrElse("g")}-${h.name}-$epochId")
-      }
-    } finally { cleaned.unpersist(); () }
+    pub match {
+      case rp: RoutedPublisher => rp.publishRoutedEpoch(cleaned, "_topic", writerId)
+      case _ =>
+        val persisted = cleaned.persist()
+        try {
+          val topics =
+            persisted.select(col("_topic")).distinct().collect().map(_.getString(0))
+          topics.foreach { t =>
+            pub.publishEpoch(t,
+              persisted.filter(col("_topic") === t)
+                .select(Message.columns.map(col): _*),
+              writerId)
+          }
+        } finally { persisted.unpersist(); () }
+    }
   }
 
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers

@@ -161,7 +161,8 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None)
   * pattern: append-ordered files, replayable from the beginning,
   * exactly-once per micro-batch via the streaming file-sink log.
   */
-class FilePubSub(spark: SparkSession, root: String) extends PubSub {
+class FilePubSub(spark: SparkSession, root: String)
+  extends PubSub with RoutedPublisher {
   import spark.implicits._
 
   private def path(topic: String) = s"$root/$topic"
@@ -196,6 +197,36 @@ class FilePubSub(spark: SparkSession, root: String) extends PubSub {
       .option("recursiveFileLookup", "true")
       .parquet(path(topic))
 
+  /** Routed-epoch write: ONE `partitionBy` data pass over the whole
+    * batch (instead of the router's O(topics) filtered passes), then
+    * O(topics) driver-side directory renames to slot each partition
+    * under its topic's `epoch_<writerId>` dir — the same idempotent
+    * layout as [[publishEpoch]], so a retried micro-batch overwrites
+    * rather than duplicates. Renames are metadata ops on HDFS-like
+    * stores, never data copies. */
+  override def publishRoutedEpoch(df: DataFrame, topicCol: String,
+      writerId: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.functions.col
+    val staging = s"$root/.routed_epoch_$writerId" // dot-prefixed: hidden from readers
+    df.select((Message.columns.map(col) :+ col(topicCol).as("_topic")): _*)
+      .write.mode("overwrite").partitionBy("_topic").parquet(staging)
+    val stagingPath = new HPath(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val parts = fs.listStatus(stagingPath).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("_topic="))
+      parts.foreach { s =>
+        val topic = java.net.URLDecoder.decode(
+          s.getPath.getName.stripPrefix("_topic="), "UTF-8")
+        val target = new HPath(path(topic), s"epoch_$writerId")
+        if (fs.exists(target)) fs.delete(target, true) // retry: overwrite, don't append
+        fs.mkdirs(target.getParent)
+        fs.rename(s.getPath, target)
+      }
+    } finally { fs.delete(stagingPath, true); () }
+  }
+
   /** Topic init = directory creation (empty topics readable at once). */
   override def subscribeInitialize(topic: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path(topic))); ()
@@ -210,8 +241,10 @@ class FilePubSub(spark: SparkSession, root: String) extends PubSub {
   *  - publish: rows with a per-row `topic` column (Forwarder-style
   *    routing is native).
   */
-class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
+class KafkaPubSub(spark: SparkSession, bootstrap: String)
+  extends PubSub with RoutedPublisher {
   import org.apache.spark.sql.functions._
+  import KafkaPubSub.{headersToMetadata, publishProjection}
 
   override def publish(topic: String, msgs: Seq[Message]): Unit = {
     import spark.implicits._
@@ -219,17 +252,22 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
   }
 
   override def publishBatch(topic: String, df: DataFrame): Unit =
-    df.select(col("uuid").as("key"), col("payload").as("value"), lit(topic).as("topic"))
+    publishProjection(df, lit(topic))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .save()
 
   /** Per-row topic routing (the Forwarder/outbox production path):
     * rows carry their own destination in `topicCol` — Kafka's sink
-    * honors a `topic` column natively, no per-topic splitting. */
-  def publishRouted(df: DataFrame, topicCol: String): Unit =
-    df.select(col("uuid").as("key"), col("payload").as("value"),
-        col(topicCol).as("topic"))
+    * honors a `topic` column natively, so the whole routed batch is
+    * ONE write regardless of destination cardinality. Idempotency for
+    * `writerId` rides Structured Streaming checkpoint replay (offsets
+    * re-committed, batch not re-run); Kafka has no server-side epoch
+    * handle short of transactional producers, which the Spark sink
+    * does not expose — documented at-least-once on crash-retry. */
+  override def publishRoutedEpoch(df: DataFrame, topicCol: String,
+      writerId: String): Unit =
+    publishProjection(df, col(topicCol))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .save()
@@ -240,31 +278,58 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String) extends PubSub {
       .option("subscribe", topic)
       .option("includeHeaders", "true")
     maxPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
-    r.load()
-      .select(
-        col("key").cast("string").as("uuid"),
-        map_from_arrays(
-          transform(col("headers"), h => h.getField("key")),
-          transform(col("headers"), h => h.getField("value").cast("string")))
-          .as("metadata"),
-        col("value").as("payload"),
-        col("timestamp").as("ts"))
+    KafkaPubSub.subscribeProjection(r.load())
   }
 
   override def subscribe(topic: String): DataFrame = subscribe(topic, None)
 
   override def subscribeBatch(topic: String): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("includeHeaders", "true")
-      .load()
-      .select(
-        col("key").cast("string").as("uuid"),
-        map_from_arrays(
-          transform(col("headers"), h => h.getField("key")),
-          transform(col("headers"), h => h.getField("value").cast("string")))
-          .as("metadata"),
-        col("value").as("payload"),
-        col("timestamp").as("ts")) // same envelope projection as subscribe
+    KafkaPubSub.subscribeProjection(
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("includeHeaders", "true")
+        .load())
+}
+
+/** The envelope<->Kafka-record projections, exposed as pure column
+  * expressions so the mapping is testable without a broker. The
+  * middleware contract (correlation.go:15-43, poison.go:14-19,
+  * delay.go:56-59) rides on metadata headers, so publish MUST carry
+  * them: [[metadataToHeaders]] and [[headersToMetadata]] are exact
+  * inverses for string metadata. `ts` is not round-tripped — the
+  * broker assigns the record timestamp (documented deviation; the
+  * reference Message has no timestamp at all). */
+object KafkaPubSub {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** map<string,string> -> Kafka `headers array<struct<key:string,value:binary>>`. */
+  def metadataToHeaders(metadata: Column): Column =
+    transform(map_entries(metadata), e => struct(
+      e.getField("key").as("key"),
+      e.getField("value").cast("binary").as("value")))
+
+  /** Kafka headers -> map<string,string>; inverse of [[metadataToHeaders]]. */
+  def headersToMetadata(headers: Column): Column =
+    map_from_arrays(
+      transform(headers, h => h.getField("key")),
+      transform(headers, h => h.getField("value").cast("string")))
+
+  /** Envelope -> the exact record shape Spark's Kafka sink consumes. */
+  def publishProjection(df: DataFrame, topic: Column): DataFrame =
+    df.select(
+      col("uuid").as("key"),
+      col("payload").as("value"),
+      topic.as("topic"),
+      metadataToHeaders(col("metadata")).as("headers"))
+
+  /** Kafka source rows -> envelope; inverse of [[publishProjection]]
+    * modulo `ts` (broker-assigned). */
+  def subscribeProjection(records: DataFrame): DataFrame =
+    records.select(
+      col("key").cast("string").as("uuid"),
+      headersToMetadata(col("headers")).as("metadata"),
+      col("value").as("payload"),
+      col("timestamp").as("ts"))
 }

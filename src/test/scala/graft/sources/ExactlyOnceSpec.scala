@@ -37,6 +37,24 @@ class ExactlyOnceSpec extends SparkSpec {
       Set("flat", "epoch"))
   }
 
+  test("file transport: routed epoch writes once per topic, idempotent on retry") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo3-").toString)
+    def routedFrame = Seq(
+      ("a", "t_one"), ("b", "t_one"), ("c", "t_two"))
+      .map { case (u, t) => (u, Map.empty[String, String], u.getBytes,
+        new Timestamp(1700000000000L), t) }
+      .toDF("uuid", "metadata", "payload", "ts", "_topic")
+    ps.publishRoutedEpoch(routedFrame, "_topic", writerId = "h-0")
+    ps.publishRoutedEpoch(routedFrame, "_topic", writerId = "h-0") // the retry
+    assert(ps.subscribeBatch("t_one").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("a", "b"))
+    assert(ps.subscribeBatch("t_two").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("c"))
+    // next epoch appends alongside
+    ps.publishRoutedEpoch(routedFrame.filter($"uuid" === "a"), "_topic", "h-1")
+    assert(ps.subscribeBatch("t_one").count() == 3)
+  }
+
   test("memory transport: duplicate writer id is dropped") {
     val ps = new MemoryPubSub(spark)
     ps.publishEpoch("meo", frame("a"), writerId = "h-0")

@@ -66,6 +66,40 @@ class TopologySpec extends SparkSpec {
     assert(y.length == 1 && y.head.getAs[String]("uuid") == "f2")
   }
 
+  test("Forwarder routes 50 distinct destinations in ONE routed pass (forwarder.go:52-98)") {
+    // Spy: counts routed vs per-topic sink calls. The router must
+    // dispatch on RoutedPublisher — data-dependent destination
+    // cardinality through O(topics) filtered passes is the scale
+    // bottleneck this trait exists to remove.
+    val routedCalls = new java.util.concurrent.atomic.AtomicInteger
+    val perTopicEpochCalls = new java.util.concurrent.atomic.AtomicInteger
+    val ps = new MemoryPubSub(spark) {
+      override def publishRoutedEpoch(df: org.apache.spark.sql.DataFrame,
+          topicCol: String, writerId: String): Unit = {
+        routedCalls.incrementAndGet()
+        super.publishRoutedEpoch(df, topicCol, writerId)
+      }
+      override def publishEpoch(topic: String, df: org.apache.spark.sql.DataFrame,
+          writerId: String): Unit = {
+        perTopicEpochCalls.incrementAndGet()
+        super.publishEpoch(topic, df, writerId)
+      }
+    }
+    val router = new Router(spark)
+    val outbox = Forwarder.wrappingPublisher(ps, "fwd_many")
+    val n = 50
+    (0 until n).foreach(i => outbox.publish(s"dest_$i", Seq(msg(s"m$i", s"p$i"))))
+    Forwarder.register(router, ps, ps, "fwd_many")
+    router.run(); router.processAllAvailable(); router.close()
+    (0 until n).foreach { i =>
+      val got = ps.subscribeBatch(s"dest_$i").collect()
+      assert(got.length == 1 && got.head.getAs[String]("uuid") == s"m$i", s"dest_$i")
+    }
+    assert(routedCalls.get() >= 1, "router sink never took the RoutedPublisher path")
+    assert(perTopicEpochCalls.get() == 0,
+      s"router sink fell back to ${perTopicEpochCalls.get()} per-topic passes")
+  }
+
   test("Forwarder poisons unparseable envelopes unless ackWhenCannotUnwrap") {
     val ps = new MemoryPubSub(spark)
     val router = new Router(spark)
