@@ -16,6 +16,12 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce the output partitioning of cached plans too:
+      // iterative operators (dup-cluster label propagation) persist a
+      // small working set each round, and without this flag every
+      // cached round keeps the full shuffle-partition fan-out, so the
+      // tail cost is task scheduling, not data.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
