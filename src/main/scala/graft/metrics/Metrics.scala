@@ -28,9 +28,8 @@ final case class QueryStats(
 
 /** StreamingQueryListener bridge — attach once per session; stats
   * accumulate per query name (router handlers are named
-  * `graft-<handler>`). A Prometheus exporter would scrape
-  * [[snapshot]]; the HTTP endpoint (metrics/http.go:14-41) maps to
-  * Spark's own metrics servlet and is intentionally not re-built. */
+  * `graft-<handler>`). [[MetricsHttp.serve]] exposes [[snapshot]] as a
+  * Prometheus `/metrics` scrape endpoint (metrics/http.go:14-41). */
 final class GraftMetrics extends StreamingQueryListener {
 
   private val stats = TrieMap.empty[String, QueryStats]
@@ -42,7 +41,12 @@ final class GraftMetrics extends StreamingQueryListener {
     val p = event.progress
     val name = Option(p.name).getOrElse(p.id.toString)
     val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
-    val out = Option(p.sink).map(_.numOutputRows).filter(_ >= 0).getOrElse(0L)
+    // foreachBatch sinks report numOutputRows = -1; the router attaches
+    // an observe("graft_sink") metric that carries the real count.
+    val observed = Option(p.observedMetrics.get("graft_sink"))
+      .map(_.getAs[Long]("rows")).getOrElse(0L)
+    val out = math.max(
+      Option(p.sink).map(_.numOutputRows).filter(_ >= 0).getOrElse(0L), observed)
     stats.updateWith(name) { prev =>
       val s = prev.getOrElse(QueryStats())
       Some(s.copy(

@@ -239,7 +239,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     plugins.foreach(p => p(this))
     handlers.values.foreach { h =>
       queries.getOrElseUpdate(h.name, {
+        // observe() rides the normal pass (no extra job) and surfaces
+        // the handler's output-row count in every progress event —
+        // foreachBatch sinks report numOutputRows = -1, so this is
+        // what feeds the publish counter (GraftMetrics/MetricsHttp).
         val out = buildPlan(h).toDF()
+          .observe("graft_sink", count(lit(1)).as("rows"))
         val writer = out.writeStream
           .queryName(group.fold(s"graft-${h.name}")(g => s"graft-$g-${h.name}"))
           .option("checkpointLocation", s"$ckptBase/${h.name}")

@@ -28,6 +28,24 @@ class MetricsSpec extends SparkSpec {
       assert(s.inputRows == 25)
       assert(s.batches >= 1)
       assert(s.totalDurationMs > 0)
+
+      // the /metrics endpoint serves the same counters in Prometheus
+      // text format (http.go:14-41)
+      val ep = MetricsHttp.serve(metrics)
+      try {
+        val url = java.net.URI.create(s"http://localhost:${ep.port}/metrics").toURL
+        val body = {
+          val in = url.openStream()
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        assert(body.contains(
+          "graft_subscriber_messages_received_total{handler_name=\"graft-metered\"} 25"))
+        assert(body.contains("# TYPE graft_handler_execution_time_seconds summary"))
+        assert(body.contains(
+          "graft_handler_execution_time_seconds_count{handler_name=\"graft-metered\"}"))
+        assert(body.contains(
+          "graft_publisher_messages_published_total{handler_name=\"graft-metered\"} 25"))
+      } finally ep.close()
     } finally metrics.detach(spark)
   }
 }
