@@ -1,0 +1,88 @@
+package graft.router
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.SparkSpec
+import graft.core.Message
+import graft.sources.MemoryPubSub
+
+/** Concurrency soak, parity with the reference's stress mode
+  * (pubsub/tests/test_pubsub.go:216-233 runs the acceptance suite in
+  * parallel; test_asserts.go:39-76 asserts uuid set-equality). The
+  * contended surfaces here are MemoryPubSub's TrieMaps + synchronized
+  * publish and the Router's per-handler StreamingQueries — none of
+  * which had a test under parallel load before this suite.
+  */
+class StressSpec extends SparkSpec {
+
+  private def msg(u: String) =
+    Message(u, Map.empty, u.getBytes("UTF-8"), new Timestamp(1700000000000L))
+
+  /** Run `n` threads, re-throwing the first failure on the test thread. */
+  private def inParallel(n: Int)(body: Int => Unit): Unit = {
+    val failure = new AtomicReference[Throwable]
+    val threads = (0 until n).map { i =>
+      new Thread(() => try body(i)
+      catch { case t: Throwable => failure.compareAndSet(null, t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    if (failure.get() != null) throw failure.get()
+  }
+
+  test("8 concurrent publishers x 4 topics through a running router lose nothing") {
+    val ps = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    val topics = (0 until 4).map(i => s"stress_in_$i")
+    topics.foreach { t =>
+      router.addHandler(s"stress-$t", t, ps, "stress_out", ps,
+        Middlewares.passthrough)
+    }
+    router.run() // queries live BEFORE the publish storm — real contention
+    val perThread = 50
+    inParallel(8) { t =>
+      (0 until perThread).foreach { i =>
+        ps.publish(topics((t + i) % topics.size), Seq(msg(s"s$t-$i")))
+      }
+    }
+    router.processAllAvailable(); router.close()
+    val expected =
+      (for (t <- 0 until 8; i <- 0 until perThread) yield s"s$t-$i").toSet
+    val got = ps.subscribeBatch("stress_out").collect()
+      .map(_.getAs[String]("uuid")).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("two consumer groups under concurrent publish each see every message") {
+    val ps = new MemoryPubSub(spark)
+    val routers = Seq("g1", "g2").map { g =>
+      val r = new Router(spark, group = Some(g))
+      r.addHandler("cg-stress", "cg_stress_in", ps, s"cg_stress_out_$g", ps,
+        Middlewares.passthrough)
+      r.run()
+    }
+    val perThread = 50
+    inParallel(4) { t =>
+      (0 until perThread).foreach(i => ps.publish("cg_stress_in", Seq(msg(s"c$t-$i"))))
+    }
+    routers.foreach(_.processAllAvailable()); routers.foreach(_.close())
+    val expected = (for (t <- 0 until 4; i <- 0 until perThread) yield s"c$t-$i").toSet
+    Seq("g1", "g2").foreach { g =>
+      val got = ps.subscribeBatch(s"cg_stress_out_$g").collect()
+        .map(_.getAs[String]("uuid")).toSet
+      assert(got == expected, s"group $g: ${expected.size - got.size} missing")
+    }
+  }
+
+  test("racing publishers with one writer id deliver the epoch exactly once") {
+    import spark.implicits._
+    val ps = new MemoryPubSub(spark)
+    inParallel(8) { _ =>
+      ps.publishEpoch("stress_race", Seq(msg("ra"), msg("rb")).toDF(), "w-0")
+    }
+    val got = ps.subscribeBatch("stress_race").collect().map(_.getAs[String]("uuid"))
+    assert(got.length == 2 && got.toSet == Set("ra", "rb"))
+  }
+}
