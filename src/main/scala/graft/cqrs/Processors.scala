@@ -82,7 +82,8 @@ final class EventProcessor(
     marshaler: JsonMarshaler = new JsonMarshaler(),
     generateSubscribeTopic: String => String = _ => "events") {
 
-  private var counter = 0
+  // atomic: concurrent registration must not race to one query name
+  private val counter = new java.util.concurrent.atomic.AtomicInteger
 
   def addHandler[E: ClassTag](publishTopic: String)(
       handle: (E, Message) => Seq[Any]): this.type =
@@ -90,7 +91,7 @@ final class EventProcessor(
 
   def addHandlers(publishTopic: String, handlers: TypedHandler*): this.type = {
     handlers.foreach { th =>
-      counter += 1
+      val n = counter.incrementAndGet()
       val nameKey = marshaler.NameKey
       val expect = th.name
       val fn = th.fn
@@ -98,7 +99,7 @@ final class EventProcessor(
         if (m.get(nameKey) != expect) Seq.empty
         else fn(m)
       }
-      router.addHandler(s"cqrs-evt-${th.name}-$counter",
+      router.addHandler(s"cqrs-evt-${th.name}-$n",
         generateSubscribeTopic(th.name), subscriber, publishTopic, publisher,
         dispatch)
     }

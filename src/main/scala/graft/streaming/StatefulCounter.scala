@@ -33,6 +33,34 @@ object StatefulCounter {
       }
   }
 
+  /** [[counts]] with idle-state eviction: a key untouched for
+    * `idleTtl` has its state dropped on a later trigger (processing-
+    * time timeout) and restarts from zero if it reappears. At 100 TB
+    * an unbounded key space under `NoTimeout` grows the state store
+    * forever — use this variant whenever keys are not from a small
+    * closed set. `flatMapGroupsWithState` rather than map: the timeout
+    * invocation emits nothing instead of a tombstone row. */
+  def countsWithTtl(ds: Dataset[Message], keyOf: Message => String,
+      idleTtl: String): Dataset[KeyCount] = {
+    implicit val kcEnc = Encoders.product[KeyCount]
+    implicit val strEnc = Encoders.STRING
+    implicit val longEnc = Encoders.scalaLong
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[Long, KeyCount](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[Message], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val next = state.getOption.getOrElse(0L) + rows.size
+            state.update(next)
+            state.setTimeoutDuration(idleTtl)
+            Iterator.single(KeyCount(key, next))
+          }
+      }
+  }
+
   /** Batch form (the q09 analogue): plain groupBy count. */
   def countsBatch(ds: Dataset[Message], keyOf: Message => String): Dataset[KeyCount] = {
     implicit val kcEnc = Encoders.product[KeyCount]

@@ -47,6 +47,42 @@ class StreamingStateSpec extends SparkSpec {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS counter_out"); () }
   }
 
+  test("TTL counter evicts idle key state and restarts from zero (state-store bound)") {
+    import spark.implicits._
+    val ps = new MemoryPubSub(spark)
+    val src = ps.subscribe("ttl_counter_in").as[Message]
+    val counted = StatefulCounter.countsWithTtl(src, _.get("k"), "100 milliseconds")
+    // NOTE no processAllAvailable anywhere here: with a pending
+    // ProcessingTimeTimeout the engine keeps constructing timeout
+    // batches, so noNewData is never set and processAllAvailable never
+    // returns. Poll the sink table instead; a paced trigger keeps the
+    // timeout batches from spinning.
+    val q = counted.writeStream
+      .format("memory").queryName("ttl_counter_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ttl-").toString)
+      .start()
+    def rows() = spark.table("ttl_counter_out").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("count")))
+    def awaitRow(want: (String, Long)): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && !rows().contains(want))
+        Thread.sleep(100)
+      assert(rows().contains(want), s"timed out waiting for $want, got ${rows().toSeq}")
+    }
+    try {
+      ps.publish("ttl_counter_in", Seq(
+        msg("t1", "x", 1700000000000L, Map("k" -> "a")),
+        msg("t2", "x", 1700000000001L, Map("k" -> "a"))))
+      awaitRow("a" -> 2L) // accumulated within a batch, timeout armed
+      Thread.sleep(1500)  // let the 100ms idle TTL lapse (wall clock)
+      ps.publish("ttl_counter_in", Seq(
+        msg("t4", "x", 1700000002000L, Map("k" -> "a"))))
+      awaitRow("a" -> 1L) // state was evicted; count restarted
+      assert(!rows().contains(("a", 3L)), "evicted state must not carry over")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ttl_counter_out"); () }
+  }
+
   test("stream-stream correlate joins commands with replies on operation_id") {
     val ps = new MemoryPubSub(spark)
     val joined = RequestReply.correlate(
