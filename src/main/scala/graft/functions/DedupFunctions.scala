@@ -137,9 +137,16 @@ object DedupFunctions {
     *   joins in one long-lived session should pass false or
     *   `spark.catalog.clearCache()` between runs; Spark's LRU evicts
     *   it under pressure either way. */
+  /** @param minPartitions when set, repartition the pruned (id, text)
+    *   projection to at least this parallelism before the shingle/hash
+    *   work. A small input scans as ONE partition (PLANS.md #4) and the
+    *   compute-heavy tokenize+hash pipeline runs single-threaded on top;
+    *   the shuffle moves only the pruned two columns, once. Leave None
+    *   at scale — file count already provides parallelism. */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
-      persistShingles: Boolean = true): DataFrame = {
+      persistShingles: Boolean = true,
+      minPartitions: Option[Int] = None): DataFrame = {
     // size(w) >= n guard instead of size(s) > 0: equivalent, but does
     // not re-evaluate the shingle HOF in a pushed-down filter.
     // Shingles are hashed to 64-bit longs immediately: the shingle
@@ -153,8 +160,10 @@ object DedupFunctions {
     // frequency count and the prefix index, and both verification-join
     // sides read the full sets — and recomputing scan+split+shingle+
     // hash per pass is strictly worse at any scale.
-    val shPlan = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
+    val pruned = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val input = minPartitions.fold(pruned)(n => pruned.repartition(n))
+    val shPlan = input
+      .select(col("doc_id"), TextFunctions.words(col("_text")).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("ss"))
       .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))

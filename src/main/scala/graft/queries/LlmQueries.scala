@@ -72,7 +72,8 @@ object LlmQueries {
     // ---- exact n-gram Jaccard near-dup join (prefix-filtered) ----
     QuerySpec("q19_ngram_jaccard",
       (s, dir) => DedupFunctions
-        .jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text", 3, 0.8,
+          minPartitions = Some(s.sparkContext.defaultParallelism))
         .orderBy(col("d1"), col("d2")),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (
