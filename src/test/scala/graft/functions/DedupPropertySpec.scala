@@ -125,6 +125,31 @@ class DedupPropertySpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("fast family recalls the portable family's verified-high-jaccard pairs (sf0.01)") {
+    // The production (xxhash64) family must not lose the pairs the
+    // oracle-gated portable (md5) family finds AND that are verifiably
+    // near-duplicates: portable candidates, filtered to true jaccard
+    // >= 0.9 by the exact prefix-filtered join, must all reappear in
+    // the fast family's candidate set. Deterministic: fixed corpus,
+    // seeded hash families.
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def cands(portable: Boolean) = DedupFunctions.minhashCandidates(
+      corpus, "doc_id", "text", shingleN = 3, k = 12, r = 2, portable = portable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portablePairs = cands(portable = true)
+    val highJaccard = DedupFunctions.jaccardSimilarityJoin(
+      corpus, "doc_id", "text", shingleN = 3, threshold = 0.9,
+      persistShingles = false)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = portablePairs.intersect(highJaccard)
+    assert(verified.nonEmpty, "fixture must contain verified near-duplicates")
+    val fastPairs = cands(portable = false)
+    val lost = verified -- fastPairs
+    assert(lost.isEmpty,
+      s"fast family lost ${lost.size}/${verified.size} verified pairs: ${lost.take(5)}")
+  }
+
   test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
     val stop = Seq("the", "a", "of")
     val clean = "the quick brown fox runs over a hill of green grass"
