@@ -14,7 +14,7 @@ import graft.sources.Publisher
 final class CommandBus(
     publisher: Publisher,
     generatePublishTopic: String => String = _ => "commands",
-    marshaler: JsonMarshaler = new JsonMarshaler(),
+    marshaler: Marshaler = new JsonMarshaler(),
     onSend: Message => Message = identity) {
 
   def send(cmd: Any): Unit = {
@@ -28,7 +28,7 @@ final class CommandBus(
 final class EventBus(
     publisher: Publisher,
     generatePublishTopic: String => String = _ => "events",
-    marshaler: JsonMarshaler = new JsonMarshaler(),
+    marshaler: Marshaler = new JsonMarshaler(),
     onPublish: Message => Message = identity) {
 
   def publish(event: Any): Unit = {

@@ -30,22 +30,26 @@ object Names {
   def of[T](implicit ct: ClassTag[T]): String = fullyQualified(ct.runtimeClass)
 }
 
-/** JSON command/event marshaler, parity with `CommandEventMarshaler` +
-  * `JSONMarshaler` (reference: components/cqrs/marshaler.go:12-28,
-  * marshaler_json.go:15-53): typed value ↔ Message with the type name
-  * stamped into metadata key "name" (marshaler_json.go:25,51-53).
-  * The protobuf variants (marshaler_protobuf.go) map to Spark's
-  * `from_protobuf`/`to_protobuf` and are out of scope in this
-  * container (no protobuf runtime).
-  */
+/** Command/event codec contract, parity with `CommandEventMarshaler`
+  * (reference: components/cqrs/marshaler.go:12-28): typed value ↔
+  * Message with the type name stamped into metadata key "name". */
+trait Marshaler extends Serializable {
+  val NameKey = "name"
+  def name(cls: Class[_]): String
+  def nameFromMessage(m: Message): String = m.get(NameKey)
+  def marshal(v: Any): Message
+  def unmarshal[T](m: Message)(implicit ct: ClassTag[T]): T
+}
+
+/** JSON marshaler, parity with `JSONMarshaler`
+  * (reference: components/cqrs/marshaler_json.go:15-53); the name is
+  * stamped at marshaler_json.go:25,51-53. The protobuf variant is
+  * [[ProtoMarshaler]]. */
 final class JsonMarshaler(
     nameOf: Class[_] => String = Names.fullyQualified,
-    newUuid: () => String = () => Ids.newUuid()) extends Serializable {
-
-  val NameKey = "name"
+    newUuid: () => String = () => Ids.newUuid()) extends Marshaler {
 
   def name(cls: Class[_]): String = nameOf(cls)
-  def nameFromMessage(m: Message): String = m.get(NameKey)
 
   def marshal(v: Any): Message =
     Message(newUuid(), Map(NameKey -> nameOf(v.getClass)),

@@ -19,7 +19,7 @@ object TypedHandler {
   /** `NewCommandHandler[C]`-style constructor: dispatch on C's name,
     * unmarshal, handle. The original envelope is passed alongside the
     * typed value (ctx.go:16-27 original-message access). */
-  def apply[C: ClassTag](marshaler: JsonMarshaler)(
+  def apply[C: ClassTag](marshaler: Marshaler)(
       handle: (C, Message) => Seq[Any]): TypedHandler = {
     val n = Names.of[C]
     TypedHandler(n, m => handle(marshaler.unmarshal[C](m), m).map {
@@ -41,7 +41,7 @@ final class CommandProcessor(
     router: Router,
     subscriber: Subscriber,
     publisher: Publisher,
-    marshaler: JsonMarshaler = new JsonMarshaler(),
+    marshaler: Marshaler = new JsonMarshaler(),
     generateSubscribeTopic: String => String = _ => "commands",
     ackHandlingErrors: Boolean = false,
     errorsTopic: String = "commands_errors") {
@@ -79,7 +79,7 @@ final class EventProcessor(
     router: Router,
     subscriber: Subscriber,
     publisher: Publisher,
-    marshaler: JsonMarshaler = new JsonMarshaler(),
+    marshaler: Marshaler = new JsonMarshaler(),
     generateSubscribeTopic: String => String = _ => "events") {
 
   // atomic: concurrent registration must not race to one query name
@@ -119,7 +119,7 @@ final class EventGroupProcessor(
     router: Router,
     subscriber: Subscriber,
     publisher: Publisher,
-    marshaler: JsonMarshaler = new JsonMarshaler(),
+    marshaler: Marshaler = new JsonMarshaler(),
     onUnknownEvent: Message => Seq[Message] = _ => Seq.empty) {
 
   def addHandlersGroup(groupName: String, subscribeTopic: String,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Message
-import graft.cqrs.JsonMarshaler
+import graft.cqrs.{JsonMarshaler, Marshaler}
 import graft.router.{Middlewares, Router}
 import graft.sources.PubSub
 
@@ -33,7 +33,7 @@ object RequestReply {
     * command's operation id; handler errors are marshaled into the
     * notification (handler.go:16-67 + backend_pubsub_marshaler.go:
     * error-in-metadata), so the requester always gets an answer. */
-  def commandHandlerWithResult[C: ClassTag](marshaler: JsonMarshaler)(
+  def commandHandlerWithResult[C: ClassTag](marshaler: Marshaler)(
       handle: C => Any): Middlewares.Handler = { m =>
     val opId = m.get(OperationIdKey)
     val reply =
@@ -84,7 +84,7 @@ final class PubSubBackend(
     pubsub: PubSub,
     commandTopic: String = "rr_commands",
     replyTopic: String = "rr_replies",
-    marshaler: JsonMarshaler = new JsonMarshaler()) {
+    marshaler: Marshaler = new JsonMarshaler()) {
 
   import RequestReply._
 
