@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
@@ -47,6 +47,41 @@ object HashUtil {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+/** JVM-side vector kernels, callable from generated code. */
+object VecUtil {
+  /** Sequential left-fold dot product — the SAME accumulation order as
+    * the composed `aggregate(zip_with(...))` form, so results are
+    * bit-identical to it (and to the DuckDB oracle's sequential fold).
+    * Null elements are not expected (embedding arrays are dense). */
+  def dotD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** Native dot product of two `array<double>` columns. The composed
+  * HOF form re-enters expression evaluation per element; on an
+  * all-pairs similarity join (|pairs| × dim element visits) that
+  * interpreter overhead dominates the arithmetic — this is a tight
+  * primitive loop under whole-stage codegen instead.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.dotD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.dotD($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
 /** Single-pass SimHash of an `array<string>` column as a native

@@ -11,8 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two equal-length vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two equal-length vectors: a native codegen'd
+    * expression ([[DotProductExpr]]) with the same sequential-fold
+    * accumulation order (bit-identical results) as the composed
+    * `aggregate(zip_with(...))` form it replaces — the HOF form
+    * re-enters expression evaluation per element, which dominates
+    * all-pairs similarity joins. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The composed-HOF reference form, kept for the equivalence test
+    * that pins [[DotProductExpr]] to the same bit pattern. */
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -47,6 +60,65 @@ object VectorFunctions {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs: every (d1 < d2) pair
+    * with cosine >= threshold. All-pairs via broadcast-nested-loop —
+    * the EXACT baseline, valid while one copy of the corpus broadcasts;
+    * at 100 TB use [[cosineNearDupBucketed]] (same output contract,
+    * LSH-bounded candidate generation). Norms hoisted per row, never
+    * per pair. */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("d1"),
+        col(vecCol).cast("array<double>").as("v1"))
+      .withColumn("n1", l2Norm(col("v1")))
+    val b = vecs.select(col(idCol).as("d2"),
+        col(vecCol).cast("array<double>").as("v2"))
+      .withColumn("n2", l2Norm(col("v2")))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Scale path for [[cosineNearDupPairs]]: `bands` independent SRP
+    * tables (distinct hyperplane seeds); vectors sharing ANY band's
+    * bucket are candidates, then verified with the exact cosine. Same
+    * shape as MinHash-LSH banding: one shuffle on (band, key), group-
+    * then-double-explode pair generation (the expensive srpBucket
+    * subtree is referenced exactly once), bounded per-bucket collection
+    * as the skew guard. Precision is exact (every pair verified);
+    * recall is probabilistic in the LSH way — identical vectors share
+    * every bucket and are always recalled. */
+  def cosineNearDupBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bandCols = (0 until bands).map(bd =>
+      struct(lit(bd).as("band"),
+        srpBucket(col("v"), dim, nBits, seed = 1000 * bd + 7).as("key")))
+    val bucketed = base.select(col("id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("id"), col("x.band"), col("x.key"))
+    val members = BoundedCollect.longs(col("id").cast("long"), maxBucket)
+    val cand = bucketed.groupBy(col("band"), col("key"))
+      .agg(members.as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(explode(col("ms")).as("d1"), col("ms"))
+      .select(col("d1"), explode(col("ms")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .distinct()
+    // verification re-reads only the pruned (id, vec) projection — the
+    // srpBucket compute above is not re-evaluated here
+    val s1 = base.select(col("id").as("d1"), col("v").as("v1"))
+      .withColumn("n1", l2Norm(col("v1")))
+    val s2 = base.select(col("id").as("d2"), col("v").as("v2"))
+      .withColumn("n2", l2Norm(col("v2")))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
   /** Sign-random-projection bucket id (LSH for cosine): `nBits`

@@ -324,6 +324,21 @@ object LlmQueries {
              |  UNION
              |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
              |SELECT node AS doc_id, min(r) AS cluster_id
-             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs (exact threshold self-join;
+    // the all-pairs baseline — the LSH-bucketed scale path is
+    // cosineNearDupBucketed, property-tested for subset+recall) ----
+    QuerySpec("q35_cosine_neardup",
+      (s, dir) => VectorFunctions.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |    list_cosine_similarity(a.v, b.v) AS sim
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT d1, d2, round(sim, 4) AS sim FROM p
+             |WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin))
   )
 }

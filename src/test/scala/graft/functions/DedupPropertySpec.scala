@@ -150,6 +150,46 @@ class DedupPropertySpec extends SparkSpec {
       s"fast family lost ${lost.size}/${verified.size} verified pairs: ${lost.take(5)}")
   }
 
+  test("native dot-product expression is bit-identical to the composed HOF fold") {
+    val vecs = (0 until 25).map { i =>
+      (i.toLong,
+        Array.tabulate(16)(d => math.sin(i * 7 + d).toFloat),
+        Array.tabulate(16)(d => math.cos(i * 11 + d * 5).toFloat))
+    }.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val both = vecs.select(col("id"),
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      VectorFunctions.dotComposed(col("a"), col("b")).as("slow")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id ${r.getLong(0)}")
+    }
+  }
+
+  test("bucketed cosine near-dup: exact-precision subset, full recall on identical vectors") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat))
+    }
+    val planted = base.take(5).map { case (i, v) => (i + 1000L, v) } // exact copies
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorFunctions.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9))
+    val bucketed = pairs(VectorFunctions.cosineNearDupBucketed(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9))
+    assert(bucketed.subsetOf(exact), "verified candidates must never exceed the exact set")
+    (0 until 5).foreach { i =>
+      assert(bucketed.contains((i.toLong, i + 1000L)),
+        s"identical pair ($i, ${i + 1000}) shares every bucket and must be recalled")
+    }
+    val again = pairs(VectorFunctions.cosineNearDupBucketed(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9))
+    assert(again == bucketed, "bucketing must be deterministic")
+  }
+
   test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
     val stop = Seq("the", "a", "of")
     val clean = "the quick brown fox runs over a hill of green grass"
