@@ -70,10 +70,12 @@ object LlmQueries {
              |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ---- exact n-gram Jaccard near-dup join (prefix-filtered) ----
+    // minPartitions measured as a NO-gain here (ProfileQ19: the
+    // 1-partition scan+shingle+hash pass is 0.3 s; the multi-pass tail
+    // dominates) — left unset; the knob stays for compute-heavier docs
     QuerySpec("q19_ngram_jaccard",
       (s, dir) => DedupFunctions
-        .jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text", 3, 0.8,
-          minPartitions = Some(s.sparkContext.defaultParallelism))
+        .jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
         .orderBy(col("d1"), col("d2")),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (

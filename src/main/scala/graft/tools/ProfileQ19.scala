@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.GraftSession
+import graft.functions.{DedupFunctions, TextFunctions}
+
+/** Stage-by-stage wall-time breakdown of q19 (exact n-gram Jaccard
+  * join). Run: `SPARK_GRAFT_CPUS=32 sbt -batch
+  * 'runMain graft.tools.ProfileQ19 /root/testdata/sf0.1'`.
+  */
+object ProfileQ19 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($r)")
+    }
+
+    // warm-up on the small slice
+    DedupFunctions.jaccardSimilarityJoin(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", 3, 0.8, persistShingles = false).count()
+
+    val n = spark.sparkContext.defaultParallelism
+    def shPlan(parts: Option[Int]) = {
+      val pruned = docs.select(col("doc_id"), col("text"))
+      val input = parts.fold(pruned)(p => pruned.repartition(p))
+      input
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), 3).as("ss"))
+        .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))
+    }
+
+    time("shingle+hash, 1-partition scan (fresh)") { shPlan(None).count() }
+    time(s"shingle+hash, repartition($n) (fresh)") { shPlan(Some(n)).count() }
+
+    val sh = shPlan(Some(n)).persist(StorageLevel.MEMORY_AND_DISK)
+    time("shingle relation materialize (persist)") { sh.count() }
+    val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+    time("postings explode + freq agg (cached sh)") {
+      ex.groupBy(col("t")).agg(count(lit(1)).as("df")).count()
+    }
+    time("full q19 tail from cached sh (approx)") {
+      // prefix + candidates + verify, re-run through the public API on
+      // the cached relation is not directly expressible; approximate
+      // with a fresh full run (sh recomputation included, sh cached)
+      DedupFunctions.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8,
+        persistShingles = true,
+        minPartitions = Some(n)).count()
+    }
+    sh.unpersist()
+
+    time("q19 full fresh (bench shape, sorted)") {
+      DedupFunctions.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8,
+        persistShingles = true, minPartitions = Some(n))
+        .orderBy(col("d1"), col("d2"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    spark.stop()
+  }
+}
