@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Ids, Message}
+
+/** HTTP transport, the watermill-http analogue (declared in the
+  * reference's transport matrix, README.md:104-117; the HTTP repo's
+  * model is: Subscriber = an HTTP server turning each POST into a
+  * message, Publisher = POSTing messages to a per-topic URL).
+  *
+  * Wire contract (both directions):
+  *   POST <base>/<topic>  body = payload bytes
+  *     X-Graft-Uuid: <uuid>           (optional; generated if absent)
+  *     X-Graft-Meta-<key>: <value>    (one header per metadata entry)
+  *   response 200 = acked (enqueued); non-2xx = nack, sender retries.
+  *
+  * Delivery is at-least-once: HTTP has no idempotency handle, so
+  * `publishEpoch` falls back to plain append — receivers dedupe by
+  * uuid (pair with `StreamingDedup.stage` exactly as the reference
+  * pairs webhook ingestion with the Deduplicator middleware).
+  */
+object HttpWire {
+  val UuidHeader = "X-Graft-Uuid"
+  val MetaPrefix = "X-Graft-Meta-"
+}
+
+/** Server half: POSTs to `/<topic>` enqueue into an in-process broker
+  * (same MemoryStream mechanics as [[MemoryPubSub]]); `subscribe`
+  * exposes the per-topic stream. One server, many topics. */
+final class HttpSubscriber(spark: SparkSession, port: Int = 0)
+  extends Subscriber with SubscribeInitializer with AutoCloseable {
+
+  private val broker = new MemoryPubSub(spark)
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/", exchange => {
+      try {
+        if (exchange.getRequestMethod == "POST") {
+          val topic = exchange.getRequestURI.getPath.stripPrefix("/")
+          val body = exchange.getRequestBody.readAllBytes()
+          val headers = exchange.getRequestHeaders
+          val uuid = Option(headers.getFirst(HttpWire.UuidHeader))
+            .getOrElse(Ids.newUuid())
+          val meta = {
+            val b = Map.newBuilder[String, String]
+            headers.forEach { (k, vs) =>
+              // HttpServer canonicalizes header case; match case-insensitively
+              if (k.toLowerCase.startsWith(HttpWire.MetaPrefix.toLowerCase) && !vs.isEmpty)
+                b += k.substring(HttpWire.MetaPrefix.length) -> vs.get(0)
+            }
+            b.result()
+          }
+          broker.publish(topic, Seq(Message(uuid, meta, body,
+            new Timestamp(System.currentTimeMillis()))))
+          exchange.sendResponseHeaders(200, -1) // enqueued = acked
+        } else exchange.sendResponseHeaders(405, -1)
+      } catch {
+        case _: Throwable =>
+          exchange.sendResponseHeaders(500, -1) // nack: sender retries
+      } finally exchange.close()
+    })
+    s.setExecutor(null)
+    s.start()
+    s
+  }
+
+  def boundPort: Int = server.getAddress.getPort
+
+  override def subscribe(topic: String): DataFrame = broker.subscribe(topic)
+  override def subscribeBatch(topic: String): DataFrame = broker.subscribeBatch(topic)
+  override def subscribeInitialize(topic: String): Unit =
+    broker.subscribeInitialize(topic)
+  override def close(): Unit = server.stop(0)
+}
+
+/** Client half: POSTs every row to `<baseUrl>/<topic>`. `publishBatch`
+  * egresses from EXECUTORS (`foreachPartition`, one client per
+  * partition) — the driver never funnels the data, so throughput
+  * scales with the cluster, bounded by the receiving endpoint. A non-
+  * 2xx response throws, failing the micro-batch for redelivery (the
+  * nack path). */
+final class HttpPublisher(baseUrl: String) extends Publisher with Serializable {
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit = {
+    val client = HttpClient.newHttpClient()
+    msgs.foreach(m => HttpPublisher.post(client, baseUrl, topic, m))
+  }
+
+  override def publishBatch(topic: String, df: DataFrame): Unit = {
+    val url = baseUrl // local only — `this` must not serialize
+    df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val client = HttpClient.newHttpClient()
+        rows.foreach { r =>
+          HttpPublisher.post(client, url, topic, Message(
+            r.getAs[String]("uuid"),
+            Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
+            Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray),
+            r.getAs[Timestamp]("ts")))
+        }
+      }
+  }
+}
+
+object HttpPublisher {
+  private[sources] def post(client: HttpClient, baseUrl: String, topic: String,
+      m: Message): Unit = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(s"$baseUrl/$topic"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(m.payload))
+      .header(HttpWire.UuidHeader, m.uuid)
+    m.metadata.foreach { case (k, v) => b.header(s"${HttpWire.MetaPrefix}$k", v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.discarding())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"publish to $baseUrl/$topic failed: HTTP ${resp.statusCode()}")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.Message
+import graft.router.{Middlewares, Router}
+
+/** Loopback integration of the HTTP transport: HttpPublisher POSTs
+  * (driver and executor paths) into HttpSubscriber's embedded server,
+  * metadata riding X-Graft-Meta-* headers; a router consumes the
+  * webhook stream end to end.
+  */
+class HttpSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def msg(u: String, p: String, meta: Map[String, String] = Map.empty) =
+    Message(u, meta, p.getBytes("UTF-8"), new Timestamp(1700000000000L))
+
+  test("publish -> webhook server -> subscribeBatch round-trips uuid/metadata/payload") {
+    val sub = new HttpSubscriber(spark)
+    try {
+      val pub = new HttpPublisher(s"http://localhost:${sub.boundPort}")
+      pub.publish("hooks", Seq(
+        msg("h1", "alpha", Map("correlation_id" -> "c1")),
+        msg("h2", "beta")))
+      val got = sub.subscribeBatch("hooks").as[Message].collect()
+        .map(m => m.uuid -> m).toMap
+      assert(got.keySet == Set("h1", "h2"))
+      assert(got("h1").payloadString == "alpha")
+      assert(got("h1").metadata == Map("correlation_id" -> "c1"))
+      assert(got("h2").payloadString == "beta")
+    } finally sub.close()
+  }
+
+  test("publishBatch egresses from executors (foreachPartition), no loss") {
+    val sub = new HttpSubscriber(spark)
+    try {
+      val pub = new HttpPublisher(s"http://localhost:${sub.boundPort}")
+      val df = (0 until 40).map(i =>
+        msg(s"b$i", s"p$i", Map("i" -> i.toString))).toDF().repartition(4)
+      pub.publishBatch("bulk_hooks", df)
+      val got = sub.subscribeBatch("bulk_hooks").as[Message].collect()
+      assert(got.length == 40)
+      assert(got.map(_.uuid).toSet == (0 until 40).map(i => s"b$i").toSet)
+      val byUuid = got.map(m => (m.uuid, m.get("i"))).toMap
+      assert(byUuid("b7") == "7")
+    } finally sub.close()
+  }
+
+  test("router consumes the webhook stream like any other subscriber") {
+    val sub = new HttpSubscriber(spark)
+    val mem = new MemoryPubSub(spark)
+    try {
+      val pub = new HttpPublisher(s"http://localhost:${sub.boundPort}")
+      pub.publish("ingress", Seq(msg("r1", "one"), msg("r2", "two")))
+      val router = new Router(spark)
+      router.addHandler("http-ingest", "ingress", sub, "ingested", mem,
+        Middlewares.passthrough)
+      router.run(); router.processAllAvailable(); router.close()
+      val got = mem.subscribeBatch("ingested").collect().map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("r1", "r2"))
+    } finally sub.close()
+  }
+}
