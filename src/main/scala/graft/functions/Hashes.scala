@@ -15,6 +15,23 @@ object HashUtil {
     a.getValue
   }
 
+  /** Count maximal runs of ASCII `[a-z0-9]` bytes. UTF-8-safe: every
+    * continuation/multi-byte unit has bit 7 set and exits the class. */
+  def tokenRuns(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var runs = 0L
+    var inRun = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val in = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (in && !inRun) runs += 1
+      inRun = in
+      i += 1
+    }
+    runs
+  }
+
   /** Single-pass 64-bit SimHash over a token array: per token, hash
     * once (Spark's own xxhash64, seed 42 — bit-identical to the
     * `xxhash64` SQL function) and accumulate ±1 votes into 64 counters;
@@ -63,6 +80,25 @@ object VecUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+}
+
+/** Count of maximal `[a-z0-9]` runs in a string — exactly the number
+  * of matches `regexp_extract_all(s, '[a-z0-9]+')` would produce, as a
+  * single byte scan: the class is pure ASCII (multi-byte UTF-8 units
+  * have the high bit set, so they can never join a run), no regex
+  * engine, and no match-array materialization just to take `size()`.
+  * Feed it the SAME lowered column the regex form used for exact
+  * count parity.
+  */
+case class TokenRunCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_runs"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.tokenRuns(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenRuns($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenRunCountExpr =
+    copy(child = newChild)
 }
 
 /** Native dot product of two `array<double>` columns. The composed

@@ -19,7 +19,22 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count WITHOUT materializing the token array: a native byte
+    * scan counting `[a-z0-9]` runs of the lowered text — the same
+    * number `size(tokens(text))` produces (equivalence property-
+    * tested), minus the regex engine and the match-array allocation.
+    * At corpus scale token counting is the hottest text op; keep the
+    * array-producing [[tokens]] for paths that need the tokens
+    * themselves. */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.TokenRunCountExpr(
+      ColumnBridge.expression(lower(text))))
+  }
+
+  /** The regex-composed form, kept for the equivalence test pinning
+    * [[tokenCount]] to identical counts. */
+  private[graft] def tokenCountComposed(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword proxy: alpha runs, single digits, or any other
     * non-space symbol — a cheap deterministic stand-in for a real BPE

@@ -150,6 +150,20 @@ class DedupPropertySpec extends SparkSpec {
       s"fast family lost ${lost.size}/${verified.size} verified pairs: ${lost.take(5)}")
   }
 
+  test("native token-run counter matches the regex token count exactly") {
+    val texts = Seq(
+      "the quick brown fox", "  leading and trailing  ", "",
+      "punct!!!and---digits123 456abc", "ALL CAPS TO LOWER", "a",
+      "unicode: café naïve 中文 Éclair",
+      "tabs\tand\nnewlines mixed-7up", "123 456 789", "!!!###")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("fast"),
+      TextFunctions.tokenCountComposed(col("text")).cast("long").as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"text '${texts(r.getLong(0).toInt)}': ${r.getLong(1)} vs ${r.getLong(2)}"))
+  }
+
   test("native dot-product expression is bit-identical to the composed HOF fold") {
     val vecs = (0 until 25).map { i =>
       (i.toLong,
