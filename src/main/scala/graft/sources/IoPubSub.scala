@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Ids, Message}
+
+/** io.Reader/Writer transport, the watermill-io analogue (declared in
+  * the reference's transport matrix, README.md:104-117: a Publisher
+  * that marshals messages into an `io.Writer` and a Subscriber that
+  * polls an `io.Reader`). The natural uses are the same: CLI pipes,
+  * log tailing, socket bridging, test harnesses.
+  *
+  * Framing: one NDJSON line per message —
+  * `{"uuid":…,"metadata":{…},"payload":"<base64>","ts":<epochMs>}` —
+  * chosen over raw payload lines so metadata and binary payloads
+  * survive the pipe (the reference's MarshalMessageFunc equivalent).
+  *
+  * Driver-side by design, like the reference's: a single byte stream
+  * has exactly one writer/reader end — this is the interop/edge
+  * transport, not the 100 TB path (that's File/Kafka).
+  */
+object IoFraming {
+  private final case class Frame(uuid: String, metadata: Map[String, String],
+      payload: String, ts: Long)
+
+  def marshal(m: Message): String =
+    new String(graft.cqrs.JsonCodec.write(Frame(m.uuid, m.metadata,
+      Base64.getEncoder.encodeToString(m.payload), m.ts.getTime)),
+      StandardCharsets.UTF_8)
+
+  def unmarshal(line: String): Message = {
+    val f = graft.cqrs.JsonCodec.read(
+      line.getBytes(StandardCharsets.UTF_8), classOf[Frame])
+    Message(Option(f.uuid).getOrElse(Ids.newUuid()),
+      Option(f.metadata).getOrElse(Map.empty),
+      Base64.getDecoder.decode(Option(f.payload).getOrElse("")),
+      new Timestamp(f.ts))
+  }
+}
+
+/** Publisher half: every message becomes one framed line on `out`.
+  * The topic travels IN-BAND as metadata `_io_topic` (a byte stream
+  * has no topics), mirroring the reference's single-stream model. */
+final class StreamPublisher(out: OutputStream) extends Publisher {
+  private val TopicKey = "_io_topic"
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit = synchronized {
+    msgs.foreach { m =>
+      val line = IoFraming.marshal(m.withMeta(TopicKey, topic)) + "\n"
+      out.write(line.getBytes(StandardCharsets.UTF_8))
+    }
+    out.flush()
+  }
+
+  override def publishBatch(topic: String, df: DataFrame): Unit =
+    publish(topic, df.selectExpr(Message.columns: _*)
+      .collect().map(r => Message(
+        r.getAs[String]("uuid"),
+        Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
+        Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray),
+        r.getAs[Timestamp]("ts"))).toSeq) // single-writer stream: driver collect by design
+
+  override def close(): Unit = out.close()
+}
+
+/** Subscriber half: a reader thread drains `in` line by line into the
+  * in-process broker, routing each frame to its in-band topic;
+  * `subscribe`/`subscribeBatch` expose the per-topic streams. */
+final class StreamSubscriber(spark: SparkSession, in: InputStream)
+  extends Subscriber with SubscribeInitializer with AutoCloseable {
+
+  private val TopicKey = "_io_topic"
+  private val broker = new MemoryPubSub(spark)
+  @volatile private var draining = true
+
+  private val reader = new Thread(() => {
+    val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      var line = r.readLine()
+      while (draining && line != null) {
+        if (line.nonEmpty) {
+          val m = IoFraming.unmarshal(line)
+          val topic = m.get(TopicKey)
+          broker.publish(if (topic.isEmpty) "io" else topic,
+            Seq(m.copy(metadata = m.metadata - TopicKey)))
+        }
+        line = r.readLine()
+      }
+    } catch { case _: java.io.IOException => () } // closed pipe ends the drain
+  }, "graft-io-subscriber")
+  reader.setDaemon(true)
+  reader.start()
+
+  /** Block until the reader thread has drained the stream to EOF. */
+  def awaitDrained(timeoutMs: Long = 10000): Unit = reader.join(timeoutMs)
+
+  override def subscribe(topic: String): DataFrame = broker.subscribe(topic)
+  override def subscribeBatch(topic: String): DataFrame = broker.subscribeBatch(topic)
+  override def subscribeInitialize(topic: String): Unit =
+    broker.subscribeInitialize(topic)
+  override def close(): Unit = { draining = false; in.close() }
+}

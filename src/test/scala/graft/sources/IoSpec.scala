@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.io.{PipedInputStream, PipedOutputStream}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.Message
+
+/** io.Reader/Writer transport over an in-process pipe: framing
+  * round-trip (metadata + binary payloads survive), in-band topic
+  * routing, and EOF-terminated drain.
+  */
+class IoSpec extends SparkSpec {
+
+  private def msg(u: String, p: Array[Byte], meta: Map[String, String] = Map.empty) =
+    Message(u, meta, p, new Timestamp(1700000000000L))
+
+  test("frame marshal/unmarshal round-trips binary payloads and metadata") {
+    val m = msg("f1", Array[Byte](0, 1, -1, 127), Map("k" -> "v", "j" -> ""))
+    val back = IoFraming.unmarshal(IoFraming.marshal(m))
+    assert(back.uuid == m.uuid)
+    assert(back.metadata == m.metadata)
+    assert(back.payload.toSeq == m.payload.toSeq)
+    assert(back.ts == m.ts)
+  }
+
+  test("publisher pipe -> subscriber routes frames to their in-band topics") {
+    val out = new PipedOutputStream()
+    val in = new PipedInputStream(out, 1 << 16)
+    val sub = new StreamSubscriber(spark, in)
+    val pub = new StreamPublisher(out)
+    try {
+      pub.publish("io_a", Seq(
+        msg("a1", "alpha".getBytes("UTF-8"), Map("h" -> "1")),
+        msg("a2", "beta".getBytes("UTF-8"))))
+      pub.publish("io_b", Seq(msg("b1", "gamma".getBytes("UTF-8"))))
+      pub.close() // EOF ends the drain
+      sub.awaitDrained()
+      val a = sub.subscribeBatch("io_a").collect()
+        .map(r => r.getAs[String]("uuid") ->
+          new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+      assert(a == Map("a1" -> "alpha", "a2" -> "beta"))
+      val aMeta = sub.subscribeBatch("io_a").collect()
+        .map(r => r.getAs[String]("uuid") ->
+          r.getAs[Map[String, String]]("metadata")).toMap
+      assert(aMeta("a1") == Map("h" -> "1"), "in-band topic key must be stripped")
+      val b = sub.subscribeBatch("io_b").collect().map(_.getAs[String]("uuid"))
+      assert(b.toSeq == Seq("b1"))
+    } finally sub.close()
+  }
+}
