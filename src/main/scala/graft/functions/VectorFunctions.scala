@@ -121,6 +121,95 @@ object VectorFunctions {
       .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Spherical k-means centroids — the IVF coarse quantizer. The model
+    * is k×dim doubles on the driver (a MODEL, not data — the corpus
+    * never leaves executors):
+    *  - init: the k vectors with the smallest content hash
+    *    (deterministic sample, no RNG state to ship);
+    *  - Lloyd rounds as DataFrame ops: assign = argmax native dot
+    *    against broadcast centroid literals, re-estimate = one
+    *    (cluster, pos) sum/count aggregation — k×dim cells collected
+    *    per round;
+    *  - centroids re-normalized each round (spherical variant: cosine
+    *    assignment = dot on unit vectors); empty clusters keep their
+    *    previous centroid.
+    */
+  def ivfTrain(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int = 3): Array[Array[Double]] = {
+    def normalized(c: Column) = {
+      val n = l2Norm(c)
+      transform(c, x => x / n)
+    }
+    val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
+      .filter(size(col("v0")) === dim)
+      .select(normalized(col("v0")).as("v"))
+    var cents: Array[Array[Double]] = v
+      .withColumn("h", xxhash64(col("v").cast("string")))
+      .orderBy(col("h")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "ivfTrain: no input vectors of the declared dim")
+    (0 until iters).foreach { _ =>
+      val cells = v.withColumn("c", nearestCentroid(col("v"), cents))
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.groupBy(_.getAs[Int]("c")).foreach { case (c, rows) =>
+        val mean = new Array[Double](dim)
+        rows.foreach(r => mean(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        if (norm > 0) next(c) = mean.map(_ / norm)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Argmax-similarity centroid id for a UNIT vector column: one native
+    * dot per centroid literal, struct-max for the argmax (ties break to
+    * the higher id — deterministic). */
+  private def nearestCentroid(vhat: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(vhat, typedLit(c.toSeq)).as("sim"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** IVF search: corpus vectors live in exactly ONE centroid's posting
+    * list (one assignment pass, no duplication); each query probes its
+    * `nProbes` nearest centroids; exact cosine top-k within the probed
+    * lists. `nProbes = k` probes everything and is EXACTLY brute force
+    * (the equivalence test's anchor); small `nProbes` trades recall for
+    * a ~k/nProbes candidate reduction. The shuffle key is the centroid
+    * id — at 100 TB the posting lists are the partitions, and only the
+    * (small, broadcast) query side multiplies by nProbes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, cents: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
+    require(nProbes >= 1 && nProbes <= cents.length, "nProbes out of range")
+    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
+    val simStructs = (vhat: Column) => array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(dot(vhat, typedLit(cv.toSeq)).as("sim"), lit(i).as("idx"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        unit(col(vecCol).cast("array<double>")).as("cv"))
+      .withColumn("cluster", nearestCentroid(col("cv"), cents))
+    val q = queries.select(col(idCol).as("query_id"),
+        unit(col(vecCol).cast("array<double>")).as("qv"))
+      .withColumn("probe", explode(slice(reverse(array_sort(
+        simStructs(col("qv")))), 1, nProbes)))
+      .select(col("query_id"), col("qv"), col("probe.idx").as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Sign-random-projection bucket id (LSH for cosine): `nBits`
     * deterministic pseudo-random hyperplanes derived from xxhash64 of
     * (seed, dim index) — no stored model, reproducible on any cluster.

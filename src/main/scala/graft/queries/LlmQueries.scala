@@ -341,6 +341,22 @@ object LlmQueries {
              |    list_cosine_similarity(a.v, b.v) AS sim
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT d1, d2, round(sim, 4) AS sim FROM p
-             |WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin))
+             |WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin)),
+
+    // ---- IVF ANN: spherical-kmeans coarse quantizer + probed search.
+    // No SQL oracle (iterative kmeans isn't ANSI-expressible); IvfSpec
+    // anchors correctness: nProbes = k is bit-equal to brute force,
+    // identical vectors recalled at one probe, deterministic ----
+    QuerySpec("q36_ivf_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = VectorFunctions.ivfTrain(e, "embedding", dim = 64,
+          k = 16, iters = 2)
+        VectorFunctions.ivfTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", dim = 64, k = 3, cents, nProbes = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None)
   )
 }
