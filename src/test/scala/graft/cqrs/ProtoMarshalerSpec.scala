@@ -73,6 +73,23 @@ class ProtoMarshalerSpec extends SparkSpec {
     assert(decoded("a") == 150L)
   }
 
+  test("wire codec round-trips randomized values incl. negatives and extremes") {
+    val rnd = new scala.util.Random(42) // deterministic
+    val extremes = Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L)
+    (0 until 50).foreach { i =>
+      val v = Telemetry(
+        if (i < extremes.size) extremes(i) else rnd.nextLong(),
+        if (i % 7 == 0) 0.0 else rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10),
+        rnd.alphanumeric.take(rnd.nextInt(30)).mkString,
+        Array.fill(rnd.nextInt(20))(rnd.nextInt().toByte),
+        rnd.nextBoolean())
+      val back = marshaler.unmarshal[Telemetry](marshaler.marshal(v))
+      assert(back.id == v.id && back.score == v.score && back.tag == v.tag
+        && back.enabled == v.enabled, s"case $i: $v vs $back")
+      assert(back.blob.toSeq == v.blob.toSeq, s"case $i blob")
+    }
+  }
+
   test("unregistered types are rejected (NoProtoMessageError analogue)") {
     intercept[IllegalArgumentException] {
       marshaler.marshal(AddUser("ada", 1))
