@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.core.Message
+
+/** SQL transport, the watermill-sql analogue (reference transport
+  * matrix README.md:104-117; the SQL repo's model: publish = INSERT
+  * into a per-topic messages table with an auto-increment offset,
+  * subscribe = poll rows past the consumer group's acked offset, ack =
+  * advance the offset row). Mapped Spark-first:
+  *
+  *  - `publishBatch` writes through Spark's JDBC sink — the INSERTs
+  *    run on EXECUTORS, so bulk publish scales with the cluster;
+  *  - `subscribeBatch` is a parallel JDBC read of the whole topic
+  *    (the replay view);
+  *  - `subscribe` is CDC-style polling: a driver-side poller tails the
+  *    table past the stored offset in bounded pages (poll batches are
+  *    control-plane-sized) and feeds the in-process broker, which
+  *    exposes the streaming DataFrame. At-least-once: the offset row
+  *    advances AFTER enqueue, so a crash between the two redelivers.
+  *
+  * Offsets are durable in `graft_offsets` keyed by (group, topic) —
+  * a new subscriber with the same group resumes where the last one
+  * acked, watermill-sql's consumer-group semantics.
+  *
+  * Tables use QUOTED lower-case identifiers so Spark's JDBC writer
+  * (which quotes column names) appends cleanly into pre-created DDL.
+  */
+final class SqlPubSub(spark: SparkSession, url: String,
+    group: String = "default", pollIntervalMs: Long = 50,
+    pollPageSize: Int = 10000)
+  extends PubSub with AutoCloseable {
+
+  private def table(topic: String) =
+    "graft_t_" + topic.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+  private def quoted(name: String) = "\"" + name + "\""
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, name, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Topic DDL (messages table + offsets table), idempotent. */
+  override def subscribeInitialize(topic: String): Unit = withConn { c =>
+    if (!tableExists(c, table(topic))) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${quoted(table(topic))} (
+           |  ${quoted("offset_id")} BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           |  ${quoted("uuid")} VARCHAR(64),
+           |  ${quoted("metadata")} VARCHAR(4000),
+           |  ${quoted("payload")} BLOB,
+           |  ${quoted("ts")} TIMESTAMP)""".stripMargin)
+      catch { case _: java.sql.SQLException => () } // raced CREATE: exists
+      finally st.close()
+    }
+    if (!tableExists(c, "graft_offsets")) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${quoted("graft_offsets")} (
+           |  ${quoted("grp")} VARCHAR(128),
+           |  ${quoted("topic")} VARCHAR(128),
+           |  ${quoted("last_offset")} BIGINT,
+           |  PRIMARY KEY (${quoted("grp")}, ${quoted("topic")}))""".stripMargin)
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    }
+  }
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit = {
+    subscribeInitialize(topic)
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"""INSERT INTO ${quoted(table(topic))}
+           |(${quoted("uuid")}, ${quoted("metadata")}, ${quoted("payload")}, ${quoted("ts")})
+           |VALUES (?, ?, ?, ?)""".stripMargin)
+      try {
+        msgs.foreach { m =>
+          ps.setString(1, m.uuid)
+          ps.setString(2, new String(graft.cqrs.JsonCodec.write(m.metadata), "UTF-8"))
+          ps.setBytes(3, m.payload)
+          ps.setTimestamp(4, m.ts)
+          ps.addBatch()
+        }
+        ps.executeBatch(); ()
+      } finally ps.close()
+    }
+  }
+
+  /** Bulk publish through Spark's JDBC sink: the metadata map travels
+    * as JSON text (JDBC has no map type); INSERTs run on executors. */
+  override def publishBatch(topic: String, df: DataFrame): Unit = {
+    subscribeInitialize(topic)
+    df.select(col("uuid"),
+        to_json(col("metadata")).as("metadata"),
+        col("payload"), col("ts"))
+      .write.mode("append")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", quoted(table(topic)))
+      .save()
+  }
+
+  private def envelope(df: DataFrame): DataFrame =
+    df.select(col("uuid"),
+      from_json(col("metadata"), MapType(StringType, StringType)).as("metadata"),
+      col("payload"), col("ts"))
+
+  /** Replay view: parallel JDBC read of the whole topic table. */
+  override def subscribeBatch(topic: String): DataFrame = {
+    subscribeInitialize(topic)
+    envelope(spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", quoted(table(topic)))
+      .load())
+  }
+
+  // ---- CDC-style polling subscribe ----
+
+  private val broker = new MemoryPubSub(spark)
+  private val pollers =
+    scala.collection.concurrent.TrieMap.empty[String, Thread]
+  @volatile private var running = true
+
+  private def storedOffset(c: Connection, topic: String): Long = {
+    val ps = c.prepareStatement(
+      s"""SELECT ${quoted("last_offset")} FROM ${quoted("graft_offsets")}
+         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+    try {
+      ps.setString(1, group); ps.setString(2, topic)
+      val rs = ps.executeQuery()
+      try { if (rs.next()) rs.getLong(1) else 0L } finally rs.close()
+    } finally ps.close()
+  }
+
+  private def storeOffset(c: Connection, topic: String, off: Long): Unit = {
+    val up = c.prepareStatement(
+      s"""UPDATE ${quoted("graft_offsets")} SET ${quoted("last_offset")} = ?
+         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+    val updated =
+      try { up.setLong(1, off); up.setString(2, group); up.setString(3, topic); up.executeUpdate() }
+      finally up.close()
+    if (updated == 0) {
+      val ins = c.prepareStatement(
+        s"""INSERT INTO ${quoted("graft_offsets")}
+           |(${quoted("grp")}, ${quoted("topic")}, ${quoted("last_offset")})
+           |VALUES (?, ?, ?)""".stripMargin)
+      try { ins.setString(1, group); ins.setString(2, topic); ins.setLong(3, off); ins.executeUpdate(); () }
+      finally ins.close()
+    }
+  }
+
+  private def pollOnce(c: Connection, topic: String): Unit = {
+    val from = storedOffset(c, topic)
+    val ps = c.prepareStatement(
+      s"""SELECT ${quoted("offset_id")}, ${quoted("uuid")}, ${quoted("metadata")},
+         |  ${quoted("payload")}, ${quoted("ts")}
+         |FROM ${quoted(table(topic))} WHERE ${quoted("offset_id")} > ?
+         |ORDER BY ${quoted("offset_id")}
+         |FETCH FIRST $pollPageSize ROWS ONLY""".stripMargin)
+    try {
+      ps.setLong(1, from)
+      val rs = ps.executeQuery()
+      val page = scala.collection.mutable.ArrayBuffer.empty[(Long, Message)]
+      try {
+        while (rs.next()) {
+          val meta = Option(rs.getString(3))
+            .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
+              classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+          page += rs.getLong(1) -> Message(rs.getString(2), meta,
+            Option(rs.getBytes(4)).getOrElse(Array.emptyByteArray),
+            Option(rs.getTimestamp(5)).getOrElse(new Timestamp(0L)))
+        }
+      } finally rs.close()
+      if (page.nonEmpty) {
+        broker.publish(topic, page.map(_._2).toSeq) // enqueue FIRST …
+        storeOffset(c, topic, page.last._1)          // … ack after (at-least-once)
+      }
+    } finally ps.close()
+  }
+
+  /** Streaming subscribe: starts (once per topic) a poller tailing the
+    * table into the in-process broker and returns the broker's stream. */
+  override def subscribe(topic: String): DataFrame = {
+    subscribeInitialize(topic)
+    val df = broker.subscribe(topic) // MemoryStream must exist BEFORE rows arrive
+    pollers.getOrElseUpdate(topic, {
+      val t = new Thread(() => {
+        val c = DriverManager.getConnection(url)
+        try while (running) { pollOnce(c, topic); Thread.sleep(pollIntervalMs) }
+        catch { case _: InterruptedException => () }
+        finally c.close()
+      }, s"graft-sql-poll-$topic")
+      t.setDaemon(true)
+      t.start()
+      t
+    })
+    df
+  }
+
+  /** Block until the poller has drained everything currently in the
+    * table for `topic` (test/drain helper, like processAllAvailable). */
+  def awaitCaughtUp(topic: String, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    withConn { c =>
+      def maxOffset: Long = {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT MAX(${quoted("offset_id")}) FROM ${quoted(table(topic))}")
+          try { if (rs.next()) rs.getLong(1) else 0L } finally rs.close()
+        } finally st.close()
+      }
+      val target = maxOffset
+      while (System.currentTimeMillis() < deadline && storedOffset(c, topic) < target)
+        Thread.sleep(20)
+    }
+  }
+
+  override def close(): Unit = {
+    running = false
+    pollers.values.foreach(_.interrupt())
+    pollers.clear()
+  }
+}
