@@ -34,7 +34,7 @@ import graft.core.Message
 final class SqlPubSub(spark: SparkSession, url: String,
     group: String = "default", pollIntervalMs: Long = 50,
     pollPageSize: Int = 10000)
-  extends PubSub with AutoCloseable {
+  extends PubSub with RoutedPublisher with AutoCloseable {
 
   private def table(topic: String) =
     "graft_t_" + topic.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
@@ -111,18 +111,112 @@ final class SqlPubSub(spark: SparkSession, url: String,
       .save()
   }
 
+  /** Exactly-once epoch publish: the epoch marker and the rows commit
+    * in ONE transaction — a retried micro-batch hits the marker's
+    * primary key and skips; a crash mid-write rolls both back, so the
+    * retry delivers cleanly. Epoch batches are micro-batch-sized, so
+    * the transactional driver-side write is the right tool (the
+    * executor-parallel [[publishBatch]] stays the bulk path; at true
+    * bulk scale the same marker trick runs per partition). */
+  override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
+    subscribeInitialize(topic)
+    ensureEpochTable()
+    val rows = df.select(col("uuid"), to_json(col("metadata")).as("metadata"),
+      col("payload"), col("ts")).collect()
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val mark = c.prepareStatement(
+          s"""INSERT INTO ${quoted("graft_epochs")}
+             |(${quoted("topic")}, ${quoted("writer_id")}) VALUES (?, ?)""".stripMargin)
+        val fresh = // duplicate marker = the retry of an already-delivered batch
+          try { mark.setString(1, topic); mark.setString(2, writerId); mark.executeUpdate(); true }
+          catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+          finally mark.close()
+        if (fresh) {
+          val ins = c.prepareStatement(
+            s"""INSERT INTO ${quoted(table(topic))}
+               |(${quoted("uuid")}, ${quoted("metadata")}, ${quoted("payload")}, ${quoted("ts")})
+               |VALUES (?, ?, ?, ?)""".stripMargin)
+          try {
+            rows.foreach { r =>
+              ins.setString(1, r.getAs[String]("uuid"))
+              ins.setString(2, r.getAs[String]("metadata"))
+              ins.setBytes(3, r.getAs[Array[Byte]]("payload"))
+              ins.setTimestamp(4, r.getAs[Timestamp]("ts"))
+              ins.addBatch()
+            }
+            ins.executeBatch()
+          } finally ins.close()
+          c.commit()
+        } else c.rollback()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.setAutoCommit(true)
+    }
+  }
+
+  /** One-pass routed epoch: group the (micro-batch-sized) routed rows
+    * by destination in memory, then one transactional epoch write per
+    * destination topic. */
+  override def publishRoutedEpoch(df: DataFrame, topicCol: String,
+      writerId: String): Unit = {
+    val grouped = df
+      .select((Message.columns.map(col) :+ col(topicCol).as("_topic")): _*)
+      .collect().groupBy(_.getAs[String]("_topic"))
+    grouped.foreach { case (topic, rows) =>
+      import spark.implicits._
+      val ms = rows.map(r => Message(r.getAs[String]("uuid"),
+        Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
+        Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray),
+        r.getAs[Timestamp]("ts"))).toSeq
+      publishEpoch(topic, ms.toDF(), writerId)
+    }
+  }
+
+  private def ensureEpochTable(): Unit = withConn { c =>
+    if (!tableExists(c, "graft_epochs")) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${quoted("graft_epochs")} (
+           |  ${quoted("topic")} VARCHAR(128),
+           |  ${quoted("writer_id")} VARCHAR(256),
+           |  PRIMARY KEY (${quoted("topic")}, ${quoted("writer_id")}))""".stripMargin)
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    }
+  }
+
   private def envelope(df: DataFrame): DataFrame =
     df.select(col("uuid"),
       from_json(col("metadata"), MapType(StringType, StringType)).as("metadata"),
       col("payload"), col("ts"))
 
-  /** Replay view: parallel JDBC read of the whole topic table. */
+  /** Replay view: PARTITIONED JDBC read — the offset column ranges the
+    * scan across `defaultParallelism` tasks, so a large topic table
+    * reads in parallel instead of through one connection (the
+    * 100 TB-read knob; a 1-row table still reads fine with one range). */
   override def subscribeBatch(topic: String): DataFrame = {
     subscribeInitialize(topic)
-    envelope(spark.read.format("jdbc")
+    val maxOff = withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MAX(${quoted("offset_id")}) FROM ${quoted(table(topic))}")
+        try { if (rs.next()) rs.getLong(1) else 0L } finally rs.close()
+      } finally st.close()
+    }
+    val r = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", quoted(table(topic)))
-      .load())
+    val partitioned =
+      if (maxOff > 1)
+        r.option("partitionColumn", quoted("offset_id"))
+          .option("lowerBound", "1")
+          .option("upperBound", (maxOff + 1).toString)
+          .option("numPartitions",
+            math.min(spark.sparkContext.defaultParallelism, maxOff).toString)
+      else r
+    envelope(partitioned.load())
   }
 
   // ---- CDC-style polling subscribe ----

@@ -48,6 +48,44 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("publishEpoch is exactly-once: marker and rows commit in one transaction") {
+    val ps = new SqlPubSub(spark, url("sqleo"))
+    try {
+      def frame(us: String*) = us.map(u => msg(u, u)).toDF()
+      ps.publishEpoch("t_eo", frame("a", "b"), writerId = "w-0")
+      ps.publishEpoch("t_eo", frame("a", "b"), writerId = "w-0") // the retry
+      ps.publishEpoch("t_eo", frame("c"), writerId = "w-1")      // next epoch
+      val got = ps.subscribeBatch("t_eo").collect().map(_.getAs[String]("uuid"))
+      assert(got.length == 3 && got.toSet == Set("a", "b", "c"))
+    } finally ps.close()
+  }
+
+  test("publishRoutedEpoch writes each destination once, idempotent on retry") {
+    val ps = new SqlPubSub(spark, url("sqlrtd"))
+    try {
+      val routed = Seq(("ra", "t_x"), ("rb", "t_x"), ("rc", "t_y"))
+        .map { case (u, t) => (u, Map.empty[String, String], u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t) }
+        .toDF("uuid", "metadata", "payload", "ts", "_topic")
+      ps.publishRoutedEpoch(routed, "_topic", writerId = "h-0")
+      ps.publishRoutedEpoch(routed, "_topic", writerId = "h-0") // the retry
+      assert(ps.subscribeBatch("t_x").collect().map(_.getAs[String]("uuid")).toSet ==
+        Set("ra", "rb"))
+      assert(ps.subscribeBatch("t_y").count() == 1)
+    } finally ps.close()
+  }
+
+  test("subscribeBatch reads in parallel ranges over the offset column") {
+    val ps = new SqlPubSub(spark, url("sqlpar"))
+    try {
+      ps.publish("t_par", (0 until 64).map(i => msg(s"p$i", s"x$i")))
+      val df = ps.subscribeBatch("t_par")
+      assert(df.rdd.getNumPartitions > 1,
+        s"expected a ranged parallel read, got ${df.rdd.getNumPartitions} partition(s)")
+      assert(df.count() == 64)
+    } finally ps.close()
+  }
+
   test("polling subscribe tails new rows and resumes from the stored offset") {
     val db = url("sqlcdc")
     val ps = new SqlPubSub(spark, db, group = "g1")
