@@ -231,6 +231,30 @@ class FilePubSub(spark: SparkSession, root: String)
   override def subscribeInitialize(topic: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path(topic))); ()
   }
+
+  /** Maintenance compaction: epoch-per-micro-batch writes accumulate
+    * one small file per epoch — the classic small-files ailment of any
+    * file-backed log at scale. Rewrites the topic as `targetFiles`
+    * consolidated parquet files, swapping directories so a crash never
+    * loses data: write `.compact`, move the live dir to `.trash`, move
+    * `.compact` in, delete `.trash`. Single-writer maintenance op (run
+    * it from the housekeeping job, not concurrently with publishers —
+    * same contract as any log compactor). */
+  def compact(topic: String, targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val live = new HPath(path(topic))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val staging = new HPath(s"$root/.compact_$topic")
+    val trash = new HPath(s"$root/.trash_$topic")
+    subscribeBatch(topic).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    fs.rename(live, trash)
+    fs.rename(staging, live)
+    fs.delete(trash, true)
+    ()
+  }
 }
 
 /** Kafka transport: thin option wiring over Spark's built-in source /

@@ -76,6 +76,21 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("HTTP subscriber under 8 concurrent posting clients loses nothing") {
+    val sub = new graft.sources.HttpSubscriber(spark)
+    try {
+      val url = s"http://localhost:${sub.boundPort}"
+      inParallel(8) { t =>
+        val pub = new graft.sources.HttpPublisher(url)
+        (0 until 25).foreach(i => pub.publish("http_stress", Seq(msg(s"h$t-$i"))))
+      }
+      val got = sub.subscribeBatch("http_stress").collect()
+        .map(_.getAs[String]("uuid")).toSet
+      val expected = (for (t <- 0 until 8; i <- 0 until 25) yield s"h$t-$i").toSet
+      assert(got == expected, s"${expected.size - got.size} messages lost")
+    } finally sub.close()
+  }
+
   test("racing publishers with one writer id deliver the epoch exactly once") {
     import spark.implicits._
     val ps = new MemoryPubSub(spark)

@@ -55,6 +55,23 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("t_one").count() == 3)
   }
 
+  test("file transport: compaction consolidates epoch files, preserves every row") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-cmp-").toString)
+    (0 until 8).foreach(i => ps.publishEpoch("cmp", frame(s"e$i"), writerId = s"w-$i"))
+    ps.publish("cmp", Seq(Message("flat", Map.empty, "x".getBytes,
+      new Timestamp(1700000000000L))))
+    val before = ps.subscribeBatch("cmp").collect().map(_.getAs[String]("uuid")).toSet
+    assert(before.size == 9)
+    ps.compact("cmp")
+    val after = ps.subscribeBatch("cmp")
+    assert(after.collect().map(_.getAs[String]("uuid")).toSet == before)
+    assert(after.inputFiles.length == 1,
+      s"expected one consolidated file, got ${after.inputFiles.length}")
+    // compaction is idempotent and appends still work after it
+    ps.publishEpoch("cmp", frame("post"), writerId = "w-post")
+    assert(ps.subscribeBatch("cmp").count() == 10)
+  }
+
   test("memory transport: duplicate writer id is dropped") {
     val ps = new MemoryPubSub(spark)
     ps.publishEpoch("meo", frame("a"), writerId = "h-0")
