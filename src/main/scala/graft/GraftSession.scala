@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Production state-store: RocksDB-backed, for stateful streaming
+    * whose key space outgrows executor heap (dedup/counter/correlation
+    * state at 100 TB). Session-level and runtime-settable — new
+    * streaming queries pick it up; local tests default to the in-memory
+    * provider for speed. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(cpus).getOrCreate()

@@ -83,6 +83,31 @@ class StreamingStateSpec extends SparkSpec {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ttl_counter_out"); () }
   }
 
+  test("stateful counter runs on the RocksDB state store (production provider)") {
+    import spark.implicits._
+    graft.GraftSession.useRocksDbStateStore(spark)
+    try {
+      val ps = new MemoryPubSub(spark)
+      val src = ps.subscribe("rocks_in").as[Message]
+      val q = StatefulCounter.counts(src, _.get("k")).writeStream
+        .format("memory").queryName("rocks_out").outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("graft-rdb-").toString)
+        .start()
+      try {
+        ps.publish("rocks_in", Seq(
+          msg("r1", "x", 1700000000000L, Map("k" -> "a")),
+          msg("r2", "x", 1700000000001L, Map("k" -> "a"))))
+        q.processAllAvailable()
+        ps.publish("rocks_in", Seq(msg("r3", "x", 1700000001000L, Map("k" -> "a"))))
+        q.processAllAvailable()
+        val rows = spark.table("rocks_out").collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("count")))
+        assert(rows.contains(("a", 2L)) && rows.contains(("a", 3L)),
+          s"state must persist across batches in RocksDB, got ${rows.toSeq}")
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rocks_out"); () }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream correlate joins commands with replies on operation_id") {
     val ps = new MemoryPubSub(spark)
     val joined = RequestReply.correlate(
