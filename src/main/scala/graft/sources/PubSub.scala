@@ -314,6 +314,34 @@ class KafkaPubSub(spark: SparkSession, bootstrap: String)
         .option("subscribe", topic)
         .option("includeHeaders", "true")
         .load())
+
+  /** Topic DDL via Kafka's AdminClient (`SubscribeInitializer` parity —
+    * message/pubsub.go:42-51), resolved REFLECTIVELY: kafka-clients is a
+    * runtime dependency of Spark's Kafka source but not a compile-time
+    * one here, so the call creates the topic when the jar is present
+    * and no-ops (topic auto-creation territory) when it is not.
+    * Partitions default to the cluster setting (-1). */
+  override def subscribeInitialize(topic: String): Unit =
+    try {
+      val props = new java.util.Properties()
+      props.put("bootstrap.servers", bootstrap)
+      val adminCls = Class.forName("org.apache.kafka.clients.admin.AdminClient")
+      val admin = adminCls.getMethod("create", classOf[java.util.Properties])
+        .invoke(null, props)
+      try {
+        val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
+        val newTopic = newTopicCls
+          .getConstructor(classOf[String], classOf[java.util.Optional[_]],
+            classOf[java.util.Optional[_]])
+          .newInstance(topic, java.util.Optional.empty(), java.util.Optional.empty())
+        val result = adminCls.getMethod("createTopics", classOf[java.util.Collection[_]])
+          .invoke(admin, java.util.Collections.singleton(newTopic))
+        result.getClass.getMethod("all").invoke(result) // fire; existence errors surface on get
+        ()
+      } finally adminCls.getMethod("close").invoke(admin)
+    } catch {
+      case _: ClassNotFoundException => () // no kafka-clients on the classpath
+    }
 }
 
 /** The envelope<->Kafka-record projections, exposed as pure column

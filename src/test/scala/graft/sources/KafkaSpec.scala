@@ -72,4 +72,10 @@ class KafkaSpec extends SparkSpec {
   test("KafkaPubSub advertises RoutedPublisher (native per-row topic sink)") {
     assert(classOf[RoutedPublisher].isAssignableFrom(classOf[KafkaPubSub]))
   }
+
+  test("subscribeInitialize degrades to a no-op without kafka-clients on the classpath") {
+    // this container has no kafka-clients jar: the reflective DDL path
+    // must not throw (with the jar present it creates the topic)
+    new KafkaPubSub(spark, "localhost:9092").subscribeInitialize("ddl_topic")
+  }
 }
