@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.{DedupFunctions, TextFunctions}
+
+/** End-to-end training-data curation pipeline — the library composed
+  * the way a corpus team would run it nightly, in ONE lazy plan per
+  * stage (no driver round-trips between stages):
+  *
+  *   1. exact dedup          — keep the min-id doc per content hash
+  *   2. quality gate         — length / stopword / punctuation floors
+  *   3. near-dup clustering  — MinHash-LSH candidates → min-label
+  *                             clusters → keep the canonical doc
+  *   4. corpus stats         — per-language doc/token counts
+  *
+  * `runMain graft.tools.Pipeline [sfDir] [outDir]` writes the kept
+  * corpus and its stats as parquet and prints one JSON summary line.
+  */
+object Pipeline {
+
+  final case class Result(kept: DataFrame, stats: DataFrame)
+
+  def curate(spark: SparkSession, docs: DataFrame,
+      minTokens: Int = 5, qualityFloor: Double = 0.3): Result = {
+    val stop = Seq("the", "a", "of", "and", "to")
+
+    // 1. exact dedup: survivors of the hash-group (one shuffle)
+    val exactKeepers = DedupFunctions
+      .exactDedup(docs, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val unique = docs.join(exactKeepers, Seq("doc_id"))
+
+    // 2. quality gate: pure column predicates, evaluated in the scan stage
+    val quality = unique
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+      .withColumn("q", TextFunctions.qualityScore(col("text"), stop))
+      .filter(col("n_tok") >= minTokens && col("q") >= qualityFloor)
+
+    // 3. near-dup clusters over the survivors; drop all but each
+    //    cluster's canonical (min-id) member
+    val clusters = DedupFunctions.dupClusters(DedupFunctions.minhashCandidates(
+      quality, "doc_id", "text", shingleN = 3, k = 12, r = 2, portable = false))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = quality.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. per-language corpus statistics over the kept set
+    val stats = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(avg(col("q")), 4).as("avg_quality"))
+
+    Result(kept.drop("q"), stats)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
+    val spark = GraftSession.local()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = curate(spark, docs)
+    r.kept.write.mode("overwrite").parquet(s"$out/kept")
+    r.stats.write.mode("overwrite").parquet(s"$out/stats")
+    val total = docs.count()
+    val kept = spark.read.parquet(s"$out/kept").count()
+    println(s"""{"docs_in":$total,"docs_kept":$kept,"out":"$out"}""")
+    spark.stop()
+  }
+}

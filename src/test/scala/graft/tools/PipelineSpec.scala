@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** End-to-end curation pipeline smoke over real sf0.001 data: stages
+  * compose, exact dups and near-dup cluster losers are gone, stats
+  * cover exactly the kept set.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("curate keeps a deduped, quality-filtered corpus with matching stats") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Pipeline.curate(spark, docs)
+    val kept = r.kept.cache()
+    val n = kept.count()
+    assert(n > 0 && n <= docs.count())
+    // no exact duplicates survive
+    import org.apache.spark.sql.functions._
+    val dupTexts = kept.groupBy(col("text")).count().filter(col("count") > 1).count()
+    assert(dupTexts == 0, s"$dupTexts duplicated texts survived")
+    // stats add up to the kept set
+    val statsDocs = r.stats.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(statsDocs == n, s"stats cover $statsDocs docs, kept $n")
+    kept.unpersist()
+    ()
+  }
+}
