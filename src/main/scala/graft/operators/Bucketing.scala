@@ -30,12 +30,24 @@ object Bucketing {
   }
 
   /** True when `df`'s physical plan contains no shuffle exchange —
-    * the assertion that a bucketed join is actually co-located. */
-  def isExchangeFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan
-    !plan.exists {
+    * the assertion that a bucketed join is actually co-located.
+    *
+    * AQE wraps any plan that contains a shuffle in an
+    * `AdaptiveSparkPlanExec`, which is a LEAF node — a naive
+    * `plan.exists` never descends into it and reports every adaptive
+    * plan (i.e. every plan WITH a shuffle) as exchange-free. So the
+    * scan recurses through adaptive wrappers and materialized query
+    * stages before looking for `ShuffleExchangeLike`. */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !hasShuffle(df.queryExecution.executedPlan)
+
+  private def hasShuffle(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    plan.exists {
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasShuffle(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hasShuffle(s.plan)
       case _ => false
     }
-  }
 }

@@ -217,8 +217,12 @@ class FilePubSub(spark: SparkSession, root: String)
       val parts = fs.listStatus(stagingPath).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith("_topic="))
       parts.foreach { s =>
-        val topic = java.net.URLDecoder.decode(
-          s.getPath.getName.stripPrefix("_topic="), "UTF-8")
+        // The true inverse of Spark's partition-path escaping — NOT
+        // URLDecoder, which turns a literal '+' into a space (Spark's
+        // escapePathName leaves '+' alone), so topic "a+b" would land
+        // under "a b".
+        val topic = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix("_topic="))
         val target = new HPath(path(topic), s"epoch_$writerId")
         if (fs.exists(target)) fs.delete(target, true) // retry: overwrite, don't append
         fs.mkdirs(target.getParent)
@@ -244,9 +248,20 @@ class FilePubSub(spark: SparkSession, root: String)
     import org.apache.hadoop.fs.{Path => HPath}
     val live = new HPath(path(topic))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) return
     val staging = new HPath(s"$root/.compact_$topic")
     val trash = new HPath(s"$root/.trash_$topic")
+    // Self-healing: a prior compact() that crashed between the two
+    // renames leaves live MISSING with the data stranded in staging
+    // (complete compacted copy — the swap only starts after its write
+    // finishes) or trash (the original). Finish the swap forward if
+    // staging exists, else roll back from trash, so no crash window
+    // loses data or strands the topic.
+    if (!fs.exists(live)) {
+      if (fs.exists(staging)) { fs.rename(staging, live); fs.delete(trash, true) }
+      else if (fs.exists(trash)) fs.rename(trash, live)
+      else return // topic never existed
+      ()
+    }
     subscribeBatch(topic).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     if (fs.exists(trash)) fs.delete(trash, true)

@@ -33,7 +33,8 @@ import graft.core.Message
   */
 final class SqlPubSub(spark: SparkSession, url: String,
     group: String = "default", pollIntervalMs: Long = 50,
-    pollPageSize: Int = 10000)
+    pollPageSize: Int = 10000,
+    log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
   extends PubSub with RoutedPublisher with AutoCloseable {
 
   private def table(topic: String) =
@@ -249,8 +250,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
         s"""INSERT INTO ${quoted("graft_offsets")}
            |(${quoted("grp")}, ${quoted("topic")}, ${quoted("last_offset")})
            |VALUES (?, ?, ?)""".stripMargin)
-      try { ins.setString(1, group); ins.setString(2, topic); ins.setLong(3, off); ins.executeUpdate(); () }
-      finally ins.close()
+      // Two same-group instances can both see updated==0 and race the
+      // INSERT; the loser hits the (grp,topic) primary key. That means
+      // the row now exists — fall back to UPDATE instead of dying.
+      val raced =
+        try { ins.setString(1, group); ins.setString(2, topic); ins.setLong(3, off); ins.executeUpdate(); false }
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => true }
+        finally ins.close()
+      if (raced) {
+        val up2 = c.prepareStatement(
+          s"""UPDATE ${quoted("graft_offsets")} SET ${quoted("last_offset")} = ?
+             |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+        try { up2.setLong(1, off); up2.setString(2, group); up2.setString(3, topic); up2.executeUpdate(); () }
+        finally up2.close()
+      }
     }
   }
 
@@ -289,11 +302,36 @@ final class SqlPubSub(spark: SparkSession, url: String,
     subscribeInitialize(topic)
     val df = broker.subscribe(topic) // MemoryStream must exist BEFORE rows arrive
     pollers.getOrElseUpdate(topic, {
+      // The poller must survive transient DB failures (outage, lock
+      // timeout, offset-upsert races): an escaping exception would kill
+      // the daemon thread while `pollers` still holds it, silently
+      // stalling the subscribe forever. So any Throwable from the poll
+      // loop is logged and retried with exponential backoff on a FRESH
+      // connection (the old one may be poisoned); only interrupt/close
+      // ends the loop.
       val t = new Thread(() => {
-        val c = DriverManager.getConnection(url)
-        try while (running) { pollOnce(c, topic); Thread.sleep(pollIntervalMs) }
-        catch { case _: InterruptedException => () }
-        finally c.close()
+        var interrupted = false
+        var backoff = math.max(pollIntervalMs, 50L)
+        while (running && !interrupted) {
+          try {
+            val c = DriverManager.getConnection(url)
+            try while (running) {
+              pollOnce(c, topic)
+              backoff = math.max(pollIntervalMs, 50L) // healthy poll resets backoff
+              Thread.sleep(pollIntervalMs)
+            } finally c.close()
+          } catch {
+            case _: InterruptedException => interrupted = true
+            case e: Throwable =>
+              if (running) {
+                log.error(s"sql poller for topic '$topic' failed; " +
+                  s"reconnecting after ${backoff}ms", e)
+                try Thread.sleep(backoff)
+                catch { case _: InterruptedException => interrupted = true }
+                backoff = math.min(backoff * 2, 10000L)
+              }
+          }
+        }
       }, s"graft-sql-poll-$topic")
       t.setDaemon(true)
       t.start()

@@ -34,6 +34,20 @@ class BucketingSpec extends SparkSpec {
         "bucketed join must read bucket i vs bucket i with no exchange:\n"
           + bareJoin.queryExecution.executedPlan)
 
+      // negative control: the same join on NON-bucketed inputs must
+      // shuffle, and isExchangeFree must see through the AQE wrapper
+      // to report it (regression guard for the AQE-leaf blind spot).
+      // At sf0.001 the join would broadcast (legitimately shuffle-free),
+      // so force the shuffle path for this assertion only.
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plainJoin = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        assert(!Bucketing.isExchangeFree(plainJoin),
+          "non-bucketed join must report a shuffle even under AQE:\n"
+            + plainJoin.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
       val plain = agg(orders, lineitem)
       val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
         .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet

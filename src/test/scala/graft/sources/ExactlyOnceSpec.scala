@@ -72,6 +72,49 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("cmp").count() == 10)
   }
 
+  test("file transport: routed epoch preserves a '+' in the topic name") {
+    // Spark's partition-path escaping leaves '+' literal; URLDecoder
+    // would have turned it into a space and routed rows to topic "a b"
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo4-").toString)
+    val routed = Seq(("p1", "a+b"), ("p2", "sp ace"), ("p3", "pct%25"))
+      .map { case (u, t) => (u, Map.empty[String, String], u.getBytes,
+        new Timestamp(1700000000000L), t) }
+      .toDF("uuid", "metadata", "payload", "ts", "_topic")
+    ps.publishRoutedEpoch(routed, "_topic", writerId = "w-0")
+    assert(ps.subscribeBatch("a+b").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("p1"))
+    assert(ps.subscribeBatch("sp ace").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("p2"))
+    assert(ps.subscribeBatch("pct%25").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("p3"))
+  }
+
+  test("file transport: compact self-heals from a crash between renames") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-cmp2-").toString
+    val ps = new FilePubSub(spark, root)
+    (0 until 4).foreach(i => ps.publishEpoch("heal", frame(s"e$i"), writerId = s"w-$i"))
+    val expected = ps.subscribeBatch("heal").collect().map(_.getAs[String]("uuid")).toSet
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash window A: after rename(live -> trash), before rename(staging -> live):
+    // staging holds the complete compacted copy, live is missing
+    val live = new HPath(s"$root/heal")
+    val staging = new HPath(s"$root/.compact_heal")
+    val trash = new HPath(s"$root/.trash_heal")
+    ps.subscribeBatch("heal").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    assert(fs.rename(live, trash))
+    ps.compact("heal") // must finish the swap forward, then recompact
+    assert(ps.subscribeBatch("heal").collect().map(_.getAs[String]("uuid")).toSet == expected)
+    assert(!fs.exists(trash) && !fs.exists(staging), "no crash debris left behind")
+
+    // crash window B: live missing, only trash (original) remains
+    assert(fs.rename(live, trash))
+    ps.compact("heal") // must roll back from trash
+    assert(ps.subscribeBatch("heal").collect().map(_.getAs[String]("uuid")).toSet == expected)
+    assert(!fs.exists(trash) && !fs.exists(staging))
+  }
+
   test("memory transport: duplicate writer id is dropped") {
     val ps = new MemoryPubSub(spark)
     ps.publishEpoch("meo", frame("a"), writerId = "h-0")

@@ -86,6 +86,48 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("poller survives a transient DB failure: logs, backs off, resumes") {
+    val db = url("sqlheal")
+    val cap = new graft.core.CaptureLogger
+    val ps = new SqlPubSub(spark, db, group = "gh", pollIntervalMs = 20, log = cap)
+    try {
+      ps.publish("t_heal", Seq(msg("h1", "one")))
+      val stream = ps.subscribe("t_heal") // starts the poller
+      ps.awaitCaughtUp("t_heal")
+
+      // transient failure: drop the topic table out from under the
+      // poller — pollOnce throws SQLException (table not found), which
+      // previously killed the daemon thread forever
+      val c = java.sql.DriverManager.getConnection(db)
+      try { val st = c.createStatement()
+        try st.executeUpdate("DROP TABLE \"graft_t_t_heal\"") finally st.close()
+      } finally c.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (!cap.entries.exists(_.level == "error") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(cap.entries.exists(_.level == "error"),
+        "poller must log the failure instead of dying silently")
+
+      // recovery: recreate the table and publish — the poller must
+      // reconnect and deliver. The recreated identity column restarts
+      // at 1 while the stored offset is already 1, so the first
+      // re-published row is shadowed (offset reuse after a destructive
+      // DDL is out of contract); the second row (offset 2) must flow.
+      ps.subscribeInitialize("t_heal")
+      ps.publish("t_heal", Seq(msg("h2", "two"), msg("h3", "three")))
+      ps.awaitCaughtUp("t_heal", timeoutMs = 5000)
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqlh-").toString)
+        .format("memory").queryName("sql_heal_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("sql_heal_out").collect().map(_.getAs[String]("uuid")).toSet
+        assert(got.contains("h3"), s"poller must resume delivery after recovery, got $got")
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   test("polling subscribe tails new rows and resumes from the stored offset") {
     val db = url("sqlcdc")
     val ps = new SqlPubSub(spark, db, group = "g1")
