@@ -32,6 +32,32 @@ object HashUtil {
     runs
   }
 
+  /** Highest per-token occurrence count in a token array — the Gopher
+    * -style repetition signal (a doc whose most frequent token covers a
+    * large share of all tokens is boilerplate/spam). Single pass with
+    * an open HashMap; O(n) time, O(distinct) scratch — replaces the
+    * composed HOF form `array_max(transform(array_distinct(tk), d ->
+    * size(filter(tk, t -> t = d))))`, which is O(distinct × n) per row
+    * with per-element expression-tree re-entry. */
+  def topTokenCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    var max = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val c: Long = counts.getOrDefault(s, 0L) + 1L
+        counts.put(s, c)
+        if (c > max) max = c
+      }
+      i += 1
+    }
+    max
+  }
+
   /** Single-pass 64-bit SimHash over a token array: per token, hash
     * once (Spark's own xxhash64, seed 42 — bit-identical to the
     * `xxhash64` SQL function) and accumulate ±1 votes into 64 counters;
@@ -118,6 +144,22 @@ case class DotProductExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.dotD($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
+/** Max per-token occurrence count of an `array<string>` column as a
+  * native Catalyst expression with codegen — the repetition-quality
+  * signal for corpus filtering (see [[HashUtil.topTokenCount]] for the
+  * complexity argument vs the composed HOF form).
+  */
+case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_token_count"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.topTokenCount(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.topTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCountExpr =
+    copy(child = newChild)
 }
 
 /** Single-pass SimHash of an `array<string>` column as a native

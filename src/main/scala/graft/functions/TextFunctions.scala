@@ -36,6 +36,23 @@ object TextFunctions {
     * [[tokenCount]] to identical counts. */
   private[graft] def tokenCountComposed(text: Column): Column = size(tokens(text))
 
+  /** Highest per-token occurrence count in a pre-tokenized array —
+    * the Gopher-style repetition signal (top_tok_n / n_tok close to 1
+    * means boilerplate). Native single-pass expression; pass it a
+    * MATERIALIZED token-array attribute so tokenization runs once. */
+  def topTokenCount(tokenArr: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.TopTokenCountExpr(
+      ColumnBridge.expression(tokenArr)))
+  }
+
+  /** The composed-HOF equivalent, kept only for the equivalence test
+    * pinning [[topTokenCount]] (O(distinct × n) per row — not a
+    * production path). */
+  private[graft] def topTokenCountComposed(tokenArr: Column): Column =
+    coalesce(array_max(transform(array_distinct(tokenArr),
+      d => size(filter(tokenArr, t => t === d)).cast(LongType))), lit(0L))
+
   /** BPE-ish subword proxy: alpha runs, single digits, or any other
     * non-space symbol — a cheap deterministic stand-in for a real BPE
     * vocab (which would be a broadcast lookup at scale). */

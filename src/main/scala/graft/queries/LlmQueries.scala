@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{DedupFunctions, SamplingFunctions, TextFunctions, VectorFunctions}
 import QuerySpec.t
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -357,6 +357,70 @@ object LlmQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      None),
+
+    // ---- deterministic hash sample + train/val/test split: content-
+    // hash driven (no rand()), so the draw is stable under retries,
+    // AQE re-plans, and any partitioning — a scan-level filter plus
+    // one projection, no shuffle until the audit groupBy ----
+    QuerySpec("q37_hash_split",
+      (s, dir) => {
+        val d = SamplingFunctions.hashSample(
+          t(s, dir, "documents"), col("doc_id"), percent = 50)
+        d.select(col("lang"),
+            SamplingFunctions.splitColumn(col("doc_id"), trainPct = 80, valPct = 10)
+              .as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH s AS (
+             |  SELECT lang,
+             |    CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 AS b
+             |  FROM documents
+             |  WHERE CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT) % 100 < 50)
+             |SELECT lang,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // ---- repetition stats (Gopher-style): top-token count per doc via
+    // the single-pass native expression — per-row compute only, zero
+    // shuffle, so it rides the scan at any scale ----
+    QuerySpec("q38_repetition",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          TextFunctions.topTokenCount(col("tk")).as("top_tok_n"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+             |    CAST(max(c) AS BIGINT) AS top_tok_n
+             |  FROM cnt GROUP BY 1)
+             |SELECT d.doc_id AS doc_id, COALESCE(a.n_tok, 0) AS n_tok,
+             |  COALESCE(a.top_tok_n, 0) AS top_tok_n
+             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- per-source quota (domain mixing): cap each source at a
+    // budget, deterministic tie-break — one shuffle on the group key,
+    // output bounded at |groups| × n ----
+    QuerySpec("q39_quota",
+      (s, dir) => SamplingFunctions.quotaPerGroup(
+          t(s, dir, "documents"), col("source"),
+          col("n_chars").desc, col("doc_id").asc, n = 20)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk")),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, row_number() OVER (
+             |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, doc_id, rk FROM r WHERE rk <= 20
+             |ORDER BY source, rk""".stripMargin))
   )
 }

@@ -333,6 +333,25 @@ object RelationalQueries {
              |        unnest(['audit', 'billing', 'analytics']) AS consumer,
              |        value
              |      FROM events WHERE event_type = 'purchase')
-             |GROUP BY consumer ORDER BY consumer""".stripMargin))
+             |GROUP BY consumer ORDER BY consumer""".stripMargin)),
+
+    // ---- salted skew join: results must be IDENTICAL to the plain
+    // join (the oracle runs the unsalted SQL) — salting only respreads
+    // a hot key over nSalts partitions at the cost of replicating the
+    // build side nSalts× ----
+    QuerySpec("q40_salted_join",
+      (s, dir) => graft.operators.SkewJoin.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", nSalts = 8, saltBy = col("l_partkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          // l_quantity is integral-valued; the BIGINT cast keeps the
+          // sum exact so engine fp-accumulation order can't matter
+          sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling/splitting: stable under re-partitioning and
+  * re-runs, independent across salts, leakage-safe (same key => same
+  * split), and the native top-token expression matches the composed
+  * HOF form element-for-element.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val a = SamplingFunctions.hashSample(docs, col("doc_id"), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = SamplingFunctions.hashSample(docs.repartition(17), col("doc_id"), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same corpus must yield the same sample under any partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"~30% expected, got ${a.size / n}")
+  }
+
+  test("nested samples with different salts are unbiased draws") {
+    val outer = SamplingFunctions.hashSample(docs, col("doc_id"), 50, salt = "s1")
+    val inner = SamplingFunctions.hashSample(outer, col("doc_id"), 50, salt = "s2")
+    val nOuter = outer.count().toDouble
+    val nInner = inner.count().toDouble
+    // if the salts correlated, the inner draw would keep ~all or ~none
+    assert(nInner / nOuter > 0.3 && nInner / nOuter < 0.7,
+      s"inner draw should be ~50% of outer, got ${nInner / nOuter}")
+  }
+
+  test("splitColumn covers 100%, is exclusive, and equal keys co-assign") {
+    val s = docs.select(col("doc_id"),
+      SamplingFunctions.splitColumn(col("doc_id"), 80, 10).as("split"))
+    val byDoc = s.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == docs.count(), "every row gets exactly one split")
+    assert(byDoc.values.toSet.subsetOf(Set("train", "val", "test")))
+    // duplicated keys land in the same split (dedup-then-split safety)
+    val dup = docs.select(col("doc_id")).union(docs.select(col("doc_id")))
+      .select(col("doc_id"), SamplingFunctions.splitColumn(col("doc_id"), 80, 10).as("split"))
+      .distinct().groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "same key must always get the same split")
+    val frac = byDoc.values.count(_ == "train") / byDoc.size.toDouble
+    assert(math.abs(frac - 0.8) < 0.12, s"~80% train expected, got $frac")
+  }
+
+  test("quotaPerGroup caps every group at n with deterministic ranking") {
+    val q = SamplingFunctions.quotaPerGroup(docs, col("source"),
+      col("n_chars").desc, col("doc_id").asc, n = 5)
+    val perGroup = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ <= 5), s"quota exceeded: $perGroup")
+    // rank 1 of each group is that group's max n_chars (min doc_id on tie)
+    val top = q.filter(col("rk") === 1)
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy("source").agg(max("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == expected)
+  }
+
+  test("native topTokenCount equals the composed HOF form") {
+    val both = docs
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .select(TextFunctions.topTokenCount(col("tk")).as("fast"),
+        TextFunctions.topTokenCountComposed(col("tk")).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // edge cases: empty array, single token, all-same tokens
+    val edges = Seq(Seq.empty[String], Seq("a"), Seq("x", "x", "x"), Seq("a", "b", "a"))
+      .toDF("tk")
+      .select(TextFunctions.topTokenCount(col("tk")).as("n")).as[Long].collect()
+    assert(edges.toSeq == Seq(0L, 1L, 3L, 2L))
+  }
+}
