@@ -36,7 +36,8 @@ object Bench {
       try {
         val m = graft.streaming.StreamingBench.run(spark)
         val f = graft.streaming.StreamingBench.runFile(spark)
-        f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f}"""
+        val s = graft.streaming.StreamingBench.runSql(spark)
+        f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         """{"error":true}"""

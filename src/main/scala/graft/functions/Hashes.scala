@@ -106,6 +106,48 @@ object VecUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  private def dotRow(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Argmax-similarity centroid index; ties break to the HIGHER index —
+    * the exact semantics of the composed
+    * `array_max(array(struct(sim, idx)...)).idx` form it replaces, so
+    * cluster assignments are bit-stable across the rewrite. */
+  def nearestCentroid(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var i = 0
+    while (i < cents.length) {
+      val s = dotRow(v, cents(i))
+      if (s >= best) { best = s; bestIdx = i } // >= : later (higher) idx wins ties
+      i += 1
+    }
+    bestIdx
+  }
+
+  /** Indices of the `n` most similar centroids, ordered by (sim DESC,
+    * idx DESC) — the exact order of the composed
+    * `slice(reverse(array_sort(structs)), 1, n)` form it replaces. */
+  def topCentroids(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cents.length
+    val sims = new Array[Double](k)
+    var i = 0
+    while (i < k) { sims(i) = dotRow(v, cents(i)); i += 1 }
+    val idx = Array.range(0, k).sortWith { (a, b) =>
+      if (sims(a) != sims(b)) sims(a) > sims(b) else a > b
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.take(math.min(n, k)).map(x => x: Any))
+  }
 }
 
 /** Count of maximal `[a-z0-9]` runs in a string — exactly the number
@@ -193,6 +235,47 @@ case class Adler32Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.adler32($c)")
   override protected def withNewChildInternal(newChild: Expression): Adler32Expr =
+    copy(child = newChild)
+}
+
+/** Argmax-similarity centroid assignment against a small centroid
+  * matrix carried as a plan REFERENCE OBJECT (not inlined literals).
+  * The composed form this replaces inlined k × dim double literals
+  * into the expression tree TWICE per query (assignment + probing) —
+  * at k=16, dim=64 that's thousands of generated-code constants, and
+  * codegen compile time dominated the q36 wall clock at bench scale.
+  */
+case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+  protected override def nullSafeEval(input: Any): Any =
+    VecUtil.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+/** Top-`nProbes` centroid indices by similarity (sim DESC, idx DESC) —
+  * the multi-probe companion of [[NearestCentroidExpr]]. */
+case class TopCentroidsExpr(child: Expression, cents: Array[Array[Double]],
+    nProbes: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_centroids"
+  protected override def nullSafeEval(input: Any): Any =
+    VecUtil.topCentroids(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, nProbes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecUtil.topCentroids($c, $ref, $nProbes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopCentroidsExpr =
     copy(child = newChild)
 }
 

@@ -168,13 +168,24 @@ object VectorFunctions {
     cents
   }
 
-  /** Argmax-similarity centroid id for a UNIT vector column: one native
-    * dot per centroid literal, struct-max for the argmax (ties break to
-    * the higher id — deterministic). */
-  private def nearestCentroid(vhat: Column, cents: Array[Array[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dot(vhat, typedLit(c.toSeq)).as("sim"), lit(i).as("idx"))
-    }: _*)).getField("idx")
+  /** Argmax-similarity centroid id for a UNIT vector column. Native
+    * expression carrying the centroid matrix as ONE reference object:
+    * the previous composed form (`array_max` over k `struct(dot(v,
+    * typedLit(centroid)), i)` branches) inlined k × dim double
+    * literals into the tree, and generated-code compilation dominated
+    * the query at bench scale. Tie-break (higher id) is identical. */
+  private def nearestCentroid(vhat: Column, cents: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(vhat), cents))
+  }
+
+  /** Top-`nProbes` centroid ids by similarity, ordered (sim DESC, id
+    * DESC) — same order as the composed reverse-sort-slice form. */
+  private def topCentroids(vhat: Column, cents: Array[Array[Double]],
+      nProbes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TopCentroidsExpr(ColumnBridge.expression(vhat), cents, nProbes))
+  }
 
   /** IVF search: corpus vectors live in exactly ONE centroid's posting
     * list (one assignment pass, no duplication); each query probes its
@@ -189,17 +200,13 @@ object VectorFunctions {
       nProbes: Int): DataFrame = {
     require(nProbes >= 1 && nProbes <= cents.length, "nProbes out of range")
     def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
-    val simStructs = (vhat: Column) => array(cents.zipWithIndex.map { case (cv, i) =>
-      struct(dot(vhat, typedLit(cv.toSeq)).as("sim"), lit(i).as("idx"))
-    }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         unit(col(vecCol).cast("array<double>")).as("cv"))
       .withColumn("cluster", nearestCentroid(col("cv"), cents))
     val q = queries.select(col(idCol).as("query_id"),
         unit(col(vecCol).cast("array<double>")).as("qv"))
-      .withColumn("probe", explode(slice(reverse(array_sort(
-        simStructs(col("qv")))), 1, nProbes)))
-      .select(col("query_id"), col("qv"), col("probe.idx").as("cluster"))
+      .withColumn("cluster", explode(topCentroids(col("qv"), cents, nProbes)))
+      .select(col("query_id"), col("qv"), col("cluster"))
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine

@@ -59,6 +59,56 @@ object StreamingBench {
     } finally q.stop()
   }
 
+  /** SQL (JDBC) transport throughput on embedded Derby — the direct
+    * analogue of the reference's SQL rows (README.md:159-160: MySQL
+    * 6,371 pub / 2,794 sub, PostgreSQL 2,831 / 9,460 msg/s): publish =
+    * executor-side batch INSERTs through Spark's JDBC sink, subscribe =
+    * the CDC poller tailing the table into the broker stream, drained
+    * through the same counting consumer. Embedded Derby has no network
+    * hop, so treat the comparison as same-class, not same-server. */
+  def runSql(spark: SparkSession, nBatches: Int = 5, perBatch: Int = 4000): Result = {
+    import org.apache.spark.sql.functions.{col, count, length, sum}
+    import spark.implicits._
+    val ps = new graft.sources.SqlPubSub(spark,
+      "jdbc:derby:memory:graftbench;create=true", pollIntervalMs = 10,
+      pollPageSize = 50000)
+    try {
+      ps.subscribeInitialize("bench")
+      val payload = Array.fill[Byte](16)(7)
+      val ts = new Timestamp(1700000000000L)
+      val n = nBatches.toLong * perBatch
+
+      val p0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        ps.publishBatch("bench", (0 until perBatch)
+          .map(i => Message(s"$b-$i", Map.empty, payload, ts)).toDF()
+          .repartition(4)) // executor-parallel INSERT batches
+      }
+      val pubSec = (System.nanoTime() - p0) / 1e9
+
+      val received = new java.util.concurrent.atomic.LongAdder
+      val t0 = System.nanoTime()
+      val q = ps.subscribe("bench").writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft-sqlb-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = b.agg(count(col("uuid")), sum(length(col("payload")))).collect()(0)
+          received.add(r.getLong(0)); ()
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        ps.awaitCaughtUp("bench", timeoutMs = 60000)
+        q.processAllAvailable()
+        while (received.sum < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(20); q.processAllAvailable()
+        }
+        val subSec = (System.nanoTime() - t0) / 1e9
+        require(received.sum == n, s"sql sink saw ${received.sum} of $n")
+        Result(n, nBatches, n / pubSec, n / subSec)
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   def run(spark: SparkSession, nBatches: Int = 20, perBatch: Int = 100000): Result = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
