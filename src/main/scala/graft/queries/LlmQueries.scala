@@ -421,6 +421,86 @@ object LlmQueries {
              |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
              |  FROM documents)
              |SELECT source, doc_id, rk FROM r WHERE rk <= 20
-             |ORDER BY source, rk""".stripMargin))
+             |ORDER BY source, rk""".stripMargin)),
+
+    // ---- sequence packing (chunked, 500-token bins): docs are packed
+    // in deterministic doc_id order WITHIN each language partition, so
+    // the window never needs a global sort — per-group sequential
+    // packing, groups fill in parallel (the scale shape; a single
+    // global pack order would serialize on one task) ----
+    QuerySpec("q41_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tok"))
+          .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("cum_before") / 500).cast("long"))
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("pack_tokens"))
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+             |  FROM documents),
+             |p AS (
+             |  SELECT lang, n_tok, COALESCE(sum(n_tok) OVER (
+             |    PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM c)
+             |SELECT lang, CAST(floor(cum_before / 500) AS BIGINT) AS pack_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+             |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin)),
+
+    // ---- corpus vocabulary: top-50 tokens by frequency. One shuffle
+    // with map-side partial aggregation; the top-k is a TakeOrdered
+    // (never a full sort of the vocabulary) ----
+    QuerySpec("q42_vocab",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(50),
+      Some("""SELECT w AS tok, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin)),
+
+    // ---- decontamination screen: training docs sharing any 5-gram
+    // with the benchmark set (doc_id < 20). Shingles travel as 8-byte
+    // portable hashes on both sides (identical in the oracle, so a
+    // collision — astronomically unlikely — would be identical too);
+    // the benchmark side is tiny and broadcasts, so the corpus never
+    // shuffles: the 100 TB decontamination shape ----
+    QuerySpec("q43_decontaminate",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("sh"))
+          .select(col("doc_id"), graft.functions.Hashes.md5Long(col("sh")).as("h"))
+        val bench = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
+        sh.filter(col("doc_id") >= 20)
+          .join(broadcast(bench), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 4),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS sh
+             |  FROM w WHERE len(w) >= 5),
+             |h AS (SELECT doc_id,
+             |  CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
+             |b AS (SELECT DISTINCT h FROM h WHERE doc_id < 20)
+             |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             |FROM h s JOIN b USING (h) WHERE s.doc_id >= 20
+             |GROUP BY 1 ORDER BY s.doc_id""".stripMargin))
   )
 }
