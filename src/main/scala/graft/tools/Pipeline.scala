@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.functions.{DedupFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, Hashes, SamplingFunctions, TextFunctions}
 
 /** End-to-end training-data curation pipeline — the library composed
   * the way a corpus team would run it nightly, in ONE lazy plan per
@@ -14,7 +14,11 @@ import graft.functions.{DedupFunctions, TextFunctions}
   *   2. quality gate         — length / stopword / punctuation floors
   *   3. near-dup clustering  — MinHash-LSH candidates → min-label
   *                             clusters → keep the canonical doc
-  *   4. corpus stats         — per-language doc/token counts
+  *   4. decontamination      — drop docs sharing any 5-gram with the
+  *                             (broadcast) benchmark set, if given
+  *   5. per-source quota     — cap each source at a budget, if given
+  *   6. split stamping       — deterministic train/val/test by doc id
+  *   7. corpus stats         — per-language doc/token counts
   *
   * `runMain graft.tools.Pipeline [sfDir] [outDir]` writes the kept
   * corpus and its stats as parquet and prints one JSON summary line.
@@ -24,7 +28,10 @@ object Pipeline {
   final case class Result(kept: DataFrame, stats: DataFrame)
 
   def curate(spark: SparkSession, docs: DataFrame,
-      minTokens: Int = 5, qualityFloor: Double = 0.3): Result = {
+      minTokens: Int = 5, qualityFloor: Double = 0.3,
+      benchmark: Option[DataFrame] = None,
+      quotaPerSource: Option[Int] = None,
+      splitPcts: Option[(Int, Int)] = Some((80, 10))): Result = {
     val stop = Seq("the", "a", "of", "and", "to")
 
     // 1. exact dedup: survivors of the hash-group (one shuffle)
@@ -45,9 +52,38 @@ object Pipeline {
       quality, "doc_id", "text", shingleN = 3, k = 12, r = 2, portable = false))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val kept = quality.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = quality.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. per-language corpus statistics over the kept set
+    // 4. decontamination: anti-join on shared 5-gram hashes; the
+    //    benchmark side is distinct-ed and broadcast, so the corpus
+    //    never shuffles for this stage
+    val clean = benchmark.fold(deduped) { bench =>
+      val benchHashes = bench
+        .select(explode(TextFunctions.shingles(col("text"), 5)).as("sh"))
+        .select(Hashes.md5Long(col("sh")).as("h")).distinct()
+      val contaminated = deduped
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("sh"))
+        .select(col("doc_id"), Hashes.md5Long(col("sh")).as("h"))
+        .join(broadcast(benchHashes), Seq("h"))
+        .select(col("doc_id")).distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    // 5. per-source quota: best-quality docs first, deterministic ties
+    val capped = quotaPerSource.fold(clean)(n =>
+      SamplingFunctions.quotaPerGroup(clean, col("source"),
+        col("q").desc, col("doc_id").asc, n).drop("rk"))
+
+    // 6. deterministic split stamped on the row (no second pass; equal
+    //    doc ids always co-assign — post-dedup leakage safety)
+    val kept = splitPcts.fold(capped) { case (tr, va) =>
+      capped.withColumn("split",
+        SamplingFunctions.splitColumn(col("doc_id"), tr, va))
+    }
+
+    // 7. per-language corpus statistics over the kept set
     val stats = kept.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Message
+import graft.functions.TextFunctions
+import graft.queries.LlmQueries
+import graft.router.{Ctx, Middlewares, Router, Stages}
+import graft.sources.MemoryPubSub
+
+/** Streaming curation: the LLM text operators composed INSIDE a Router
+  * stage (Dataset-level, Catalyst-compiled — not per-row Scala), with
+  * per-row destinations flowing through the routed single-pass sink:
+  * quality gate + language id decide each document's topic
+  * (`kept_<lang>` or `rejected`) while the batch stays one plan.
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "of", "and", "to")
+  private val floor = 0.5
+
+  test("documents route to kept_<lang>/rejected topics by streaming quality gate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 80)
+      .select(col("doc_id").cast("string").as("uuid"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val src = new MemoryPubSub(spark)
+    val sink = new MemoryPubSub(spark) // RoutedPublisher: one-pass routed sink
+
+    // the curation stage: pure column expressions over the envelope
+    val curate: Stages.Stage = ds => {
+      val df = ds.toDF()
+        .withColumn("_text", col("payload").cast("string"))
+        .withColumn("_q", TextFunctions.qualityScore(col("_text"), stop))
+        .withColumn("_lang",
+          TextFunctions.langId(col("_text"), LlmQueries.LangMarkers))
+        .withColumn("metadata", map_concat(col("metadata"),
+          map(
+            lit(Ctx.TopicOverride),
+            when(col("_q") >= floor, concat(lit("kept_"), col("_lang")))
+              .otherwise(lit("rejected")),
+            lit("quality"), col("_q").cast("string"))))
+        .drop("_text", "_q", "_lang")
+      df.as[Message]
+    }
+
+    val router = new Router(spark)
+    router.addHandler("curator", "docs_in", src, "rejected", sink,
+      Middlewares.passthrough, stages = Seq(curate))
+    router.run()
+    try {
+      src.publish("docs_in", docs.map { case (u, text) =>
+        Message(u, Map.empty, text.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))
+      }.toSeq)
+      router.processAllAvailable()
+
+      // expected assignment: the same expressions, batch-side
+      val expected = docs.toSeq.toDF("uuid", "text")
+        .select(col("uuid"),
+          when(TextFunctions.qualityScore(col("text"), stop) >= floor,
+            concat(lit("kept_"), TextFunctions.langId(col("text"), LlmQueries.LangMarkers)))
+            .otherwise(lit("rejected")).as("topic"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      val byTopic = expected.groupBy(_._2).map { case (t, xs) =>
+        t -> xs.map(_._1).toSet
+      }
+      assert(byTopic.size > 1, s"test should exercise >1 destination, got $byTopic")
+
+      byTopic.foreach { case (topic, uuids) =>
+        val got = sink.subscribeBatch(topic).collect()
+        assert(got.map(_.getAs[String]("uuid")).toSet == uuids,
+          s"topic $topic delivered wrong set")
+        // transported metadata survives; internal _graft_ keys are stripped
+        val meta = got.head.getAs[Map[String, String]]("metadata")
+        assert(meta.contains("quality"))
+        assert(!meta.keys.exists(_.startsWith(Ctx.InternalPrefix)))
+      }
+    } finally router.close()
+  }
+}

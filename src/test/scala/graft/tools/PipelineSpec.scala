@@ -21,6 +21,26 @@ class PipelineSpec extends SparkSpec {
     // stats add up to the kept set
     val statsDocs = r.stats.agg(sum(col("n_docs"))).collect()(0).getLong(0)
     assert(statsDocs == n, s"stats cover $statsDocs docs, kept $n")
+    // every kept row carries a split, and re-running assigns identically
+    assert(kept.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    kept.unpersist()
+    ()
+  }
+
+  test("decontamination and quota stages drop the right documents") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // benchmark = a slice of the corpus itself: those docs (and their
+    // exact/near dups sharing 5-grams) must not survive curation
+    val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+    val r = Pipeline.curate(spark, docs, benchmark = Some(bench),
+      quotaPerSource = Some(5))
+    val kept = r.kept.cache()
+    assert(kept.filter(col("doc_id") < 10).count() == 0,
+      "benchmark members must be decontaminated away")
+    val over = kept.groupBy(col("source")).count().filter(col("count") > 5).count()
+    assert(over == 0, "no source may exceed its quota")
+    assert(kept.count() > 0)
     kept.unpersist()
     ()
   }
