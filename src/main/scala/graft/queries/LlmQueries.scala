@@ -501,6 +501,34 @@ object LlmQueries {
              |b AS (SELECT DISTINCT h FROM h WHERE doc_id < 20)
              |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
              |FROM h s JOIN b USING (h) WHERE s.doc_id >= 20
-             |GROUP BY 1 ORDER BY s.doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- semantic (SemDeDup-style) embedding dedup: exact cosine
+    // near-dup pairs → connected components → cluster memberships.
+    // Composes two already-gated operators end-to-end; the oracle
+    // chains the q35 pair SQL into the q33 WITH RECURSIVE closure ----
+    QuerySpec("q44_semantic_dedup",
+      (s, dir) => DedupFunctions.dupClusters(
+          VectorFunctions.cosineNearDupPairs(
+            t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+            .select(col("d1"), col("d2")))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS d1, b.vec_id AS d2
+             |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+             |edges AS (
+             |  SELECT d1 AS a, d2 AS b FROM p
+             |  UNION SELECT d2, d1 FROM p
+             |  UNION SELECT d1, d1 FROM p
+             |  UNION SELECT d2, d2 FROM p),
+             |reach AS (
+             |  SELECT a AS node, b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+             |SELECT node AS doc_id, min(r) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
   )
 }
