@@ -86,7 +86,14 @@ trait PubSub extends Publisher with Subscriber with SubscribeInitializer
   *   task consumes in offset order. Default: session parallelism,
   *   unordered across keys (like most real transports).
   */
-class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None)
+/** @param maxTrackedEpochs bound on the exactly-once epoch-dedup set.
+  *   A retried micro-batch arrives immediately after the failure, so
+  *   only the recent tail of (topic, writerId) pairs matters; without a
+  *   bound the set is a slow leak in a months-running router. FIFO
+  *   eviction — the same retention contract as any idempotency-key
+  *   store: the window must exceed the redelivery horizon. */
+class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
+    maxTrackedEpochs: Int = 100000)
   extends PubSub with RoutedPublisher {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
@@ -130,9 +137,25 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None)
     * as a duplicate (at-most-once, not exactly-once). */
   private val seenEpochs =
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+  private val epochOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  /** Claim the epoch (true = first delivery). Evicts the oldest claims
+    * past [[maxTrackedEpochs]] so the dedup set can't leak. */
+  private def claimEpoch(key: (String, String)): Boolean = {
+    val fresh = seenEpochs.putIfAbsent(key, true).isEmpty
+    if (fresh) {
+      epochOrder.add(key)
+      while (seenEpochs.size > maxTrackedEpochs) {
+        val old = epochOrder.poll()
+        if (old ne null) seenEpochs.remove(old) else return fresh
+      }
+    }
+    fresh
+  }
 
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
-    if (seenEpochs.putIfAbsent((topic, writerId), true).isEmpty)
+    if (claimEpoch((topic, writerId)))
       try publishBatch(topic, df)
       catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
 
@@ -147,7 +170,7 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None)
           Message.columns.map(org.apache.spark.sql.functions.col): _*).as("_2"))
       .as[(String, Message)].collect()
     rows.groupBy(_._1).foreach { case (topic, ms) =>
-      if (seenEpochs.putIfAbsent((topic, writerId), true).isEmpty)
+      if (claimEpoch((topic, writerId)))
         try publish(topic, ms.map(_._2).toSeq)
         catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
     }

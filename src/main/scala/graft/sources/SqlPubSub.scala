@@ -181,9 +181,29 @@ final class SqlPubSub(spark: SparkSession, url: String,
         s"""CREATE TABLE ${quoted("graft_epochs")} (
            |  ${quoted("topic")} VARCHAR(128),
            |  ${quoted("writer_id")} VARCHAR(256),
+           |  ${quoted("created_at")} TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
            |  PRIMARY KEY (${quoted("topic")}, ${quoted("writer_id")}))""".stripMargin)
       catch { case _: java.sql.SQLException => () }
       finally st.close()
+    }
+  }
+
+  /** Housekeeping: delete epoch markers older than `olderThanMs`.
+    * The marker table otherwise grows one row per micro-batch forever.
+    * Retention contract: keep markers for longer than the maximum
+    * redelivery horizon (a marker pruned too early downgrades a
+    * late-retried batch to at-least-once) — same as any
+    * idempotency-key store TTL. Returns rows deleted. */
+  def pruneEpochs(olderThanMs: Long): Int = withConn { c =>
+    if (!tableExists(c, "graft_epochs")) 0
+    else {
+      val ps = c.prepareStatement(
+        s"""DELETE FROM ${quoted("graft_epochs")}
+           |WHERE ${quoted("created_at")} < ?""".stripMargin)
+      try {
+        ps.setTimestamp(1, new Timestamp(System.currentTimeMillis() - olderThanMs))
+        ps.executeUpdate()
+      } finally ps.close()
     }
   }
 

@@ -123,4 +123,18 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("meo").collect().map(_.getAs[String]("uuid")).toSet ==
       Set("a", "b"))
   }
+
+  test("memory transport: epoch-dedup set is bounded (FIFO eviction)") {
+    val ps = new MemoryPubSub(spark, maxTrackedEpochs = 2)
+    ps.publishEpoch("mb", frame("a"), writerId = "w-0")
+    ps.publishEpoch("mb", frame("b"), writerId = "w-1")
+    ps.publishEpoch("mb", frame("c"), writerId = "w-2") // evicts w-0
+    // the RECENT epoch still dedupes — the retry window that matters
+    ps.publishEpoch("mb", frame("c"), writerId = "w-2")
+    assert(ps.subscribeBatch("mb").count() == 3)
+    // an epoch past the window no longer dedupes (documented downgrade
+    // to at-least-once outside the retention horizon)
+    ps.publishEpoch("mb", frame("a"), writerId = "w-0")
+    assert(ps.subscribeBatch("mb").count() == 4)
+  }
 }

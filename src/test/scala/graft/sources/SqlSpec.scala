@@ -86,6 +86,23 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("pruneEpochs bounds the marker table; retention window still dedupes") {
+    val ps = new SqlPubSub(spark, url("sqlprune"))
+    try {
+      def frame(us: String*) = us.map(u => msg(u, u)).toDF()
+      ps.publishEpoch("t_pr", frame("a"), writerId = "w-0")
+      // young markers survive a long-retention prune and still dedupe
+      assert(ps.pruneEpochs(olderThanMs = 3600000L) == 0)
+      ps.publishEpoch("t_pr", frame("a"), writerId = "w-0")
+      assert(ps.subscribeBatch("t_pr").count() == 1)
+      // a negative horizon prunes everything (cutoff in the future):
+      // past the retention window, the retry degrades to at-least-once
+      assert(ps.pruneEpochs(olderThanMs = -60000L) == 1)
+      ps.publishEpoch("t_pr", frame("a"), writerId = "w-0")
+      assert(ps.subscribeBatch("t_pr").count() == 2)
+    } finally ps.close()
+  }
+
   test("poller survives a transient DB failure: logs, backs off, resumes") {
     val db = url("sqlheal")
     val cap = new graft.core.CaptureLogger
