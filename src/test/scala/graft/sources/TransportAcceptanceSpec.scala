@@ -21,7 +21,36 @@ class TransportAcceptanceSpec extends SparkSpec {
       name: String,
       make: String => PubSub, // scope key -> fresh transport
       drain: (PubSub, String, Router) => Unit,
-      close: PubSub => Unit)
+      close: PubSub => Unit,
+      // transports with an async hop between publish and the broker
+      // (webhook thread, pipe reader) settle here before assertions
+      settle: (PubSub, String) => Unit = (_, _) => ())
+
+  /** Publisher+Subscriber halves composed into one PubSub — how the
+    * split transports (HTTP webhook, io pipe) enter the battery. */
+  private final class ComposedPubSub(pub: Publisher,
+      sub: Subscriber with SubscribeInitializer, onClose: () => Unit)
+    extends PubSub {
+    override def publish(t: String, m: Seq[Message]): Unit = pub.publish(t, m)
+    override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+      pub.publishBatch(t, df)
+    override def subscribe(t: String): org.apache.spark.sql.DataFrame = sub.subscribe(t)
+    override def subscribeBatch(t: String): org.apache.spark.sql.DataFrame =
+      sub.subscribeBatch(t)
+    override def subscribeInitialize(t: String): Unit = sub.subscribeInitialize(t)
+    override def close(): Unit = onClose()
+  }
+
+  /** Poll until the topic's visible row count stops growing — the
+    * generic quiesce for transports whose delivery hop is a thread. */
+  private def untilStable(ps: PubSub, topic: String): Unit = {
+    var prev = -1L
+    var cur = ps.subscribeBatch(topic).count()
+    val deadline = System.currentTimeMillis() + 10000
+    while (cur != prev && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); prev = cur; cur = ps.subscribeBatch(topic).count()
+    }
+  }
 
   private val harnesses = Seq(
     Harness("memory",
@@ -37,7 +66,27 @@ class TransportAcceptanceSpec extends SparkSpec {
       (ps, topic, r) => {
         ps.asInstanceOf[SqlPubSub].awaitCaughtUp(topic); r.processAllAvailable()
       },
-      ps => ps.asInstanceOf[SqlPubSub].close()))
+      ps => ps.asInstanceOf[SqlPubSub].close()),
+    Harness("http",
+      _ => {
+        val sub = new HttpSubscriber(spark)
+        new ComposedPubSub(
+          new HttpPublisher(s"http://127.0.0.1:${sub.boundPort}"), sub,
+          () => sub.close())
+      },
+      (_, _, r) => r.processAllAvailable(),
+      ps => ps.close()),
+    Harness("io",
+      _ => {
+        val po = new java.io.PipedOutputStream()
+        val pi = new java.io.PipedInputStream(po, 1 << 16)
+        val sub = new StreamSubscriber(spark, pi)
+        val pub = new StreamPublisher(po)
+        new ComposedPubSub(pub, sub, () => sub.close())
+      },
+      (ps, topic, r) => { untilStable(ps, topic); r.processAllAvailable() },
+      ps => ps.close(),
+      settle = (ps, topic) => untilStable(ps, topic)))
 
   private def msg(u: String, p: String, meta: Map[String, String] = Map.empty) =
     Message(u, meta, p.getBytes("UTF-8"), new Timestamp(1700000000000L))
@@ -50,6 +99,7 @@ class TransportAcceptanceSpec extends SparkSpec {
         ps.publish("acc_fid", Seq(
           msg("m1", "payload-1", Map("correlation_id" -> "c1", "empty" -> "")),
           msg("m2", "payload-2")))
+        h.settle(ps, "acc_fid")
         val got = ps.subscribeBatch("acc_fid").collect()
           .map(r => r.getAs[String]("uuid") ->
             ((new String(r.getAs[Array[Byte]]("payload"), "UTF-8"),
@@ -68,6 +118,7 @@ class TransportAcceptanceSpec extends SparkSpec {
         ps.subscribeInitialize("acc_rep")
         ps.publish("acc_rep", Seq(msg("r1", "early")))
         ps.publish("acc_rep", Seq(msg("r2", "later")))
+        h.settle(ps, "acc_rep")
         val uuids = ps.subscribeBatch("acc_rep").collect().map(_.getAs[String]("uuid"))
         assert(uuids.toSet == Set("r1", "r2"))
         assert(uuids.length == 2, "no duplication on replay")
