@@ -139,6 +139,10 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
   private val epochOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  // TrieMap.size and ConcurrentLinkedQueue.size are O(n) traversals —
+  // a per-publish size check would make the epoch path quadratic over
+  // a long run, so the count is tracked explicitly.
+  private val trackedEpochs = new java.util.concurrent.atomic.AtomicInteger
 
   /** Claim the epoch (true = first delivery). Evicts the oldest claims
     * past [[maxTrackedEpochs]] so the dedup set can't leak. */
@@ -146,9 +150,11 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
     val fresh = seenEpochs.putIfAbsent(key, true).isEmpty
     if (fresh) {
       epochOrder.add(key)
-      while (seenEpochs.size > maxTrackedEpochs) {
+      var n = trackedEpochs.incrementAndGet()
+      while (n > maxTrackedEpochs) {
         val old = epochOrder.poll()
-        if (old ne null) seenEpochs.remove(old) else return fresh
+        if (old ne null) { seenEpochs.remove(old); n = trackedEpochs.decrementAndGet() }
+        else n = 0 // another thread drained the queue; nothing left to evict
       }
     }
     fresh
