@@ -349,6 +349,68 @@ object DedupFunctions {
       .groupBy(col("cluster_id"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cluster_size"))
 
+  /** Passage-level exact dedup — the sub-document analogue of
+    * [[exactDedup]] (Dolma/RefinedWeb-style paragraph dedup, adapted to
+    * single-line corpora: consecutive `passageTokens`-token windows
+    * stand in for paragraphs). Each distinct passage survives only at
+    * its globally-first occurrence (minimal `(docId, position)`); every
+    * document is then reassembled from its surviving passages in
+    * original order.
+    *
+    * Output: `(doc_id, n_passages, n_kept, kept_fp)` where `kept_fp`
+    * is the md5 of the reassembled text (empty-string md5 when every
+    * passage of the document occurred earlier elsewhere).
+    *
+    * Scale shape: three hash-partition shuffles — (1) group by the
+    * passage's 128-bit md5 to pick the first occurrence (map-side
+    * partial agg collapses identical passages before the wire), (2)
+    * join the winners back on `(md5, doc_id, pos)`, (3) regroup by
+    * doc for reassembly. The passage text itself crosses the wire
+    * once; group/join keys are fixed-width hashes. No driver state,
+    * no window over the whole corpus. */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    val w = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+    // consecutive fixed-width windows; the tail passage may be shorter.
+    // Tokenization runs ONCE: the passage rows are the only reference
+    // to `w` (re-joining back to `w` for per-doc totals would re-run
+    // the regex per doc — the totals ride along each row instead).
+    val passages = w
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(w) - 1) div $passageTokens")),
+          i => concat_ws(" ",
+            slice(col("w"), i * passageTokens + 1, lit(passageTokens))))))
+      .toDF("doc_id", "pos", "passage")
+    val hashed = passages
+      .select(col("doc_id"), col("pos"), col("passage"),
+        md5(col("passage").cast("binary")).as("ph"))
+    val firsts = hashed
+      .groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("ph").as("f_ph"),
+        col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    // winner flag via left join (non-null f_ph == this occurrence is
+    // the global first), then one per-doc aggregation produces totals,
+    // kept count, and the original-order reassembly in a single pass
+    val flagged = hashed.join(firsts,
+      col("ph") === col("f_ph") && col("doc_id") === col("f_doc") &&
+        col("pos") === col("f_pos"), "left")
+    flagged
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("f_ph").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        // deterministic reassembly: collect surviving (pos, passage)
+        // (collect_list drops the nulls the `when` leaves for losers),
+        // sort by pos (unique per doc -> total order), join
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("f_ph").isNotNull, struct(col("pos"), col("passage"))))),
+          s => s.getField("passage"))).cast("binary")).as("kept_fp"))
+  }
+
   private def idIsIntegralType(df: DataFrame, idCol: String): Boolean = {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {

@@ -147,4 +147,16 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), M), M).cast(LongType))
   }
+
+  /** Oracle-portable [[rollingHash]]: identical polynomial fold, but
+    * per-token hashes come from the md5-prefix family
+    * ([[Hashes.md5Long]]) instead of xxhash64, so an external engine
+    * reproduces the value bit-for-bit (DuckDB: `list_reduce` over
+    * `('0x'||substr(md5(tok),1,15))::BIGINT % p`). Same fast/portable
+    * split as the MinHash family (q31 vs q20). */
+  def rollingHashPortable(text: Column): Column = {
+    val M = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => pmod(acc * lit(1000003L) + pmod(Hashes.md5Long(tok), M), M).cast(LongType))
+  }
 }

@@ -529,6 +529,47 @@ object LlmQueries {
              |  UNION
              |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
              |SELECT node AS doc_id, min(r) AS cluster_id
-             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // ---- rolling fingerprint, portable hash family — promotes the
+    // order-sensitive fingerprint (q30's operator) into the
+    // hash-matched gate; same fast/portable split as q31/q20. The
+    // oracle reproduces the polynomial fold with list_reduce ----
+    QuerySpec("q45_rolling_portable",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.rollingHashPortable(col("text")).as("rh"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |hs AS (SELECT doc_id, list_transform(t, tok ->
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000000007) AS hs
+             |  FROM tk)
+             |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+             |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rh
+             |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // ---- passage-level exact dedup: globally-first occurrence wins,
+    // documents reassembled from surviving passages in original order
+    // (Dolma-style paragraph dedup over fixed 10-token windows) ----
+    QuerySpec("q46_passage_dedup",
+      (s, dir) => DedupFunctions
+        .passageDedup(t(s, dir, "documents"), "doc_id", "text", passageTokens = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             |      FROM documents
+             |      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+             |p AS (SELECT doc_id, i AS pos,
+             |        array_to_string(w[(i*10 + 1):(i*10 + 10)], ' ') AS passage
+             |      FROM w, unnest(generate_series(0, (len(w) - 1) // 10)) AS u(i)),
+             |f AS (SELECT passage, min(doc_id * 1000000 + pos) AS fk
+             |      FROM p GROUP BY passage),
+             |k AS (SELECT p.*, (doc_id * 1000000 + pos = fk) AS keep
+             |      FROM p JOIN f USING (passage))
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_passages,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY pos), '')) AS kept_fp
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

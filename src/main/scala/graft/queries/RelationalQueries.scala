@@ -352,6 +352,33 @@ object RelationalQueries {
       Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(l_quantity) AS BIGINT) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- as-of join: each click picks up the latest prior view's
+    // value per user. Union-carry plan (one shuffle + in-partition
+    // sort), never a range-join pair space; the oracle is DuckDB's
+    // native ASOF JOIN. Right side pre-deduped per (user, ts) with
+    // max_by(event_id) on both engines so "latest" is deterministic ----
+    QuerySpec("q47_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = graft.operators.AsofJoin.latestPerKeyTime(
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", tiebreak = "event_id", payloadCols = Seq("value"))
+        graft.operators.AsofJoin
+          .asofJoin(clicks, views, "user_id", "ts", payloadCols = Seq("value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts, max_by(value, event_id) AS value
+             |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT c.event_id, c.user_id, c.value, v.value AS asof_value
+             |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

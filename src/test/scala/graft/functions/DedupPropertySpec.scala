@@ -111,6 +111,19 @@ class DedupPropertySpec extends SparkSpec {
     assert(v >= 0 && v < 1000000007L)
   }
 
+  test("portable rolling hash (q45) shares the fast variant's structure") {
+    val d = docs(
+      1L -> "alpha beta gamma", 2L -> "gamma beta alpha",
+      3L -> "alpha beta gamma", 4L -> "", 5L -> "!!!")
+    val r = d.select(col("doc_id"),
+        TextFunctions.rollingHashPortable(col("text")).as("rh"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) != r(2L), "permuted tokens must change the portable hash")
+    assert(r(1L) == r(3L), "identical text must agree")
+    assert(r(4L) == 0L && r(5L) == 0L, "token-free text folds to the zero seed")
+    assert(r.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
   // ---------- q31: fast minhash ----------
 
   test("fast-family minhash LSH recalls planted near-duplicates") {
