@@ -238,6 +238,31 @@ object DedupFunctions {
     bits.reduce((a, b) => a + b)
   }
 
+  /** Oracle-portable 60-bit SimHash over pre-hashed tokens (the
+    * md5-prefix family — [[Hashes.md5Long]] per token, materialized by
+    * the caller in its own projection). Same sign-of-votes semantics
+    * as [[simhash64]] (tie = bit clear); 60 bits because the portable
+    * hash is a 15-hex-digit prefix. Unlike the 64-fold composed form,
+    * this walks the token array ONCE: the vote vector is an
+    * `aggregate` accumulator updated with `zip_with`, and variable bit
+    * shifts (unavailable as column ops — `shiftright` takes a literal
+    * count) become bitwise-AND against a literal powers array. Pure
+    * column expressions, so the DuckDB oracle can reproduce the value
+    * bit-for-bit. Production path stays [[simhash64]] (single custom
+    * Expression); this is the cross-engine-verifiable twin, same
+    * fast/portable split as minhash q31/q20. */
+  private val Pow2To60: Column = array((0 until 60).map(b => lit(1L << b)): _*)
+
+  def simhash60Portable(hashedCol: Column): Column = {
+    val votes = aggregate(hashedCol, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc,
+        transform(Pow2To60, p => when(h.bitwiseAND(p) === p, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, Pow2To60, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
   /** SimHash near-dup candidates: band the 64-bit simhash into
     * `maxHamming + 1` chunks — by pigeonhole, two hashes within
     * Hamming distance `maxHamming` agree on at least one full chunk —

@@ -570,6 +570,35 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS n_passages,
              |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  md5(coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY pos), '')) AS kept_fp
-             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash, portable hash family — oracle-gates the simhash
+    // operator itself (q21's banding is verified by ScalaTest; this
+    // pins the underlying bit-vote hash cross-engine). The oracle
+    // reproduces the vote per (doc, bit) by exploding tokens x bits ----
+    QuerySpec("q48_simhash_portable",
+      (s, dir) => {
+        import graft.functions.Hashes
+        t(s, dir, "documents")
+          .filter(TextFunctions.tokenCount(col("text")) > 0)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            transform(col("tk"), tok => Hashes.md5Long(tok)).as("hs"))
+          .select(col("doc_id"),
+            DedupFunctions.simhash60Portable(col("hs")).as("sh"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+             |      FROM documents
+             |      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(t)), 1, 15) AS BIGINT) AS h
+             |      FROM tk),
+             |b AS (SELECT doc_id, bit,
+             |        sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |      FROM h, unnest(generate_series(0, 59)) AS u(bit)
+             |      GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

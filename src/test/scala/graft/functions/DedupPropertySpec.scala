@@ -124,6 +124,24 @@ class DedupPropertySpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
+  test("portable 60-bit simhash (q48): near-dups close in Hamming space, disjoint vocab far") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog entirely",
+      2L -> "the quick brown fox jumps over the lazy dog mostly", // near dup
+      3L -> "zeta eta theta iota kappa lambda mu nu xi omicron", // disjoint
+      4L -> "the quick brown fox jumps over the lazy dog entirely") // exact
+    val hs = d.select(col("doc_id"),
+        transform(TextFunctions.tokens(col("text")), t => Hashes.md5Long(t)).as("hs"))
+      .select(col("doc_id"), DedupFunctions.simhash60Portable(col("hs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(4L), "identical text -> identical simhash")
+    assert((hs(1L) >>> 60) == 0L, "60-bit hash must not set the top nibble")
+    assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)),
+      s"near-dup must be closer than disjoint vocab: " +
+        s"${hamming(hs(1L), hs(2L))} vs ${hamming(hs(1L), hs(3L))}")
+  }
+
   // ---------- q31: fast minhash ----------
 
   test("fast-family minhash LSH recalls planted near-duplicates") {
