@@ -386,13 +386,16 @@ object DedupFunctions {
     * is the md5 of the reassembled text (empty-string md5 when every
     * passage of the document occurred earlier elsewhere).
     *
-    * Scale shape: three hash-partition shuffles — (1) group by the
-    * passage's 128-bit md5 to pick the first occurrence (map-side
-    * partial agg collapses identical passages before the wire), (2)
-    * join the winners back on `(md5, doc_id, pos)`, (3) regroup by
-    * doc for reassembly. The passage text itself crosses the wire
-    * once; group/join keys are fixed-width hashes. No driver state,
-    * no window over the whole corpus. */
+    * Scale shape: two hash-partition shuffles — (1) repartition by the
+    * passage's 128-bit md5 and pick each hash group's first occurrence
+    * with a partition-wide window `min` (NOT a groupBy + join-back:
+    * that plan references the tokenize/explode subtree from two plan
+    * branches, and Catalyst re-computes it per reference — the
+    * `.explain` showed the corpus scanned and hashed twice), then (2)
+    * regroup by doc for reassembly. The passage text crosses the wire
+    * once; window groups are per-duplicate-set, so the window buffer
+    * is the duplicate multiplicity, never a corpus-sized frame. No
+    * driver state. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
       passageTokens: Int = 10): DataFrame = {
     val w = docs
@@ -412,27 +415,24 @@ object DedupFunctions {
     val hashed = passages
       .select(col("doc_id"), col("pos"), col("passage"),
         md5(col("passage").cast("binary")).as("ph"))
-    val firsts = hashed
-      .groupBy(col("ph"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      .select(col("ph").as("f_ph"),
-        col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
-    // winner flag via left join (non-null f_ph == this occurrence is
-    // the global first), then one per-doc aggregation produces totals,
-    // kept count, and the original-order reassembly in a single pass
-    val flagged = hashed.join(firsts,
-      col("ph") === col("f_ph") && col("doc_id") === col("f_doc") &&
-        col("pos") === col("f_pos"), "left")
+    // winner flag inline: partition-wide window min over the hash
+    // group — single reference to the tokenize/explode subtree, one
+    // scan of the corpus
+    val flagged = hashed
+      .withColumn("first", min(struct(col("doc_id"), col("pos")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
+      .withColumn("keep",
+        col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))
     flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("f_ph").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         // deterministic reassembly: collect surviving (pos, passage)
         // (collect_list drops the nulls the `when` leaves for losers),
         // sort by pos (unique per doc -> total order), join
         md5(concat_ws(" ", transform(
           array_sort(collect_list(
-            when(col("f_ph").isNotNull, struct(col("pos"), col("passage"))))),
+            when(col("keep"), struct(col("pos"), col("passage"))))),
           s => s.getField("passage"))).cast("binary")).as("kept_fp"))
   }
 
