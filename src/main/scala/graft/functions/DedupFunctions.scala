@@ -309,9 +309,17 @@ object DedupFunctions {
     * dedup are shallow (near-cliques from banding), so the default cap
     * is generous. Returns (doc_id, cluster_id = min reachable id).
     *
-    * At 100 TB each round is one shuffle of the edge list; for
-    * adversarial long-chain graphs switch to large-star/small-star —
-    * not needed for the near-clique shapes candidate generation emits.
+    * Each round is a neighbor-min step PLUS a pointer jump (every node
+    * also adopts its current label's label), so the propagation reach
+    * doubles per round and convergence is O(log diameter), not
+    * O(diameter) — the default cap of 10 rounds covers diameters into
+    * the hundreds. This matters beyond adversarial inputs: banding
+    * emits near-cliques, but threshold graphs over embeddings (q44)
+    * measured diameter 16 at sf0.1 — plain neighbor-min propagation
+    * hit the round cap there and returned unconverged labels.
+    *
+    * At 100 TB each round is one shuffle of the (persisted) edge list
+    * plus one label-sized self-join; labels never leave the cluster.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edge list + self-loops (so singletons keep their id
@@ -351,19 +359,49 @@ object DedupFunctions {
       // job re-reading the lineage. Measured on sf0.1: the old
       // shape's tail (separate compare join + skipped-round heuristic)
       // was 5.4 s over 2.8k edges — all fixed job overhead.
-      val next = edges
+      val prop = edges
         .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"),
           min(when(col("b") === col("a"), col("cluster_id"))).as("prev"))
         .persist()
+      // pointer jump: adopt this round's label's label, doubling reach
+      // per round. `prop` is self-joined, hence its own persist (two
+      // plan references would re-run the propagation join). The jump
+      // can only lower a label, so the fixed point is unchanged; if
+      // nothing changed this round, neighbor-min alone changed nothing
+      // either, so the convergence check stays sound.
+      //
+      // localCheckpoint (eager), NOT persist: the self-join references
+      // `prop` TWICE, so under plain caching the round's LOGICAL plan
+      // would be 2x the previous round's — exponential across rounds.
+      // Persist truncates execution but not analysis; the analyzer
+      // (DeduplicateRelations on the self-join especially) re-walks
+      // the whole tree every round, which measured as q33 going
+      // 5.5 s -> ~50 s. The checkpoint makes each round's output a
+      // leaf, so plan size is constant no matter how many rounds run.
+      // (localCheckpoint is executor-local state — fine here: labels
+      // are a small working set and the loop re-materializes each
+      // round; a lost executor just fails-fast the job.)
+      val next = prop
+        .join(prop.select(col("doc_id").as("j_doc"), col("cluster_id").as("j_cl")),
+          col("cluster_id") === col("j_doc"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("j_cl"), col("cluster_id"))).as("cluster_id"),
+          col("prev"))
+        .localCheckpoint(true)
       val changed = next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
-      current.unpersist()
+      current.unpersist(); prop.unpersist()
       current = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: round cap $maxIter hit before convergence — " +
+          "labels may be partial; raise maxIter")
     labels
   }
 

@@ -269,6 +269,17 @@ class DedupPropertySpec extends SparkSpec {
     assert(labels.keySet == (1L to 9L).toSet)
   }
 
+  test("dupClusters converges on a 40-node path in log-diameter rounds (pointer jump)") {
+    import spark.implicits._
+    // plain neighbor-min propagation reaches ~1 hop/round and would
+    // need 39 rounds; the pointer jump must close this in <= 7
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = DedupFunctions.dupClusters(pairs, maxIter = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 40, "every node labeled")
+    assert(out.values.forall(_ == 0L), s"all labels must reach the min id: $out")
+  }
+
   test("multi-probe SRP recall is a superset of single-probe at same params") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
