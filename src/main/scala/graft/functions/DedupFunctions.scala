@@ -402,6 +402,14 @@ object DedupFunctions {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: round cap $maxIter hit before convergence — " +
           "labels may be partial; raise maxIter")
+    // After ≥1 round `labels` is a checkpointed leaf, so the working
+    // edge list can be released — without this every call leaks one
+    // persisted edge list for the session's lifetime. The degenerate
+    // maxIter<=0 path still reads through `edges`, so pin the labels
+    // first there.
+    if (i == 0) labels = labels.localCheckpoint(true)
+    current.unpersist()
+    edges.unpersist()
     labels
   }
 
