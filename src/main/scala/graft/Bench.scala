@@ -16,6 +16,16 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Isolate each query from its predecessors' storage state: drop
+      // every CacheManager entry AND any straggler persisted/local-
+      // checkpointed RDD blocks (dupClusters-style iterative queries
+      // leave small per-round checkpoint RDDs; queries that persist
+      // internal relations leave cache entries that shift the memory
+      // available to the next query). Without this, a query's recorded
+      // time depends on which queries ran before it — r6 recorded q33
+      // at 2.5x its isolated cost for exactly this reason.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -42,7 +52,13 @@ object Bench {
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         """{"error":true}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}""")
+    // machine-load context: 1-minute OS load average (and CPU count)
+    // so a contaminated run is visible IN the artifact — r5/r6 both
+    // recorded numbers later falsified as co-tenant load noise
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvg = osBean.getSystemLoadAverage
+    val nCpu = osBean.getAvailableProcessors
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

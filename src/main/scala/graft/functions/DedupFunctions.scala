@@ -408,7 +408,12 @@ object DedupFunctions {
     // maxIter<=0 path still reads through `edges`, so pin the labels
     // first there.
     if (i == 0) labels = labels.localCheckpoint(true)
-    current.unpersist()
+    // `current.unpersist` matters only on the degenerate maxIter<=0
+    // path, where `current` is the initial persisted aggregation; after
+    // >=1 round it's a localCheckpoint leaf the CacheManager never saw
+    // (Dataset.unpersist does not free localCheckpoint blocks — those
+    // are reclaimed by ContextCleaner GC when the RDD is unreferenced).
+    if (i == 0) current.unpersist()
     edges.unpersist()
     labels
   }

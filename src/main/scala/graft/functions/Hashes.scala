@@ -15,6 +15,28 @@ object HashUtil {
     a.getValue
   }
 
+  // MessageDigest is stateful and not thread-safe; one per task thread,
+  // reset per call — no per-row allocation in the hot loop.
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of the md5 digest as a non-negative long —
+    * numerically identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10)` form (15 hex chars = the
+    * top 7.5 bytes big-endian), without the hex-string materialization,
+    * substring, and base-16 string parse per value. */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** Count maximal runs of ASCII `[a-z0-9]` bytes. UTF-8-safe: every
     * continuation/multi-byte unit has bit 7 set and exits the class. */
   def tokenRuns(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -279,6 +301,27 @@ case class TopCentroidsExpr(child: Expression, cents: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** First 60 bits of md5 as a long — the engine-portable hash family's
+  * workhorse, as a single codegen'd pass (digest → long). The composed
+  * `conv(substring(md5(...)))` form it replaces paid a 32-char hex
+  * string, a substring copy, and a base-16 string parse per value —
+  * the dominant cost of every portable-path query (q20/q33/q37/q43/
+  * q45/q48 oracle twins), which hash EVERY TOKEN of the corpus.
+  * Bit-identity with the composed form (hence with the DuckDB oracle's
+  * `('0x'||substr(md5(..),1,15))::BIGINT`) is pinned by an equivalence
+  * test and proven end-to-end by the existing oracle gates.
+  */
+case class Md5PrefixLongExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix60"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.md5Prefix60(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Prefix60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLongExpr =
+    copy(child = newChild)
+}
+
 /** Hash column functions. Two families:
   *  - fast path: `xxhash64` (Spark-native, codegen'd) — use in
   *    production pipelines;
@@ -295,8 +338,16 @@ object Hashes {
   def simhash64(tokens: Column): Column = ColumnBridge.column(
     SimHash64Expr(ColumnBridge.expression(tokens)))
 
-  /** First 15 hex chars of md5 as a positive 60-bit long. Engine-portable. */
-  def md5Long(c: Column): Column =
+  /** First 15 hex chars of md5 as a positive 60-bit long. Engine-portable
+    * (DuckDB reproduces it from the hex md5); computed natively in one
+    * digest pass ([[Md5PrefixLongExpr]]). */
+  def md5Long(c: Column): Column = ColumnBridge.column(
+    Md5PrefixLongExpr(ColumnBridge.expression(c.cast(BinaryType))))
+
+  /** The composed column form — kept for the equivalence test that pins
+    * [[Md5PrefixLongExpr]] to the same bit pattern; do not use in query
+    * paths. */
+  private[graft] def md5LongComposed(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
   /** Salted portable hash — the seed-parameterized hash family used by

@@ -92,8 +92,16 @@ trait PubSub extends Publisher with Subscriber with SubscribeInitializer
   *   bound the set is a slow leak in a months-running router. FIFO
   *   eviction — the same retention contract as any idempotency-key
   *   store: the window must exceed the redelivery horizon. */
+/** @param maxHistoryPerTopic bound on the per-topic replay buffer
+  *   behind `subscribeBatch` — FIFO: past the cap the OLDEST messages
+  *   fall off, so a long-running session keeps a bounded tail (the
+  *   retention contract of any real log). The reference's Persistent
+  *   GoChannel keeps everything (pubsub/gochannel/pubsub.go:115-122) —
+  *   acceptable for its test scope, but an unbounded driver-side
+  *   Vector is a slow leak in a months-running router; late
+  *   subscribers needing full replay belong on [[FilePubSub]]. */
 class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
-    maxTrackedEpochs: Int = 100000)
+    maxTrackedEpochs: Int = 100000, maxHistoryPerTopic: Int = 1000000)
   extends PubSub with RoutedPublisher {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
@@ -118,7 +126,8 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
   override def publish(topic: String, msgs: Seq[Message]): Unit =
     if (msgs.nonEmpty) synchronized {
       stream(topic).addData(msgs)
-      history(topic) = history.getOrElse(topic, Vector.empty) ++ msgs
+      history(topic) =
+        (history.getOrElse(topic, Vector.empty) ++ msgs).takeRight(maxHistoryPerTopic)
     }
 
   override def publishBatch(topic: String, df: DataFrame): Unit =

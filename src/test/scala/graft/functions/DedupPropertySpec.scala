@@ -195,6 +195,23 @@ class DedupPropertySpec extends SparkSpec {
       s"text '${texts(r.getLong(0).toInt)}': ${r.getLong(1)} vs ${r.getLong(2)}"))
   }
 
+  test("native md5-prefix expression is bit-identical to the composed conv/substring form") {
+    val texts = Seq("", "a", "the quick brown fox", "0", "UPPER lower 123",
+      "exactly-fifteen", "éèê unicode bytes", "salt:7:token",
+      "ffffffffffffffff", " nul-lead")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+    val both = df.select(col("id"),
+      Hashes.md5Long(col("s")).as("fast"),
+      Hashes.md5LongComposed(col("s")).as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"text '${texts(r.getLong(0).toInt)}': ${r.getLong(1)} vs ${r.getLong(2)}"))
+    // null propagates like the composed form
+    val nulls = Seq((0L, null: String)).toDF("id", "s")
+      .select(Hashes.md5Long(col("s")).as("f"), Hashes.md5LongComposed(col("s")).as("c"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("native dot-product expression is bit-identical to the composed HOF fold") {
     val vecs = (0 until 25).map { i =>
       (i.toLong,

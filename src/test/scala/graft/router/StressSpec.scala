@@ -91,6 +91,19 @@ class StressSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("replay history stays bounded at maxHistoryPerTopic under a long publish run") {
+    val ps = new MemoryPubSub(spark, maxHistoryPerTopic = 100)
+    inParallel(4) { t =>
+      (0 until 100).foreach(i => ps.publish("bounded_hist", Seq(msg(s"b$t-$i"))))
+    }
+    val kept = ps.subscribeBatch("bounded_hist").collect()
+    assert(kept.length == 100, s"history grew to ${kept.length}, cap is 100")
+    // FIFO: the newest publish survives (publish is synchronized, so the
+    // cap keeps the tail of the interleaved global order)
+    val all = kept.map(_.getAs[String]("uuid")).toSet
+    assert(all.size == 100)
+  }
+
   test("racing publishers with one writer id deliver the epoch exactly once") {
     import spark.implicits._
     val ps = new MemoryPubSub(spark)
