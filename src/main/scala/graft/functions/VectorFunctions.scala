@@ -121,6 +121,32 @@ object VectorFunctions {
       .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup, END-TO-END SCALE PATH: SRP-bucketed
+    * candidate generation ([[cosineNearDupBucketed]]) → exact cosine
+    * verification → connected-component clustering
+    * ([[DedupFunctions.dupClusters]]). Same output contract as the
+    * exact composition `dupClusters(cosineNearDupPairs(...))` — one
+    * `(doc_id, cluster_id = min reachable id)` row per doc that
+    * appears in at least one verified near-dup pair — but the corpus
+    * is NEVER broadcast: candidates come from `bands` independent
+    * (band, bucket) shuffles, so the plan survives a corpus that is
+    * 100× past broadcast range. Precision is exact (every candidate
+    * pair re-verified with the real cosine before clustering); recall
+    * is LSH-probabilistic per MISSED EDGE — identical vectors share
+    * every bucket and are always clustered together, and a missed
+    * low-margin edge can only SPLIT an exact cluster, never merge two
+    * (bucketed pairs ⊆ exact pairs ⇒ bucketed components refine exact
+    * components — the property DedupPropertySpec pins). Raise `bands`
+    * to trade one more shuffle per band for recall.
+    */
+  def semanticDedupBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000, maxIter: Int = 10): DataFrame =
+    DedupFunctions.dupClusters(
+      cosineNearDupBucketed(vecs, idCol, vecCol, dim, threshold, nBits, bands,
+        maxBucket).select(col("d1"), col("d2")),
+      maxIter)
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Spherical k-means centroids — the IVF coarse quantizer. The model

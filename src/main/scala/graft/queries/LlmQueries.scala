@@ -599,6 +599,28 @@ object LlmQueries {
              |      GROUP BY 1, 2)
              |SELECT doc_id,
              |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
-             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- semantic dedup, PRODUCTION scale path: SRP-bucketed
+    // candidates -> exact cosine verify -> connected components. The
+    // 100 TB form of q44 (which broadcasts the corpus all-pairs and is
+    // kept as the exact ORACLE ANCHOR only). No DuckDB oracle — the
+    // SRP buckets derive from Spark's xxhash64, which no external
+    // engine reproduces; correctness is anchored by q44 (same
+    // composition, exact candidates, hash-matched) plus the
+    // DedupPropertySpec refinement/recall/determinism properties.
+    // nBits tunes to the threshold: per-bit collision odds for a
+    // true pair are 1 - acos(t)/pi, so the LOW anchor threshold (0.4,
+    // chosen because small-SF data has few high-cosine pairs) needs
+    // short band keys (2 bits, ~0.63^2 per band -> ~0.97 edge recall
+    // over 8 bands); the SemDeDup production regime (t >= 0.95,
+    // ~0.93/bit) supports 8+ bits per band, whose 2^8 buckets per
+    // band are what partition a 100 TB corpus ----
+    QuerySpec("q49_semantic_dedup_scale",
+      (s, dir) => VectorFunctions.semanticDedupBucketed(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, nBits = 2, bands = 8)
+        .orderBy(col("doc_id")),
+      None)
   )
 }

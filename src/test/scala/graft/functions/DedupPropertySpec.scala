@@ -252,6 +252,46 @@ class DedupPropertySpec extends SparkSpec {
     assert(again == bucketed, "bucketing must be deterministic")
   }
 
+  test("semanticDedupBucketed: planted clusters recovered, components refine the exact ones") {
+    // 40 spread-out base vectors + 3 planted duplicate groups (exact
+    // copies — guaranteed recall: identical vectors share every bucket)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat))
+    }
+    val planted = for {
+      (g, ids) <- Seq(0 -> Seq(100L, 101L), 1 -> Seq(200L, 201L, 202L), 2 -> Seq(300L))
+      id <- ids
+    } yield (id, base(g)._2)
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = clusters(VectorFunctions.semanticDedupBucketed(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9))
+    val exact = clusters(DedupFunctions.dupClusters(
+      VectorFunctions.cosineNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+        .select(col("d1"), col("d2"))))
+    // planted exact copies always co-cluster with their base vector
+    // (they share every bucket); the cluster ROOT may be lower than the
+    // base id when base vectors are themselves near-dups of each other
+    Seq(Seq(0L, 100L, 101L), Seq(1L, 200L, 201L, 202L), Seq(2L, 300L)).foreach { g =>
+      val roots = g.map(id => bucketed.get(id)).toSet
+      assert(roots.size == 1 && roots.head.nonEmpty,
+        s"planted group $g split across clusters: $roots")
+    }
+    // refinement: any two docs the bucketed path clusters together must
+    // also share an exact cluster (missed edges can split, never merge)
+    assert(bucketed.keySet.subsetOf(exact.keySet))
+    bucketed.groupBy(_._2).values.foreach { members =>
+      val exactIds = members.keys.map(exact).toSet
+      assert(exactIds.size == 1,
+        s"bucketed cluster ${members.keys.toSeq.sorted} spans exact clusters $exactIds")
+    }
+    // deterministic end-to-end
+    val again = clusters(VectorFunctions.semanticDedupBucketed(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9))
+    assert(again == bucketed)
+  }
+
   test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
     val stop = Seq("the", "a", "of")
     val clean = "the quick brown fox runs over a hill of green grass"
