@@ -621,6 +621,30 @@ object LlmQueries {
           t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.4, nBits = 2, bands = 8)
         .orderBy(col("doc_id")),
+      None),
+
+    // ---- REAL BPE token budgeting: merges-table tokenizer (the
+    // production twin of q29's char-class proxy). No DuckDB oracle —
+    // BPE is an iterative lowest-rank-merge loop, not SQL-expressible;
+    // correctness is anchored by BpeSpec (hand-computed merges, the
+    // textbook training corpus, and expression==driver-encode over a
+    // frame). The model ships as ONE plan reference object (like the
+    // IVF centroids) — never a join side, no per-row state ----
+    QuerySpec("q50_bpe_token_budget",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(graft.functions.Bpe.tokenCount(lower(col("text")), DevBpeModel))
+            .as("total_bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")),
       None)
   )
+
+  /** Fixed dev merges table for q50 — deterministic, versioned with the
+    * code; production pipelines load published merges
+    * ([[graft.functions.BpeModel.load]], subword-nmt/GPT-2 format). */
+  lazy val DevBpeModel = new graft.functions.BpeModel(Array(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("o", "r"), ("an", "d"),
+    ("in", "g"), ("e", "s"), ("s", "t"), ("a", "r"), ("l", "e")))
 }

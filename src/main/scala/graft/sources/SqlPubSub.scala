@@ -28,6 +28,12 @@ import graft.core.Message
   * a new subscriber with the same group resumes where the last one
   * acked, watermill-sql's consumer-group semantics.
   *
+  * Delayed consumption (the transport the reference documents it for,
+  * docs/content/advanced/delayed-messages.md:9-41): rows stamped
+  * `delayed_until` in the future are parked durably in `graft_delayed`
+  * per (group, topic, offset) and released once due — hidden from the
+  * stream, without blocking later rows.
+  *
   * Tables use QUOTED lower-case identifiers so Spark's JDBC writer
   * (which quotes column names) appends cleanly into pre-created DDL.
   */
@@ -73,6 +79,18 @@ final class SqlPubSub(spark: SparkSession, url: String,
            |  ${quoted("topic")} VARCHAR(128),
            |  ${quoted("last_offset")} BIGINT,
            |  PRIMARY KEY (${quoted("grp")}, ${quoted("topic")}))""".stripMargin)
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    }
+    if (!tableExists(c, "graft_delayed")) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${quoted("graft_delayed")} (
+           |  ${quoted("grp")} VARCHAR(128),
+           |  ${quoted("topic")} VARCHAR(128),
+           |  ${quoted("offset_id")} BIGINT,
+           |  ${quoted("due_at")} TIMESTAMP,
+           |  PRIMARY KEY (${quoted("grp")}, ${quoted("topic")}, ${quoted("offset_id")}))""".stripMargin)
       catch { case _: java.sql.SQLException => () }
       finally st.close()
     }
@@ -287,6 +305,84 @@ final class SqlPubSub(spark: SparkSession, url: String,
     }
   }
 
+  /** Delay metadata → due timestamp. Absent or malformed metadata
+    * (foreign writers can stamp anything) means deliverable now. */
+  private def dueAt(m: Message): Option[Timestamp] =
+    m.get(graft.router.Ctx.DelayedUntil) match {
+      case "" => None
+      case s => try Some(Timestamp.from(java.time.Instant.parse(s)))
+        catch { case _: Exception =>
+          log.info(s"unparseable ${graft.router.Ctx.DelayedUntil}='$s'; delivering now"); None }
+    }
+
+  /** Park not-yet-due rows durably, keyed (group, topic, offset) — a
+    * re-examined row (crash between park and offset store) hits the
+    * primary key and is ignored. */
+  private def parkDelayed(c: Connection, topic: String,
+      rows: Seq[(Long, Timestamp)]): Unit = if (rows.nonEmpty) {
+    val ps = c.prepareStatement(
+      s"""INSERT INTO ${quoted("graft_delayed")}
+         |(${quoted("grp")}, ${quoted("topic")}, ${quoted("offset_id")}, ${quoted("due_at")})
+         |VALUES (?, ?, ?, ?)""".stripMargin)
+    try rows.foreach { case (off, due) =>
+      try {
+        ps.setString(1, group); ps.setString(2, topic)
+        ps.setLong(3, off); ps.setTimestamp(4, due)
+        ps.executeUpdate(); ()
+      } catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+    } finally ps.close()
+  }
+
+  /** Deliver parked rows whose due time has passed, then unpark them.
+    * Deliver-BEFORE-delete keeps the at-least-once contract (a crash
+    * between the two redelivers). */
+  private def releaseDue(c: Connection, topic: String): Unit = {
+    val sel = c.prepareStatement(
+      s"""SELECT d.${quoted("offset_id")}, m.${quoted("uuid")}, m.${quoted("metadata")},
+         |  m.${quoted("payload")}, m.${quoted("ts")}
+         |FROM ${quoted("graft_delayed")} d
+         |JOIN ${quoted(table(topic))} m ON d.${quoted("offset_id")} = m.${quoted("offset_id")}
+         |WHERE d.${quoted("grp")} = ? AND d.${quoted("topic")} = ?
+         |  AND d.${quoted("due_at")} <= CURRENT_TIMESTAMP
+         |ORDER BY d.${quoted("offset_id")}""".stripMargin)
+    val due = scala.collection.mutable.ArrayBuffer.empty[(Long, Message)]
+    try {
+      sel.setString(1, group); sel.setString(2, topic)
+      val rs = sel.executeQuery()
+      try while (rs.next()) due += rs.getLong(1) -> rowMessage(rs)
+      finally rs.close()
+    } finally sel.close()
+    if (due.nonEmpty) {
+      broker.publish(topic, due.map(_._2).toSeq)
+      val del = c.prepareStatement(
+        s"""DELETE FROM ${quoted("graft_delayed")}
+           |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ? AND ${quoted("offset_id")} = ?""".stripMargin)
+      try due.foreach { case (off, _) =>
+        del.setString(1, group); del.setString(2, topic); del.setLong(3, off)
+        del.executeUpdate()
+      } finally del.close()
+    }
+  }
+
+  /** Envelope off a (offset_id, uuid, metadata, payload, ts) result row. */
+  private def rowMessage(rs: java.sql.ResultSet): Message = {
+    val meta = Option(rs.getString(3))
+      .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
+        classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+    Message(rs.getString(2), meta,
+      Option(rs.getBytes(4)).getOrElse(Array.emptyByteArray),
+      Option(rs.getTimestamp(5)).getOrElse(new Timestamp(0L)))
+  }
+
+  /** One poll tick. Transport-side delayed consumption (the reference
+    * documents this for exactly its SQL transport,
+    * docs/content/advanced/delayed-messages.md:9-41): a row stamped
+    * `delayed_until` in the future is HIDDEN — parked in
+    * `graft_delayed` instead of delivered — and released by
+    * [[releaseDue]] once due. Later undelayed rows are NOT blocked
+    * behind a pending delay (queue semantics; delivery order across a
+    * delay is due-time order, not insert order — same deviation the
+    * reference accepts by hiding rows). */
   private def pollOnce(c: Connection, topic: String): Unit = {
     val from = storedOffset(c, topic)
     val ps = c.prepareStatement(
@@ -300,20 +396,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
       val rs = ps.executeQuery()
       val page = scala.collection.mutable.ArrayBuffer.empty[(Long, Message)]
       try {
-        while (rs.next()) {
-          val meta = Option(rs.getString(3))
-            .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
-              classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
-          page += rs.getLong(1) -> Message(rs.getString(2), meta,
-            Option(rs.getBytes(4)).getOrElse(Array.emptyByteArray),
-            Option(rs.getTimestamp(5)).getOrElse(new Timestamp(0L)))
-        }
+        while (rs.next()) page += rs.getLong(1) -> rowMessage(rs)
       } finally rs.close()
       if (page.nonEmpty) {
-        broker.publish(topic, page.map(_._2).toSeq) // enqueue FIRST …
-        storeOffset(c, topic, page.last._1)          // … ack after (at-least-once)
+        val now = System.currentTimeMillis()
+        val (delayed, ready) = page.map { case (off, m) => (off, m, dueAt(m)) }
+          .partition { case (_, _, due) => due.exists(_.getTime > now) }
+        parkDelayed(c, topic, // park FIRST: crash before offset store re-parks, never loses
+          delayed.map { case (off, _, due) => (off, due.get) }.toSeq)
+        if (ready.nonEmpty)
+          broker.publish(topic, ready.map(_._2).toSeq) // enqueue FIRST …
+        storeOffset(c, topic, page.last._1)            // … ack after (at-least-once)
       }
     } finally ps.close()
+    releaseDue(c, topic)
   }
 
   /** Streaming subscribe: starts (once per topic) a poller tailing the

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions, TextFunctions}
+
+/** Streaming INCREMENTAL near-duplicate dedup — the MinHash-LSH family
+  * as a streaming operator, generalizing the reference's Deduplicator
+  * middleware (message/router/middleware/deduplicator.go:64-81) from
+  * exact content hashes to similarity: a document is dropped when it is
+  * near-identical to anything already RETAINED, within or across
+  * micro-batches.
+  *
+  * Per micro-batch (drive from `foreachBatch`, or any loop of bounded
+  * frames):
+  *   1. MinHash signatures + LSH band keys for the batch (the same
+  *      [[DedupFunctions]] building blocks as the batch path — one
+  *      signature computation per doc);
+  *   2. candidates = batch band keys ∩ the persistent band INDEX
+  *      (parquet under `indexDir`) — a hash-bucket join, never a scan
+  *      of the retained corpus text;
+  *   3. verification by the MinHash Jaccard ESTIMATOR (fraction of
+  *      matching signature components ≥ `minSim`) — banding alone
+  *      would drop on a single colliding band;
+  *   4. within-batch: same verify over intra-bucket pairs; the
+  *      SMALLEST id per similar group survives (earliest-wins, the
+  *      Deduplicator's first-seen rule under a deterministic order);
+  *   5. survivors' (band, band_key, sig) rows APPEND to the index.
+  *
+  * State = the index, and it is bounded two ways: only RETAINED docs
+  * index (duplicates add zero rows — an adversarial duplicate flood
+  * grows nothing), and an optional event-horizon `retention` makes the
+  * join read only rows ingested within the trailing interval — the
+  * watermark analogue of `dropDuplicatesWithinWatermark`, for
+  * "dedup within N days" policies. [[compact]] rewrites the index
+  * dropping expired rows (storage reclaim, same contract as
+  * FilePubSub.compact).
+  *
+  * At cluster scale the index is a parquet table partitioned by band —
+  * the per-batch join shuffles the (small) batch side to the index's
+  * band buckets; the retained corpus never re-shuffles.
+  */
+final class StreamingNearDup(spark: SparkSession, indexDir: String,
+    idCol: String = "doc_id", textCol: String = "text",
+    shingleN: Int = 3, k: Int = 12, r: Int = 2,
+    minSim: Double = 0.7, retention: Option[String] = None) {
+
+  private def hasIndex: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The live view of the index: rows within the retention horizon. */
+  private def indexView(): Option[DataFrame] =
+    if (!hasIndex) None
+    else {
+      val all = spark.read.parquet(indexDir)
+      Some(retention.fold(all)(h =>
+        all.filter(col("ingest_ts") >= current_timestamp() - expr(s"INTERVAL $h"))))
+    }
+
+  /** (id, sig, band, band_key) for every doc in `batch` with enough
+    * text to shingle; too-short docs pass through undeduped (no
+    * signature exists for them — same rule as the batch path's
+    * `size(w) >= n` guard). */
+  private def bandSigs(batch: DataFrame): DataFrame = {
+    val sh = batch.select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col(idCol), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
+    val sig = sh.select(col(idCol),
+      DedupFunctions.minhashSignatureFromHashes(
+        DedupFunctions.baseHashes(col("s"), portable = false), k).as("sig"))
+    DedupFunctions.lshBands(sig, idCol, "sig", k, r).join(sig, Seq(idCol))
+  }
+
+  /** Estimated Jaccard between two k-length signatures: the fraction
+    * of matching components (the MinHash estimator). */
+  private def estSim(s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) =
+    size(filter(zip_with(s1, s2, (a, b) => a === b), x => x)).cast("double") / k
+
+  /** Process one micro-batch: returns the RETAINED subset of `batch`
+    * and appends the survivors' bands to the index. The batch frame
+    * must be bounded (a `foreachBatch` frame, not a streaming plan). */
+  def processBatch(batch: DataFrame): DataFrame = {
+    val bs = bandSigs(batch).persist() // batch-sized; read by 3 consumers
+    try {
+      // cross-batch: similar to any indexed (retained) doc → drop
+      val crossDropped = indexView().map { idx =>
+        bs.join(idx.withColumnRenamed("sig", "idx_sig")
+            .select(col("band"), col("band_key"), col("idx_sig")),
+            Seq("band", "band_key"))
+          .filter(estSim(col("sig"), col("idx_sig")) >= minSim)
+          .select(col(idCol)).distinct()
+      }
+      // within-batch: a doc loses to ANY verified-similar smaller id
+      // (earliest-wins; a chain collapses onto its smallest member —
+      // "similar to something already seen" counts dropped docs as
+      // seen, exactly the Deduplicator's rule)
+      val bucketPairs = bs.groupBy(col("band"), col("band_key"))
+        .agg(collect_list(struct(col(idCol).as("id"), col("sig").as("sg"))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+        .select(explode(col("ms")).as("a"), col("ms"))
+        .select(col("a"), explode(col("ms")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .filter(estSim(col("a.sg"), col("b.sg")) >= minSim)
+      val intraDropped = bucketPairs.select(col("b.id").as(idCol)).distinct()
+      val droppedIds = crossDropped.fold(intraDropped)(_.unionByName(intraDropped))
+        .distinct()
+      val kept = batch.join(droppedIds, Seq(idCol), "left_anti")
+      // index only survivors' bands; duplicates contribute no state
+      bs.join(kept.select(col(idCol)), Seq(idCol))
+        .select(col(idCol), col("band"), col("band_key"), col("sig"),
+          current_timestamp().as("ingest_ts"))
+        .write.mode("append").parquet(indexDir)
+      kept
+    } finally { bs.unpersist(); () }
+  }
+
+  /** Rows currently in the index (state-size observability/tests). */
+  def indexSize(): Long = if (hasIndex) spark.read.parquet(indexDir).count() else 0L
+
+  /** Rewrite the index keeping only rows within the retention horizon
+    * — reclaims storage for long-running pipelines. No-op without a
+    * retention policy or an index. */
+  def compact(): Unit = if (retention.nonEmpty && hasIndex) {
+    val tmp = indexDir + "_compact_tmp"
+    indexView().foreach { live =>
+      live.write.mode("overwrite").parquet(tmp)
+      val conf = spark.sessionState.newHadoopConf()
+      val src = new org.apache.hadoop.fs.Path(tmp)
+      val dst = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = dst.getFileSystem(conf)
+      fs.delete(dst, true)
+      fs.rename(src, dst)
+      ()
+    }
+  }
+}

@@ -145,6 +145,38 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("transport hides delayed rows until due; later rows are not blocked") {
+    val ps = new SqlPubSub(spark, url("sqldelay"), group = "gd", pollIntervalMs = 20)
+    try {
+      val due = java.time.Instant.now().plusMillis(1500)
+      ps.publish("t_delay", Seq(
+        msg("d1", "now"),
+        msg("d2", "later", Map(graft.router.Ctx.DelayedUntil -> due.toString,
+          graft.router.Ctx.DelayedFor -> "1500ms")),
+        msg("d3", "also-now")))
+      val seen = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+      val q = ps.subscribe("t_delay").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqld-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen(r.getAs[String]("uuid")) = true); ()
+        }.start()
+      try {
+        ps.awaitCaughtUp("t_delay"); q.processAllAvailable()
+        // the delayed row is HIDDEN; rows after it flow (no head-of-line block)
+        assert(seen.keySet == Set("d1", "d3"),
+          s"delayed row must be invisible until due, got ${seen.keySet}")
+        // once due, the poller releases it
+        val deadline = System.currentTimeMillis() + 8000
+        while (!seen.contains("d2") && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); q.processAllAvailable()
+        }
+        assert(seen.keySet == Set("d1", "d2", "d3"),
+          s"delayed row must be delivered after its due time, got ${seen.keySet}")
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   test("polling subscribe tails new rows and resumes from the stored offset") {
     val db = url("sqlcdc")
     val ps = new SqlPubSub(spark, db, group = "g1")

@@ -84,4 +84,49 @@ class StreamingCurationSpec extends SparkSpec {
       }
     } finally router.close()
   }
+
+  test("streaming near-dup: cross-batch duplicates dropped, index state bounded") {
+    val src = new MemoryPubSub(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snd-").toString
+    val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5)
+    val nBands = 12 / 2 // default k / r
+    val kept = scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+    val q = src.subscribe("docs_nd").writeStream
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = b.select(col("uuid").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        nd.processBatch(docs).collect()
+          .foreach(r => kept(r.getAs[Long]("doc_id")) = true)
+        ()
+      }.start()
+    def pub(rows: (Long, String)*): Unit = {
+      src.publish("docs_nd", rows.map { case (i, t) =>
+        Message(i.toString, Map.empty, t.getBytes("UTF-8"),
+          new Timestamp(1700000000000L + i))
+      }.toSeq)
+      q.processAllAvailable()
+    }
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val tA2 = tA.replace("home tonight", "home forever") // near-dup, not exact
+    val tB = "colorless green ideas sleep furiously while syntax dreams of semantic rivers flowing"
+    val tC = "spark structured streaming joins minhash bands against a persistent parquet index"
+    try {
+      pub(1L -> tA, 2L -> tB)
+      assert(kept.keySet == Set(1L, 2L), s"batch 1 all new, got ${kept.keySet}")
+      // batch 2: 3 ≈ tA (cross-batch near-dup), 4 new, 5 = tB exactly
+      // (cross-batch), 6 = 4's text (WITHIN-batch, larger id loses)
+      pub(3L -> tA2, 4L -> tC, 5L -> tB, 6L -> tC)
+      assert(kept.keySet == Set(1L, 2L, 4L),
+        s"cross- and within-batch duplicates must drop, got ${kept.keySet}")
+      val stateAfter = nd.indexSize()
+      assert(stateAfter == 3 * nBands,
+        s"index holds RETAINED docs only (3 docs x $nBands bands), got $stateAfter")
+      // a duplicate flood adds zero state and zero survivors
+      pub(7L -> tA, 8L -> tB, 9L -> tC)
+      assert(kept.keySet == Set(1L, 2L, 4L))
+      assert(nd.indexSize() == stateAfter,
+        "duplicates must contribute no index state")
+    } finally q.stop()
+  }
 }
