@@ -15,26 +15,40 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Isolate each query from its predecessors' storage state: drop
-      // every CacheManager entry AND any straggler persisted/local-
-      // checkpointed RDD blocks (dupClusters-style iterative queries
-      // leave small per-round checkpoint RDDs; queries that persist
-      // internal relations leave cache entries that shift the memory
-      // available to the next query). Without this, a query's recorded
-      // time depends on which queries ran before it — r6 recorded q33
-      // at 2.5x its isolated cost for exactly this reason.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      // -1 marks a failed query so the JSON can't mistake it for fast
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Two full passes, per-query MIN: this machine carries bursty
+    // co-tenant load (r5/r6 artifacts were both falsified by isolated
+    // re-runs; a single pass here recorded the same trivial query
+    // anywhere from 1.5 s to 87 s depending on which spike it landed
+    // under). A transient spike can inflate a query in one pass but
+    // almost never the same query in both, so min-of-2 reports the
+    // plan's cost, not the co-tenant's.
+    val passes = (1 to 2).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Isolate each query from its predecessors' storage state: drop
+        // every CacheManager entry AND any straggler persisted/local-
+        // checkpointed RDD blocks (dupClusters-style iterative queries
+        // leave small per-round checkpoint RDDs; queries that persist
+        // internal relations leave cache entries that shift the memory
+        // available to the next query). Without this, a query's recorded
+        // time depends on which queries ran before it — r6 recorded q33
+        // at 2.5x its isolated cost for exactly this reason.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        // -1 marks a failed query so the JSON can't mistake it for fast
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
+    // min over passes; a failure in EITHER pass stays flagged
+    val results = passes.head.zip(passes.last).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -58,7 +72,8 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvg = osBean.getSystemLoadAverage
     val nCpu = osBean.getAvailableProcessors
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
+    val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,4 +69,28 @@ object SamplingFunctions {
     df.withColumn("rk",
         row_number().over(Window.partitionBy(group).orderBy(order, tieBreak)))
       .filter(col("rk") <= n)
+
+  /** Stratified deterministic sampling: a different keep-percentage
+    * per stratum value (e.g. downsample English to 20% while keeping
+    * all low-resource languages). Unlike `DataFrame.sampleBy` this is
+    * hash-derived, not `rand()`-based, so it is stable under AQE
+    * re-plans, task retries, and speculative execution — the property
+    * that makes a 100 TB re-run reproduce the same corpus.
+    *
+    * Scale shape: still a pure scan-level filter — the per-stratum
+    * percentage resolves to a when-chain on the stratum column (no
+    * join, no shuffle, no driver state), so it rides the parquet scan
+    * like [[hashSample]]. Strata absent from `pctByStratum` fall back
+    * to `defaultPct`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int,
+      salt: String = "strat"): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"percent out of range: $p"))
+    val pct = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (v, p)) =>
+        when(stratum === lit(v), lit(p)).otherwise(acc)
+      }
+    df.filter(hashBucket(key, 100, salt) < pct)
+  }
 }

@@ -159,4 +159,36 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, tok) => pmod(acc * lit(1000003L) + pmod(Hashes.md5Long(tok), M), M).cast(LongType))
   }
+
+  // ---- PII scrubbing ------------------------------------------------
+  // Pre-training corpora are scrubbed of emails / phone-ish numbers /
+  // IP addresses before tokenization. Pure regexp_replace chain: rides
+  // the scan inside whole-stage codegen, no UDF, no shuffle — the same
+  // scale shape as the quality filters. Patterns are deliberately
+  // simple RE2/Java-portable forms (high recall on obvious PII, not a
+  // compliance-grade detector — production pipelines layer NER on top).
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** 7+ digit runs, optionally dash/space/dot separated (phone-ish). */
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"
+
+  /** Replace emails, IPv4s, and phone-ish digit runs with typed
+    * placeholder tokens (order matters: IPv4 before phone, or the
+    * digit-run pattern eats dotted quads). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
+  /** Struct of per-kind PII hit counts — the audit twin of
+    * [[redactPii]] (count before you scrub; log what you dropped). */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(EmailPattern)).as("n_email"),
+      regexp_count(text, lit(Ipv4Pattern)).as("n_ip"),
+      regexp_count(regexp_replace(text, lit(Ipv4Pattern), lit("<IP>")),
+        lit(PhonePattern)).as("n_phone"))
 }

@@ -637,7 +637,137 @@ object LlmQueries {
             .as("total_bpe_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang")),
-      None)
+      None),
+
+    // ---- corpus-mix divergence: which tokens differ most between two
+    // source groups (crawl-A vs crawl-B drift detection). Integer
+    // counts only — no log-odds division, so the gate is float-free.
+    // One shuffle with map-side partial agg; the top-k is a
+    // TakeOrdered over the vocabulary, never a full sort ----
+    QuerySpec("q51_source_divergence",
+      (s, dir) => {
+        val a = Seq("src0", "src1", "src2", "src3", "src4")
+        val b = Seq("src5", "src6", "src7", "src8", "src9")
+        t(s, dir, "documents")
+          .filter(col("source").isin((a ++ b).map(x => x: Any): _*))
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(
+            sum(when(col("source").isin(a.map(x => x: Any): _*), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("source").isin(b.map(x => x: Any): _*), 1L).otherwise(0L)).as("n_b"))
+          .withColumn("delta", abs(col("n_a") - col("n_b")))
+          .orderBy(col("delta").desc, col("tok"))
+          .limit(20)
+          .select(col("tok"), col("n_a"), col("n_b"), col("delta"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents
+             |  WHERE source IN ('src0','src1','src2','src3','src4',
+             |                   'src5','src6','src7','src8','src9')),
+             |c AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN source IN ('src5','src6','src7','src8','src9')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM tk GROUP BY tok)
+             |SELECT tok, n_a, n_b, abs(n_a - n_b) AS delta
+             |FROM c ORDER BY delta DESC, tok LIMIT 20""".stripMargin)),
+
+    // ---- stratified deterministic sampling: per-language keep
+    // percentages (downsample the dominant language, keep the rest)
+    // via the portable hash family — same scan-level-filter shape as
+    // q37, zero shuffles before the audit agg. id_sum pins the exact
+    // sampled MEMBERSHIP cross-engine, not just the counts ----
+    QuerySpec("q52_stratified_sample",
+      (s, dir) => SamplingFunctions.stratifiedSample(
+          t(s, dir, "documents"), col("doc_id"), col("lang"),
+          pctByStratum = Map("en" -> 20, "zh" -> 50), defaultPct = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents
+             |WHERE CAST('0x' || substr(md5('strat:' || doc_id), 1, 15) AS BIGINT) % 100 <
+             |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 50 ELSE 100 END
+             |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- per-label embedding norm stats: vector count + argmax-norm
+    // member per label (embedding-space sanity screen: a label whose
+    // max-norm member is an outlier flags bad batches). Doubles stay
+    // INTERNAL — the gate emits only integers; the fold is a
+    // left-to-right IEEE sum in both engines, so the argmax ordering
+    // is bit-reproducible. One shuffle (groupBy label) after a
+    // scan-shaped norm projection ----
+    QuerySpec("q53_norm_argmax",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sq = t(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"),
+            aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq"))
+        sq.withColumn("rk", row_number().over(
+            Window.partitionBy(col("label")).orderBy(col("sq").desc, col("vec_id").desc)))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            max(when(col("rk") === 1, col("vec_id"))).as("top_vec_id"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH sq AS (
+             |  SELECT label, vec_id,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+             |      (acc, x) -> acc + x) AS sq
+             |  FROM embeddings),
+             |r AS (
+             |  SELECT label, vec_id, row_number() OVER (
+             |    PARTITION BY label ORDER BY sq DESC, vec_id DESC) AS rk
+             |  FROM sq)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT) AS top_vec_id
+             |FROM r GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- boilerplate n-gram mining: 5-gram shingles by document
+    // frequency (df >= 2) — the header/footer/template detector that
+    // feeds passage-level dedup. Shingles are distinct-per-doc before
+    // the explode so df counts documents, not occurrences; one shuffle
+    // with partial agg, TakeOrdered top-k ----
+    QuerySpec("q54_boilerplate_ngrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("sh"))
+        .limit(20),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 4),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS sh
+             |  FROM w WHERE len(w) >= 5)
+             |SELECT sh, CAST(count(*) AS BIGINT) AS df
+             |FROM sh GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY df DESC, sh LIMIT 20""".stripMargin)),
+
+    // ---- token-length histogram per language: integer-division
+    // buckets (div, not floating /, so the bucket edges are exact in
+    // both engines). The corpus-shape monitor a mixing pipeline reads
+    // before setting packing lengths — scan + one small shuffle ----
+    QuerySpec("q55_length_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.tokenCount(col("text")).as("tok_n"))
+        .select(col("lang"), least(expr("tok_n div 10"), lit(20L)).as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("bucket")),
+      Some("""SELECT lang,
+             |  least(len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 10, 20) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
   )
 
   /** Fixed dev merges table for q50 — deterministic, versioned with the

@@ -66,6 +66,33 @@ class SamplingSpec extends SparkSpec {
     assert(top == expected)
   }
 
+  test("stratifiedSample: per-stratum rates, subset-of-corpus, deterministic") {
+    val pct = Map("en" -> 20, "zh" -> 50)
+    val s1 = SamplingFunctions.stratifiedSample(
+      docs, col("doc_id"), col("lang"), pct, defaultPct = 100)
+    val s2 = SamplingFunctions.stratifiedSample(
+      docs.repartition(13), col("doc_id"), col("lang"), pct, defaultPct = 100)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "stratified sample must be partitioning-invariant")
+
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en/zh strata fall back to defaultPct=100 -> kept in full
+    total.keys.filterNot(pct.contains).foreach { l =>
+      assert(kept.getOrElse(l, 0L) == total(l), s"default stratum $l must keep all")
+    }
+    // sampled strata land near their configured rate (sf0.001 is tiny,
+    // so the tolerance is wide; membership exactness is pinned by the
+    // q52 oracle's id_sum at sf0.01)
+    pct.foreach { case (l, p) =>
+      val frac = kept.getOrElse(l, 0L).toDouble / total(l)
+      assert(math.abs(frac - p / 100.0) < 0.25, s"$l: expected ~$p%, got $frac")
+    }
+  }
+
   test("native topTokenCount equals the composed HOF form") {
     val both = docs
       .select(TextFunctions.tokens(col("text")).as("tk"))
