@@ -11,8 +11,21 @@ import org.apache.spark.sql.SparkSession
   * microsecond TIMESTAMP on read.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  /** Shuffle/spill scratch on tmpfs when available: this container's
+    * root disk is shared with co-tenants and stalls unpredictably
+    * (97% CPU-idle load spikes, pure iowait), which turned bench
+    * numbers into noise. RAM-backed scratch takes the contended device
+    * out of every shuffle write. On a real cluster this maps to the
+    * standard practice of pointing spark.local.dir at fast local
+    * NVMe, never the shared/network volume. */
+  private def scratchDir: Option[String] = {
+    val d = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+    if ((d.isDirectory || d.mkdirs()) && d.canWrite) Some(d.getAbsolutePath) else None
+  }
+
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,6 +38,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
 
   /** Production state-store: RocksDB-backed, for stateful streaming
     * whose key space outgrows executor heap (dedup/counter/correlation

@@ -70,6 +70,21 @@ object SamplingFunctions {
         row_number().over(Window.partitionBy(group).orderBy(order, tieBreak)))
       .filter(col("rk") <= n)
 
+  /** Deterministic "reservoir": a uniform random-LOOKING k docs per
+    * group, derived from the portable hash instead of `rand()` — the
+    * reproducible version of per-group reservoir sampling (eyeball
+    * samples, eval slices, debugging corpora). Hash order is uniform
+    * over keys and independent of the data's physical order, so the k
+    * survivors are an unbiased draw; same corpus => same sample on
+    * every re-run, any cluster size.
+    *
+    * Scale shape: identical to [[quotaPerGroup]] — one shuffle on
+    * `group`, WindowGroupLimit bounds hot groups, output ≤ |groups|·k. */
+  def reservoirPerGroup(df: DataFrame, group: Column, key: Column,
+      n: Int, salt: String = "resv"): DataFrame =
+    quotaPerGroup(df, group,
+      Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))).asc, key.asc, n)
+
   /** Stratified deterministic sampling: a different keep-percentage
     * per stratum value (e.g. downsample English to 20% while keeping
     * all low-resource languages). Unlike `DataFrame.sampleBy` this is
@@ -92,5 +107,44 @@ object SamplingFunctions {
         when(stratum === lit(v), lit(p)).otherwise(acc)
       }
     df.filter(hashBucket(key, 100, salt) < pct)
+  }
+
+  /** Mixture (data-mixing) sampling: downsample each stratum toward a
+    * TARGET SHARE of the corpus (basis points out of 10000), the
+    * static-mixing primitive behind domain-reweighted training sets.
+    * A stratum's keep-rate is `min(1, share·total/n_stratum)` — groups
+    * above their target share are thinned to it, groups at/below keep
+    * everything (shares then renormalize over what exists). Strata
+    * absent from `targetBp` are dropped. All arithmetic is integer
+    * (basis points, `div`), all membership is portable-hash-derived —
+    * the whole draw reproduces bit-for-bit across engines and re-runs.
+    *
+    * Scale shape: one column-pruned pass over `stratum` for the
+    * per-group counts (a |strata|-row aggregate), broadcast of those
+    * rates back, then a scan-level hash filter. The corpus itself
+    * never shuffles. */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+      targetBp: Map[String, Int], salt: String = "mix"): DataFrame = {
+    targetBp.values.foreach(bp =>
+      require(bp >= 0 && bp <= 10000, s"share out of range: $bp bp"))
+    // per-stratum counts: a |strata|-row aggregate over the pruned
+    // stratum column; the global-total window runs over those few rows
+    val counts = df.groupBy(stratum.cast("string").as("graft_stratum"))
+      .agg(count(lit(1)).as("graft_n_g"))
+    val bpCol = targetBp.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (v, bp)) =>
+        when(col("graft_stratum") === lit(v), lit(bp.toLong)).otherwise(acc)
+      }
+    val rates = counts
+      .withColumn("graft_total", sum(col("graft_n_g")).over(Window.partitionBy(lit(1))))
+      .withColumn("graft_target_bp", bpCol)
+      .withColumn("graft_rate_bp",
+        least(lit(10000L), expr("(graft_target_bp * graft_total) div graft_n_g")))
+      .select(col("graft_stratum"), col("graft_rate_bp"))
+    df.withColumn("graft_stratum", stratum.cast("string"))
+      .join(broadcast(rates), Seq("graft_stratum"))
+      .filter(pmod(Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))),
+        lit(10000L)) < col("graft_rate_bp"))
+      .drop("graft_stratum", "graft_rate_bp")
   }
 }

@@ -767,7 +767,48 @@ object LlmQueries {
       Some("""SELECT lang,
              |  least(len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 10, 20) AS bucket,
              |  CAST(count(*) AS BIGINT) AS n_docs
-             |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
+    // ---- deterministic per-group reservoir: a uniform k-doc draw per
+    // source in portable-hash order — reproducible eyeball/eval
+    // slices. Emits the full membership (not an aggregate): the gate
+    // pins the exact draw cross-engine ----
+    QuerySpec("q56_reservoir",
+      (s, dir) => SamplingFunctions.reservoirPerGroup(
+          t(s, dir, "documents"), col("source"), col("doc_id"), n = 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             |    ORDER BY CAST('0x' || substr(md5('resv:' || doc_id), 1, 15) AS BIGINT),
+             |             doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, doc_id FROM r WHERE rk <= 5
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- mixture sampling toward equal language shares: the static
+    // data-mixing primitive (downsample dominant strata to a target
+    // share, keep the rest). Integer basis-point arithmetic + portable
+    // hash membership — the whole draw reproduces bit-for-bit. id_sum
+    // pins exact membership ----
+    QuerySpec("q57_mixture_sample",
+      (s, dir) => SamplingFunctions.mixtureSample(
+          t(s, dir, "documents"), col("doc_id"), col("lang"),
+          targetBp = Map("en" -> 2000, "de" -> 2000, "es" -> 2000,
+            "fr" -> 2000, "zh" -> 2000))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n_g) AS total FROM c),
+             |r AS (SELECT lang, least(10000, (2000 * total) // n_g) AS rate_bp
+             |      FROM c, t)
+             |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents d JOIN r USING (lang)
+             |WHERE CAST('0x' || substr(md5('mix:' || doc_id), 1, 15) AS BIGINT) % 10000
+             |  < rate_bp
+             |GROUP BY 1 ORDER BY d.lang""".stripMargin))
   )
 
   /** Fixed dev merges table for q50 — deterministic, versioned with the

@@ -93,6 +93,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("reservoirPerGroup: exactly k per group, deterministic, order-independent") {
+    val r1 = SamplingFunctions.reservoirPerGroup(docs, col("source"), col("doc_id"), 3)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r2 = SamplingFunctions.reservoirPerGroup(
+        docs.orderBy(col("n_chars")), col("source"), col("doc_id"), 3)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r1 == r2, "draw must not depend on input order")
+    val perGroup = r1.groupBy(_._1).view.mapValues(_.size).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perGroup.getOrElse(src, 0) == math.min(3L, n),
+        s"$src: expected ${math.min(3L, n)} drawn, got ${perGroup.getOrElse(src, 0)}")
+    }
+  }
+
+  test("mixtureSample thins over-share strata toward the target and keeps the rest") {
+    // en dominates this corpus; equal 20% shares => en thinned, others whole
+    val target = Map("en" -> 2000, "de" -> 2000, "es" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    val out = SamplingFunctions.mixtureSample(docs, col("doc_id"), col("lang"), target)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = total.values.sum.toDouble
+    total.foreach { case (l, n) =>
+      if (n / corpus <= 0.2)
+        assert(kept.getOrElse(l, 0L) == n, s"under-share stratum $l must keep all")
+      else
+        assert(kept.getOrElse(l, 0L) < n, s"over-share stratum $l must be thinned")
+    }
+    // output schema untouched (helper columns dropped)
+    assert(out.columns.toSet == docs.columns.toSet)
+    // deterministic across physical order
+    val k2 = SamplingFunctions.mixtureSample(
+        docs.repartition(7), col("doc_id"), col("lang"), target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == k2)
+  }
+
   test("native topTokenCount equals the composed HOF form") {
     val both = docs
       .select(TextFunctions.tokens(col("text")).as("tk"))
