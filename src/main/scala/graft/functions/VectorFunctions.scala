@@ -147,6 +147,81 @@ object VectorFunctions {
         maxBucket).select(col("d1"), col("d2")),
       maxIter)
 
+  /** Within-cluster near-dup pairs under a k-means partition — the
+    * candidate generator SemDeDup actually describes: cluster the
+    * embeddings (spherical k-means, [[ivfTrain]]), then verify exact
+    * cosine only WITHIN each cluster. Complementary to
+    * [[cosineNearDupBucketed]]'s SRP banding, which prunes well only
+    * at high thresholds (per-hyperplane collision for a true pair is
+    * `1-acos(t)/π`; at t≈0.4 even 2-bit bands collide ~40% of ALL
+    * pairs, so banding degenerates toward all-pairs-plus-shuffles).
+    * K-means candidate volume is Σ|cell|²/2 ≈ n²/2k at ANY threshold —
+    * a k× reduction the operator controls directly — at the cost of
+    * missing pairs that straddle a cell boundary (the recall loss
+    * SemDeDup accepts by construction; duplicated/identical vectors
+    * share a nearest centroid and are never split).
+    *
+    * Scale shape: one assignment pass (centroids are a k×dim driver
+    * model riding the plan as a single reference object), one shuffle
+    * on the cell id, bounded per-cell collection; each unordered pair
+    * appears exactly once (a vector has one cell), so no distinct. */
+  def kmeansNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, cents: Array[Array[Double]],
+      maxCluster: Int = 100000, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= cents.length, "probes out of range")
+    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
+    val base = vecs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) === dim)
+    // probes > 1 is multi-assignment: each vector joins its `probes`
+    // nearest cells, recovering pairs that straddle a cell boundary —
+    // the dominant recall loss at LOW thresholds, where "near-dups"
+    // sit far from cell centers. At the SemDeDup production threshold
+    // (>= 0.9) duplicates hug their centroid and probes=1 suffices.
+    val assigned =
+      if (probes == 1)
+        base.select(col("id"), nearestCentroid(unit(col("v")), cents).as("cell"))
+      else
+        base.select(col("id"),
+          explode(topCentroids(unit(col("v")), cents, probes)).as("cell"))
+    val members = BoundedCollect.longs(col("id").cast("long"), maxCluster)
+    val cand0 = assigned.groupBy(col("cell"))
+      .agg(members.as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(col("ms")).as("d1"), col("ms"))
+      .select(col("d1"), explode(col("ms")).as("d2"))
+      .filter(col("d1") < col("d2"))
+    // single assignment => each pair appears at most once (one cell per
+    // vector) and the distinct shuffle is pure cost; multi-assignment
+    // can emit a pair from up to `probes` shared cells
+    val cand = if (probes == 1) cand0 else cand0.distinct()
+    val s1 = base.select(col("id").as("d1"), col("v").as("v1"))
+      .withColumn("n1", l2Norm(col("v1")))
+    val s2 = base.select(col("id").as("d2"), col("v").as("v2"))
+      .withColumn("n2", l2Norm(col("v2")))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** SemDeDup as published: k-means partition → within-cluster exact
+    * verification → connected-component clusters. The LOW/ANY-threshold
+    * production form of q44 (see [[kmeansNearDupPairs]] for why SRP
+    * banding stops pruning at low thresholds). Candidate volume is
+    * n²/2k regardless of threshold; k scales with the corpus (keep
+    * n/k ≈ the cell size one executor comfortably verifies), and the
+    * centroid model stays a k×dim driver object. */
+  def semanticDedupKmeans(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, k: Int, iters: Int = 3,
+      maxCluster: Int = 100000, maxIter: Int = 10, probes: Int = 1): DataFrame = {
+    val cents = ivfTrain(vecs, vecCol, dim, k, iters)
+    DedupFunctions.dupClusters(
+      kmeansNearDupPairs(vecs, idCol, vecCol, dim, threshold, cents, maxCluster,
+        probes).select(col("d1"), col("d2")),
+      maxIter)
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Spherical k-means centroids — the IVF coarse quantizer. The model

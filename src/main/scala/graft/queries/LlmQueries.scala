@@ -808,7 +808,29 @@ object LlmQueries {
              |FROM documents d JOIN r USING (lang)
              |WHERE CAST('0x' || substr(md5('mix:' || doc_id), 1, 15) AS BIGINT) % 10000
              |  < rate_bp
-             |GROUP BY 1 ORDER BY d.lang""".stripMargin))
+             |GROUP BY 1 ORDER BY d.lang""".stripMargin)),
+
+    // ---- semantic dedup, K-MEANS scale path (SemDeDup as published):
+    // spherical k-means partition -> within-cell exact verification ->
+    // connected components. The low/any-threshold production form —
+    // SRP banding (q49) prunes only at high thresholds, while the
+    // k-means partition cuts candidate volume to n²/2k at ANY
+    // threshold. No DuckDB oracle (centroid init derives from
+    // xxhash64); anchored by q44's exact hash-matched twin plus
+    // DedupPropertySpec subset/recall/determinism properties ----
+    QuerySpec("q58_semantic_dedup_kmeans",
+      // probes=2 because the anchor threshold is LOW (0.4, forced by
+      // this synthetic data — no pairs exist above cosine 0.8): at 0.4
+      // near-dups sit near cell boundaries, and multi-assignment
+      // recovers them (measured at sf0.01: 0.31 pair-recall with
+      // probes=1 vs 0.80 with probes=2 at 24% of all-pairs cost). In
+      // the production regime (t >= 0.9) duplicates hug their centroid
+      // and probes=1 is the right call.
+      (s, dir) => VectorFunctions.semanticDedupKmeans(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, k = 16, probes = 2)
+        .orderBy(col("doc_id")),
+      None)
   )
 
   /** Fixed dev merges table for q50 — deterministic, versioned with the

@@ -292,6 +292,49 @@ class DedupPropertySpec extends SparkSpec {
     assert(again == bucketed)
   }
 
+  test("semanticDedupKmeans: pairs subset-of-exact, planted duplicates co-cluster, deterministic") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat))
+    }
+    // exact copies: identical vectors share a nearest centroid by
+    // construction, so the k-means partition can never split them
+    val planted = for {
+      (g, ids) <- Seq(0 -> Seq(100L, 101L), 1 -> Seq(200L, 201L, 202L), 2 -> Seq(300L))
+      id <- ids
+    } yield (id, base(g)._2)
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = VectorFunctions.ivfTrain(vecs, "embedding", dim = 16, k = 4)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = pairSet(VectorFunctions.kmeansNearDupPairs(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9, cents))
+    // multi-probe widens candidates but stays exact-verified: still a
+    // subset of exact, and a superset of the single-probe pairs
+    val km2 = pairSet(VectorFunctions.kmeansNearDupPairs(
+      vecs, "vec_id", "embedding", dim = 16, threshold = 0.9, cents, probes = 2))
+    assert(km.subsetOf(km2) && km2.subsetOf(pairSet(
+      VectorFunctions.cosineNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9))))
+    val exact = pairSet(VectorFunctions.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9))
+    assert(km.subsetOf(exact), "within-cell verified pairs must never exceed the exact set")
+    Seq((0L, 100L), (0L, 101L), (1L, 200L), (2L, 300L)).foreach { p =>
+      assert(km.contains(p), s"identical pair $p shares its nearest centroid and must be recalled")
+    }
+    val clusters = VectorFunctions.semanticDedupKmeans(
+        vecs, "vec_id", "embedding", dim = 16, threshold = 0.9, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(Seq(0L, 100L, 101L), Seq(1L, 200L, 201L, 202L), Seq(2L, 300L)).foreach { g =>
+      val roots = g.map(clusters.get).toSet
+      assert(roots.size == 1 && roots.head.nonEmpty, s"planted group $g split: $roots")
+    }
+    // deterministic end-to-end (hash-seeded centroid init, no RNG)
+    val again = VectorFunctions.semanticDedupKmeans(
+        vecs, "vec_id", "embedding", dim = 16, threshold = 0.9, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == clusters)
+  }
+
   test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
     val stop = Seq("the", "a", "of")
     val clean = "the quick brown fox runs over a hill of green grass"
