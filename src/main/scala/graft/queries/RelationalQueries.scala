@@ -379,6 +379,48 @@ object RelationalQueries {
              |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
              |SELECT c.event_id, c.user_id, c.value, v.value AS asof_value
              |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- latest-wins compaction (CDC/upsert materialization): one
+    // surviving row per key = the newest by (ts, event_id). The state
+    // compaction a changelog consumer runs before serving reads; one
+    // shuffle on the key, WindowGroupLimit prunes the rank
+    // materialization ----
+    QuerySpec("q59_latest_event",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_id, event_type, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+             |  FROM events)
+             |SELECT user_id, event_id AS last_event_id, event_type AS last_type
+             |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- exact multi-distinct cardinality profile: per event type,
+    // event count + distinct users + distinct active days. Exercises
+    // the expand-based multi-distinct aggregate (each COUNT(DISTINCT)
+    // gets its own partial-dedup lane — still one shuffle round-trip,
+    // no driver involvement). The exact twin of an HLL profile; at
+    // 100 TB swap approx_count_distinct in when ±2% is acceptable ----
+    QuerySpec("q60_cardinality_profile",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(to_date(col("ts"))).as("n_days"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
