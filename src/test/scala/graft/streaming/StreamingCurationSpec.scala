@@ -129,4 +129,37 @@ class StreamingCurationSpec extends SparkSpec {
         "duplicates must contribute no index state")
     } finally q.stop()
   }
+
+  test("streaming quota: cumulative per-key budget across batches, deterministic, compactable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-squota").toString + "/state"
+    val quota = new StreamingQuota(spark, dir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 3)
+    def batch(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1: srcA has 2 of budget 3, srcB exceeds within one batch
+    val b1 = quota.admit(batch(1L -> "a", 2L -> "a",
+      10L -> "b", 11L -> "b", 12L -> "b", 13L -> "b", 14L -> "b"))
+    assert(ids(b1) == Set(1L, 2L, 10L, 11L, 12L),
+      s"b must cap at 3 lowest doc_ids, got ${ids(b1)}")
+
+    // batch 2: srcA has 1 left; srcB is exhausted; new key c admits
+    val b2 = quota.admit(batch(3L -> "a", 4L -> "a", 15L -> "b", 20L -> "c"))
+    assert(ids(b2) == Set(3L, 20L), s"got ${ids(b2)}")
+
+    // batch 3: everything exhausted except c
+    val b3 = quota.admit(batch(5L -> "a", 16L -> "b", 21L -> "c", 22L -> "c"))
+    assert(ids(b3) == Set(21L, 22L), s"got ${ids(b3)}")
+
+    // state folds without changing the admitted ledger
+    quota.compact()
+    val usedAfter = quota.used().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(usedAfter == Map("a" -> 3L, "b" -> 3L, "c" -> 3L), s"got $usedAfter")
+    // post-compact admissions still see the exhausted budgets
+    val b4 = quota.admit(batch(6L -> "a", 23L -> "c"))
+    assert(ids(b4).isEmpty, s"budgets exhausted, got ${ids(b4)}")
+  }
 }
