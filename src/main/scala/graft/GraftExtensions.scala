@@ -61,6 +61,9 @@ object GraftExtensions {
     unary("graft_md5_prefix_long",
       "graft_md5_prefix_long(str) - first 60 bits of md5 as a non-negative LONG (portable hash family)")(
       e => Md5PrefixLongExpr(Cast(e, BinaryType))),
+    unary("graft_deflate_ratio",
+      "graft_deflate_ratio(str) - deflate(BEST_SPEED) compressed/raw size; repetitive text compresses low")(
+      e => DeflateRatioExpr(Cast(e, BinaryType))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> columns (sequential fold)"),

@@ -37,6 +37,29 @@ object HashUtil {
     v >>> 4
   }
 
+  // Deflater is stateful native code; one per task thread, reset per
+  // call. Fixed level + strategy => deterministic bytes for an input.
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  /** compressed-size / raw-size under deflate(BEST_SPEED) — the
+    * compressibility quality signal (boilerplate and repetitive spam
+    * compress far below ~0.4; natural prose sits ~0.5-0.8; random
+    * bytes exceed 1 with header overhead). Empty input => 1.0. */
+  def deflateRatio(bytes: Array[Byte]): Double = {
+    if (bytes.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
   /** Count maximal runs of ASCII `[a-z0-9]` bytes. UTF-8-safe: every
     * continuation/multi-byte unit has bit 7 set and exits the class. */
   def tokenRuns(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -319,6 +342,21 @@ case class Md5PrefixLongExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Prefix60($c)")
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixLongExpr =
+    copy(child = newChild)
+}
+
+/** Deflate-compressibility of a BINARY column — the CCNet/Gopher-style
+  * repetitiveness signal no composed expression can produce (zlib is
+  * not expressible in Catalyst built-ins). Codegen'd scalar; the
+  * thread-local Deflater amortizes native-object setup across rows. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.deflateRatio(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
     copy(child = newChild)
 }
 

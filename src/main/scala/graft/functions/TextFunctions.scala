@@ -183,6 +183,16 @@ object TextFunctions {
         lit(Ipv4Pattern), lit("<IP>")),
       lit(PhonePattern), lit("<PHONE>"))
 
+  /** Deflate-compressibility (compressed/raw bytes, BEST_SPEED): the
+    * CCNet/Gopher-style repetitiveness signal — boilerplate and spam
+    * compress far below natural prose. Native codegen'd expression
+    * ([[DeflateRatioExpr]]); zlib is not expressible in built-ins. */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DeflateRatioExpr(
+      ColumnBridge.expression(text.cast("binary"))))
+  }
+
   /** Struct of per-kind PII hit counts — the audit twin of
     * [[redactPii]] (count before you scrub; log what you dropped). */
   def piiCounts(text: Column): Column =

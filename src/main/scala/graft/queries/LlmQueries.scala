@@ -818,6 +818,21 @@ object LlmQueries {
     // threshold. No DuckDB oracle (centroid init derives from
     // xxhash64); anchored by q44's exact hash-matched twin plus
     // DedupPropertySpec subset/recall/determinism properties ----
+    // ---- compressibility screen: per-source doc counts below the
+    // repetitiveness threshold (deflate ratio < 0.35 — boilerplate/
+    // spam). No DuckDB oracle (zlib isn't SQL-expressible); anchored
+    // by PiiSpec-style crafted-row assertions in TextQualitySpec.
+    // Scan-shaped: the native expression rides the parquet read ----
+    QuerySpec("q61_compressibility",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.compressionRatio(col("text")).as("cr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cr") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy(col("source")),
+      None),
+
     QuerySpec("q58_semantic_dedup_kmeans",
       // probes=2 because the anchor threshold is LOW (0.4, forced by
       // this synthetic data — no pairs exist above cosine 0.8): at 0.4
