@@ -31,20 +31,33 @@ object Pipeline {
       minTokens: Int = 5, qualityFloor: Double = 0.3,
       benchmark: Option[DataFrame] = None,
       quotaPerSource: Option[Int] = None,
-      splitPcts: Option[(Int, Int)] = Some((80, 10))): Result = {
+      splitPcts: Option[(Int, Int)] = Some((80, 10)),
+      scrubPii: Boolean = false,
+      crFloor: Option[Double] = None,
+      mixtureBp: Option[Map[String, Int]] = None): Result = {
     val stop = Seq("the", "a", "of", "and", "to")
+
+    // 0. PII scrub BEFORE dedup/fingerprinting, so two docs differing
+    //    only in redacted spans hash identically downstream
+    val scrubbed =
+      if (!scrubPii) docs
+      else docs.withColumn("text", TextFunctions.redactPii(col("text")))
 
     // 1. exact dedup: survivors of the hash-group (one shuffle)
     val exactKeepers = DedupFunctions
-      .exactDedup(docs, "text", "doc_id")
+      .exactDedup(scrubbed, "text", "doc_id")
       .select(col("keeper_id").as("doc_id"))
-    val unique = docs.join(exactKeepers, Seq("doc_id"))
+    val unique = scrubbed.join(exactKeepers, Seq("doc_id"))
 
-    // 2. quality gate: pure column predicates, evaluated in the scan stage
+    // 2. quality gate: pure column predicates, evaluated in the scan
+    //    stage; the optional compressibility floor drops boilerplate
+    //    (deflate ratio below crFloor = repetitive spam)
     val quality = unique
       .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
       .withColumn("q", TextFunctions.qualityScore(col("text"), stop))
       .filter(col("n_tok") >= minTokens && col("q") >= qualityFloor)
+      .transform(d => crFloor.fold(d)(f =>
+        d.filter(TextFunctions.compressionRatio(col("text")) >= f)))
 
     // 3. near-dup clusters over the survivors; drop all but each
     //    cluster's canonical (min-id) member
@@ -76,10 +89,16 @@ object Pipeline {
       SamplingFunctions.quotaPerGroup(clean, col("source"),
         col("q").desc, col("doc_id").asc, n).drop("rk"))
 
+    // 5b. mixture rebalance toward target language shares (basis
+    //     points) — deterministic hash membership, AFTER dedup/decon
+    //     so the draw reflects the corpus that actually ships
+    val mixed = mixtureBp.fold(capped)(target =>
+      SamplingFunctions.mixtureSample(capped, col("doc_id"), col("lang"), target))
+
     // 6. deterministic split stamped on the row (no second pass; equal
     //    doc ids always co-assign — post-dedup leakage safety)
-    val kept = splitPcts.fold(capped) { case (tr, va) =>
-      capped.withColumn("split",
+    val kept = splitPcts.fold(mixed) { case (tr, va) =>
+      mixed.withColumn("split",
         SamplingFunctions.splitColumn(col("doc_id"), tr, va))
     }
 
