@@ -818,6 +818,66 @@ object LlmQueries {
     // threshold. No DuckDB oracle (centroid init derives from
     // xxhash64); anchored by q44's exact hash-matched twin plus
     // DedupPropertySpec subset/recall/determinism properties ----
+    // ---- context-window chunking: split each doc's token stream into
+    // fixed-width chunks (the materialization step before sequence
+    // packing, q41) — emits one row per chunk with its width and a
+    // portable fingerprint. Scan-shaped: tokens materialize once per
+    // doc, the explode fans out chunk indices, no shuffle until the
+    // presentation sort ----
+    QuerySpec("q62_chunking",
+      (s, dir) => {
+        val C = 16
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .withColumn("n", size(col("tk")))
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0), expr(s"(n - 1) div $C").cast("int")))
+              .as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            slice(col("tk"), col("chunk_idx") * C + 1, lit(C)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tok"),
+            md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+             |c AS (
+             |  SELECT doc_id, i AS chunk_idx, tk[(i*16 + 1):(i*16 + 16)] AS chunk
+             |  FROM tk, unnest(generate_series(0, (len(tk) - 1) // 16)) AS u(i))
+             |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             |  CAST(len(chunk) AS BIGINT) AS n_tok,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- token-rarity scoring: per doc, the sum of each token's
+    // GLOBAL corpus frequency (low sum/token = rare vocabulary — the
+    // integer-safe core of a unigram-LM surprisal score; the division
+    // into a mean happens downstream where cross-engine rounding
+    // doesn't gate). Two passes over the exploded tokens: one partial-
+    // agg shuffle builds the vocab, one join scores docs against it ----
+    QuerySpec("q63_token_rarity",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        toks.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("tf_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents),
+             |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(tf) AS BIGINT) AS tf_sum
+             |FROM toks JOIN vocab USING (tok)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ---- compressibility screen: per-source doc counts below the
     // repetitiveness threshold (deflate ratio < 0.35 — boilerplate/
     // spam). No DuckDB oracle (zlib isn't SQL-expressible); anchored
