@@ -161,6 +161,20 @@ object VecUtil {
     s
   }
 
+  /** SRP bucket id: sign bit per hyperplane, packed little-endian.
+    * The planes are a plan-time model (like the IVF centroids) — one
+    * pass over the vector per plane, no per-row hashing. */
+  def srpBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < planes.length) {
+      if (dotRow(v, planes(b)) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Argmax-similarity centroid index; ties break to the HIGHER index —
     * the exact semantics of the composed
     * `array_max(array(struct(sim, idx)...)).idx` form it replaces, so
@@ -302,6 +316,27 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
     defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.nearestCentroid($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+/** SRP bucket id against a hyperplane matrix carried as a plan
+  * reference object — one vector pass per plane. Replaces a composed
+  * form that re-derived every hyperplane component with a per-element
+  * xxhash64 inside `aggregate(zip_with(...))` for EVERY ROW (the
+  * planes are row-independent): at sf0.1 that was ~5M interpreted
+  * lambda re-entries per band table and dominated the q49 scan. */
+case class SrpBucketExpr(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_bucket"
+  protected override def nullSafeEval(input: Any): Any =
+    VecUtil.srpBucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.srpBucket($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketExpr =
     copy(child = newChild)
 }
 

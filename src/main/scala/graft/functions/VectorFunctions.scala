@@ -319,21 +319,31 @@ object VectorFunctions {
   }
 
   /** Sign-random-projection bucket id (LSH for cosine): `nBits`
-    * deterministic pseudo-random hyperplanes derived from xxhash64 of
-    * (seed, dim index) — no stored model, reproducible on any cluster.
-    * Vectors in the same bucket are candidate near-neighbors; probing
-    * only the query's bucket turns O(N) scans into O(N / 2^nBits).
-    */
+    * deterministic pseudo-random ±1 hyperplanes derived from a
+    * splitmix64 mix of (seed, bit, dim index) — no stored model,
+    * reproducible on any cluster. Vectors in the same bucket are
+    * candidate near-neighbors; probing only the query's bucket turns
+    * O(N) scans into O(N / 2^nBits).
+    *
+    * The planes are ROW-INDEPENDENT, so they are materialized ONCE at
+    * plan-construction time and ride the plan as a single reference
+    * object ([[SrpBucketExpr]], same pattern as the IVF centroids).
+    * The previous composed form re-derived every component with a
+    * per-element xxhash64 inside `aggregate(zip_with(...))` for every
+    * row — ~5M interpreted lambda re-entries per band table at sf0.1,
+    * dominating the bucketed-dedup scan stage. */
   def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Int = 42): Column = {
-    val bits = (0 until nBits).map { b =>
-      // hyperplane component h[d] in {-1,+1} from a portable hash
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (v, d) => v * (pmod(xxhash64(lit(seed), lit(b), d), lit(2L)) * 2 - 1).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    val planes = Array.tabulate(nBits, dim) { (b, d) =>
+      // splitmix64 finalizer over the (seed, bit, dim) triple
+      var z = seed.toLong * 0x9E3779B97F4A7C15L +
+        b.toLong * 0xBF58476D1CE4E5B9L + d.toLong * 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) -1.0 else 1.0
     }
-    bits.reduce((a, b) => a + b)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SrpBucketExpr(ColumnBridge.expression(vec), planes))
   }
 
   /** IVF-style ANN: bucket corpus and queries by [[srpBucket]], join on
