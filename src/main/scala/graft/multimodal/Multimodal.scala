@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   * JVM analogue of an Arrow-batched Python UDF), so blobs never leave
   * executors and the driver only ever sees plan metadata.
   *
-  * STUB BOUNDARY — clearly marked: this container has no image/audio
-  * codec libraries, so the compressed-format DECODE step
-  * ([[MediaCodec.decodeImage]] / [[MediaCodec.decodeAudio]] /
-  * [[MediaCodec.videoFrameOffsets]]) parses a deterministic fake
-  * container format ("GIMG"/"GAUD"/"GVID") instead of JPEG/WAV/MP4.
-  * A production build swaps exactly these three functions for real
-  * codecs (ImageIO/JNI); everything downstream — resize, pooling,
+  * DECODE SUPPORT — uncompressed standard formats decode for REAL in
+  * pure JVM with zero codec dependencies: binary PPM (`P6`) and
+  * uncompressed 24-bit BMP images, PCM-16 WAV audio (multi-channel
+  * averaged to mono). The remaining STUB BOUNDARY — clearly marked —
+  * is compressed formats only: JPEG/PNG/WebP, MP3/FLAC, and MP4
+  * container indexes ([[MediaCodec.videoFrameOffsets]] parses the
+  * "GVID" test container), because this build environment has no
+  * codec libraries. A production build adds codec branches at exactly
+  * those dispatch points; everything downstream — resize, pooling,
   * RMS energy, frame explode, partition packing — is real arithmetic
-  * over the decoded arrays and is tested as such.
+  * over the decoded arrays and is tested as such. Deterministic test
+  * containers ("GIMG"/"GAUD"/"GVID") remain for compressed-path
+  * plumbing tests.
   */
 object MediaCodec {
 
@@ -63,27 +67,148 @@ object MediaCodec {
 
   final case class Pixels(width: Int, height: Int, channels: Int, data: Array[Byte])
 
-  /** STUB — swap for a real JPEG/PNG decoder in production. Parses the
-    * GIMG fake container; throws on anything else (poison-queue
-    * routing handles corrupt blobs upstream). */
+  /** Image decode, dispatching on magic bytes:
+    *  - `P6`   — binary PPM (netpbm), REAL decode, zero dependencies;
+    *  - `BM`   — uncompressed 24-bit BMP, REAL decode (bottom-up rows,
+    *             4-byte row padding, BGR→RGB);
+    *  - `GIMG` — the deterministic test container;
+    *  - anything else (JPEG/PNG/WebP — compressed formats needing a
+    *    codec library this build environment lacks) throws: the
+    *    remaining STUB BOUNDARY. Poison-queue routing handles rejects
+    *    upstream; a production build adds codec branches here. */
   def decodeImage(bytes: Array[Byte]): Pixels = {
-    val buf = ByteBuffer.wrap(bytes)
-    val magic = new Array[Byte](4); buf.get(magic)
-    require(new String(magic, "US-ASCII") == "GIMG", "not a GIMG blob (stub decoder)")
-    val w = buf.getInt; val h = buf.getInt; val c = buf.get().toInt
-    val px = new Array[Byte](w * h * c); buf.get(px)
-    Pixels(w, h, c, px)
+    require(bytes.length >= 4, "image blob too short")
+    if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G') {
+      val buf = ByteBuffer.wrap(bytes); buf.position(4)
+      val w = buf.getInt; val h = buf.getInt; val c = buf.get().toInt
+      val px = new Array[Byte](w * h * c); buf.get(px)
+      Pixels(w, h, c, px)
+    } else throw new IllegalArgumentException(
+      "unsupported image format (compressed formats are the stub boundary: " +
+        "this build decodes P6 PPM, 24-bit BMP, and the GIMG test container)")
   }
 
-  /** STUB — swap for a real WAV/FLAC decoder in production. */
+  /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    * `#`-comment and whitespace handling, then w*h RGB byte triples. */
+  private def decodePpm(bytes: Array[Byte]): Pixels = {
+    var pos = 2 // past "P6"
+    def nextInt(): Int = {
+      // skip whitespace and # comments
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+    require(maxv == 255, s"only 8-bit PPM supported, maxval=$maxv")
+    pos += 1 // single whitespace after maxval per spec
+    val px = new Array[Byte](w * h * 3)
+    System.arraycopy(bytes, pos, px, 0, px.length)
+    Pixels(w, h, 3, px)
+  }
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows are bottom-up
+    * (negative height = top-down), padded to 4 bytes, pixels BGR. */
+  private def decodeBmp24(bytes: Array[Byte]): Pixels = {
+    val buf = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24-bit BMP supported (bpp=$bpp, compression=$compression)")
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOffset + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        px(d) = bytes(s + 2)     // R
+        px(d + 1) = bytes(s + 1) // G
+        px(d + 2) = bytes(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, 3, px)
+  }
+
+  /** Audio decode, dispatching on magic bytes:
+    *  - `RIFF..WAVE` — PCM 16-bit WAV, REAL decode (chunk walk,
+    *    channels averaged to mono);
+    *  - `GAUD` — the deterministic test container;
+    *  - anything else (MP3/FLAC/OGG) throws: the stub boundary. */
   def decodeAudio(bytes: Array[Byte]): (Int, Array[Short]) = {
-    val buf = ByteBuffer.wrap(bytes)
-    val magic = new Array[Byte](4); buf.get(magic)
-    require(new String(magic, "US-ASCII") == "GAUD", "not a GAUD blob (stub decoder)")
-    val rate = buf.getInt; val n = buf.getInt
-    val out = new Array[Short](n)
-    var i = 0; while (i < n) { out(i) = buf.getShort; i += 1 }
-    (rate, out)
+    require(bytes.length >= 4, "audio blob too short")
+    if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      decodeWavPcm16(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'A' && bytes(2) == 'U' && bytes(3) == 'D') {
+      val buf = ByteBuffer.wrap(bytes); buf.position(4)
+      val rate = buf.getInt; val n = buf.getInt
+      val out = new Array[Short](n)
+      var i = 0; while (i < n) { out(i) = buf.getShort; i += 1 }
+      (rate, out)
+    } else throw new IllegalArgumentException(
+      "unsupported audio format (compressed formats are the stub boundary: " +
+        "this build decodes PCM-16 WAV and the GAUD test container)")
+  }
+
+  /** RIFF/WAVE walk: `fmt ` must declare PCM (format 1) at 16 bits;
+    * multi-channel frames average to mono (standard feature-extraction
+    * downmix). */
+  private def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "RIFF blob is not WAVE")
+    var pos = 12
+    var rate = -1; var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(body).toInt
+          require(fmt == 1, s"only PCM WAV supported, format=$fmt")
+          channels = buf.getShort(body + 2).toInt
+          rate = buf.getInt(body + 4)
+          val bits = buf.getShort(body + 14).toInt
+          require(bits == 16, s"only 16-bit PCM supported, bits=$bits")
+        case "data" =>
+          require(rate > 0, "WAV data chunk before fmt chunk")
+          val nFrames = size / (2 * channels)
+          samples = new Array[Short](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0
+            var c = 0
+            while (c < channels) { acc += buf.getShort(body + (f * channels + c) * 2); c += 1 }
+            samples(f) = (acc / channels).toShort
+            f += 1
+          }
+        case _ => () // skip LIST/INFO/etc chunks
+      }
+      pos = body + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null, "WAV has no data chunk")
+    (rate, samples)
   }
 
   /** STUB — a real build reads container indexes (mp4 moov). Returns

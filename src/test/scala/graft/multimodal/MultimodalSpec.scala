@@ -110,4 +110,62 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageFeatures(df).collect()
     }
   }
+
+  test("REAL decode: binary PPM with comments parses to exact pixels") {
+    // 2x2 RGB: red, green / blue, white — with a header comment
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val p = MediaCodec.decodeImage(header ++ px)
+    assert(p.width == 2 && p.height == 2 && p.channels == 3)
+    assert(p.data.toSeq == px.toSeq)
+  }
+
+  test("REAL decode: 24-bit BMP handles bottom-up rows, padding, and BGR order") {
+    // 2x2, rows padded to 4 bytes (2*3=6 -> 8). Logical top row:
+    // red green; bottom row: blue white. BMP stores bottom row FIRST,
+    // channels as BGR.
+    val rowBottom = Array[Int](255, 0, 0, /*blue BGR*/ 255, 255, 255, /*white*/ 0, 0)
+    val rowTop = Array[Int](0, 0, 255, /*red BGR*/ 0, 255, 0, /*green BGR*/ 0, 0)
+    val pxData = (rowBottom ++ rowTop).map(_.toByte)
+    val dataOffset = 54
+    val fileSize = dataOffset + pxData.length
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(dataOffset)
+    buf.putInt(40).putInt(2).putInt(2) // header size, width, height (bottom-up)
+      .putShort(1).putShort(24).putInt(0).putInt(pxData.length)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(pxData)
+    val p = MediaCodec.decodeImage(buf.array())
+    assert(p.width == 2 && p.height == 2 && p.channels == 3)
+    // row-major RGB from the TOP: red, green, blue, white
+    val expected = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    assert(p.data.toSeq == expected.toSeq)
+  }
+
+  test("REAL decode: PCM-16 WAV parses rate and downmixes stereo to mono") {
+    val samplesL = Array[Short](1000, 2000, -3000)
+    val samplesR = Array[Short](3000, 0, -1000)
+    val nFrames = 3; val channels = 2; val rate = 8000
+    val dataBytes = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes).putInt(dataBytes)
+    (0 until nFrames).foreach { i => buf.putShort(samplesL(i)).putShort(samplesR(i)) }
+    val (r, mono) = MediaCodec.decodeAudio(buf.array())
+    assert(r == rate)
+    assert(mono.toSeq == Seq[Short](2000, 1000, -2000), s"got ${mono.toSeq}")
+  }
+
+  test("real-format blobs flow through the distributed feature pipeline") {
+    val ppm = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(48)(i => (i * 5).toByte)
+    val df = Seq((1L, ppm, "image/x-portable-pixmap")).toDF("media_id", "bytes", "mime")
+    val feats = Multimodal.imageFeatures(df, gridDim = 2).collect()
+    assert(feats.length == 1 && feats.head.embedding.length == 12)
+  }
 }
