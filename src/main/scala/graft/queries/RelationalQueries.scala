@@ -421,6 +421,52 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- hierarchical rollup: per (type, day), per type, and grand
+    // total in ONE pass (Expand-based — each input row fans to its
+    // grouping sets before the single shuffle; no re-scan per level).
+    // NULL grouping keys order first in both engines by explicit
+    // direction ----
+    QuerySpec("q64_rollup",
+      // rollup NULL keys surface as a '(all)' sentinel: the compare
+      // harness sorts row tuples, and None is unorderable against
+      // strings — sentinel-ize in BOTH engines instead
+      (s, dir) => t(s, dir, "events")
+        .rollup(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("d").cast("string"), lit("(all)")).as("d"), col("n"))
+        .orderBy(col("event_type"), col("d")),
+      Some("""WITH r AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY ROLLUP(event_type, d))
+             |SELECT coalesce(event_type, '(all)') AS event_type,
+             |  coalesce(CAST(d AS VARCHAR), '(all)') AS d, n
+             |FROM r ORDER BY event_type, d""".stripMargin)),
+
+    // ---- ntile bucketing: users quartiled by total event value —
+    // the cohort-assignment window (one shuffle for the per-user agg,
+    // one ordered window over the small user set) ----
+    QuerySpec("q65_ntile",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("quartile", ntile(4).over(
+          Window.orderBy(col("n_events").desc, col("user_id"))))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+        .orderBy(col("quartile")),
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1),
+             |q AS (
+             |  SELECT n_events, ntile(4) OVER (
+             |    ORDER BY n_events DESC, user_id) AS quartile
+             |  FROM u)
+             |SELECT quartile, CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(n_events) AS BIGINT) AS total_events
+             |FROM q GROUP BY 1 ORDER BY quartile""".stripMargin))
   )
 }
