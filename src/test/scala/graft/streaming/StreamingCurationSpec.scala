@@ -130,6 +130,46 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CurationStages compose: PII scrub + decontaminate + quality route in one handler") {
+    import org.apache.spark.sql.Dataset
+    val clean = "the quick value of a table scan is the key to fast query group work"
+    val pii = s"email bob@example.com says: $clean"
+    val contaminated = "benchmark question one two three four five six seven"
+    val bench: Dataset[String] = Seq("held-out benchmark question one two three four five six").toDS()
+    val benchHashes = CurationStages.benchmarkHashes(bench)
+    assert(benchHashes.nonEmpty)
+
+    val src = new MemoryPubSub(spark)
+    val sink = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    router.addHandler("curate2", "in2", src, "rejected", sink,
+      Middlewares.passthrough,
+      stages = Seq(
+        CurationStages.redactPii,
+        CurationStages.decontaminate(benchHashes),
+        CurationStages.minTokens(5),
+        CurationStages.qualityRoute(stop, floor, LlmQueries.LangMarkers)))
+    router.run()
+    try {
+      src.publish("in2", Seq(
+        Message("pii", Map.empty, pii.getBytes("UTF-8"), new Timestamp(1700000000000L)),
+        Message("contam", Map.empty, contaminated.getBytes("UTF-8"), new Timestamp(1700000000000L)),
+        Message("short", Map.empty, "tiny".getBytes("UTF-8"), new Timestamp(1700000000000L))))
+      router.processAllAvailable()
+      val delivered = Seq("kept_en", "rejected").flatMap(t =>
+        sink.subscribeBatch(t).collect().map(r =>
+          r.getAs[String]("uuid") -> new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+      val byId = delivered.toMap
+      // contaminated doc shares a 5-gram with the benchmark -> dropped
+      assert(!byId.contains("contam"), s"contaminated doc must not ship: $byId")
+      // short doc dropped by the token floor
+      assert(!byId.contains("short"))
+      // PII doc survives but redacted
+      assert(byId.contains("pii") && byId("pii").contains("<EMAIL>") &&
+        !byId("pii").contains("@"), s"got ${byId.get("pii")}")
+    } finally router.close()
+  }
+
   test("streaming quota: cumulative per-key budget across batches, deterministic, compactable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-squota").toString + "/state"
     val quota = new StreamingQuota(spark, dir,
