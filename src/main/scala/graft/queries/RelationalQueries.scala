@@ -467,6 +467,22 @@ object RelationalQueries {
              |  FROM u)
              |SELECT quartile, CAST(count(*) AS BIGINT) AS n_users,
              |  CAST(sum(n_events) AS BIGINT) AS total_events
-             |FROM q GROUP BY 1 ORDER BY quartile""".stripMargin))
+             |FROM q GROUP BY 1 ORDER BY quartile""".stripMargin)),
+
+    // ---- join-key skew profile: group-size histogram by decimal
+    // magnitude — the pre-flight audit before choosing plain shuffle
+    // vs broadcast vs salting vs AQE skew split. Column-pruned scan
+    // of just the key + two aggregations ----
+    QuerySpec("q66_key_skew_profile",
+      (s, dir) => graft.functions.Diagnostics
+        .keyLoadProfile(t(s, dir, "events"), col("user_id")),
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT CAST(length(CAST(n AS VARCHAR)) AS INTEGER) AS magnitude,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(n) AS BIGINT) AS max_group,
+             |  CAST(sum(n) AS BIGINT) AS n_rows
+             |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin))
   )
 }
