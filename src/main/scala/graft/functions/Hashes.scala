@@ -340,6 +340,28 @@ case class SrpBucketExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Membership probe against a Bloom filter carried as a plan reference
+  * object — the corpus-scale decontamination/anti-join filter: when
+  * the "drop if present" set outgrows an array literal or a
+  * comfortable broadcast hash relation, ship a fixed-size sketch
+  * instead and accept the (tunable) false-positive rate. Codegen'd;
+  * same reference-object pattern as the IVF centroids. */
+case class BloomContainsExpr(child: Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  protected override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bf", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
+    copy(child = newChild)
+}
+
 /** Top-`nProbes` centroid indices by similarity (sim DESC, idx DESC) —
   * the multi-probe companion of [[NearestCentroidExpr]]. */
 case class TopCentroidsExpr(child: Expression, cents: Array[Array[Double]],
@@ -431,6 +453,11 @@ object Hashes {
   /** Fast salted 64-bit hash (xxhash64, codegen'd) — the production
     * MinHash hash family; not oracle-portable. */
   def fastLong(c: Column, salt: Int): Column = xxhash64(lit(salt), c)
+
+  /** Bloom membership probe of a LONG column ([[BloomContainsExpr]]). */
+  def bloomContains(c: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomContainsExpr(ColumnBridge.expression(c), bf))
 
   /** Content hash used by exact dedup: hex md5 (engine-portable). */
   def contentHash(c: Column): Column = md5(c.cast(BinaryType))

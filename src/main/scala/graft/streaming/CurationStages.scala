@@ -85,10 +85,35 @@ object CurationStages {
   def benchmarkHashes(bench: Dataset[String]): Seq[Long] = {
     val spark = bench.sparkSession
     import spark.implicits._
+    benchmarkHashFrame(bench).as[Long].collect().toSeq
+  }
+
+  private def benchmarkHashFrame(bench: Dataset[String]) =
     bench.toDF("text")
       .select(TextFunctions.words(col("text")).as("w"))
       .select(explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("sh"))
       .select(Hashes.md5Long(col("sh")).as("h")).distinct()
-      .as[Long].collect().toSeq
-  }
+
+  /** [[decontaminate]]'s CORPUS-SCALE form: when the held-out set's
+    * n-gram space outgrows an array literal, carry a fixed-size Bloom
+    * sketch instead ([[Hashes.bloomContains]]) — membership stays a
+    * stateless per-row expression valid on unbounded streams, at the
+    * cost of `fpp` false drops (tunable; false positives DROP clean
+    * docs, never leak contaminated ones — the conservative direction
+    * for decontamination). */
+  def decontaminateBloom(bf: org.apache.spark.util.sketch.BloomFilter): Stages.Stage =
+    ds => ds.toDF()
+      .withColumn("_w", TextFunctions.words(text))
+      .withColumn("_sh", TextFunctions.shinglesFromWords(col("_w"), 5))
+      .filter(!exists(transform(col("_sh"), s => Hashes.md5Long(s)),
+        h => Hashes.bloomContains(h, bf)))
+      .drop("_w", "_sh")
+      .as[Message](msgEnc)
+
+  /** Build the Bloom sketch for [[decontaminateBloom]] from a
+    * benchmark corpus — distributed aggregation (`stat.bloomFilter`),
+    * only the fixed-size sketch reaches the driver. */
+  def benchmarkBloom(bench: Dataset[String], expectedNgrams: Long,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    benchmarkHashFrame(bench).stat.bloomFilter("h", expectedNgrams, fpp)
 }

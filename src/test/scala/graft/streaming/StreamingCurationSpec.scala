@@ -170,6 +170,35 @@ class StreamingCurationSpec extends SparkSpec {
     } finally router.close()
   }
 
+  test("decontaminateBloom: sketch-backed drop agrees with the exact literal set") {
+    import org.apache.spark.sql.Dataset
+    val bench: Dataset[String] =
+      Seq("held-out benchmark question one two three four five six").toDS()
+    val bf = CurationStages.benchmarkBloom(bench, expectedNgrams = 64)
+    val exact = CurationStages.benchmarkHashes(bench).toSet
+    // the sketch admits every true member (no false negatives)
+    exact.foreach(h => assert(bf.mightContainLong(h), s"missing true member $h"))
+
+    val contaminated = "benchmark question one two three four five six seven"
+    val clean = "the quick value of a table scan is the key to fast query group"
+    val src = new MemoryPubSub(spark)
+    val sink = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    router.addHandler("bloomdecon", "in3", src, "out3", sink,
+      Middlewares.passthrough, stages = Seq(CurationStages.decontaminateBloom(bf)))
+    router.run()
+    try {
+      src.publish("in3", Seq(
+        Message("contam", Map.empty, contaminated.getBytes("UTF-8"),
+          new Timestamp(1700000000000L)),
+        Message("clean", Map.empty, clean.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))))
+      router.processAllAvailable()
+      val got = sink.subscribeBatch("out3").collect().map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("clean"), s"bloom decon delivered $got")
+    } finally router.close()
+  }
+
   test("streaming quota: cumulative per-key budget across batches, deterministic, compactable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-squota").toString + "/state"
     val quota = new StreamingQuota(spark, dir,
