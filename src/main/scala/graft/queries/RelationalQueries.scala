@@ -483,6 +483,54 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n_keys,
              |  CAST(max(n) AS BIGINT) AS max_group,
              |  CAST(sum(n) AS BIGINT) AS n_rows
-             |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin)),
+
+    // ---- pivot (wide counts): per-user event-type matrix with an
+    // EXPLICIT value list (schema fixed at plan time — the open-ended
+    // form needs a values-discovery pre-pass and is an anti-pattern
+    // at scale). One shuffle; pivot lowers to conditional aggregation,
+    // which is exactly what the oracle spells out ----
+    QuerySpec("q67_pivot",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+             |FROM events WHERE user_id < 40
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- ordered funnel: per-stage user counts where each stage must
+    // happen AFTER the previous one for that user (view -> click ->
+    // purchase). One shuffle (user), three conditional min-ts
+    // aggregates, then a single-row count roll-up ----
+    QuerySpec("q68_funnel",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        .agg(
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("t_buy") > col("t_click") && col("t_click") > col("t_view"), 1L)
+            .otherwise(0L)).as("n_full_funnel")),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+             |  FROM events GROUP BY 1)
+             |SELECT
+             |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+             |  CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM u""".stripMargin))
   )
 }
