@@ -878,6 +878,64 @@ object LlmQueries {
              |FROM toks JOIN vocab USING (tok)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ---- bigram collocations: top adjacent-token pairs — the
+    // phrase-mining signal (template detection at finer grain than
+    // q54's 5-grams). Pairs come from one zip of the token array with
+    // its own tail (no self-join, no second tokenize); one shuffle
+    // with partial agg, TakeOrdered top-20 ----
+    QuerySpec("q69_bigrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        // equal-length slices (head n-1, tail n-1): zip_with pads the
+        // shorter side with null, and concat_ws SKIPS nulls — uneven
+        // slices would smuggle a unigram row in for the last token
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20),
+      Some("""WITH tk AS (
+             |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+             |b AS (
+             |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+             |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+             |  FROM tk)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // ---- exact per-group median by rank pick (no percentile_cont —
+    // interpolation rounding is engine-specific; the middle-element
+    // pick is integer-exact in both): the doc-length center a packing
+    // pipeline reads. One shuffle + ranked window ----
+    QuerySpec("q70_median_length",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("tok_n"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("tok_n"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .filter(expr("rk = (n_g + 1) div 2")) // div, not `/` (double)
+          .select(col("lang"), col("n_g").as("n_docs"), col("tok_n").as("median_tok"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok_n
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, tok_n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY tok_n, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS n_g
+             |  FROM t)
+             |SELECT lang, n_g AS n_docs, tok_n AS median_tok
+             |FROM r WHERE rk = (n_g + 1) // 2 ORDER BY lang""".stripMargin)),
+
     // ---- compressibility screen: per-source doc counts below the
     // repetitiveness threshold (deflate ratio < 0.35 — boilerplate/
     // spam). No DuckDB oracle (zlib isn't SQL-expressible); anchored
