@@ -22,8 +22,10 @@ object Bench {
     // under). A transient spike can inflate a query in one pass but
     // almost never the same query in both, so min-of-2 reports the
     // plan's cost, not the co-tenant's.
-    val passes = (1 to 2).map { _ =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def runPass(): (Seq[(String, Double)], Double) = {
+      var loadMax = osBean.getSystemLoadAverage
+      val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // Isolate each query from its predecessors' storage state: drop
         // every CacheManager entry AND any straggler persisted/local-
         // checkpointed RDD blocks (dupClusters-style iterative queries
@@ -34,6 +36,7 @@ object Bench {
         // at 2.5x its isolated cost for exactly this reason.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        loadMax = math.max(loadMax, osBean.getSystemLoadAverage)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -43,12 +46,49 @@ object Bench {
         // -1 marks a failed query so the JSON can't mistake it for fast
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      (times, loadMax)
     }
-    // min over passes; a failure in EITHER pass stays flagged
-    val results = passes.head.zip(passes.last).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // Contamination guard: min-of-2 is beaten by SUSTAINED co-tenant
+    // load covering both passes (r7's recorded artifact shipped one
+    // query at 7.5x its isolated cost that way, with pass totals
+    // 685/480 s — a 1.43x divergence). Two signals, both recorded in
+    // the artifact with the full per-pass evidence:
+    //   1. pass-total divergence: the two best full-pass totals differ
+    //      >1.35x (catches the observed 1.43x case; a strict 1.5x
+    //      would have missed it);
+    //   2. per-query dispersion: the MEDIAN over non-trivial queries
+    //      (min >= 0.2 s) of max/min across the two best passes
+    //      exceeds 2x — sustained load inflates both passes so the
+    //      totals can agree while individual queries scatter wildly.
+    // Divergent totals trigger one extra full pass (min-of-3); if the
+    // two cleanest passes still disagree, "contaminated": true tells
+    // the consumer not to bank per-query numbers without an isolated
+    // re-check (graft.tools.Time).
+    var passRuns = Vector(runPass(), runPass())
+    def totals = passRuns.map(_._1.map(_._2).filter(_ >= 0).sum)
+    def divergent(ts: Seq[Double]): Boolean = {
+      val s = ts.sorted
+      s.nonEmpty && s.head > 0 && s(math.min(1, s.size - 1)) > s.head * 1.35
     }
-    val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
+    val extraPass = divergent(totals)
+    if (extraPass) passRuns :+= runPass()
+    val passes = passRuns.map(_._1)
+    // the two passes with the smallest totals = the cleanest evidence
+    val bestTwo = passes.zip(totals).sortBy(_._2).take(2).map(_._1)
+    val pairRatios = bestTwo.head.indices.flatMap { i =>
+      val ts = bestTwo.map(_(i)._2)
+      if (ts.forall(_ >= 0.2)) Some(ts.max / ts.min) else None
+    }.sorted
+    val medianPairRatio =
+      if (pairRatios.isEmpty) 1.0 else pairRatios(pairRatios.size / 2)
+    val contaminated = divergent(totals.sorted.take(2)) || medianPairRatio > 2.0
+    // min over passes; a failure in ANY pass stays flagged
+    val results = passes.head.indices.map { i =>
+      val name = passes.head(i)._1
+      val ts = passes.map(_(i)._2)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val passTotals = totals
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -69,11 +109,14 @@ object Bench {
     // machine-load context: 1-minute OS load average (and CPU count)
     // so a contaminated run is visible IN the artifact — r5/r6 both
     // recorded numbers later falsified as co-tenant load noise
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvg = osBean.getSystemLoadAverage
     val nCpu = osBean.getAvailableProcessors
     val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
+    val passQueriesJson = passes.map(p =>
+      p.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val passLoadJson = passRuns.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,6 +84,7 @@ object SamplingFunctions {
       n: Int, salt: String = "resv"): DataFrame =
     quotaPerGroup(df, group,
       Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))).asc, key.asc, n)
+      .drop("rk") // internal rank — "k docs per group" keeps the input schema
 
   /** Stratified deterministic sampling: a different keep-percentage
     * per stratum value (e.g. downsample English to 20% while keeping

@@ -194,11 +194,17 @@ object TextFunctions {
   }
 
   /** Struct of per-kind PII hit counts — the audit twin of
-    * [[redactPii]] (count before you scrub; log what you dropped). */
+    * [[redactPii]] (count before you scrub; log what you dropped).
+    * Phones are counted on text with emails AND IPv4s already replaced,
+    * mirroring redactPii's replacement order — otherwise a digit-heavy
+    * email local part (5551234567@host.com) double-counts as a phone. */
   def piiCounts(text: Column): Column =
     struct(
       regexp_count(text, lit(EmailPattern)).as("n_email"),
       regexp_count(text, lit(Ipv4Pattern)).as("n_ip"),
-      regexp_count(regexp_replace(text, lit(Ipv4Pattern), lit("<IP>")),
+      regexp_count(
+        regexp_replace(
+          regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+          lit(Ipv4Pattern), lit("<IP>")),
         lit(PhonePattern)).as("n_phone"))
 }

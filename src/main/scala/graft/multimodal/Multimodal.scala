@@ -183,6 +183,11 @@ object MediaCodec {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
       val body = pos + 8
+      // the chunk size is untrusted input: a negative or oversized value
+      // would stall (size = -8 leaves pos fixed) or walk pos backwards —
+      // an executor hang instead of the exception poison-routing expects
+      require(size >= 0 && body + size <= bytes.length,
+        s"corrupt WAV chunk '$id' at $pos: size=$size, blob=${bytes.length}")
       id match {
         case "fmt " =>
           val fmt = buf.getShort(body).toInt

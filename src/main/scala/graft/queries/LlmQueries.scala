@@ -963,8 +963,78 @@ object LlmQueries {
           t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.4, k = 16, probes = 2)
         .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // ---- semantic dedup scale paths in their PRODUCTION regime
+    // (t = 0.9), hash-matched. The synthetic embeddings have no
+    // natural pair above cosine 0.85 (measured at every SF), so the
+    // queries PLANT duplicate groups the oracle can reproduce exactly:
+    // every 20th vector gains two exact copies at offset ids. Exact
+    // copies make recall deterministic for both paths — identical
+    // vectors share every SRP bucket and every nearest centroid — so
+    // the gate pins the full pipeline (banding/cell shuffle → bounded
+    // buckets → exact verify → pointer-jump clustering) against the
+    // all-pairs DuckDB closure, in the regime where the pruning is
+    // real (at t=0.9/nBits=8 a random pair collides in a band with
+    // p≈1e-8 vs ~0.9 per planted pair; see PLANS.md regime map).
+    // Near-miss (0.95-0.99) recall and the candidate-volume bound are
+    // SemanticDedupScaleSpec's job — floats that close to the
+    // threshold have no business in a cross-engine hash gate. ----
+    QuerySpec("q71_semantic_dedup_scale_hi",
+      (s, dir) => VectorFunctions.semanticDedupBucketed(
+          plantedDupCorpus(t(s, dir, "embeddings")), "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nBits = 8, bands = 4)
+        .orderBy(col("doc_id")),
+      Some(PlantedDupOracle)),
+
+    QuerySpec("q72_semantic_dedup_kmeans_hi",
+      // probes=1: in the production regime duplicates hug their
+      // centroid (and exact copies share it), so single assignment is
+      // both sufficient and the n²/2k-candidate configuration
+      (s, dir) => VectorFunctions.semanticDedupKmeans(
+          plantedDupCorpus(t(s, dir, "embeddings")), "vec_id", "embedding",
+          dim = 64, threshold = 0.9, k = 16, probes = 1)
+        .orderBy(col("doc_id")),
+      Some(PlantedDupOracle))
   )
+
+  /** Every 20th embedding gains two EXACT copies at offset ids — the
+    * planted-duplicate corpus behind q71/q72. Derived in-plan (scan +
+    * filter + union: no shuffle, no driver data) so the same
+    * construction runs at any SF, and mirrored verbatim by
+    * [[PlantedDupOracle]]. */
+  private def plantedDupCorpus(e: org.apache.spark.sql.DataFrame) = {
+    val dups = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+    e.unionByName(dups.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      .unionByName(dups.withColumn("vec_id", col("vec_id") + lit(2000000L)))
+  }
+
+  /** Exact all-pairs + recursive closure over the planted corpus —
+    * shared by q71/q72 (both scale paths must reproduce the same exact
+    * answer). Same closure shape as q44's oracle. (`lazy`: `specs`
+    * above references this during object init — a strict val here
+    * would still be null at that point.) */
+  private lazy val PlantedDupOracle =
+    """WITH RECURSIVE
+      |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id, v FROM e0
+      |      UNION ALL SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 20 = 0
+      |      UNION ALL SELECT vec_id + 2000000, v FROM e0 WHERE vec_id % 20 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM c a JOIN c b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM p
+      |  UNION SELECT d2, d1 FROM p
+      |  UNION SELECT d1, d1 FROM p
+      |  UNION SELECT d2, d2 FROM p),
+      |reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** Fixed dev merges table for q50 — deterministic, versioned with the
     * code; production pipelines load published merges

@@ -38,10 +38,30 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     keyCol: String, orderCol: String, tieCol: String, budget: Int) {
   require(budget > 0, "budget must be positive")
 
+  private def fs = new org.apache.hadoop.fs.Path(stateDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
   private def hasState: Boolean = {
+    recoverCompact()
     val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Crash recovery for [[compact]]: if a crash landed between "old
+    * state renamed aside" and "compacted dir renamed into place", the
+    * live dir is missing but the fully-materialized `.compact` sibling
+    * (or the untouched `.old`) holds the budgets — adopt it rather than
+    * silently resetting every key's budget to zero. */
+  private def recoverCompact(): Unit = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) fs.rename(tmp, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    // leftovers from a completed (or recovered) compact are dead state
+    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
   }
 
   /** Cumulative admitted count per key (the fold of all deltas);
@@ -76,9 +96,15 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     val tmp = stateDir + ".compact"
     u.select(col(keyCol), col("graft_used").as("n"))
       .repartition(1).write.mode("overwrite").parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(stateDir))
+    // crash-safe swap: the live state is renamed ASIDE (not deleted)
+    // before the compacted dir takes its place, so every crash point
+    // leaves either the live dir or a recoverable sibling that
+    // [[recoverCompact]] adopts on the next read — a crash can never
+    // silently reset budgets and over-admit exhausted keys on restart
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    fs.delete(old, true)
   }
 }

@@ -48,4 +48,14 @@ class PiiSpec extends SparkSpec {
     assert(c(4) == ((0, 0, 0)))
     assert(c(5) == ((0, 0, 0)))
   }
+
+  test("digit-heavy email local parts count as email only, not phone") {
+    // redactPii consumes the email first, so its digits never reach the
+    // phone pattern — piiCounts must mirror that replacement order
+    val c = Seq("reach 5551234567@host.com today").toDF("text")
+      .select(TextFunctions.piiCounts(col("text")).as("c"))
+      .select("c.n_email", "c.n_ip", "c.n_phone")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(c(0) == ((1, 0, 0)), s"got ${c(0)}")
+  }
 }

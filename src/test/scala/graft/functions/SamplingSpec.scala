@@ -94,6 +94,10 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("reservoirPerGroup: exactly k per group, deterministic, order-independent") {
+    // the sample keeps the input schema — the internal rank column must
+    // not leak into the result
+    assert(SamplingFunctions.reservoirPerGroup(docs, col("source"), col("doc_id"), 3)
+      .columns.toSeq == docs.columns.toSeq)
     val r1 = SamplingFunctions.reservoirPerGroup(docs, col("source"), col("doc_id"), 3)
       .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val r2 = SamplingFunctions.reservoirPerGroup(

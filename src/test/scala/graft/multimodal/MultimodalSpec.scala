@@ -161,6 +161,22 @@ class MultimodalSpec extends SparkSpec {
     assert(mono.toSeq == Seq[Short](2000, 1000, -2000), s"got ${mono.toSeq}")
   }
 
+  test("corrupt WAV chunk sizes throw instead of hanging the chunk walk") {
+    // size = -8 would leave pos fixed forever without the guard; an
+    // oversized size would read past the blob. Both must throw (the
+    // exception is what routes the blob to the poison queue).
+    def wav(chunkSize: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+      buf.put("junk".getBytes).putInt(chunkSize)
+      buf.array()
+    }
+    val neg = intercept[IllegalArgumentException] { MediaCodec.decodeAudio(wav(-8)) }
+    assert(neg.getMessage.contains("corrupt WAV chunk"))
+    intercept[IllegalArgumentException] { MediaCodec.decodeAudio(wav(1 << 20)) }
+  }
+
   test("real-format blobs flow through the distributed feature pipeline") {
     val ppm = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
       Array.tabulate(48)(i => (i * 5).toByte)

@@ -231,4 +231,36 @@ class StreamingCurationSpec extends SparkSpec {
     val b4 = quota.admit(batch(6L -> "a", 23L -> "c"))
     assert(ids(b4).isEmpty, s"budgets exhausted, got ${ids(b4)}")
   }
+
+  test("streaming quota: a crash mid-compact cannot silently reset budgets") {
+    // Simulate every crash point of compact()'s swap by hand-arranging
+    // the dirs it leaves behind; the next read must adopt the sibling
+    // rather than starting from hasState=false (which would over-admit
+    // exhausted keys on restart).
+    import java.nio.file.{Files, Paths}
+    def mkQuota() = {
+      val dir = Files.createTempDirectory("graft-squota-crash").toString + "/state"
+      (dir, new StreamingQuota(spark, dir,
+        keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 2))
+    }
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // crash point A: live dir renamed aside, compacted dir not yet in
+    // place — only ".old" exists
+    val (dirA, qa) = mkQuota()
+    qa.admit(batch(1L -> "a", 2L -> "a"))
+    Files.move(Paths.get(dirA), Paths.get(dirA + ".old"))
+    assert(ids(qa.admit(batch(3L -> "a"))).isEmpty,
+      "budget must survive a crash after the aside-rename")
+
+    // crash point B: compacted dir fully written, live dir gone — only
+    // ".compact" exists
+    val (dirB, qb) = mkQuota()
+    qb.admit(batch(1L -> "a", 2L -> "a"))
+    Files.move(Paths.get(dirB), Paths.get(dirB + ".compact"))
+    assert(ids(qb.admit(batch(3L -> "a"))).isEmpty,
+      "budget must survive a crash before the into-place rename")
+  }
 }
