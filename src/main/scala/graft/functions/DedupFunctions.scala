@@ -351,6 +351,12 @@ object DedupFunctions {
     var labels = current
     var converged = false
     var i = 0
+    // the PREVIOUS round's checkpoint RDD: its blocks are dead the
+    // moment the next round materializes, but ContextCleaner only
+    // reclaims them at some future GC — a long-chain call would hold
+    // O(rounds) block sets in the meantime. Track and free explicitly
+    // so live checkpoint storage is bounded at ONE round's labels.
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && i < maxIter) {
       // Each node takes the min of its neighbors' labels. The node's
       // PREVIOUS label rides the self-loop row (b === a carries
@@ -393,6 +399,13 @@ object DedupFunctions {
         .localCheckpoint(true)
       val changed = next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
       current.unpersist(); prop.unpersist()
+      // `next` is eager, so the previous round's blocks are now
+      // unreachable from any live plan — free them instead of waiting
+      // for a GC cycle (unpersisting a truncated-lineage RDD is final,
+      // which is exactly why it only happens AFTER the next round
+      // materialized)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = checkpointRdd(next)
       current = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
@@ -417,6 +430,15 @@ object DedupFunctions {
     edges.unpersist()
     labels
   }
+
+  /** The block-holding RDD behind a `localCheckpoint(true)`-ed frame
+    * (its analyzed plan is a `LogicalRDD` leaf). None for any other
+    * plan shape — callers then simply skip the explicit free. */
+  private def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 
   /** Keeper selection over [[dupClusters]]: one row per cluster with
     * the canonical (minimum-id) keeper and the cluster size. */

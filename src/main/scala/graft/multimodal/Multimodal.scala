@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * JVM analogue of an Arrow-batched Python UDF), so blobs never leave
   * executors and the driver only ever sees plan metadata.
   *
-  * DECODE SUPPORT — uncompressed standard formats decode for REAL in
-  * pure JVM with zero codec dependencies: binary PPM (`P6`) and
-  * uncompressed 24-bit BMP images, PCM-16 WAV audio (multi-channel
-  * averaged to mono). The remaining STUB BOUNDARY — clearly marked —
-  * is compressed formats only: JPEG/PNG/WebP, MP3/FLAC, and MP4
-  * container indexes ([[MediaCodec.videoFrameOffsets]] parses the
-  * "GVID" test container), because this build environment has no
-  * codec libraries. A production build adds codec branches at exactly
+  * DECODE SUPPORT — standard formats expressible in pure JVM decode
+  * for REAL with zero codec dependencies: binary PPM (`P6`),
+  * uncompressed 24-bit BMP, and non-interlaced 8-bit PNG
+  * (grayscale/RGB/RGBA — zlib via `java.util.zip.Inflater` + the five
+  * spec filters) images; PCM-16 WAV audio (multi-channel averaged to
+  * mono). The remaining STUB BOUNDARY — clearly marked — is formats
+  * needing external codec libraries: JPEG/WebP, palette/16-bit/
+  * interlaced PNG, MP3/FLAC, and MP4 container indexes
+  * ([[MediaCodec.videoFrameOffsets]] parses the "GVID" test
+  * container). A production build adds codec branches at exactly
   * those dispatch points; everything downstream — resize, pooling,
   * RMS energy, frame explode, partition packing — is real arithmetic
   * over the decoded arrays and is tested as such. Deterministic test
@@ -71,23 +73,28 @@ object MediaCodec {
     *  - `P6`   — binary PPM (netpbm), REAL decode, zero dependencies;
     *  - `BM`   — uncompressed 24-bit BMP, REAL decode (bottom-up rows,
     *             4-byte row padding, BGR→RGB);
+    *  - `\x89PNG` — non-interlaced 8-bit gray/RGB/RGBA, REAL decode
+    *             (Inflater + defilter);
     *  - `GIMG` — the deterministic test container;
-    *  - anything else (JPEG/PNG/WebP — compressed formats needing a
-    *    codec library this build environment lacks) throws: the
-    *    remaining STUB BOUNDARY. Poison-queue routing handles rejects
-    *    upstream; a production build adds codec branches here. */
+    *  - anything else (JPEG/WebP — formats needing a codec library
+    *    this build environment lacks) throws: the remaining STUB
+    *    BOUNDARY. Poison-queue routing handles rejects upstream; a
+    *    production build adds codec branches here. */
   def decodeImage(bytes: Array[Byte]): Pixels = {
     require(bytes.length >= 4, "image blob too short")
     if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') decodePng(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G') {
       val buf = ByteBuffer.wrap(bytes); buf.position(4)
       val w = buf.getInt; val h = buf.getInt; val c = buf.get().toInt
       val px = new Array[Byte](w * h * c); buf.get(px)
       Pixels(w, h, c, px)
     } else throw new IllegalArgumentException(
-      "unsupported image format (compressed formats are the stub boundary: " +
-        "this build decodes P6 PPM, 24-bit BMP, and the GIMG test container)")
+      "unsupported image format (codec-library formats are the stub boundary: " +
+        "this build decodes P6 PPM, 24-bit BMP, non-interlaced 8-bit PNG, " +
+        "and the GIMG test container)")
   }
 
   /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
@@ -146,6 +153,105 @@ object MediaCodec {
       y += 1
     }
     Pixels(w, h, 3, px)
+  }
+
+  /** PNG, REAL decode for the non-interlaced 8-bit-depth forms
+    * (grayscale / RGB / RGBA — color types 0, 2, 6): chunk walk over
+    * IHDR/IDAT, `java.util.zip.Inflater` for the zlib stream (in-JVM,
+    * zero codec dependencies — the Deflater twin already powers the
+    * compressibility screen), then per-row defiltering (None/Sub/Up/
+    * Average/Paeth, the PNG spec's five filter types). Palette,
+    * 16-bit, and Adam7-interlaced PNGs stay behind the stub boundary
+    * and throw with a specific message. Every length field is treated
+    * as untrusted (same rule as the WAV chunk walk). */
+  private def decodePng(bytes: Array[Byte]): Pixels = {
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    require(bytes.length >= 8 + 25 && buf.getInt(4) == 0x0D0A1A0A,
+      "corrupt PNG signature")
+    var pos = 8
+    var w = 0; var h = 0; var seenIhdr = false
+    var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = buf.getInt(pos)
+      val body = pos + 8
+      require(len >= 0 && body + len + 4 <= bytes.length,
+        s"corrupt PNG chunk at $pos: len=$len, blob=${bytes.length}")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          require(len >= 13, "short IHDR")
+          w = buf.getInt(body); h = buf.getInt(body + 4)
+          val bitDepth = bytes(body + 8) & 0xff
+          colorType = bytes(body + 9) & 0xff
+          val interlace = bytes(body + 12) & 0xff
+          require(bitDepth == 8, s"only 8-bit-depth PNG supported, depth=$bitDepth")
+          require(interlace == 0, "Adam7-interlaced PNG not supported")
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, pHYs, gAMA, …) skip
+      }
+      pos = body + len + 4 // + CRC
+    }
+    require(seenIhdr && w > 0 && h > 0, "PNG missing IHDR")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4
+      case ct => throw new IllegalArgumentException(
+        s"PNG color type $ct not supported (palette/gray-alpha are the stub boundary)")
+    }
+    // one zlib stream across all IDAT chunks; output = h rows of
+    // (1 filter byte + w*channels filtered samples)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new IllegalArgumentException("truncated PNG IDAT stream")
+        off += n
+      }
+    } finally inf.end()
+    require(off == raw.length, s"PNG pixel data short: $off of ${raw.length}")
+    // defilter in place-order: each row's filter reconstructs against
+    // the already-reconstructed previous row / left pixel
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= channels) out(rowOut + x - channels) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= channels) out(rowOut - stride + x - channels) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + paeth(left, up, ul)
+          case f => throw new IllegalArgumentException(s"bad PNG filter type $f at row $y")
+        }
+        out(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, channels, out)
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — exact tie-break order matters. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
   /** Audio decode, dispatching on magic bytes:

@@ -531,6 +531,31 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
              |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
              |  CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // ---- CUBE: all four grouping sets of (event_type, user bucket)
+    // in one pass — completes the grouping-sets family q64's ROLLUP
+    // opened (cube = rollup + the column-wise marginals). Same
+    // Expand-before-shuffle lowering: each row fans to its 4 grouping
+    // sets ahead of ONE shuffle, no per-level re-scan; the multi-
+    // distinct lane (q60's shape) rides the same pass. NULL grouping
+    // keys sentinel-ized in both engines (the compare harness sorts
+    // row tuples; None is unorderable against strings) ----
+    QuerySpec("q73_cube",
+      (s, dir) => t(s, dir, "events")
+        .cube(col("event_type"), pmod(col("user_id"), lit(4)).as("ub"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("ub").cast("string"), lit("(all)")).as("ub"),
+          col("n"), col("n_users"))
+        .orderBy(col("event_type"), col("ub")),
+      Some("""WITH r AS (
+             |  SELECT event_type, user_id % 4 AS ub,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM events GROUP BY CUBE(event_type, ub))
+             |SELECT coalesce(event_type, '(all)') AS event_type,
+             |  coalesce(CAST(ub AS VARCHAR), '(all)') AS ub, n, n_users
+             |FROM r ORDER BY event_type, ub""".stripMargin))
   )
 }

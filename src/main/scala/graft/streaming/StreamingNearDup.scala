@@ -46,10 +46,34 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     shingleN: Int = 3, k: Int = 12, r: Int = 2,
     minSim: Double = 0.7, retention: Option[String] = None) {
 
+  private def fs = new org.apache.hadoop.fs.Path(indexDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
   private def hasIndex: Boolean = {
+    recoverCompact()
     val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    // the index is hive-partitioned by band: data lives in band=N
+    // subdirectories (plus _SUCCESS markers at the top level)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName.startsWith("band=") ||
+        s.getPath.getName.endsWith(".parquet")
+    }
+  }
+
+  /** Crash recovery for [[compact]]'s swap — same contract as
+    * [[StreamingQuota]]: if a crash left the live dir missing, adopt
+    * the fully-materialized `.compact` sibling (or the untouched
+    * `.old`) instead of silently dropping the whole retained-corpus
+    * index (which would re-admit every duplicate). */
+  private def recoverCompact(): Unit = {
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) fs.rename(tmp, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
   }
 
   /** The live view of the index: rows within the retention horizon. */
@@ -60,6 +84,18 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       Some(retention.fold(all)(h =>
         all.filter(col("ingest_ts") >= current_timestamp() - expr(s"INTERVAL $h"))))
     }
+
+  /** Live index rows for the given bands only. `band` is the index's
+    * HIVE PARTITION column, so the isin lands in the scan's
+    * PartitionFilters — only the touched band directories are listed
+    * and read, the layout PLANS.md promises. (A full batch touches
+    * every band — each doc emits all k/r of them — so the directory
+    * prune pays off on degenerate batches; the layout's main scale win
+    * is that within a band the files are sorted by band_key, giving
+    * parquet row-group min/max skipping on the join key.) */
+  private[streaming] def indexForBands(bands: Seq[Any]): Option[DataFrame] =
+    if (bands.isEmpty) None
+    else indexView().map(_.filter(col("band").isin(bands: _*)))
 
   /** (id, sig, band, band_key) for every doc in `batch` with enough
     * text to shingle; too-short docs pass through undeduped (no
@@ -86,8 +122,11 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
   def processBatch(batch: DataFrame): DataFrame = {
     val bs = bandSigs(batch).persist() // batch-sized; read by 3 consumers
     try {
-      // cross-batch: similar to any indexed (retained) doc → drop
-      val crossDropped = indexView().map { idx =>
+      // cross-batch: similar to any indexed (retained) doc → drop.
+      // The touched-band list is control-plane sized (<= k/r values)
+      // and pushes a partition filter into the index scan.
+      val touched = bs.select(col("band")).distinct().collect().map(_.get(0)).toSeq
+      val crossDropped = indexForBands(touched).map { idx =>
         bs.join(idx.withColumnRenamed("sig", "idx_sig")
             .select(col("band"), col("band_key"), col("idx_sig")),
             Seq("band", "band_key"))
@@ -109,11 +148,17 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       val droppedIds = crossDropped.fold(intraDropped)(_.unionByName(intraDropped))
         .distinct()
       val kept = batch.join(droppedIds, Seq(idCol), "left_anti")
-      // index only survivors' bands; duplicates contribute no state
+      // index only survivors' bands; duplicates contribute no state.
+      // Layout: hive-partitioned by band (the join's directory prune),
+      // one file per band per batch (the repartition), rows sorted by
+      // band_key within it (parquet row-group min/max skipping on the
+      // join key at corpus scale). All batch-sized work.
       bs.join(kept.select(col(idCol)), Seq(idCol))
         .select(col(idCol), col("band"), col("band_key"), col("sig"),
           current_timestamp().as("ingest_ts"))
-        .write.mode("append").parquet(indexDir)
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band"), col("band_key"))
+        .write.partitionBy("band").mode("append").parquet(indexDir)
       kept
     } finally { bs.unpersist(); () }
   }
@@ -125,15 +170,19 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     * — reclaims storage for long-running pipelines. No-op without a
     * retention policy or an index. */
   def compact(): Unit = if (retention.nonEmpty && hasIndex) {
-    val tmp = indexDir + "_compact_tmp"
+    val tmp = indexDir + ".compact"
     indexView().foreach { live =>
-      live.write.mode("overwrite").parquet(tmp)
-      val conf = spark.sessionState.newHadoopConf()
-      val src = new org.apache.hadoop.fs.Path(tmp)
-      val dst = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = dst.getFileSystem(conf)
-      fs.delete(dst, true)
-      fs.rename(src, dst)
+      // keep the partitioned layout through the rewrite, and swap
+      // crash-safely (rename aside, not delete — [[recoverCompact]]
+      // adopts whichever sibling survives a crash)
+      live.repartition(col("band"))
+        .sortWithinPartitions(col("band"), col("band_key"))
+        .write.partitionBy("band").mode("overwrite").parquet(tmp)
+      val liveP = new org.apache.hadoop.fs.Path(indexDir)
+      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+      fs.rename(liveP, old)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), liveP)
+      fs.delete(old, true)
       ()
     }
   }

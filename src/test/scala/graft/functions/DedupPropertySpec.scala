@@ -335,6 +335,22 @@ class DedupPropertySpec extends SparkSpec {
     assert(again == clusters)
   }
 
+  test("dupClusters frees per-round checkpoint blocks on deep chains") {
+    // a 300-node path needs ~log2(300) pointer-jump rounds; without the
+    // per-round free, each round strands one localCheckpoint block set
+    // until some future GC — here live persistent RDDs must stay
+    // bounded at the final round's labels (+0/1 transient)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0 until 300).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    val out = DedupFunctions.dupClusters(chain, maxIter = 20)
+    assert(out.count() == 301 &&
+      out.filter(col("cluster_id") === 0L).count() == 301,
+      "the whole path must collapse to cluster 0")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"checkpoint blocks leaked across rounds: $before persistent RDDs -> $after")
+  }
+
   test("qualityScore is bounded in [0,1], rewards clean text over punctuation soup") {
     val stop = Seq("the", "a", "of")
     val clean = "the quick brown fox runs over a hill of green grass"

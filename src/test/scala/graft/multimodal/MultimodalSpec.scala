@@ -161,6 +161,98 @@ class MultimodalSpec extends SparkSpec {
     assert(mono.toSeq == Seq[Short](2000, 1000, -2000), s"got ${mono.toSeq}")
   }
 
+  // Independent forward PNG encoder: applies the spec's FORWARD filter
+  // transform per row (the decoder implements the inverse), deflates,
+  // and wraps in chunks with real CRCs — so the round-trip pins the
+  // decoder against the spec, not against its own code.
+  private def encodePng(w: Int, h: Int, channels: Int, px: Array[Byte],
+      filterForRow: Int => Int): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val ft = filterForRow(y)
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= channels) px((y - 1) * stride + x - channels) & 0xff else 0
+        val paeth = {
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth
+        }
+        raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 128)
+    val zLen = deflater.deflate(zBuf); deflater.end()
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.take(zLen)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("REAL decode: PNG round-trips exactly through all five filter types") {
+    // deterministic noise pixels, 7x11 so rows/cols exercise edges;
+    // row y uses filter y % 5 — every filter type defilters correctly
+    for (channels <- Seq(1, 3, 4)) {
+      val w = 7; val h = 11
+      val px = Array.tabulate(w * h * channels) { i =>
+        var s = i.toLong * 0x9E3779B97F4A7C15L + channels
+        s ^= s >>> 33; s *= 0xFF51AFD7ED558CCDL; s ^= s >>> 33
+        (s & 0xff).toByte
+      }
+      val blob = encodePng(w, h, channels, px, y => y % 5)
+      val p = MediaCodec.decodeImage(blob)
+      assert(p.width == w && p.height == h && p.channels == channels)
+      assert(p.data.toSeq == px.toSeq, s"channels=$channels pixel mismatch")
+    }
+  }
+
+  test("PNG stub boundary: interlaced and palette forms throw specifically") {
+    val px = Array.fill[Byte](4 * 4 * 3)(7)
+    val ok = encodePng(4, 4, 3, px, _ => 0)
+    // flip IHDR interlace byte (offset: 8 sig + 8 chunk hdr + 12)
+    val interlaced = ok.clone(); interlaced(8 + 8 + 12) = 1
+    val e1 = intercept[IllegalArgumentException] { MediaCodec.decodeImage(interlaced) }
+    assert(e1.getMessage.contains("interlaced"))
+    // flip color type to 3 (palette)
+    val palette = ok.clone(); palette(8 + 8 + 9) = 3
+    val e2 = intercept[IllegalArgumentException] { MediaCodec.decodeImage(palette) }
+    assert(e2.getMessage.contains("color type"))
+    // truncated IDAT must throw, not hang
+    val truncated = ok.take(8 + 8 + 13 + 4 + 8 + 4)
+    intercept[Exception] { MediaCodec.decodeImage(truncated) }
+  }
+
+  test("PNG blobs flow through the distributed feature pipeline") {
+    val px = Array.tabulate(16 * 16 * 3)(i => (i * 3).toByte)
+    val blob = encodePng(16, 16, 3, px, y => y % 5)
+    val df = Seq((1L, blob, "image/png")).toDF("media_id", "bytes", "mime")
+    val out = Multimodal.imageFeatures(df, gridDim = 2).collect()
+    assert(out.length == 1 && out.head.width == 16 && out.head.embedding.length == 12)
+  }
+
   test("corrupt WAV chunk sizes throw instead of hanging the chunk walk") {
     // size = -8 would leave pos fixed forever without the guard; an
     // oversized size would read past the blob. Both must throw (the

@@ -127,6 +127,19 @@ class StreamingCurationSpec extends SparkSpec {
       assert(kept.keySet == Set(1L, 2L, 4L))
       assert(nd.indexSize() == stateAfter,
         "duplicates must contribute no index state")
+
+      // the index is hive-partitioned by band on disk …
+      val bandDirs = new java.io.File(dir + "/index").listFiles()
+        .filter(_.getName.startsWith("band=")).map(_.getName).sorted
+      assert(bandDirs.toSeq == (0 until nBands).map(b => s"band=$b"),
+        s"expected one directory per band, got ${bandDirs.toSeq}")
+      // … and a banded view pushes the band list into the scan's
+      // PARTITION filters (directory prune, not a full-index scan)
+      val one = nd.indexForBands(Seq(0)).get
+      assert(one.count() == 3, "3 retained docs x 1 band")
+      val plan = one.queryExecution.sparkPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*band[^\\]]*\\].*"),
+        s"band filter must be a partition filter, plan:\n$plan")
     } finally q.stop()
   }
 
