@@ -995,7 +995,134 @@ object LlmQueries {
           plantedDupCorpus(t(s, dir, "embeddings")), "vec_id", "embedding",
           dim = 64, threshold = 0.9, k = 16, probes = 1)
         .orderBy(col("doc_id")),
-      Some(PlantedDupOracle))
+      Some(PlantedDupOracle)),
+
+    // ---- distinctive keywords: per doc, the top-3 tokens by tf/df
+    // rank — the integer-safe core of tf-idf (for a fixed corpus the
+    // idf factor ln(N/df) is monotone-decreasing in df, so ranking by
+    // the rational tf/df agrees with tf·idf whenever df ties break the
+    // same way; the rational form stays in BIGINT where ln() would put
+    // engine-specific doubles inside the gate). Score = tf * 1e8 div
+    // df — integer division, identical in both engines. Two shuffles
+    // (per-doc tf, global df) + a ranked window ----
+    QuerySpec("q74_tfidf_keywords",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(df, Seq("tok"))
+          .withColumn("score", expr("tf * 100000000L div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("tok"),
+            col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (
+             |  SELECT doc_id, tok, tf, df, (tf * 100000000) // df AS score
+             |  FROM tf JOIN df USING (tok)),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+             |  FROM sc)
+             |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok,
+             |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |  CAST(score AS BIGINT) AS score
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // ---- bigram-LM novelty: per doc, how fluent/formulaic its
+    // adjacent-token pairs are against the corpus bigram table — the
+    // integer-safe core of a CCNet-style LM quality score (the
+    // log-probability sum happens downstream of these counts, where
+    // cross-engine float rounding doesn't gate). n_singleton counts
+    // bigrams unique to this doc (novelty); bg_tf_sum is the corpus-
+    // frequency mass (formulaic-ness). q63's unigram shape, one level
+    // up: one zip per doc, one vocab shuffle, one scoring join ----
+    QuerySpec("q75_bigram_novelty",
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          // equal-length slices — see q69's null-padding note
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        val vocab = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        bg.join(vocab, Seq("bigram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bg"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton"),
+            sum(col("n")).as("bg_tf_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+             |  FROM tk),
+             |g AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+             |  CAST(sum(n) AS BIGINT) AS bg_tf_sum
+             |FROM b JOIN g USING (bigram)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher-style quality rules (Rae et al. 2021, §A.1.1): the
+    // published pre-training filter set, integer-exact — word-count
+    // bounds, mean-word-length bounds, stopword floor, repetition
+    // ceiling. Every ratio threshold is cross-multiplied (sum_len*10 <
+    // n_tok*42 ≡ mean < 4.2) so the gate never divides. Thresholds
+    // adapted to this corpus's 31-token vocabulary; the production
+    // values (50..100k words, mean 3..10, 2 stopwords, 0.2 unique) are
+    // the ctor defaults in a pipeline. Scan-shaped: one tokenize, four
+    // rule projections, one per-source aggregate ----
+    QuerySpec("q78_gopher_rules",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("source"),
+          size(col("tk")).cast("long").as("n_tok"),
+          length(array_join(col("tk"), "")).cast("long").as("sum_len"),
+          size(filter(col("tk"), x => x === "the" || x === "a")).cast("long").as("n_stop"),
+          size(array_distinct(col("tk"))).cast("long").as("n_uniq"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") < 25, 1L).otherwise(0L)).as("fail_len"),
+          sum(when(col("sum_len") * 10 < col("n_tok") * 42, 1L).otherwise(0L)).as("fail_wordlen"),
+          sum(when(col("n_stop") < 2, 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(col("n_uniq") * 2 < col("n_tok"), 1L).otherwise(0L)).as("fail_rep"),
+          sum(when(col("n_tok") >= 25 && col("sum_len") * 10 >= col("n_tok") * 42 &&
+            col("n_stop") >= 2 && col("n_uniq") * 2 >= col("n_tok"), 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy(col("source")),
+      Some("""WITH m AS (
+             |  SELECT source,
+             |    CAST(len(tk) AS BIGINT) AS n_tok,
+             |    CAST(len(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+             |    CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+             |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq
+             |  FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |        FROM documents))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN n_tok < 25 THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+             |  CAST(sum(CASE WHEN sum_len * 10 < n_tok * 42 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+             |  CAST(sum(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+             |  CAST(sum(CASE WHEN n_uniq * 2 < n_tok THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+             |  CAST(sum(CASE WHEN n_tok >= 25 AND sum_len * 10 >= n_tok * 42
+             |    AND n_stop >= 2 AND n_uniq * 2 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+             |FROM m GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

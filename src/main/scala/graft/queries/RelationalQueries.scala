@@ -556,6 +556,47 @@ object RelationalQueries {
              |  FROM events GROUP BY CUBE(event_type, ub))
              |SELECT coalesce(event_type, '(all)') AS event_type,
              |  coalesce(CAST(ub AS VARCHAR), '(all)') AS ub, n, n_users
-             |FROM r ORDER BY event_type, ub""".stripMargin))
+             |FROM r ORDER BY event_type, ub""".stripMargin)),
+
+    // ---- rolling anomaly screen: per event_type, flag events whose
+    // value exceeds 3x the rolling mean of the preceding 20 events —
+    // the monitoring primitive behind spike alerts on a metrics
+    // stream. Integer-exact core: milli-unit values (floor(v*1000) —
+    // IEEE multiply + floor are bit-identical across engines, unlike
+    // CAST, which truncates in Spark but rounds in DuckDB) and a
+    // cross-multiplied threshold (v_m * cnt > 3 * roll_sum ≡
+    // v_m > 3 * mean) — no float division to round differently.
+    // One shuffle (event_type), one sliding ROWS frame; at corpus
+    // scale the partition-by key count bounds per-task state ----
+    QuerySpec("q76_rolling_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("ts"),
+            floor(col("value") * 1000).cast("long").as("v_m"))
+          .withColumn("roll_sum", sum(col("v_m")).over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          // warm-up guard: a 1-row history makes every second event a
+          // "spike"; demand >= 10 observations before judging
+          .filter(col("cnt") >= 10 && col("v_m") * col("cnt") > lit(3) * col("roll_sum"))
+          .select(col("event_id"), col("event_type"), col("v_m"),
+            col("cnt"), col("roll_sum"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, ts,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v_m
+             |  FROM events),
+             |w AS (
+             |  SELECT event_id, event_type, v_m,
+             |    sum(v_m) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS roll_sum,
+             |    count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
+             |  FROM e)
+             |SELECT event_id, event_type, v_m, cnt, roll_sum
+             |FROM w WHERE cnt >= 10 AND v_m * cnt > 3 * roll_sum
+             |ORDER BY event_id""".stripMargin))
   )
 }
