@@ -207,6 +207,69 @@ object VecUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       idx.take(math.min(n, k)).map(x => x: Any))
   }
+
+  /** Product-quantization encode: for each of the `m` codebooks, the
+    * index of the squared-L2-nearest sub-centroid of the matching
+    * subvector slice. Ties break to the LOWER index (strict `<`) —
+    * the first-seen winner, matching a left-to-right argmin scan.
+    * `books(s)(c)` is sub-centroid `c` of subspace `s`; subvector `s`
+    * covers positions `[s*dsub, (s+1)*dsub)`. */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = books.length
+    val codes = new Array[Any](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = books(s)
+      val dsub = book(0).length
+      var best = Double.MaxValue
+      var bestIdx = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = v.getDouble(off + j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bestIdx = c }
+        c += 1
+      }
+      codes(s) = bestIdx
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance computation: approximate squared L2 between a
+    * raw query vector and a PQ-encoded corpus vector — the sum over
+    * subspaces of ||q_s - books(s)(codes(s))||². Reads `m` codes
+    * instead of `dim` components on the corpus side; on unit vectors,
+    * ascending squared L2 ranks identically to descending cosine
+    * (||q-x||² = 2 - 2·q·x). */
+  def pqAdcDist(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Double]]]): Double = {
+    var total = 0.0
+    var s = 0
+    var off = 0
+    while (s < books.length) {
+      val cent = books(s)(codes.getInt(s))
+      var j = 0
+      while (j < cent.length) {
+        val diff = q.getDouble(off + j) - cent(j)
+        total += diff * diff
+        j += 1
+      }
+      off += cent.length
+      s += 1
+    }
+    total
+  }
 }
 
 /** Count of maximal `[a-z0-9]` runs in a string — exactly the number
@@ -379,6 +442,50 @@ case class TopCentroidsExpr(child: Expression, cents: Array[Array[Double]],
   }
   override protected def withNewChildInternal(newChild: Expression): TopCentroidsExpr =
     copy(child = newChild)
+}
+
+/** Product-quantization codes for a vector against `m` sub-codebooks
+  * carried as ONE plan reference object (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"). Same reference-object
+  * pattern as [[NearestCentroidExpr]]: inlining m × ksub × dsub double
+  * literals would dominate codegen compile time. */
+case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  protected override def nullSafeEval(input: Any): Any =
+    VecUtil.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.pqEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC approximate distance between a raw query vector (left) and a
+  * PQ code array (right) — the codes-only scan that makes PQ a
+  * bandwidth win: `m` table lookups per corpus row instead of `dim`
+  * multiplies against the original vector. */
+case class PqAdcDistExpr(left: Expression, right: Expression,
+    books: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_pq_adc_dist"
+  protected override def nullSafeEval(q: Any, codes: Any): Any =
+    VecUtil.pqAdcDist(
+      q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecUtil.pqAdcDist($a, $b, $ref)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDistExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** First 60 bits of md5 as a long — the engine-portable hash family's

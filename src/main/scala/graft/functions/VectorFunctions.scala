@@ -386,4 +386,105 @@ object VectorFunctions {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** PQ codes column: `m` sub-centroid indices per vector, the
+    * codebooks riding the plan as one reference object. */
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), books))
+  }
+
+  private def pqAdcDist(qv: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqAdcDistExpr(ColumnBridge.expression(qv),
+      ColumnBridge.expression(codes), books))
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): split `dim`
+    * into `m` subspaces of `dim/m` dims, k-means each subspace to
+    * `ksub` sub-centroids. Every Lloyd round trains ALL `m` subspaces
+    * in ONE pass — assign via [[PqEncodeExpr]] on the full vector,
+    * re-estimate via a single (subspace, code, pos) aggregation — so
+    * the per-round cost is one scan + one shuffle regardless of `m`,
+    * and the driver only ever holds the m × ksub × dsub model.
+    * Same deterministic lowest-hash init and spherical input
+    * (unit-normalized vectors) as [[ivfTrain]]; empty codes keep
+    * their previous sub-centroid.
+    */
+  def pqTrain(vecs: DataFrame, vecCol: String, dim: Int, m: Int,
+      ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    def normalized(c: Column) = {
+      val n = l2Norm(c)
+      transform(c, x => x / n)
+    }
+    val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
+      .filter(size(col("v0")) === dim)
+      .select(normalized(col("v0")).as("v"))
+    // one lowest-hash pass seeds every subspace (sliced per codebook)
+    val seed = v.withColumn("h", xxhash64(col("v").cast("string")))
+      .orderBy(col("h")).limit(ksub)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seed.nonEmpty, "pqTrain: no input vectors of the declared dim")
+    var books = Array.tabulate(m) { s =>
+      seed.map(_.slice(s * dsub, (s + 1) * dsub))
+    }
+    (0 until iters).foreach { _ =>
+      val cells = v.withColumn("codes", pqCodes(col("v"), books))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+        .select(expr(s"pos div $dsub").cast("int").as("s"),
+          expr(s"pos % $dsub").as("j"),
+          expr(s"codes[pos div $dsub]").as("c"), col("x"))
+        .groupBy(col("s"), col("c"), col("j"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("j")) =
+          r.getAs[Double]("sm") / r.getAs[Long]("n")
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ search with exact re-rank: score every corpus CODE against the
+    * (small, broadcast) query batch by ADC — reading m ints per corpus
+    * row where brute force reads dim doubles — keep the `k * refine`
+    * best approximate candidates per query, then re-rank just those
+    * against their original vectors for exact cosine order. The corpus
+    * is scanned twice (codes pass + candidate fetch), never shuffled
+    * in full; only candidates (|queries| × k × refine rows) move. At
+    * 100 TB the codes pass is the point: an 8-byte code table scans
+    * ~64× less data than 64-dim double vectors, and the second pass
+    * touches a vanishing fraction of rows. `refine` covering the whole
+    * corpus degrades gracefully to exact brute force (PqSpec's anchor,
+    * the nProbes=k analogue). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, books: Array[Array[Array[Double]]],
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      unit(col(vecCol).cast("array<double>")).as("cv"))
+    val codes = c.select(col("neighbor_id"), pqCodes(col("cv"), books).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      unit(col(vecCol).cast("array<double>")).as("qv"))
+    val adc = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", pqAdcDist(col("qv"), col("codes"), books))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val cand = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -1122,7 +1122,28 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN n_uniq * 2 < n_tok THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
              |  CAST(sum(CASE WHEN n_tok >= 25 AND sum_len * 10 >= n_tok * 42
              |    AND n_stop >= 2 AND n_uniq * 2 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-             |FROM m GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- PQ ANN: product-quantization codes + ADC candidate scan +
+    // exact re-rank — the third ANN scale path beside SRP buckets
+    // (q23) and IVF posting lists (q36), and the one that shrinks the
+    // SCAN rather than the candidate set: the ADC pass reads m ints
+    // per corpus row instead of dim doubles. No DuckDB oracle (the
+    // codebooks are a trained model); PqSpec anchors it — refine
+    // covering the corpus IS brute force, planted-copy recall,
+    // recall@5 >= 0.8 at refine=4, determinism. DeterminismSpec
+    // re-runs this entry end-to-end ----
+    QuerySpec("q77_pq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val books = VectorFunctions.pqTrain(e, "embedding", dim = 64,
+          m = 8, ksub = 16, iters = 2)
+        VectorFunctions.pqTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", dim = 64, k = 3, books, refine = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None)
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
