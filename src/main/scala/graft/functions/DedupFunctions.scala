@@ -218,6 +218,68 @@ object DedupFunctions {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT join — the asymmetric near-dup relation
+    * Jaccard misses: d1 is (mostly) contained in d2 when
+    * |S1 ∩ S2| / |S1| >= t, regardless of how much larger d2 is (a
+    * quote inside an article, a doc re-posted with boilerplate
+    * appended — the RefinedWeb/Dolma-style sub-document duplication
+    * signal). Same prefix-filter machinery as
+    * [[jaccardSimilarityJoin]], adapted to the one-sided threshold:
+    *   - an overlap of ceil(t*n1) forces a hit within d1's first
+    *     n1 - ceil(t*n1) + 1 rare-first shingles (pigeonhole), so only
+    *     d1's PREFIX is indexed — but the probe side must carry d2's
+    *     FULL postings (containment puts no lower bound on how deep
+    *     into d2's rare-first order the shared shingles sit);
+    *   - the one-way length filter n2 >= t*n1 (overlap <= min(n1,n2))
+    *     prunes candidates where the "container" is too small.
+    * Threshold comparisons use RATIONAL integer arithmetic
+    * (x * 1e6 >= y * round(t*1e6)) — a double `n1 * t` that rounds a
+    * hair above an exact integer boundary would silently drop a pair
+    * sitting exactly at the threshold. Directed output (d1 contained
+    * in d2), integer evidence columns (shared, n1, n2) so the gate
+    * never divides. Three shuffles, no driver state, exact — 100%
+    * recall at the threshold. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      persistShingles: Boolean = true,
+      minPartitions: Option[Int] = None): DataFrame = {
+    val thrNum = math.round(threshold * 1e6)
+    val pruned = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val input = minPartitions.fold(pruned)(n => pruned.repartition(n))
+    val shPlan = input
+      .select(col("doc_id"), TextFunctions.words(col("_text")).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col("doc_id"), TextFunctions.shinglesFromWords(col("w"), shingleN).as("ss"))
+      .select(col("doc_id"), transform(col("ss"), x => xxhash64(x)).as("s"))
+    val sh =
+      if (persistShingles)
+        shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlan
+    val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+    val freq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix length n - ceil(t*n) + 1, ceil as exact integer division
+    val prefixLen = expr(s"cast(n - ((n * ${thrNum}L + 999999) div 1000000) + 1 as int)")
+    val prefix = ex.join(freq, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), collect_list(struct(col("df"), col("t"))).as("ps"))
+      .select(col("doc_id"), col("n"),
+        slice(array_sort(col("ps")), lit(1), prefixLen).as("pre"))
+      .select(col("doc_id"), col("n"), explode(col("pre")).as("p"))
+      .select(col("doc_id").as("d1"), col("n").as("n1"), col("p.t").as("t"))
+    val index = ex.select(col("doc_id").as("d2"), col("n").as("n2"), col("t"))
+    val cand = prefix.join(index, Seq("t"))
+      .filter(col("d1") =!= col("d2"))
+      .filter(col("n2") * 1000000L >= col("n1") * thrNum)
+      .select(col("d1"), col("d2")).distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"), size(col("s")).as("n1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"), size(col("s")).as("n2"))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("shared", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("shared") * 1000000L >= col("n1") * thrNum)
+      .select(col("d1"), col("d2"), col("shared").cast("long").as("shared"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+  }
+
   /** 64-bit SimHash over tokens: per bit, sum ±1 votes weighted by the
     * token hash's bit value; the sign vector packs into a long. Near
     * duplicates differ in few bits (small Hamming distance). Single

@@ -1143,7 +1143,34 @@ object LlmQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      None),
+
+    // ---- asymmetric containment join: d1 mostly-inside-d2 pairs the
+    // symmetric Jaccard (q19) structurally misses — sub-document
+    // duplication (quotes, boilerplate-wrapped reposts). Exact
+    // prefix-filtered inverted index, directed output, integer
+    // evidence columns; the brute-force DuckDB closure reproduces it
+    // bit-for-bit because the prefix filter is 100%-recall ----
+    QuerySpec("q81_containment",
+      (s, dir) => DedupFunctions
+        .containmentJoin(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |p AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |    len(list_intersect(a.s, b.s)) AS shared,
+             |    len(a.s) AS n1, len(b.s) AS n2
+             |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+             |SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+             |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+             |FROM p WHERE shared * 1000000 >= n1 * 800000
+             |ORDER BY d1, d2""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

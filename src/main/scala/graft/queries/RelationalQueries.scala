@@ -597,6 +597,76 @@ object RelationalQueries {
              |  FROM e)
              |SELECT event_id, event_type, v_m, cnt, roll_sum
              |FROM w WHERE cnt >= 10 AND v_m * cnt > 3 * roll_sum
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- retention curve: users active N days after their first
+    // purchase — the cohort-analysis primitive (cohorts collapse to
+    // one on this synthetic corpus's 30-day dense window, so the
+    // offset curve IS the informative axis; the cohort_week column
+    // a production pipeline adds is one more groupBy key). Two
+    // shuffles: first-touch per user, then offset rollup. All-integer
+    // output; day arithmetic on DATE is engine-identical under the
+    // session's UTC timezone ----
+    QuerySpec("q79_retention",
+      (s, dir) => {
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+        val f = p.groupBy(col("user_id")).agg(min(col("d")).as("f0"))
+        p.join(f, Seq("user_id"))
+          .select(col("user_id"), datediff(col("d"), col("f0")).as("offset_d"))
+          .groupBy(col("offset_d"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("offset_d"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+             |  WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, min(d) AS f0 FROM p GROUP BY 1)
+             |SELECT CAST(date_diff('day', f0, d) AS INTEGER) AS offset_d,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM p JOIN f USING (user_id)
+             |GROUP BY 1 ORDER BY offset_d""".stripMargin)),
+
+    // ---- attribution-window range join: clicks by the same user in
+    // the 30 minutes before each purchase. The scale path for a
+    // bounded-range temporal join: bucket both sides into range-width
+    // bins on INTEGER microseconds, explode the probe side to (bin,
+    // bin-1) — a window of width W crosses at most 2 W-wide bins — and
+    // equi-join on (user_id, bin) before the exact range filter, so
+    // Spark plans a hash/sort-merge join instead of the BNLJ a raw
+    // inequality join degenerates to. A click matches at most one of
+    // the two probe bins: no dedup needed. Integer microsecond
+    // arithmetic end-to-end (both engines truncate the parquet ns the
+    // same way) ----
+    QuerySpec("q80_attribution",
+      (s, dir) => {
+        val binUs = 1800000000L // 30 min of microseconds
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("unix_micros(ts)").as("c_us"))
+          .withColumn("bin", expr(s"c_us div $binUs"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("p_us"))
+          .select(col("user_id"), col("event_id"), col("p_us"),
+            explode(array(expr(s"p_us div $binUs"), expr(s"p_us div $binUs - 1"))).as("bin"))
+        purchases.join(clicks, Seq("user_id", "bin"))
+          .filter(col("c_us") >= col("p_us") - binUs && col("c_us") < col("p_us"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(epoch_ns(ts) AS BIGINT) // 1000 AS us
+             |  FROM events),
+             |c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+             |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+             |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c.us >= p.us - 1800000000 AND c.us < p.us
+             |GROUP BY 1 ORDER BY event_id""".stripMargin))
   )
 }

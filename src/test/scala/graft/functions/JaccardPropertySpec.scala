@@ -66,6 +66,47 @@ class JaccardPropertySpec extends SparkSpec {
     }
   }
 
+  private def trueContainmentPairs(docs: Seq[String], n: Int,
+      threshold: Double): Set[(Long, Long)] = {
+    val sets = docs.zipWithIndex.map { case (t, i) => (i.toLong, shingleSet(t, n)) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (i, si) <- sets; (j, sj) <- sets if i != j
+      inter = (si & sj).size
+      // same rational comparison as the operator: no double rounding
+      if inter.toLong * 1000000L >= si.size.toLong * math.round(threshold * 1e6)
+    } yield (i, j)).toSet
+  }
+
+  test("containmentJoin returns exactly the true directed ≥-threshold pairs (property)") {
+    val params = Gen.Parameters.default
+    val thresholds = Seq(0.5, 0.7, 0.9)
+    (0 until 15).foreach { trial =>
+      val docs = corpusGen.pureApply(params, Seed(1042L + trial))
+      val threshold = thresholds(trial % thresholds.length)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = DedupFunctions.containmentJoin(df, "doc_id", "text", 3, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = trueContainmentPairs(docs, 3, threshold)
+      assert(got == expected,
+        s"trial $trial t=$threshold: extra ${got -- expected}, missing ${expected -- got}")
+    }
+  }
+
+  test("containment catches sub-document duplication that jaccard misses") {
+    // doc 0's shingles are a strict subset of doc 1's: containment(0→1)
+    // = 1.0 but jaccard is diluted below threshold by doc 1's size
+    val small = "alpha beta gamma delta eps"
+    val big = small + " zeta eta theta iota kappa alpha gamma beta delta kappa eps zeta iota"
+    val df = Seq((0L, small), (1L, big)).toDF("doc_id", "text")
+    val cont = DedupFunctions.containmentJoin(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((0L, 1L)), s"expected only 0→1 directed, got $cont")
+    val jac = DedupFunctions.jaccardSimilarityJoin(df, "doc_id", "text", 3, 0.9)
+      .collect()
+    assert(jac.isEmpty, "jaccard at 0.9 should not pair a doc with its 4x-larger container")
+  }
+
   test("reported jaccard values match the true set similarity") {
     val docs = Seq(
       "alpha beta gamma delta eps zeta",
