@@ -667,6 +667,30 @@ object RelationalQueries {
              |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
              |FROM p JOIN c ON p.user_id = c.user_id
              |  AND c.us >= p.us - 1800000000 AND c.us < p.us
-             |GROUP BY 1 ORDER BY event_id""".stripMargin))
+             |GROUP BY 1 ORDER BY event_id""".stripMargin)),
+
+    // ---- semi-structured extraction: pull a typed field out of the
+    // JSON `props` payload and aggregate on it — the schema-on-read
+    // pattern for event property bags. `from_json` with an explicit
+    // schema (codegen'd, single parse) rather than per-field
+    // `get_json_object` re-parses; a production pipeline would
+    // project the parsed struct once and prune to the fields it
+    // reads. One shuffle ----
+    QuerySpec("q82_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+             |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
