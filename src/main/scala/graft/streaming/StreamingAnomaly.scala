@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming rolling-anomaly screen — q76's batch semantics as a
+  * per-key stateful streaming operator: flag an observation whose
+  * value exceeds `factor`× the rolling mean of the preceding `window`
+  * observations for its key, judged only once `minObs` history exists.
+  * The comparison is the same integer cross-multiply as the batch
+  * gate (`v * cnt > factor * sum` ≡ `v > factor * mean`) on
+  * milli-unit longs — no float division anywhere, so batch and
+  * streaming agree bit-for-bit on the same ordered input
+  * (StreamingAnomalySpec pins this).
+  *
+  * State per key is a BOUNDED ring: `window` longs + head index +
+  * fill count + running sum — constant regardless of stream length,
+  * the property that keeps a 1000-executor state store flat while
+  * the q76 batch form re-sorts a partition per run. Within a
+  * micro-batch, rows are processed in ascending `id` order
+  * (`flatMapGroupsWithState` iterators carry no order guarantee);
+  * cross-batch order is the caller's trigger sequence, as with every
+  * micro-batch stateful operator.
+  *
+  * `withTtl` evicts idle keys (processing-time timeout) — required at
+  * corpus scale whenever the key space is open (per-user metrics,
+  * per-device telemetry): an untouched key's ring is dropped and
+  * rebuilds from empty (re-warming `minObs` observations) if the key
+  * reappears.
+  */
+object StreamingAnomaly {
+
+  /** One observation: key, ascending id (event id / offset), value in
+    * milli-units (`floor(value * 1000)` — the q76 convention). */
+  final case class Obs(key: String, id: Long, vMilli: Long)
+
+  /** A flagged spike: the observation plus the window evidence that
+    * convicted it (count and sum of the preceding ring). */
+  final case class AnomalyFlag(key: String, id: Long, vMilli: Long,
+      cnt: Int, rollSum: Long)
+
+  /** Ring-buffer state. `ring` holds the last `min(filled, window)`
+    * values; `pos` is the next write slot; `sum` is maintained
+    * incrementally (no per-row rescan of the ring). */
+  final case class Ring(ring: Array[Long], pos: Int, filled: Int, sum: Long)
+
+  private def step(window: Int, minObs: Int, factor: Long)(
+      rows: Iterator[Obs], st: GroupState[Ring]): Iterator[AnomalyFlag] = {
+    var s = st.getOption.getOrElse(Ring(new Array[Long](window), 0, 0, 0L))
+    val out = Seq.newBuilder[AnomalyFlag]
+    rows.toSeq.sortBy(_.id).foreach { o =>
+      if (s.filled >= minObs && o.vMilli * s.filled > factor * s.sum)
+        out += AnomalyFlag(o.key, o.id, o.vMilli, s.filled, s.sum)
+      val evicted = if (s.filled == window) s.ring(s.pos) else 0L
+      val nextRing = s.ring.clone()
+      nextRing(s.pos) = o.vMilli
+      s = Ring(nextRing, (s.pos + 1) % window,
+        math.min(s.filled + 1, window), s.sum + o.vMilli - evicted)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+
+  /** Streaming transform (append output; state never evicted — only
+    * for closed key sets). */
+  def flags(ds: Dataset[Obs], window: Int = 20, minObs: Int = 10,
+      factor: Long = 3L): Dataset[AnomalyFlag] = {
+    require(window >= minObs && minObs >= 1 && factor >= 1)
+    implicit val obsEnc = Encoders.product[Obs]
+    implicit val flagEnc = Encoders.product[AnomalyFlag]
+    implicit val ringEnc = Encoders.product[Ring]
+    implicit val strEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Ring, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Obs], st: GroupState[Ring]) =>
+          step(window, minObs, factor)(rows, st)
+      }
+  }
+
+  /** [[flags]] with idle-key eviction for open key spaces. */
+  def flagsWithTtl(ds: Dataset[Obs], idleTtl: String, window: Int = 20,
+      minObs: Int = 10, factor: Long = 3L): Dataset[AnomalyFlag] = {
+    require(window >= minObs && minObs >= 1 && factor >= 1)
+    implicit val obsEnc = Encoders.product[Obs]
+    implicit val flagEnc = Encoders.product[AnomalyFlag]
+    implicit val ringEnc = Encoders.product[Ring]
+    implicit val strEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Ring, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[Obs], st: GroupState[Ring]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val it = step(window, minObs, factor)(rows, st)
+            st.setTimeoutDuration(idleTtl)
+            it
+          }
+      }
+  }
+}
