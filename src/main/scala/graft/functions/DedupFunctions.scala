@@ -334,20 +334,33 @@ object DedupFunctions {
     * skew cap. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    hammingCandidates(sh, idCol, "sh", maxHamming, maxBucket)
+  }
+
+  /** Hamming-candidate generation over ANY precomputed 64-bit hash
+    * column (the chunk-banding core of [[simhashCandidates]], shared
+    * with image perceptual hashes — [[graft.multimodal.Multimodal
+    * .imageNearDups]]): band the hash into `maxHamming + 1` chunks; by
+    * pigeonhole, two hashes within distance `maxHamming` agree on at
+    * least one full chunk. Same group-then-explode pair generation and
+    * bounded skew cap as the MinHash path. Candidates only — callers
+    * verify exact distance (`bit_count(h1 ^ h2)`) on the pairs. */
+  def hammingCandidates(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming out of range")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val extra = 64 % nChunks // first `extra` chunks get one more bit
-    val sh = docs.select(col(idCol),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
     val chunkCols = (0 until nChunks).map { c =>
       val start = c * base + math.min(c, extra)
       val width = base + (if (c < extra) 1 else 0)
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("key"))
+        shiftrightunsigned(col(hashCol), start).bitwiseAND(lit(mask)).as("key"))
     }
-    val chunks = sh.select(col(idCol), explode(array(chunkCols: _*)).as("x"))
+    val chunks = hashes.select(col(idCol), explode(array(chunkCols: _*)).as("x"))
       .select(col(idCol), col("x.chunk"), col("x.key"))
     val members =
       if (idIsIntegralType(chunks, idCol))

@@ -387,6 +387,72 @@ object MediaCodec {
     out
   }
 
+  /** Mean-pooled GRAYSCALE grid (gw × gh cells, Rec.601 luma for RGB,
+    * raw value for single-channel) — the shared downscale behind the
+    * perceptual hashes. Cell means in double to keep the threshold
+    * comparisons exact and deterministic. */
+  def grayGrid(p: Pixels, gw: Int, gh: Int): Array[Double] = {
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < p.height) {
+      val gy = math.min(y * gh / p.height, gh - 1)
+      var x = 0
+      while (x < p.width) {
+        val gx = math.min(x * gw / p.width, gw - 1)
+        val base = (y * p.width + x) * p.channels
+        val luma =
+          if (p.channels >= 3)
+            0.299 * (p.data(base) & 0xff) + 0.587 * (p.data(base + 1) & 0xff) +
+              0.114 * (p.data(base + 2) & 0xff)
+          else (p.data(base) & 0xff).toDouble
+        val k = gy * gw + gx
+        sums(k) += luma
+        counts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var k = 0
+    while (k < sums.length) { if (counts(k) > 0) sums(k) /= counts(k); k += 1 }
+    sums
+  }
+
+  /** 64-bit average-hash: 8×8 grayscale grid, bit set where the cell
+    * clears the grid mean — the classic perceptual image fingerprint
+    * (robust to re-encode/resize, not to crops or rotation). Strict
+    * `>` so a constant image hashes to 0, deterministically. */
+  def aHash64(p: Pixels): Long = {
+    val g = grayGrid(p, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** 64-bit difference-hash: 9×8 grayscale grid, bit set where a cell
+    * is brighter than its right neighbor — the horizontal-gradient
+    * sign pattern. Invariant to global brightness/contrast shifts
+    * (which move every aHash cell against the mean together). */
+  def dHash64(p: Pixels): Long = {
+    val g = grayGrid(p, 9, 8)
+    var h = 0L
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(row * 9 + c) > g(row * 9 + c + 1)) h |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    h
+  }
+
   /** Windowed RMS energy over int16 samples — real implementation. */
   def rmsEnergy(samples: Array[Short], windows: Int): Array[Float] = {
     val out = new Array[Float](windows)
@@ -413,6 +479,7 @@ final case class AudioRecord(media_id: Long, sample_rate: Int,
     n_samples: Int, energy: Array[Float])
 final case class FrameRecord(media_id: Long, frame_idx: Int, ts_ms: Long,
     width: Int, height: Int, embedding: Array[Float])
+final case class ImageHashRecord(media_id: Long, ahash: Long, dhash: Long)
 
 /** The Spark-side plumbing: schemas, batched partition transforms,
   * size-aware partitioning. All stages are `Dataset`-typed
@@ -481,6 +548,45 @@ object Multimodal {
           }
         }
       }(Encoders.product[ImageRecord])
+  }
+
+  /** Decode + perceptual-hash images: 64-bit aHash + dHash per blob.
+    * The image analogue of the text SimHash scan — 16 bytes of
+    * fingerprint per image, computed in one decode pass. */
+  def imageHashes(df: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", batchSize: Int = 32): Dataset[ImageHashRecord] =
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val px = MediaCodec.decodeImage(r.getAs[Array[Byte]](1))
+            ImageHashRecord(r.getLong(0), MediaCodec.aHash64(px), MediaCodec.dHash64(px))
+          }
+        }
+      }(Encoders.product[ImageHashRecord])
+
+  /** Near-duplicate image pairs: dHash banding for candidates
+    * ([[graft.functions.DedupFunctions.hammingCandidates]] — exact
+    * recall at `maxHamming` by pigeonhole), then exact Hamming verify
+    * (`bit_count(xor)`). The hash relation is persisted: candidates
+    * and both verify sides read it, and re-decoding every blob per
+    * reference would triple the only expensive stage. Returns
+    * (d1, d2, hamming) with d1 < d2 — feed to
+    * [[graft.functions.DedupFunctions.dupClusters]] for canonical
+    * keepers, exactly like the text near-dup pipeline. */
+  def imageNearDups(df: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val h = imageHashes(df, idCol, bytesCol).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = graft.functions.DedupFunctions
+      .hammingCandidates(h, "media_id", "dhash", maxHamming, maxBucket)
+    val h1 = h.select(col("media_id").as("d1"), col("dhash").as("h1"))
+    val h2 = h.select(col("media_id").as("d2"), col("dhash").as("h2"))
+    cand.join(h1, Seq("d1")).join(h2, Seq("d2"))
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
   }
 
   /** Audio → windowed RMS energy features. */

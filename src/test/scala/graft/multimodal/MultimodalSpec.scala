@@ -276,4 +276,53 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.imageFeatures(df, gridDim = 2).collect()
     assert(feats.length == 1 && feats.head.embedding.length == 12)
   }
+
+  private def encodeGimg(p: MediaCodec.Pixels): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13 + p.data.length)
+      .put("GIMG".getBytes("US-ASCII"))
+      .putInt(p.width).putInt(p.height).put(p.channels.toByte)
+      .put(p.data).array()
+
+  test("perceptual hashes survive nearest-neighbor upscaling") {
+    val px = MediaCodec.decodeImage(MediaCodec.encodeFakeImage(16, 16, 3, seed = 5))
+    val up = MediaCodec.resizeNearest(px, 32, 32)
+    // aHash: 8 divides 16 and 32, so every grid cell covers exactly
+    // the same source pixels — bit-identical
+    assert(MediaCodec.aHash64(px) == MediaCodec.aHash64(up))
+    // dHash: the 9-wide grid can't divide either width, so upscaling
+    // re-partitions boundary pixels between cells — identity doesn't
+    // hold, the near-dup property (small Hamming drift) does
+    val d = java.lang.Long.bitCount(
+      MediaCodec.dHash64(px) ^ MediaCodec.dHash64(up))
+    assert(d <= 3, s"dHash drifted $d bits under 2x upscale")
+  }
+
+  test("perceptual hashes are invariant to a global brightness shift") {
+    // values bounded to 0..179 so +20 cannot wrap
+    val data = Array.tabulate(16 * 16)(i => ((i * 7) % 180).toByte)
+    val base = MediaCodec.Pixels(16, 16, 1, data)
+    val shifted = MediaCodec.Pixels(16, 16, 1, data.map(b => (b + 20).toByte))
+    assert(MediaCodec.dHash64(base) == MediaCodec.dHash64(shifted))
+    assert(MediaCodec.aHash64(base) == MediaCodec.aHash64(shifted))
+  }
+
+  test("imageNearDups recalls a planted perceptual near-duplicate") {
+    val rnd = (0 until 30).map(i =>
+      (i.toLong, MediaCodec.encodeFakeImage(32, 24, 3, seed = 100 + i)))
+    // near-dup of image 0: a couple of pixels nudged slightly — the
+    // grid means barely move, so the dHash stays within banding range
+    val basePx = MediaCodec.decodeImage(rnd.head._2)
+    val tweaked = basePx.data.clone()
+    (0 until 6).foreach(k => tweaked(k) = (tweaked(k) + 3).toByte)
+    val dup = (1000L, encodeGimg(MediaCodec.Pixels(32, 24, 3, tweaked)))
+    val df = (rnd :+ dup).toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDups(df, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1000L },
+      s"planted near-dup not recalled; got ${pairs.toSeq}")
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
+    // distinct random images must not be called duplicates
+    assert(pairs.forall { case (a, b, _) => b == 1000L || (a, b) == ((0L, 1000L)) },
+      s"false positives among unrelated images: ${pairs.toSeq}")
+  }
 }
