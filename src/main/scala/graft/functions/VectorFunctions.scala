@@ -387,6 +387,24 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-space decontamination: drop corpus rows whose cosine
+    * to ANY benchmark vector clears `threshold` — the semantic
+    * counterpart of the 5-gram decontamination (q43): paraphrased or
+    * reformatted eval items that share no exact n-gram still sit next
+    * to their source in embedding space. The benchmark side is
+    * control-plane-sized (eval suites), so the plan is a broadcast
+    * nested-loop LEFT ANTI join: the corpus scans ONCE, never
+    * shuffles, and each row short-circuits on its first hit. At 100 TB
+    * this is the same shape as the Bloom-filter decontamination path —
+    * a fixed-size model rides the plan, the data never moves. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      vecCol: String, threshold: Double): DataFrame = {
+    val c = corpus.withColumn("_cv", col(vecCol).cast("array<double>"))
+    val b = bench.select(col(vecCol).cast("array<double>").as("_bv"))
+    c.join(broadcast(b), cosine(col("_cv"), col("_bv")) >= threshold, "left_anti")
+      .drop("_cv")
+  }
+
   /** PQ codes column: `m` sub-centroid indices per vector, the
     * codebooks riding the plan as one reference object. */
   def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {

@@ -1170,7 +1170,30 @@ object LlmQueries {
              |SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
              |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
              |FROM p WHERE shared * 1000000 >= n1 * 800000
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- semantic decontamination: the embedding-space twin of q43's
+    // 5-gram decontamination — drop corpus vectors within cosine 0.9
+    // of any benchmark vector (every 50th vector plays the planted
+    // eval suite, so its exact copies in-corpus MUST drop). Broadcast
+    // anti-join: corpus scans once, never shuffles; the 0.9 boundary
+    // is decision-safe on this corpus (no natural pair sits near it —
+    // the same gap q71/q72 rely on) ----
+    QuerySpec("q83_semantic_decontaminate",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val bench = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        VectorFunctions.semanticDecontaminate(e, bench, "embedding", 0.9)
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |b AS (SELECT v FROM e WHERE vec_id % 50 = 0)
+             |SELECT vec_id, label FROM e
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM b WHERE list_cosine_similarity(e.v, b.v) >= 0.9)
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

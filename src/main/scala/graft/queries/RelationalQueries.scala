@@ -691,6 +691,35 @@ object RelationalQueries {
              |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
              |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- behavior transition matrix: counts of adjacent event-type
+    // pairs within each user's timeline — the Markov-chain estimate
+    // behind next-action prediction and funnel DISCOVERY (q68 checks
+    // one known funnel; this surfaces which transitions exist at all).
+    // One shuffle (user), one lead() window, one count rollup; ties
+    // broken by event_id so the sequence is engine-deterministic ----
+    QuerySpec("q84_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type").as("from_type"), col("to_type"), col("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events)
+             |SELECT event_type AS from_type, to_type,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM s WHERE to_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
   )
 }
