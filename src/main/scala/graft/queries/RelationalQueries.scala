@@ -720,6 +720,77 @@ object RelationalQueries {
              |SELECT event_type AS from_type, to_type,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM s WHERE to_type IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- co-occurrence (market-basket) matrix: for each unordered
+    // pair of event types, how many users exhibit both — the support
+    // counts behind association rules. Pairs come from ONE grouped
+    // sorted collect_set + double explode (the established
+    // no-self-join pattern: a distinct-projection self-join would
+    // re-evaluate the upstream per branch); the per-user set is
+    // bounded by the closed type vocabulary, so collect_set state is
+    // control-plane-sized. Lift's numerator/denominators stay integer
+    // (n_users, per-type supports via a broadcast join) — the division
+    // happens downstream where rounding doesn't gate ----
+    QuerySpec("q85_cooccurrence",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val pairs = d.groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .select(explode(col("ts")).as("t1"), col("ts"))
+          .select(col("t1"), explode(col("ts")).as("t2"))
+          .filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+        val support = d.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+        pairs
+          .join(broadcast(support).withColumnRenamed("event_type", "t1")
+            .withColumnRenamed("s", "n_t1"), Seq("t1"))
+          .join(broadcast(support).withColumnRenamed("event_type", "t2")
+            .withColumnRenamed("s", "n_t2"), Seq("t2"))
+          .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"))
+          .orderBy(col("t1"), col("t2"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+             |p AS (
+             |  SELECT a.event_type AS t1, b.event_type AS t2,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM d a JOIN d b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s FROM d GROUP BY 1)
+             |SELECT t1, t2, n_both, s1.s AS n_t1, s2.s AS n_t2
+             |FROM p JOIN s s1 ON p.t1 = s1.event_type
+             |       JOIN s s2 ON p.t2 = s2.event_type
+             |ORDER BY t1, t2""".stripMargin)),
+
+    // ---- sliding-window active users (the WAU curve): per observed
+    // day, distinct users active in the trailing 7 days. Each distinct
+    // (day, user) contributes itself to the 7 FORWARD days (explode of
+    // a bounded sequence — window width, not data, scales the fanout),
+    // then a semi-join restricts to observed days and one distinct
+    // count per day. Days index as integers from the corpus epoch so
+    // the gate compares no DATE encodings ----
+    QuerySpec("q86_rolling_active",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(datediff(col("ts").cast("date"),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("d"),
+            col("user_id")).distinct()
+        val days = du.select(col("d")).distinct()
+        du.select(explode(sequence(col("d"), col("d") + 6)).as("d"), col("user_id"))
+          .join(days, Seq("d"), "left_semi")
+          .groupBy(col("d"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(date_diff('day', DATE '2024-01-01',
+             |    CAST(ts AS DATE)) AS INTEGER) AS d, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT d FROM du)
+             |SELECT days.d AS d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+             |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+             |GROUP BY days.d ORDER BY days.d""".stripMargin))
   )
 }
