@@ -110,6 +110,48 @@ object SamplingFunctions {
     df.filter(hashBucket(key, 100, salt) < pct)
   }
 
+  /** Weighted rank for deterministic weighted sampling WITHOUT
+    * replacement (Efraimidis–Spirakis "A-ES"): row i gets
+    * `-ln(u_i) / w_i` with `u_i ∈ (0,1]` derived from the portable
+    * hash — an Exponential(w_i) draw, so keeping the k SMALLEST ranks
+    * samples with inclusion odds scaling in weight, and the whole draw
+    * is a pure projection: no `rand()`, bit-reproducible across
+    * engines, retries, and cluster sizes (the same guarantee as
+    * [[hashSample]], extended to non-uniform weights). */
+  def weightedRank(key: Column, weight: Column,
+      salt: String = "wsample"): Column =
+    -log((Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))) + lit(1L))
+      .cast("double") / lit((1L << 60).toDouble)) / weight.cast("double")
+
+  /** The k rows with the smallest [[weightedRank]] — a deterministic
+    * weighted sample without replacement. Rows with weight <= 0 are
+    * excluded (they have no sampling mass).
+    *
+    * Scale shape: ranks ride the scan; the k-smallest cut compiles to
+    * TakeOrdered — per-partition top-k then a k·partitions driver
+    * merge, NO global sort and no corpus shuffle. That distributed
+    * shape is exactly the exponential-rank family's mergeability
+    * property (global top-k == top-k of unioned per-split top-k's),
+    * pinned by WeightedSampleSpec. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame =
+    df.filter(weight > lit(0))
+      .withColumn("graft_wrank", weightedRank(key, weight, salt))
+      .orderBy(col("graft_wrank"), key)
+      .limit(k)
+      .drop("graft_wrank")
+
+  /** Per-group weighted sample: k docs per group, weight-biased —
+    * [[reservoirPerGroup]] with non-uniform odds (e.g. favor long or
+    * high-quality docs in every source's eyeball slice). Same scale
+    * shape as [[quotaPerGroup]]: one shuffle on `group`,
+    * WindowGroupLimit bounds hot groups. */
+  def weightedPerGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, n: Int, salt: String = "wresv"): DataFrame =
+    quotaPerGroup(df.filter(weight > lit(0)), group,
+      weightedRank(key, weight, salt).asc, key.asc, n)
+      .drop("rk")
+
   /** Mixture (data-mixing) sampling: downsample each stratum toward a
     * TARGET SHARE of the corpus (basis points out of 10000), the
     * static-mixing primitive behind domain-reweighted training sets.

@@ -1193,7 +1193,29 @@ object LlmQueries {
              |SELECT vec_id, label FROM e
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM b WHERE list_cosine_similarity(e.v, b.v) >= 0.9)
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- weighted deterministic sampling (Efraimidis–Spirakis A-ES):
+    // length-biased draw of 50 docs — the non-uniform twin of q37's
+    // hash sampling. Rank = -ln(u)/w from the portable hash, so the
+    // oracle reproduces the exact membership (both engines take
+    // correctly-rounded ln over identical doubles; rank gaps at the
+    // cut are ~1e-2, 13 orders above any ulp drift). TakeOrdered
+    // shape: per-partition top-k + driver merge, no corpus shuffle ----
+    QuerySpec("q87_weighted_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        SamplingFunctions.weightedSample(d, col("doc_id"), col("n_chars"), k = 50)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    -ln((CAST('0x' || substr(md5('wsample:' || doc_id), 1, 15) AS BIGINT) + 1)
+             |        / 1152921504606846976.0) / n_chars AS rk
+             |  FROM documents WHERE n_chars > 0),
+             |s AS (SELECT doc_id, n_chars FROM r ORDER BY rk, doc_id LIMIT 50)
+             |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
