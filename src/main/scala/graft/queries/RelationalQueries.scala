@@ -791,6 +791,39 @@ object RelationalQueries {
              |days AS (SELECT DISTINCT d FROM du)
              |SELECT days.d AS d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
              |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
-             |GROUP BY days.d ORDER BY days.d""".stripMargin))
+             |GROUP BY days.d ORDER BY days.d""".stripMargin)),
+
+    // ---- session STATS via the built-in session_window operator — the
+    // q28 semantics carried by Spark's native session state machine
+    // (and the batch twin of streaming.StreamingSessionize). The
+    // oracle is the independent gaps-and-islands formulation, so the
+    // gate pins session_window's merge boundary (diff > gap splits,
+    // diff == gap merges) against a from-first-principles rebuild.
+    // One shuffle on user_id; session assembly is per-key linear ----
+    QuerySpec("q88_session_stats",
+      (s, dir) => graft.streaming.StreamingSessionize.sessionsBatch(
+          t(s, dir, "events"), "user_id", "ts", "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          sum(col("n_events")).as("n_events_total"))
+        .orderBy(col("user_id")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+             |           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sess_id
+             |  FROM g),
+             |c AS (SELECT user_id, sess_id, count(*) AS n_ev FROM s GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(max(n_ev) AS BIGINT) AS max_events,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events_total
+             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }
