@@ -70,5 +70,29 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
         DotProductExpr(args.head, args(1))
+      }),
+    // model-free LSH: the plane family derives from (seed, bit, dim)
+    // alone, so SQL callers get the SAME buckets as the Column API —
+    // cross-engine/cross-job bucket compatibility with no stored model
+    (FunctionIdentifier("graft_srp_bucket"),
+      info("graft_srp_bucket",
+        "graft_srp_bucket(vec, dim, nbits, seed) - sign-random-projection LSH " +
+          "bucket of an ARRAY<DOUBLE>; dim/nbits/seed must be integer literals"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_srp_bucket expects 4 arguments, got ${args.length}")
+        def intLit(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_srp_bucket: $name must be a literal")
+          e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_srp_bucket: $name must be an integer literal, got $other")
+          }
+        }
+        graft.functions.VectorFunctions.sqlSrpBucket(args.head,
+          intLit(args(1), "dim"), intLit(args(2), "nbits"), intLit(args(3), "seed"))
       }))
 }

@@ -333,7 +333,23 @@ object VectorFunctions {
     * row — ~5M interpreted lambda re-entries per band table at sf0.1,
     * dominating the bucketed-dedup scan stage. */
   def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Int = 42): Column = {
-    val planes = Array.tabulate(nBits, dim) { (b, d) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SrpBucketExpr(ColumnBridge.expression(vec), srpPlanes(dim, nBits, seed)))
+  }
+
+  /** Expression-level form for the SQL registration
+    * (`graft_srp_bucket` in [[graft.GraftExtensions]]). */
+  private[graft] def sqlSrpBucket(
+      vec: org.apache.spark.sql.catalyst.expressions.Expression,
+      dim: Int, nBits: Int, seed: Int): SrpBucketExpr =
+    SrpBucketExpr(vec, srpPlanes(dim, nBits, seed))
+
+  /** The deterministic ±1 hyperplane family behind [[srpBucket]] —
+    * shared with the SQL registration (`graft_srp_bucket`). */
+  private[graft] def srpPlanes(dim: Int, nBits: Int,
+      seed: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
       // splitmix64 finalizer over the (seed, bit, dim) triple
       var z = seed.toLong * 0x9E3779B97F4A7C15L +
         b.toLong * 0xBF58476D1CE4E5B9L + d.toLong * 0x94D049BB133111EBL
@@ -342,9 +358,6 @@ object VectorFunctions {
       z ^= z >>> 31
       if ((z & 1L) == 0L) -1.0 else 1.0
     }
-    import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(SrpBucketExpr(ColumnBridge.expression(vec), planes))
-  }
 
   /** IVF-style ANN: bucket corpus and queries by [[srpBucket]], join on
     * bucket, then exact top-k within candidates. Trades recall for a

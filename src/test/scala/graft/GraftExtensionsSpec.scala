@@ -52,6 +52,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == api.getDouble(0) && r.getLong(1) == api.getLong(1))
   }
 
+  test("graft_srp_bucket from SQL matches the Column API bucket-for-bucket") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d).toDouble))
+    }.toDF("id", "v")
+    vecs.createOrReplaceTempView("ext_srp")
+    val sql = spark.sql(
+      "SELECT id, graft_srp_bucket(v, 16, 8, 42) AS b FROM ext_srp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val api = vecs
+      .select(col("id"), VectorFunctions.srpBucket(col("v"), 16, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == api, s"SQL and Column API buckets diverged:\n$sql\n$api")
+    assert(sql.values.toSet.size > 1, "16-dim corpus must spread over buckets")
+  }
+
+  test("graft_srp_bucket rejects non-literal shape arguments") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_srp_bucket(array(1.0), CAST(id AS INT), 8, 42) " +
+        "FROM range(3)").collect()
+    }
+  }
+
   test("wrong arity is rejected at analysis") {
     intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0))").collect() }
   }
