@@ -24,4 +24,37 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_keys"), max(col("n")).as("max_group"),
         sum(col("n")).as("n_rows"))
       .orderBy(col("magnitude"))
+
+  /** Robust per-group outlier screen: median / MAD (median absolute
+    * deviation), the mean/stddev profile that survives heavy tails —
+    * a value-column audit for metric streams and label columns where
+    * one bad feed would drag a z-score's own baseline with it. Both
+    * centers are EXACT rank-picks (q70's middle-element rule, never
+    * interpolation — engine-portable to the bit); a row is an outlier
+    * when `dev > k * mad`.
+    *
+    * Scale shape: ONE hash shuffle on `group` carries all four window
+    * passes (rank by value, group count, rank by deviation, the two
+    * center broadcasts are `max(when(rk = pick))` analytic columns over
+    * the SAME partitioning — no self-join, no re-reference of the
+    * scan), then a per-group fold. Sorts are per-partition. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+      tieBreak: Column, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("g"))
+    val wVal = wG.orderBy(col("v"), col("tb"))
+    val wDev = wG.orderBy(col("dev"), col("tb"))
+    df.select(group.as("g"), tieBreak.as("tb"), value.as("v"))
+      .withColumn("rk", row_number().over(wVal))
+      .withColumn("n_g", count(lit(1)).over(wG))
+      .withColumn("med", max(when(expr("rk = (n_g + 1) div 2"), col("v"))).over(wG))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .withColumn("rk2", row_number().over(wDev))
+      .withColumn("mad", max(when(expr("rk2 = (n_g + 1) div 2"), col("dev"))).over(wG))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k.toDouble) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, SamplingFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{DedupFunctions, HeavyHitters, SamplingFunctions, TextFunctions, VectorFunctions}
 import QuerySpec.t
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -1215,7 +1215,24 @@ object LlmQueries {
              |        / 1152921504606846976.0) / n_chars AS rk
              |  FROM documents WHERE n_chars > 0),
              |s AS (SELECT doc_id, n_chars FROM r ORDER BY rk, doc_id LIMIT 50)
-             |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- Misra–Gries heavy hitters, exact regime: capacity above the
+    // corpus vocabulary means no counter is ever evicted, so the
+    // sketch equals the groupBy-count — hash-gating the aggregator's
+    // reduce/merge/finish plumbing (partial aggregation exercises the
+    // mergeable-summaries combine). HeavyHittersSpec covers the lossy
+    // regime's bounds, which no SQL oracle can express ----
+    QuerySpec("q90_heavy_hitters",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .select(HeavyHitters.sketch(col("token"), 4096).as("m"))
+        .select(explode(col("m")).as(Seq("token", "n_occ")))
+        .orderBy(col("token")),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY token""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -824,6 +824,38 @@ object RelationalQueries {
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
              |  CAST(max(n_ev) AS BIGINT) AS max_events,
              |  CAST(sum(n_ev) AS BIGINT) AS n_events_total
-             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- robust outlier screen: per-event-type median/MAD with exact
+    // rank-pick centers (q70's rule — no interpolation, so the doubles
+    // are bit-identical cross-engine and the k·mad comparison is
+    // decision-exact). The heavy-tail-safe twin of a z-score audit;
+    // one shuffle carries every window pass ----
+    QuerySpec("q89_robust_outliers",
+      (s, dir) => graft.functions.Diagnostics.robustOutliers(
+          t(s, dir, "events"), col("event_type"), col("value"),
+          col("event_id"), k = 3)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH r AS (
+             |  SELECT event_type AS g, event_id AS tb, value AS v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n_g
+             |  FROM events),
+             |m AS (SELECT g, v AS med FROM r WHERE rk = (n_g + 1) // 2),
+             |d AS (
+             |  SELECT r.g, r.tb, abs(r.v - m.med) AS dev, m.med, r.n_g
+             |  FROM r JOIN m ON r.g = m.g),
+             |r2 AS (
+             |  SELECT g, dev, med, n_g,
+             |    row_number() OVER (PARTITION BY g ORDER BY dev, tb) AS rk2
+             |  FROM d),
+             |m2 AS (SELECT g, dev AS mad FROM r2 WHERE rk2 = (n_g + 1) // 2)
+             |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  max(d.med) AS med, max(m2.mad) AS mad
+             |FROM d JOIN m2 ON d.g = m2.g
+             |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
