@@ -1232,7 +1232,39 @@ object LlmQueries {
       Some("""SELECT token, CAST(count(*) AS BIGINT) AS n_occ
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              |      FROM documents)
-             |GROUP BY 1 ORDER BY token""".stripMargin))
+             |GROUP BY 1 ORDER BY token""".stripMargin)),
+
+    // ---- self-hosted LM quality: per-source cross-entropy under the
+    // corpus's own add-one-smoothed bigram model (the CCNet/KenLM
+    // filter without the external model file). Counts are exact
+    // integers; ln happens once at the end, so the 6-decimal gate is
+    // decision-stable. Model tables join back on their natural keys —
+    // never broadcast, never collected ----
+    QuerySpec("q91_lm_quality",
+      (s, dir) => graft.functions.LanguageModel.bigramCrossEntropy(
+          t(s, dir, "documents"), col("source"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source")),
+      Some("""WITH tk AS (
+             |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents),
+             |tk2 AS (SELECT * FROM tk WHERE len(tk) >= 2),
+             |bg AS (
+             |  SELECT source,
+             |    unnest(list_transform(generate_series(1, len(tk) - 1),
+             |      i -> tk[i])) AS w1,
+             |    unnest(list_transform(generate_series(1, len(tk) - 1),
+             |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+             |  FROM tk2),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS vocab
+             |  FROM (SELECT unnest(tk) AS tok FROM tk2)),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+             |c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1)
+             |SELECT bg.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  -sum(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) / count(*) AS xent
+             |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+             |GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
