@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
 import graft.functions._
 
@@ -64,6 +64,13 @@ object GraftExtensions {
     unary("graft_deflate_ratio",
       "graft_deflate_ratio(str) - deflate(BEST_SPEED) compressed/raw size; repetitive text compresses low")(
       e => DeflateRatioExpr(Cast(e, BinaryType))),
+    (FunctionIdentifier("graft_zvalue16"),
+      info("graft_zvalue16",
+        "graft_zvalue16(x, y) - Morton/z-order interleave of two 16-bit dimension keys as LONG"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_zvalue16 expects 2 arguments, got ${args.length}")
+        ZValue16Expr(Cast(args.head, IntegerType), Cast(args(1), IntegerType))
+      }),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> columns (sequential fold)"),

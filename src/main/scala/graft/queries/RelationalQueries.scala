@@ -856,6 +856,36 @@ object RelationalQueries {
              |    AS n_outliers,
              |  max(d.med) AS med, max(m2.mad) AS mad
              |FROM d JOIN m2 ON d.g = m2.g
-             |GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- z-order (Morton) layout keys: the Delta/Iceberg OPTIMIZE
+    // ZORDER primitive — interleaved-bit codes whose sort order keeps
+    // rows close in BOTH dimensions, turning parquet min/max stats
+    // into boxes instead of stripes (ZOrderSpec asserts the pruning
+    // win; this gate pins the bit math cross-engine). Codegen'd
+    // expression, pure scan shape ----
+    QuerySpec("q92_zorder_keys",
+      (s, dir) => {
+        val x = col("user_id").bitwiseAND(lit(65535L))
+        val y = floor(col("value") * 100).bitwiseAND(lit(65535L))
+        t(s, dir, "events")
+          .select(col("event_id"), x.as("x"), y.as("y"),
+            graft.functions.ZOrder.zvalue16(x, y).as("z"))
+          .orderBy(col("z"), col("event_id"))
+          .limit(20)
+      },
+      Some("""WITH k AS (
+             |  SELECT event_id,
+             |    user_id & 65535 AS x,
+             |    CAST(floor(value * 100) AS BIGINT) & 65535 AS y
+             |  FROM events),
+             |z AS (
+             |  SELECT event_id, x, y,
+             |    list_sum(list_transform(generate_series(0, 15),
+             |      i -> (((x >> i) & 1) << (2 * i))
+             |         + (((y >> i) & 1) << (2 * i + 1)))) AS z
+             |  FROM k)
+             |SELECT event_id, x, y, CAST(z AS BIGINT) AS z
+             |FROM z ORDER BY z, event_id LIMIT 20""".stripMargin))
   )
 }
