@@ -886,6 +886,35 @@ object RelationalQueries {
              |         + (((y >> i) & 1) << (2 * i + 1)))) AS z
              |  FROM k)
              |SELECT event_id, x, y, CAST(z AS BIGINT) AS z
-             |FROM z ORDER BY z, event_id LIMIT 20""".stripMargin))
+             |FROM z ORDER BY z, event_id LIMIT 20""".stripMargin)),
+
+    // ---- SCD2 dimension history: per-user event-type runs collapsed
+    // to validity intervals (valid_to null on the current run) — the
+    // warehouse-standard change-history shape; compose with the as-of
+    // join (q47) for "state as of t". One shuffle carries lag + filter
+    // + lead; timestamps surface as epoch micros (both engines
+    // truncate the parquet ns values identically) ----
+    QuerySpec("q93_scd2_history",
+      (s, dir) => graft.operators.Scd2.history(
+          t(s, dir, "events"),
+          key = col("user_id"), ts = unix_micros(col("ts")),
+          value = col("event_type"), tieBreak = col("event_id"))
+        .withColumnsRenamed(Map("k" -> "user_id", "v" -> "event_type"))
+        .orderBy(col("user_id"), col("valid_from")),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, event_type, tsu,
+             |    row_number() OVER w AS rn,
+             |    lag(event_type) OVER w AS prev
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+             |c AS (
+             |  SELECT user_id, event_type, tsu AS valid_from
+             |  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+             |SELECT user_id, event_type, valid_from,
+             |  lead(valid_from) OVER (
+             |    PARTITION BY user_id ORDER BY valid_from) AS valid_to
+             |FROM c ORDER BY user_id, valid_from""".stripMargin))
   )
 }
