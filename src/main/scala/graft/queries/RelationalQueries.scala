@@ -915,6 +915,39 @@ object RelationalQueries {
              |SELECT user_id, event_type, valid_from,
              |  lead(valid_from) OVER (
              |    PARTITION BY user_id ORDER BY valid_from) AS valid_to
-             |FROM c ORDER BY user_id, valid_from""".stripMargin))
+             |FROM c ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ---- bucketized interval join: clicks landing within 4 hours
+    // after a purchase by the same user. The equi-join-on-(key,bucket)
+    // rewrite of a range join — the naive form plans BroadcastNestedLoop
+    // and dies at scale; this shape is a plain shuffled hash join with
+    // ~2 extra rows per interval. id_sum pins exact pair membership ----
+    QuerySpec("q94_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val iv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
+        val pt = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_ts"),
+            col("event_id").as("click_id"))
+        graft.operators.IntervalJoin.pointInInterval(
+            iv, pt, "user_id",
+            lo = col("p_ts"), hi = col("p_ts") + lit(14400000000L),
+            x = col("c_ts"), bucketWidth = 14400000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_hits"), sum(col("click_id")).as("id_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 14400000000 AS hi
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS x, event_id
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_hits,
+             |  CAST(sum(c.event_id) AS BIGINT) AS id_sum
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c.x >= p.lo AND c.x <= p.hi
+             |GROUP BY 1 ORDER BY p.user_id""".stripMargin))
   )
 }
