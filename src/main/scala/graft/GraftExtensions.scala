@@ -64,6 +64,9 @@ object GraftExtensions {
     unary("graft_deflate_ratio",
       "graft_deflate_ratio(str) - deflate(BEST_SPEED) compressed/raw size; repetitive text compresses low")(
       e => DeflateRatioExpr(Cast(e, BinaryType))),
+    unary("graft_nfc",
+      "graft_nfc(str) - Unicode NFC canonical composition (normalize before hashing/dedup)")(
+      NfcNormalizeExpr),
     (FunctionIdentifier("graft_zvalue16"),
       info("graft_zvalue16",
         "graft_zvalue16(x, y) - Morton/z-order interleave of two 16-bit dimension keys as LONG"),

@@ -22,6 +22,16 @@ object HashUtil {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** NFC-normalize, returning the input object untouched when already
+    * normalized (no allocation on the ASCII/composed fast path). */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** First 60 bits of the md5 digest as a non-negative long —
     * numerically identical to the composed
     * `conv(substring(md5(c), 1, 15), 16, 10)` form (15 hex chars = the
@@ -568,4 +578,24 @@ object Hashes {
 
   /** Content hash used by exact dedup: hex md5 (engine-portable). */
   def contentHash(c: Column): Column = md5(c.cast(BinaryType))
+}
+
+/** Unicode NFC normalization as a native expression — the canonical-
+  * composition pass every dedup/hash pipeline needs BEFORE hashing
+  * (the same text arrives composed from one crawler and decomposed
+  * from another; byte-level hashes then miss the duplicate). Spark
+  * has no built-in normalizer; the JDK one is `java.text.Normalizer`.
+  * `isNormalized` short-circuits the (overwhelmingly common) already-
+  * NFC case without allocating — ASCII corpora pay one table-driven
+  * scan per value and nothing else.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_nfc"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.nfcNormalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
 }

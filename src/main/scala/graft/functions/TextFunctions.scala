@@ -193,6 +193,26 @@ object TextFunctions {
       ColumnBridge.expression(text.cast("binary"))))
   }
 
+  /** Unicode NFC canonical composition ([[NfcNormalizeExpr]]) — run
+    * before any byte-level hash/dedup: composed and decomposed forms
+    * of the same text must collide. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NfcNormalizeExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** Full text canonicalization for dedup keys: NFC, control chars to
+    * spaces, space runs collapsed, ends trimmed. The collapse pattern
+    * is a literal `" +"` — NOT `\s+`, whose character class differs
+    * between regex engines (Java includes U+000B, RE2 does not); after
+    * the control-strip pass, space is the only whitespace left, so the
+    * simpler pattern is also the portable one. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), lit("[\\x00-\\x1f\\x7f]"), lit(" ")),
+      lit(" +"), lit(" ")))
+
   /** Struct of per-kind PII hit counts — the audit twin of
     * [[redactPii]] (count before you scrub; log what you dropped).
     * Phones are counted on text with emails AND IPv4s already replaced,

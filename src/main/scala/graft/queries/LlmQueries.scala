@@ -1264,7 +1264,26 @@ object LlmQueries {
              |SELECT bg.source, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  -sum(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) / count(*) AS xent
              |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
-             |GROUP BY 1 ORDER BY source""".stripMargin))
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- canonicalization before hashing: NFC + control-strip +
+    // space-collapse, then the dedup content hash. The gated corpus is
+    // ASCII (NFC is identity there — NormalizeSpec carries the
+    // composed/decomposed evidence); what this pins cross-engine is
+    // the full normalize->hash pipeline and the portable regex forms ----
+    QuerySpec("q95_normalize_hash",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(TextFunctions.normalizeText(col("text"))).as("n_norm"),
+          md5(TextFunctions.normalizeText(col("text")).cast("binary")).as("h"))
+        .orderBy(col("doc_id")),
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(norm) AS INT) AS n_norm, md5(norm) AS h
+             |FROM n ORDER BY doc_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
