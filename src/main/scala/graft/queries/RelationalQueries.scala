@@ -948,6 +948,33 @@ object RelationalQueries {
              |  CAST(sum(c.event_id) AS BIGINT) AS id_sum
              |FROM p JOIN c ON p.user_id = c.user_id
              |  AND c.x >= p.lo AND c.x <= p.hi
-             |GROUP BY 1 ORDER BY p.user_id""".stripMargin))
+             |GROUP BY 1 ORDER BY p.user_id""".stripMargin)),
+
+    // ---- incremental aggregate maintenance: a mid-month snapshot and
+    // the tail delta merge into the SAME table a full recompute gives —
+    // the oracle computes it the direct way, so the gate IS the
+    // merge==recompute proof. Refresh cost scales with the delta ----
+    QuerySpec("q96_incremental_agg",
+      (s, dir) => {
+        val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+              min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        val ev = t(s, dir, "events")
+        val snapshot = rollup(ev.filter(col("ts") < cutoff))
+        val delta = rollup(ev.filter(col("ts") >= cutoff))
+        graft.operators.IncrementalAgg.merge(
+            Seq(snapshot, delta), keys = Seq("event_type"),
+            counts = Seq("n"), sums = Seq("sum_v"),
+            mins = Seq("min_v"), maxs = Seq("max_v"))
+          .select(col("event_type"), col("n"),
+            round(col("sum_v"), 2).as("sum_v"), col("min_v"), col("max_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS sum_v,
+             |  min(value) AS min_v, max(value) AS max_v
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
