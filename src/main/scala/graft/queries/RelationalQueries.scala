@@ -975,6 +975,69 @@ object RelationalQueries {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(value), 2) AS sum_v,
              |  min(value) AS min_v, max(value) AS max_v
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- integer fixed-point PageRank over the user co-activity
+    // graph (edges: same event_type + day, support >= 30). Iterative
+    // join+agg rounds with NO floats — ranks in millionths, truncating
+    // div — so even the 5th iteration hash-matches the oracle's
+    // unrolled CTEs exactly. Pairs come from collect_set + double
+    // explode (one shuffle), never a self-join of the distinct scan ----
+    QuerySpec("q97_pagerank",
+      (s, dir) => {
+        val slots = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("day", col("ts")).as("d"))
+          .distinct()
+        val edges = slots.groupBy(col("event_type"), col("d"))
+          .agg(sort_array(collect_set(col("user_id"))).as("us"))
+          .select(explode(col("us")).as("u"), col("us"))
+          .select(col("u"), explode(col("us")).as("v"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 30)
+        graft.operators.PageRank.ranks(edges, iterations = 5)
+          .withColumnRenamed("node", "user_id")
+          .orderBy(col("rank").desc, col("user_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
+             |  FROM events),
+             |e0 AS (
+             |  SELECT a.user_id AS u, b.user_id AS v
+             |  FROM s a JOIN s b
+             |    ON a.event_type = b.event_type AND a.d = b.d
+             |   AND a.user_id < b.user_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 30),
+             |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+             |r1 AS (
+             |  SELECT e.v AS node,
+             |    150000 + (850000 * sum(r0.rank // deg.deg)) // 1000000 AS rank
+             |  FROM e JOIN r0 ON e.u = r0.node JOIN deg ON e.u = deg.u
+             |  GROUP BY 1),
+             |r2 AS (
+             |  SELECT e.v AS node,
+             |    150000 + (850000 * sum(r1.rank // deg.deg)) // 1000000 AS rank
+             |  FROM e JOIN r1 ON e.u = r1.node JOIN deg ON e.u = deg.u
+             |  GROUP BY 1),
+             |r3 AS (
+             |  SELECT e.v AS node,
+             |    150000 + (850000 * sum(r2.rank // deg.deg)) // 1000000 AS rank
+             |  FROM e JOIN r2 ON e.u = r2.node JOIN deg ON e.u = deg.u
+             |  GROUP BY 1),
+             |r4 AS (
+             |  SELECT e.v AS node,
+             |    150000 + (850000 * sum(r3.rank // deg.deg)) // 1000000 AS rank
+             |  FROM e JOIN r3 ON e.u = r3.node JOIN deg ON e.u = deg.u
+             |  GROUP BY 1),
+             |r5 AS (
+             |  SELECT e.v AS node,
+             |    150000 + (850000 * sum(r4.rank // deg.deg)) // 1000000 AS rank
+             |  FROM e JOIN r4 ON e.u = r4.node JOIN deg ON e.u = deg.u
+             |  GROUP BY 1)
+             |SELECT node AS user_id, CAST(rank AS BIGINT) AS rank
+             |FROM r5 ORDER BY rank DESC, user_id""".stripMargin))
   )
 }
