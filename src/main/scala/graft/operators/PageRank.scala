@@ -30,10 +30,18 @@ object PageRank {
     * with at least one edge. */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // materialize the directed adjacency ONCE: it is referenced every
+    // iteration, and without a checkpoint Catalyst would re-derive the
+    // caller's whole edge pipeline (scan, pair explode, support
+    // filter) per round — the iterative-plan analogue of a loop
+    // invariant. localCheckpoint is executor-local (re-lost on
+    // executor failure); a 1000-executor production run writes the
+    // adjacency to parquet instead — same math, durable lineage cut.
     val und = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val adj = und.join(deg, "u")
+    val adj = und.join(deg, "u").localCheckpoint()
     var r = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iterations) {
       r = adj.join(r, adj("u") === r("node"))

@@ -977,38 +977,40 @@ object RelationalQueries {
              |  min(value) AS min_v, max(value) AS max_v
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
-    // ---- integer fixed-point PageRank over the user co-activity
-    // graph (edges: same event_type + day, support >= 30). Iterative
-    // join+agg rounds with NO floats — ranks in millionths, truncating
-    // div — so even the 5th iteration hash-matches the oracle's
-    // unrolled CTEs exactly. Pairs come from collect_set + double
-    // explode (one shuffle), never a self-join of the distinct scan ----
+    // ---- integer fixed-point PageRank over the user co-purchase
+    // graph (edges: purchases on the same day, support >= 8 days).
+    // Iterative join+agg rounds with NO floats — ranks in millionths,
+    // truncating div — so even the 5th iteration hash-matches the
+    // oracle's unrolled CTEs exactly. Pairs come from collect_set +
+    // double explode (one shuffle), never a self-join of the distinct
+    // scan; the single-type slot keeps per-day member lists (and the
+    // quadratic pair fanout) bounded — the all-types variant is 30×
+    // the candidate volume for the same ranking signal ----
     QuerySpec("q97_pagerank",
       (s, dir) => {
         val slots = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("day", col("ts")).as("d"))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
           .distinct()
-        val edges = slots.groupBy(col("event_type"), col("d"))
+        val edges = slots.groupBy(col("d"))
           .agg(sort_array(collect_set(col("user_id"))).as("us"))
           .select(explode(col("us")).as("u"), col("us"))
           .select(col("u"), explode(col("us")).as("v"))
           .filter(col("u") < col("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 30)
+          .filter(col("supp") >= 8)
         graft.operators.PageRank.ranks(edges, iterations = 5)
           .withColumnRenamed("node", "user_id")
           .orderBy(col("rank").desc, col("user_id"))
       },
       Some("""WITH s AS (
-             |  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
-             |  FROM events),
+             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+             |  FROM events WHERE event_type = 'purchase'),
              |e0 AS (
              |  SELECT a.user_id AS u, b.user_id AS v
              |  FROM s a JOIN s b
-             |    ON a.event_type = b.event_type AND a.d = b.d
-             |   AND a.user_id < b.user_id
-             |  GROUP BY 1, 2 HAVING count(*) >= 30),
+             |    ON a.d = b.d AND a.user_id < b.user_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 8),
              |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
              |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
              |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
