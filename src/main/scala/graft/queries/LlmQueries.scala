@@ -1283,7 +1283,29 @@ object LlmQueries {
              |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
              |  FROM documents)
              |SELECT doc_id, CAST(length(norm) AS INT) AS n_norm, md5(norm) AS h
-             |FROM n ORDER BY doc_id""".stripMargin))
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ---- rendezvous shard routing: coordination-free, resize-stable
+    // assignment over the portable hash family — id_sum pins EVERY
+    // individual assignment, not just the balance ----
+    QuerySpec("q98_rendezvous_shards",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Sharding.rendezvousShard(
+            col("doc_id").cast("string"), 8).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("shard")),
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    (list_max(list_transform(generate_series(0, 7), s ->
+             |      {'h': CAST('0x' || substr(md5(doc_id || ':' || s), 1, 15)
+             |            AS BIGINT),
+             |       's': s}))).s AS shard
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM a GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
