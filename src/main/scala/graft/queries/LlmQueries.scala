@@ -1305,7 +1305,73 @@ object LlmQueries {
              |  FROM documents)
              |SELECT shard, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-             |FROM a GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM a GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ---- per-dimension embedding moments: the feature-stats pass
+    // before normalization/whitening (a dead or exploding dimension is
+    // an upstream-encoder bug this table catches). One posexplode +
+    // one shuffle on the dimension index — 64 groups regardless of
+    // corpus size; variance derives from the two avgs in the final
+    // projection, identically in both engines ----
+    QuerySpec("q99_embedding_moments",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i0", "f")))
+        .select((col("i0") + 1).cast("long").as("i"),
+          col("f").cast("double").as("v"))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("mean_v"),
+          avg(col("v") * col("v")).as("m2"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("i"), col("n"), col("mean_v"),
+          (col("m2") - col("mean_v") * col("mean_v")).as("var_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("i")),
+      Some("""WITH x AS (
+             |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |    unnest(generate_series(1, len(embedding))) AS i
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT i, CAST(count(*) AS BIGINT) AS n, avg(v) AS mean_v,
+             |    avg(v * v) AS m2, min(v) AS min_v, max(v) AS max_v
+             |  FROM x GROUP BY 1)
+             |SELECT i, n, mean_v, m2 - mean_v * mean_v AS var_v, min_v, max_v
+             |FROM m ORDER BY i""".stripMargin)),
+
+    // ---- exact per-group quartiles by rank pick (q70's median rule at
+    // k/4, k=1..3: index ceil(k*n/4) as (k*n+3) div 4 — pure integer,
+    // no interpolation, engine-exact). The doc-length spread profile a
+    // packing/chunking pipeline reads; one shuffle, one window ----
+    QuerySpec("q100_quartiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("tok_n"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("tok_n"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .groupBy(col("lang"))
+          .agg(max(col("n_g")).as("n_docs"),
+            max(when(expr("rk = (n_g + 3) div 4"), col("tok_n"))).as("p25"),
+            max(when(expr("rk = (2 * n_g + 3) div 4"), col("tok_n"))).as("p50"),
+            max(when(expr("rk = (3 * n_g + 3) div 4"), col("tok_n"))).as("p75"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             |      AS tok_n
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, tok_n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY tok_n, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS n_g
+             |  FROM t)
+             |SELECT lang, CAST(max(n_g) AS BIGINT) AS n_docs,
+             |  max(CASE WHEN rk = (n_g + 3) // 4 THEN tok_n END) AS p25,
+             |  max(CASE WHEN rk = (2 * n_g + 3) // 4 THEN tok_n END) AS p50,
+             |  max(CASE WHEN rk = (3 * n_g + 3) // 4 THEN tok_n END) AS p75
+             |FROM r GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
