@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Bloom-prefiltered semi join: before shuffling a 100 TB fact table
+  * to join a selective build side, probe a Bloom filter of the build
+  * keys AT THE SCAN — rows that can't match never enter the exchange.
+  * This is the manual form of Spark's AQE runtime filter, exposed as
+  * an operator so the pipeline author controls when it fires (AQE
+  * injects one only under its own heuristics) and can persist/ship
+  * the filter (it is just bytes) across jobs of a multi-step pipeline.
+  *
+  * EXACTNESS: a Bloom filter has false positives but no false
+  * negatives, and the real join afterwards removes every false
+  * positive — so the result is bit-identical to the unfiltered join
+  * (the oracle gate proves it against the plain form). The filter is
+  * a plan reference object (one broadcast-sized bitset, built with one
+  * aggregation over the build side — never collected row-by-row).
+  */
+object BloomJoin {
+
+  /** `fact` semi-joined to `build` on `key`, with a Bloom pre-filter
+    * of `expectedKeys`/`fpp` probed before the shuffle. */
+  def semiJoin(fact: DataFrame, build: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(col(key), expectedKeys, fpp)
+    fact.filter(Hashes.bloomContains(col(key).cast("long"), bf))
+      .join(build.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+}

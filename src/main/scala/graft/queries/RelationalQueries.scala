@@ -1040,6 +1040,28 @@ object RelationalQueries {
              |  FROM e JOIN r4 ON e.u = r4.node JOIN deg ON e.u = deg.u
              |  GROUP BY 1)
              |SELECT node AS user_id, CAST(rank AS BIGINT) AS rank
-             |FROM r5 ORDER BY rank DESC, user_id""".stripMargin))
+             |FROM r5 ORDER BY rank DESC, user_id""".stripMargin)),
+
+    // ---- Bloom-prefiltered semi join: probe a Bloom filter of the
+    // build keys AT THE SCAN so non-matching fact rows never enter the
+    // exchange — the manual, persistable form of AQE's runtime filter.
+    // False positives are removed by the real join, so the gate proves
+    // bit-equality with the plain semi join (the oracle's IN form) ----
+    QuerySpec("q101_bloom_semijoin",
+      (s, dir) => {
+        val fact = t(s, dir, "lineitem")
+        val build = t(s, dir, "part").filter(col("p_size") >= 48)
+          .select(col("p_partkey").as("l_partkey"))
+        graft.operators.BloomJoin.semiJoin(
+            fact, build, "l_partkey", expectedKeys = 200)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }
