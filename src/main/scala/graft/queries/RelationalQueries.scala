@@ -1062,6 +1062,42 @@ object RelationalQueries {
              |  round(sum(l_quantity), 2) AS qty
              |FROM lineitem
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
-             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- analytic window family in one pass: percent_rank/cume_dist
+    // (exact integer ratios), lag/lead, first/last with EXPLICIT
+    // unbounded frames (default frames differ subtly per engine —
+    // pinning ROWS UNBOUNDED..UNBOUNDED is what makes this portable).
+    // One shuffle on the partition key serves all seven columns ----
+    QuerySpec("q102_window_family",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("prev_v", lag(col("value"), 1).over(w))
+          .withColumn("next_v", lead(col("value"), 1).over(w))
+          .withColumn("lo_id", first(col("event_id")).over(wFull))
+          .withColumn("hi_id", last(col("event_id")).over(wFull))
+          .filter(col("value") > 99.5)
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, event_id, value,
+             |    percent_rank() OVER w AS pr,
+             |    cume_dist() OVER w AS cd,
+             |    lag(value, 1) OVER w AS prev_v,
+             |    lead(value, 1) OVER w AS next_v,
+             |    first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND UNBOUNDED FOLLOWING) AS lo_id,
+             |    last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND UNBOUNDED FOLLOWING) AS hi_id
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+             |SELECT * FROM x WHERE value > 99.5
+             |ORDER BY event_type, event_id""".stripMargin))
   )
 }
