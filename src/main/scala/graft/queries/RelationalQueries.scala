@@ -1098,6 +1098,36 @@ object RelationalQueries {
              |  FROM events
              |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
              |SELECT * FROM x WHERE value > 99.5
-             |ORDER BY event_type, event_id""".stripMargin))
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // ---- edit-distance fuzzy matching within blocking groups: the
+    // record-linkage shape (block on a cheap key — brand — THEN pay
+    // Levenshtein only inside blocks; all-pairs edit distance at 100 TB
+    // is never on the table). Pairs via collect_set + double explode;
+    // both engines share the classic Levenshtein definition ----
+    QuerySpec("q103_fuzzy_match",
+      (s, dir) => {
+        val names = t(s, dir, "part")
+          .select(col("p_brand"), col("p_name")).distinct()
+        names.groupBy(col("p_brand"))
+          .agg(sort_array(collect_set(col("p_name"))).as("ns"))
+          .select(col("p_brand"), explode(col("ns")).as("n1"), col("ns"))
+          .select(col("p_brand"), col("n1"), explode(col("ns")).as("n2"))
+          .filter(col("n1") < col("n2"))
+          .select(col("p_brand"), levenshtein(col("n1"), col("n2")).as("d"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_pairs"), min(col("d")).as("min_d"),
+            sum(when(col("d") <= 10, 1L).otherwise(0L)).as("n_close"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_brand, p_name FROM part),
+             |p AS (
+             |  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d
+             |  FROM n a JOIN n b
+             |    ON a.p_brand = b.p_brand AND a.p_name < b.p_name)
+             |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(min(d) AS INT) AS min_d,
+             |  CAST(sum(CASE WHEN d <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+             |FROM p GROUP BY 1 ORDER BY p_brand""".stripMargin))
   )
 }
