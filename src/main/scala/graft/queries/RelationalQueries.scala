@@ -1128,6 +1128,44 @@ object RelationalQueries {
              |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
              |  CAST(min(d) AS INT) AS min_d,
              |  CAST(sum(CASE WHEN d <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
-             |FROM p GROUP BY 1 ORDER BY p_brand""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // ---- set operations: INTERSECT (clicked AND purchased) and
+    // EXCEPT (clicked, never purchased) with SQL's distinct-set
+    // semantics — each plans as one hash-partitioned distinct +
+    // co-partitioned semi/anti match, no sort. id-sums pin exact
+    // membership of both result sets ----
+    QuerySpec("q104_set_ops",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def users(et: String) =
+          ev.filter(col("event_type") === et && col("value") > 99)
+            .select(col("user_id"))
+        val both = users("click").intersect(users("purchase"))
+        val only = users("click").except(users("purchase"))
+        both.agg(count(lit(1)).as("n"), sum(col("user_id")).as("id_sum"))
+          .withColumn("set_op", lit("intersect"))
+          .unionByName(
+            only.agg(count(lit(1)).as("n"), sum(col("user_id")).as("id_sum"))
+              .withColumn("set_op", lit("except")))
+          .select(col("set_op"), col("n"), col("id_sum"))
+          .orderBy(col("set_op"))
+      },
+      Some("""WITH i AS (
+             |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 99
+             |  INTERSECT
+             |  SELECT user_id FROM events
+             |  WHERE event_type = 'purchase' AND value > 99),
+             |e AS (
+             |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 99
+             |  EXCEPT
+             |  SELECT user_id FROM events
+             |  WHERE event_type = 'purchase' AND value > 99)
+             |SELECT 'except' AS set_op, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS id_sum FROM e
+             |UNION ALL
+             |SELECT 'intersect' AS set_op, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS id_sum FROM i
+             |ORDER BY set_op""".stripMargin))
   )
 }
