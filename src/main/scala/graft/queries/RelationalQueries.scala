@@ -1166,6 +1166,128 @@ object RelationalQueries {
              |UNION ALL
              |SELECT 'intersect' AS set_op, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(user_id) AS BIGINT) AS id_sum FROM i
-             |ORDER BY set_op""".stripMargin))
+             |ORDER BY set_op""".stripMargin)),
+
+    // ---- time-series gap fill + forward fill: regularize an irregular
+    // event stream onto a daily spine (sequence + explode — the spine
+    // is |keys| × |days| rows, generated, never shuffled) and carry the
+    // last observation forward with last(ignoreNulls) over ROWS
+    // UNBOUNDED PRECEDING..CURRENT. One shuffle on user_id serves the
+    // left join and the fill window; the span row is broadcast ----
+    QuerySpec("q105_gap_fill",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("user_id") < 40)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(round(sum(col("value")), 2).as("day_v"))
+        val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        val spine = daily.select(col("user_id")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d"),
+            round(coalesce(last(col("day_v"), ignoreNulls = true).over(w), lit(0.0)), 2)
+              .as("filled_v"),
+            when(col("day_v").isNull, 1).otherwise(0).as("gap"))
+          .orderBy(col("user_id"), col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS day_v
+             |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+             |span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+             |spine AS (
+             |  SELECT u.user_id,
+             |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+             |  FROM (SELECT DISTINCT user_id FROM daily) u, span)
+             |SELECT s.user_id, s.d,
+             |  round(COALESCE(last_value(day_v IGNORE NULLS) OVER (
+             |    PARTITION BY s.user_id ORDER BY s.d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 2) AS filled_v,
+             |  CAST(CASE WHEN day_v IS NULL THEN 1 ELSE 0 END AS INT) AS gap
+             |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+             |ORDER BY s.user_id, s.d""".stripMargin)),
+
+    // ---- unpivot (wide→long melt) + per-column profile: the schema-
+    // drift / data-quality scan. Dataset.unpivot multiplies rows by
+    // |value columns| at the SCAN (no shuffle — struct explode inside
+    // codegen), then one hash aggregate profiles every column in a
+    // single pass. Sums are integer cents (exact under any partition
+    // order — a 60k-double sum reordered across engines can flip a
+    // cent at round(,2)) ----
+    QuerySpec("q106_unpivot_profile",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .unpivot(
+            Array.empty[org.apache.spark.sql.Column],
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "col_name", "val")
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("val")).as("n_distinct"),
+            min(col("val")).as("min_v"), max(col("val")).as("max_v"),
+            sum(round(col("val") * 100).cast("long")).as("cents"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH long AS (
+             |  SELECT 'l_quantity' AS col_name, l_quantity AS val FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             |  min(val) AS min_v, max(val) AS max_v,
+             |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM long GROUP BY 1 ORDER BY col_name""".stripMargin)),
+
+    // ---- triangle counting on the co-purchase graph (same bounded
+    // edge derivation as q97): orient every edge low→high id so each
+    // triangle is emitted exactly once as a<b<c — two equi-joins, no
+    // distinct, no double counting. At corpus scale the orientation
+    // would be by DEGREE (the classic wedge-bound: Σ d(v)² work
+    // becomes Σ m^1.5) and the edge list materialized once instead of
+    // re-derived per join branch ----
+    QuerySpec("q107_triangles",
+      (s, dir) => {
+        val slots = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+          .distinct()
+        val edges = slots.groupBy(col("d"))
+          .agg(sort_array(collect_set(col("user_id"))).as("us"))
+          .select(explode(col("us")).as("u"), col("us"))
+          .select(col("u"), explode(col("us")).as("v"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 8)
+          .select(col("u"), col("v"))
+          .localCheckpoint() // materialize once: three join branches reuse it
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+          .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+          .join(edges.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
+          .select(col("a"), col("b"), col("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("user_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+             |  FROM events WHERE event_type = 'purchase'),
+             |e AS (
+             |  SELECT a.user_id AS u, b.user_id AS v
+             |  FROM s a JOIN s b ON a.d = b.d AND a.user_id < b.user_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 8),
+             |tri AS (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |m AS (SELECT a AS user_id FROM tri
+             |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_tri
+             |FROM m GROUP BY 1 ORDER BY n_tri DESC, user_id""".stripMargin))
   )
 }
