@@ -1288,6 +1288,34 @@ object RelationalQueries {
              |m AS (SELECT a AS user_id FROM tri
              |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_tri
-             |FROM m GROUP BY 1 ORDER BY n_tri DESC, user_id""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY n_tri DESC, user_id""".stripMargin)),
+
+    // ---- GROUPING SETS beyond rollup/cube (q64/q73): two DISJOINT
+    // grouping sets in one pass — Catalyst plans a single Expand (2×
+    // row multiplier, exactly |sets|) feeding one hash aggregate, vs
+    // two scans + a union. Portability: per-column grouping() flags
+    // (0/1) instead of grouping_id(), whose BIT ORDER is engine-
+    // specific; sums as integer cents ----
+    QuerySpec("q108_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .orderBy(col("g_status"), col("g_prio"),
+            col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin))
   )
 }
