@@ -1316,6 +1316,88 @@ object RelationalQueries {
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-             |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin))
+             |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ---- second-moment statistical aggregates: stddev/var/corr/covar
+    // (sample forms — their definitions are engine-invariant, unlike
+    // skewness/kurtosis whose population-vs-sample conventions differ).
+    // All four ride ONE partial-aggregable pass (Catalyst merges the
+    // (n, Σx, Σx², Σxy) buffers map-side), so the shuffle carries 5
+    // fixed-width rows per group — the 100 TB shape for corpus-level
+    // feature/label screens ----
+    QuerySpec("q109_stat_moments",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            stddev_samp(col("value")).as("sd_v"),
+            var_samp(col("value")).as("var_v"),
+            corr(col("value"), col("user_id").cast("double")).as("corr_vu"),
+            covar_samp(col("value"), col("user_id").cast("double")).as("cov_vu"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  stddev_samp(value) AS sd_v, var_samp(value) AS var_v,
+             |  corr(value, CAST(user_id AS DOUBLE)) AS corr_vu,
+             |  covar_samp(value, CAST(user_id AS DOUBLE)) AS cov_vu
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- top-k WITH TIES (rank, not row_number): every day tied with
+    // the k-th busiest day is kept, so the answer is deterministic
+    // without inventing a tiebreak — the semantics dashboards usually
+    // mean by "top 3". Integer counts make ties real (the gate input
+    // has a genuine two-way rank-1 tie). Plans as one shuffle +
+    // WindowGroupLimit pushdown: partitions discard rows past rank k
+    // BEFORE the sort completes ----
+    QuerySpec("q110_topk_ties",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc)
+        daily.withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy(col("event_type"), col("rk"), col("d"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, d, n,
+             |    CAST(rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS BIGINT) AS rk
+             |  FROM d)
+             |SELECT event_type, d, n, rk FROM r WHERE rk <= 3
+             |ORDER BY event_type, rk, d""".stripMargin)),
+
+    // ---- share-of-total (ratio_to_report): each day's fraction of its
+    // type's revenue via an unbounded analytic sum sharing the groupBy
+    // shuffle. Bit-portability by construction: numerator and
+    // denominator are EXACT integer cents, and long→double IEEE
+    // division is deterministic across engines — a double-sum
+    // denominator would differ in the last ulp by partition order ----
+    QuerySpec("q111_share_of_total",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+        daily.withColumn("total", sum(col("cents")).over(w))
+          .filter(col("d") <= lit(java.sql.Date.valueOf("2024-01-05")))
+          .select(col("event_type"), col("d"), col("cents"),
+            (col("cents").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy(col("event_type"), col("d"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, d, cents,
+             |    CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS total
+             |  FROM d)
+             |SELECT event_type, d, cents,
+             |  CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
+             |FROM t WHERE d <= DATE '2024-01-05'
+             |ORDER BY event_type, d""".stripMargin))
   )
 }
