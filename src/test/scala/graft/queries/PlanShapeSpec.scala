@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Executable evidence for the 100 TB plan claims: the physical plans
+  * of headline registered queries must carry the shapes the docs
+  * promise — filters pushed to the parquet scan, unread columns
+  * pruned, small dims broadcast (never sort-merged), top-k fused into
+  * TakeOrdered, rank-limits pushed as WindowGroupLimit, unpivot as a
+  * single Expand, Bloom probes below the exchange. A regression that
+  * silently de-optimizes one of these (an accidental UDF wrapper, a
+  * lost broadcast hint, a filter stranded above a projection) fails
+  * here even though results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02 filter+project: predicates reach the parquet scan, unread columns are pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("EqualTo(event_type,click)") || p.contains("EqualTo(event_type, click)")),
+      s"event_type filter must be pushed to the scan:\n$p")
+    assert(p.contains("GreaterThan(value,50.0)"),
+      s"value filter must be pushed to the scan:\n$p")
+    assert(!p.contains("props"),
+      s"untouched 'props' column must be pruned from ReadSchema:\n$p")
+  }
+
+  test("q07 top-k: sort+limit fuse into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit must ride the sort as a per-partition top-k + merge:\n$p")
+  }
+
+  test("q14 star join: dimension joins broadcast, fact side never sort-merges") {
+    val p = plan("q14_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join in the star plan at this SF:\n$p")
+  }
+
+  test("q101 Bloom semi join: the probe filter sits below the join") {
+    val p = plan("q101_bloom_semijoin")
+    assert(p.contains("graft_bloom_contains"),
+      s"scan-side Bloom probe must appear in the physical plan:\n$p")
+  }
+
+  test("q106 unpivot: one Expand inside the scan stage, aggregate shuffles once") {
+    val p = plan("q106_unpivot_profile")
+    assert(countOf(p, "Expand") == 1,
+      s"unpivot must plan as exactly one Expand:\n$p")
+  }
+
+  test("q108 grouping sets: one Expand feeds one aggregate (not two scans + union)") {
+    val p = plan("q108_grouping_sets")
+    assert(countOf(p, "Expand") == 1,
+      s"grouping sets must plan as exactly one Expand:\n$p")
+    assert(countOf(p, "Scan parquet") == 1,
+      s"one pass over the input, not per-set scans:\n$p")
+  }
+
+  test("q110 top-k with ties: rank filter pushes down as WindowGroupLimit") {
+    val p = plan("q110_topk_ties")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank()<=k must prune past-k rows before the full window sort:\n$p")
+  }
+
+  test("q105 gap fill: the span row broadcasts; the spine never shuffles on its own") {
+    val p = plan("q105_gap_fill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row span must broadcast into the spine generator:\n$p")
+  }
+
+  test("q47 as-of join: linear union-carry shape — no nested-loop, no range-join blowup") {
+    val p = plan("q47_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must never plan a pair-space join:\n$p")
+  }
+}
