@@ -1371,7 +1371,68 @@ object LlmQueries {
              |  max(CASE WHEN rk = (n_g + 3) // 4 THEN tok_n END) AS p25,
              |  max(CASE WHEN rk = (2 * n_g + 3) // 4 THEN tok_n END) AS p50,
              |  max(CASE WHEN rk = (3 * n_g + 3) // 4 THEN tok_n END) AS p75
-             |FROM r GROUP BY 1 ORDER BY lang""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- inverted index build (IR/retrieval side of the pipeline):
+    // token → sorted posting list of doc ids. distinct-per-doc tokens
+    // (one shuffle), df filter, then collect_list + sort_array — the
+    // posting is assembled per token partition-locally; at corpus
+    // scale high-df tokens are exactly the stopword band you CAP or
+    // shard (the df floor here bounds output, the skew guard is the
+    // same (token, doc_id) hash partitioning) ----
+    QuerySpec("q112_inverted_index",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .filter(length(col("token")) >= 3)
+          .distinct()
+        val top = tok.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 300)
+        tok.join(top, Seq("token"))
+          .groupBy(col("token"), col("df"))
+          .agg(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              d => d.cast("string"))).as("postings"))
+          .orderBy(col("df").desc, col("token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents),
+             |f AS (
+             |  SELECT token, doc_id FROM tok WHERE len(token) >= 3),
+             |top AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS df
+             |  FROM f GROUP BY 1 HAVING count(*) >= 300)
+             |SELECT t.token, top.df,
+             |  string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+             |FROM f t JOIN top ON t.token = top.token
+             |GROUP BY t.token, top.df ORDER BY df DESC, t.token""".stripMargin)),
+
+    // ---- array higher-order functions over embeddings: filter /
+    // transform+aggregate (L1 norm) / argmax — all scan-shaped, no
+    // shuffle, no UDF. Portability: the fold visits elements IN ARRAY
+    // ORDER on both engines, so even float accumulation is
+    // bit-identical; argmax is 1-based first-position on both ----
+    QuerySpec("q113_array_hof",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+            aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + abs(x.cast("double"))).as("l1"),
+            array_position(col("embedding"), array_max(col("embedding")))
+              .as("argmax1"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  CAST(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             |    AS DOUBLE) AS l1,
+             |  CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT) AS argmax1
+             |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
