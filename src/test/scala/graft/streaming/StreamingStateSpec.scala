@@ -47,6 +47,46 @@ class StreamingStateSpec extends SparkSpec {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS counter_out"); () }
   }
 
+  test("counter state survives stop + restart from the same checkpoint (crash recovery)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    // (and runs on the driver, so the shared buffer is safe)
+    val stream = MemoryStream[Message](spark)
+    val ckpt = Files.createTempDirectory("graft-restart-").toString
+    RestartRecoverySink.rows.clear()
+    def startQuery() =
+      StatefulCounter.counts(stream.toDS(), _.get("k"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulCounter.KeyCount],
+            _: Long) =>
+          RestartRecoverySink.add(batch.collect().map(kc => (kc.key, kc.count)))
+        }
+        .start()
+    val q1 = startQuery()
+    try {
+      stream.addData(Seq(
+        msg("a1", "x", 1700000000000L, Map("k" -> "a")),
+        msg("a2", "x", 1700000000001L, Map("k" -> "a"))))
+      q1.processAllAvailable()
+      assert(RestartRecoverySink.rows.contains(("a", 2L)),
+        s"pre-restart state: ${RestartRecoverySink.rows.toSeq}")
+    } finally q1.stop()
+    // second query, SAME checkpoint: the state store must restore a→2,
+    // so one more 'a' counts to 3 — not restart at 1 (lost state) and
+    // not 4 (double-replayed input)
+    val q2 = startQuery()
+    try {
+      stream.addData(Seq(msg("a3", "x", 1700000002000L, Map("k" -> "a"))))
+      q2.processAllAvailable()
+      assert(RestartRecoverySink.rows.contains(("a", 3L)),
+        s"state must resume from checkpoint across restart, got ${RestartRecoverySink.rows.toSeq}")
+      assert(!RestartRecoverySink.rows.contains(("a", 4L)),
+        s"committed input must not replay into the counter, got ${RestartRecoverySink.rows.toSeq}")
+    } finally { q2.stop(); () }
+  }
+
   test("TTL counter evicts idle key state and restarts from zero (state-store bound)") {
     import spark.implicits._
     val ps = new MemoryPubSub(spark)
@@ -168,4 +208,11 @@ class StreamingStateSpec extends SparkSpec {
       assert(uuids.contains("d4"), "post-expiry repeat must be re-accepted")
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS dd_out"); () }
   }
+}
+
+/** Driver-side buffer for the restart-recovery test — foreachBatch
+  * executes on the driver, so a shared concurrent map is safe. */
+object RestartRecoverySink {
+  val rows = scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+  def add(kcs: Iterable[(String, Long)]): Unit = kcs.foreach(rows.put(_, true))
 }
