@@ -208,9 +208,16 @@ class FilePubSub(spark: SparkSession, root: String)
   override def publish(topic: String, msgs: Seq[Message]): Unit =
     publishBatch(topic, msgs.toDF())
 
+  /** Each publish owns a unique subdirectory (readers list
+    * recursively), so concurrent publishers never share a commit
+    * staging dir — a plain `mode("append")` into the topic root races
+    * on `_temporary/0` when two writers overlap (loss, not an error).
+    * Coordination-free: correct across threads, JVMs, and cluster
+    * writers alike; [[compact]] folds the directories back down. */
   override def publishBatch(topic: String, df: DataFrame): Unit =
     df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("append").parquet(path(topic))
+      .write.mode("overwrite")
+      .parquet(s"${path(topic)}/pub_${java.util.UUID.randomUUID().toString.replace("-", "")}")
 
   /** Exactly-once epoch publish: each writer epoch owns a
     * deterministic subdirectory written with overwrite — a retried

@@ -143,5 +143,45 @@ class TransportAcceptanceSpec extends SparkSpec {
           s"missing: ${(0 until n).map(i => s"d$i").toSet -- got}")
       } finally h.close(ps)
     }
+
+    test(s"[${h.name}] topic independence: topics never leak into each other (test_pubsub.go:873)") {
+      val ps = h.make(s"${h.name}_top")
+      try {
+        ps.subscribeInitialize("acc_top_a")
+        ps.subscribeInitialize("acc_top_b")
+        ps.publish("acc_top_a", Seq(msg("ta1", "for-a"), msg("ta2", "for-a")))
+        ps.publish("acc_top_b", Seq(msg("tb1", "for-b")))
+        h.settle(ps, "acc_top_a"); h.settle(ps, "acc_top_b")
+        val a = ps.subscribeBatch("acc_top_a").collect().map(_.getAs[String]("uuid")).toSet
+        val b = ps.subscribeBatch("acc_top_b").collect().map(_.getAs[String]("uuid")).toSet
+        assert(a == Set("ta1", "ta2"), s"topic A contaminated: $a")
+        assert(b == Set("tb1"), s"topic B contaminated: $b")
+      } finally h.close(ps)
+    }
+
+    test(s"[${h.name}] concurrent publishers: no loss, no duplication under contention (test_pubsub.go:284)") {
+      val ps = h.make(s"${h.name}_conc")
+      try {
+        ps.subscribeInitialize("acc_conc")
+        val threads = 4; val perThread = 10
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val futures = (0 until threads).map { t =>
+            pool.submit(new Runnable {
+              def run(): Unit =
+                (0 until perThread).foreach(i =>
+                  ps.publish("acc_conc", Seq(msg(s"c$t-$i", s"p$t-$i"))))
+            })
+          }
+          futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdown()
+        h.settle(ps, "acc_conc")
+        val uuids = ps.subscribeBatch("acc_conc").collect().map(_.getAs[String]("uuid"))
+        val want = (for (t <- 0 until threads; i <- 0 until perThread)
+          yield s"c$t-$i").toSet
+        assert(uuids.toSet == want, s"missing: ${want -- uuids.toSet}")
+        assert(uuids.length == want.size, "no duplication under concurrent publish")
+      } finally h.close(ps)
+    }
   }
 }
