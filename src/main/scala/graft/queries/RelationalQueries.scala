@@ -1398,6 +1398,44 @@ object RelationalQueries {
              |SELECT event_type, d, cents,
              |  CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
              |FROM t WHERE d <= DATE '2024-01-05'
-             |ORDER BY event_type, d""".stripMargin))
+             |ORDER BY event_type, d""".stripMargin)),
+
+    // ---- null semantics, pinned: NULL group keys collapse to one
+    // group and null-safe equality (<=>/IS NOT DISTINCT FROM) matches
+    // the NULL buckets a plain `=` would drop from the full outer
+    // join. The nulls stay INTERNAL — the output key coalesces to -1
+    // because the hash gate (like most sinks) can't order rows on a
+    // nullable key. floor() before the int cast: DuckDB's double→int
+    // cast rounds, Spark's truncates ----
+    QuerySpec("q114_null_semantics",
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("user_id").isin(7, 8))
+          .select(col("user_id"),
+            when(col("value") > 99.9, lit(null))
+              .otherwise((floor(col("value")) / 10).cast("long")).as("bucket"))
+        def side(u: Int, as: String) = x.filter(col("user_id") === u)
+          .groupBy(col("bucket").as(s"b$u"))
+          .agg(count(lit(1)).as(as))
+        side(7, "n7").join(side(8, "n8"),
+            col("b7") <=> col("b8"), "full_outer")
+          .select(coalesce(col("b7"), col("b8"), lit(-1L)).as("bucket"),
+            coalesce(col("n7"), lit(0L)).as("n7"),
+            coalesce(col("n8"), lit(0L)).as("n8"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id,
+             |    CASE WHEN value > 99.9 THEN NULL
+             |         ELSE CAST(floor(value) AS BIGINT) // 10 END AS bucket
+             |  FROM events WHERE user_id IN (7, 8)),
+             |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n7
+             |      FROM x WHERE user_id = 7 GROUP BY 1),
+             |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n8
+             |      FROM x WHERE user_id = 8 GROUP BY 1)
+             |SELECT COALESCE(a.bucket, b.bucket, -1) AS bucket,
+             |  COALESCE(n7, 0) AS n7, COALESCE(n8, 0) AS n8
+             |FROM a FULL JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+             |ORDER BY bucket""".stripMargin))
   )
 }
