@@ -18,6 +18,58 @@ class ExactlyOnceSpec extends SparkSpec {
   private def frame(us: String*) =
     us.map(u => Message(u, Map.empty, u.getBytes, new Timestamp(1700000000000L))).toDF()
 
+  test("streaming foreachBatch + publishEpoch: the replayed micro-batch is idempotent end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-ss-").toString)
+    val stream = MemoryStream[Message](spark)
+    var lastBatch: Option[(org.apache.spark.sql.DataFrame, Long)] = None
+    val q = stream.toDS().writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-eo-ck-").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Message], id: Long) =>
+        // the exactly-once sink recipe: batch id IS the writer epoch
+        val df = batch.toDF()
+        ps.publishEpoch("eo_ss", df, writerId = s"q1-$id")
+        lastBatch = Some((df, id))
+      }
+      .start()
+    try {
+      stream.addData(Seq(
+        Message("s1", Map.empty, "x".getBytes, new Timestamp(1700000000000L)),
+        Message("s2", Map.empty, "y".getBytes, new Timestamp(1700000000001L))))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        Message("s3", Map.empty, "z".getBytes, new Timestamp(1700000000002L))))
+      q.processAllAvailable()
+      assert(ps.subscribeBatch("eo_ss").count() == 3L)
+      // a crash after the sink write but before the checkpoint commit
+      // re-runs the SAME batch id on restart — replay it verbatim:
+      // same writer epoch => overwrite, not append
+      val (df, id) = lastBatch.get
+      ps.publishEpoch("eo_ss", df, writerId = s"q1-$id")
+      val uuids = ps.subscribeBatch("eo_ss").collect().map(_.getAs[String]("uuid"))
+      assert(uuids.sorted.toSeq == Seq("s1", "s2", "s3"),
+        s"replayed epoch must not duplicate: ${uuids.toSeq}")
+    } finally { q.stop(); () }
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates on its own (batch-catchup mode)") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-an-").toString)
+    ps.publish("an_in", (0 until 7).map(i =>
+      Message(s"a$i", Map.empty, s"p$i".getBytes, new Timestamp(1700000000000L + i))))
+    val seen = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    val q = ps.subscribe("an_in").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-eo-anck-").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.put(r.getAs[String]("uuid"), true))
+      }
+      .start()
+    // AvailableNow processes what exists, then STOPS — no manual stop()
+    assert(q.awaitTermination(60000), "query must terminate by itself")
+    assert(seen.keySet == (0 until 7).map(i => s"a$i").toSet,
+      s"backlog must drain completely: ${seen.keySet}")
+  }
+
   test("file transport: same-epoch rewrite overwrites, not appends") {
     val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-").toString)
     ps.publishEpoch("eo", frame("a", "b"), writerId = "h1-0")
