@@ -1436,6 +1436,58 @@ object RelationalQueries {
              |SELECT COALESCE(a.bucket, b.bucket, -1) AS bucket,
              |  COALESCE(n7, 0) AS n7, COALESCE(n8, 0) AS n8
              |FROM a FULL JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ---- hierarchy flattening (BOM/org-chart class): every node's
+    // depth, root, and ancestor-path sum over a synthetic binary tree
+    // (parent = id div 2; the TREE is synthetic, the OPERATOR isn't).
+    // Spark has no recursive CTE — the iterative walk is the engine
+    // shape: 16 fixed left-join rounds (covers depth ≤ 16, ids < 2^16;
+    // already-rooted rows pass through unchanged), each round
+    // localCheckpoint'ed so the plan stays constant-size instead of
+    // 16 joins deep (same discipline as q33/q97). One hash shuffle
+    // per round on the frontier key; the oracle recursion is exact at
+    // any depth, so the fixed bound is pinned by the gate ----
+    QuerySpec("q115_hierarchy",
+      (s, dir) => {
+        val nodes = t(s, dir, "events").select(col("user_id").as("id")).distinct()
+        val edges = nodes.filter(col("id") >= 1)
+          .select(col("id").as("e_id"), (col("id") / 2).cast("long").as("parent"))
+          .localCheckpoint()
+        var walk = nodes.select(col("id"), col("id").as("cur"),
+          lit(0L).as("depth"), col("id").as("path_sum"))
+        (0 until 16).foreach { _ =>
+          walk = walk.join(edges, col("cur") === col("e_id"), "left")
+            .select(col("id"),
+              coalesce(col("parent"), col("cur")).as("cur"),
+              (col("depth") + when(col("parent").isNotNull, 1L).otherwise(0L))
+                .as("depth"),
+              (col("path_sum") + coalesce(col("parent"), lit(0L))).as("path_sum"))
+            .localCheckpoint()
+        }
+        walk.groupBy(col("depth"))
+          .agg(count(lit(1)).as("n"), sum(col("cur")).as("root_sum"),
+            sum(col("path_sum")).as("psum"))
+          .orderBy(col("depth"))
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT DISTINCT user_id AS id FROM events),
+             |edges AS (
+             |  SELECT id, id // 2 AS parent FROM nodes WHERE id >= 1),
+             |walk AS (
+             |  SELECT id, id AS cur, CAST(0 AS BIGINT) AS depth, id AS path_sum
+             |  FROM nodes
+             |  UNION ALL
+             |  SELECT w.id, e.parent, w.depth + 1, w.path_sum + e.parent
+             |  FROM walk w JOIN edges e ON w.cur = e.id),
+             |final AS (
+             |  SELECT id, max(depth) AS depth,
+             |    CAST(max_by(cur, depth) AS BIGINT) AS root,
+             |    max_by(path_sum, depth) AS path_sum
+             |  FROM walk GROUP BY id)
+             |SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(root) AS BIGINT) AS root_sum,
+             |  CAST(sum(path_sum) AS BIGINT) AS psum
+             |FROM final GROUP BY 1 ORDER BY depth""".stripMargin))
   )
 }
