@@ -23,7 +23,32 @@ object Bench {
     // almost never the same query in both, so min-of-2 reports the
     // plan's cost, not the co-tenant's.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def runPass(): (Seq[(String, Double)], Double) = {
+
+    // Per-query shuffle-write volume (pass 1 only): the scale-limiting
+    // resource a wall-clock number can't show — a query that's fast at
+    // sf0.1 but shuffles its whole input is the one that dies at 100 TB.
+    // Stage-completion events are async on the listener bus, so the
+    // snapshot waits for the counter to go quiet; the wait sits OUTSIDE
+    // the timed window and only in the instrumented pass.
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def quiesceShuffle(): Long = {
+      var prev = -1L; var cur = shuffleWrite.get
+      val deadline = System.currentTimeMillis() + 2000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50); prev = cur; cur = shuffleWrite.get
+      }
+      cur
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    def runPass(recordShuffle: Boolean = false): (Seq[(String, Double)], Double) = {
       var loadMax = osBean.getSystemLoadAverage
       val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // Isolate each query from its predecessors' storage state: drop
@@ -37,14 +62,18 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         loadMax = math.max(loadMax, osBean.getSystemLoadAverage)
+        val shuffleBefore = if (recordShuffle) quiesceShuffle() else 0L
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (recordShuffle && ok)
+          shuffleMb(name) = (quiesceShuffle() - shuffleBefore) / 1e6
         // -1 marks a failed query so the JSON can't mistake it for fast
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) dt else -1.0)
       }
       (times, loadMax)
     }
@@ -64,7 +93,7 @@ object Bench {
     // two cleanest passes still disagree, "contaminated": true tells
     // the consumer not to bank per-query numbers without an isolated
     // re-check (graft.tools.Time).
-    var passRuns = Vector(runPass(), runPass())
+    var passRuns = Vector(runPass(recordShuffle = true), runPass())
     def totals = passRuns.map(_._1.map(_._2).filter(_ >= 0).sum)
     def divergent(ts: Seq[Double]): Boolean = {
       val s = ts.sorted
@@ -116,7 +145,9 @@ object Bench {
       p.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
     val passLoadJson = passRuns.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
+    val shuffleJson = shuffleMb
+      .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
