@@ -1447,7 +1447,10 @@ object RelationalQueries {
     // localCheckpoint'ed so the plan stays constant-size instead of
     // 16 joins deep (same discipline as q33/q97). One hash shuffle
     // per round on the frontier key; the oracle recursion is exact at
-    // any depth, so the fixed bound is pinned by the gate ----
+    // any depth, so the fixed bound is pinned by the gate. The
+    // O(log d) production form is graft.operators.Hierarchy.flatten
+    // (pointer doubling; HierarchySpec pins it to this walk's
+    // semantics) ----
     QuerySpec("q115_hierarchy",
       (s, dir) => {
         val nodes = t(s, dir, "events").select(col("user_id").as("id")).distinct()
