@@ -1432,7 +1432,79 @@ object LlmQueries {
              |  CAST(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              |    AS DOUBLE) AS l1,
              |  CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT) AS argmax1
-             |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin)),
+
+    // ---- the capstone: the full curation chain COMPOSED in one plan —
+    // quality floor → exact dedup (min-id keeper) → 5-gram benchmark
+    // decontamination (broadcast anti-join) → per-source quota →
+    // deterministic split stamp → per-(source, split) audit. Every
+    // stage is an already-gated operator (q18/q05/q43/q39/q37); this
+    // gate proves they compose without interference, and the id_sum
+    // pins the exact surviving membership through all five stages.
+    // Plan shape: stages chain scan-side until the dedup/quota
+    // shuffles — no stage materializes an intermediate table ----
+    QuerySpec("q116_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 20 &&
+          col("n_chars") >= 200 && TextFunctions.tokenCount(col("text")) >= 40)
+        val keepers = DedupFunctions.exactDedup(corpus, "text", "doc_id")
+          .select(col("keeper_id").as("doc_id"))
+        val deduped = corpus.join(keepers, Seq("doc_id"))
+        val sh = docs
+          .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("shg"))
+          .select(col("doc_id"), graft.functions.Hashes.md5Long(col("shg")).as("h"))
+        val benchH = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
+        val contaminated = sh.filter(col("doc_id") >= 20)
+          .join(broadcast(benchH), Seq("h")).select(col("doc_id")).distinct()
+        val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val quota = SamplingFunctions.quotaPerGroup(decon, col("source"),
+          col("n_chars").desc, col("doc_id").asc, n = 50)
+        quota.select(col("source"), col("doc_id"),
+            SamplingFunctions.splitColumn(col("doc_id"), trainPct = 80, valPct = 10)
+              .as("split"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, source, n_chars FROM documents
+             |  WHERE doc_id >= 20 AND n_chars >= 200
+             |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 40),
+             |keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+             |dedup AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 4),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shg
+             |  FROM w WHERE len(w) >= 5),
+             |h AS (SELECT doc_id,
+             |  CAST('0x' || substr(md5(shg), 1, 15) AS BIGINT) AS h FROM sh),
+             |benchh AS (SELECT DISTINCT h FROM h WHERE doc_id < 20),
+             |contam AS (
+             |  SELECT DISTINCT doc_id FROM h
+             |  WHERE doc_id >= 20 AND h IN (SELECT h FROM benchh)),
+             |decon AS (
+             |  SELECT * FROM dedup
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |q AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM decon),
+             |sp AS (
+             |  SELECT source, doc_id,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT source, doc_id,
+             |      CAST('0x' || substr(md5('split:' || doc_id), 1, 15) AS BIGINT) % 100 AS b
+             |    FROM q WHERE rk <= 50))
+             |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
