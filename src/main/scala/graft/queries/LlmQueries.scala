@@ -1382,15 +1382,18 @@ object LlmQueries {
     // same (token, doc_id) hash partitioning) ----
     QuerySpec("q112_inverted_index",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val tok = t(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("token"))
           .filter(length(col("token")) >= 3)
           .distinct()
-        val top = tok.groupBy(col("token"))
-          .agg(count(lit(1)).as("df"))
+        // df as an analytic count over the SAME token partitioning the
+        // posting aggregation needs — one shuffle, one scan; the
+        // aggregate-then-join-back spelling re-derives the tokenize
+        // subtree per branch (the two-branch anti-pattern)
+        tok.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
           .filter(col("df") >= 300)
-        tok.join(top, Seq("token"))
           .groupBy(col("token"), col("df"))
           .agg(concat_ws(",",
             transform(sort_array(collect_list(col("doc_id"))),
