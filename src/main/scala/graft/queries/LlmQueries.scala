@@ -1459,6 +1459,11 @@ object LlmQueries {
           .select(col("doc_id"),
             explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("shg"))
           .select(col("doc_id"), graft.functions.Hashes.md5Long(col("shg")).as("h"))
+        // NOT checkpointed despite two consumers: the branches filter to
+        // DISJOINT doc_id ranges (bench < 20, probe >= 20), so per-branch
+        // re-derivation with the filter pushed into each scan is cheaper
+        // than materializing the full shingle set once (measured: a wash
+        // at sf0.1 even on wall-clock, and checkpointing defeats pruning)
         val benchH = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
         val contaminated = sh.filter(col("doc_id") >= 20)
           .join(broadcast(benchH), Seq("h")).select(col("doc_id")).distinct()
