@@ -79,6 +79,14 @@ class PlanShapeSpec extends SparkSpec {
       s"the 1-row span must broadcast into the spine generator:\n$p")
   }
 
+  test("q112 inverted index: analytic df shares the posting shuffle — one scan, no self-join") {
+    val p = plan("q112_inverted_index")
+    assert(countOf(p, "Scan parquet") == 1,
+      s"df-as-window must not re-derive the tokenize per branch:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join-back of the frequency table:\n$p")
+  }
+
   test("q47 as-of join: linear union-carry shape — no nested-loop, no range-join blowup") {
     val p = plan("q47_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
