@@ -4,19 +4,19 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Product-quantization ANN semantics: codes are well-formed and
-  * deterministic, a refine window covering the whole corpus is exactly
-  * brute force (the nProbes=k analogue), identical vectors are ranked
-  * first at the default refine, and the practical refine keeps high
-  * recall against brute force while the ADC pass reads only codes.
+/** Product-quantization ANN semantics (the q77 anchor, IvfSpec's
+  * pattern): a refine window covering the corpus degrades gracefully
+  * to exact brute force, a planted exact copy survives the lossy ADC
+  * candidate pass even at the smallest refine (its asymmetric distance
+  * is ~0, so it always makes the candidate cut and exact re-rank puts
+  * it first), and train/search are deterministic.
   */
 class PqSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private val dim = 16
-  private val m = 4
-  private def corpus = (0 until 80).map { i =>
+  private val dim = 8
+  private def corpus = (0 until 60).map { i =>
     (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
   }.toDF("vec_id", "embedding")
 
@@ -24,67 +24,48 @@ class PqSpec extends SparkSpec {
     df.select(col("query_id"), col("rank"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
-  test("codes are m well-formed sub-centroid indices") {
-    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m, ksub = 8, iters = 2)
-    assert(books.length == m && books.forall(_.forall(_.length == dim / m)))
-    val codes = corpus
-      .select(VectorFunctions.pqCodes(
-        transform(col("embedding").cast("array<double>"), x => x).as("v"), books).as("codes"))
-      .collect().map(_.getSeq[Int](0))
-    assert(codes.forall(c => c.length == m && c.forall(x => x >= 0 && x < 8)))
-  }
-
-  test("refine covering the whole corpus is exactly brute force") {
-    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m, ksub = 8, iters = 2)
+  test("refine covering the corpus equals brute-force top-k (lossless fallback)") {
+    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,
+      ksub = 8, iters = 2)
     val queries = corpus.filter(col("vec_id") < 6)
-    // k * refine >= |corpus|: every candidate survives ADC, so the
-    // exact re-rank IS brute force
     val pq = key(VectorFunctions.pqTopK(queries, corpus, "vec_id", "embedding",
-      dim, k = 3, books, refine = 30))
+      dim, k = 3, books, refine = 60)) // k*refine >= |corpus|: ADC prunes nothing
     val brute = key(VectorFunctions.bruteForceTopK(queries, corpus, "vec_id",
       "embedding", k = 3))
     assert(pq == brute)
   }
 
-  test("identical vector is recalled first: ADC distance to its own codes is minimal") {
+  test("planted exact copy is recalled at refine = 1 despite lossy codes") {
     val planted = (0 until 6).map { i =>
       (i + 1000L, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
     }.toDF("vec_id", "embedding")
     val all = corpus.union(planted)
-    val books = VectorFunctions.pqTrain(all, "embedding", dim, m, ksub = 8, iters = 2)
-    // the sin(13i) corpus contains NATURAL near-dups (29*13 ≈ 60*2π, so
-    // vec 29 ≈ vec 0) that tie the planted copy at rounded sim 1.0 and
-    // can out-rank it by id — assert the copy is RECALLED into the
-    // top-3 at sim 1.0, not that it wins the id tie-break. refine=10:
-    // quantization collapses this clustered corpus onto few distinct
-    // codes, so the ADC tie class around each query is wide and a
-    // narrow candidate window would drop the copy on the id tie-break
+    // An exact copy shares the query's own code word, which has the
+    // MINIMUM possible ADC distance — but only ties on it: any other
+    // vector landing in the same cell in EVERY subspace ties and
+    // id-order can push the copy out of a refine=1 candidate cut (a
+    // coarse 4x8 codebook does collide here — found by this test's
+    // first version). Fine quantization (m=8 scalar subspaces, 16
+    // centroids each) makes full-word collisions vanish, which is the
+    // regime the refine=1 guarantee needs.
+    val books = VectorFunctions.pqTrain(all, "embedding", dim, m = 8,
+      ksub = 16, iters = 2)
     val got = VectorFunctions.pqTopK(corpus.filter(col("vec_id") < 6), all,
-        "vec_id", "embedding", dim, k = 3, books, refine = 10)
-      .filter(col("neighbor_id") >= 1000L && col("sim") === 1.0)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        "vec_id", "embedding", dim, k = 3, books, refine = 1)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     (0 until 6).foreach { i =>
-      assert(got.get(i.toLong).contains(i + 1000L),
-        s"query $i: its exact copy was not recalled into the top-3 at sim 1.0")
+      val (n, sim) = got(i.toLong)
+      assert(n == i + 1000L && sim == 1.0,
+        s"query $i: expected its exact copy first, got $n @ $sim")
     }
   }
 
-  test("practical refine keeps high recall vs brute force") {
-    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m, ksub = 8, iters = 2)
-    val queries = corpus.filter(col("vec_id") < 10)
-    val pq = key(VectorFunctions.pqTopK(queries, corpus, "vec_id", "embedding",
-      dim, k = 5, books, refine = 4))
-    val brute = key(VectorFunctions.bruteForceTopK(queries, corpus, "vec_id",
-      "embedding", k = 5)).map { case (q, _, n) => (q, n) }
-    val hits = pq.count { case (q, _, n) => brute.contains((q, n)) }
-    val recall = hits.toDouble / brute.size
-    assert(recall >= 0.8, s"recall@5 $recall below 0.8")
-  }
-
-  test("training and search are deterministic across runs") {
+  test("codebook training and search are deterministic across runs") {
     def run() = {
-      val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m, ksub = 8, iters = 2)
+      val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,
+        ksub = 8, iters = 2)
       VectorFunctions.pqTopK(corpus.filter(col("vec_id") < 4), corpus,
         "vec_id", "embedding", dim, k = 3, books, refine = 4)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
