@@ -34,6 +34,22 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("webhook rejects non-POST with 405 and keeps serving afterwards") {
+    val sub = new HttpSubscriber(spark)
+    try {
+      val url = java.net.URI.create(s"http://localhost:${sub.boundPort}/hooks").toURL
+      val get = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      get.setRequestMethod("GET")
+      assert(get.getResponseCode == 405, "non-POST must be rejected, not enqueued")
+      get.disconnect()
+      // the rejection must not poison the server: a real publish still lands
+      new HttpPublisher(s"http://localhost:${sub.boundPort}")
+        .publish("hooks", Seq(msg("after405", "ok")))
+      val got = sub.subscribeBatch("hooks").as[Message].collect().map(_.uuid).toSet
+      assert(got == Set("after405"), s"delivery must continue after a 405: $got")
+    } finally sub.close()
+  }
+
   test("publishBatch egresses from executors (foreachPartition), no loss") {
     val sub = new HttpSubscriber(spark)
     try {
