@@ -43,8 +43,21 @@ final class SqlPubSub(spark: SparkSession, url: String,
     log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
   extends PubSub with RoutedPublisher with AutoCloseable {
 
-  private def table(topic: String) =
-    "graft_t_" + topic.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+  /** Topic → table name. Non-identifier chars sanitize to '_', which
+    * would ALIAS distinct topics ("a.b" and "a+b" → one table, silently
+    * mixed) — so any lossy sanitization appends an md5 fragment of the
+    * RAW topic, and long names truncate before the fragment (Derby caps
+    * identifiers at 128). Clean short names keep their readable form. */
+  private def table(topic: String) = {
+    val safe = topic.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (safe == topic && safe.length <= 100) "graft_t_" + topic
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(topic.getBytes("UTF-8"))
+      val frag = md.take(4).map(b => f"$b%02x").mkString
+      "graft_t_" + safe.take(100) + "_" + frag
+    }
+  }
   private def quoted(name: String) = "\"" + name + "\""
 
   private def withConn[T](f: Connection => T): T = {

@@ -35,6 +35,20 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("distinct topics that sanitize identically stay in distinct tables (no aliasing)") {
+    val ps = new SqlPubSub(spark, url("sqlalias"))
+    try {
+      // both sanitize to graft_t_a_b without the hash fragment — the
+      // regression this test pins was one shared, silently mixed table
+      ps.publish("a.b", Seq(msg("dot", "from-dot")))
+      ps.publish("a+b", Seq(msg("plus", "from-plus")))
+      val dot = ps.subscribeBatch("a.b").as[Message].collect().map(_.uuid).toSet
+      val plus = ps.subscribeBatch("a+b").as[Message].collect().map(_.uuid).toSet
+      assert(dot == Set("dot"), s"topic 'a.b' contaminated: $dot")
+      assert(plus == Set("plus"), s"topic 'a+b' contaminated: $plus")
+    } finally ps.close()
+  }
+
   test("publishBatch goes through Spark's JDBC sink (executor inserts)") {
     val ps = new SqlPubSub(spark, url("sqlbulk"))
     try {
