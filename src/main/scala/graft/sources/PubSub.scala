@@ -203,7 +203,16 @@ class FilePubSub(spark: SparkSession, root: String)
   extends PubSub with RoutedPublisher {
   import spark.implicits._
 
-  private def path(topic: String) = s"$root/$topic"
+  /** Topic names become directory names, so two shapes are rejected
+    * outright: path separators (a nested "a/b" topic would BLEED into
+    * topic "a" — readers list recursively) and traversal ("../x"
+    * escapes the root entirely). Loud beats aliased. */
+  private def path(topic: String) = {
+    require(topic.nonEmpty && !topic.contains("/") &&
+      topic != "." && topic != "..",
+      s"invalid file topic name '$topic': must be a single path segment")
+    s"$root/$topic"
+  }
 
   override def publish(topic: String, msgs: Seq[Message]): Unit =
     publishBatch(topic, msgs.toDF())

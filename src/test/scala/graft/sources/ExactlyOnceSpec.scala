@@ -70,6 +70,17 @@ class ExactlyOnceSpec extends SparkSpec {
       s"backlog must drain completely: ${seen.keySet}")
   }
 
+  test("file transport rejects path-escaping and nested topic names loudly") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-tn-").toString)
+    intercept[IllegalArgumentException] {
+      ps.publishBatch("../escape", frame("x")) // traversal: would write outside root
+    }
+    intercept[IllegalArgumentException] {
+      ps.subscribeBatch("a/b") // nesting: would bleed into topic "a"'s recursive listing
+    }
+    ()
+  }
+
   test("file transport: same-epoch rewrite overwrites, not appends") {
     val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-").toString)
     ps.publishEpoch("eo", frame("a", "b"), writerId = "h1-0")
