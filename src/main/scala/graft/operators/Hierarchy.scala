@@ -30,11 +30,11 @@ object Hierarchy {
     var jump = edges.select(col("id").as("v"), col("parent").as("anc"),
         lit(1L).as("d"), col("parent").as("s"))
       .localCheckpoint()
+    var prevCkpt = checkpointRdd(jump)
     var span = 1L
     while (span < maxDepth) {
       val j2 = jump.select(col("v").as("v2"), col("anc").as("anc2"),
         col("d").as("d2"), col("s").as("s2"))
-      val prev = jump
       // left join: an entry whose ancestor is a root (no jump entry)
       // is already saturated and passes through unchanged
       jump = jump.join(j2, col("anc") === col("v2"), "left")
@@ -43,7 +43,12 @@ object Hierarchy {
           (col("d") + coalesce(col("d2"), lit(0L))).as("d"),
           (col("s") + coalesce(col("s2"), lit(0L))).as("s"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      // free the previous round's checkpoint blocks AT THE RDD — the
+      // eager checkpoint above no longer references them, and
+      // Dataset.unpersist would be a no-op (checkpoint blocks never
+      // enter the CacheManager; dupClusters learned this the hard way)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = checkpointRdd(jump)
       span *= 2
     }
     nodes.select(col("id"))
@@ -53,4 +58,12 @@ object Hierarchy {
         coalesce(col("d"), lit(0L)).as("depth"),
         (col("id") + coalesce(col("s"), lit(0L))).as("path_sum"))
   }
+
+  /** The block-holding RDD behind an eager `localCheckpoint` (analyzed
+    * plan = `LogicalRDD` leaf); None for other shapes. */
+  private def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
