@@ -1491,6 +1491,40 @@ object RelationalQueries {
              |SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(root) AS BIGINT) AS root_sum,
              |  CAST(sum(path_sum) AS BIGINT) AS psum
-             |FROM final GROUP BY 1 ORDER BY depth""".stripMargin))
+             |FROM final GROUP BY 1 ORDER BY depth""".stripMargin)),
+
+    // ---- value-based RANGE frames (q102's twin covered ROWS frames):
+    // the frame edge is an ORDER-VALUE offset, not a row count — peers
+    // (order-by ties) enter the frame together by definition on both
+    // engines, which is exactly what makes this portable where a ROWS
+    // spelling of the same window would be tie-order-dependent.
+    // Integer order key + integer cents: no float boundary ambiguity.
+    // Still ONE shuffle on the partition key for both frames ----
+    QuerySpec("q117_range_frames",
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .filter(col("user_id") < 5)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value")).cast("long").as("v"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val wTrail = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rangeBetween(-5, Window.currentRow)
+        val wSym = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rangeBetween(-5, 5)
+        x.select(col("event_id"), col("event_type"), col("v"),
+            sum(col("cents")).over(wTrail).as("near_sum"),
+            count(lit(1)).over(wSym).as("near_n"))
+          .orderBy(col("event_type"), col("v"), col("event_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id < 5)
+             |SELECT event_id, event_type, v,
+             |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY v
+             |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum,
+             |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY v
+             |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS near_n
+             |FROM x ORDER BY event_type, v, event_id""".stripMargin))
   )
 }
