@@ -35,10 +35,17 @@ object Delay {
       .withMeta(Ctx.DelayedFor, d.forDesc)
 
   /** Column predicate: true when the row is deliverable as of `asOf`.
-    * Rows without delay metadata are always ready. */
+    * Rows without delay metadata are always ready. A MALFORMED stamp is
+    * also ready: `try_to_timestamp`, not `to_timestamp` — under ANSI
+    * mode the plain cast THROWS, so one corrupt metadata value would
+    * kill every retry of the micro-batch at the filter, before any
+    * poison-queue middleware could route it. Fail-open to visibility:
+    * the row flows now and is observable downstream; failing closed
+    * would hide it forever (silent loss). */
   def isReady(asOf: Column): Column = {
     val until = element_at(col("metadata"), lit(Ctx.DelayedUntil))
-    until.isNull || to_timestamp(until) <= asOf
+    val parsed = try_to_timestamp(until)
+    until.isNull || parsed.isNull || parsed <= asOf
   }
 }
 
@@ -137,11 +144,20 @@ object DelayedDelivery {
             val out = scala.collection.mutable.ArrayBuffer.empty[Message]
             msgs.foreach { m =>
               val untilStr = m.get(Ctx.DelayedUntil)
-              if (untilStr.isEmpty) out += m // undelayed: pass through
-              else {
-                val untilMs = java.time.Instant.parse(untilStr).toEpochMilli
-                if (untilMs <= state.getCurrentWatermarkMs()) out += m // already due
-                else { state.update(m); state.setTimeoutTimestamp(untilMs) }
+              // malformed stamps (foreign writers can stamp anything)
+              // pass through like undelayed rows — a throwing parse here
+              // would kill the stateful query on one corrupt row, the
+              // same fail-open contract as isReady and SqlPubSub.dueAt
+              val untilMs =
+                if (untilStr.isEmpty) None
+                else try Some(java.time.Instant.parse(untilStr).toEpochMilli)
+                  catch { case _: java.time.format.DateTimeParseException => None }
+              untilMs match {
+                case None => out += m // undelayed or malformed: pass through
+                case Some(ms) if ms <= state.getCurrentWatermarkMs() =>
+                  out += m // already due
+                case Some(ms) =>
+                  state.update(m); state.setTimeoutTimestamp(ms)
               }
             }
             out.iterator

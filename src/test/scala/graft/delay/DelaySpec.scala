@@ -55,6 +55,25 @@ class DelaySpec extends SparkSpec {
     assert(visible == Set("due", "undelayed"))
   }
 
+  test("ready() survives a malformed delay stamp: the row flows instead of killing the batch") {
+    // Under ANSI mode a plain to_timestamp THROWS on garbage, turning
+    // one corrupt metadata value into a stream-killing poison pill at
+    // the FILTER — before any poison-queue middleware can see it. The
+    // malformed row must instead pass through (fail-open to visibility:
+    // deliverable now, observable downstream; hiding it forever would
+    // be silent loss).
+    val ps = new MemoryPubSub(spark)
+    val now = Instant.ofEpochMilli(1700000000000L)
+    ps.publish("staged_bad", Seq(
+      msg("corrupt").withMeta(Ctx.DelayedUntil, "not-a-timestamp"),
+      Delay.message(msg("future"), Delay.until(now.plusSeconds(3600))),
+      msg("clean")))
+    val asOf = to_timestamp(lit(now.toString))
+    val visible = DelayedDelivery.ready(ps.subscribeBatch("staged_bad"), asOf)
+      .collect().map(_.getAs[String]("uuid")).toSet
+    assert(visible == Set("corrupt", "clean"), s"got $visible")
+  }
+
   test("releaseWhenDue: streaming state holds delayed rows until the watermark passes") {
     import spark.implicits._
     val ps = new MemoryPubSub(spark)
