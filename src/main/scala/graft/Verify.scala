@@ -14,6 +14,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // same inter-query isolation as Bench: drop cache entries and
+      // straggler checkpoint RDD blocks (iterative queries leave one
+      // block set per round) so a 117-query run's footprint stays flat
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
