@@ -151,7 +151,10 @@ object DelayedDelivery {
               val untilMs =
                 if (untilStr.isEmpty) None
                 else try Some(java.time.Instant.parse(untilStr).toEpochMilli)
-                  catch { case _: java.time.format.DateTimeParseException => None }
+                  // NonFatal, not just DateTimeParseException: a valid-ISO
+                  // stamp at year +999999999 parses fine and then throws
+                  // ArithmeticException in toEpochMilli — same poison class
+                  catch { case scala.util.control.NonFatal(_) => None }
               untilMs match {
                 case None => out += m // undelayed or malformed: pass through
                 case Some(ms) if ms <= state.getCurrentWatermarkMs() =>

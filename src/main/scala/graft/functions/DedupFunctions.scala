@@ -508,8 +508,10 @@ object DedupFunctions {
 
   /** The block-holding RDD behind a `localCheckpoint(true)`-ed frame
     * (its analyzed plan is a `LogicalRDD` leaf). None for any other
-    * plan shape — callers then simply skip the explicit free. */
-  private def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    * plan shape — callers then simply skip the explicit free. Shared
+    * by every iterative operator that frees rounds explicitly
+    * (dupClusters here, operators.Hierarchy). */
+  private[graft] def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     ds.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None

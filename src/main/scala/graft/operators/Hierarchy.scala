@@ -59,11 +59,6 @@ object Hierarchy {
         (col("id") + coalesce(col("s"), lit(0L))).as("path_sum"))
   }
 
-  /** The block-holding RDD behind an eager `localCheckpoint` (analyzed
-    * plan = `LogicalRDD` leaf); None for other shapes. */
-  private def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    ds.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
+  private def checkpointRdd(ds: DataFrame) =
+    graft.functions.DedupFunctions.checkpointRdd(ds)
 }

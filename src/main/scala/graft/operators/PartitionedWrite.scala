@@ -11,11 +11,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * difference between rewriting a table and rewriting a day.
   *
   * Spark-first: this is the built-in
-  * `spark.sql.sources.partitionOverwriteMode=dynamic` behavior — no
-  * custom committer. The helper scopes the session flag to the one
-  * write (a session-wide dynamic default silently changes the
-  * semantics of every other overwrite in the job) and restores the
-  * prior value even on failure.
+  * `partitionOverwriteMode=dynamic` behavior — no custom committer.
+  * The flag is passed as a WRITER option, never as session state (a
+  * session-wide dynamic default silently changes the semantics of
+  * every other overwrite in the job, and a set/restore dance races
+  * concurrent writers).
   *
   * Schema evolution rides the same layout: files written before a
   * column existed read back alongside new files via `mergeSchema`
@@ -27,22 +27,17 @@ object PartitionedWrite {
   /** Write `df` partitioned by `partitionCols` under `dir`, replacing
     * ONLY the partitions `df` contains. Partitions absent from `df`
     * keep their existing data (a full `Overwrite` would delete them).
-    */
+    * The mode rides the WRITER (`option("partitionOverwriteMode",…)`
+    * overrides the session conf for this one write) — a session-conf
+    * set/restore would race any concurrent write on another thread of
+    * the same session into silently changed overwrite semantics. */
   def overwritePartitions(df: DataFrame, dir: String,
       partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "partitioned overwrite needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try
-      df.write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCols: _*)
-        .parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
   }
 
   /** Read a partitioned table whose files span schema versions:

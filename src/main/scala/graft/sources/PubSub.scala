@@ -203,14 +203,22 @@ class FilePubSub(spark: SparkSession, root: String)
   extends PubSub with RoutedPublisher {
   import spark.implicits._
 
-  /** Topic names become directory names, so two shapes are rejected
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Topic names become directory names, so three shapes are rejected
     * outright: path separators (a nested "a/b" topic would BLEED into
-    * topic "a" — readers list recursively) and traversal ("../x"
-    * escapes the root entirely). Loud beats aliased. */
+    * topic "a" — readers list recursively), traversal ("../x" escapes
+    * the root entirely), and '.'/'_' prefixes — Spark readers treat
+    * those as hidden, and they collide with this transport's own
+    * internal dirs (".trash_<t>"/".compact_<t>"/".routed_epoch_<w>":
+    * a topic literally named ".trash_a" would be DELETED by
+    * compact("a")). Loud beats aliased. */
+  private[sources] def isValidTopic(topic: String): Boolean =
+    topic.nonEmpty && !topic.contains("/") &&
+      !topic.startsWith(".") && !topic.startsWith("_")
   private def path(topic: String) = {
-    require(topic.nonEmpty && !topic.contains("/") &&
-      topic != "." && topic != "..",
-      s"invalid file topic name '$topic': must be a single path segment")
+    require(isValidTopic(topic),
+      s"invalid file topic name '$topic': must be a single non-hidden path segment")
     s"$root/$topic"
   }
 
@@ -277,7 +285,19 @@ class FilePubSub(spark: SparkSession, root: String)
         // under "a b".
         val topic = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(s.getPath.getName.stripPrefix("_topic="))
-        val target = new HPath(path(topic), s"epoch_$writerId")
+        // The topic value is DATA — throwing here on a bad value would
+        // fail the epoch partway through its renames and poison every
+        // retry of the batch (the same fail-closed class the delay path
+        // eliminates). Quarantine instead: the rows land under a
+        // reserved dir, preserved and observable, never lost; the
+        // escaped-name target keeps retries idempotent (overwrite).
+        val target =
+          if (isValidTopic(topic)) new HPath(path(topic), s"epoch_$writerId")
+          else {
+            log.warn(s"routed publish: invalid topic '$topic' quarantined")
+            new HPath(s"$root/.quarantine",
+              s"epoch_${writerId}_${s.getPath.getName}")
+          }
         if (fs.exists(target)) fs.delete(target, true) // retry: overwrite, don't append
         fs.mkdirs(target.getParent)
         fs.rename(s.getPath, target)

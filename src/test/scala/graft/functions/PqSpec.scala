@@ -62,6 +62,29 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("practical regime (1 < refine << corpus): recall vs brute force stays high") {
+    // the regime q77 actually runs in — ADC prunes most of the corpus,
+    // exact re-rank fixes ordering among survivors. A broken ADC
+    // distance that still passes the two extreme tests (covering
+    // refine = lossless; exact copies rank first trivially) tanks
+    // recall here.
+    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,
+      ksub = 8, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val pq = topSets(VectorFunctions.pqTopK(queries, corpus, "vec_id",
+      "embedding", dim, k = 3, books, refine = 4))
+    val brute = topSets(VectorFunctions.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", k = 3))
+    val hits = brute.map { case (q, b) => (pq(q) & b).size }.sum
+    val total = brute.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, f"recall@3 at refine=4 fell to $recall%.2f ($hits/$total)")
+  }
+
   test("codebook training and search are deterministic across runs") {
     def run() = {
       val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,

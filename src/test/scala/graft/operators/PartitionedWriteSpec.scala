@@ -44,16 +44,17 @@ class PartitionedWriteSpec extends SparkSpec {
       s"full overwrite drops other partitions (the hazard the operator scopes away): $truncated")
   }
 
-  test("restores the session's prior overwrite mode even when the write fails") {
+  test("never touches the session-wide overwrite mode, even when the write fails") {
     val key = "spark.sql.sources.partitionOverwriteMode"
     spark.conf.set(key, "static")
     val dir = Files.createTempDirectory("graft-dpo-fail-").toString + "/t"
     intercept[Exception] {
-      // duplicate column name -> analysis error inside the scoped write
+      // duplicate column name -> analysis error inside the write
       PartitionedWrite.overwritePartitions(
         Seq((1L, "a")).toDF("d", "d"), dir, Seq("d"))
     }
-    assert(spark.conf.get(key) == "static", "flag must be restored on failure")
+    assert(spark.conf.get(key) == "static",
+      "the dynamic mode must ride the writer option, not session state")
   }
 
   test("mergeSchema reads files that predate an added column (NULL backfill)") {

@@ -118,6 +118,29 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("t_one").count() == 3)
   }
 
+  test("file transport: routed epoch quarantines an invalid topic value instead of poisoning the batch") {
+    val rootDir = Files.createTempDirectory("graft-eo-q-").toString
+    val ps = new FilePubSub(spark, rootDir)
+    val routed = Seq(("ok1", "t_good"), ("bad1", "t/nested"), ("bad2", ".hidden"))
+      .map { case (u, t) => (u, Map.empty[String, String], u.getBytes,
+        new Timestamp(1700000000000L), t) }
+      .toDF("uuid", "metadata", "payload", "ts", "_topic")
+    // a throw here would fail the epoch partway through its renames and
+    // poison every retry — the valid topic must deliver regardless
+    ps.publishRoutedEpoch(routed, "_topic", writerId = "q-0")
+    assert(ps.subscribeBatch("t_good").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("ok1"))
+    // quarantined rows are preserved on disk, not lost
+    val quarantined = spark.read.schema(graft.core.Message.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$rootDir/.quarantine")
+      .collect().map(_.getAs[String]("uuid")).toSet
+    assert(quarantined == Set("bad1", "bad2"), s"got $quarantined")
+    // retry stays idempotent for both destinations
+    ps.publishRoutedEpoch(routed, "_topic", writerId = "q-0")
+    assert(ps.subscribeBatch("t_good").count() == 1)
+  }
+
   test("file transport: compaction consolidates epoch files, preserves every row") {
     val ps = new FilePubSub(spark, Files.createTempDirectory("graft-cmp-").toString)
     (0 until 8).foreach(i => ps.publishEpoch("cmp", frame(s"e$i"), writerId = s"w-$i"))
