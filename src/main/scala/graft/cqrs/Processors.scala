@@ -21,7 +21,11 @@ object TypedHandler {
     * typed value (ctx.go:16-27 original-message access). */
   def apply[C: ClassTag](marshaler: Marshaler)(
       handle: (C, Message) => Seq[Any]): TypedHandler = {
-    val n = Names.of[C]
+    // the MARSHALER's name, not Names.of: a marshaler configured with a
+    // custom nameOf (Names.short) stamps that name at publish time, and
+    // a dispatch key derived any other way silently ack-drops every
+    // message (the mismatch surfaces nowhere — no error, no handler)
+    val n = marshaler.name(scala.reflect.classTag[C].runtimeClass)
     TypedHandler(n, m => handle(marshaler.unmarshal[C](m), m).map {
       case out: Message => out
       case typed => marshaler.marshal(typed)
@@ -124,6 +128,11 @@ final class EventGroupProcessor(
 
   def addHandlersGroup(groupName: String, subscribeTopic: String,
       publishTopic: String, handlers: TypedHandler*): this.type = {
+    // .toMap would silently keep only the LAST handler for a duplicated
+    // event type — the dropped one never fires and nothing reports it
+    val dups = handlers.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty,
+      s"group '$groupName': duplicate handler(s) for ${dups.mkString(", ")}")
     val table = handlers.map(h => h.name -> h.fn).toMap
     val unknown = onUnknownEvent
     val nameKey = marshaler.NameKey

@@ -29,6 +29,13 @@ object RequestReply {
   val OperationIdKey = "operation_id"
   val ErrorKey = "reply_error"
 
+  /** Error-reply payload — a case class, NOT a Map, because every
+    * marshaler must be able to encode it (ProtoMarshaler rejects
+    * non-case-class values; a Map here made the error path itself
+    * throw, so the requester blocked the full timeout exactly when the
+    * handler failed). */
+  final case class ErrorReply(error: String)
+
   /** Command handler that publishes a reply notification carrying the
     * command's operation id; handler errors are marshaled into the
     * notification (handler.go:16-67 + backend_pubsub_marshaler.go:
@@ -40,8 +47,8 @@ object RequestReply {
       try marshaler.marshal(handle(marshaler.unmarshal[C](m)))
       catch {
         case NonFatal(e) =>
-          marshaler.marshal(Map("error" -> Option(e.getMessage).getOrElse(e.toString)))
-            .withMeta(ErrorKey, Option(e.getMessage).getOrElse(e.toString))
+          val reason = Option(e.getMessage).getOrElse(e.toString)
+          marshaler.marshal(ErrorReply(reason)).withMeta(ErrorKey, reason)
       }
     Seq(reply.withMeta(OperationIdKey, opId))
   }
@@ -87,6 +94,13 @@ final class PubSubBackend(
     marshaler: Marshaler = new JsonMarshaler()) {
 
   import RequestReply._
+
+  // Eager topic init: the first await() poll can run BEFORE the handler
+  // has published anything — on a path-backed transport an uninitialized
+  // reply topic makes subscribeBatch throw PATH_NOT_FOUND out of await
+  // instead of polling until the documented Left-on-timeout.
+  pubsub.subscribeInitialize(commandTopic)
+  pubsub.subscribeInitialize(replyTopic)
 
   /** Register the processing side on a router: one handler consuming
     * the command topic and publishing correlated replies. */

@@ -80,7 +80,12 @@ object Middlewares {
       case NonFatal(e) if shouldGoToPoison(e) =>
         Seq(m
           .withMeta(Ctx.ReasonPoisoned, Option(e.getMessage).getOrElse(e.toString))
-          .withMeta(Ctx.TopicPoisoned, m.get(Ctx.PublishTopic))
+          // the SUBSCRIBE topic (poison.go stamps the consumed-from
+          // topic): Pq's requeue re-publishes to topic_poisoned so the
+          // message goes back THROUGH the handler — stamping the
+          // publish topic here would requeue the raw failed message
+          // straight into the handler's output stream
+          .withMeta(Ctx.TopicPoisoned, m.get(Ctx.SubscribeTopic))
           .withMeta(Ctx.HandlerPoisoned, m.get(Ctx.HandlerName))
           .withMeta(Ctx.TopicOverride, topic))
     }
@@ -152,16 +157,22 @@ object Middlewares {
     * `delayed_until`/`delayed_for` keys (components/delay/delay.go:56-59).
     * Consumption honors the stamp via [[graft.delay.DelayedDelivery]]. */
   def delayOnError(retryTopic: String, initialIntervalMs: Long,
-      multiplier: Double = 2.0, maxRetries: Int = Int.MaxValue): Middleware = h => m =>
+      multiplier: Double = 2.0, maxRetries: Int = Int.MaxValue,
+      maxIntervalMs: Long = 3600000L): Middleware = h => m =>
     try h(m)
     catch {
       case NonFatal(e) =>
-        val retries = m.get(Ctx.Retries) match {
-          case "" => 0
-          case s => s.toInt
-        }
+        // foreign writers can stamp anything — a throwing parse INSIDE
+        // the recovery path would replace the original error and fail
+        // the batch, the exact outcome this middleware exists to avoid
+        val retries = m.get(Ctx.Retries).toIntOption.getOrElse(0)
         if (retries >= maxRetries) throw e
-        val delayMs = (initialIntervalMs * math.pow(multiplier, retries)).toLong
+        // capped: uncapped 2^retries saturates past retries≈53 and
+        // currentTimeMillis + Long.MaxValue wraps NEGATIVE — a
+        // delayed_until in the past, i.e. hot-loop redelivery forever
+        val delayMs = math.min(
+          (initialIntervalMs * math.pow(multiplier, retries)).toLong,
+          maxIntervalMs)
         val until = new java.sql.Timestamp(System.currentTimeMillis() + delayMs)
         Seq(m
           .withMeta(Ctx.Retries, (retries + 1).toString)

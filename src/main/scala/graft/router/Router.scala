@@ -69,6 +69,12 @@ final class CircuitBreaker(maxFailures: Int, cooldownMs: Long,
         synchronized { consecutive = 0; open = false }
         return
       } catch {
+        // an interrupt is the ENGINE stopping the query (router.close →
+        // query.stop), not a downstream failure — counting it as a
+        // probe would swallow the interrupt and keep stop() blocked for
+        // up to maxOpenCycles × cooldown
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
         case e: Throwable =>
           val giveUp = synchronized {
             if (open) {
@@ -130,6 +136,23 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val ckptBase =
     checkpointRoot.getOrElse(Files.createTempDirectory("graft-router-").toString)
+
+  /** Writer-epoch lineage token: epochIds restart at 0 whenever the
+    * CHECKPOINT restarts, so the epoch write id must be scoped to the
+    * checkpoint lineage — otherwise a router relaunched with a fresh
+    * (default temp) checkpoint against a PERSISTENT transport root
+    * overwrites run 1's committed `epoch_<g>-<h>-0` dirs with run 2's
+    * batch 0 (silent data loss), and a same-JVM second router sharing
+    * one MemoryPubSub has its batch 0 dedup-DROPPED as a replay of the
+    * first router's. Derived from the checkpoint path: the SAME
+    * persistent checkpoint resumes the same lineage (retries stay
+    * idempotent — that's the exactly-once contract), while a new
+    * checkpoint gets a new lineage and appends instead of clobbering. */
+  private val lineage = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckptBase.getBytes("UTF-8"))
+    md.take(4).map(b => f"$b%02x").mkString
+  }
 
   /** Router-level middleware; first added = outermost
     * (message/router.go:184,651-659). */
@@ -209,7 +232,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   private def sinkBatch(h: HandlerDef, batch: DataFrame, epochId: Long): Unit = {
     val pub = h.publisher.get
     val default = h.publishTopic.get
-    val writerId = s"${group.getOrElse("g")}-${h.name}-$epochId"
+    val writerId = s"${group.getOrElse("g")}-${h.name}-$lineage-$epochId"
     val routed = batch.withColumn("_topic",
       coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
     val cleaned = routed.withColumn("metadata",
@@ -247,7 +270,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           .observe("graft_sink", count(lit(1)).as("rows"))
         val writer = out.writeStream
           .queryName(group.fold(s"graft-${h.name}")(g => s"graft-$g-${h.name}"))
-          .option("checkpointLocation", s"$ckptBase/${h.name}")
+          // group in the path, not just the queryName: two groups
+          // sharing one checkpointRoot must have independent offset
+          // lineages or the second group resumes from the first's
+          // commits and skips everything it already consumed
+          .option("checkpointLocation",
+            s"$ckptBase/${group.fold(h.name)(g => s"$g-${h.name}")}")
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
             val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch, epochId) else batch.foreach(_ => ()) }
             h.breaker match {

@@ -43,14 +43,18 @@ class MiddlewaresSpec extends AnyFunSuite {
   }
 
   test("poisonQueue routes failed message to DLQ with reference metadata (poison.go:62-102)") {
-    val m = msg().withMeta(Ctx.HandlerName, "h1").withMeta(Ctx.PublishTopic, "out")
+    val m = msg().withMeta(Ctx.HandlerName, "h1")
+      .withMeta(Ctx.SubscribeTopic, "in").withMeta(Ctx.PublishTopic, "out")
     val out = poisonQueue("dlq")(boom)(m)
     assert(out.length == 1)
     val p = out.head
     assert(p.get(Ctx.TopicOverride) == "dlq")
     assert(p.get(Ctx.ReasonPoisoned) == "boom")
     assert(p.get(Ctx.HandlerPoisoned) == "h1")
-    assert(p.get(Ctx.TopicPoisoned) == "out")
+    // the CONSUMED-FROM topic, so Pq's requeue sends the message back
+    // through the handler — "out" here was the bug that made requeue
+    // inject raw failures into the handler's output stream
+    assert(p.get(Ctx.TopicPoisoned) == "in")
     assert(p.uuid == m.uuid) // the ORIGINAL message is poisoned, not a copy
   }
 
