@@ -179,12 +179,23 @@ object DedupFunctions {
     // One linear reference chain; the previous per-doc row_number
     // Window fed a prefix SELF-join whose two sides each re-evaluated
     // the whole postings pipeline (scan+shingle+freq-join+window).
+    // RATIONAL integer threshold arithmetic in both PRUNING stages
+    // (prefix length, length filter) — a double `n * t` can round a
+    // hair above an exact integer boundary (0.8 is really 0.8000…044)
+    // and silently shrink the prefix / drop a boundary pair, breaking
+    // the 100%-recall contract. Same hardening as containmentJoin.
+    // The final VERIFY filter stays the double form on purpose: it is
+    // the semantic filter and must match the oracle's expression
+    // bit-for-bit; the pruning stages only affect recall, and the
+    // integer forms can only widen the candidate set.
+    val tMicro = math.round(threshold * 1e6)
     val prefix = ex.join(freq, Seq("t"))
       .groupBy(col("doc_id"))
       .agg(first(col("n")).as("n"), collect_list(struct(col("df"), col("t"))).as("ps"))
       .select(col("doc_id"), col("n"),
         slice(array_sort(col("ps")), lit(1),
-          (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+          (col("n") - expr(s"(n * ${tMicro}L + 999999L) div 1000000L") + 1)
+            .cast("int")).as("pre"))
       .select(col("doc_id"), col("n"), explode(col("pre")).as("p"))
       .select(col("doc_id"), col("n"), col("p.t").as("t"))
     // candidates: intra-bucket pairs of the prefix inverted index —
@@ -204,8 +215,8 @@ object DedupFunctions {
       .select(explode(col("ds")).as("x1"), col("ds"))
       .select(col("x1"), explode(col("ds")).as("x2"))
       .filter(col("x1.doc_id") < col("x2.doc_id"))
-      .filter(col("x1.n") >= col("x2.n") * threshold &&
-        col("x2.n") >= col("x1.n") * threshold)
+      .filter(col("x1.n") * lit(1000000L) >= col("x2.n") * lit(tMicro) &&
+        col("x2.n") * lit(1000000L) >= col("x1.n") * lit(tMicro))
       .select(col("x1.doc_id").as("d1"), col("x2.doc_id").as("d2")).distinct()
     // exact verification on full shingle sets
     val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"), size(col("s")).as("n1"))

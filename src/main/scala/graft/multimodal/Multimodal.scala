@@ -617,7 +617,11 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val (fps, offsets) = MediaCodec.videoFrameOffsets(bytes) // STUB boundary
-          val frameMs = 1000L / math.max(1, fps)
+          // fps is UNTRUSTED container metadata: clamp to [1, 1000] —
+          // fps > 1000 makes 1000L/fps truncate to frameMs = 0 and the
+          // stride division throw / by zero on the first row
+          val safeFps = math.min(1000L, math.max(1L, fps.toLong))
+          val frameMs = 1000L / safeFps
           val stride = math.max(1, (everyMs / frameMs).toInt)
           offsets.zipWithIndex.iterator
             .filter { case (_, i) => i % stride == 0 }

@@ -52,9 +52,15 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
           val meta = {
             val b = Map.newBuilder[String, String]
             headers.forEach { (k, vs) =>
-              // HttpServer canonicalizes header case; match case-insensitively
+              // HttpServer canonicalizes header case ('X-Graft-Meta-
+              // correlation_id' arrives as '...-Correlation_id'), so the
+              // extracted key is LOWERCASED — header names are case-
+              // insensitive by RFC, and delivering the canonicalized
+              // case broke every metadata-keyed consumer (correlation,
+              // dedup) after one HTTP hop. Contract: metadata keys are
+              // case-insensitive on this transport, delivered lowercase.
               if (k.toLowerCase.startsWith(HttpWire.MetaPrefix.toLowerCase) && !vs.isEmpty)
-                b += k.substring(HttpWire.MetaPrefix.length) -> vs.get(0)
+                b += k.substring(HttpWire.MetaPrefix.length).toLowerCase -> vs.get(0)
             }
             b.result()
           }

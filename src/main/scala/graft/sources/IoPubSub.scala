@@ -78,16 +78,30 @@ final class StreamSubscriber(spark: SparkSession, in: InputStream)
   private val broker = new MemoryPubSub(spark)
   @volatile private var draining = true
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val reader = new Thread(() => {
     val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
     try {
       var line = r.readLine()
       while (draining && line != null) {
         if (line.nonEmpty) {
-          val m = IoFraming.unmarshal(line)
-          val topic = m.get(TopicKey)
-          broker.publish(if (topic.isEmpty) "io" else topic,
-            Seq(m.copy(metadata = m.metadata - TopicKey)))
+          // per-LINE error isolation: Jackson's parse error IS an
+          // IOException, so a single corrupt frame caught by the outer
+          // closed-pipe handler would silently end the whole drain
+          // (every later message lost, no signal) — and a bad base64
+          // payload throws IllegalArgumentException, which previously
+          // killed the thread uncaught. Log and keep reading.
+          try {
+            val m = IoFraming.unmarshal(line)
+            val topic = m.get(TopicKey)
+            broker.publish(if (topic.isEmpty) "io" else topic,
+              Seq(m.copy(metadata = m.metadata - TopicKey)))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"io subscriber: dropping malformed frame " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+          }
         }
         line = r.readLine()
       }

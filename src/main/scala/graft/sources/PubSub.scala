@@ -451,11 +451,21 @@ object KafkaPubSub {
       e.getField("key").as("key"),
       e.getField("value").cast("binary").as("value")))
 
-  /** Kafka headers -> map<string,string>; inverse of [[metadataToHeaders]]. */
-  def headersToMetadata(headers: Column): Column =
+  /** Kafka headers -> map<string,string>; inverse of [[metadataToHeaders]].
+    * Kafka legally repeats header keys; a map cannot — LAST occurrence
+    * wins (matches Kafka clients' `lastHeader` convention). Without the
+    * dedup, `map_from_arrays` under the default
+    * mapKeyDedupPolicy=EXCEPTION kills the stream on the first foreign
+    * record with a repeated header. */
+  def headersToMetadata(headers: Column): Column = {
+    val deduped = filter(headers, (h, i) =>
+      !exists(
+        slice(headers, i + lit(2), size(headers)),
+        h2 => h2.getField("key") === h.getField("key")))
     map_from_arrays(
-      transform(headers, h => h.getField("key")),
-      transform(headers, h => h.getField("value").cast("string")))
+      transform(deduped, h => h.getField("key")),
+      transform(deduped, h => h.getField("value").cast("string")))
+  }
 
   /** Envelope -> the exact record shape Spark's Kafka sink consumes. */
   def publishProjection(df: DataFrame, topic: Column): DataFrame =

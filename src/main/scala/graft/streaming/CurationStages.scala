@@ -51,11 +51,20 @@ object CurationStages {
     ds.toDF()
       .withColumn("_q", TextFunctions.qualityScore(text, stopwords))
       .withColumn("_lang", TextFunctions.langId(text, markers))
-      .withColumn("metadata", map_concat(col("metadata"), map(
-        lit(Ctx.TopicOverride),
-        when(col("_q") >= floor, concat(lit("kept_"), col("_lang")))
-          .otherwise(lit("rejected")),
-        lit("quality"), col("_q").cast("string"))))
+      // strip the keys BEFORE concat: under the default
+      // mapKeyDedupPolicy=EXCEPTION a message that already carries
+      // 'quality' (re-ingested from a kept_* topic — Router strips only
+      // _graft_ keys on publish) or a TopicOverride (poison/retry
+      // middleware upstream) would make map_concat throw and fail the
+      // whole micro-batch
+      .withColumn("metadata", map_concat(
+        map_filter(col("metadata"),
+          (k, _) => k =!= Ctx.TopicOverride && k =!= "quality"),
+        map(
+          lit(Ctx.TopicOverride),
+          when(col("_q") >= floor, concat(lit("kept_"), col("_lang")))
+            .otherwise(lit("rejected")),
+          lit("quality"), col("_q").cast("string"))))
       .drop("_q", "_lang")
       .as[Message](msgEnc)
 

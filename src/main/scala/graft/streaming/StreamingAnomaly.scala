@@ -46,18 +46,24 @@ object StreamingAnomaly {
 
   private def step(window: Int, minObs: Int, factor: Long)(
       rows: Iterator[Obs], st: GroupState[Ring]): Iterator[AnomalyFlag] = {
-    var s = st.getOption.getOrElse(Ring(new Array[Long](window), 0, 0, 0L))
+    val prev = st.getOption.getOrElse(Ring(new Array[Long](window), 0, 0, 0L))
+    // ONE defensive copy per invocation, then mutate in place: cloning
+    // the ring per OBSERVATION made a hot key's micro-batch O(rows ×
+    // window) allocation for immutability nothing observes — only the
+    // final update() is visible to the state store
+    val ring = prev.ring.clone()
+    var pos = prev.pos; var filled = prev.filled; var sum = prev.sum
     val out = Seq.newBuilder[AnomalyFlag]
     rows.toSeq.sortBy(_.id).foreach { o =>
-      if (s.filled >= minObs && o.vMilli * s.filled > factor * s.sum)
-        out += AnomalyFlag(o.key, o.id, o.vMilli, s.filled, s.sum)
-      val evicted = if (s.filled == window) s.ring(s.pos) else 0L
-      val nextRing = s.ring.clone()
-      nextRing(s.pos) = o.vMilli
-      s = Ring(nextRing, (s.pos + 1) % window,
-        math.min(s.filled + 1, window), s.sum + o.vMilli - evicted)
+      if (filled >= minObs && o.vMilli * filled > factor * sum)
+        out += AnomalyFlag(o.key, o.id, o.vMilli, filled, sum)
+      val evicted = if (filled == window) ring(pos) else 0L
+      ring(pos) = o.vMilli
+      pos = (pos + 1) % window
+      filled = math.min(filled + 1, window)
+      sum = sum + o.vMilli - evicted
     }
-    st.update(s)
+    st.update(Ring(ring, pos, filled, sum))
     out.result().iterator
   }
 

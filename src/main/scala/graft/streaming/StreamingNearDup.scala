@@ -159,7 +159,13 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
         .repartition(col("band"))
         .sortWithinPartitions(col("band"), col("band_key"))
         .write.partitionBy("band").mode("append").parquet(indexDir)
-      kept
+      // pin the returned frame BEFORE releasing bs: a lazy `kept` would
+      // re-run the whole shingle/MinHash pipeline on every caller
+      // action, and with retention set the current_timestamp() in the
+      // index view would re-evaluate — returning a kept-set drifted
+      // from the survivors whose bands were just appended (same hazard
+      // StreamingQuota checkpoints `admitted` against)
+      kept.localCheckpoint()
     } finally { bs.unpersist(); () }
   }
 

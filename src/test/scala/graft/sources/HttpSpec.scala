@@ -34,6 +34,22 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("metadata keys are case-insensitive over HTTP: delivered lowercase, deterministically") {
+    // header NAMES are case-insensitive by RFC and the JDK server
+    // canonicalizes them — a camelCase metadata key cannot survive the
+    // hop; pinning lowercase delivery keeps every consumer (correlation,
+    // dedup) deterministic instead of at the mercy of the server impl
+    val sub = new HttpSubscriber(spark)
+    try {
+      new HttpPublisher(s"http://localhost:${sub.boundPort}")
+        .publish("hooks_case", Seq(msg("c1", "x",
+          Map("correlation_id" -> "ok", "myCamelKey" -> "v"))))
+      val got = sub.subscribeBatch("hooks_case").as[Message].collect().head.metadata
+      assert(got("correlation_id") == "ok", s"got $got")
+      assert(got("mycamelkey") == "v" && !got.contains("myCamelKey"), s"got $got")
+    } finally sub.close()
+  }
+
   test("webhook rejects non-POST with 405 and keeps serving afterwards") {
     val sub = new HttpSubscriber(spark)
     try {

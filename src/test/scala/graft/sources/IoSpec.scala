@@ -37,6 +37,23 @@ class IoSpec extends SparkSpec {
     assert(back.metadata == m.metadata, s"got ${back.metadata}")
   }
 
+  test("a corrupt frame mid-stream is dropped; later frames still drain") {
+    val po = new PipedOutputStream()
+    val pi = new PipedInputStream(po, 1 << 16)
+    val sub = new StreamSubscriber(spark, pi)
+    try {
+      val pub = new StreamPublisher(po)
+      pub.publish("io_bad", Seq(msg("before", "a".getBytes)))
+      po.write("this is not json\n".getBytes("UTF-8")); po.flush()
+      pub.publish("io_bad", Seq(msg("after", "b".getBytes)))
+      po.close() // EOF ends the drain
+      sub.awaitDrained()
+      val got = sub.subscribeBatch("io_bad").collect().map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("before", "after"),
+        s"frames after the corrupt line must not be lost: $got")
+    } finally sub.close()
+  }
+
   test("publisher pipe -> subscriber routes frames to their in-band topics") {
     val out = new PipedOutputStream()
     val in = new PipedInputStream(out, 1 << 16)

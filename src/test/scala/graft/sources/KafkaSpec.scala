@@ -48,6 +48,19 @@ class KafkaSpec extends SparkSpec {
     assert(roundTripped == Map("u1" -> m1.metadata, "u2" -> m2.metadata))
   }
 
+  test("repeated Kafka header keys (legal in Kafka) dedupe last-wins instead of failing") {
+    import org.apache.spark.sql.functions.expr
+    val dup = spark.sql("""SELECT array(
+        named_struct('key', 'trace', 'value', CAST('first' AS BINARY)),
+        named_struct('key', 'other', 'value', CAST('x' AS BINARY)),
+        named_struct('key', 'trace', 'value', CAST('second' AS BINARY))
+      ) AS headers""")
+    val got = dup.select(KafkaPubSub.headersToMetadata(expr("headers")).as("m"))
+      .collect().head.getAs[Map[String, String]]("m")
+    assert(got == Map("trace" -> "second", "other" -> "x"),
+      s"last occurrence must win (kafka lastHeader convention): $got")
+  }
+
   test("publish -> subscribe projections round-trip the envelope (sans ts)") {
     // Simulate what the broker hands back: the published record plus
     // broker-assigned timestamp, then apply the subscribe projection.
