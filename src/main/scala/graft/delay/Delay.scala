@@ -78,14 +78,27 @@ final class DelayingPublisher(inner: Publisher,
     val stamped = defaultDelay match {
       case Some(gen) =>
         val d = gen() // generated per publish call, one stamp per batch
+        // coalesce: the envelope schema allows a NULL metadata map, and
+        // map_concat(null, stamp) is NULL — the row would publish with
+        // no delay stamp at all, silently skipping the default delay
         df.withColumn("metadata",
-          when(until.isNull, map_concat(col("metadata"),
+          when(until.isNull, map_concat(
+            coalesce(col("metadata"),
+              map().cast("map<string,string>")),
             map(lit(Ctx.DelayedUntil), lit(Instant.ofEpochMilli(d.untilMs).toString),
               lit(Ctx.DelayedFor), lit(d.forDesc))))
             .otherwise(col("metadata")))
       case None if allowNoDelay => df
-      case None => throw new IllegalArgumentException(
-        "batch has no default delay configured")
+      case None =>
+        // parity with the per-message path: PRE-STAMPED rows are fine
+        // without a default — only an unstamped row is an error, and
+        // raise_error reports it at write time without a driver-side
+        // pre-scan of the batch
+        df.withColumn("metadata",
+          when(until.isNull, raise_error(lit(
+            "message has no delay and no default delay configured (publisher.go:59-66)"))
+            .cast("map<string,string>"))
+            .otherwise(col("metadata")))
     }
     inner.publishBatch(topic, stamped)
   }
@@ -112,6 +125,14 @@ object DelayedDelivery {
     * `target`. Call per schedule tick (or from a trigger). */
   def drain(sub: Subscriber, pub: Publisher, stagingTopic: String,
       target: String, asOf: Column = current_timestamp()): Unit = {
+    // bootstrap: if drain itself is the only writer of `target`, the
+    // very first tick would die reading the not-yet-existing topic
+    // (PATH_NOT_FOUND on path-backed transports) — and every later
+    // tick with it. Initialize when the transport supports it.
+    sub match {
+      case si: graft.sources.SubscribeInitializer => si.subscribeInitialize(target)
+      case _ => ()
+    }
     val staged = ready(sub.subscribeBatch(stagingTopic), asOf)
     val already = sub.subscribeBatch(target).select(col("uuid"))
     pub.publishBatch(target, staged.join(already, Seq("uuid"), "left_anti"))

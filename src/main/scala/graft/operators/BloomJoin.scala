@@ -26,6 +26,16 @@ object BloomJoin {
     * of `expectedKeys`/`fpp` probed before the shuffle. */
   def semiJoin(fact: DataFrame, build: DataFrame, key: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // integral keys ONLY: stat.bloomFilter inserts a string key via its
+    // UTF-8 bytes, but the probe hashes the value AS A LONG — for a
+    // string column the two never meet, so the pre-filter would drop
+    // almost every matching row (false NEGATIVES, silently breaking
+    // the exactness contract). Fail loudly instead of wrongly.
+    val keyType = fact.schema(key).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(keyType.typeName),
+      s"BloomJoin.semiJoin: key '$key' must be integral, got $keyType " +
+        "(string keys would be inserted as bytes but probed as longs)")
     val bf = build.stat.bloomFilter(col(key), expectedKeys, fpp)
     fact.filter(Hashes.bloomContains(col(key).cast("long"), bf))
       .join(build.select(col(key)).distinct(), Seq(key), "left_semi")

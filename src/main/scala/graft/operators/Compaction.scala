@@ -30,6 +30,16 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(dir)
+    // self-healing (same contract as FilePubSub.compact): a crash
+    // between "live moved aside" and "compacted dir promoted" leaves
+    // live MISSING — finish forward from the complete .compact copy if
+    // it exists, else roll back from .old, so no crash window strands
+    // the directory or loses data
+    if (!fs.exists(live)) {
+      val tmp0 = new Path(dir + ".compact"); val old0 = new Path(dir + ".old")
+      if (fs.exists(tmp0)) { fs.rename(tmp0, live); fs.delete(old0, true); () }
+      else if (fs.exists(old0)) { fs.rename(old0, live); () }
+    }
     val total = fs.listStatus(live).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum

@@ -27,7 +27,11 @@ object Scd2 {
   def history(df: DataFrame, key: Column, ts: Column, value: Column,
       tieBreak: Column): DataFrame = {
     val byTime = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
-    val byStart = Window.partitionBy(col("k")).orderBy(col("valid_from"))
+    // the tie-break must survive into the SECOND window too: two value
+    // changes at the same timestamp otherwise sort ambiguously under
+    // lead(), flapping which run appears superseded across retries —
+    // the exact nondeterminism the tieBreak parameter exists to kill
+    val byStart = Window.partitionBy(col("k")).orderBy(col("valid_from"), col("tb"))
     df.select(key.as("k"), ts.as("t"), value.as("v"), tieBreak.as("tb"))
       // run starts: first event of the key, or value differs from the
       // previous event (null-safe — a null value is a run like any
@@ -37,7 +41,8 @@ object Scd2 {
       .withColumn("chg",
         col("rn") === 1 || !(col("v") <=> lag(col("v"), 1).over(byTime)))
       .filter(col("chg"))
-      .select(col("k"), col("v"), col("t").as("valid_from"))
+      .select(col("k"), col("v"), col("t").as("valid_from"), col("tb"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .drop("tb")
   }
 }

@@ -21,6 +21,9 @@ object Mill {
     try {
       val ps = new FilePubSub(spark, args(1))
       args(0) match {
+        case "produce" if args.length < 4 =>
+          System.err.println("usage: Mill produce <root> <topic> <payload> [k=v ...]")
+          sys.exit(2)
         case "produce" =>
           val meta = args.drop(4).flatMap { kv =>
             kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }

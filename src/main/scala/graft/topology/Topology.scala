@@ -30,6 +30,8 @@ object FanIn {
 object FanOut {
   def register(router: Router, sub: Subscriber, pub: Publisher,
       sourceTopic: String, targetTopics: Seq[String]): Router = {
+    require(targetTopics.nonEmpty,
+      s"FanOut on '$sourceTopic' needs at least one target topic")
     val targets = targetTopics.toVector
     router.addHandler(s"fanout-$sourceTopic", sourceTopic, sub,
       targets.head, pub,
@@ -57,6 +59,18 @@ object Envelope {
 
   def destination(m: Message): String =
     JsonCodec.read(m.payload, classOf[Wrapped]).destination_topic
+
+  /** Parse once; pair with [[unwrapParsed]] when both the destination
+    * and the inner message are needed (one deserialization, not two). */
+  final case class Parsed(destinationTopic: String, w: Wrapped, ts: java.sql.Timestamp)
+
+  def parse(m: Message): Parsed = {
+    val w = JsonCodec.read(m.payload, classOf[Wrapped])
+    Parsed(w.destination_topic, w, m.ts)
+  }
+
+  def unwrapParsed(p: Parsed): Message =
+    Message(p.w.uuid, p.w.metadata, p.w.payload, p.ts)
 }
 
 /** Forwarder, parity with `forwarder.Forwarder`
@@ -95,8 +109,10 @@ object Forwarder {
       forwarderTopic: String, ackWhenCannotUnwrap: Boolean = false,
       poisonTopic: String = "forwarder_poison"): Router = {
     val handler: Middlewares.Handler = { m =>
-      val dest = Envelope.destination(m)
-      Seq(Envelope.unwrap(m).withMeta(Ctx.TopicOverride, dest))
+      // one parse: destination() + unwrap() would each deserialize the
+      // same payload — double Jackson work on the forwarder hot path
+      val w = Envelope.parse(m)
+      Seq(Envelope.unwrapParsed(w).withMeta(Ctx.TopicOverride, w.destinationTopic))
     }
     val onBad: Middlewares.Middleware =
       if (ackWhenCannotUnwrap) Middlewares.ignoreErrors((_: Throwable) => true)
@@ -123,7 +139,10 @@ object Requeuer {
     router.addHandler(s"requeuer-$subscribeTopic", subscribeTopic, sub,
       subscribeTopic + "_unroutable", pub,
       { m =>
-        val n = m.get(Ctx.RequeuerRetries) match { case "" => 0; case s => s.toInt }
+        // foreign writers can stamp anything — a throwing parse would
+        // wedge the requeue loop on one corrupt row (no poison layer
+        // here); malformed counts restart at 0
+        val n = m.get(Ctx.RequeuerRetries).toIntOption.getOrElse(0)
         Seq(m.withMeta(Ctx.RequeuerRetries, (n + 1).toString)
           .withMeta(Ctx.TopicOverride, gen(m)))
       },
