@@ -57,8 +57,11 @@ object LlmQueries {
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           size(col("tk")).cast("long").as("n_tok"),
-          round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
-            .as("uniq_ratio"))
+          // basis points by true integer division (div), NOT
+          // round(div, 4): the engines round division results
+          // differently at midpoints
+          expr("cast(size(array_distinct(tk)) as bigint) * 10000L div size(tk)")
+            .as("uniq_bp"))
         .orderBy(col("doc_id")),
       Some("""WITH x AS (
              |  SELECT doc_id,
@@ -66,7 +69,7 @@ object LlmQueries {
              |    length(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq
              |  FROM documents WHERE n_chars > 200)
              |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-             |  round(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS uniq_ratio
+             |  CAST(n_uniq AS BIGINT) * 10000 // n_tok AS uniq_bp
              |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ---- exact n-gram Jaccard near-dup join (prefix-filtered) ----
@@ -810,14 +813,6 @@ object LlmQueries {
              |  < rate_bp
              |GROUP BY 1 ORDER BY d.lang""".stripMargin)),
 
-    // ---- semantic dedup, K-MEANS scale path (SemDeDup as published):
-    // spherical k-means partition -> within-cell exact verification ->
-    // connected components. The low/any-threshold production form —
-    // SRP banding (q49) prunes only at high thresholds, while the
-    // k-means partition cuts candidate volume to n²/2k at ANY
-    // threshold. No DuckDB oracle (centroid init derives from
-    // xxhash64); anchored by q44's exact hash-matched twin plus
-    // DedupPropertySpec subset/recall/determinism properties ----
     // ---- context-window chunking: split each doc's token stream into
     // fixed-width chunks (the materialization step before sequence
     // packing, q41) — emits one row per chunk with its width and a
@@ -951,6 +946,14 @@ object LlmQueries {
         .orderBy(col("source")),
       None),
 
+    // ---- semantic dedup, K-MEANS scale path (SemDeDup as published):
+    // spherical k-means partition -> within-cell exact verification ->
+    // connected components. The low/any-threshold production form —
+    // SRP banding (q49) prunes only at high thresholds, while the
+    // k-means partition cuts candidate volume to n²/2k at ANY
+    // threshold. No DuckDB oracle (centroid init derives from
+    // xxhash64); anchored by q44's exact hash-matched twin plus
+    // DedupPropertySpec subset/recall/determinism properties ----
     QuerySpec("q58_semantic_dedup_kmeans",
       // probes=2 because the anchor threshold is LOW (0.4, forced by
       // this synthetic data — no pairs exist above cosine 0.8): at 0.4

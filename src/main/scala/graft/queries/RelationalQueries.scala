@@ -14,29 +14,70 @@ import QuerySpec.t
   */
 object RelationalQueries {
 
+  /** Co-purchase graph shared by q97 (PageRank) and q107 (triangles):
+    * user pairs purchasing on the same day, support >= 8 days, one
+    * directed edge per pair (u < v). ONE definition — a threshold or
+    * slot change must move both gates (and [[CoPurchaseEdgeCtes]])
+    * together or their graphs silently diverge. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .groupBy(col("d"))
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .select(explode(col("us")).as("u"), col("us"))
+      .select(col("u"), explode(col("us")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 8)
+      .select(col("u"), col("v"))
+
+  /** The oracle twin of [[coPurchaseEdges]]: CTEs `s` (purchase slots)
+    * and `e0` (directed edges, u < v, support >= 8). */
+  private val CoPurchaseEdgeCtes =
+    """s AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |  FROM events WHERE event_type = 'purchase'),
+      |e0 AS (
+      |  SELECT a.user_id AS u, b.user_id AS v
+      |  FROM s a JOIN s b ON a.d = b.d AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 8)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- aggregation baseline (metrics-style rollup over lineitem) ----
     // TPC-H Q1 shape: one shuffle, map-side partial aggregation.
+    // Integer-exact measures: the original round(sum(double), 2) /
+    // round(avg, 4) forms were latent gate flakes — a ~150k-double sum
+    // reordered across engines can flip a cent at a .005 boundary, and
+    // Spark/DuckDB round division results differently (HALF_UP vs
+    // multiply-then-round). Cents/micros sums and a truncating integer
+    // average are bit-portable under ANY accumulation order.
     QuerySpec("q01_pricing_summary",
       (s, dir) => {
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"), // whole-valued
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+              .cast("long")).as("disc_price_micro"),
             count(lit(1)).as("count_order"))
+          .withColumn("avg_qty_micro",
+            expr("sum_qty * 10000L div count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  CAST(count(*) AS BIGINT) AS count_order
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS base_cents,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+             |    AS BIGINT)) AS BIGINT) AS disc_price_micro,
+             |  CAST(count(*) AS BIGINT) AS count_order,
+             |  CAST(sum(l_quantity) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+             |    AS avg_qty_micro
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
              |GROUP BY l_returnflag, l_linestatus
@@ -905,16 +946,16 @@ object RelationalQueries {
              |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
              |  FROM events),
              |o AS (
-             |  SELECT user_id, event_type, tsu,
+             |  SELECT user_id, event_type, tsu, event_id,
              |    row_number() OVER w AS rn,
              |    lag(event_type) OVER w AS prev
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
              |c AS (
-             |  SELECT user_id, event_type, tsu AS valid_from
+             |  SELECT user_id, event_type, tsu AS valid_from, event_id
              |  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
              |SELECT user_id, event_type, valid_from,
              |  lead(valid_from) OVER (
-             |    PARTITION BY user_id ORDER BY valid_from) AS valid_to
+             |    PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
              |FROM c ORDER BY user_id, valid_from""".stripMargin)),
 
     // ---- bucketized interval join: clicks landing within 4 hours
@@ -957,23 +998,28 @@ object RelationalQueries {
     QuerySpec("q96_incremental_agg",
       (s, dir) => {
         val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        // integer-cents sums: this gate's Spark side accumulates as
+        // snapshot-sum + delta-sum while the oracle sums directly — a
+        // GUARANTEED different double-accumulation grouping, the worst
+        // case for the round(sum,2) cent-flip; exact longs are immune
         def rollup(df: org.apache.spark.sql.DataFrame) =
           df.groupBy(col("event_type"))
-            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"),
               min(col("value")).as("min_v"), max(col("value")).as("max_v"))
         val ev = t(s, dir, "events")
         val snapshot = rollup(ev.filter(col("ts") < cutoff))
         val delta = rollup(ev.filter(col("ts") >= cutoff))
         graft.operators.IncrementalAgg.merge(
             Seq(snapshot, delta), keys = Seq("event_type"),
-            counts = Seq("n"), sums = Seq("sum_v"),
+            counts = Seq("n"), sums = Seq("cents"),
             mins = Seq("min_v"), maxs = Seq("max_v"))
           .select(col("event_type"), col("n"),
-            round(col("sum_v"), 2).as("sum_v"), col("min_v"), col("max_v"))
+            col("cents"), col("min_v"), col("max_v"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS sum_v,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
              |  min(value) AS min_v, max(value) AS max_v
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
@@ -988,29 +1034,11 @@ object RelationalQueries {
     // the candidate volume for the same ranking signal ----
     QuerySpec("q97_pagerank",
       (s, dir) => {
-        val slots = t(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
-          .distinct()
-        val edges = slots.groupBy(col("d"))
-          .agg(sort_array(collect_set(col("user_id"))).as("us"))
-          .select(explode(col("us")).as("u"), col("us"))
-          .select(col("u"), explode(col("us")).as("v"))
-          .filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 8)
-        graft.operators.PageRank.ranks(edges, iterations = 5)
+        graft.operators.PageRank.ranks(coPurchaseEdges(s, dir), iterations = 5)
           .withColumnRenamed("node", "user_id")
           .orderBy(col("rank").desc, col("user_id"))
       },
-      Some("""WITH s AS (
-             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
-             |  FROM events WHERE event_type = 'purchase'),
-             |e0 AS (
-             |  SELECT a.user_id AS u, b.user_id AS v
-             |  FROM s a JOIN s b
-             |    ON a.d = b.d AND a.user_id < b.user_id
-             |  GROUP BY 1, 2 HAVING count(*) >= 8),
+      Some(s"""WITH $CoPurchaseEdgeCtes,
              |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
              |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
              |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
@@ -1143,11 +1171,15 @@ object RelationalQueries {
             .select(col("user_id"))
         val both = users("click").intersect(users("purchase"))
         val only = users("click").except(users("purchase"))
-        both.agg(count(lit(1)).as("n"), sum(col("user_id")).as("id_sum"))
-          .withColumn("set_op", lit("intersect"))
-          .unionByName(
-            only.agg(count(lit(1)).as("n"), sum(col("user_id")).as("id_sum"))
-              .withColumn("set_op", lit("except")))
+        // coalesce: sum over an EMPTY set is NULL in both engines, and
+        // a NULL in a sort key crashes the compare harness's row sort
+        // (None < int) — taking the whole round's report down with it
+        def summary(df: org.apache.spark.sql.DataFrame, op: String) =
+          df.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("user_id")), lit(0L)).as("id_sum"))
+            .withColumn("set_op", lit(op))
+        summary(both, "intersect")
+          .unionByName(summary(only, "except"))
           .select(col("set_op"), col("n"), col("id_sum"))
           .orderBy(col("set_op"))
       },
@@ -1162,10 +1194,10 @@ object RelationalQueries {
              |  SELECT user_id FROM events
              |  WHERE event_type = 'purchase' AND value > 99)
              |SELECT 'except' AS set_op, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(user_id) AS BIGINT) AS id_sum FROM e
+             |  CAST(COALESCE(sum(user_id), 0) AS BIGINT) AS id_sum FROM e
              |UNION ALL
              |SELECT 'intersect' AS set_op, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(user_id) AS BIGINT) AS id_sum FROM i
+             |  CAST(COALESCE(sum(user_id), 0) AS BIGINT) AS id_sum FROM i
              |ORDER BY set_op""".stripMargin)),
 
     // ---- time-series gap fill + forward fill: regularize an irregular
@@ -1252,18 +1284,7 @@ object RelationalQueries {
     // re-derived per join branch ----
     QuerySpec("q107_triangles",
       (s, dir) => {
-        val slots = t(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
-          .distinct()
-        val edges = slots.groupBy(col("d"))
-          .agg(sort_array(collect_set(col("user_id"))).as("us"))
-          .select(explode(col("us")).as("u"), col("us"))
-          .select(col("u"), explode(col("us")).as("v"))
-          .filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 8)
-          .select(col("u"), col("v"))
+        val edges = coPurchaseEdges(s, dir)
           .localCheckpoint() // materialize once: three join branches reuse it
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.v") === col("e2.u"))
@@ -1274,17 +1295,11 @@ object RelationalQueries {
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("user_id"))
       },
-      Some("""WITH s AS (
-             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
-             |  FROM events WHERE event_type = 'purchase'),
-             |e AS (
-             |  SELECT a.user_id AS u, b.user_id AS v
-             |  FROM s a JOIN s b ON a.d = b.d AND a.user_id < b.user_id
-             |  GROUP BY 1, 2 HAVING count(*) >= 8),
+      Some(s"""WITH $CoPurchaseEdgeCtes,
              |tri AS (
              |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-             |  FROM e e1 JOIN e e2 ON e1.v = e2.u
-             |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+             |            JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
              |m AS (SELECT a AS user_id FROM tri
              |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_tri
