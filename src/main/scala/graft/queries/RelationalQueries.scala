@@ -259,12 +259,18 @@ object RelationalQueries {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name").as("region"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // micro-unit revenue: 5 region groups x the whole lineitem
+          // table is the biggest double accumulation of any gate — the
+          // regime where cross-engine sum reorder can flip a cent at
+          // round(,2); exact longs are order-immune
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+              .cast("long")).as("revenue_micro"),
             count(lit(1)).as("n_lines"))
           .orderBy(col("region"))
       },
       Some("""SELECT r_name AS region,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+             |    AS BIGINT)) AS BIGINT) AS revenue_micro,
              |  CAST(count(*) AS BIGINT) AS n_lines
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
