@@ -15,18 +15,28 @@ case class QuerySpec(
 
 object QuerySpec {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-  /** Read one of the driver-generated tables (TESTDATA.md). The
-    * `events` table carries nanosecond timestamps, which Spark only
-    * reads as long (`spark.sql.legacy.parquet.nanosAsLong`); convert
-    * to microsecond TIMESTAMP with integer division (a double division
-    * would lose precision past 2^53 ns). DuckDB truncates ns->us the
-    * same way, so both engines see identical values. */
+  /** Read one of the driver-generated tables (TESTDATA.md), pinning
+    * `events.ts` to session-zoned TIMESTAMP whatever the parquet
+    * physical type is. Two generations of driver data exist:
+    * nanosecond int64 (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, converted with integer
+    * division — a double division would lose precision past 2^53 ns)
+    * and microsecond timestamps without a UTC flag, which Spark 4
+    * infers as TIMESTAMP_NTZ (`inferTimestampNTZ` default). NTZ breaks
+    * numeric casts the query corpus relies on (`cast(ts as double)`),
+    * so re-cast to LTZ — value-preserving because the session zone is
+    * pinned UTC ([[graft.GraftSession]]), and identical to what DuckDB
+    * sees (naive TIMESTAMP). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
