@@ -451,9 +451,9 @@ object LlmQueries {
              |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
              |  FROM documents),
              |p AS (
-             |  SELECT lang, n_tok, COALESCE(sum(n_tok) OVER (
+             |  SELECT lang, n_tok, CAST(COALESCE(sum(n_tok) OVER (
              |    PARTITION BY lang ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
              |  FROM c)
              |SELECT lang, CAST(floor(cum_before / 500) AS BIGINT) AS pack_id,
              |  CAST(count(*) AS BIGINT) AS n_docs,

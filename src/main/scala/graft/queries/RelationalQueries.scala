@@ -637,8 +637,8 @@ object RelationalQueries {
              |  FROM events),
              |w AS (
              |  SELECT event_id, event_type, v_m,
-             |    sum(v_m) OVER (PARTITION BY event_type ORDER BY ts, event_id
-             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS roll_sum,
+             |    CAST(sum(v_m) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT) AS roll_sum,
              |    count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
              |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
              |  FROM e)
@@ -864,8 +864,8 @@ object RelationalQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id,
-             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS UNBOUNDED PRECEDING) AS sess_id
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
              |  FROM g),
              |c AS (SELECT user_id, sess_id, count(*) AS n_ev FROM s GROUP BY 1, 2)
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
