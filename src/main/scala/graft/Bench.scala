@@ -123,17 +123,32 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // semantic-dedup pruning evidence (q71/q72 production regime):
+    // candidates vs all-pairs, so the 100 TB pruning claim is auditable
+    // from the artifact each round, not only inside
+    // SemanticDedupScaleSpec. Outside the timed window.
+    val aux =
+      try graft.queries.LlmQueries.semanticPruningAux(spark, sfDir)
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pruning aux failed: ${e.getMessage}")
+        """{"error":true}"""
+      }
     // in-memory transport throughput (BASELINE.md headline: GoChannel
     // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
-    val streaming =
+    // (full, compact) forms: same numbers, long keys for the evidence
+    // file, short keys sized for the compact stdout line's 2KB budget
+    val (streaming, streamingCompact) =
       try {
         val m = graft.streaming.StreamingBench.run(spark)
         val f = graft.streaming.StreamingBench.runFile(spark)
         val s = graft.streaming.StreamingBench.runSql(spark)
-        f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f}"""
+        (f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f}""",
+          f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"file_pub":${f.publishMsgsPerSec}%.0f,"file_sub":${f.subscribeMsgsPerSec}%.0f,"sql_pub":${s.publishMsgsPerSec}%.0f,"sql_sub":${s.subscribeMsgsPerSec}%.0f}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
-        """{"error":true}"""
+        ("""{"error":true}""", """{"error":true}""")
       }
     // machine-load context: 1-minute OS load average (and CPU count)
     // so a contaminated run is visible IN the artifact — r5/r6 both
@@ -147,7 +162,56 @@ object Bench {
     val passLoadJson = passRuns.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
     val shuffleJson = shuffleMb
       .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}""")
+
+    // ---- artifact layout (tail-safety) ----
+    // The driver keeps only the TRAILING ~2 KB of this process's
+    // output (BENCH_r8/r9 both shipped with the per-query seconds map
+    // truncated away, leaving only the deterministic shuffle-MB map in
+    // the visible tail). So: the FULL evidence line goes to
+    // BENCH_FULL.json (a file, no tail limit) and to stderr for humans;
+    // stdout gets ONE compact JSON line sized to fit the capture window
+    // entirely — per-query wall SECONDS keyed by the short query id
+    // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
+    // asserted by BenchArtifactSpec) with the contamination verdict and
+    // summary fields in front of it.
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    // full line to stderr FIRST and flushed, so in a merged
+    // stdout+stderr capture the compact line below is what the
+    // trailing window sees, never the full line's own tail
+    System.err.println(fullLine)
+    System.err.flush()
+
+    println(Bench.compactLine(results, failed, total, extraPass,
+      medianPairRatio, contaminated, aux, streamingCompact, loadAvg, nCpu,
+      sfDir))
+    Console.out.flush()
     spark.stop()
+  }
+
+  /** The one stdout line, built to survive a trailing-2KB capture:
+    * short query keys, 2-decimal seconds, bulky per-pass evidence left
+    * to BENCH_FULL.json. Factored out so BenchArtifactSpec can pin the
+    * size budget and key uniqueness without running the benchmark. */
+  private[graft] def compactLine(
+      results: Seq[(String, Double)], failed: String, total: Double,
+      extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
+      aux: String, streaming: String, loadAvg: Double, nCpu: Int,
+      sfDir: String): String = {
+    def qsJson(decimals: Int): String = results
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + s"%.${decimals}f".format(v)
+      }.mkString("{", ",", "}")
+    def line(qs: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs}"""
+    // the capture window is ~2000 chars and includes sbt's trailing
+    // "[success] Total time: …" line (~80 chars); 1880 leaves margin
+    val two = line(qsJson(2))
+    if (two.length <= 1880) two else line(qsJson(1))
   }
 }

@@ -12,21 +12,22 @@ import org.apache.spark.sql.functions._
   * JVM analogue of an Arrow-batched Python UDF), so blobs never leave
   * executors and the driver only ever sees plan metadata.
   *
-  * DECODE SUPPORT — standard formats expressible in pure JVM decode
-  * for REAL with zero codec dependencies: binary PPM (`P6`),
-  * uncompressed 24-bit BMP, and non-interlaced 8-bit PNG
-  * (grayscale/RGB/RGBA — zlib via `java.util.zip.Inflater` + the five
-  * spec filters) images; PCM-16 WAV audio (multi-channel averaged to
-  * mono). The remaining STUB BOUNDARY — clearly marked — is formats
-  * needing external codec libraries: JPEG/WebP, palette/16-bit/
-  * interlaced PNG, MP3/FLAC, and MP4 container indexes
-  * ([[MediaCodec.videoFrameOffsets]] parses the "GVID" test
-  * container). A production build adds codec branches at exactly
-  * those dispatch points; everything downstream — resize, pooling,
-  * RMS energy, frame explode, partition packing — is real arithmetic
-  * over the decoded arrays and is tested as such. Deterministic test
-  * containers ("GIMG"/"GAUD"/"GVID") remain for compressed-path
-  * plumbing tests.
+  * DECODE SUPPORT — standard formats decoded for REAL with zero
+  * dependencies beyond the JDK: binary PPM (`P6`), uncompressed
+  * 24-bit BMP, non-interlaced 8-bit PNG (grayscale/RGB/RGBA — zlib
+  * via `java.util.zip.Inflater` + the five spec filters), and JPEG
+  * (via the in-JDK `javax.imageio` plugin — see [[MediaCodec
+  * .decodeJpeg]] for the JDK-version determinism caveat) images;
+  * PCM-16 WAV audio (multi-channel averaged to mono). The remaining
+  * STUB BOUNDARY — clearly marked — is formats with no in-JDK codec:
+  * WebP/AVIF, palette/16-bit/interlaced PNG, MP3/FLAC, and MP4
+  * container indexes ([[MediaCodec.videoFrameOffsets]] parses the
+  * "GVID" test container). A production build adds codec branches at
+  * exactly those dispatch points; everything downstream — resize,
+  * pooling, RMS energy, frame explode, partition packing — is real
+  * arithmetic over the decoded arrays and is tested as such.
+  * Deterministic test containers ("GIMG"/"GAUD"/"GVID") remain for
+  * compressed-path plumbing tests.
   */
 object MediaCodec {
 
@@ -75,17 +76,21 @@ object MediaCodec {
     *             4-byte row padding, BGR→RGB);
     *  - `\x89PNG` — non-interlaced 8-bit gray/RGB/RGBA, REAL decode
     *             (Inflater + defilter);
+    *  - `\xFF\xD8` — JPEG, REAL decode via the in-JDK `javax.imageio`
+    *             reader (see [[decodeJpeg]] for the JDK-version
+    *             determinism caveat);
     *  - `GIMG` — the deterministic test container;
-    *  - anything else (JPEG/WebP — formats needing a codec library
-    *    this build environment lacks) throws: the remaining STUB
-    *    BOUNDARY. Poison-queue routing handles rejects upstream; a
-    *    production build adds codec branches here. */
+    *  - anything else (WebP/AVIF/HEIC — formats with no in-JDK codec)
+    *    throws: the remaining STUB BOUNDARY. Poison-queue routing
+    *    handles rejects upstream; a production build adds codec
+    *    branches here. */
   def decodeImage(bytes: Array[Byte]): Pixels = {
     require(bytes.length >= 4, "image blob too short")
     if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G') decodePng(bytes)
+    else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) decodeJpeg(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G') {
       val buf = ByteBuffer.wrap(bytes); buf.position(4)
       val w = buf.getInt; val h = buf.getInt; val c = buf.get().toInt
@@ -94,7 +99,47 @@ object MediaCodec {
     } else throw new IllegalArgumentException(
       "unsupported image format (codec-library formats are the stub boundary: " +
         "this build decodes P6 PPM, 24-bit BMP, non-interlaced 8-bit PNG, " +
-        "and the GIMG test container)")
+        "baseline JPEG, and the GIMG test container)")
+  }
+
+  /** JPEG via the in-JDK `javax.imageio` plugin — zero new
+    * dependencies, headless-safe. Two passes: (1) the plugin decodes
+    * the DCT stream to a `BufferedImage` (whatever raster layout it
+    * picks); (2) a normalization pass copies it through `getRGB` into
+    * the canonical row-major RGB layout every other decoder here
+    * produces, so downstream arithmetic (resize/pool/aHash) never sees
+    * the plugin's internal representation. Grayscale JPEGs come back
+    * 3-channel (getRGB's sRGB conversion) — uniform, documented.
+    *
+    * JDK-VERSION CAVEAT: JPEG decoding is exact-deterministic WITHIN a
+    * JVM (same bytes → same pixels, every call — MultimodalSpec pins
+    * this), but the JPEG spec only bounds IDCT error (ISO/IEC 10918-1
+    * Annex A), so ABSOLUTE pixel values may differ by ±1 across JDK
+    * vendors/versions with different IDCT implementations. Fingerprints
+    * derived from JPEG pixels (aHash/dHash) are therefore stable within
+    * a deployment but not a cross-JDK contract — re-hash after a JDK
+    * upgrade, exactly as you would re-shingle after changing a
+    * tokenizer. Formats with bit-exact decode specs (PNG/PPM/BMP/WAV)
+    * carry no such caveat. */
+  private def decodeJpeg(bytes: Array[Byte]): Pixels = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "javax.imageio could not decode the JPEG stream " +
+      "(progressive/arithmetic variants unsupported by the JDK plugin)")
+    val w = img.getWidth; val h = img.getHeight
+    require(w > 0 && h > 0, s"bad JPEG dimensions ${w}x$h")
+    // one batched getRGB call (not per-pixel): the plugin converts the
+    // raster to packed sRGB ints in a single pass
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < argb.length) {
+      val v = argb(i)
+      out(i * 3) = ((v >> 16) & 0xff).toByte
+      out(i * 3 + 1) = ((v >> 8) & 0xff).toByte
+      out(i * 3 + 2) = (v & 0xff).toByte
+      i += 1
+    }
+    Pixels(w, h, 3, out)
   }
 
   /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with

@@ -1563,4 +1563,33 @@ object LlmQueries {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
     ("o", "n"), ("r", "e"), ("a", "t"), ("o", "r"), ("an", "d"),
     ("in", "g"), ("e", "s"), ("s", "t"), ("a", "r"), ("l", "e")))
+
+  /** Candidate-volume evidence for the q71/q72 scale paths, in exactly
+    * their gated configuration (SRP nBits=8/bands=4; k-means k=16,
+    * probes=1) over the same planted corpus at the given SF dir.
+    * threshold = -1 keeps every candidate pair the bucketing emits, so
+    * the counts ARE the verification workload each path pays vs the
+    * n·(n−1)/2 all-pairs cost — the number the 100 TB pruning claim
+    * rests on. Surfaced per round in the bench artifact (`aux` field);
+    * the ≥90% / ≥80% pruning assertions live in
+    * [[graft.functions.SemanticDedupScaleSpec]]. */
+  private[graft] def semanticPruningAux(
+      s: org.apache.spark.sql.SparkSession, dir: String): Map[String, Long] = {
+    val corpus = plantedDupCorpus(t(s, dir, "embeddings")).cache()
+    try {
+      val n = corpus.count()
+      val srpCand = VectorFunctions.cosineNearDupBucketed(
+        corpus, "vec_id", "embedding", dim = 64, threshold = -1.0,
+        nBits = 8, bands = 4).count()
+      val cents = VectorFunctions.ivfTrain(corpus, "embedding", dim = 64, k = 16)
+      val kmCand = VectorFunctions.kmeansNearDupPairs(
+        corpus, "vec_id", "embedding", dim = 64, threshold = -1.0, cents,
+        probes = 1).count()
+      Map(
+        "sem_n" -> n,
+        "sem_all_pairs" -> n * (n - 1) / 2,
+        "q71_cand" -> srpCand,
+        "q72_cand" -> kmCand)
+    } finally { corpus.unpersist(); () }
+  }
 }

@@ -1546,6 +1546,49 @@ object RelationalQueries {
              |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum,
              |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY v
              |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS near_n
-             |FROM x ORDER BY event_type, v, event_id""".stripMargin))
+             |FROM x ORDER BY event_type, v, event_id""".stripMargin)),
+
+    // ---- pointer-doubling hierarchy at DEPTH — the gate q115 can't
+    // provide. q115's sequential walk covers depth <= 16; this plants
+    // a 199-deep chain (ids < 200, parent = id-1) grafted onto a
+    // halving tree (ids >= 200, parent = id div 2, which funnels into
+    // the chain), all derived in-plan from events, and flattens it
+    // with graft.operators.Hierarchy.flatten at maxDepth=256: 8
+    // self-join rounds where the walk form would need ~208. The
+    // recursive-CTE oracle is exact at any depth, so a hash match
+    // here pins the O(log d) composition algebra (ancestor, hops,
+    // path-sum monoid) — not just its O(d) twin. Per-node output
+    // (400 rows), the strongest gate shape for it ----
+    QuerySpec("q118_hierarchy_doubling",
+      (s, dir) => {
+        val nodes = t(s, dir, "events")
+          .select(pmod(col("event_id"), lit(400)).cast("long").as("id"))
+          .distinct()
+        val edges = nodes.filter(col("id") >= 1)
+          .select(col("id"),
+            when(col("id") < 200, col("id") - 1)
+              .otherwise((col("id") / 2).cast("long")).as("parent"))
+        graft.operators.Hierarchy.flatten(nodes, edges, maxDepth = 256)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT DISTINCT CAST(event_id % 400 AS BIGINT) AS id FROM events),
+             |edges AS (
+             |  SELECT id, CASE WHEN id < 200 THEN id - 1 ELSE id // 2 END AS parent
+             |  FROM nodes WHERE id >= 1),
+             |walk AS (
+             |  SELECT id, id AS cur, CAST(0 AS BIGINT) AS depth,
+             |    CAST(0 AS BIGINT) AS anc_sum
+             |  FROM nodes
+             |  UNION ALL
+             |  SELECT w.id, e.parent, w.depth + 1, w.anc_sum + e.parent
+             |  FROM walk w JOIN edges e ON w.cur = e.id),
+             |final AS (
+             |  SELECT id, CAST(max(depth) AS BIGINT) AS depth,
+             |    CAST(max_by(cur, depth) AS BIGINT) AS root,
+             |    CAST(max_by(anc_sum, depth) AS BIGINT) AS anc_sum
+             |  FROM walk GROUP BY id)
+             |SELECT id, root, depth, CAST(id + anc_sum AS BIGINT) AS path_sum
+             |FROM final ORDER BY id""".stripMargin))
   )
 }

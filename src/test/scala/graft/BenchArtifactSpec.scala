@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact's tail-safety contract WITHOUT running the
+  * benchmark. The driver captures only the trailing ~2000 chars of the
+  * bench process's output (BENCH_r8/r9 both shipped with the per-query
+  * seconds map truncated away), so the one stdout line must (a) fit
+  * that window with room for sbt's "[success] Total time: …" trailer,
+  * and (b) carry per-query wall seconds + the contamination verdict.
+  * [[Bench.compactLine]] is the factored-out builder these facts hold
+  * for; the full-evidence line has no budget (it goes to
+  * BENCH_FULL.json + stderr).
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("short query ids (numeric prefix) are unique across all queries") {
+    // compactLine keys the seconds map by the "qNN" prefix; a collision
+    // would silently drop a query's time from the artifact
+    val short = names.map(_.takeWhile(_ != '_'))
+    val dups = short.groupBy(identity).filter(_._2.size > 1).keys
+    assert(short.distinct.size == names.size,
+      s"duplicate short query ids: ${dups.mkString(", ")}")
+    assert(names.forall(_.matches("q\\d+_.*")),
+      "query names must follow qNN_description so the short id is well-defined")
+  }
+
+  test("compact line fits the driver's 2KB tail capture with realistic values") {
+    // realistic regime: r8's isolated per-query evidence had 86/117
+    // under 1 s and nothing over 30 s; model every query at 9.99 s
+    // (2x-regression headroom on the slowest observed query)
+    val results = names.map(_ -> 9.99)
+    val streaming =
+      """{"pub":5615072,"sub":392980,"file_pub":87881,"file_sub":355519,"sql_pub":11987,"sql_sub":40922}"""
+    val aux =
+      """{"q71_cand":99999,"q72_cand":999999,"sem_all_pairs":99999999,"sem_n":99999}"""
+    val line = Bench.compactLine(results, failed = "[]", total = 999.999,
+      extraPass = false, medianPairRatio = 1.23, contaminated = false,
+      aux = aux, streaming = streaming, loadAvg = 9.99, nCpu = 32,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"compact line ${line.length} chars — will be front-truncated in the 2KB tail")
+    // the evidence the verdict audits must be ON the line
+    assert(line.contains("\"contaminated\":false"))
+    assert(line.contains("\"queries\":{\"q01\":9.99"))
+    assert(line.endsWith("}"))
+    // and it must parse as one JSON object (no stray quotes/braces):
+    // cheap structural check without a JSON lib — balanced braces,
+    // quotes even, single top-level object
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("compact line degrades to 1-decimal seconds rather than exceed the budget") {
+    // pathological regime: every query at 100+ s (3-digit values). The
+    // 2-decimal form would blow the window; the builder must fall back,
+    // not truncate
+    val results = names.map(_ -> 123.456)
+    val line = Bench.compactLine(results, failed = "[]", total = 14444.352,
+      extraPass = true, medianPairRatio = 9.99, contaminated = true,
+      aux = """{"error":true}""", streaming = """{"error":true}""",
+      loadAvg = 32.0, nCpu = 32, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"fallback line ${line.length} chars — still over the capture window")
+    assert(line.contains("\"q01\":123.5") || line.contains("\"q01\":123.46"),
+      s"per-query seconds lost in fallback: ${line.take(200)}")
+    assert(line.contains("\"contaminated\":true"))
+  }
+}

@@ -283,6 +283,78 @@ class MultimodalSpec extends SparkSpec {
       .putInt(p.width).putInt(p.height).put(p.channels.toByte)
       .put(p.data).array()
 
+  /** Deterministic smooth gradient → in-JDK JPEG bytes. Smooth content
+    * keeps DCT quantization error small, so fidelity bounds are tight
+    * without depending on the encoder's exact quality tables. */
+  private def encodeJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / math.max(1, w - 1)
+      val g = y * 255 / math.max(1, h - 1)
+      val b = (x + y) * 255 / math.max(1, w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos),
+      "JDK has no JPEG writer — imageio plugin missing")
+    baos.toByteArray
+  }
+
+  test("REAL decode: JPEG via javax.imageio — deterministic within-JVM, faithful on smooth content") {
+    val w = 48; val h = 32
+    val blob = encodeJpeg(w, h)
+    assert(blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte, "not a JPEG stream")
+    val p1 = MediaCodec.decodeImage(blob)
+    assert(p1.width == w && p1.height == h && p1.channels == 3)
+    // within-JVM determinism (the cross-JDK caveat is documented at
+    // decodeJpeg: IDCT error tolerance means ±1 across JDK vendors)
+    val p2 = MediaCodec.decodeImage(blob)
+    assert(p1.data.toSeq == p2.data.toSeq, "same bytes must decode identically")
+    // lossy-roundtrip fidelity: per-channel mean abs error small on a
+    // smooth gradient (catches channel-order/stride/row-origin bugs —
+    // a BGR swap or flipped rows would blow this bound by ~100)
+    var errSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1)
+      val b = (x + y) * 255 / (w + h - 2)
+      errSum += math.abs((p1.data(base) & 0xff) - r) +
+        math.abs((p1.data(base + 1) & 0xff) - g) +
+        math.abs((p1.data(base + 2) & 0xff) - b)
+    }
+    val meanErr = errSum.toDouble / (w * h * 3)
+    assert(meanErr < 6.0, s"JPEG roundtrip mean abs error $meanErr — layout bug?")
+    info(f"JPEG roundtrip mean abs error: $meanErr%.2f")
+  }
+
+  test("JPEG survives the perceptual-hash path and the distributed pipeline") {
+    val blob = encodeJpeg(64, 64)
+    // the perceptual fingerprint of the decoded JPEG must match the
+    // lossless original's: aHash/dHash are exactly the JPEG-robust
+    // hashes, so the lossy roundtrip may not move a single bit here
+    val px = MediaCodec.decodeImage(blob)
+    val orig = {
+      val data = new Array[Byte](64 * 64 * 3)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val base = (y * 64 + x) * 3
+        data(base) = (x * 255 / 63).toByte
+        data(base + 1) = (y * 255 / 63).toByte
+        data(base + 2) = ((x + y) * 255 / 126).toByte
+      }
+      MediaCodec.Pixels(64, 64, 3, data)
+    }
+    assert(MediaCodec.aHash64(px) == MediaCodec.aHash64(orig),
+      "aHash must survive JPEG encode/decode of a smooth image")
+    assert(MediaCodec.dHash64(px) == MediaCodec.dHash64(orig),
+      "dHash must survive JPEG encode/decode of a smooth image")
+    // Spark-side plumbing: JPEG blobs flow through the batched decode
+    val df = Seq((1L, blob), (2L, encodeJpeg(32, 16))).toDF("media_id", "bytes")
+    val recs = Multimodal.imageFeatures(df, gridDim = 2).collect()
+      .map(r => r.media_id -> ((r.width, r.height, r.channels))).toMap
+    assert(recs == Map(1L -> ((64, 64, 3)), 2L -> ((32, 16, 3))), s"got $recs")
+  }
+
   test("perceptual hashes survive nearest-neighbor upscaling") {
     val px = MediaCodec.decodeImage(MediaCodec.encodeFakeImage(16, 16, 3, seed = 5))
     val up = MediaCodec.resizeNearest(px, 32, 32)

@@ -212,6 +212,81 @@ class StreamingCurationSpec extends SparkSpec {
     } finally router.close()
   }
 
+  test("composed graph: quality → near-dup → quota in ONE foreachBatch over 3 micro-batches") {
+    // The full streaming curation pipeline as a single per-batch plan
+    // chain — the streaming twin of q116's batch capstone. Stage order
+    // is the production one: stateless quality gate first (rejects
+    // never touch state), then the near-dup index (a deduped doc must
+    // not consume quota), then the per-language budget. The index
+    // grows by DEDUP survivors (including quota-rejected docs: they
+    // were seen, so their future near-dups stay dups); the budget
+    // ledger grows only by admitted docs.
+    val src = new MemoryPubSub(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-graph").toString
+    val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5)
+    val nBands = 12 / 2
+    val quota = new StreamingQuota(spark, dir + "/quota",
+      keyCol = "lang", orderCol = "doc_id", tieCol = "doc_id", budget = 2)
+    val admitted = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val q = src.subscribe("docs_graph").writeStream
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = b.select(col("uuid").cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+          .withColumn("lang",
+            TextFunctions.langId(col("text"), LlmQueries.LangMarkers))
+          .filter(TextFunctions.qualityScore(col("text"), stop) >= floor)
+        val deduped = nd.processBatch(scored)
+        quota.admit(deduped).collect().foreach(r =>
+          admitted(r.getAs[Long]("doc_id")) = r.getAs[String]("lang"))
+        ()
+      }.start()
+    def pub(rows: (Long, String)*): Unit = {
+      src.publish("docs_graph", rows.map { case (i, t) =>
+        Message(i.toString, Map.empty, t.getBytes("UTF-8"),
+          new Timestamp(1700000000000L + i))
+      }.toSeq)
+      q.processAllAvailable()
+    }
+    // en docs carry marker tokens (the/a/value); und docs carry none
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val tA2 = tA.replace("home tonight", "home forever") // near-dup of tA
+    val tB = "colorless green ideas sleep furiously while syntax dreams of semantic rivers flowing"
+    val tC = "spark structured streaming joins minhash bands against a persistent parquet index"
+    val junk = "zzz zzz zzz zzz zzz zzz!!!" // fails the quality floor
+    val tEn2 = "a model trains on curated tokens while the gpu cluster hums along quietly"
+    val tEn3 = "the final batch arrives with a fresh document about data quality and tokens"
+    val tUnd2 = "morning fog settles quietly between tall mountains where rivers carve stone canyons slowly"
+    try {
+      // batch 1: quality reject (2) must touch neither index nor quota
+      pub(1L -> tA, 2L -> junk, 3L -> tB)
+      assert(admitted.toMap == Map(1L -> "en", 3L -> "und"),
+        s"batch 1: ${admitted.toMap}")
+      assert(nd.indexSize() == 2 * nBands,
+        "quality rejects must not enter the dedup index")
+
+      // batch 2: 4 ≈ tA (cross-batch near-dup — must NOT consume en
+      // quota), 5 admits (en 2/2), 6 straddles the en budget WITHIN
+      // the batch and is quota-rejected (but was seen → indexed)
+      pub(4L -> tA2, 5L -> tC, 6L -> tEn2)
+      assert(admitted.toMap ==
+        Map(1L -> "en", 3L -> "und", 5L -> "en"), s"batch 2: ${admitted.toMap}")
+      assert(nd.indexSize() == 4 * nBands,
+        "dedup drops add no state; quota rejects do (they were seen)")
+
+      // batch 3: 7 en is budget-exhausted, 8 is an exact cross-batch
+      // dup of tA, 9 und admits (und 2/2)
+      pub(7L -> tEn3, 8L -> tA, 9L -> tUnd2)
+      assert(admitted.toMap ==
+        Map(1L -> "en", 3L -> "und", 5L -> "en", 9L -> "und"),
+        s"batch 3: ${admitted.toMap}")
+      assert(nd.indexSize() == 6 * nBands, s"got ${nd.indexSize()}")
+      val used = quota.used().get.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(used == Map("en" -> 2L, "und" -> 2L), s"ledger: $used")
+    } finally q.stop()
+  }
+
   test("streaming quota: cumulative per-key budget across batches, deterministic, compactable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-squota").toString + "/state"
     val quota = new StreamingQuota(spark, dir,
