@@ -1515,7 +1515,33 @@ object LlmQueries {
              |    FROM q WHERE rk <= 50))
              |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-             |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
+             |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // ---- distinct-count sketch, sparse-exact regime: per-source
+    // vocabulary via HyperLogLog whose sparse mode (≤ 16384 hashes)
+    // still holds the exact hash set — the estimate is a true
+    // COUNT(DISTINCT) at gate scale, hash-matched here; the dense
+    // regime's 3σ envelope and partitioning-invariance live in
+    // DistinctSketchSpec. Hashing is the codegen'd xxhash64 riding
+    // the scan; the aggregator shuffles register arrays, never
+    // tokens — the 100 TB shape for "distinct URLs/users/shingles
+    // per slice" ----
+    QuerySpec("q121_distinct_sketch",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(
+          graft.functions.DistinctSketch.sketch(
+            xxhash64(col("token")), p = 12, sparseMax = 16384).as("vocab"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("source")),
+      Some("""SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS vocab,
+             |  CAST(count(*) AS BIGINT) AS n_tokens
+             |FROM (SELECT source,
+             |        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

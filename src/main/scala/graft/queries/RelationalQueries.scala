@@ -1589,6 +1589,93 @@ object RelationalQueries {
              |    CAST(max_by(anc_sum, depth) AS BIGINT) AS anc_sum
              |  FROM walk GROUP BY id)
              |SELECT id, root, depth, CAST(id + anc_sum AS BIGINT) AS path_sum
-             |FROM final ORDER BY id""".stripMargin))
+             |FROM final ORDER BY id""".stripMargin)),
+
+    // ---- CDC changelog apply: events as a keyed changelog (error =
+    // tombstone, anything else = upsert, (ts, event_id) = total order)
+    // folded onto the customer snapshot, latest-wins. ONE hash shuffle
+    // with map-side partial max_by — no per-key window sort (the
+    // oracle uses one; the engine must not). Exercises all four CDC
+    // paths: untouched base row, update-over-base, delete-from-base,
+    // and insert of a key base never had (user 0). Payload doubles
+    // pass through unchanged (no arithmetic), so the hash gate is
+    // byte-exact ----
+    QuerySpec("q119_cdc_apply",
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        val changes = t(s, dir, "events")
+          .select(col("user_id").as("key"),
+            graft.operators.ChangelogApply
+              .opFrom(col("event_type") === "error").as("op"),
+            col("value").as("bal"), col("ts"), col("event_id"))
+        graft.operators.ChangelogApply(
+            base, changes, Seq("key"), Seq("ts", "event_id"), "op")
+          .orderBy(col("key"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id AS key,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    value AS bal, ts, event_id
+             |  FROM events),
+             |latest AS (
+             |  SELECT key, op, bal FROM (
+             |    SELECT key, op, bal,
+             |      row_number() OVER (PARTITION BY key
+             |        ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM ch) WHERE rn = 1),
+             |b AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer)
+             |SELECT COALESCE(l.key, b.key) AS key,
+             |  CASE WHEN l.key IS NOT NULL THEN l.bal ELSE b.bal END AS bal,
+             |  CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+             |FROM b FULL OUTER JOIN latest l ON b.key = l.key
+             |WHERE l.op IS NULL OR l.op <> 'D'
+             |ORDER BY key""".stripMargin)),
+
+    // ---- quantile sketch, exact regime: k = 4096 exceeds every
+    // event_type group (~2k values at sf0.01), so the compactor
+    // ladder never fires under ANY partitioning and the summary IS
+    // the sorted value set — quantile(q) = the ⌈q·n⌉-th order
+    // statistic, hash-gated against explicit rank selection (same
+    // IEEE q·n product on both engines, so the ceiling is
+    // decision-identical). Values in integer cents; selection only,
+    // no arithmetic. QuantileSketchSpec carries the compacting
+    // regime (weight conservation + rank-error envelope), which no
+    // SQL oracle can express ----
+    QuerySpec("q120_quantile_sketch",
+      (s, dir) => {
+        val qs = Seq(0.25, 0.5, 0.75, 0.9)
+        val agg = graft.functions.QuantileSketch.quantiles(
+          col("c"), k = 4096, qs)
+        t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").cast("double").as("c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), agg.as("qv"))
+          .select(col("event_type"), col("n"),
+            element_at(col("qv"), 1).cast("long").as("p25"),
+            element_at(col("qv"), 2).cast("long").as("p50"),
+            element_at(col("qv"), 3).cast("long").as("p75"),
+            element_at(col("qv"), 4).cast("long").as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM x)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p25,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p50,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p75,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p90
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
