@@ -138,4 +138,75 @@ object DistinctSketch {
     * hashes (exact while ≤ sparseMax distinct). Feed `xxhash64(key)`. */
   def sketch(hash: Column, p: Int = 12, sparseMax: Int = 8192): Column =
     udaf(new Sketch(p, sparseMax), Encoders.scalaLong)(hash)
+
+  // ---- sketch-as-a-value lifecycle ---------------------------------
+  // The 100 TB pattern behind every sketch shelf: PRE-AGGREGATE each
+  // slice (day / source / shard) to a stored sketch state, then answer
+  // cross-slice questions ("distinct users last 90 days", "vocabulary
+  // shared by sources A and B") by merging a handful of state rows —
+  // never rescanning the raw corpus. Union is a state merge;
+  // intersection is inclusion–exclusion over union estimates (exact in
+  // the sparse regime, the q125 gate).
+
+  /** [[Sketch]] with the STATE as output — storable, re-mergeable. The
+    * sparse buffer is trimmed to its live prefix so equal sets yield
+    * byte-equal states whatever growth path the buffer took. */
+  final class SketchState(p: Int, sparseMax: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inner = new Sketch(p, sparseMax)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] =
+      if (buf(0) == 0L) Arrays.copyOf(buf, 2 + buf(1).toInt) else buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Merge stored states → BIGINT estimate of the union. */
+  final class SketchMerge(p: Int, sparseMax: Int)
+      extends Aggregator[Array[Long], Array[Long], Long] {
+    private val inner = new Sketch(p, sparseMax)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
+      inner.merge(buf, st)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Long = inner.finish(buf)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Merge stored states → merged STATE (roll daily states into a
+    * monthly state and store THAT — compaction for sketch tables). */
+  final class SketchMergeState(p: Int, sparseMax: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new SketchState(p, sparseMax)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
+      inner.merge(buf, st)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = inner.finish(buf)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  private def longArrayEnc =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  /** Aggregate 64-bit hashes → storable sketch state (ARRAY<BIGINT>). */
+  def sketchState(hash: Column, p: Int = 12, sparseMax: Int = 8192): Column =
+    udaf(new SketchState(p, sparseMax), Encoders.scalaLong)(hash)
+
+  /** Aggregate stored states → BIGINT union-distinct estimate. */
+  def mergeEstimate(state: Column, p: Int = 12, sparseMax: Int = 8192): Column =
+    udaf(new SketchMerge(p, sparseMax), longArrayEnc)(state)
+
+  /** Aggregate stored states → merged state (for re-storage). */
+  def mergeState(state: Column, p: Int = 12, sparseMax: Int = 8192): Column =
+    udaf(new SketchMergeState(p, sparseMax), longArrayEnc)(state)
 }

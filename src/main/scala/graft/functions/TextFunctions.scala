@@ -213,6 +213,67 @@ object TextFunctions {
       regexp_replace(nfc(text), lit("[\\x00-\\x1f\\x7f]"), lit(" ")),
       lit(" +"), lit(" ")))
 
+  // ---- HTML → text extraction --------------------------------------
+  // Web-crawl corpora arrive as HTML; extraction to visible text is the
+  // first stage of every curation pipeline (reference: the quality/
+  // normalization stages assume plain text). Pure regexp_replace +
+  // replace chain — rides the scan inside whole-stage codegen, and every
+  // pattern is deliberately RE2/Java-portable so the DuckDB oracle
+  // reproduces it verbatim. Not a spec-grade HTML5 parser (no entity
+  // table beyond the core five, no CDATA) — the same fidelity class as
+  // trafilatura-lite passes used in published web-corpus pipelines.
+
+  /** `(?s)` so comments spanning lines die; lazy so adjacent comments
+    * don't merge. */
+  val HtmlCommentPattern = "(?s)<!--.*?-->"
+  /** script/style bodies are NOT visible text — strip tag + body. Two
+    * patterns (not an alternation with a backreference) so `<script>`
+    * closed by `</style>` never pairs. */
+  val HtmlScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStylePattern = "(?is)<style[^>]*>.*?</style>"
+  val HtmlTagPattern = "<[^>]*>"
+  /** Anchor inner text, group 1 — the link-density signal's numerator. */
+  val HtmlAnchorPattern = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Visible text of an HTML fragment: comments, script/style blocks,
+    * then all remaining tags → spaces; the five core character entities
+    * decoded (AFTER tag removal, so a literal `&lt;b&gt;` never becomes
+    * a strippable tag; `&amp;` last, so `&amp;lt;` decodes to the
+    * literal `&lt;`); whitespace runs collapsed, ends trimmed. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, lit(HtmlCommentPattern), lit(" ")),
+        lit(HtmlScriptPattern), lit(" ")),
+      lit(HtmlStylePattern), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit(HtmlTagPattern), lit(" "))
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, lit("[ \\t\\r\\n]+"), lit(" ")))
+  }
+
+  /** Total characters of raw anchor inner HTML (nested tags included —
+    * the cheap numerator; pair with [[stripHtml]] length for the
+    * denominator). High link-char ratio marks nav/boilerplate pages. */
+  def anchorChars(html: Column): Column =
+    coalesce(aggregate(
+      regexp_extract_all(html, lit(HtmlAnchorPattern), lit(1)),
+      lit(0L), (acc, a) => acc + length(a).cast(LongType)), lit(0L))
+
+  /** Anchor count — boilerplate signal twin of [[anchorChars]]. */
+  def anchorCount(html: Column): Column =
+    size(regexp_extract_all(html, lit(HtmlAnchorPattern), lit(1))).cast(LongType)
+
+  /** Link density in [0,1]: anchor chars over visible chars (0 when no
+    * visible text). Double-valued — gate on the integer components. */
+  def linkDensity(html: Column): Column = {
+    val visible = length(stripHtml(html))
+    when(visible === 0, lit(0.0))
+      .otherwise(least(lit(1.0), anchorChars(html).cast("double") / visible))
+  }
+
   /** Struct of per-kind PII hit counts — the audit twin of
     * [[redactPii]] (count before you scrub; log what you dropped).
     * Phones are counted on text with emails AND IPv4s already replaced,

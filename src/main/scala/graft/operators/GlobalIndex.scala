@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense global row numbering 0..n−1 in a total key order — WITHOUT the
+  * single-partition window a naive `row_number() OVER (ORDER BY k)`
+  * plans (which funnels the entire table through one task: the classic
+  * 100 TB cliff; Spark's own `zipWithIndex` solves this at RDD level
+  * and this is its DataFrame-native, order-aware form).
+  *
+  * Training pipelines need this exact shape: a deterministic global
+  * sample order (curriculum position, shard assignment, epoch-stable
+  * shuffles) over corpora that no single task can hold.
+  *
+  * How: range-partition on the key (partition p holds keys entirely
+  * below partition p+1 — `repartitionByRange` pins this), number rows
+  * WITHIN each partition (window partitioned by `spark_partition_id()`,
+  * so every sort is task-local), aggregate ONE ROW PER PARTITION to get
+  * partition sizes, prefix-sum those into offsets (a window over
+  * control-plane-sized data: 10⁴ partitions = 10⁴ rows however big the
+  * table), and broadcast-join the offsets back on partition id.
+  *
+  * Everything is ONE plan / one action: both consumers of the ranged
+  * data hang off the SAME range-repartition exchange, which Spark's
+  * exchange-reuse rule evaluates once — this is a correctness
+  * requirement, not just a saving, because `repartitionByRange` samples
+  * boundaries with an RDD-id-derived seed, so two separate actions
+  * could legally pick different boundaries and the offsets would then
+  * belong to a different partitioning than the local ranks
+  * (GlobalIndexSpec asserts the ReusedExchange is present). The final
+  * index is boundary-invariant either way: it equals the global rank of
+  * the key under ANY ordered partitioning, so run-to-run results are
+  * identical even though sampled boundaries may not be.
+  *
+  * Requires `keys` to be a TOTAL order (unique combination) — ties
+  * would make the numbering nondeterministic; append a unique id column
+  * as the last key to break ties.
+  */
+object GlobalIndex {
+
+  def withRowIndex(
+      df: DataFrame,
+      keys: Seq[Column],
+      indexCol: String = "idx",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one ordering key")
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, keys: _*))
+      .getOrElse(df.repartitionByRange(keys: _*))
+      .withColumn("_pid", spark_partition_id())
+
+    // rank within the local partition: the sort is per-task, never global
+    val local = ranged.withColumn("_local",
+      row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(keys: _*)) - lit(1))
+
+    // one row per partition → exclusive prefix sum. The orderBy-only
+    // window IS single-partition, over numPartitions rows — that is the
+    // control plane, not the data
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_n")
+
+    local.join(broadcast(offsets), Seq("_pid"), "left")
+      .withColumn(indexCol,
+        (coalesce(col("_offset"), lit(0L)) + col("_local")).cast("long"))
+      .drop("_pid", "_local", "_offset")
+  }
+}

@@ -1541,7 +1541,134 @@ object LlmQueries {
              |FROM (SELECT source,
              |        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              |      FROM documents)
-             |GROUP BY 1 ORDER BY source""".stripMargin))
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- HTML → visible-text extraction: the stage-zero op of every
+    // web-crawl curation pipeline. The HTML corpus is synthesized
+    // in-plan from `documents` (same construction in both engines —
+    // the plantedDupCorpus pattern), exercising comment/script/style
+    // removal, tag stripping, entity decode order (&amp; last), and
+    // whitespace collapse; link-density components gate as exact
+    // integers. Everything is a codegen'd regexp/replace chain riding
+    // the scan — no shuffle until the final orderBy, which only the
+    // gate needs ----
+    QuerySpec("q122_html_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><style>p{margin:0; x<y}</style>"),
+          lit("<script type=\"text/javascript\">if (a<b && c>d) {alert(\"x&y\");}</script></head>"),
+          lit("<body><h1 class=\"title\">Doc "), col("doc_id").cast("string"),
+          lit("</h1><!-- hidden "), col("doc_id").cast("string"), lit(" <b>note</b> -->"),
+          lit("<p>"), substring(col("text"), 1, 200),
+          lit(" &amp; more &lt;i&gt;stuff&lt;/i&gt; &quot;q&quot; &#39;s&#39;&nbsp;done</p>"),
+          lit("<ul><li>a</li> <li>b</li></ul>"),
+          lit("<a href=\"/d/"), col("doc_id").cast("string"),
+          lit("\">link "), col("doc_id").cast("string"),
+          lit("</a> tail</body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            TextFunctions.stripHtml(col("html")).as("visible"),
+            TextFunctions.anchorChars(col("html")).as("link_chars"),
+            TextFunctions.anchorCount(col("html")).as("n_anchors"))
+          .select(col("doc_id"),
+            length(col("visible")).cast("int").as("n_visible"),
+            md5(col("visible").cast("binary")).as("h_visible"),
+            col("link_chars"), col("n_anchors"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<!DOCTYPE html><html><head><style>p{margin:0; x<y}</style>'
+             |    || '<script type="text/javascript">if (a<b && c>d) {alert("x&y");}</script></head>'
+             |    || '<body><h1 class="title">Doc ' || doc_id
+             |    || '</h1><!-- hidden ' || doc_id || ' <b>note</b> -->'
+             |    || '<p>' || substr(text, 1, 200)
+             |    || ' &amp; more &lt;i&gt;stuff&lt;/i&gt; &quot;q&quot; &#39;s&#39;&nbsp;done</p>'
+             |    || '<ul><li>a</li> <li>b</li></ul>'
+             |    || '<a href="/d/' || doc_id || '">link ' || doc_id
+             |    || '</a> tail</body></html>' AS html
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, html,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+             |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |        '&nbsp;', ' '), '&amp;', '&'),
+             |      '[ \t\r\n]+', ' ', 'g')) AS visible
+             |  FROM h)
+             |SELECT doc_id, CAST(length(visible) AS INT) AS n_visible,
+             |  md5(visible) AS h_visible,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
+             |    x -> length(x))), 0) AS BIGINT) AS link_chars,
+             |  CAST(len(regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1))
+             |    AS BIGINT) AS n_anchors
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // ---- sketch-as-a-value lifecycle: per-source 3-shingle vocabulary
+    // sketch STATES, pairwise source overlap by inclusion–exclusion
+    // over merged states. This is the 100 TB shape for "how much do
+    // sources share": each source folds to ONE stored state row (the
+    // corpus is scanned once), and all 190 pairwise unions merge those
+    // 20 state rows — no shingle ever shuffles twice. Sparse-exact
+    // regime ⇒ every estimate IS the true distinct count, so the gate
+    // hash-matches exact SQL; the dense regime's error envelope lives
+    // in DistinctSketchSpec ----
+    QuerySpec("q125_sketch_overlap",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("source"), TextFunctions.words(col("text")).as("w"))
+          .select(col("source"),
+            explode(TextFunctions.shinglesFromWords(col("w"), 3)).as("sh"))
+          .select(col("source"), xxhash64(col("sh")).as("h"))
+        val states = sh.groupBy(col("source"))
+          .agg(graft.functions.DistinctSketch.sketchState(col("h")).as("st"))
+          .cache() // 20 rows — referenced by three plan branches
+        val ests = states.groupBy(col("source"))
+          .agg(graft.functions.DistinctSketch.mergeEstimate(col("st")).as("est"))
+        val unions = states.select(col("source").as("sa"), col("st").as("sta"))
+          .join(states.select(col("source").as("sb"), col("st").as("stb")),
+            col("sa") < col("sb"))
+          .select(col("sa"), col("sb"),
+            explode(array(col("sta"), col("stb"))).as("st"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(graft.functions.DistinctSketch.mergeEstimate(col("st"))
+            .as("est_union"))
+        unions
+          .join(ests.select(col("source").as("sa"), col("est").as("est_a")), Seq("sa"))
+          .join(ests.select(col("source").as("sb"), col("est").as("est_b")), Seq("sb"))
+          .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+            col("est_union"),
+            (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT source, unnest(list_transform(
+             |    generate_series(1, greatest(len(w) - 2, 0)),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+             |  FROM w),
+             |d AS (SELECT source, count(DISTINCT sh) AS n FROM sh GROUP BY source),
+             |p AS (SELECT a.source AS sa, b.source AS sb, a.n AS est_a, b.n AS est_b
+             |      FROM d a JOIN d b ON a.source < b.source),
+             |u AS (SELECT p.sa, p.sb, count(DISTINCT s.sh) AS est_union
+             |      FROM p JOIN sh s ON s.source = p.sa OR s.source = p.sb
+             |      GROUP BY p.sa, p.sb)
+             |SELECT p.sa, p.sb, CAST(p.est_a AS BIGINT) AS est_a,
+             |  CAST(p.est_b AS BIGINT) AS est_b,
+             |  CAST(u.est_union AS BIGINT) AS est_union,
+             |  CAST(p.est_a + p.est_b - u.est_union AS BIGINT) AS est_overlap
+             |FROM p JOIN u ON p.sa = u.sa AND p.sb = u.sb
+             |ORDER BY p.sa, p.sb""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -1676,6 +1676,103 @@ object RelationalQueries {
              |    THEN c END) AS BIGINT) AS p75,
              |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
              |    THEN c END) AS BIGINT) AS p90
-             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- declarative data-quality audit (the Deequ/expectations
+    // staple): 8 rules over 3 tables — not-null, uniqueness, range,
+    // predicate caps, and two foreign keys. Scale shape: all scalar
+    // rules per table fold into ONE conditional-aggregation scan
+    // (adding a rule adds a column, not a job); each FK is one LEFT
+    // join against the distinct parent keys, broadcast by AQE at
+    // dimension size. The price/discount caps are deliberately
+    // violated by the data so the gate pins nonzero counts ----
+    QuerySpec("q123_quality_audit",
+      (s, dir) => {
+        import graft.operators.DataAudit, DataAudit._
+        val orders = t(s, dir, "orders")
+        val lineitem = t(s, dir, "lineitem")
+        val customer = t(s, dir, "customer")
+        DataAudit.audit(orders, Seq(
+            NotNull("orders_custkey_notnull", Seq("o_custkey")),
+            Satisfies("orders_price_cap", col("o_totalprice") <= 250000.0),
+            RefIntegrity("orders_custkey_fk", "o_custkey",
+              customer, "c_custkey")))
+          .unionByName(DataAudit.audit(lineitem, Seq(
+            inRange("lineitem_qty_range", "l_quantity", lit(1.0), lit(50.0)),
+            Satisfies("lineitem_discount_cap", col("l_discount") <= 0.05),
+            RefIntegrity("lineitem_orderkey_fk", "l_orderkey",
+              orders, "o_orderkey"))))
+          .unionByName(DataAudit.audit(customer, Seq(
+            Unique("customer_key_unique", "c_custkey"),
+            NotNull("customer_name_notnull", Seq("c_name")))))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'orders_custkey_notnull' AS rule,
+             |    CAST(count(*) AS BIGINT) AS checked,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS violations
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_price_cap', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 250000.0,
+             |      false) THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT c.c_custkey AS pk FROM orders o
+             |        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |          ON o.o_custkey = c.c_custkey
+             |        WHERE o.o_custkey IS NOT NULL)
+             |  UNION ALL
+             |  SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT coalesce(l_quantity IS NOT NULL
+             |      AND l_quantity >= 1.0 AND l_quantity <= 50.0, false)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem_discount_cap', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT o.o_orderkey AS pk FROM lineitem l
+             |        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |          ON l.l_orderkey = o.o_orderkey
+             |        WHERE l.l_orderkey IS NOT NULL)
+             |  UNION ALL
+             |  SELECT 'customer_key_unique',
+             |    CAST(count(c_custkey) AS BIGINT),
+             |    CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'customer_name_notnull', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM customer
+             |) ORDER BY rule""".stripMargin)),
+
+    // ---- distributed global row index (curriculum ordering): dense
+    // 0..n−1 positions in a total order — longest-document-first with
+    // doc_id tiebreak, the "schedule the corpus" op of a training
+    // pipeline. The naive formulation is a single-partition window
+    // (one task sorts the world); GlobalIndex range-partitions, ranks
+    // locally, and broadcast-joins control-plane-sized partition
+    // offsets — same answer, no global funnel (GlobalIndexSpec pins
+    // the reused-exchange plan shape) ----
+    QuerySpec("q124_global_index",
+      (s, dir) => graft.operators.GlobalIndex.withRowIndex(
+          t(s, dir, "documents"),
+          Seq(col("n_chars").desc, col("doc_id")),
+          numPartitions = Some(8))
+        .select(col("doc_id"), col("idx"))
+        .orderBy(col("idx")),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+             |    AS BIGINT) AS idx
+             |FROM documents ORDER BY idx""".stripMargin))
   )
 }

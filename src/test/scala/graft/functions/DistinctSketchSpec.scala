@@ -78,4 +78,67 @@ class DistinctSketchSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSeq
     assert(out === Seq((0, 1000L), (1, 1000L), (2, 1000L)))
   }
+
+  // ---- sketch-as-a-value lifecycle ---------------------------------
+
+  test("state → mergeEstimate round-trips the direct sketch, both regimes") {
+    val vals = spread(6000).zipWithIndex.map { case (h, i) => (i % 4, h) }
+    for (sparseMax <- Seq(8192, 64)) {
+      val direct = vals.toDF("g", "h").repartition(11)
+        .agg(DistinctSketch.sketch($"h", 12, sparseMax)).head.getLong(0)
+      // slice per group, store states, merge the 4 state rows
+      val viaStates = vals.toDF("g", "h").repartition(11)
+        .groupBy($"g")
+        .agg(DistinctSketch.sketchState($"h", 12, sparseMax).as("st"))
+        .agg(DistinctSketch.mergeEstimate($"st", 12, sparseMax))
+        .head.getLong(0)
+      assert(viaStates === direct, s"sparseMax=$sparseMax")
+    }
+  }
+
+  test("mergeState compaction: re-stored merged state estimates identically") {
+    val vals = spread(5000).zipWithIndex.map { case (h, i) => (i % 10, h) }
+    for (sparseMax <- Seq(8192, 32)) {
+      val daily = vals.toDF("d", "h").repartition(7)
+        .groupBy($"d")
+        .agg(DistinctSketch.sketchState($"h", 12, sparseMax).as("st"))
+      // 10 daily states → 2 "monthly" states → one estimate
+      val monthlyEst = daily
+        .groupBy(($"d" % 2).as("m"))
+        .agg(DistinctSketch.mergeState($"st", 12, sparseMax).as("st"))
+        .agg(DistinctSketch.mergeEstimate($"st", 12, sparseMax))
+        .head.getLong(0)
+      val directEst = vals.toDF("d", "h")
+        .agg(DistinctSketch.sketch($"h", 12, sparseMax)).head.getLong(0)
+      assert(monthlyEst === directEst, s"sparseMax=$sparseMax")
+    }
+  }
+
+  test("inclusion–exclusion intersection is exact in the sparse regime") {
+    // |A| = 3000, |B| = 3000, |A∩B| = 1000 by construction
+    val a = spread(5000).take(3000)
+    val b = spread(5000).drop(2000)
+    val states = (a.map(("a", _)) ++ b.map(("b", _))).toDF("s", "h")
+      .repartition(9)
+      .groupBy($"s").agg(DistinctSketch.sketchState($"h").as("st")).cache()
+    val union = states.agg(DistinctSketch.mergeEstimate($"st")).head.getLong(0)
+    val singles = states
+      .groupBy($"s").agg(DistinctSketch.mergeEstimate($"st").as("e"))
+      .orderBy($"s").as[(String, Long)].collect().toMap
+    states.unpersist()
+    assert(singles("a") === 3000L && singles("b") === 3000L)
+    assert(union === 5000L)
+    assert(singles("a") + singles("b") - union === 1000L)
+  }
+
+  test("zero/empty states merge to zero and don't perturb real states") {
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(DistinctSketch.sketchState($"h").as("st"))
+    val real = spread(100).toDF("h")
+      .agg(DistinctSketch.sketchState($"h").as("st"))
+    val est = empty.unionByName(real)
+      .agg(DistinctSketch.mergeEstimate($"st")).head.getLong(0)
+    assert(est === 100L)
+    assert(empty.agg(DistinctSketch.mergeEstimate($"st")).head.getLong(0) === 0L)
+  }
 }

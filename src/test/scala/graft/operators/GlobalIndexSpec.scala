@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GlobalIndex: the distributed row numbering must equal the
+  * single-partition `row_number` truth, stay stable across runs, scale
+  * without a global sort, and keep its two consumers on ONE reused
+  * range exchange (the correctness precondition documented on the
+  * operator).
+  */
+class GlobalIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches row_number over a total order, multi-partition") {
+    val df = spark.range(0, 1000).select(
+      // scrambled insertion order, unique key
+      ((col("id") * 7919) % 1000).as("k"), col("id").as("payload"))
+      .repartition(7)
+    val got = GlobalIndex.withRowIndex(df, Seq(col("k")), numPartitions = Some(8))
+      .select("k", "idx").as[(Long, Long)].collect().toMap
+    // keys are 0..999 exactly once → idx must equal the key's rank = key
+    assert(got.size == 1000)
+    (0L until 1000L).foreach(k => assert(got(k) == k, s"k=$k got ${got(k)}"))
+  }
+
+  test("dense 0..n-1 with composite keys and duplicate first key") {
+    val df = Seq(("b", 2), ("a", 2), ("b", 1), ("a", 1), ("c", 0))
+      .toDF("g", "i")
+    val got = GlobalIndex.withRowIndex(df, Seq(col("g"), col("i")),
+        numPartitions = Some(3))
+      .orderBy("idx").select("g", "i", "idx")
+      .as[(String, Int, Long)].collect().toList
+    assert(got == List(("a", 1, 0L), ("a", 2, 1L), ("b", 1, 2L),
+      ("b", 2, 3L), ("c", 0, 4L)))
+  }
+
+  test("stable across repeated runs despite sampled boundaries") {
+    val df = spark.range(0, 500).select(
+      ((col("id") * 104729) % 500).as("k")).repartition(5)
+    val a = GlobalIndex.withRowIndex(df, Seq(col("k")), numPartitions = Some(6))
+      .select("k", "idx").as[(Long, Long)].collect().toSet
+    val b = GlobalIndex.withRowIndex(df, Seq(col("k")), numPartitions = Some(6))
+      .select("k", "idx").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("plan: no single-partition global sort; the range exchange is reused") {
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    val out = GlobalIndex.withRowIndex(df, Seq(col("k")), numPartitions = Some(4))
+    out.collect() // AQE finalizes the physical plan on execution
+    val plan = out.queryExecution.executedPlan.toString
+    // the data-path window is partitioned by _pid — the only
+    // SinglePartition exchange allowed is the control-plane offset
+    // prefix-sum (one row per partition), which sits under the
+    // broadcast side of the final join
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && !l.contains("_offset")).toList
+    assert(dataWindows.exists(_.contains("_pid")),
+      s"expected the data window keyed by _pid:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"range exchange must be evaluated once (reuse), got:\n$plan")
+  }
+
+  test("empty input yields empty output with the index column present") {
+    val df = Seq.empty[Long].toDF("k")
+    val out = GlobalIndex.withRowIndex(df, Seq(col("k")))
+    assert(out.columns.contains("idx") && out.count() == 0)
+  }
+}
