@@ -1668,7 +1668,50 @@ object LlmQueries {
              |  CAST(u.est_union AS BIGINT) AS est_union,
              |  CAST(p.est_a + p.est_b - u.est_union AS BIGINT) AS est_overlap
              |FROM p JOIN u ON p.sa = u.sa AND p.sb = u.sb
-             |ORDER BY p.sa, p.sb""".stripMargin))
+             |ORDER BY p.sa, p.sb""".stripMargin)),
+
+    // ---- exact duplicated-span detection (suffix-array substring
+    // dedup, distributed): runs of consecutive 5-gram positions shared
+    // across ≥2 docs, condensed per-doc by gaps-and-islands. Planted
+    // clones (every 7th doc re-appears truncated to 300 chars, derived
+    // in-plan) guarantee known spans; the gate pins every span's exact
+    // word boundaries. Scale shape: one gram shuffle for df, one join
+    // back, one doc-bounded window — no suffix array, no driver state ----
+    QuerySpec("q126_duplicate_spans",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              substring(col("text"), 1, 300).as("text")))
+        DedupFunctions.duplicateSpans(corpus, "doc_id", "text",
+            k = 5, minDocs = 2, minRun = 3)
+          .orderBy(col("doc_id"), col("start_pos"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |corpus AS (SELECT doc_id, text FROM base
+             |           UNION ALL
+             |           SELECT doc_id + 100000, substr(text, 1, 300)
+             |           FROM base WHERE doc_id % 7 = 0),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |        generate_series(1, greatest(len(w)-4, 0)),
+             |        i -> {'pos': i, 'gram': w[i]||' '||w[i+1]||' '||w[i+2]
+             |              ||' '||w[i+3]||' '||w[i+4]})) AS e
+             |      FROM w),
+             |g2 AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
+             |d AS (SELECT gram FROM g2
+             |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |dup AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+             |r AS (SELECT doc_id, pos,
+             |        pos - row_number() OVER (
+             |          PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM dup)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+             |  CAST(max(pos) + 4 AS BIGINT) AS end_pos,
+             |  CAST(count(*) AS BIGINT) AS n_grams
+             |FROM r GROUP BY doc_id, grp HAVING count(*) >= 3
+             |ORDER BY doc_id, start_pos""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -1773,6 +1773,69 @@ object RelationalQueries {
       Some("""SELECT doc_id,
              |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
              |    AS BIGINT) AS idx
-             |FROM documents ORDER BY idx""".stripMargin))
+             |FROM documents ORDER BY idx""".stripMargin)),
+
+    // ---- relational MERGE: conditional matched-update ("newer value
+    // wins"), matched-delete (negative balance tombstones), and
+    // not-matched insert, all in ONE full-outer join plan (the Delta/
+    // Iceberg MERGE INTO lowering — ChangelogApply's conditional
+    // generalization). Source is derived in-plan from customer: every
+    // 5th key proposes c_acctbal*2−5000 (update if larger, delete if
+    // negative), every 50th key also arrives as a new +1M row ----
+    QuerySpec("q127_merge",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val upd = cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") * 2 - 5000).as("c_acctbal"),
+            col("c_mktsegment"))
+        val ins = cust.filter(pmod(col("c_custkey"), lit(50)) === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("new_"),
+              (col("c_custkey") + 1000000L).cast("string")).as("c_name"),
+            col("c_nationkey"), lit(999.0).as("c_acctbal"),
+            col("c_mktsegment"))
+        graft.operators.Merge.merge(cust, upd.unionByName(ins),
+            Seq("c_custkey"),
+            whenMatchedDelete = Some(col("s.c_acctbal") < 0),
+            whenMatchedUpdate = Some(col("s.c_acctbal") > col("t.c_acctbal")),
+            whenNotMatchedInsert = Some(lit(true)))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+             |         c_acctbal * 2 - 5000 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 5 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000,
+             |         'new_' || CAST(c_custkey + 1000000 AS VARCHAR),
+             |         c_nationkey, 999.0, c_mktsegment
+             |  FROM customer WHERE c_custkey % 50 = 0),
+             |j AS (
+             |  SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+             |    t.c_name AS tn, s.c_name AS sn,
+             |    t.c_nationkey AS tnat, s.c_nationkey AS snat,
+             |    t.c_acctbal AS tb, s.c_acctbal AS sb,
+             |    t.c_mktsegment AS tm, s.c_mktsegment AS sm
+             |  FROM customer t FULL OUTER JOIN src s
+             |    ON t.c_custkey = s.c_custkey)
+             |SELECT coalesce(tk, sk) AS c_custkey,
+             |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+             |              AND coalesce(sb > tb, false)) OR tk IS NULL
+             |       THEN sn ELSE tn END AS c_name,
+             |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+             |              AND coalesce(sb > tb, false)) OR tk IS NULL
+             |       THEN snat ELSE tnat END AS c_nationkey,
+             |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+             |              AND coalesce(sb > tb, false)) OR tk IS NULL
+             |       THEN sb ELSE tb END AS c_acctbal,
+             |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+             |              AND coalesce(sb > tb, false)) OR tk IS NULL
+             |       THEN sm ELSE tm END AS c_mktsegment
+             |FROM j
+             |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
+             |           AND coalesce(sb < 0, false))
+             |ORDER BY c_custkey""".stripMargin))
   )
 }
