@@ -611,9 +611,13 @@ object DedupFunctions {
     * Output: (idCol, start_pos, end_pos, n_grams) — 1-based inclusive
     * WORD positions of the duplicated span.
     *
-    * Join key is the gram STRING for oracle portability; a production
-    * run at corpus scale would key on `xxhash64(gram)` to shrink the
-    * shuffle ~10× (semantics identical modulo 2⁻⁶⁴ collisions).
+    * The doc-frequency shuffle and membership join key on
+    * `xxhash64(gram)` — an 8-byte key instead of a ~5-word string, so
+    * the widest shuffle carries longs (semantics identical modulo
+    * 2⁻⁶⁴ hash collisions; at 10⁹ grams the union-bound odds of any
+    * collision are ~10⁻², of one CHANGING a span ~0 since colliding
+    * grams must also land in overlapping documents — and the q126
+    * gate's corpus is 10⁵ grams, where the odds are ~10⁻⁹).
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -633,12 +637,13 @@ object DedupFunctions {
         i => struct(i.as("pos"), concat_ws(" ",
           (0 until k).map(j => element_at(col("_w"), i + j)): _*).as("gram"))))
         .as("_e"))
-      .select(col(idCol), col("_e.pos").as("_pos"), col("_e.gram").as("_gram"))
-    val shared = grams.groupBy(col("_gram"))
+      .select(col(idCol), col("_e.pos").as("_pos"),
+        xxhash64(col("_e.gram")).as("_gk"))
+    val shared = grams.groupBy(col("_gk"))
       .agg(count_distinct(col(idCol)).as("_ndocs"))
       .filter(col("_ndocs") >= minDocs)
-      .select(col("_gram"))
-    grams.join(shared, Seq("_gram"))
+      .select(col("_gk"))
+    grams.join(shared, Seq("_gk"))
       .withColumn("_grp", col("_pos") - row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_pos"))))
       .groupBy(col(idCol), col("_grp"))
