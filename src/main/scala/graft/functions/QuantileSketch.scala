@@ -198,4 +198,71 @@ object QuantileSketch {
     * (lower-rank order statistics of the summary's weighted CDF). */
   def quantiles(value: Column, k: Int, qs: Seq[Double]): Column =
     udaf(new Summary(k, qs.toArray), Encoders.scalaDouble)(value)
+
+  // ---- sketch-as-a-value lifecycle ---------------------------------
+  // Same shelf pattern as [[DistinctSketch.sketchState]]: pre-aggregate
+  // each slice (day / source / shard) to a stored ladder state, answer
+  // cross-slice percentile questions by merging the handful of state
+  // rows. In the exact regime (k ≥ the merged group's size) the merge
+  // path only concatenates level 0, so merged-state quantiles ARE the
+  // exact order statistics — the q129 gate.
+
+  /** [[Summary]] with the ladder STATE as output — storable and
+    * re-mergeable (ARRAY<ARRAY<DOUBLE>>). Level 0 is trimmed to its
+    * live prefix: safe, because merge only READS a consumed state's
+    * level 0 (the accumulating buffer keeps fixed-capacity storage). */
+  final class SummaryState(k: Int)
+      extends Aggregator[Double, Array[Array[Double]], Array[Array[Double]]] {
+    private val inner = new Summary(k, Array.empty)
+    override def zero: Array[Array[Double]] = inner.zero
+    override def reduce(b: Array[Array[Double]], v: Double): Array[Array[Double]] =
+      inner.reduce(b, v)
+    override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Array[Double]]): Array[Array[Double]] = {
+      val n0 = buf(0)(0).toInt
+      buf.updated(1, Arrays.copyOf(buf(1), n0))
+    }
+    override def bufferEncoder: Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Array[Double]]]()
+    override def outputEncoder: Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Array[Double]]]()
+  }
+
+  /** Merge stored ladder states → quantiles (or the CDF when `qs` is
+    * empty). */
+  final class SummaryMerge(k: Int, qs: Array[Double])
+      extends Aggregator[Array[Array[Double]], Array[Array[Double]], Array[Double]] {
+    private val inner = new Summary(k, qs)
+    override def zero: Array[Array[Double]] = inner.zero
+    override def reduce(buf: Array[Array[Double]], st: Array[Array[Double]]): Array[Array[Double]] =
+      inner.merge(buf, st)
+    override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Array[Double]]): Array[Double] = inner.finish(buf)
+    override def bufferEncoder: Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Array[Double]]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Double]]()
+  }
+
+  private def stateEnc =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Array[Array[Double]]]()
+
+  /** Aggregate values → storable ladder state. */
+  def sketchState(value: Column, k: Int): Column =
+    udaf(new SummaryState(k), Encoders.scalaDouble)(value)
+
+  /** Aggregate stored states → ARRAY<DOUBLE> quantiles. */
+  def mergeQuantiles(state: Column, k: Int, qs: Seq[Double]): Column =
+    udaf(new SummaryMerge(k, qs.toArray), stateEnc)(state)
+
+  /** Aggregate stored states → interleaved CDF. */
+  def mergeCdf(state: Column, k: Int): Column =
+    udaf(new SummaryMerge(k, Array.empty), stateEnc)(state)
 }

@@ -1836,6 +1836,113 @@ object RelationalQueries {
              |FROM j
              |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
              |           AND coalesce(sb < 0, false))
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- keyed snapshot reconciliation: the validation twin of the
+    // CDC family — added/removed/changed classification with exact
+    // changed-column attribution, one null-safe full-outer join,
+    // unchanged rows filtered before anything widens. The bucket-digest
+    // tier (compare control-plane-sized per-bucket XOR digests first,
+    // drill only mismatched buckets) is spec-pinned in TableDiffSpec —
+    // xxhash64 digests are not oracle-expressible. Right side derived
+    // in-plan: %13 keys removed, %7 balances bumped, %11 segments
+    // altered, %41 keys re-added at +1M ----
+    QuerySpec("q128_table_diff",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val right = cust
+          .filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            when(pmod(col("c_custkey"), lit(7)) === 0,
+              col("c_acctbal") + 10.0).otherwise(col("c_acctbal"))
+              .as("c_acctbal"),
+            when(pmod(col("c_custkey"), lit(11)) === 0, lit("ALTERED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+          .unionByName(cust.filter(pmod(col("c_custkey"), lit(41)) === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              col("c_name"), col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment")))
+        graft.operators.TableDiff.diff(cust, right, Seq("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH r AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+             |         ELSE c_acctbal END AS c_acctbal,
+             |    CASE WHEN c_custkey % 11 = 0 THEN 'ALTERED'
+             |         ELSE c_mktsegment END AS c_mktsegment
+             |  FROM customer WHERE c_custkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+             |    c_mktsegment
+             |  FROM customer WHERE c_custkey % 41 = 0),
+             |j AS (
+             |  SELECT l.c_custkey AS lk, r.c_custkey AS rk,
+             |    l.c_name AS ln, r.c_name AS rn,
+             |    l.c_nationkey AS lnat, r.c_nationkey AS rnat,
+             |    l.c_acctbal AS lb, r.c_acctbal AS rb,
+             |    l.c_mktsegment AS lm, r.c_mktsegment AS rm
+             |  FROM customer l FULL OUTER JOIN r
+             |    ON l.c_custkey = r.c_custkey)
+             |SELECT coalesce(lk, rk) AS c_custkey,
+             |  CASE WHEN rk IS NULL THEN 'removed'
+             |       WHEN lk IS NULL THEN 'added'
+             |       ELSE 'changed' END AS status,
+             |  CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN
+             |    concat_ws(',',
+             |      CASE WHEN ln IS DISTINCT FROM rn THEN 'c_name' END,
+             |      CASE WHEN lnat IS DISTINCT FROM rnat THEN 'c_nationkey' END,
+             |      CASE WHEN lb IS DISTINCT FROM rb THEN 'c_acctbal' END,
+             |      CASE WHEN lm IS DISTINCT FROM rm THEN 'c_mktsegment' END)
+             |  ELSE '' END AS changed_cols
+             |FROM j
+             |WHERE (lk IS NULL) <> (rk IS NULL)
+             |   OR (lk IS NOT NULL AND rk IS NOT NULL AND (
+             |        ln IS DISTINCT FROM rn OR lnat IS DISTINCT FROM rnat
+             |        OR lb IS DISTINCT FROM rb OR lm IS DISTINCT FROM rm))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- quantile-sketch state lifecycle (the percentile twin of
+    // q125): per-(event_type, day) ladder STATES stored, then merged
+    // per type for p50/p90 — the pre-aggregated-slices shape where a
+    // year of percentiles is answered from 365 state rows, not a
+    // rescan. Exact regime: k=4096 ≥ the merged group size, so merge
+    // only concatenates level 0 and the quantiles ARE the exact
+    // ⌈q·n⌉ order statistics q120 pins; the compacting regime's
+    // rank-error envelope lives in QuantileSketchSpec ----
+    QuerySpec("q129_quantile_states",
+      (s, dir) => {
+        val qs = Seq(0.5, 0.9)
+        val daily = t(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").cast("double").as("c"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(
+            graft.functions.QuantileSketch.sketchState(col("c"), k = 4096)
+              .as("st"),
+            count(lit(1)).as("dn"))
+        daily.groupBy(col("event_type"))
+          .agg(sum(col("dn")).cast("long").as("n"),
+            graft.functions.QuantileSketch.mergeQuantiles(col("st"), 4096, qs)
+              .as("qv"))
+          .select(col("event_type"), col("n"),
+            element_at(col("qv"), 1).cast("long").as("p50"),
+            element_at(col("qv"), 2).cast("long").as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM x)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p50,
+             |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |    THEN c END) AS BIGINT) AS p90
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

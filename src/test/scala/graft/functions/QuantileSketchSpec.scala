@@ -75,6 +75,36 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  // ---- sketch-as-a-value lifecycle ---------------------------------
+
+  test("state → mergeQuantiles equals the exact order statistics (exact regime)") {
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(1200)(rnd.nextInt(500) + rnd.nextDouble())
+    val sorted = vals.sorted
+    // 6 slices stored as states, merged back — k >= total so exact
+    val got = vals.zipWithIndex.map { case (v, i) => (i % 6, v) }
+      .toSeq.toDF("slice", "v").repartition(7)
+      .groupBy($"slice")
+      .agg(QuantileSketch.sketchState($"v", k = 2048).as("st"))
+      .agg(QuantileSketch.mergeQuantiles($"st", 2048, Qs))
+      .head.getSeq[Double](0)
+    Qs.zip(got).foreach { case (q, g) =>
+      assert(g == exactLowerRank(sorted, q), s"q=$q")
+    }
+  }
+
+  test("merged-state weight is conserved through the compacting regime") {
+    val vals = (1 to 20000).map(_.toDouble)
+    val cdf = vals.zipWithIndex.map { case (v, i) => (i % 8, v) }
+      .toDF("slice", "v").repartition(13)
+      .groupBy($"slice")
+      .agg(QuantileSketch.sketchState($"v", k = 64).as("st"))
+      .agg(QuantileSketch.mergeCdf($"st", 64))
+      .head.getSeq[Double](0)
+    val weight = cdf.grouped(2).map(_(1)).sum
+    assert(weight == 20000.0, s"total weight must survive state round-trips: $weight")
+  }
+
   test("empty group finishes to an empty array") {
     val out = Seq.empty[Double].toDF("v")
       .agg(QuantileSketch.quantiles($"v", k = 64, Qs))
