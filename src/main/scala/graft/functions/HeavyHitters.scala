@@ -76,4 +76,34 @@ object HeavyHitters {
     * or alone for a global one). */
   def sketch(key: Column, capacity: Int): Column =
     udaf(new MisraGries(capacity), Encoders.STRING)(key)
+
+  /** Merge STORED sketch maps (the [[sketch]] output doubles as the
+    * storable state — same shelf lifecycle as
+    * [[DistinctSketch.mergeEstimate]] / [[QuantileSketch.mergeQuantiles]]):
+    * persist per-slice frequency maps, answer cross-slice top-k by
+    * merging the handful of state rows. Closed under the mergeable-
+    * summaries combine, so the merged guarantee equals the single-pass
+    * one; with capacity ≥ |distinct keys| everywhere it is exact (the
+    * q130 gate). */
+  final class MisraGriesMerge(capacity: Int)
+      extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(buf: Map[String, Long], st: Map[String, Long]): Map[String, Long] =
+      combine(buf, st, capacity)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      combine(a, b, capacity)
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  private def mapEnc =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+  /** Aggregate stored sketch maps → merged sketch map. */
+  def mergeSketches(state: Column, capacity: Int): Column =
+    udaf(new MisraGriesMerge(capacity), mapEnc)(state)
 }

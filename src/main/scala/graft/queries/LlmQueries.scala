@@ -1711,7 +1711,28 @@ object LlmQueries {
              |  CAST(max(pos) + 4 AS BIGINT) AS end_pos,
              |  CAST(count(*) AS BIGINT) AS n_grams
              |FROM r GROUP BY doc_id, grp HAVING count(*) >= 3
-             |ORDER BY doc_id, start_pos""".stripMargin))
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
+    // ---- heavy-hitter state lifecycle (the frequency twin of
+    // q125/q129): per-source Misra–Gries token maps STORED as state
+    // rows, merged into the global sketch — q90's answer reproduced
+    // from 20 state rows instead of a corpus rescan. Exact regime
+    // (capacity ≥ vocabulary everywhere) so the mergeable-summaries
+    // combine is hash-verified; the lossy regime's ±n/(c+1) bounds
+    // live in HeavyHittersSpec ----
+    QuerySpec("q130_heavyhitter_states",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(HeavyHitters.sketch(col("token"), 4096).as("m"))
+        .agg(HeavyHitters.mergeSketches(col("m"), 4096).as("m"))
+        .select(explode(col("m")).as(Seq("token", "n_occ")))
+        .orderBy(col("token")),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY token""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -66,4 +66,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out("b").contains("z") && out("b")("z") >= 40 - 60 / 9,
       s"group b heavy item bound: ${out("b")}")
   }
+
+  // ---- sketch-as-a-value lifecycle ---------------------------------
+
+  test("stored per-slice states merge to the exact global map (exact regime)") {
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merged = stream.zipWithIndex.map { case (s, i) => (i % 5, s) }
+      .toDF("slice", "s").repartition(9)
+      .groupBy($"slice")
+      .agg(HeavyHitters.sketch($"s", 600).as("m"))
+      .agg(HeavyHitters.mergeSketches($"m", 600).as("m"))
+      .collect().head.getMap[String, Long](0).toMap
+    assert(merged == exact)
+  }
+
+  test("merged lossy states keep the single-pass guarantees") {
+    val n = stream.size.toLong
+    val c = 20
+    val err = n / (c + 1)
+    val merged = stream.zipWithIndex.map { case (s, i) => (i % 7, s) }
+      .toDF("slice", "s").repartition(13)
+      .groupBy($"slice")
+      .agg(HeavyHitters.sketch($"s", c).as("m"))
+      .agg(HeavyHitters.mergeSketches($"m", c).as("m"))
+      .collect().head.getMap[String, Long](0).toMap
+    assert(merged.size <= c)
+    assert(merged.contains("hot1") && merged.contains("hot2"))
+    assert(merged("hot1") <= 300 && merged("hot1") >= 300 - err)
+    assert(merged("hot2") <= 200 && merged("hot2") >= 200 - err)
+  }
 }
