@@ -57,4 +57,44 @@ object Diagnostics {
           .as("n_outliers"),
         max(col("med")).as("med"), max(col("mad")).as("mad"))
   }
+
+  /** Per-group Spearman rank correlation — the monotone-association
+    * profile that survives outliers and nonlinearity (is `value`
+    * drifting with time? does doc length track quality?). Ranks are
+    * made INTEGER by a deterministic tie-break (ties get distinct ranks
+    * in `tieBreak` order — feeds must provide a unique one), so both
+    * rank columns are permutations of 1..n and the classical form
+    * applies with EXACT integer aggregates:
+    *   ρ = 1 − 6·Σ(rx−ry)² / (n·(n²−1))
+    * Only the final divide touches floating point, and both operands
+    * are single exact integers — the value is bit-identical across
+    * engines (the q131 gate), the same exactness discipline as the
+    * rank-pick medians and integer-rational Jaccard thresholds.
+    *
+    * Guard: Σd² ≤ n³/3, so the fold is exact to n ≈ 3 M rows per group
+    * (ANSI mode throws past it rather than wrapping silently).
+    *
+    * Scale shape: ONE hash shuffle on `group` carries both rank
+    * windows (per-partition sorts), then a per-group fold to two
+    * integers. Output: (g, n, rho); n < 2 yields null rho. */
+  def spearman(df: DataFrame, group: Column, x: Column, y: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("g"))
+    val d = col("rx") - col("ry")
+    df.select(group.as("g"), x.as("x"), y.as("y"), tieBreak.as("tb"))
+      .withColumn("rx",
+        row_number().over(wG.orderBy(col("x"), col("tb"))).cast("long"))
+      .withColumn("ry",
+        row_number().over(wG.orderBy(col("y"), col("tb"))).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
+      .select(col("g"), col("n"), {
+        val den = col("n") * (col("n") * col("n") - lit(1L))
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            lit(6.0) * col("sd2").cast("double") / den.cast("double"))
+          .as("rho")
+      })
+  }
 }

@@ -1943,6 +1943,34 @@ object RelationalQueries {
              |    THEN c END) AS BIGINT) AS p50,
              |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
              |    THEN c END) AS BIGINT) AS p90
-             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- per-type Spearman rank correlation of value vs time (metric
+    // drift that survives outliers): tie-broken integer ranks make
+    // both rank columns permutations of 1..n, so ρ = 1 − 6Σd²/(n(n²−1))
+    // folds to TWO exact integer aggregates and one final double
+    // divide of exact operands — bit-identical across engines, no
+    // 6-decimal hedging. One shuffle carries both rank windows ----
+    QuerySpec("q131_spearman",
+      (s, dir) => graft.functions.Diagnostics.spearman(
+          t(s, dir, "events"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH r AS (
+             |  SELECT event_type,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rx,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) AS ry
+             |  FROM events),
+             |a AS (SELECT event_type, count(*) AS n,
+             |        CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+             |      FROM r GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n * (n * n - 1) = 0 THEN NULL
+             |       ELSE 1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
+             |            CAST(n * (n * n - 1) AS DOUBLE) END AS rho
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

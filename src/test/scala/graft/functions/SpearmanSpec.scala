@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Diagnostics.spearman]]: the rank-correlation endpoints, a
+  * hand-computed middle case, tie-break determinism, per-group
+  * independence, and the degenerate-n null.
+  */
+class SpearmanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rho(rows: Seq[(String, Double, Double, Long)]): Map[String, Option[Double]] =
+    Diagnostics.spearman(rows.toDF("g", "x", "y", "id"),
+        col("g"), col("x"), col("y"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("perfect monotone association is exactly ±1.0") {
+    val up = (1 to 50).map(i => ("up", i.toDouble, i * i.toDouble, i.toLong))
+    val down = (1 to 50).map(i => ("down", i.toDouble, -math.exp(i / 10.0), i.toLong))
+    val got = rho(up ++ down)
+    assert(got("up").contains(1.0), s"monotone-up must be exactly 1.0: $got")
+    assert(got("down").contains(-1.0), s"monotone-down must be exactly -1.0: $got")
+  }
+
+  test("hand-computed case matches the d-squared formula exactly") {
+    // ranks x: 1,2,3,4,5 ; y-values give ranks 2,1,4,3,5 -> sd2 = 4
+    // rho = 1 - 6*4/(5*24) = 0.8
+    val rows = Seq(
+      ("g", 10.0, 20.0, 1L), ("g", 20.0, 10.0, 2L), ("g", 30.0, 40.0, 3L),
+      ("g", 40.0, 30.0, 4L), ("g", 50.0, 50.0, 5L))
+    assert(rho(rows)("g").contains(0.8))
+  }
+
+  test("ties break deterministically by the tie-break column") {
+    // x all equal -> rx follows id; y descending in id -> ry reversed
+    val rows = (1 to 20).map(i => ("t", 7.0, -i.toDouble, i.toLong))
+    assert(rho(rows)("t").contains(-1.0))
+  }
+
+  test("groups are independent; n=1 yields null") {
+    val rows = Seq(("a", 1.0, 1.0, 1L), ("a", 2.0, 2.0, 2L),
+      ("b", 5.0, 5.0, 1L))
+    val got = rho(rows)
+    assert(got("a").contains(1.0) && got("b").isEmpty)
+  }
+}

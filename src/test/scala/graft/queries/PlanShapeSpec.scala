@@ -92,4 +92,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"as-of must never plan a pair-space join:\n$p")
   }
+
+  test("q122 html extract: the regexp chain rides the scan — no shuffle before the gate's sort") {
+    val p = plan("q122_html_extract")
+    assert(countOf(p, "Exchange") <= 1,
+      s"extraction must be projection-only; only the orderBy may exchange:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SortMergeJoin"),
+      s"pure codegen projection expected:\n$p")
+  }
+
+  test("q126 duplicate spans: df join carries 8-byte keys, never a pair-space join") {
+    val p = plan("q126_duplicate_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram membership must be an equi-join:\n$p")
+    assert(p.contains("xxhash64"),
+      s"the shuffle key must be the hashed gram, not the string:\n$p")
+  }
+
+  test("q127 merge: ONE join in the plan — no per-clause re-joins") {
+    val p = plan("q127_merge")
+    val joins = countOf(p, "SortMergeJoin") + countOf(p, "BroadcastHashJoin") +
+      countOf(p, "ShuffledHashJoin")
+    assert(joins == 1, s"MERGE must lower to exactly one outer join, got $joins:\n$p")
+  }
+
+  test("q128 table diff: one full-outer join, no Expand/Window") {
+    val p = plan("q128_table_diff")
+    val joins = countOf(p, "SortMergeJoin") + countOf(p, "BroadcastHashJoin") +
+      countOf(p, "ShuffledHashJoin")
+    assert(joins == 1, s"diff must be exactly one outer join, got $joins:\n$p")
+    assert(!p.contains("Window"), s"no window in the diff path:\n$p")
+  }
 }
