@@ -655,6 +655,70 @@ object DedupFunctions {
       .select(col(idCol), col("start_pos"), col("end_pos"), col("n_grams"))
   }
 
+  /** Duplicated-span SCRUB — the removal action [[duplicateSpans]]
+    * detects: spans are grouped by their exact word content (md5), the
+    * EARLIEST document (min id) keeps its copy, and every other
+    * occurrence is cut out word-wise, preserving the surrounding text —
+    * Lee et al. '22's "remove the duplicated substring, keep one
+    * occurrence" policy, distributed.
+    *
+    * Output: (idCol, n_words, n_removed, clean) — original word count,
+    * words removed, and the scrubbed text (words at uncovered
+    * positions rejoined with single spaces; a fully-covered document
+    * scrubs to the empty string, it is not dropped — dropping is a
+    * policy the caller applies).
+    *
+    * Scale shape: [[duplicateSpans]]'s two shuffles, plus one groupBy
+    * on the span-content hash (span-count-sized, not corpus-sized), a
+    * removal-interval join back to the documents, and a per-row
+    * array rebuild — interval lists are per-doc and tiny, so the
+    * position filter is row-local work inside the scan stage.
+    */
+  def scrubDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDocs: Int = 2,
+      minRun: Int = 3): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minDocs, minRun)
+    val words = docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("_w"))
+    // span content hash: the exact covered words, not the grams
+    val content = spans.join(words, Seq(idCol))
+      .select(col(idCol), col("start_pos"), col("end_pos"),
+        md5(concat_ws(" ",
+          slice(col("_w"), col("start_pos").cast("int"),
+            (col("end_pos") - col("start_pos") + 1).cast("int")))
+          .cast("binary")).as("_ch"))
+    val keepers = content.groupBy(col("_ch")).agg(min(col(idCol)).as("_keep"))
+    val removals = content.join(keepers, Seq("_ch"))
+      .filter(col(idCol) =!= col("_keep"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(
+        col("start_pos").as("s"), col("end_pos").as("e"))).as("_iv"))
+
+    val iv = coalesce(col("_iv"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val positions = when(size(col("_w")) === 0,
+      array().cast("array<struct<p:bigint,t:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("_w"))),
+        i => struct(i.cast("long").as("p"),
+          element_at(col("_w"), i).as("t"))))
+    val kept = filter(positions, s => !exists(iv,
+      v => s.getField("p") >= v.getField("s") &&
+        s.getField("p") <= v.getField("e")))
+
+    // materialize kept ONCE — referencing the filter tree from two
+    // output columns would re-run the interval scan per reference
+    words.join(removals, Seq(idCol), "left")
+      .select(col(idCol), size(col("_w")).cast("long").as("n_words"),
+        kept.as("_kept"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("_kept"), _.getField("t"))).as("clean"))
+  }
+
   private def idIsIntegralType(df: DataFrame, idCol: String): Boolean = {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {

@@ -44,6 +44,8 @@ object Merge {
     val missing = target.columns.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"source is missing target columns: ${missing.mkString(", ")}")
+    require(!target.columns.contains("_t_ex") && !source.columns.contains("_s_ex"),
+      "column names _t_ex/_s_ex are reserved by Merge")
 
     val t = target.withColumn("_t_ex", lit(true)).alias("t")
     val s = source.withColumn("_s_ex", lit(true)).alias("s")

@@ -38,6 +38,8 @@ object TableDiff {
     require(keys.nonEmpty, "diff needs at least one key column")
     require(left.columns.sorted.sameElements(right.columns.sorted),
       s"schemas differ: ${left.columns.mkString(",")} vs ${right.columns.mkString(",")}")
+    require(!left.columns.contains("_l_ex") && !left.columns.contains("_r_ex"),
+      "column names _l_ex/_r_ex are reserved by TableDiff")
     val valueCols = left.columns.filterNot(keys.contains).toSeq
 
     val l = left.withColumn("_l_ex", lit(true)).alias("l")

@@ -1732,7 +1732,74 @@ object LlmQueries {
       Some("""SELECT token, CAST(count(*) AS BIGINT) AS n_occ
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              |      FROM documents)
-             |GROUP BY 1 ORDER BY token""".stripMargin))
+             |GROUP BY 1 ORDER BY token""".stripMargin)),
+
+    // ---- duplicated-span SCRUB (the removal action of q126's
+    // detection — Lee et al.'s policy distributed): spans grouped by
+    // exact content, earliest doc keeps its copy, all other
+    // occurrences cut word-wise. Same planted corpus as q126, so
+    // every clone's prefix is scrubbed while each original keeps its
+    // text; the gate pins word counts AND the md5 of every scrubbed
+    // document (fully-covered docs scrub to the empty string — kept,
+    // not dropped). Interval lists are per-doc and tiny: the position
+    // filter is row-local work inside the scan stage ----
+    QuerySpec("q132_span_scrub",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              substring(col("text"), 1, 300).as("text")))
+        DedupFunctions.scrubDuplicateSpans(corpus, "doc_id", "text",
+            k = 5, minDocs = 2, minRun = 3)
+          .select(col("doc_id"), col("n_words"), col("n_removed"),
+            md5(col("clean").cast("binary")).as("h_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |corpus AS (SELECT doc_id, text FROM base
+             |           UNION ALL
+             |           SELECT doc_id + 100000, substr(text, 1, 300)
+             |           FROM base WHERE doc_id % 7 = 0),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |        generate_series(1, greatest(len(w)-4, 0)),
+             |        i -> {'pos': i, 'gram': w[i]||' '||w[i+1]||' '||w[i+2]
+             |              ||' '||w[i+3]||' '||w[i+4]})) AS e
+             |      FROM w),
+             |g2 AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM g),
+             |d AS (SELECT gram FROM g2
+             |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |dup AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+             |r AS (SELECT doc_id, pos,
+             |        pos - row_number() OVER (
+             |          PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM dup),
+             |sp AS (SELECT doc_id, min(pos) AS start_pos,
+             |         max(pos) + 4 AS end_pos
+             |       FROM r GROUP BY doc_id, grp HAVING count(*) >= 3),
+             |ct AS (SELECT s.doc_id, s.start_pos, s.end_pos,
+             |         md5(array_to_string(w.w[s.start_pos:s.end_pos], ' '))
+             |           AS ch
+             |       FROM sp s JOIN w ON s.doc_id = w.doc_id),
+             |kp AS (SELECT ch, min(doc_id) AS keep FROM ct GROUP BY ch),
+             |rm AS (SELECT ct.doc_id, ct.start_pos AS s, ct.end_pos AS e
+             |       FROM ct JOIN kp ON ct.ch = kp.ch
+             |       WHERE ct.doc_id <> kp.keep),
+             |riv AS (SELECT doc_id, list({'s': s, 'e': e}) AS iv
+             |        FROM rm GROUP BY doc_id),
+             |cl AS (
+             |  SELECT w.doc_id, len(w.w) AS n_words,
+             |    list_filter(list_transform(generate_series(1, len(w.w)),
+             |        i -> {'p': i, 't': w.w[i]}),
+             |      x -> len(list_filter(coalesce(riv.iv, []),
+             |        v -> x.p >= v.s AND x.p <= v.e)) = 0) AS kept
+             |  FROM w LEFT JOIN riv ON w.doc_id = riv.doc_id)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+             |  md5(coalesce(array_to_string(list_transform(kept, x -> x.t),
+             |    ' '), '')) AS h_clean
+             |FROM cl ORDER BY doc_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -74,4 +74,52 @@ class DuplicateSpansSpec extends SparkSpec {
   test("no duplicated grams -> empty result") {
     assert(spans(Seq((1L, f("p", 20)), (2L, f("q", 20)))) == Nil)
   }
+
+  // ---- scrub (the removal action) ----------------------------------
+
+  private def scrub(rows: Seq[(Long, String)], k: Int = 3, minRun: Int = 2) =
+    DedupFunctions.scrubDuplicateSpans(
+      rows.toDF("doc_id", "text"), "doc_id", "text", k = k,
+      minDocs = 2, minRun = minRun)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toList
+
+  test("earliest doc keeps its copy; later copies are cut, context preserved") {
+    val block = "alpha bravo charlie delta echo foxtrot"
+    val d1 = s"${f("x", 4)} $block ${f("y", 3)}"
+    val d2 = s"${f("z", 2)} $block ${f("q", 2)}"
+    val got = scrub(Seq((1L, d1), (2L, d2)))
+    assert(got == List(
+      (1L, 13L, 0L, d1), // keeper: untouched
+      (2L, 10L, 6L, s"${f("z", 2)} ${f("q", 2)}")))
+  }
+
+  test("a fully-covered document scrubs to the empty string, not dropped") {
+    val block = "uno dos tres cuatro cinco seis"
+    val d1 = s"${f("m", 3)} $block"
+    val got = scrub(Seq((1L, d1), (2L, block)))
+    assert(got == List((1L, 9L, 0L, d1), (2L, 6L, 6L, "")))
+  }
+
+  test("multiple disjoint spans in one doc are all removed") {
+    val b1 = "red green blue cyan"
+    val b2 = "mono duo tri tetra"
+    val d1 = s"$b1 $b2"                       // earliest: keeps both
+    val d2 = s"${f("n", 2)} $b1 ${f("o", 3)} $b2 tail0"
+    val got = scrub(Seq((1L, d1), (2L, d2)))
+    assert(got == List(
+      (1L, 8L, 0L, d1),
+      (2L, 14L, 8L, s"${f("n", 2)} ${f("o", 3)} tail0")))
+  }
+
+  test("three copies: exactly one survives (min doc id)") {
+    val block = "kappa lambda mu nu xi omicron"
+    val docs = Seq((5L, s"${f("a", 2)} $block"), (3L, s"${f("b", 3)} $block"),
+      (9L, block))
+    val got = scrub(docs)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._3 == 0L, "doc 3 is the earliest -> keeper")
+    assert(byId(5L)._3 == 6L && byId(5L)._4 == f("a", 2))
+    assert(byId(9L)._3 == 6L && byId(9L)._4 == "")
+  }
 }
