@@ -1799,7 +1799,55 @@ object LlmQueries {
              |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
              |  md5(coalesce(array_to_string(list_transform(kept, x -> x.t),
              |    ' '), '')) AS h_clean
-             |FROM cl ORDER BY doc_id""".stripMargin))
+             |FROM cl ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-source corpus profile (the "dataset card" table): doc
+    // and token volumes, exact rank-pick median length, short-doc and
+    // language counts, vocabulary — ONE corpus scan; the token array
+    // materializes once and feeds count, vocab explode, and langId;
+    // the doc-level rollup and the HLL vocabulary fold join at
+    // control-plane size. All integers; vocab is sparse-exact at gate
+    // scale, a 1.6%-bounded estimate past it — the honest 100 TB
+    // number ----
+    QuerySpec("q133_corpus_profile",
+      (s, dir) => graft.functions.CorpusProfile.profile(
+          t(s, dir, "documents"), col("source"), col("text"), LangMarkers)
+        .withColumnRenamed("slice", "source")
+        .orderBy(col("source")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, source, len(toks) AS ntok,
+             |        list_distinct(toks) AS tk FROM d),
+             |sc AS (SELECT doc_id, source, ntok,
+             |        len(list_intersect(tk, ['the','a','value'])) AS s_en,
+             |        len(list_intersect(tk, ['table','key'])) AS s_de,
+             |        len(list_intersect(tk, ['query','group'])) AS s_fr,
+             |        len(list_intersect(tk, ['fast','slow'])) AS s_es,
+             |        len(list_intersect(tk, ['stream','row'])) AS s_zh
+             |      FROM m),
+             |r AS (SELECT source, ntok,
+             |        CASE WHEN s_en > 0
+             |          AND s_en >= greatest(s_de, s_fr, s_es, s_zh)
+             |          THEN 1 ELSE 0 END AS is_en,
+             |        row_number() OVER (
+             |          PARTITION BY source ORDER BY ntok) AS rk,
+             |        count(*) OVER (PARTITION BY source) AS n
+             |      FROM sc),
+             |ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |        CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             |        CAST(max(CASE WHEN rk = (n + 1) // 2 THEN ntok END)
+             |          AS BIGINT) AS med_tokens,
+             |        CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_short,
+             |        CAST(sum(is_en) AS BIGINT) AS n_en
+             |      FROM r GROUP BY source),
+             |v AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab
+             |      FROM (SELECT source, unnest(toks) AS t FROM d)
+             |      GROUP BY source)
+             |SELECT ds.*, v.vocab FROM ds JOIN v ON ds.source = v.source
+             |ORDER BY ds.source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
