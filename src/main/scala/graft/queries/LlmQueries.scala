@@ -1847,7 +1847,56 @@ object LlmQueries {
              |      FROM (SELECT source, unnest(toks) AS t FROM d)
              |      GROUP BY source)
              |SELECT ds.*, v.vocab FROM ds JOIN v ON ds.source = v.source
-             |ORDER BY ds.source""".stripMargin))
+             |ORDER BY ds.source""".stripMargin)),
+
+    // ---- leakage-safe split assignment: train/val/test must be a
+    // function of CONTENT, not row identity — otherwise duplicates
+    // leak across the split boundary and eval is contaminated. Split
+    // hashes the normalization fingerprint, so every member of a
+    // duplicate cluster co-assigns by construction (planted +100000
+    // clones with identical text prove it: id_sum pins EVERY
+    // assignment, n_clusters counts each content once). The near-dup
+    // form (cluster representative from dupClusters → splitColumn)
+    // is spec-anchored in SamplingSpec ----
+    QuerySpec("q134_leakage_safe_split",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(9)) === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+        corpus
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), col("fp"),
+            SamplingFunctions.splitColumn(col("fp"), trainPct = 80,
+              valPct = 10).as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("fp")).as("n_clusters"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id % 9 = 0),
+             |f AS (SELECT doc_id,
+             |        md5(array_to_string(
+             |          regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+             |          AS fp
+             |      FROM corpus),
+             |s AS (SELECT doc_id, fp,
+             |        CAST('0x' || substr(md5('split:' || fp), 1, 15)
+             |          AS BIGINT) % 100 AS b
+             |      FROM f)
+             |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM s GROUP BY 1 ORDER BY split""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

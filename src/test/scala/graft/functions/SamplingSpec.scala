@@ -149,4 +149,26 @@ class SamplingSpec extends SparkSpec {
       .select(TextFunctions.topTokenCount(col("tk")).as("n")).as[Long].collect()
     assert(edges.toSeq == Seq(0L, 1L, 3L, 2L))
   }
+
+  test("leakage-safe split: near-dup cluster members co-assign via the representative") {
+    // the q134 gate proves the exact-fingerprint form; this anchors the
+    // NEAR-dup composition — cluster reps from dupClusters, split on
+    // the rep, so a train/test boundary can never cut through a cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    val clusters = DedupFunctions.dupClusters(pairs) // (doc_id, cluster_id)
+    val singletons = Seq(100L, 101L).toDF("doc_id")
+      .withColumn("cluster_id", col("doc_id"))
+    val all = clusters.unionByName(singletons)
+    val split = all.select(col("doc_id"), col("cluster_id"),
+      SamplingFunctions.splitColumn(col("cluster_id"), 60, 20).as("split"))
+    val violations = split.groupBy(col("cluster_id"))
+      .agg(count_distinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(violations == 0, "every cluster must land in exactly one split")
+    // and the split is total + deterministic
+    val twice = split.orderBy("doc_id").collect().toSeq
+    assert(twice == split.orderBy("doc_id").collect().toSeq)
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() == 0)
+  }
 }
