@@ -639,11 +639,18 @@ object DedupFunctions {
         .as("_e"))
       .select(col(idCol), col("_e.pos").as("_pos"),
         xxhash64(col("_e.gram")).as("_gk"))
-    val shared = grams.groupBy(col("_gk"))
-      .agg(count_distinct(col(idCol)).as("_ndocs"))
+    // doc-frequency WITHOUT a second scan: both windows ride one
+    // explicit gram-hash exchange (hash(_gk) satisfies the clustered
+    // distribution of BOTH partition specs, so neither window re-
+    // shuffles — a groupBy+join formulation would scan and explode the
+    // corpus twice and shuffle three times)
+    val wGD = Window.partitionBy(col("_gk"), col(idCol)).orderBy(col("_pos"))
+    val wG = Window.partitionBy(col("_gk"))
+    grams.repartition(col("_gk"))
+      .withColumn("_first",
+        when(row_number().over(wGD) === 1, 1L).otherwise(0L))
+      .withColumn("_ndocs", sum(col("_first")).over(wG))
       .filter(col("_ndocs") >= minDocs)
-      .select(col("_gk"))
-    grams.join(shared, Seq("_gk"))
       .withColumn("_grp", col("_pos") - row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_pos"))))
       .groupBy(col(idCol), col("_grp"))
