@@ -203,9 +203,13 @@ object Bench {
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
       aux: String, streaming: String, loadAvg: Double, nCpu: Int,
       sfDir: String): String = {
+    // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
+    // carried no information and cost one char × |queries| against the
+    // tail budget; full names live in BENCH_FULL.json
     def qsJson(decimals: Int): String = results
       .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + s"%.${decimals}f".format(v)
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+          s"%.${decimals}f".format(v)
       }.mkString("{", ",", "}")
     def line(qs: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs}"""

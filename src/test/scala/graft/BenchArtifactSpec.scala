@@ -44,7 +44,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"compact line ${line.length} chars — will be front-truncated in the 2KB tail")
     // the evidence the verdict audits must be ON the line
     assert(line.contains("\"contaminated\":false"))
-    assert(line.contains("\"queries\":{\"q01\":9.99"))
+    assert(line.contains("\"queries\":{\"01\":9.99"))
     assert(line.endsWith("}"))
     // and it must parse as one JSON object (no stray quotes/braces):
     // cheap structural check without a JSON lib — balanced braces,
@@ -64,7 +64,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       loadAvg = 32.0, nCpu = 32, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1900,
       s"fallback line ${line.length} chars — still over the capture window")
-    assert(line.contains("\"q01\":123.5") || line.contains("\"q01\":123.46"),
+    assert(line.contains("\"01\":123.5") || line.contains("\"01\":123.46"),
       s"per-query seconds lost in fallback: ${line.take(200)}")
     assert(line.contains("\"contaminated\":true"))
   }
