@@ -250,6 +250,27 @@ object QuantileSketch {
         .ExpressionEncoder[Array[Double]]()
   }
 
+  /** Merge stored ladder states → merged STATE (re-storable — the
+    * compaction path for sketch tables, mirroring
+    * [[DistinctSketch.mergeState]]). */
+  final class SummaryMergeState(k: Int)
+      extends Aggregator[Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]] {
+    private val inner = new SummaryState(k)
+    override def zero: Array[Array[Double]] = inner.zero
+    override def reduce(buf: Array[Array[Double]], st: Array[Array[Double]]): Array[Array[Double]] =
+      inner.merge(buf, st)
+    override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Array[Double]]): Array[Array[Double]] =
+      inner.finish(buf)
+    override def bufferEncoder: Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Array[Double]]]()
+    override def outputEncoder: Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Array[Double]]]()
+  }
+
   private def stateEnc =
     org.apache.spark.sql.catalyst.encoders
       .ExpressionEncoder[Array[Array[Double]]]()
@@ -257,6 +278,10 @@ object QuantileSketch {
   /** Aggregate values → storable ladder state. */
   def sketchState(value: Column, k: Int): Column =
     udaf(new SummaryState(k), Encoders.scalaDouble)(value)
+
+  /** Aggregate stored states → merged state (for re-storage). */
+  def mergeState(state: Column, k: Int): Column =
+    udaf(new SummaryMergeState(k), stateEnc)(state)
 
   /** Aggregate stored states → ARRAY<DOUBLE> quantiles. */
   def mergeQuantiles(state: Column, k: Int, qs: Seq[Double]): Column =

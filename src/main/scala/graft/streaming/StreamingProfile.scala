@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DistinctSketch, QuantileSketch, TextFunctions}
+
+/** Incremental corpus profile — the streaming twin of
+  * [[graft.functions.CorpusProfile]], and the streaming USE of the
+  * sketch-state lifecycle: each micro-batch folds to one state row per
+  * slice (doc/token counters, an HLL vocabulary state, a KLL
+  * token-length ladder state), which merges into the stored state
+  * table by the sketches' own merge aggregators. The card over
+  * everything-seen-so-far is answerable at any moment WITHOUT
+  * rescanning history — a year of crawl batches is 365 merges of
+  * kilobyte states.
+  *
+  * Drive from `foreachBatch`. Correctness properties (pinned by
+  * StreamingProfileSpec):
+  *  - after any batch sequence, [[profile]] equals the BATCH profile
+  *    of the concatenated input (counters are sums; both sketch
+  *    families are merge-closed, so state round-trips lose nothing);
+  *  - state advances by the same atomic generation swap as
+  *    [[StreamingCdc]] (crash-safe, adopt-last-complete);
+  *  - state size is |slices| rows × fixed sketch bytes — never
+  *    row-scaled.
+  *
+  * NOT idempotent under batch replay (counters double-count; HLL
+  * would not, but the card must stay consistent) — drive it from a
+  * checkpointed stream where foreachBatch replays carry the same
+  * batchId, and skip already-applied ids via [[appliedBatchId]].
+  */
+final class StreamingProfile(
+    spark: SparkSession,
+    stateDir: String,
+    vocabP: Int = 12,
+    vocabSparseMax: Int = 16384,
+    lenK: Int = 4096) {
+
+  private def fs = new org.apache.hadoop.fs.Path(stateDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def recover(): Unit = {
+    val live = path(stateDir)
+    if (!fs.exists(live)) {
+      if (fs.exists(path(stateDir + ".next/_SUCCESS")))
+        fs.rename(path(stateDir + ".next"), live)
+      else if (fs.exists(path(stateDir + ".old")))
+        fs.rename(path(stateDir + ".old"), live)
+    }
+  }
+
+  private def hasState: Boolean = {
+    recover()
+    fs.exists(path(stateDir)) &&
+      fs.listStatus(path(stateDir)).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Stored per-slice states (slice, n_docs, n_tokens, batch_id,
+    * vocab_st, len_st). */
+  def state: Option[DataFrame] =
+    if (hasState) Some(spark.read.parquet(stateDir)) else None
+
+  /** Highest batch id folded in so far (−1 before any). */
+  def appliedBatchId: Long =
+    state.map(_.agg(max(col("batch_id"))).head.getLong(0)).getOrElse(-1L)
+
+  private def batchStates(batch: DataFrame, batchId: Long): DataFrame = {
+    val perDoc = batch
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+      .select(col("slice"), col("_toks"),
+        size(col("_toks")).cast("long").as("_ntok"))
+    val doc = perDoc.groupBy(col("slice")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      QuantileSketch.sketchState(col("_ntok").cast("double"), lenK)
+        .as("len_st"))
+    val voc = perDoc.select(col("slice"), explode(col("_toks")).as("_t"))
+      .groupBy(col("slice"))
+      .agg(DistinctSketch.sketchState(xxhash64(col("_t")), vocabP,
+        vocabSparseMax).as("vocab_st"))
+    // left join: a slice whose batch docs all tokenize to zero tokens
+    // still appears in doc but not in voc
+    doc.join(voc, Seq("slice"), "left")
+      .withColumn("vocab_st", coalesce(col("vocab_st"),
+        typedlit(Array(0L, 0L))))
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  /** Fold one micro-batch of (slice, text) rows. Skips batch ids at or
+    * below [[appliedBatchId]] (foreachBatch replay safety). */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= appliedBatchId || batch.isEmpty) return
+    val incoming = batchStates(batch, batchId)
+    val merged = state match {
+      case None => incoming
+      case Some(st) => st.unionByName(incoming)
+        .groupBy(col("slice"))
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          QuantileSketch.mergeState(col("len_st"), lenK).as("len_st"),
+          DistinctSketch.mergeState(col("vocab_st"), vocabP,
+            vocabSparseMax).as("vocab_st"),
+          max(col("batch_id")).as("batch_id"))
+    }
+    val next = stateDir + ".next"
+    val old = stateDir + ".old"
+    fs.delete(path(next), true)
+    merged.write.mode("overwrite").parquet(next)
+    fs.delete(path(old), true)
+    if (fs.exists(path(stateDir))) fs.rename(path(stateDir), path(old))
+    fs.rename(path(next), path(stateDir))
+    fs.delete(path(old), true)
+  }
+
+  /** The dataset card over everything folded so far: (slice, n_docs,
+    * n_tokens, vocab, med_tokens). */
+  def profile: Option[DataFrame] = state.map(_
+    .groupBy(col("slice"))
+    .agg(
+      sum(col("n_docs")).cast("long").as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
+        vocabSparseMax).as("vocab"),
+      QuantileSketch.mergeQuantiles(col("len_st"), lenK, Seq(0.5))
+        .as("_q"))
+    .select(col("slice"), col("n_docs"), col("n_tokens"), col("vocab"),
+      element_at(col("_q"), 1).cast("long").as("med_tokens")))
+}

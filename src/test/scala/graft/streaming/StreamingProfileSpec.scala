@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** StreamingProfile: after any batch sequence the card equals the
+  * batch profile of the concatenated input; replays skip; generations
+  * recover; state stays slice-sized.
+  */
+class StreamingProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-prof-").toString
+
+  private val b1 = Seq(
+    ("s1", "the quick brown fox jumps"), ("s1", "one two"),
+    ("s2", "alpha beta gamma"))
+  private val b2 = Seq(
+    ("s1", "the quick brown fox jumps again and again today"),
+    ("s2", "alpha delta"), ("s3", "solo"))
+  private val b3 = Seq(
+    ("s1", "short"), ("s2", "beta gamma epsilon zeta eta theta iota"))
+
+  private def df(rows: Seq[(String, String)]) = rows.toDF("slice", "text")
+
+  /** Batch-mode truth with the SAME definitions the sketches answer:
+    * exact counts, exact distinct (sparse regime), and the weighted-CDF
+    * median = smallest value with cumulative weight >= n/2. */
+  private def expected(rows: Seq[(String, String)]): Map[String, (Long, Long, Long, Long)] =
+    rows.groupBy(_._1).map { case (s, rs) =>
+      val toks = rs.map(_._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      val ntoks = toks.map(_.size.toLong).sorted
+      val med = ntoks(math.ceil(0.5 * ntoks.size).toInt - 1)
+      s -> (rs.size.toLong, ntoks.sum, toks.flatten.distinct.size.toLong, med)
+    }
+
+  private def card(p: StreamingProfile): Map[String, (Long, Long, Long, Long)] =
+    p.profile.get.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("incremental card equals the batch card of the concatenation") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    p.applyBatch(df(b1), 0L)
+    assert(card(p) == expected(b1))
+    p.applyBatch(df(b2), 1L)
+    assert(card(p) == expected(b1 ++ b2))
+    p.applyBatch(df(b3), 2L)
+    assert(card(p) == expected(b1 ++ b2 ++ b3))
+  }
+
+  test("replayed batch ids are skipped (foreachBatch at-least-once)") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    p.applyBatch(df(b1), 0L)
+    p.applyBatch(df(b2), 1L)
+    val before = card(p)
+    p.applyBatch(df(b2), 1L) // replay
+    p.applyBatch(df(b1), 0L) // older replay
+    assert(card(p) == before)
+    assert(p.appliedBatchId == 1L)
+  }
+
+  test("state is one row per slice, not row-scaled") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    val big = (1 to 500).map(i => (s"s${i % 4}", s"w$i x$i y$i"))
+    p.applyBatch(df(big), 0L)
+    p.applyBatch(df(big.map { case (s, t) => (s, t + " more") }), 1L)
+    assert(p.state.get.count() == 4)
+  }
+
+  test("crash between write and swap: the complete generation is adopted") {
+    val dir = tmp()
+    val p = new StreamingProfile(spark, dir + "/state")
+    p.applyBatch(df(b1), 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    p.state.get.write.parquet(dir + "/state.next")
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/state"), true)
+    val p2 = new StreamingProfile(spark, dir + "/state")
+    assert(card(p2) == expected(b1))
+  }
+
+  test("empty batch is a no-op; profile before any data is None") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    assert(p.profile.isEmpty && p.appliedBatchId == -1L)
+    p.applyBatch(df(Seq.empty), 0L)
+    assert(p.profile.isEmpty)
+    p.applyBatch(df(b1), 1L)
+    assert(card(p) == expected(b1))
+  }
+}
