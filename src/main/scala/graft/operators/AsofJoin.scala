@@ -59,6 +59,50 @@ object AsofJoin {
       payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join: every left row picks up the payload of the
+    * EARLIEST right row with the same key and `rightTime >= leftTime`
+    * (pandas `merge_asof(direction="forward")`, DuckDB `ASOF JOIN …
+    * ON l.t <= r.t`) — "what happened next": the next view after a
+    * click, the next quote after an order.
+    *
+    * Same union-carry shape as [[asofJoin]], scanned in DESCENDING
+    * time order so the carried right row is the minimum-time match
+    * seen so far; right rows sort before left on ties, keeping the
+    * `>=` inclusive. One exchange, one in-partition sort, linear —
+    * never a range join.
+    *
+    * `tolerance` bounds the match gap: `(leftTime, rightTime) =>
+    * condition`; a carried match failing it becomes null (and is
+    * dropped when `inner`). E.g.
+    * `(lt, rt) => rt <= lt + expr("INTERVAL 30 MINUTES")`.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, payloadCols: Seq[String], inner: Boolean = true,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    val r = right.select(col(key), col(time),
+      struct(col(time).as("_rt") +: payloadCols.map(col): _*).as("_asof_pay"))
+    val l = left
+      .withColumn("_asof_pay", lit(null).cast(r.schema("_asof_pay").dataType))
+      .withColumn("_side", lit(1))
+    val unioned = l.unionByName(
+      r.withColumn("_side", lit(0)), allowMissingColumns = true)
+    val carry = Window.partitionBy(col(key))
+      .orderBy(col(time).desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried0 = unioned
+      .withColumn("_asof", last(col("_asof_pay"), ignoreNulls = true).over(carry))
+      .filter(col("_side") === 1)
+    val carried = tolerance match {
+      case None => carried0
+      case Some(tol) => carried0.withColumn("_asof",
+        when(col("_asof").isNotNull && tol(col(time), col("_asof._rt")),
+          col("_asof")))
+    }
+    val base = if (inner) carried.filter(col("_asof").isNotNull) else carried
+    base.select(left.columns.map(col) ++
+      payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
+  }
+
   /** Pre-aggregation for a right side with duplicate (key, time) rows:
     * keep each group's row with the maximum tiebreak value (one
     * shuffle, map-side partial `max_by`), making [[asofJoin]]'s input

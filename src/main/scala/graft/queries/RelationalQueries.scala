@@ -1971,6 +1971,41 @@ object RelationalQueries {
              |  CASE WHEN n * (n * n - 1) = 0 THEN NULL
              |       ELSE 1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
              |            CAST(n * (n * n - 1) AS DOUBLE) END AS rho
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- FORWARD as-of join with a tolerance bound ("what happened
+    // within 30 minutes AFTER each click"): q47's union-carry shape
+    // scanned in descending time — one exchange, one in-partition
+    // sort, linear; never a range join. Matches past the gap bound
+    // null out (attribution-window semantics); left rows with no
+    // following view survive with null. Oracle: DuckDB ASOF LEFT
+    // JOIN with the <= direction + the same CASE bound ----
+    QuerySpec("q135_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = graft.operators.AsofJoin.latestPerKeyTime(
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", tiebreak = "event_id", payloadCols = Seq("value"))
+        graft.operators.AsofJoin.asofJoinForward(clicks, views,
+            "user_id", "ts", payloadCols = Seq("value"), inner = false,
+            tolerance = Some((lt, rt) =>
+              rt <= lt + expr("INTERVAL 30 MINUTES")))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_value").as("next_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts, max_by(value, event_id) AS value
+             |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT c.event_id, c.user_id, c.value,
+             |  CASE WHEN v.ts IS NOT NULL
+             |         AND v.ts - c.ts <= INTERVAL 30 MINUTE
+             |       THEN v.value END AS next_value
+             |FROM c ASOF LEFT JOIN v
+             |  ON c.user_id = v.user_id AND c.ts <= v.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

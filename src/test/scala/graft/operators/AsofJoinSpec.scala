@@ -77,4 +77,35 @@ class AsofJoinSpec extends SparkSpec {
       s"as-of join compiled to a join:\n$physical")
     assert(physical.contains("Window"), s"expected a window carry:\n$physical")
   }
+
+  // ---- forward direction -------------------------------------------
+
+  test("forward: each left row picks the EARLIEST right row at or after its time") {
+    val left = df((1L, 10L, 100L, 0.0), (2L, 10L, 250L, 0.0), (3L, 10L, 500L, 0.0))
+    val right = df((90L, 10L, 150L, 1.1), (91L, 10L, 300L, 2.2))
+    val out = AsofJoin.asofJoinForward(left, right, "key", "ts", Seq("value"))
+      .select("id", "asof_value").as[(Long, Double)].collect().toMap
+    // t=100 -> right@150; t=250 -> right@300; t=500 -> none (inner drops)
+    assert(out === Map(1L -> 1.1, 2L -> 2.2))
+  }
+
+  test("forward: equal time matches (>= semantics); inner=false keeps misses") {
+    val left = df((1L, 5L, 100L, 0.0), (2L, 5L, 900L, 0.0))
+    val right = df((90L, 5L, 100L, 7.7))
+    val out = AsofJoin.asofJoinForward(left, right, "key", "ts", Seq("value"),
+        inner = false)
+      .select("id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> Some(7.7), 2L -> None))
+  }
+
+  test("forward tolerance: matches past the gap bound become null") {
+    val left = df((1L, 7L, 100L, 0.0), (2L, 7L, 400L, 0.0))
+    val right = df((90L, 7L, 160L, 1.0), (91L, 7L, 2000L, 2.0))
+    val out = AsofJoin.asofJoinForward(left, right, "key", "ts", Seq("value"),
+        inner = false,
+        tolerance = Some((lt, rt) => rt <= lt + expr("INTERVAL 2 MINUTES")))
+      .select("id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    // gap 60s <= 120s matches; gap 1600s does not
+    assert(out === Map(1L -> Some(1.0), 2L -> None))
+  }
 }
