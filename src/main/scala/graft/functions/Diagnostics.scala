@@ -77,6 +77,42 @@ object Diagnostics {
     * Scale shape: ONE hash shuffle on `group` carries both rank
     * windows (per-partition sorts), then a per-group fold to two
     * integers. Output: (g, n, rho); n < 2 yields null rho. */
+  /** Null repair by per-group exact median — the imputation step of a
+    * feature/metric pipeline (mean imputation drags with outliers; the
+    * rank-pick median is robust AND engine-exact, q70's middle-element
+    * rule). Appends `<value>_imputed` (original where present, group
+    * median where null) and `<value>_was_null`.
+    *
+    * ONE hash shuffle on `group` carries everything: non-null rows
+    * rank ahead of nulls in the same window sort, the median is the
+    * `(cnt+1) div 2`-ranked non-null, and both the pick and the
+    * group-broadcast are analytic columns over the SAME partitioning —
+    * no join-back, no second scan. A group with no non-null values
+    * keeps its nulls (imputing from nothing is a caller policy).
+    */
+  def imputeGroupMedian(df: DataFrame, group: Column, value: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = df.columns.toSeq
+    val wG = Window.partitionBy(col("_g"))
+    val ranked = df
+      .withColumn("_g", group).withColumn("_v", value)
+      .withColumn("_tb", tieBreak)
+      .withColumn("_rn", row_number().over(
+        wG.orderBy(col("_v").isNull, col("_v"), col("_tb"))))
+      .withColumn("_cnt", count(col("_v")).over(wG))
+    val vName = "_v"
+    ranked
+      // `div` (integer), NOT `/` (double — an even group's 2.5 would
+      // match no rank and silently null the median)
+      .withColumn("_med", max(when(
+        col("_rn") === expr("(_cnt + 1) div 2") && col(vName).isNotNull,
+        col(vName))).over(wG))
+      .withColumn(s"imputed", coalesce(col(vName), col("_med")))
+      .withColumn(s"was_null", col(vName).isNull)
+      .select(cols.map(col) :+ col("imputed") :+ col("was_null"): _*)
+  }
+
   def spearman(df: DataFrame, group: Column, x: Column, y: Column,
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2006,6 +2006,52 @@ object RelationalQueries {
              |       THEN v.value END AS next_value
              |FROM c ASOF LEFT JOIN v
              |  ON c.user_id = v.user_id AND c.ts <= v.ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- null repair by per-group exact median (the imputation step
+    // of metric/feature pipelines): every 13th event's value is nulled
+    // in-plan, then repaired with its event type's rank-pick median —
+    // robust to outliers AND engine-exact in integer micro-units. ONE
+    // shuffle: rank, count, median pick, and the group broadcast are
+    // analytic columns over the same partitioning (no join-back) ----
+    QuerySpec("q136_impute_median",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            when(pmod(col("event_id"), lit(13)) === 0,
+              lit(null).cast("long"))
+              .otherwise(round(col("value") * 100).cast("long")).as("c"))
+        graft.functions.Diagnostics.imputeGroupMedian(ev,
+            col("event_type"), col("c"), col("event_id"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("was_null"), 1L).otherwise(0L)).as("n_imputed"),
+            sum(col("imputed")).as("sum_c"),
+            min(col("imputed")).as("min_c"),
+            max(col("imputed")).as("max_c"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 13 = 0 THEN NULL
+             |         ELSE CAST(round(value * 100) AS BIGINT) END AS c
+             |  FROM events),
+             |r AS (SELECT event_type, event_id, c,
+             |        row_number() OVER (PARTITION BY event_type
+             |          ORDER BY (c IS NULL), c, event_id) AS rn,
+             |        count(c) OVER (PARTITION BY event_type) AS cnt
+             |      FROM x),
+             |m AS (SELECT event_type, c,
+             |        max(CASE WHEN rn = (cnt + 1) // 2 AND c IS NOT NULL
+             |          THEN c END)
+             |          OVER (PARTITION BY event_type) AS med
+             |      FROM r)
+             |SELECT event_type,
+             |  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_imputed,
+             |  CAST(sum(coalesce(c, med)) AS BIGINT) AS sum_c,
+             |  CAST(min(coalesce(c, med)) AS BIGINT) AS min_c,
+             |  CAST(max(coalesce(c, med)) AS BIGINT) AS max_c
+             |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
