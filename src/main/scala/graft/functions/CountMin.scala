@@ -67,4 +67,30 @@ object CountMin {
     * group's keys (whole table when ungrouped). */
   def sketch(key: Column, width: Int): Column =
     udaf(new Sketch(width), Encoders.STRING)(key)
+
+  /** Merge STORED sketches (the [[sketch]] output doubles as the
+    * storable state — completing the shelf lifecycle alongside
+    * [[DistinctSketch]]/[[QuantileSketch]]/[[HeavyHitters]]): the
+    * combine is the same exactly-lossless elementwise sum, so
+    * estimates from merged per-slice states EQUAL the single-pass
+    * estimates, bit-for-bit (CountMinSpec pins the equality). */
+  final class SketchMerge(width: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new Sketch(width)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
+      inner.merge(buf, st)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Aggregate stored sketches → merged sketch. */
+  def mergeSketches(state: Column, width: Int): Column =
+    udaf(new SketchMerge(width),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())(state)
 }

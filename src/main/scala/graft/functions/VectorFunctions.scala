@@ -62,6 +62,40 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * embedding, the k most-similar corpus items with a DIFFERENT label
+    * — the negatives that actually teach the margin (random negatives
+    * are trivially far; "hard" ones sit near the decision boundary —
+    * the in-batch-negatives upgrade every published contrastive
+    * pipeline converges to).
+    *
+    * Same scale shape as [[bruteForceTopK]] (queries broadcast, corpus
+    * never shuffles, norms hoisted per-row) with the label-mismatch
+    * predicate IN the join condition, so same-label pairs never score.
+    * For corpora past brute force, feed the IVF/SRP candidate sets and
+    * re-rank with this on the survivors. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("qlabel"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlabel"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") &&
+          !(col("nlabel") <=> col("qlabel")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("nlabel").as("neighbor_label"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (d1 < d2) pair
     * with cosine >= threshold. All-pairs via broadcast-nested-loop —
     * the EXACT baseline, valid while one copy of the corpus broadcasts;

@@ -1896,7 +1896,41 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-             |FROM s GROUP BY 1 ORDER BY split""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---- hard-negative mining for contrastive training: for each
+    // query embedding, the top-3 most-similar corpus items with a
+    // DIFFERENT label — the boundary-adjacent negatives that teach the
+    // margin. Same twinned-oracle anchor as q22 (queries broadcast,
+    // corpus never shuffles, label mismatch in the JOIN condition);
+    // the scale path re-ranks IVF/SRP candidates with the same scorer ----
+    QuerySpec("q137_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.functions.VectorFunctions.hardNegatives(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            "label", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    e.label AS neighbor_label,
+             |    list_cosine_similarity(q.v, e.v) AS sim
+             |  FROM q CROSS JOIN e
+             |  WHERE e.vec_id != q.vec_id
+             |    AND e.label IS DISTINCT FROM q.label),
+             |r AS (
+             |  SELECT query_id, neighbor_id, neighbor_label,
+             |    row_number() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+             |      AS rank
+             |  FROM sc)
+             |SELECT query_id, rank, neighbor_id, neighbor_label
+             |FROM r WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

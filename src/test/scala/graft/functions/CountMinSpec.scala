@@ -52,4 +52,18 @@ class CountMinSpec extends SparkSpec {
     assert(CountMin.estimate(out("b"), "x") == 5)
     assert(CountMin.estimate(out("b"), "y") == 12)
   }
+
+  test("stored per-slice states merge to the single-pass sketch, bit-for-bit") {
+    val keys = (1 to 2000).map(i => s"k${i % 97}")
+    val direct = keys.toDF("k")
+      .agg(CountMin.sketch(col("k"), 64)).head.getSeq[Long](0).toArray
+    val viaStates = keys.zipWithIndex.map { case (k, i) => (i % 6, k) }
+      .toDF("slice", "k").repartition(11)
+      .groupBy(col("slice"))
+      .agg(CountMin.sketch(col("k"), 64).as("st"))
+      .agg(CountMin.mergeSketches(col("st"), 64))
+      .head.getSeq[Long](0).toArray
+    assert(viaStates.sameElements(direct),
+      "elementwise-sum merge must make state round-trips exactly lossless")
+  }
 }
