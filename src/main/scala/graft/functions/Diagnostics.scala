@@ -93,6 +93,8 @@ object Diagnostics {
   def imputeGroupMedian(df: DataFrame, group: Column, value: Column,
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("imputed") && !df.columns.contains("was_null"),
+      "column names imputed/was_null are reserved by imputeGroupMedian")
     val cols = df.columns.toSeq
     val wG = Window.partitionBy(col("_g"))
     val ranked = df

@@ -53,6 +53,7 @@ object DataAudit {
     * violations BIGINT`, one row per rule (unordered — gate queries
     * add their own orderBy). */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "audit rule names must be unique")
     val scalar = rules.filter(!_.isInstanceOf[RefIntegrity])
