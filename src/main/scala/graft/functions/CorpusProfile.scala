@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * exact median document length, short-document and language counts,
   * per slice (source / dump / shard).
   *
-  * Composition of the engine's own primitives, ONE corpus scan:
-  * doc-level metrics project once (the token ARRAY materializes once
-  * and feeds count, vocab, and language id), then two aggregations
-  * share it — a doc-level rollup (counts + exact rank-pick median
-  * over a window keyed by the slice) and a token-level vocabulary
-  * fold ([[DistinctSketch]] over codegen'd xxhash64 — register
-  * arrays shuffle, tokens don't). The two slice-keyed frames join at
-  * control-plane size.
+  * Composition of the engine's own primitives, TWO passes over the
+  * corpus — a doc-level rollup (counts + exact rank-pick median over
+  * a window keyed by the slice) and a token-level vocabulary fold
+  * ([[DistinctSketch]] over codegen'd xxhash64 — register arrays
+  * shuffle, tokens don't); within each pass the token array
+  * materializes once per doc and feeds every consumer. The two
+  * slice-keyed frames join at control-plane size. (A single-pass form
+  * would need one custom aggregator carrying per-doc maps AND HLL
+  * registers — heavier state for no shuffle saved; for a
+  * no-rescan regime use [[graft.streaming.StreamingProfile]], which
+  * pays its passes once per micro-batch and answers from states.)
   *
   * Exactness: every output is an integer; vocab is exact in the
   * sketch's sparse regime (gate scale) and a 1.6%-bounded estimate

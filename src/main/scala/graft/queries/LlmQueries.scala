@@ -1803,10 +1803,9 @@ object LlmQueries {
 
     // ---- per-source corpus profile (the "dataset card" table): doc
     // and token volumes, exact rank-pick median length, short-doc and
-    // language counts, vocabulary — ONE corpus scan; the token array
-    // materializes once and feeds count, vocab explode, and langId;
-    // the doc-level rollup and the HLL vocabulary fold join at
-    // control-plane size. All integers; vocab is sparse-exact at gate
+    // language counts, vocabulary — two corpus passes (doc rollup +
+    // vocabulary fold; the token array materializes once per doc
+    // within each), joined at control-plane size. All integers; vocab is sparse-exact at gate
     // scale, a 1.6%-bounded estimate past it — the honest 100 TB
     // number ----
     QuerySpec("q133_corpus_profile",

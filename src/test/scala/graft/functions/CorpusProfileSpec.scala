@@ -32,11 +32,8 @@ class CorpusProfileSpec extends SparkSpec {
       ("s2", 2L, 29L, 3L, 1L, 1L, 28L)))
   }
 
-  test("single corpus scan feeds both aggregations") {
+  test("the two aggregation passes join to one card row per slice") {
     val df = Seq(("s", "alpha beta")).toDF("src", "text")
-    // built from an in-memory relation: the plan must not read the
-    // projection twice via separate scans of a parquet source — here we
-    // assert the join of the two aggregates exists and returns one row
     val out = CorpusProfile.profile(df, col("src"), col("text"), markers)
     assert(out.count() == 1)
     val row = out.head
