@@ -679,7 +679,10 @@ object DedupFunctions {
     * on the span-content hash (span-count-sized, not corpus-sized), a
     * removal-interval join back to the documents, and a per-row
     * array rebuild — interval lists are per-doc and tiny, so the
-    * position filter is row-local work inside the scan stage.
+    * position filter is row-local work inside the scan stage. The
+    * word-array projection is consumed by three plan branches (span
+    * detection, content hashing, rebuild), so the input is READ three
+    * times — cache or checkpoint upstream when the scan dominates.
     */
   def scrubDuplicateSpans(
       docs: DataFrame,

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * referential rule is one LEFT join against the DISTINCT parent keys
   * (no row multiplication; Catalyst/AQE broadcasts the key set when it
   * is dimension-sized). Nothing here is per-row driver work; the audit
-  * of a 10^11-row table is exactly one scan plus one join per foreign
-  * key.
+  * of a 10^11-row table is one scan for ALL scalar rules, plus one
+  * child-side scan + join per foreign key.
   *
   * Semantics (pinned by DataAuditSpec and the q123 gate):
   *  - [[NotNull]]: violation when ANY listed column is null; checked =
