@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Irregular-sample time-series resampling: the two staples every
+  * metrics/markets pipeline reduces raw events to.
+  *
+  * Exactness discipline (the q138/q139 gates): values in integer
+  * micro-units, durations in integer MICROSECONDS, so every aggregate
+  * is exact 64-bit arithmetic; TWAP's single final divide takes two
+  * exact integers — bit-identical across engines, like the Spearman
+  * and median rules.
+  */
+object TimeSeries {
+
+  /** Time-weighted average: each sample holds its value until the next
+    * sample (step interpolation), so its weight is the gap to the
+    * successor; the LAST sample of a group carries no weight (no
+    * successor — the standard left-closed convention). Output per
+    * group: `(g, twap_num, twap_den, twap)` with num/den the exact
+    * integer sum of value×gap and gap (microseconds).
+    *
+    * Overflow guard: Σ value·gap peaks at max|value| × total span in
+    * µs; ANSI mode throws rather than wraps past 2^63 — scale the
+    * value units down for multi-year × 10^9-unit series.
+    *
+    * ONE shuffle on `g` carries the lead window and the fold. */
+  def twap(df: DataFrame, group: Column, value: Column, ts: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("_g")).orderBy(col("_t"), col("_tb"))
+    df.select(group.as("_g"), value.as("_v"),
+        unix_micros(ts).as("_t"), tieBreak.as("_tb"))
+      .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
+      .groupBy(col("_g"))
+      .agg(
+        sum(col("_v") * col("_gap")).as("twap_num"),
+        sum(col("_gap")).as("twap_den"))
+      .select(col("_g").as("g"), col("twap_num"), col("twap_den"),
+        when(coalesce(col("twap_den"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("twap_num").cast("double") /
+            col("twap_den").cast("double")).as("twap"))
+  }
+
+  /** OHLC bars: per (group, bucket) the opening value (first by time,
+    * tie-broken), closing value (last), high, low, and sample count —
+    * candlestick resampling. `min_by`/`max_by` on a `(time, tieBreak)`
+    * struct: ordinary aggregates, so map-side partial aggregation
+    * applies and NO window sort materializes (the row_number
+    * formulation sorts every bucket; this one merges candidates). */
+  def ohlc(df: DataFrame, group: Column, bucket: Column, value: Column,
+      ts: Column, tieBreak: Column): DataFrame = {
+    val ord = struct(col("_t"), col("_tb"))
+    df.select(group.as("g"), bucket.as("bucket"), value.as("_v"),
+        ts.as("_t"), tieBreak.as("_tb"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(
+        min_by(col("_v"), ord).as("open"),
+        max_by(col("_v"), ord).as("close"),
+        max(col("_v")).as("high"),
+        min(col("_v")).as("low"),
+        count(lit(1)).as("n"))
+  }
+}

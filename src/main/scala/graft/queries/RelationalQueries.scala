@@ -2052,6 +2052,72 @@ object RelationalQueries {
              |  CAST(sum(coalesce(c, med)) AS BIGINT) AS sum_c,
              |  CAST(min(coalesce(c, med)) AS BIGINT) AS min_c,
              |  CAST(max(coalesce(c, med)) AS BIGINT) AS max_c
-             |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- time-weighted average over irregular samples (step
+    // interpolation: each sample holds until its successor): value ×
+    // gap and gap fold to exact integer micro-unit × microsecond
+    // sums; the single final divide takes two exact integers —
+    // bit-identical cross-engine. One shuffle carries the lead window
+    // and the fold ----
+    QuerySpec("q138_twap",
+      (s, dir) => graft.functions.TimeSeries.twap(
+          t(s, dir, "events").select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"),
+            col("ts"), col("event_id")),
+          col("event_type"), col("c"), col("ts"), col("event_id"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH x AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             |    epoch_us(ts) AS t, event_id
+             |  FROM events),
+             |g AS (SELECT event_type, c,
+             |        lead(t) OVER (PARTITION BY event_type
+             |          ORDER BY t, event_id) - t AS gap
+             |      FROM x),
+             |a AS (SELECT event_type,
+             |        CAST(sum(c * gap) AS BIGINT) AS twap_num,
+             |        CAST(sum(gap) AS BIGINT) AS twap_den
+             |      FROM g GROUP BY event_type)
+             |SELECT event_type, twap_num, twap_den,
+             |  CASE WHEN coalesce(twap_den, 0) = 0 THEN NULL
+             |       ELSE CAST(twap_num AS DOUBLE) /
+             |            CAST(twap_den AS DOUBLE) END AS twap
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- OHLC candlestick bars per (type, day): open/close by
+    // min_by/max_by on the (ts, event_id) struct — ordinary aggregates
+    // with map-side partial aggregation, NO per-bucket window sort
+    // (the row_number formulation the oracle uses sorts every bucket;
+    // the engine side merges candidates) ----
+    QuerySpec("q139_ohlc",
+      (s, dir) => graft.functions.TimeSeries.ohlc(
+          t(s, dir, "events").select(col("event_type"), col("ts"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("c")),
+          col("event_type"), to_date(col("ts")), col("c"), col("ts"),
+          col("event_id"))
+        .withColumnRenamed("g", "event_type")
+        .withColumnRenamed("bucket", "day")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH x AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+             |  FROM events),
+             |r AS (SELECT event_type, day, c,
+             |        row_number() OVER (PARTITION BY event_type, day
+             |          ORDER BY ts, event_id) AS ra,
+             |        row_number() OVER (PARTITION BY event_type, day
+             |          ORDER BY ts DESC, event_id DESC) AS rd
+             |      FROM x)
+             |SELECT event_type, day,
+             |  CAST(max(CASE WHEN ra = 1 THEN c END) AS BIGINT) AS open,
+             |  CAST(max(CASE WHEN rd = 1 THEN c END) AS BIGINT) AS close,
+             |  CAST(max(c) AS BIGINT) AS high,
+             |  CAST(min(c) AS BIGINT) AS low,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM r GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TimeSeries resampling: hand-computed TWAP (step interpolation, last
+  * sample weightless), degenerate single-sample groups, and OHLC bar
+  * geometry with tie-broken open/close.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("TWAP: value holds until the next sample; last sample carries no weight") {
+    // g: 10 for 5s, 20 for 15s, (30 last, weightless)
+    // twap = (10*5 + 20*15) / 20 = 17.5
+    val rows = Seq(
+      ("g", 10L, ts(100), 1L), ("g", 20L, ts(105), 2L), ("g", 30L, ts(120), 3L))
+      .toDF("k", "c", "t", "id")
+    val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))
+      .as[(String, Option[Long], Option[Long], Option[Double])].collect().head
+    assert(out == (("g", Some(10L * 5000000L + 20L * 15000000L),
+      Some(20000000L), Some(17.5))))
+  }
+
+  test("TWAP: a single-sample group has null average (zero total weight)") {
+    val rows = Seq(("solo", 42L, ts(100), 1L)).toDF("k", "c", "t", "id")
+    val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))
+      .as[(String, Option[Long], Option[Long], Option[Double])].collect().head
+    assert(out._4.isEmpty && out._3.isEmpty)
+  }
+
+  test("TWAP: simultaneous samples tie-break deterministically (zero gap)") {
+    // two samples at t=100 (ids 1,2): first gets gap 0, second gap 10s
+    val rows = Seq(
+      ("g", 10L, ts(100), 1L), ("g", 99L, ts(100), 2L), ("g", 5L, ts(110), 3L))
+      .toDF("k", "c", "t", "id")
+    val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))
+      .as[(String, Option[Long], Option[Long], Option[Double])].collect().head
+    assert(out._2 == Some(99L * 10000000L) && out._4 == Some(99.0))
+  }
+
+  test("OHLC: open/close by time with id tie-break; high/low by value") {
+    val rows = Seq(
+      ("g", "d1", 50L, ts(100), 2L), ("g", "d1", 10L, ts(100), 1L), // open: id 1
+      ("g", "d1", 99L, ts(150), 3L),                                // high
+      ("g", "d1", 3L, ts(160), 4L),                                 // low
+      ("g", "d1", 70L, ts(200), 5L),                                // close
+      ("g", "d2", 7L, ts(300), 6L))
+      .toDF("k", "b", "c", "t", "id")
+    val out = TimeSeries.ohlc(rows, col("k"), col("b"), col("c"), col("t"),
+        col("id"))
+      .orderBy("bucket")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      ("g", "d1", 10L, 70L, 99L, 3L, 5L),
+      ("g", "d2", 7L, 7L, 7L, 7L, 1L)))
+  }
+}
