@@ -44,6 +44,32 @@ object TimeSeries {
             col("twap_den").cast("double")).as("twap"))
   }
 
+  /** One-sided CUSUM changepoint score over bucketed series — the
+    * classic drift detector (Page '54): S_t = max(0, S_{t−1} + (x_t −
+    * target)), alarm when S crosses a threshold. The recursion is
+    * non-associative, but it has a WINDOW-ONLY closed form:
+    *   S_t = P_t − min(0, min_{j≤t} P_j),  P = running Σ(x − target)
+    * so two cumulative windows over ONE shuffle compute it — no fold,
+    * no collect, exact 64-bit integers when x and target are integral
+    * (the q140 gate). Monitors ingest volumes, error rates, quality
+    * score counts — the pipeline-health twin of q76's value-level
+    * anomaly screen.
+    *
+    * Input: one row per (group, bucket) with the bucket measure `x`
+    * and the per-row `target` (pre-join a per-group baseline).
+    * Output: (g, bucket, x, cusum). */
+  def cusum(df: DataFrame, group: Column, bucket: Column, x: Column,
+      target: Column): DataFrame = {
+    val w = Window.partitionBy(col("_g")).orderBy(col("_b"))
+    df.select(group.as("_g"), bucket.as("_b"), x.as("_x"),
+        target.as("_k"))
+      .withColumn("_pref", sum(col("_x") - col("_k")).over(w))
+      .withColumn("cusum",
+        col("_pref") - least(lit(0L), min(col("_pref")).over(w)))
+      .select(col("_g").as("g"), col("_b").as("bucket"),
+        col("_x").as("x"), col("cusum"))
+  }
+
   /** OHLC bars: per (group, bucket) the opening value (first by time,
     * tie-broken), closing value (last), high, low, and sample count —
     * candlestick resampling. `min_by`/`max_by` on a `(time, tieBreak)`

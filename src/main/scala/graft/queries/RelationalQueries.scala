@@ -2118,6 +2118,54 @@ object RelationalQueries {
              |  CAST(min(c) AS BIGINT) AS low,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM r GROUP BY event_type, day
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- CUSUM drift detection on daily volumes (pipeline-health
+    // monitoring; q76's value-level twin at the series level): the
+    // non-associative Page recursion computed window-only via the
+    // prefix identity S_t = P_t − min(0, min P_≤t) — two cumulative
+    // windows on ONE shuffle, exact integers throughout. Target =
+    // per-type integer-mean daily volume; alarms where S > 20 ----
+    QuerySpec("q140_cusum",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val base = daily.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+          .withColumn("target", expr("sx div nd"))
+          .select(col("event_type"), col("target"))
+        val scored = graft.functions.TimeSeries.cusum(
+          daily.join(base, Seq("event_type")),
+          col("event_type"), col("day"), col("x"), col("target"))
+        scored.groupBy(col("g").as("event_type"))
+          .agg(
+            sum(when(col("cusum") > 20, 1L).otherwise(0L)).as("n_alarms"),
+            max(col("cusum")).as("max_s"),
+            min(when(col("cusum") > 20, col("bucket"))).as("first_alarm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |             CAST(count(*) AS BIGINT) AS x
+             |           FROM events GROUP BY 1, 2),
+             |k AS (SELECT event_type,
+             |        CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |          AS target
+             |      FROM d GROUP BY event_type),
+             |p AS (SELECT d.event_type, d.day, d.x,
+             |        CAST(sum(d.x - k.target) OVER (
+             |          PARTITION BY d.event_type ORDER BY d.day)
+             |          AS BIGINT) AS pref
+             |      FROM d JOIN k USING (event_type)),
+             |s AS (SELECT event_type, day,
+             |        pref - least(0, min(pref) OVER (
+             |          PARTITION BY event_type ORDER BY day)) AS cusum
+             |      FROM p)
+             |SELECT event_type,
+             |  CAST(sum(CASE WHEN cusum > 20 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_alarms,
+             |  CAST(max(cusum) AS BIGINT) AS max_s,
+             |  min(CASE WHEN cusum > 20 THEN day END) AS first_alarm
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -45,6 +45,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out._2 == Some(99L * 10000000L) && out._4 == Some(99.0))
   }
 
+  test("CUSUM window identity equals the recursive Page definition") {
+    // x - k deltas: +3, -5, +4, +2, -1, +6 with k=10
+    val xs = Seq(13L, 5L, 14L, 12L, 9L, 16L)
+    // recursive truth: S_t = max(0, S_{t-1} + delta)
+    val truth = xs.scanLeft(0L)((s, x) => math.max(0L, s + (x - 10L))).tail
+    val rows = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x, 10L) }
+      .toDF("k", "b", "x", "t")
+    val got = TimeSeries.cusum(rows, col("k"), col("b"), col("x"), col("t"))
+      .orderBy("bucket").select("cusum").as[Long].collect().toList
+    assert(got == truth.toList, s"window form must equal the recursion: $got vs $truth")
+    assert(truth == List(3L, 0L, 4L, 6L, 5L, 11L)) // sanity on the fixture
+  }
+
+  test("CUSUM: sustained negative drift pins the score at zero") {
+    val rows = (1 to 10).map(i => ("g", i.toLong, 1L, 5L)).toDF("k", "b", "x", "t")
+    val got = TimeSeries.cusum(rows, col("k"), col("b"), col("x"), col("t"))
+      .select("cusum").as[Long].collect().toSet
+    assert(got == Set(0L))
+  }
+
   test("OHLC: open/close by time with id tie-break; high/low by value") {
     val rows = Seq(
       ("g", "d1", 50L, ts(100), 2L), ("g", "d1", 10L, ts(100), 1L), // open: id 1
