@@ -58,6 +58,39 @@ object Diagnostics {
         max(col("med")).as("med"), max(col("mad")).as("mad"))
   }
 
+  /** Per-group Gini coefficient — the concentration/inequality profile
+    * of a distribution ("is this source's token mass a few giant docs
+    * or an even spread?"): 0 = perfectly even, →1 = one row holds
+    * everything. Data-balance diagnostics for corpus mixing: a source
+    * whose contribution is Gini-concentrated is one boilerplate giant,
+    * not a diverse corpus.
+    *
+    * Exact-integer discipline: with tie-broken ranks i = 1..n (asc by
+    * value) the classic estimator G = (2Σi·x − (n+1)Σx) / (n·Σx)
+    * folds to integer sums; only the FINAL divide is floating point,
+    * on two exact integers — bit-identical cross-engine (q141).
+    * Requires non-negative values (negative mass makes Gini
+    * undefined); n·Σx = 0 yields null.
+    *
+    * One shuffle on `group` carries the rank window and the fold;
+    * overflow guard: Σ i·x peaks at n·Σx (ANSI throws past 2^63). */
+  def gini(df: DataFrame, group: Column, value: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_tb"))
+    df.select(group.as("_g"), value.as("_v"), tieBreak.as("_tb"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"),
+        sum(col("_i") * col("_v")).as("_w"))
+      .select(col("_g").as("g"), col("n"), {
+        val num = lit(2L) * col("_w") - (col("n") + 1) * col("_s")
+        val den = col("n") * col("_s")
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double")).as("gini")
+      })
+  }
+
   /** Per-group Spearman rank correlation — the monotone-association
     * profile that survives outliers and nonlinearity (is `value`
     * drifting with time? does doc length track quality?). Ranks are

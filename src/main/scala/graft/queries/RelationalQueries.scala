@@ -2166,6 +2166,33 @@ object RelationalQueries {
              |    AS n_alarms,
              |  CAST(max(cusum) AS BIGINT) AS max_s,
              |  min(CASE WHEN cusum > 20 THEN day END) AS first_alarm
-             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- corpus-concentration Gini per source (data-balance
+    // diagnostic: is a source's character mass a few giant docs or an
+    // even spread?): tie-broken integer ranks make the classic
+    // estimator G = (2Σi·x − (n+1)Σx)/(n·Σx) a fold of exact integer
+    // sums with ONE final divide — bit-identical cross-engine, the
+    // q131/q138 discipline. One shuffle carries rank + fold ----
+    QuerySpec("q141_gini",
+      (s, dir) => graft.functions.Diagnostics.gini(
+          t(s, dir, "documents"), col("source"), col("n_chars"),
+          col("doc_id"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source")),
+      Some("""WITH r AS (
+             |  SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS i
+             |  FROM documents),
+             |a AS (SELECT source, count(*) AS n,
+             |        CAST(sum(n_chars) AS BIGINT) AS s,
+             |        CAST(sum(i * n_chars) AS BIGINT) AS w
+             |      FROM r GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n * s = 0 THEN NULL
+             |       ELSE CAST(2 * w - (n + 1) * s AS DOUBLE) /
+             |            CAST(n * s AS DOUBLE) END AS gini
+             |FROM a ORDER BY source""".stripMargin))
   )
 }

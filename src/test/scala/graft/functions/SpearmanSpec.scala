@@ -47,4 +47,29 @@ class SpearmanSpec extends SparkSpec {
     val got = rho(rows)
     assert(got("a").contains(1.0) && got("b").isEmpty)
   }
+
+  // ---- Gini --------------------------------------------------------
+
+  private def giniOf(rows: Seq[(String, Long, Long)]): Map[String, Option[Double]] =
+    Diagnostics.gini(rows.toDF("g", "v", "id"),
+        col("g"), col("v"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("gini: perfectly even is 0; total concentration approaches (n-1)/n") {
+    val even = (1 to 10).map(i => ("even", 7L, i.toLong))
+    val conc = (1 to 9).map(i => ("conc", 0L, i.toLong)) :+ (("conc", 1000L, 10L))
+    val got = giniOf(even ++ conc)
+    assert(got("even").contains(0.0))
+    assert(got("conc").contains(0.9), "one row holding all mass: (n-1)/n")
+  }
+
+  test("gini: hand-computed case and zero-mass null") {
+    // values 1,2,3,4: W = 1+4+9+16 = 30; G = (60 - 5*10)/(4*10) = 0.25
+    val rows = (1 to 4).map(i => ("h", i.toLong, i.toLong)) ++
+      Seq(("z", 0L, 1L), ("z", 0L, 2L))
+    val got = giniOf(rows)
+    assert(got("h").contains(0.25))
+    assert(got("z").isEmpty, "zero total mass has no defined concentration")
+  }
 }
