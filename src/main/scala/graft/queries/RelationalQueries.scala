@@ -2193,6 +2193,49 @@ object RelationalQueries {
              |  CASE WHEN n * s = 0 THEN NULL
              |       ELSE CAST(2 * w - (n + 1) * s AS DOUBLE) /
              |            CAST(n * s AS DOUBLE) END AS gini
-             |FROM a ORDER BY source""".stripMargin))
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- CEP first-match pattern (MATCH_RECOGNIZE-lite): per user,
+    // view → purchase within 12h with NO error strictly between —
+    // q68's funnel binds counts; this binds the MATCHED PAIR and
+    // enforces the negative guard. Composed from two forward as-of
+    // passes (earliest B in window, earliest C) + a row-local verdict:
+    // linear, no pair-space join, no state machine. The 12h window
+    // exercises all three paths at this SF (matched / no-B /
+    // guard-blocked) ----
+    QuerySpec("q142_cep_pattern",
+      (s, dir) => graft.operators.EventPattern.firstMatch(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          aType = "view", bType = "purchase", guardType = "error",
+          within = expr("INTERVAL 12 HOURS"))
+        .select(col("a_id"), col("user_id"),
+          when(col("matched"), col("b_id")).as("b_match"), col("matched"))
+        .orderBy(col("a_id")),
+      Some("""WITH v AS (SELECT event_id AS a_id, user_id, ts
+             |           FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts AS b_ts, max(event_id) AS b_id
+             |      FROM events WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts),
+             |e AS (SELECT user_id, ts AS c_ts
+             |      FROM events WHERE event_type = 'error'
+             |      GROUP BY user_id, ts),
+             |j1 AS (SELECT v.a_id, v.user_id, v.ts,
+             |         CASE WHEN p.b_ts IS NOT NULL
+             |                AND p.b_ts - v.ts <= INTERVAL 12 HOUR
+             |              THEN p.b_id END AS b_id,
+             |         CASE WHEN p.b_ts IS NOT NULL
+             |                AND p.b_ts - v.ts <= INTERVAL 12 HOUR
+             |              THEN p.b_ts END AS b_ts
+             |       FROM v ASOF LEFT JOIN p
+             |         ON v.user_id = p.user_id AND v.ts <= p.b_ts),
+             |j2 AS (SELECT j1.*, e.c_ts
+             |       FROM j1 ASOF LEFT JOIN e
+             |         ON j1.user_id = e.user_id AND j1.ts <= e.c_ts)
+             |SELECT a_id, user_id,
+             |  CASE WHEN b_id IS NOT NULL AND (c_ts IS NULL OR c_ts >= b_ts)
+             |       THEN b_id END AS b_match,
+             |  (b_id IS NOT NULL AND (c_ts IS NULL OR c_ts >= b_ts))
+             |    AS matched
+             |FROM j2 ORDER BY a_id""".stripMargin))
   )
 }
