@@ -2236,6 +2236,26 @@ object RelationalQueries {
              |       THEN b_id END AS b_match,
              |  (b_id IS NOT NULL AND (c_ts IS NULL OR c_ts >= b_ts))
              |    AS matched
-             |FROM j2 ORDER BY a_id""".stripMargin))
+             |FROM j2 ORDER BY a_id""".stripMargin)),
+
+    // ---- global running total (cumulative revenue curve) WITHOUT the
+    // single-partition window the naive SUM() OVER (ORDER BY) plans:
+    // GlobalPrefix range-partitions, runs the local prefix per task,
+    // and broadcast-joins control-plane-sized partition offsets — the
+    // distributed scan GlobalIndex uses for ranks, generalized to the
+    // sum monoid (GlobalPrefixSpec pins the reused-exchange shape).
+    // Exact integer micro-units end to end ----
+    QuerySpec("q143_running_total",
+      (s, dir) => graft.operators.GlobalPrefix.runningSum(
+          t(s, dir, "events").select(col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("c")),
+          Seq(col("ts"), col("event_id")), col("c"),
+          numPartitions = Some(8))
+        .select(col("event_id"), col("running"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             |    ORDER BY ts, event_id) AS BIGINT) AS running
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GlobalPrefix: the distributed running sum must equal the
+  * single-partition window truth, stay stable across runs, handle
+  * negative values and empty input, and keep both consumers on ONE
+  * reused range exchange.
+  */
+class GlobalPrefixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches SUM() OVER (ORDER BY) truth, multi-partition, with negatives") {
+    val df = spark.range(0, 1000).select(
+        ((col("id") * 7919) % 1000).as("k"),
+        (when(col("id") % 3 === 0, -1L).otherwise(1L) * (col("id") % 97))
+          .as("v"))
+      .repartition(7)
+    val got = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+        numPartitions = Some(8))
+      .select("k", "running").as[(Long, Long)].collect().toMap
+    val truth = df.select("k", "v").as[(Long, Long)].collect()
+      .sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .tail.toMap
+    assert(got.size == 1000)
+    truth.foreach { case (k, s) => assert(got(k) == s, s"k=$k") }
+  }
+
+  test("stable across repeated runs despite sampled boundaries") {
+    val df = spark.range(0, 400).select(
+      ((col("id") * 104729) % 400).as("k"), lit(1L).as("v")).repartition(5)
+    val a = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+      numPartitions = Some(6)).select("k", "running")
+      .as[(Long, Long)].collect().toSet
+    val b = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+      numPartitions = Some(6)).select("k", "running")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // with v=1 the running sum IS the 1-based rank
+    assert(a == (0L until 400L).map(k => k -> (k + 1)).toSet)
+  }
+
+  test("plan: the range exchange is reused; data windows keyed by _pid") {
+    val df = spark.range(0, 100).select(col("id").as("k"), lit(2L).as("v"))
+    val out = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+      numPartitions = Some(4))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"range exchange must be evaluated once:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("_pid")),
+      s"data window must be keyed by _pid:\n$plan")
+  }
+
+  test("empty input yields empty output with the column present") {
+    val out = GlobalPrefix.runningSum(Seq.empty[Long].toDF("k"),
+      Seq(col("k")), lit(1L))
+    assert(out.columns.contains("running") && out.count() == 0)
+  }
+}
