@@ -2256,6 +2256,35 @@ object RelationalQueries {
       Some("""SELECT event_id,
              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
              |    ORDER BY ts, event_id) AS BIGINT) AS running
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- score calibration: each event's percentile standing within
+    // its type's distribution — percent_rank (share strictly below)
+    // and cume_dist (share at-or-below), completing the analytic
+    // ranking family (q65 ntile / q110 rank / q102 frames). Both are
+    // ratios of exact integer ranks, so the doubles are bit-identical
+    // cross-engine; tie-broken by event_id for a total order ----
+    QuerySpec("q144_percentile_standing",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(round(col("value") * 100).cast("long"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .filter(pmod(col("event_id"), lit(17)) === 0) // thin the gate
+          .select(col("event_id"), col("event_type"), col("pr"), col("cd"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, event_type,
+             |    percent_rank() OVER (PARTITION BY event_type
+             |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             |      AS pr,
+             |    cume_dist() OVER (PARTITION BY event_type
+             |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             |      AS cd
+             |  FROM events)
+             |SELECT event_id, event_type, pr, cd
+             |FROM r WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin))
   )
 }
