@@ -1929,7 +1929,77 @@ object LlmQueries {
              |  FROM sc)
              |SELECT query_id, rank, neighbor_id, neighbor_label
              |FROM r WHERE rank <= 3
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- Cavnar–Trenkle n-gram language id (SDAIR '94) — the
+    // profile-based classifier real pipelines use where q24's marker
+    // heuristic is too coarse: char-trigram profiles (top-100, rank by
+    // count desc / gram asc) train on the labeled even-id half;
+    // odd-id docs classify by out-of-place distance (missing gram =
+    // 100) with language-ascending argmin tie-break. Gate pins the
+    // full confusion matrix + id_sum — every individual prediction,
+    // deterministically, on ANY data (the synthetic lang labels are
+    // content-independent, so accuracy is chance; determinism is the
+    // contract). Profiles are control-plane tables (cached: two
+    // consumers); the doc×lang distance grid is M×|langs| per doc ----
+    QuerySpec("q145_lang_profile",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seed = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val ev = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val profiles = graft.functions.LangProfile
+          .trainProfiles(seed, col("lang"), col("text"), k = 100).cache()
+        graft.functions.LangProfile
+          .classify(ev, "doc_id", col("text"), profiles, k = 100, m = 20)
+          .join(ev.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH seed AS (SELECT lang,
+             |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             |      AS n
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tg AS (SELECT lang, unnest(list_transform(
+             |         generate_series(1, greatest(len(n)-2, 0)),
+             |         i -> substr(n, i, 3))) AS gram FROM seed),
+             |pc AS (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+             |prof AS (SELECT lang, gram, CAST(rank AS BIGINT) AS rank FROM (
+             |           SELECT lang, gram, cnt, row_number() OVER (
+             |             PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+             |           FROM pc)
+             |         WHERE rank <= 100),
+             |ev AS (SELECT doc_id, lang AS true_lang,
+             |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+             |           'g')) AS n
+             |       FROM documents WHERE doc_id % 2 = 1),
+             |eg AS (SELECT doc_id, unnest(list_transform(
+             |         generate_series(1, greatest(len(n)-2, 0)),
+             |         i -> substr(n, i, 3))) AS gram FROM ev),
+             |dc AS (SELECT doc_id, gram, count(*) AS cnt
+             |       FROM eg GROUP BY 1, 2),
+             |dt AS (SELECT doc_id, gram, CAST(drank AS BIGINT) AS drank
+             |       FROM (SELECT doc_id, gram, cnt, row_number() OVER (
+             |               PARTITION BY doc_id ORDER BY cnt DESC, gram)
+             |               AS drank FROM dc)
+             |       WHERE drank <= 20),
+             |ls AS (SELECT DISTINCT lang FROM prof),
+             |dist AS (SELECT dt.doc_id, ls.lang,
+             |           CAST(sum(coalesce(abs(dt.drank - p.rank), 100))
+             |             AS BIGINT) AS dist
+             |         FROM dt CROSS JOIN ls
+             |         LEFT JOIN prof p
+             |           ON p.lang = ls.lang AND p.gram = dt.gram
+             |         GROUP BY dt.doc_id, ls.lang),
+             |pred AS (SELECT doc_id, lang AS pred FROM (
+             |           SELECT doc_id, lang, row_number() OVER (
+             |             PARTITION BY doc_id ORDER BY dist, lang) AS rn
+             |           FROM dist) WHERE rn = 1)
+             |SELECT e.true_lang AS lang, p.pred,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(e.doc_id) AS BIGINT) AS id_sum
+             |FROM pred p JOIN ev e ON p.doc_id = e.doc_id
+             |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
