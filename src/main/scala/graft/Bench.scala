@@ -127,14 +127,23 @@ object Bench {
     // candidates vs all-pairs, so the 100 TB pruning claim is auditable
     // from the artifact each round, not only inside
     // SemanticDedupScaleSpec. Outside the timed window.
-    val aux =
-      try graft.queries.LlmQueries.semanticPruningAux(spark, sfDir)
-        .toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val auxMap =
+      try Some(graft.queries.LlmQueries.semanticPruningAux(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] pruning aux failed: ${e.getMessage}")
-        """{"error":true}"""
+        None
       }
+    val aux = auxMap.map(_.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"))
+      .getOrElse("""{"error":true}""")
+    // compact twin: same numbers, 2-3 char keys for the tail budget
+    val auxShortKey = Map("q71_cand" -> "c71", "q72_cand" -> "c72",
+      "sem_all_pairs" -> "ap", "sem_n" -> "n")
+    val auxCompact = auxMap.map(_.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + auxShortKey.getOrElse(k, k) + "\":" + v }
+        .mkString("{", ",", "}"))
+      .getOrElse("""{"error":true}""")
     // in-memory transport throughput (BASELINE.md headline: GoChannel
     // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
     // (full, compact) forms: same numbers, long keys for the evidence
@@ -145,7 +154,7 @@ object Bench {
         val f = graft.streaming.StreamingBench.runFile(spark)
         val s = graft.streaming.StreamingBench.runSql(spark)
         (f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f}""",
-          f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"file_pub":${f.publishMsgsPerSec}%.0f,"file_sub":${f.subscribeMsgsPerSec}%.0f,"sql_pub":${s.publishMsgsPerSec}%.0f,"sql_sub":${s.subscribeMsgsPerSec}%.0f}""")
+          f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         ("""{"error":true}""", """{"error":true}""")
@@ -188,8 +197,8 @@ object Bench {
     System.err.flush()
 
     println(Bench.compactLine(results, failed, total, extraPass,
-      medianPairRatio, contaminated, aux, streamingCompact, loadAvg, nCpu,
-      sfDir))
+      medianPairRatio, contaminated, auxCompact, streamingCompact, loadAvg,
+      nCpu, sfDir))
     Console.out.flush()
     spark.stop()
   }
@@ -211,8 +220,9 @@ object Bench {
         "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
           s"%.${decimals}f".format(v)
       }.mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').last // full path lives in BENCH_FULL.json
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfShort","full":"BENCH_FULL.json","queries":$qs}"""
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin
     val two = line(qsJson(2))

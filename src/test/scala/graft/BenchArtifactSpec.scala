@@ -33,9 +33,9 @@ class BenchArtifactSpec extends AnyFunSuite {
     // (2x-regression headroom on the slowest observed query)
     val results = names.map(_ -> 9.99)
     val streaming =
-      """{"pub":5615072,"sub":392980,"file_pub":87881,"file_sub":355519,"sql_pub":11987,"sql_sub":40922}"""
+      """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922}"""
     val aux =
-      """{"q71_cand":99999,"q72_cand":999999,"sem_all_pairs":99999999,"sem_n":99999}"""
+      """{"c71":99999,"c72":999999,"ap":99999999,"n":99999}"""
     val line = Bench.compactLine(results, failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
       aux = aux, streaming = streaming, loadAvg = 9.99, nCpu = 32,
