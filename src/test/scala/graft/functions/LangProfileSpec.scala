@@ -61,4 +61,27 @@ class LangProfileSpec extends SparkSpec {
       "doc_id", col("text"), profiles, 10, 5)
     assert(got.select("doc_id").as[Long].collect().toList == List(2L))
   }
+
+  test("trained profiles serve per-batch classification identically to batch mode") {
+    // the streaming serving pattern: profiles are a control-plane table
+    // trained ONCE (cache it), then every micro-batch classifies
+    // against the same broadcast — per-batch results must equal the
+    // batch classification of the concatenation (classification is
+    // per-doc, so batching cannot change any verdict)
+    val seed = ((1 to 15).map(i => ("alpha", s"aba bab ba$i")) ++
+      (1 to 15).map(i => ("beta", s"xyx yxy yx$i"))).toDF("lang", "text")
+    val profiles = LangProfile.trainProfiles(seed, col("lang"), col("text"), 50)
+      .cache()
+    val b1 = Seq((1L, "ababab"), (2L, "xyxyxy")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "bababa"), (4L, "yxyxyx")).toDF("doc_id", "text")
+    def preds(df: org.apache.spark.sql.DataFrame) =
+      LangProfile.classify(df, "doc_id", col("text"), profiles, 50, 10)
+        .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    val perBatch = preds(b1) ++ preds(b2)
+    val batchMode = preds(b1.unionByName(b2))
+    profiles.unpersist()
+    assert(perBatch == batchMode)
+    assert(perBatch == Map(1L -> "alpha", 2L -> "beta",
+      3L -> "alpha", 4L -> "beta"))
+  }
 }
