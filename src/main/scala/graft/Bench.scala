@@ -224,8 +224,15 @@ object Bench {
     def line(qs: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfShort","full":"BENCH_FULL.json","queries":$qs}"""
     // the capture window is ~2000 chars and includes sbt's trailing
-    // "[success] Total time: …" line (~80 chars); 1880 leaves margin
+    // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
+    // Degradation ladder: 2-decimal seconds, then 1, then whole
+    // seconds — precision yields before ANY per-query number falls off
+    // the line
     val two = line(qsJson(2))
-    if (two.length <= 1880) two else line(qsJson(1))
+    if (two.length <= 1880) two
+    else {
+      val one = line(qsJson(1))
+      if (one.length <= 1880) one else line(qsJson(0))
+    }
   }
 }

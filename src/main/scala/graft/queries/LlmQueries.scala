@@ -1999,7 +1999,59 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(e.doc_id) AS BIGINT) AS id_sum
              |FROM pred p JOIN ev e ON p.doc_id = e.doc_id
-             |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin)),
+
+    // ---- vocabulary growth curve (Heaps' law points): per source the
+    // distinct-token count after the first 10/25/50 docs in id order —
+    // the diversity-saturation diagnostic (a source whose curve goes
+    // flat early is template spam however many docs it ships; pairs
+    // with q141's Gini). Exact integers: each token maps to its FIRST
+    // containing doc's rank (min over one groupBy), then the curve is
+    // a conditional count — no running distinct, no window over
+    // tokens ----
+    QuerySpec("q146_vocab_growth",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ranks = docs.select(col("source"), col("doc_id"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("doc_id"))))
+        val first = docs
+          .select(col("source"), col("doc_id"),
+            explode(array_distinct(TextFunctions.tokens(col("text"))))
+              .as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        first.join(ranks, Seq("source", "doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("v10"),
+            sum(when(col("rk") <= 25, 1L).otherwise(0L)).as("v25"),
+            sum(when(col("rk") <= 50, 1L).otherwise(0L)).as("v50"),
+            count(lit(1)).as("v_all"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH ranks AS (
+             |  SELECT source, doc_id, row_number() OVER (
+             |    PARTITION BY source ORDER BY doc_id) AS rk
+             |  FROM documents),
+             |tok AS (SELECT source, doc_id, unnest(list_distinct(
+             |          regexp_extract_all(lower(text), '[a-z0-9]+')))
+             |          AS tok
+             |        FROM documents),
+             |first AS (SELECT source, tok, min(doc_id) AS doc_id
+             |          FROM tok GROUP BY source, tok)
+             |SELECT f.source,
+             |  CAST(sum(CASE WHEN r.rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS v10,
+             |  CAST(sum(CASE WHEN r.rk <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS v25,
+             |  CAST(sum(CASE WHEN r.rk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS v50,
+             |  CAST(count(*) AS BIGINT) AS v_all
+             |FROM first f JOIN ranks r
+             |  ON f.source = r.source AND f.doc_id = r.doc_id
+             |GROUP BY f.source ORDER BY f.source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
