@@ -56,6 +56,11 @@ object DedupFunctions {
     * are built positionally from the signature array (element_at is
     * 1-based), never via collect_list, so they are deterministic. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, k: Int, r: Int): DataFrame = {
+    // k must split evenly into bands: integer division would silently
+    // drop the trailing k % r signature elements, quietly lowering
+    // candidate recall below what the configured k implies
+    require(r > 0 && k % r == 0,
+      s"signature length k=$k must be a positive multiple of band rows r=$r")
     val nBands = k / r
     df.select(col(idCol), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
@@ -92,21 +97,18 @@ object DedupFunctions {
     // so the self-join form recomputed the signatures up to 4×.
     // The size cap is the skew guard (boilerplate buckets) and bounds
     // the per-bucket pair blow-up at maxBucket². Collection is CAPPED
-    // at the aggregation buffer (BoundedCollectLong): a degenerate
-    // bucket of millions of members costs O(maxBucket) memory, never a
+    // at the aggregation buffer (BoundedCollect): a degenerate bucket
+    // of millions of members costs O(maxBucket) memory, never a
     // non-spillable multi-million-element collect_list that the size
-    // filter would discard anyway. Integral ids collect via the capped
-    // path; other id types fall back to collect_list (uncapped buffer).
-    val idIsIntegral = {
-      import org.apache.spark.sql.types._
-      bands.schema(idCol).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      }
-    }
+    // filter would discard anyway. Integral ids collect as longs;
+    // every other id type is cast to string and collected via the
+    // capped string collector (so d1/d2 come back as strings for
+    // non-integral, non-string ids — documented, and the common
+    // uuid-string case is unchanged).
     val memberAgg =
-      if (idIsIntegral) BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
-      else collect_list(col(idCol))
+      if (idIsIntegralType(bands, idCol))
+        BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
+      else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
     val buckets = bands.groupBy(col("band"), col("band_key"))
       .agg(memberAgg.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
@@ -376,7 +378,7 @@ object DedupFunctions {
     val members =
       if (idIsIntegralType(chunks, idCol))
         BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
-      else collect_list(col(idCol))
+      else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
     chunks.groupBy(col("chunk"), col("key"))
       .agg(members.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
@@ -407,7 +409,14 @@ object DedupFunctions {
     * At 100 TB each round is one shuffle of the (persisted) edge list
     * plus one label-sized self-join; labels never leave the cluster.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** @param strict when true, throw `IllegalStateException` if the
+    *   round cap is hit before the labels reach a fixed point —
+    *   unconverged labels under-merge clusters, and downstream
+    *   [[keepers]] would silently keep extra "duplicates". Default
+    *   false preserves the lenient log-and-return behavior for
+    *   exploratory use; production dedup pipelines should pass true. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10,
+      strict: Boolean = false): DataFrame = {
     // undirected edge list + self-loops (so singletons keep their id
     // and every node appears even when it only shows up as d2).
     // PERSISTED: every propagation round joins against it — without
@@ -497,10 +506,17 @@ object DedupFunctions {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
+    if (!converged) {
+      if (strict) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"dupClusters: round cap $maxIter hit before convergence — " +
+            "labels are partial (clusters under-merged); raise maxIter")
+      }
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: round cap $maxIter hit before convergence — " +
           "labels may be partial; raise maxIter")
+    }
     // After ≥1 round `labels` is a checkpointed leaf, so the working
     // edge list can be released — without this every call leaks one
     // persisted edge list for the session's lifetime. The degenerate
@@ -530,8 +546,9 @@ object DedupFunctions {
 
   /** Keeper selection over [[dupClusters]]: one row per cluster with
     * the canonical (minimum-id) keeper and the cluster size. */
-  def keepers(pairs: DataFrame, maxIter: Int = 10): DataFrame =
-    dupClusters(pairs, maxIter)
+  def keepers(pairs: DataFrame, maxIter: Int = 10,
+      strict: Boolean = false): DataFrame =
+    dupClusters(pairs, maxIter, strict)
       .groupBy(col("cluster_id"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cluster_size"))
 

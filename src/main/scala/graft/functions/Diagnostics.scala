@@ -126,8 +126,17 @@ object Diagnostics {
   def imputeGroupMedian(df: DataFrame, group: Column, value: Column,
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(!df.columns.contains("imputed") && !df.columns.contains("was_null"),
-      "column names imputed/was_null are reserved by imputeGroupMedian")
+    // Unlike the select-first helpers below (twap/gini/spearman project
+    // into a fresh schema, so their internal names can't collide), this
+    // one appends working columns to the ORIGINAL frame and re-selects
+    // the caller's columns at the end — an input column named like an
+    // internal would be silently overwritten and returned corrupted.
+    // Guard all of them, mirroring Merge/TableDiff's reserved names.
+    val reserved = Seq("imputed", "was_null", "_g", "_v", "_tb", "_rn",
+      "_cnt", "_med")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by imputeGroupMedian")
     val cols = df.columns.toSeq
     val wG = Window.partitionBy(col("_g"))
     val ranked = df

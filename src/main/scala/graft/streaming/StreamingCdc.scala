@@ -53,8 +53,8 @@ final class StreamingCdc(
     val old = path(stateDir + ".old")
     if (!fs.exists(live)) {
       if (fs.exists(next) && fs.exists(path(stateDir + ".next/_SUCCESS")))
-        fs.rename(next, live)
-      else if (fs.exists(old)) fs.rename(old, live)
+        GenerationSwap.renameOrThrow(fs, next, live)
+      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
     }
   }
 
@@ -99,14 +99,13 @@ final class StreamingCdc(
         whenNotMatchedInsert = Some(lit(true)))
     }
 
-    // atomic generation swap: .next is complete before live is touched
+    // atomic generation swap: .next is complete before live is touched;
+    // every rename/delete is CHECKED (GenerationSwap) so a false return
+    // fails the batch for retry instead of silently keeping the old
+    // generation live while the stream checkpoint advances
     val next = stateDir + ".next"
-    val old = stateDir + ".old"
-    fs.delete(path(next), true)
+    GenerationSwap.deleteIfExists(fs, path(next))
     merged.write.mode("overwrite").parquet(next)
-    fs.delete(path(old), true)
-    if (fs.exists(path(stateDir))) fs.rename(path(stateDir), path(old))
-    fs.rename(path(next), path(stateDir))
-    fs.delete(path(old), true)
+    GenerationSwap.promote(fs, stateDir)
   }
 }

@@ -45,9 +45,9 @@ final class StreamingProfile(
     val live = path(stateDir)
     if (!fs.exists(live)) {
       if (fs.exists(path(stateDir + ".next/_SUCCESS")))
-        fs.rename(path(stateDir + ".next"), live)
+        GenerationSwap.renameOrThrow(fs, path(stateDir + ".next"), live)
       else if (fs.exists(path(stateDir + ".old")))
-        fs.rename(path(stateDir + ".old"), live)
+        GenerationSwap.renameOrThrow(fs, path(stateDir + ".old"), live)
     }
   }
 
@@ -105,14 +105,12 @@ final class StreamingProfile(
             vocabSparseMax).as("vocab_st"),
           max(col("batch_id")).as("batch_id"))
     }
+    // checked swap (GenerationSwap): a false rename/delete fails the
+    // batch for retry instead of silently dropping its counts
     val next = stateDir + ".next"
-    val old = stateDir + ".old"
-    fs.delete(path(next), true)
+    GenerationSwap.deleteIfExists(fs, path(next))
     merged.write.mode("overwrite").parquet(next)
-    fs.delete(path(old), true)
-    if (fs.exists(path(stateDir))) fs.rename(path(stateDir), path(old))
-    fs.rename(path(next), path(stateDir))
-    fs.delete(path(old), true)
+    GenerationSwap.promote(fs, stateDir)
   }
 
   /** The dataset card over everything folded so far: (slice, n_docs,

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Guardrails added in round 11 (advisor findings): misconfiguration
+  * and degenerate-input paths must fail loudly or stay bounded, never
+  * silently corrupt results.
+  */
+class GuardrailsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("lshBands rejects a signature length that does not split into bands") {
+    val df = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L))).toDF("doc_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      DedupFunctions.lshBands(df, "doc_id", "sig", k = 5, r = 2)
+    }
+    assert(e.getMessage.contains("multiple"))
+    // and the valid split still works
+    assert(DedupFunctions.lshBands(df, "doc_id", "sig", k = 4, r = 2)
+      .count() == 2)
+  }
+
+  test("minhashCandidates with STRING ids uses the bounded collector and still finds planted dups") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill and birds sing in the garden trees"
+    val rows = Seq(
+      "doc-a" -> base,
+      "doc-b" -> base, // exact dup of doc-a
+      "doc-c" -> ("completely different content about database engines and " +
+        "columnar storage with vectorized execution and distributed joins"))
+    val cands = DedupFunctions.minhashCandidates(
+      rows.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, k = 16, r = 4, portable = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cands.contains(("doc-a", "doc-b")))
+    assert(!cands.exists { case (a, b) => a == "doc-c" || b == "doc-c" })
+  }
+
+  test("bounded string collector caps the buffer at limit + 1") {
+    val df = (0 until 100).map(i => ("hot", s"id-$i")).toDF("k", "id")
+    val sizes = df.groupBy(col("k"))
+      .agg(BoundedCollect.strings(col("id"), 10).as("m"))
+      .select(size(col("m"))).collect().map(_.getInt(0))
+    assert(sizes.sameElements(Array(11))) // limit + 1 marks "over cap"
+  }
+
+  test("imputeGroupMedian rejects input columns that collide with internal names") {
+    val df = Seq((1, 2.0, 3, 9L)).toDF("g", "v", "_rn", "id")
+    val e = intercept[IllegalArgumentException] {
+      Diagnostics.imputeGroupMedian(df, col("g"), col("v"), col("id"))
+    }
+    assert(e.getMessage.contains("_rn"))
+  }
+
+  test("dupClusters strict mode throws when the round cap is hit before convergence") {
+    // path graph 0-1-2-...-9: min-label must travel 9 hops; with
+    // pointer doubling one round reaches distance ~2, so maxIter = 1
+    // cannot converge
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      DedupFunctions.dupClusters(pairs, maxIter = 1, strict = true).collect()
+    }
+    // non-strict still returns (possibly partial) labels for the same cap
+    assert(DedupFunctions.dupClusters(pairs, maxIter = 1).count() == 10)
+    // and an adequate cap converges to one cluster under strict
+    val labels = DedupFunctions.dupClusters(pairs, maxIter = 10, strict = true)
+      .select(col("cluster_id")).distinct().collect()
+    assert(labels.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("GenerationSwap surfaces rename/delete failures instead of returning") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap-").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // promote with no .next present must throw (local FS throws FNF
+    // itself; HDFS-style filesystems return false, which the wrapper
+    // converts — either way the failure surfaces instead of returning)
+    intercept[java.io.IOException] {
+      graft.streaming.GenerationSwap.promote(fs, dir + "/state")
+    }
+    // deleteIfExists on a missing path is a quiet no-op
+    graft.streaming.GenerationSwap.deleteIfExists(fs, new Path(dir + "/nope"))
+    // and a real promote works: write .next, promote, read back
+    fs.mkdirs(new Path(dir + "/state.next"))
+    fs.create(new Path(dir + "/state.next/part-0")).close()
+    graft.streaming.GenerationSwap.promote(fs, dir + "/state")
+    assert(fs.exists(new Path(dir + "/state/part-0")))
+    assert(!fs.exists(new Path(dir + "/state.next")))
+    assert(!fs.exists(new Path(dir + "/state.old")))
+  }
+}
