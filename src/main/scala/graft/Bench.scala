@@ -148,17 +148,85 @@ object Bench {
     // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
     // (full, compact) forms: same numbers, long keys for the evidence
     // file, short keys sized for the compact stdout line's 2KB budget
+    // each path runs TWICE (StreamingBench.paired): best-of-2 rates +
+    // per-metric pair ratios + a streaming contamination verdict, the
+    // same defense the batch passes carry — without it the r10 12-24%
+    // streaming dip vs r9 was unattributable between load and code
     val (streaming, streamingCompact) =
       try {
-        val m = graft.streaming.StreamingBench.run(spark)
-        val f = graft.streaming.StreamingBench.runFile(spark)
-        val s = graft.streaming.StreamingBench.runSql(spark)
-        (f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f}""",
-          f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f}""")
+        // tiny warmup per path first: pass 1 of a cold path pays JIT +
+        // classloading, which would masquerade as a ~1.3-1.5x pair
+        // ratio and pollute the contamination verdict (observed: warm
+        // memory path paired at 1.01-1.06, cold file/sql at 1.3-1.5)
+        graft.streaming.StreamingBench.run(spark, nBatches = 2, perBatch = 2000)
+        graft.streaming.StreamingBench.runFile(spark, nBatches = 2, perBatch = 2000)
+        graft.streaming.StreamingBench.runSql(spark, nBatches = 2, perBatch = 500)
+        val m = graft.streaming.StreamingBench.paired(
+          graft.streaming.StreamingBench.run(spark))
+        val f = graft.streaming.StreamingBench.paired(
+          graft.streaming.StreamingBench.runFile(spark))
+        val s = graft.streaming.StreamingBench.paired(
+          graft.streaming.StreamingBench.runSql(spark))
+        graft.streaming.StreamingBench.evidenceJson(m, f, s)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         ("""{"error":true}""", """{"error":true}""")
       }
+    // ---- scale ladder (per-query scaling exponents) ----
+    // The 100 TB claims rest on plan-shape specs; this is the empirical
+    // slope behind them. The 10 most expensive queries (by min-of-pass
+    // seconds this run) re-run at every testdata scale factor and the
+    // artifact reports the log-log slope between the two largest SFs:
+    //   exponent = log(t_big / t_small) / log(sf_big / sf_small)
+    // ~1 = linear scaling, ~0 = overhead-dominated (too small to
+    // measure), >>1 = the super-linear scale-killer that sf0.1 alone
+    // cannot see (SURVEY §7.4.6's design rule made measurable). Times
+    // are min-of-2 warm at the smaller SFs; the bench SF reuses this
+    // run's min-of-passes. Outside the timed window.
+    val ladder = try {
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
+        .filter { case (d, _) => java.nio.file.Files.isDirectory(parent.resolve(d)) }
+      val benchSf = sfDir.split('/').last
+      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+      if (sfs.size < 2 || !sfs.exists(_._1 == benchSf)) None
+      else Some(top.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = sfs.map { case (d, sf) =>
+          if (d == benchSf) sf -> results.find(_._1 == name).get._2
+          else {
+            val dir = parent.resolve(d).toString
+            val ts = (0 until 2).map { _ =>
+              spark.catalog.clearCache()
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+              val t0 = System.nanoTime()
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            sf -> ts.min
+          }
+        }
+        val Seq((sfA, tA), (sfB, tB)) = times.takeRight(2)
+        val exp = math.log(tB / tA) / math.log(sfB / sfA)
+        (name, times.map(_._2), exp)
+      })
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
+      None
+    }
+    val scaleLadderJson = ladder.map(_.map { case (n, ts, e) =>
+      "\"" + n + "\":{\"times\":" +
+        ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
+        f""","exponent":$e%.2f}"""
+    }.mkString("{", ",", "}")).getOrElse("""{"error":true}""")
+    // compact line carries the top-5 exponents (tail budget: all 10
+    // with 2-decimal seconds would overflow the capture window); the
+    // full 10-query ladder with raw times is in BENCH_FULL.json
+    val scaleExpCompact = ladder.map(_.take(5).map { case (n, _, e) =>
+      "\"" + n.takeWhile(_ != '_').stripPrefix("q") + f"""\":$e%.2f"""
+    }.mkString("{", ",", "}")).getOrElse("""{"error":true}""")
+
     // machine-load context: 1-minute OS load average (and CPU count)
     // so a contaminated run is visible IN the artifact — r5/r6 both
     // recorded numbers later falsified as co-tenant load noise
@@ -183,7 +251,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -197,8 +265,8 @@ object Bench {
     System.err.flush()
 
     println(Bench.compactLine(results, failed, total, extraPass,
-      medianPairRatio, contaminated, auxCompact, streamingCompact, loadAvg,
-      nCpu, sfDir))
+      medianPairRatio, contaminated, auxCompact, streamingCompact,
+      scaleExpCompact, loadAvg, nCpu, sfDir))
     Console.out.flush()
     spark.stop()
   }
@@ -207,11 +275,24 @@ object Bench {
     * short query keys, 2-decimal seconds, bulky per-pass evidence left
     * to BENCH_FULL.json. Factored out so BenchArtifactSpec can pin the
     * size budget and key uniqueness without running the benchmark. */
+  /** Oracle-anchor queries: by-design-expensive all-pairs/degenerate
+    * regimes kept ONLY to anchor the correctness of the pruned
+    * production paths (q44 exact all-pairs twin, q49 low-threshold SRP
+    * composition anchor, q58 its k-means twin). Flagged in both
+    * artifact forms so perf tracking separates them from production
+    * paths — at r10 these three were 12% of total bench wall and would
+    * otherwise dominate drift alerts as the registry grows. */
+  private[graft] val anchorQueries: Seq[String] =
+    Seq("q44_semantic_dedup", "q49_semantic_dedup_scale",
+      "q58_semantic_dedup_kmeans")
+  private[graft] def anchorsJson: String =
+    anchorQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   private[graft] def compactLine(
       results: Seq[(String, Double)], failed: String, total: Double,
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
-      aux: String, streaming: String, loadAvg: Double, nCpu: Int,
-      sfDir: String): String = {
+      aux: String, streaming: String, scaleExp: String, loadAvg: Double,
+      nCpu: Int, sfDir: String): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -221,8 +302,14 @@ object Bench {
           s"%.${decimals}f".format(v)
       }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last // full path lives in BENCH_FULL.json
+    // bookkeeping keys compressed for the tail budget (long forms in
+    // BENCH_FULL.json): ep = extra_pass, mpr = median_pair_ratio,
+    // sx = scale-ladder exponents (top 5; all 10 + raw times in the
+    // full file), load = load_avg_1m, cpu = n_cpu. "contaminated" and
+    // the driver-contract fields (metric/value/unit/queries) keep
+    // their full names.
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfShort","full":"BENCH_FULL.json","queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"ep":$extraPass,"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"sx":$scaleExp,"load":$loadAvg%.2f,"cpu":$nCpu,"sf":"$sfShort","queries":$qs}"""
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
     // Degradation ladder: 2-decimal seconds, then 1, then whole

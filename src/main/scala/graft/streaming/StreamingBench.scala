@@ -20,6 +20,55 @@ object StreamingBench {
       messages: Long, batches: Int,
       publishMsgsPerSec: Double, subscribeMsgsPerSec: Double)
 
+  /** Two passes of one transport path: best-of-2 per metric plus the
+    * max/min pair ratio per metric — the same contamination defense
+    * the batch side has carried since r7 (min-of-2 + pair ratios).
+    * A transient co-tenant spike depresses one pass but almost never
+    * both, so best-of-2 reports the path's capability and the ratio
+    * records how much the passes disagreed; sustained load shows up
+    * as a high MEDIAN ratio across all paths (the r10 12–24 % dip vs
+    * r9 was unattributable precisely because this evidence was
+    * missing from the streaming section). */
+  final case class Paired(
+      messages: Long, batches: Int,
+      publishMsgsPerSec: Double, subscribeMsgsPerSec: Double,
+      pubPairRatio: Double, subPairRatio: Double,
+      passes: Seq[Result])
+
+  def paired(f: => Result): Paired = {
+    val a = f; val b = f
+    def ratio(x: Double, y: Double): Double =
+      if (math.min(x, y) <= 0) Double.PositiveInfinity
+      else math.max(x, y) / math.min(x, y)
+    Paired(a.messages, a.batches,
+      math.max(a.publishMsgsPerSec, b.publishMsgsPerSec),
+      math.max(a.subscribeMsgsPerSec, b.subscribeMsgsPerSec),
+      ratio(a.publishMsgsPerSec, b.publishMsgsPerSec),
+      ratio(a.subscribeMsgsPerSec, b.subscribeMsgsPerSec),
+      Seq(a, b))
+  }
+
+  /** (full, compact) streaming-evidence JSON for the three transport
+    * paths. Pure string builders so StreamingBenchSpec pins the key
+    * set, the ratio arithmetic, and the contamination rule without
+    * running the transports. Verdict rule: the MEDIAN of the six
+    * per-metric pair ratios > 1.5 — a single-path transient keeps the
+    * median clean, while machine-wide load that touched most passes
+    * trips it, telling the consumer not to bank the absolute rates. */
+  def evidenceJson(m: Paired, f: Paired, s: Paired): (String, String) = {
+    val ratios = Seq(m.pubPairRatio, m.subPairRatio, f.pubPairRatio,
+      f.subPairRatio, s.pubPairRatio, s.subPairRatio).sorted
+    val median = ratios(ratios.size / 2)
+    val contaminated = median > 1.5
+    def passJson(p: Paired, sel: Result => Double): String =
+      p.passes.map(r => f"${sel(r)}%.0f").mkString("[", ",", "]")
+    val full =
+      f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f,"pair_ratios":{"pub":${m.pubPairRatio}%.2f,"sub":${m.subPairRatio}%.2f,"file_pub":${f.pubPairRatio}%.2f,"file_sub":${f.subPairRatio}%.2f,"sql_pub":${s.pubPairRatio}%.2f,"sql_sub":${s.subPairRatio}%.2f},"passes":{"pub":${passJson(m, _.publishMsgsPerSec)},"sub":${passJson(m, _.subscribeMsgsPerSec)},"file_pub":${passJson(f, _.publishMsgsPerSec)},"file_sub":${passJson(f, _.subscribeMsgsPerSec)},"sql_pub":${passJson(s, _.publishMsgsPerSec)},"sql_sub":${passJson(s, _.subscribeMsgsPerSec)}},"median_pair_ratio":$median%.2f,"contaminated":$contaminated}"""
+    val compact =
+      f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f,"spr":$median%.2f,"sc":$contaminated}"""
+    (full, compact)
+  }
+
   /** Durable (file/parquet) transport throughput — the analogue of the
     * reference's SQL-transport rows (README.md:159-160, 2.8k–9.5k
     * msg/s): publish = parquet appends, subscribe = streaming file
@@ -69,8 +118,12 @@ object StreamingBench {
   def runSql(spark: SparkSession, nBatches: Int = 5, perBatch: Int = 4000): Result = {
     import org.apache.spark.sql.functions.{col, count, length, sum}
     import spark.implicits._
+    // unique in-memory DB per invocation: paired passes must not see
+    // each other's rows (a fixed name would double the second pass's
+    // backlog and fail its delivery check)
+    val db = s"graftbench${System.nanoTime()}"
     val ps = new graft.sources.SqlPubSub(spark,
-      "jdbc:derby:memory:graftbench;create=true", pollIntervalMs = 10,
+      s"jdbc:derby:memory:$db;create=true", pollIntervalMs = 10,
       pollPageSize = 50000)
     try {
       ps.subscribeInitialize("bench")

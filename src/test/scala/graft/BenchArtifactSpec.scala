@@ -33,17 +33,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     // (2x-regression headroom on the slowest observed query)
     val results = names.map(_ -> 9.99)
     val streaming =
-      """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922}"""
+      """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922,"spr":1.23,"sc":false}"""
     val aux =
       """{"c71":99999,"c72":999999,"ap":99999999,"n":99999}"""
+    // top-5 scale exponents ride the compact line (one with a negative
+    // sign as the width worst case); all 10 + raw times in BENCH_FULL
+    val sx = """{"49":0.82,"58":-0.95,"97":1.10,"48":0.88,"107":1.02}"""
     val line = Bench.compactLine(results, failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
-      aux = aux, streaming = streaming, loadAvg = 9.99, nCpu = 32,
-      sfDir = "/root/testdata/sf0.1")
-    assert(line.length <= 1900,
+      aux = aux, streaming = streaming, scaleExp = sx, loadAvg = 9.99,
+      nCpu = 32, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1880,
       s"compact line ${line.length} chars — will be front-truncated in the 2KB tail")
     // the evidence the verdict audits must be ON the line
     assert(line.contains("\"contaminated\":false"))
+    assert(line.contains("\"mpr\":1.23"))
+    assert(line.contains("\"sx\":{\"49\":0.82"))
     assert(line.contains("\"queries\":{\"01\":9.99"))
     assert(line.endsWith("}"))
     // and it must parse as one JSON object (no stray quotes/braces):
@@ -51,6 +56,16 @@ class BenchArtifactSpec extends AnyFunSuite {
     // quotes even, single top-level object
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("anchor list names real registry queries (by-design-expensive oracle anchors)") {
+    // BENCH_FULL.json's "anchors" field separates designed-degenerate
+    // correctness anchors (all-pairs twins) from production paths in
+    // perf tracking; a renamed query must not silently orphan the flag
+    assert(Bench.anchorQueries.nonEmpty)
+    Bench.anchorQueries.foreach(a =>
+      assert(SparkEntry.queries.contains(a), s"anchor $a not in registry"))
+    assert(Bench.anchorsJson.startsWith("[\"q44"))
   }
 
   test("compact line degrades to 1-decimal seconds rather than exceed the budget") {
@@ -61,6 +76,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     val line = Bench.compactLine(results, failed = "[]", total = 14444.352,
       extraPass = true, medianPairRatio = 9.99, contaminated = true,
       aux = """{"error":true}""", streaming = """{"error":true}""",
+      scaleExp = """{"error":true}""",
       loadAvg = 32.0, nCpu = 32, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1900,
       s"fallback line ${line.length} chars — still over the capture window")

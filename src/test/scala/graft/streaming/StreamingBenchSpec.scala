@@ -9,4 +9,47 @@ class StreamingBenchSpec extends SparkSpec {
     assert(r.batches == 10)
     assert(r.publishMsgsPerSec > 0 && r.subscribeMsgsPerSec > 0)
   }
+
+  test("paired takes best-of-2 per metric and records the pair ratios") {
+    var n = 0
+    val p = StreamingBench.paired {
+      n += 1
+      if (n == 1) StreamingBench.Result(100, 2, 1000.0, 400.0)
+      else StreamingBench.Result(100, 2, 500.0, 800.0)
+    }
+    assert(n == 2)
+    assert(p.publishMsgsPerSec == 1000.0 && p.subscribeMsgsPerSec == 800.0)
+    assert(p.pubPairRatio == 2.0 && p.subPairRatio == 2.0)
+    assert(p.passes.size == 2)
+  }
+
+  test("evidenceJson carries pair ratios and a median-based contamination verdict") {
+    def pr(pub: Double, sub: Double, pubR: Double, subR: Double) =
+      StreamingBench.Paired(100, 2, pub, sub, pubR, subR,
+        Seq(StreamingBench.Result(100, 2, pub / pubR, sub / subR),
+          StreamingBench.Result(100, 2, pub, sub)))
+    // clean run: ratios near 1 -> not contaminated
+    val (fullClean, compactClean) = StreamingBench.evidenceJson(
+      pr(5e6, 4e5, 1.05, 1.10), pr(9e4, 3e5, 1.02, 1.20), pr(1e4, 4e4, 1.01, 1.30))
+    assert(fullClean.contains("\"contaminated\":false"))
+    assert(fullClean.contains("\"pair_ratios\":{"))
+    assert(fullClean.contains("\"passes\":{"))
+    assert(compactClean.contains("\"sc\":false"))
+    assert(compactClean.contains("\"spr\":"))
+    // sustained load: most metrics scattered >1.5x -> contaminated,
+    // even though one path stayed clean (median rule)
+    val (fullDirty, compactDirty) = StreamingBench.evidenceJson(
+      pr(5e6, 4e5, 2.1, 1.9), pr(9e4, 3e5, 1.8, 2.4), pr(1e4, 4e4, 1.05, 1.7))
+    assert(fullDirty.contains("\"contaminated\":true"))
+    assert(compactDirty.contains("\"sc\":true"))
+    // one-path transient: a single wild ratio keeps the median clean
+    val (_, compactSingle) = StreamingBench.evidenceJson(
+      pr(5e6, 4e5, 9.0, 1.1), pr(9e4, 3e5, 1.0, 1.1), pr(1e4, 4e4, 1.1, 1.2))
+    assert(compactSingle.contains("\"sc\":false"))
+    // structural: both forms are balanced single JSON objects
+    Seq(fullClean, compactClean, fullDirty, compactDirty).foreach { j =>
+      assert(j.count(_ == '{') == j.count(_ == '}'))
+      assert(j.count(_ == '"') % 2 == 0)
+    }
+  }
 }
