@@ -73,20 +73,26 @@ object DedupFunctions {
     * at least one LSH band. The self-join shuffles on (band, band_key)
     * — at 100 TB the band key is the partitioner, and hot buckets
     * (boilerplate docs) are the skew risk; cap with `maxBucket`. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, r: Int, portable: Boolean,
-      maxBucket: Int = 1000): DataFrame = {
-    // two-step projection: words materialize once, THEN shingle — the
-    // HOF lambda must capture an attribute, not the split tree (see
-    // TextFunctions.shinglesFromWords perf note). The empty-doc guard
-    // filters on size(w) >= n (equivalent to size(shingles) > 0 but
-    // CHEAP): a filter on the shingle array would be pushed below the
-    // projection and re-evaluate the whole HOF expression per row.
+  /** The full doc→signature pipeline: words materialize once, THEN
+    * shingle — the HOF lambda must capture an attribute, not the split
+    * tree (see TextFunctions.shinglesFromWords perf note). The
+    * empty-doc guard filters on size(w) >= n (equivalent to
+    * size(shingles) > 0 but CHEAP): a filter on the shingle array
+    * would be pushed below the projection and re-evaluate the whole
+    * HOF expression per row. */
+  private def minhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, portable: Boolean): DataFrame = {
     val sh = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col(idCol), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
     val hashed = sh.select(col(idCol), baseHashes(col("s"), portable).as("hs"))
-    val sig = hashed.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    hashed.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, r: Int, portable: Boolean,
+      maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k, portable)
     val bands = lshBands(sig, idCol, "sig", k, r)
     // The signature subtree (k hashes × shingles per doc — the
     // expensive part) is referenced EXACTLY ONCE: one shuffle groups
@@ -117,6 +123,85 @@ object DedupFunctions {
       .select(col("d1"), explode(col("members")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** The durable MinHash band index of a corpus slice: one
+    * (band, band_key, id) row per band of each doc's signature, with
+    * over-cap buckets REMOVED at build time (a bucket larger than
+    * `maxBucket` is boilerplate — the same skew rationale as
+    * [[minhashCandidates]], applied once when the index is built so
+    * every later lookup against it is bounded).
+    *
+    * This is the persisted half of INCREMENTAL dedup (the restartable
+    * batch form of [[graft.streaming.StreamingNearDup]]): write this
+    * relation out partitioned/bucketed by (band, band_key), append
+    * each accepted slice's bands, and dedup new slices via
+    * [[incrementalCandidates]] — the accepted corpus's TEXT is never
+    * re-scanned, only its kilobyte-per-doc band rows are joined. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, r: Int, portable: Boolean,
+      maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k, portable)
+    val bands = lshBands(sig, idCol, "sig", k, r)
+    // build-time cap: count members per bucket over THIS slice and
+    // drop over-cap buckets entirely. Window-count over one (band,
+    // band_key) shuffle — no join-back, no second scan of the bands.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    bands.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket)
+      .select(col("band"), col("band_key"), col(idCol))
+  }
+
+  /** Incremental near-dup candidates for a NEW slice against a FROZEN
+    * stored band index (plus within the slice itself): the production
+    * shape of continuous-ingestion dedup. Returns distinct (d1 < d2)
+    * pairs where at least one side is a new doc; the other side is
+    * either an already-accepted doc (matched through the stored index
+    * — its text is NEVER read) or an earlier doc of the same slice.
+    *
+    * Scale shape: the new slice is shingled/hashed ONCE into capped
+    * band rows ([[minhashBandIndex]] build rules, so both sides of
+    * every bucket are bounded); new-vs-old candidates come from ONE
+    * equi-join on (band, band_key) — with the index stored bucketed by
+    * band_key, only the new slice's bands move; new-vs-new candidates
+    * reuse the grouped-bucket pair generation. The new bands relation
+    * MATERIALIZES EAGERLY (localCheckpoint): it has two consumers
+    * (index join + self-pairs) which would otherwise re-run the whole
+    * shingle/hash pipeline per reference, and the materialized rows
+    * are exactly what a caller appends to the stored index after
+    * accepting the slice — so the returned frame's plan provably
+    * contains NO document-text scan (PlanShapeSpec pins this).
+    *
+    * `index` must carry (band, band_key, `idCol`) with the SAME
+    * (shingleN, k, r, portable, maxBucket) configuration it was built
+    * with — band keys are positional in the signature, so mixed
+    * configurations silently miss candidates.
+    */
+  def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, k: Int, r: Int,
+      portable: Boolean, maxBucket: Int = 1000): DataFrame = {
+    val nb = minhashBandIndex(newDocs, idCol, textCol, shingleN, k, r,
+      portable, maxBucket)
+      .localCheckpoint(true)
+    val oldPairs = nb
+      .join(index.select(col("band"), col("band_key"),
+        col(idCol).as("_acc_id")), Seq("band", "band_key"))
+      .filter(col("_acc_id") =!= col(idCol))
+      .select(least(col(idCol), col("_acc_id")).as("d1"),
+        greatest(col(idCol), col("_acc_id")).as("d2"))
+    val memberAgg =
+      if (idIsIntegralType(nb, idCol))
+        BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
+      else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
+    val newPairs = nb.groupBy(col("band"), col("band_key"))
+      .agg(memberAgg.as("members"))
+      .filter(size(col("members")) >= 2) // build cap already bounds size
+      .select(explode(col("members")).as("d1"), col("members"))
+      .select(col("d1"), explode(col("members")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    oldPairs.unionByName(newPairs).distinct()
   }
 
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the

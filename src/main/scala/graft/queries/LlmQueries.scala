@@ -2051,7 +2051,82 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS v_all
              |FROM first f JOIN ranks r
              |  ON f.source = r.source AND f.doc_id = r.doc_id
-             |GROUP BY f.source ORDER BY f.source""".stripMargin))
+             |GROUP BY f.source ORDER BY f.source""".stripMargin)),
+
+    // ---- incremental dedup against a FROZEN corpus band index: the
+    // production shape of q20/q31 for continuous ingestion (the
+    // restartable batch twin of streaming.StreamingNearDup). The old
+    // slice's bands persist to parquet; the new slice (incl. planted
+    // exact clones of OLD docs at +10M ids — cross-slice dups MUST be
+    // caught) is shingled/hashed once and joins the stored index on
+    // (band, band_key) — the accepted corpus's text is never re-read
+    // (plan-pinned in PlanShapeSpec: the second job's scans are the
+    // index parquet + the new slice only). Oracle mirrors the q20
+    // pipeline with per-slice build caps ----
+    QuerySpec("q147_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(60)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-q147-idx-").toString
+        DedupFunctions.minhashBandIndex(old, "doc_id", "text",
+            shingleN = 3, k = 12, r = 2, portable = true)
+          .write.mode("overwrite").parquet(idxDir)
+        DedupFunctions.incrementalCandidates(fresh, s.read.parquet(idxDir),
+            "doc_id", "text", shingleN = 3, k = 12, r = 2, portable = true)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, 0 AS is_new FROM documents
+             |  WHERE doc_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text, 1 FROM documents
+             |  WHERE doc_id % 60 = 1),
+             |w AS (SELECT doc_id, is_new, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |sh AS (SELECT doc_id, is_new, list_distinct(list_transform(
+             |         generate_series(1, len(w) - 2),
+             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM w WHERE len(w) >= 3),
+             |hs AS (SELECT doc_id, is_new, list_transform(s, tk ->
+             |         CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+             |           & 1073741823) AS hs
+             |       FROM sh),
+             |sig AS (SELECT doc_id, is_new,
+             |          list_transform(generate_series(0, 11), i ->
+             |            list_min(list_transform(hs, h ->
+             |              ((1000003*i + 12289) * h + (7919*i + 104729))
+             |                % 2147483647))) AS sig
+             |        FROM hs),
+             |bands AS (SELECT doc_id, is_new, bb AS band,
+             |            sig[2*bb + 1]::VARCHAR || '_' ||
+             |              sig[2*bb + 2]::VARCHAR AS band_key
+             |          FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |oldk AS (SELECT * FROM (
+             |           SELECT b.*, count(*) OVER (
+             |             PARTITION BY band, band_key) AS n
+             |           FROM bands b WHERE is_new = 0) WHERE n <= 1000),
+             |newk AS (SELECT * FROM (
+             |           SELECT b.*, count(*) OVER (
+             |             PARTITION BY band, band_key) AS n
+             |           FROM bands b WHERE is_new = 1) WHERE n <= 1000),
+             |op AS (SELECT least(n.doc_id, o.doc_id) AS d1,
+             |         greatest(n.doc_id, o.doc_id) AS d2
+             |       FROM newk n JOIN oldk o USING (band, band_key)
+             |       WHERE n.doc_id <> o.doc_id),
+             |np AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+             |       FROM newk x JOIN newk y
+             |         ON x.band = y.band AND x.band_key = y.band_key
+             |        AND y.doc_id > x.doc_id)
+             |SELECT DISTINCT CAST(d1 AS BIGINT) AS d1,
+             |  CAST(d2 AS BIGINT) AS d2
+             |FROM (SELECT * FROM op UNION ALL SELECT * FROM np)
+             |ORDER BY d1, d2""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental near-dup dedup against a frozen stored band index
+  * (`minhashBandIndex` / `incrementalCandidates`) — the restartable
+  * batch form of continuous-ingestion dedup: only the new slice is
+  * scanned; the accepted corpus participates through its persisted
+  * (band, band_key, doc_id) rows.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val baseA = "the quick brown fox jumps over the lazy dog while " +
+    "the cat sleeps on the warm windowsill and birds sing in the garden"
+  private val baseB = "distributed query engines shuffle data between " +
+    "executors using hash partitioning and broadcast small dimension tables"
+  private val unrelated = "completely different content about baking bread " +
+    "with sourdough starter and long slow fermentation in a dutch oven"
+
+  private def bands(rows: (Long, String)*) =
+    DedupFunctions.minhashBandIndex(rows.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, k = 16, r = 4, portable = false)
+
+  private def cands(newRows: Seq[(Long, String)],
+      index: org.apache.spark.sql.DataFrame) =
+    DedupFunctions.incrementalCandidates(newRows.toDF("doc_id", "text"),
+      index, "doc_id", "text", shingleN = 3, k = 16, r = 4,
+      portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cross-slice duplicates are caught through the index; unrelated docs are not") {
+    val index = bands(1L -> baseA, 2L -> baseB)
+    val got = cands(Seq(10L -> baseA, 11L -> unrelated), index)
+    assert(got.contains((1L, 10L)), "new clone of an accepted doc must pair")
+    assert(!got.exists { case (a, b) => a == 11L || b == 11L },
+      "unrelated new doc must not pair")
+  }
+
+  test("within-slice duplicates are caught without any index hit") {
+    val index = bands(1L -> baseB)
+    val got = cands(Seq(20L -> baseA, 21L -> baseA), index)
+    assert(got.contains((20L, 21L)), "new-vs-new dup must pair")
+    assert(!got.exists { case (a, b) => a == 1L || b == 1L })
+  }
+
+  test("append lifecycle: a grown index catches dups against every accepted slice") {
+    // slice 1 accepted -> index1; slice 2 dedups against index1, is
+    // accepted, its bands APPEND; slice 3 must catch dups vs BOTH
+    // earlier slices without any re-scan of their text (only band rows
+    // participate)
+    val idx1 = bands(1L -> baseA)
+    val slice2 = Seq(30L -> baseB)
+    assert(cands(slice2, idx1).isEmpty)
+    val idx2 = idx1.unionByName(bands(slice2: _*))
+    val got = cands(Seq(40L -> baseA, 41L -> baseB), idx2)
+    assert(got.contains((1L, 40L)), "dup vs slice-1 doc missed")
+    assert(got.contains((30L, 41L)), "dup vs slice-2 doc missed")
+  }
+
+  test("build-time cap drops boilerplate buckets from the index") {
+    // 1200 identical docs -> every band bucket is over the default
+    // 1000 cap -> the index build drops them entirely
+    val boiler = (0L until 1200L).map(i => (i, baseA))
+    val idx = DedupFunctions.minhashBandIndex(boiler.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, k = 16, r = 4, portable = false)
+    assert(idx.count() == 0, "over-cap buckets must not enter the index")
+    // and a sub-cap corpus keeps all its bands (4 bands per doc)
+    val small = bands(1L -> baseA, 2L -> baseB)
+    assert(small.count() == 8)
+  }
+
+  test("pair set matches the one-shot candidate generator on the combined corpus") {
+    // incremental(old -> index, new) must equal the minhashCandidates
+    // pairs of old ∪ new, minus the old-vs-old pairs — the invariant
+    // that makes incremental ingestion equivalent to periodic full
+    // re-dedup
+    val old = Seq(1L -> baseA, 2L -> baseB, 3L -> unrelated)
+    val fresh = Seq(10L -> baseA, 11L -> baseB, 12L -> (baseA + " extra"))
+    val inc = cands(fresh, bands(old: _*))
+    val full = DedupFunctions.minhashCandidates(
+        (old ++ fresh).toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, k = 16, r = 4, portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldIds = old.map(_._1).toSet
+    val expected = full.filterNot { case (a, b) =>
+      oldIds.contains(a) && oldIds.contains(b)
+    }
+    assert(inc == expected,
+      s"missing: ${expected -- inc}; extra: ${inc -- expected}")
+  }
+}

@@ -123,4 +123,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins == 1, s"diff must be exactly one outer join, got $joins:\n$p")
     assert(!p.contains("Window"), s"no window in the diff path:\n$p")
   }
+
+  test("q147 incremental dedup: the frozen corpus is read ONLY through the stored band index") {
+    // the correctness precondition of continuous-ingestion dedup: the
+    // incremental job's plan may scan documents only for the NEW slice
+    // (its two union branches) and touches the accepted corpus solely
+    // via the persisted (band, band_key, doc_id) parquet — whose scan
+    // must not read text
+    val p = plan("q147_incremental_dedup")
+    // the new slice's bands materialize eagerly (they're the rows a
+    // caller appends to the index), so the incremental plan contains
+    // NO document-text scan at all — old OR new
+    assert(countOf(p, "documents.parquet") == 0,
+      s"the incremental job must consume only band rows, never text:\n$p")
+    assert(p.contains("graft-q147-idx"),
+      s"the stored band index must appear as a scan:\n$p")
+    val idxLines = p.linesIterator.filter(_.contains("graft-q147-idx")).toSeq
+    assert(idxLines.nonEmpty && idxLines.forall(!_.contains("text")),
+      s"the index scan must never read document text:\n${idxLines.mkString("\n")}")
+  }
 }
