@@ -111,18 +111,60 @@ object DedupFunctions {
     // capped string collector (so d1/d2 come back as strings for
     // non-integral, non-string ids — documented, and the common
     // uuid-string case is unchanged).
+    bandPairs(bands, idCol, maxBucket)
+  }
+
+  /** Distinct (d1 < d2) pairs sharing a band bucket: ONE shuffle
+    * groups bucket members through the capped collector, intra-bucket
+    * pairs come from a double explode. Shared by every banded
+    * candidate generator (minhash, incremental, estimates) — see the
+    * single-plan-reference rationale in [[minhashCandidates]]. */
+  private def bandPairs(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
     val memberAgg =
       if (idIsIntegralType(bands, idCol))
         BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
       else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
-    val buckets = bands.groupBy(col("band"), col("band_key"))
+    bands.groupBy(col("band"), col("band_key"))
       .agg(memberAgg.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
-    buckets
       .select(explode(col("members")).as("d1"), col("members"))
       .select(col("d1"), explode(col("members")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** LSH candidates WITH the signature-agreement Jaccard estimate —
+    * the verify half that completes the MinHash pipeline (candidates →
+    * estimate → threshold): est(J) = agree/k where `agree` counts
+    * matching signature positions. Emitted as the EXACT integer
+    * `agree` (gate on `agree >= ceil(t*k)`, never on the double) —
+    * the integer-rational threshold discipline.
+    *
+    * Scale shape: signatures materialize ONCE (localCheckpoint — three
+    * consumers: banding and both join sides; k longs per doc, the rows
+    * an index build would persist anyway); candidate pairs come from
+    * [[bandPairs]]' one grouped shuffle; the estimate is two hash
+    * joins carrying k-long arrays plus a row-local zip_with fold —
+    * never a shingle-set intersection (the full sets stay unshuffled).
+    */
+  def minhashEstimates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, r: Int, portable: Boolean,
+      maxBucket: Int = 1000, minAgree: Int = 0): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k, portable)
+      .localCheckpoint(true)
+    val pairs = bandPairs(lshBands(sig, idCol, "sig", k, r), idCol, maxBucket)
+    pairs
+      .join(sig.select(col(idCol).cast("long").as("d1"), col("sig").as("_s1")),
+        Seq("d1"))
+      .join(sig.select(col(idCol).cast("long").as("d2"), col("sig").as("_s2")),
+        Seq("d2"))
+      .withColumn("agree", aggregate(
+        zip_with(col("_s1"), col("_s2"),
+          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a + b))
+      .filter(col("agree") >= minAgree)
+      .select(col("d1"), col("d2"), col("agree"))
   }
 
   /** The durable MinHash band index of a corpus slice: one
@@ -190,17 +232,7 @@ object DedupFunctions {
       .filter(col("_acc_id") =!= col(idCol))
       .select(least(col(idCol), col("_acc_id")).as("d1"),
         greatest(col(idCol), col("_acc_id")).as("d2"))
-    val memberAgg =
-      if (idIsIntegralType(nb, idCol))
-        BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
-      else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
-    val newPairs = nb.groupBy(col("band"), col("band_key"))
-      .agg(memberAgg.as("members"))
-      .filter(size(col("members")) >= 2) // build cap already bounds size
-      .select(explode(col("members")).as("d1"), col("members"))
-      .select(col("d1"), explode(col("members")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
+    val newPairs = bandPairs(nb, idCol, maxBucket)
     oldPairs.unionByName(newPairs).distinct()
   }
 

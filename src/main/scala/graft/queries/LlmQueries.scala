@@ -2126,7 +2126,122 @@ object LlmQueries {
              |SELECT DISTINCT CAST(d1 AS BIGINT) AS d1,
              |  CAST(d2 AS BIGINT) AS d2
              |FROM (SELECT * FROM op UNION ALL SELECT * FROM np)
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- MinHash similarity ESTIMATES — the verify half that
+    // completes the LSH pipeline (q20 stops at candidates; real dedup
+    // thresholds them): est(J) = agree/k with `agree` the EXACT
+    // integer count of matching signature positions, gated at
+    // agree >= 6 (est >= 0.5 at k = 12) — integer-rational threshold,
+    // never a double compare. Signatures materialize once and feed
+    // banding + both estimate-join sides; full shingle sets never
+    // shuffle (the q19 exact join intersects sets; this path carries
+    // 12 longs per doc) ----
+    QuerySpec("q149_minhash_estimate",
+      (s, dir) => DedupFunctions.minhashEstimates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 12, r = 2, portable = true, minAgree = 6)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(w) - 2),
+             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM w WHERE len(w) >= 3),
+             |hs AS (SELECT doc_id, list_transform(s, tk ->
+             |         CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+             |           & 1073741823) AS hs
+             |       FROM sh),
+             |sig AS (SELECT doc_id,
+             |          list_transform(generate_series(0, 11), i ->
+             |            list_min(list_transform(hs, h ->
+             |              ((1000003*i + 12289) * h + (7919*i + 104729))
+             |                % 2147483647))) AS sig
+             |        FROM hs),
+             |bands AS (SELECT doc_id, bb AS band,
+             |            sig[2*bb + 1]::VARCHAR || '_' ||
+             |              sig[2*bb + 2]::VARCHAR AS band_key
+             |          FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (SELECT band, band_key, count(*) AS n
+             |          FROM bands GROUP BY 1, 2),
+             |kept AS (SELECT b.* FROM bands b
+             |         JOIN sized s USING (band, band_key)
+             |         WHERE s.n <= 1000),
+             |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |          FROM kept x JOIN kept y
+             |            ON x.band = y.band AND x.band_key = y.band_key
+             |           AND y.doc_id > x.doc_id),
+             |est AS (SELECT p.d1, p.d2,
+             |          CAST(len(list_filter(generate_series(1, 12),
+             |            i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS agree
+             |        FROM pairs p
+             |        JOIN sig s1 ON s1.doc_id = p.d1
+             |        JOIN sig s2 ON s2.doc_id = p.d2)
+             |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+             |  agree
+             |FROM est WHERE agree >= 6 ORDER BY d1, d2""".stripMargin)),
+
+    // ---- PII redaction gate: the scrub action + audit counts over a
+    // corpus with PLANTED PII (the synthetic docs carry none, so the
+    // plant — emails / dotted quads / phone-ish runs keyed off doc_id
+    // — is constructed identically in both engines; q122's in-plan
+    // synthesis precedent). Patterns are the RE2/Java-portable forms
+    // from TextFunctions (EmailPattern/Ipv4Pattern/PhonePattern);
+    // counts are exact integers and the redacted text is pinned by
+    // md5. Pure regexp chain riding the scan — no shuffle before the
+    // gate's sort ----
+    QuerySpec("q150_pii_redact",
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .withColumn("t2", concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(lit(" contact agent"), col("doc_id"),
+                lit("@mail.example.com now"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 3,
+              concat(lit(" call 555-01"), pmod(col("doc_id"), lit(100)),
+                lit("-4242 today"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 5,
+              concat(lit(" host 10.0."), pmod(col("doc_id"), lit(250)),
+                lit(".17 up"))).otherwise(lit(""))))
+        planted
+          .select(col("doc_id"),
+            TextFunctions.piiCounts(col("t2")).as("c"),
+            md5(TextFunctions.redactPii(col("t2"))).as("redacted_md5"))
+          .select(col("doc_id"), col("c.n_email").cast("long").as("n_email"),
+            col("c.n_ip").cast("long").as("n_ip"),
+            col("c.n_phone").cast("long").as("n_phone"),
+            col("redacted_md5"))
+          .filter(col("n_email") + col("n_ip") + col("n_phone") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' contact agent' ||
+             |      doc_id || '@mail.example.com now' ELSE '' END ||
+             |    CASE WHEN doc_id % 11 = 3 THEN ' call 555-01' ||
+             |      (doc_id % 100) || '-4242 today' ELSE '' END ||
+             |    CASE WHEN doc_id % 13 = 5 THEN ' host 10.0.' ||
+             |      (doc_id % 250) || '.17 up' ELSE '' END AS t2
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t2,
+             |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             |    'g'), '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+?[0-9][0-9()\-. ]{5,}[0-9]')) AS BIGINT) AS n_phone,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             |    'g'), '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+?[0-9][0-9()\-. ]{5,}[0-9]', '<PHONE>', 'g'))
+             |    AS redacted_md5
+             |FROM planted)
+             |SELECT doc_id, n_email, n_ip, n_phone, redacted_md5
+             |FROM x WHERE n_email + n_ip + n_phone > 0
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

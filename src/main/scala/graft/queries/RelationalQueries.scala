@@ -2285,6 +2285,51 @@ object RelationalQueries {
              |      AS cd
              |  FROM events)
              |SELECT event_id, event_type, pr, cd
-             |FROM r WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin))
+             |FROM r WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin)),
+
+    // ---- gaps-and-islands: per-user consecutive-day activity streaks
+    // (longest streak + streak count + last-streak length) — the
+    // engagement/continuity profile, and the canonical islands
+    // detection the span/gap family (q105 gap fill, duplicateSpans'
+    // internal runs) had no USER-level gate for. The island key is
+    // day − dense per-user rank: constant within a consecutive run,
+    // strictly shifting across a gap — exact integer arithmetic, so
+    // the whole query is one rank window + two grouped folds on the
+    // SAME user partitioning (one hash shuffle; window sort is
+    // per-partition; no self-join, no sequence explode) ----
+    QuerySpec("q148_streaks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("rk", row_number().over(w))
+          .withColumn("isl", datediff(col("day"),
+            lit(java.sql.Date.valueOf("2024-01-01"))) - col("rk"))
+          .groupBy(col("user_id"), col("isl"))
+          .agg(count(lit(1)).as("len"), max(col("day")).as("end_day"))
+        islands.groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest"),
+            count(lit(1)).as("n_streaks"),
+            max_by(col("len"), col("end_day")).as("last_len"))
+          .filter(col("longest") >= 2)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |           FROM events),
+             |r AS (SELECT user_id, day,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY day) AS rk
+             |      FROM p),
+             |i AS (SELECT user_id,
+             |        day - CAST(rk AS INTEGER) AS isl,
+             |        CAST(count(*) AS BIGINT) AS len,
+             |        max(day) AS end_day
+             |      FROM r GROUP BY user_id, day - CAST(rk AS INTEGER)),
+             |a AS (SELECT user_id, max(len) AS longest,
+             |        CAST(count(*) AS BIGINT) AS n_streaks,
+             |        max_by(len, end_day) AS last_len
+             |      FROM i GROUP BY user_id)
+             |SELECT user_id, longest, n_streaks, last_len
+             |FROM a WHERE longest >= 2 ORDER BY user_id""".stripMargin))
   )
 }
