@@ -73,6 +73,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(small.count() == 8)
   }
 
+  test("a bucketed stored index joins without reshuffling the index side") {
+    // the q147 scale claim made executable: persist the band index
+    // BUCKETED by the join key and the incremental join moves only the
+    // new slice's bands — the index side scans its buckets in place
+    val idx = bands(1L -> baseA, 2L -> baseB)
+    idx.write.mode("overwrite")
+      .bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .format("parquet").saveAsTable("graft_inc_idx")
+    // at 100 TB neither side broadcasts — force the sort-merge regime
+    // the claim is about (under broadcast, bucketing is moot)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nb = bands(10L -> baseA, 11L -> unrelated)
+      val joined = nb.join(spark.table("graft_inc_idx")
+          .withColumnRenamed("doc_id", "acc_id"), Seq("band", "band_key"))
+      val p = joined.queryExecution.executedPlan.toString
+      // the index scan must be bucket-aware...
+      assert(p.contains("Bucketed: true"),
+        s"index side must scan its buckets in place:\n$p")
+      // ...and the only hash exchanges in the plan belong to the
+      // new-bands side (its window build + its shuffle TO the index's
+      // bucket layout); the index contributes none
+      val idxScanIdx = p.indexOf("graft_inc_idx")
+      assert(idxScanIdx > 0)
+      val afterIdx = p.substring(idxScanIdx)
+      assert(!afterIdx.contains("Exchange hashpartitioning"),
+        s"no exchange may sit on/under the index branch:\n$p")
+      // correctness unchanged through the bucketed path
+      val got = joined.filter(col("acc_id") =!= col("doc_id"))
+        .select(col("acc_id"), col("doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_inc_idx")
+    }
+  }
+
   test("pair set matches the one-shot candidate generator on the combined corpus") {
     // incremental(old -> index, new) must equal the minhashCandidates
     // pairs of old ∪ new, minus the old-vs-old pairs — the invariant
