@@ -2241,7 +2241,160 @@ object LlmQueries {
              |FROM planted)
              |SELECT doc_id, n_email, n_ip, n_phone, redacted_md5
              |FROM x WHERE n_email + n_ip + n_phone > 0
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Cohen's kappa: chance-corrected agreement between the
+    // marker-based language prediction (q24's classifier) and the
+    // stored label — the classifier-evaluation statistic accuracy
+    // alone misstates under skewed label marginals. Exact-integer
+    // form: with N docs, D = Σ diagonal counts, P = Σ_k row_k·col_k,
+    //   κ = (N·D − P) / (N² − P)
+    // — three integer aggregates, ONE final divide of exact operands
+    // (the q131/q141 discipline). The marginal product joins at
+    // label-set size (control plane); the corpus is touched once ----
+    QuerySpec("q151_kappa",
+      (s, dir) => {
+        val pred = t(s, dir, "documents")
+          .select(col("lang"),
+            TextFunctions.langIdFromTokens(
+              array_distinct(TextFunctions.tokens(col("text"))),
+              LangMarkers).as("pred"))
+        val conf = pred.groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .persist() // three tiny consumers (diag, rows, cols)
+        val totals = conf.agg(sum(col("n")).as("n_docs"),
+          sum(when(col("lang") === col("pred"), col("n"))
+            .otherwise(lit(0L))).as("diag"))
+        val marg = conf.groupBy(col("lang").as("k"))
+          .agg(sum(col("n")).as("rn"))
+          .join(conf.groupBy(col("pred").as("k")).agg(sum(col("n")).as("cn")),
+            Seq("k"))
+          .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("rowcol"))
+        totals.crossJoin(broadcast(marg))
+          .select(col("n_docs").cast("long").as("n_docs"),
+            col("diag").cast("long").as("diag"),
+            col("rowcol").cast("long").as("rowcol"), {
+              val num = col("n_docs") * col("diag") - col("rowcol")
+              val den = col("n_docs") * col("n_docs") - col("rowcol")
+              when(den === 0, lit(null).cast("double"))
+                .otherwise(num.cast("double") / den.cast("double"))
+                .as("kappa")
+            })
+      },
+      Some("""WITH tk AS (
+             |  SELECT lang,
+             |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             |      AS tk
+             |  FROM documents),
+             |sc AS (
+             |  SELECT lang,
+             |    len(list_intersect(tk, ['the', 'a', 'value'])) AS s_en,
+             |    len(list_intersect(tk, ['table', 'key'])) AS s_de,
+             |    len(list_intersect(tk, ['query', 'group'])) AS s_fr,
+             |    len(list_intersect(tk, ['fast', 'slow'])) AS s_es,
+             |    len(list_intersect(tk, ['stream', 'row'])) AS s_zh
+             |  FROM tk),
+             |p AS (
+             |  SELECT lang, CASE
+             |    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh)
+             |      THEN 'en'
+             |    WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_zh)
+             |      THEN 'de'
+             |    WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_zh)
+             |      THEN 'fr'
+             |    WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_zh)
+             |      THEN 'es'
+             |    WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_fr, s_es)
+             |      THEN 'zh'
+             |    ELSE 'und' END AS pred
+             |  FROM sc),
+             |conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+             |         FROM p GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             |        CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END)
+             |          AS BIGINT) AS diag
+             |      FROM conf),
+             |m AS (SELECT coalesce(CAST(sum(r.rn * c.cn) AS BIGINT), 0)
+             |          AS rowcol
+             |      FROM (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS rn
+             |            FROM conf GROUP BY lang) r
+             |      JOIN (SELECT pred AS k, CAST(sum(n) AS BIGINT) AS cn
+             |            FROM conf GROUP BY pred) c USING (k))
+             |SELECT t.n_docs, t.diag, m.rowcol,
+             |  CASE WHEN t.n_docs * t.n_docs - m.rowcol = 0 THEN NULL
+             |       ELSE CAST(t.n_docs * t.diag - m.rowcol AS DOUBLE) /
+             |            CAST(t.n_docs * t.n_docs - m.rowcol AS DOUBLE)
+             |  END AS kappa
+             |FROM t, m""".stripMargin)),
+
+    // ---- measured LSH recall: how many TRUE near-dup pairs (exact
+    // n-gram Jaccard >= 0.8, the q19 PPJoin join) does the banded
+    // MinHash candidate generator (q20's config) actually catch? The
+    // dedup-quality scorecard run before trusting a banding config at
+    // scale — recall here is a DETERMINISTIC integer pair
+    // (n_true, n_caught) because both generators are deterministic,
+    // plus an id_sum pin over the missed pairs so every individual
+    // miss is identified, not just counted ----
+    QuerySpec("q152_lsh_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val exact = DedupFunctions
+          .jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.8)
+          .select(col("d1"), col("d2"))
+        val cand = DedupFunctions
+          .minhashCandidates(docs, "doc_id", "text",
+            shingleN = 3, k = 12, r = 2, portable = true)
+          .select(col("d1"), col("d2"), lit(1L).as("hit"))
+        exact.join(cand, Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_caught"),
+            coalesce(sum(when(col("hit").isNull, col("d1") + col("d2"))
+              .otherwise(lit(0L))), lit(0L)).as("missed_id_sum"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(w) - 2),
+             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM w WHERE len(w) >= 3),
+             |ex AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+             |       FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+             |       WHERE len(a.s) + len(b.s)
+             |           - len(list_intersect(a.s, b.s)) > 0
+             |         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |             (len(a.s) + len(b.s)
+             |               - len(list_intersect(a.s, b.s))) >= 0.8),
+             |hs AS (SELECT doc_id, list_transform(s, tk ->
+             |         CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+             |           & 1073741823) AS hs
+             |       FROM sh),
+             |sig AS (SELECT doc_id,
+             |          list_transform(generate_series(0, 11), i ->
+             |            list_min(list_transform(hs, h ->
+             |              ((1000003*i + 12289) * h + (7919*i + 104729))
+             |                % 2147483647))) AS sig
+             |        FROM hs),
+             |bands AS (SELECT doc_id, bb AS band,
+             |            sig[2*bb + 1]::VARCHAR || '_' ||
+             |              sig[2*bb + 2]::VARCHAR AS band_key
+             |          FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (SELECT band, band_key, count(*) AS n
+             |          FROM bands GROUP BY 1, 2),
+             |kept AS (SELECT b.* FROM bands b
+             |         JOIN sized sz USING (band, band_key)
+             |         WHERE sz.n <= 1000),
+             |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |         FROM kept x JOIN kept y
+             |           ON x.band = y.band AND x.band_key = y.band_key
+             |          AND y.doc_id > x.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_caught,
+             |  coalesce(CAST(sum(CASE WHEN c.d1 IS NULL
+             |    THEN ex.d1 + ex.d2 ELSE 0 END) AS BIGINT), 0)
+             |    AS missed_id_sum
+             |FROM ex LEFT JOIN cand c
+             |  ON ex.d1 = c.d1 AND ex.d2 = c.d2""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
