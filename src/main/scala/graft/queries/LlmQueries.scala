@@ -2394,7 +2394,85 @@ object LlmQueries {
              |    THEN ex.d1 + ex.d2 ELSE 0 END) AS BIGINT), 0)
              |    AS missed_id_sum
              |FROM ex LEFT JOIN cand c
-             |  ON ex.d1 = c.d1 AND ex.d2 = c.d2""".stripMargin))
+             |  ON ex.d1 = c.d1 AND ex.d2 = c.d2""".stripMargin)),
+
+    // ---- two-sample Kolmogorov–Smirnov drift per source: sup-norm
+    // distance between each source's doc-length CDF and the
+    // rest-of-corpus CDF — the distribution-drift detector that flags
+    // a source whose length profile diverged (scraper change, spam
+    // burst) where mean/median tests miss shape. EXACT integers:
+    // KS·n_s·n_r = max over value points |C_s·n_r − (G−C_s)·n_s|
+    // (C_s/G = cumulative source/global counts) — the final KS double
+    // is one divide of exact operands, the q131/q141/q151 discipline.
+    // Scale shape: ONE corpus shuffle folds docs to (source, len)
+    // counts; the evaluation grid (|sources| × |distinct lens|) is
+    // control-plane data — windows and the max fold run there ----
+    QuerySpec("q153_ks_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("m"))
+        val grid = cnt.select(col("source")).distinct()
+          .crossJoin(cnt.select(col("v")).distinct())
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("v"))
+        val perSrc = grid.join(cnt, Seq("source", "v"), "left")
+          .withColumn("cs", sum(coalesce(col("m"), lit(0L))).over(wS))
+        val glob = cnt.groupBy(col("v")).agg(sum(col("m")).as("gm"))
+          .withColumn("g", sum(col("gm")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+          .select(col("v"), col("g"))
+        val tot = cnt.agg(sum(col("m")).as("n_g"))
+        val ns = cnt.groupBy(col("source")).agg(sum(col("m")).as("n_s"))
+        perSrc.join(glob, Seq("v"))
+          .join(ns, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("num", abs(
+            col("cs") * (col("n_g") - col("n_s")) -
+              (col("g") - col("cs")) * col("n_s")))
+          .groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_s"),
+            max(col("n_g") - col("n_s")).as("n_r"),
+            max(col("num")).as("ks_num"))
+          .select(col("source"), col("n_s"), col("n_r"), col("ks_num"),
+            when(col("n_s") * col("n_r") === 0, lit(null).cast("double"))
+              .otherwise(col("ks_num").cast("double") /
+                (col("n_s") * col("n_r")).cast("double")).as("ks"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH cnt AS (SELECT source, n_chars AS v,
+             |               CAST(count(*) AS BIGINT) AS m
+             |             FROM documents GROUP BY 1, 2),
+             |grid AS (SELECT s.source, v.v
+             |         FROM (SELECT DISTINCT source FROM cnt) s
+             |         CROSS JOIN (SELECT DISTINCT v FROM cnt) v),
+             |ps AS (SELECT g.source, g.v,
+             |         CAST(sum(coalesce(c.m, 0)) OVER (
+             |           PARTITION BY g.source ORDER BY g.v) AS BIGINT)
+             |           AS cs
+             |       FROM grid g LEFT JOIN cnt c
+             |         ON c.source = g.source AND c.v = g.v),
+             |gl AS (SELECT v, CAST(sum(gm) OVER (ORDER BY v) AS BIGINT)
+             |           AS g
+             |       FROM (SELECT v, CAST(sum(m) AS BIGINT) AS gm
+             |             FROM cnt GROUP BY v)),
+             |ns AS (SELECT source, CAST(sum(m) AS BIGINT) AS n_s
+             |       FROM cnt GROUP BY source),
+             |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_g FROM cnt),
+             |sc AS (SELECT p.source, ns.n_s, tot.n_g - ns.n_s AS n_r,
+             |         abs(p.cs * (tot.n_g - ns.n_s)
+             |           - (gl.g - p.cs) * ns.n_s) AS num
+             |       FROM ps p
+             |       JOIN gl ON gl.v = p.v
+             |       JOIN ns ON ns.source = p.source
+             |       CROSS JOIN tot)
+             |SELECT source, n_s, CAST(n_r AS BIGINT) AS n_r,
+             |  CAST(max(num) AS BIGINT) AS ks_num,
+             |  CASE WHEN n_s * n_r = 0 THEN NULL
+             |       ELSE CAST(max(num) AS DOUBLE) /
+             |            CAST(n_s * n_r AS DOUBLE) END AS ks
+             |FROM sc GROUP BY source, n_s, n_r
+             |ORDER BY source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
