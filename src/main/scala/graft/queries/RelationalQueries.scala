@@ -2330,6 +2330,101 @@ object RelationalQueries {
              |        max_by(len, end_day) AS last_len
              |      FROM i GROUP BY user_id)
              |SELECT user_id, longest, n_streaks, last_len
-             |FROM a WHERE longest >= 2 ORDER BY user_id""".stripMargin))
+             |FROM a WHERE longest >= 2 ORDER BY user_id""".stripMargin)),
+
+    // ---- weighted median: per source, the doc length below which
+    // half the source's character MASS sits (mass-weighted, not
+    // doc-counted — the q70 rank-pick rule generalized to weights):
+    // sort by (value, id), pick the first row where 2·cumw >= totw.
+    // Exact integers; min_by over the qualifying set replaces any
+    // second pass. One shuffle carries the window and the fold ----
+    QuerySpec("q154_weighted_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("v"), col("doc_id"))
+        val wAll = Window.partitionBy(col("source"))
+        t(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"),
+            col("doc_id"))
+          .withColumn("cumw", sum(col("v")).over(w))
+          .withColumn("totw", sum(col("v")).over(wAll))
+          .filter(lit(2L) * col("cumw") >= col("totw"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_at_or_above"),
+            max(col("totw")).as("tot_chars"),
+            min_by(col("v"), col("cumw")).as("wmedian"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH x AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id,
+             |    CAST(sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS BIGINT) AS cumw,
+             |    CAST(sum(n_chars) OVER (PARTITION BY source)
+             |      AS BIGINT) AS totw
+             |  FROM documents),
+             |q AS (SELECT * FROM x WHERE 2 * cumw >= totw)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_at_or_above,
+             |  max(totw) AS tot_chars,
+             |  min_by(v, cumw) AS wmedian
+             |FROM q GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- SCD2 point-in-time enrichment: each purchase fact picks up
+    // the user's state VERSION valid at the fact's timestamp — the
+    // warehouse-standard temporal join q93's history exists to serve.
+    // NOT a range join: the backward as-of union-carry (q47's linear
+    // shape) delivers "latest version with valid_from <= ts", which
+    // IS the valid version because versions partition time; zero-width
+    // versions (state changed twice at one microsecond) are filtered
+    // so the right side is unique per (user, time) and the carry is
+    // deterministic. One exchange, one in-partition sort ----
+    QuerySpec("q155_point_in_time",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hist = graft.operators.Scd2.history(ev,
+            key = col("user_id"), ts = unix_micros(col("ts")),
+            value = col("event_type"), tieBreak = col("event_id"))
+          .filter(col("valid_to").isNull ||
+            col("valid_to") > col("valid_from"))
+          .select(col("k"), col("valid_from").as("t"),
+            col("v"), col("valid_from"), col("valid_to"))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("k"),
+            unix_micros(col("ts")).as("t"))
+        graft.operators.AsofJoin.asofJoin(facts, hist, "k", "t",
+            Seq("v", "valid_from", "valid_to"))
+          .select(col("event_id"), col("k").as("user_id"),
+            col("asof_v").as("state"),
+            col("asof_valid_from").as("valid_from"),
+            col("asof_valid_to").as("valid_to"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, event_type, tsu, event_id,
+             |    row_number() OVER w AS rn,
+             |    lag(event_type) OVER w AS prev
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tsu, event_id)),
+             |c AS (
+             |  SELECT user_id, event_type, tsu AS valid_from, event_id
+             |  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+             |h AS (
+             |  SELECT user_id, event_type, valid_from,
+             |    lead(valid_from) OVER (
+             |      PARTITION BY user_id ORDER BY valid_from, event_id)
+             |      AS valid_to
+             |  FROM c),
+             |hv AS (SELECT * FROM h
+             |       WHERE valid_to IS NULL OR valid_to > valid_from),
+             |f AS (SELECT event_id, user_id, epoch_us(ts) AS t
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT f.event_id, f.user_id, hv.event_type AS state,
+             |  hv.valid_from, hv.valid_to
+             |FROM f JOIN hv ON hv.user_id = f.user_id
+             |  AND hv.valid_from <= f.t
+             |  AND (hv.valid_to IS NULL OR f.t < hv.valid_to)
+             |ORDER BY f.event_id""".stripMargin))
   )
 }
