@@ -190,26 +190,33 @@ object Bench {
       val benchSf = sfDir.split('/').last
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
       if (sfs.size < 2 || !sfs.exists(_._1 == benchSf)) None
-      else Some(top.map { name =>
-        val fn = SparkEntry.queries(name)
-        val times = sfs.map { case (d, sf) =>
-          if (d == benchSf) sf -> results.find(_._1 == name).get._2
-          else {
-            val dir = parent.resolve(d).toString
-            val ts = (0 until 2).map { _ =>
-              spark.catalog.clearCache()
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
-              val t0 = System.nanoTime()
-              fn(spark, dir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
+      else Some(top.flatMap { name =>
+        // per-query try: one query failing at one SF must not discard
+        // the other nine queries' measured exponents
+        try {
+          val fn = SparkEntry.queries(name)
+          val times = sfs.map { case (d, sf) =>
+            if (d == benchSf) sf -> results.find(_._1 == name).get._2
+            else {
+              val dir = parent.resolve(d).toString
+              val ts = (0 until 2).map { _ =>
+                spark.catalog.clearCache()
+                spark.sparkContext.getPersistentRDDs.values
+                  .foreach(_.unpersist(blocking = false))
+                val t0 = System.nanoTime()
+                fn(spark, dir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              sf -> ts.min
             }
-            sf -> ts.min
           }
+          val Seq((sfA, tA), (sfB, tB)) = times.takeRight(2)
+          val exp = math.log(tB / tA) / math.log(sfB / sfA)
+          Some((name, times.map(_._2), exp))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ladder $name failed: ${e.getMessage}")
+          None
         }
-        val Seq((sfA, tA), (sfB, tB)) = times.takeRight(2)
-        val exp = math.log(tB / tA) / math.log(sfB / sfA)
-        (name, times.map(_._2), exp)
       })
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")

@@ -154,10 +154,14 @@ object DedupFunctions {
     val sig = minhashSignatures(docs, idCol, textCol, shingleN, k, portable)
       .localCheckpoint(true)
     val pairs = bandPairs(lshBands(sig, idCol, "sig", k, r), idCol, maxBucket)
+    // join keys must match bandPairs' member type: longs for integral
+    // ids, strings otherwise (a blanket long cast would NULL every
+    // uuid-style id and silently return zero estimates)
+    val keyType = if (idIsIntegralType(sig, idCol)) "long" else "string"
     pairs
-      .join(sig.select(col(idCol).cast("long").as("d1"), col("sig").as("_s1")),
+      .join(sig.select(col(idCol).cast(keyType).as("d1"), col("sig").as("_s1")),
         Seq("d1"))
-      .join(sig.select(col(idCol).cast("long").as("d2"), col("sig").as("_s2")),
+      .join(sig.select(col(idCol).cast(keyType).as("d2"), col("sig").as("_s2")),
         Seq("d2"))
       .withColumn("agree", aggregate(
         zip_with(col("_s1"), col("_s2"),

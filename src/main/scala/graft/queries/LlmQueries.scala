@@ -2070,8 +2070,12 @@ object LlmQueries {
         val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
           .unionByName(docs.filter(pmod(col("doc_id"), lit(60)) === 1)
             .withColumn("doc_id", col("doc_id") + lit(10000000L)))
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-q147-idx-").toString
+        // ONE fixed scratch path, overwritten per invocation — a fresh
+        // temp dir per call would leak a full band index onto (tmpfs)
+        // scratch for every bench pass/ladder rung of the session
+        val idxDir = java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"), "graft-q147-idx")
+          .toString
         DedupFunctions.minhashBandIndex(old, "doc_id", "text",
             shingleN = 3, k = 12, r = 2, portable = true)
           .write.mode("overwrite").parquet(idxDir)
@@ -2259,9 +2263,12 @@ object LlmQueries {
             TextFunctions.langIdFromTokens(
               array_distinct(TextFunctions.tokens(col("text"))),
               LangMarkers).as("pred"))
+        // eager materialization (NOT persist: a cache entry would leak
+        // per call outside Bench/Verify's clearCache isolation); the
+        // confusion matrix is label² rows and feeds three consumers
         val conf = pred.groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n"))
-          .persist() // three tiny consumers (diag, rows, cols)
+          .localCheckpoint(true)
         val totals = conf.agg(sum(col("n")).as("n_docs"),
           sum(when(col("lang") === col("pred"), col("n"))
             .otherwise(lit(0L))).as("diag"))

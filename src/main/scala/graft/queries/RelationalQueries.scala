@@ -2425,6 +2425,58 @@ object RelationalQueries {
              |FROM f JOIN hv ON hv.user_id = f.user_id
              |  AND hv.valid_from <= f.t
              |  AND (hv.valid_to IS NULL OR f.t < hv.valid_to)
-             |ORDER BY f.event_id""".stripMargin))
+             |ORDER BY f.event_id""".stripMargin)),
+
+    // ---- OLS trend slope per event type: is daily volume rising or
+    // falling, and how fast — the parametric trend twin of q131's
+    // monotone Spearman. slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²):
+    // FOUR integer aggregates over (day-index, daily-count) points and
+    // ONE final divide of exact operands — bit-identical
+    // cross-engine. Two shuffles: the daily fold (map-side combined)
+    // and the per-type fold over day-count-sized data ----
+    QuerySpec("q156_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("2024-01-01"))).as("x"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("event_type"), col("x").cast("long").as("x"),
+            col("y"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            num.as("slope_num"), den.as("slope_den"),
+            when(den === 0, lit(null).cast("double"))
+              .otherwise(num.cast("double") / den.cast("double"))
+              .as("slope"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+             |      AS x,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM d GROUP BY event_type)
+             |SELECT event_type, n,
+             |  n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+             |            CAST(n * sxx - sx * sx AS DOUBLE)
+             |  END AS slope
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

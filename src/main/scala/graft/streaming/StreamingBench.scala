@@ -37,8 +37,12 @@ object StreamingBench {
 
   def paired(f: => Result): Paired = {
     val a = f; val b = f
+    // degenerate pass (rate <= 0): report a large FINITE ratio —
+    // Infinity would render as bare `Infinity` under %.2f and break
+    // the artifact's JSON contract; 9999.99 still trips the
+    // contamination verdict loudly
     def ratio(x: Double, y: Double): Double =
-      if (math.min(x, y) <= 0) Double.PositiveInfinity
+      if (math.min(x, y) <= 0) 9999.99
       else math.max(x, y) / math.min(x, y)
     Paired(a.messages, a.batches,
       math.max(a.publishMsgsPerSec, b.publishMsgsPerSec),
@@ -120,11 +124,15 @@ object StreamingBench {
     import spark.implicits._
     // unique in-memory DB per invocation: paired passes must not see
     // each other's rows (a fixed name would double the second pass's
-    // backlog and fail its delivery check)
+    // backlog and fail its delivery check); dropped in the finally —
+    // Derby otherwise keeps every memory DB resident for the JVM life
     val db = s"graftbench${System.nanoTime()}"
     val ps = new graft.sources.SqlPubSub(spark,
       s"jdbc:derby:memory:$db;create=true", pollIntervalMs = 10,
       pollPageSize = 50000)
+    def dropDb(): Unit =
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
     try {
       ps.subscribeInitialize("bench")
       val payload = Array.fill[Byte](16)(7)
@@ -159,7 +167,7 @@ object StreamingBench {
         require(received.sum == n, s"sql sink saw ${received.sum} of $n")
         Result(n, nBatches, n / pubSec, n / subSec)
       } finally q.stop()
-    } finally ps.close()
+    } finally { ps.close(); dropDb() }
   }
 
   def run(spark: SparkSession, nBatches: Int = 20, perBatch: Int = 100000): Result = {

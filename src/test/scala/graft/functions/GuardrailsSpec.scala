@@ -39,6 +39,20 @@ class GuardrailsSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => a == "doc-c" || b == "doc-c" })
   }
 
+  test("minhashEstimates with STRING ids joins on string keys (no silent long-cast nulls)") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill and birds sing in the garden trees"
+    val rows = Seq("doc-a" -> base, "doc-b" -> base,
+      "doc-c" -> ("entirely different content about columnar storage " +
+        "engines with vectorized execution and distributed hash joins"))
+    val est = DedupFunctions.minhashEstimates(
+      rows.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, k = 16, r = 4, portable = false, minAgree = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(est.exists { case (a, b, agree) =>
+      a == "doc-a" && b == "doc-b" && agree == 16 })
+  }
+
   test("bounded string collector caps the buffer at limit + 1") {
     val df = (0 until 100).map(i => ("hot", s"id-$i")).toDF("k", "id")
     val sizes = df.groupBy(col("k"))
