@@ -126,4 +126,44 @@ final class StreamingProfile(
         .as("_q"))
     .select(col("slice"), col("n_docs"), col("n_tokens"), col("vocab"),
       element_at(col("_q"), 1).cast("long").as("med_tokens")))
+
+  /** Distribution-drift screen for an INCOMING batch against the
+    * stored history — the streaming use of q153's KS idea, served
+    * from sketch states so no history rescan happens: per slice
+    * present on both sides, the token-length quantile ladder of the
+    * batch vs the merged historical state, with the max relative gap
+    * as the alert score. A scraper change or spam burst shifts the
+    * incoming length distribution before it shifts means — run this
+    * BEFORE folding the batch in ([[applyBatch]]), gate ingestion on
+    * the score.
+    *
+    * Output: (slice, q, hist_v, batch_v, rel_gap) — one row per
+    * requested quantile; alert on max(rel_gap) per slice. In the
+    * exact regime (lenK >= group sizes) both ladders are exact order
+    * statistics, so StreamingProfileSpec pins planted shifts
+    * deterministically. Cost: the batch folds once; history is |state
+    * rows| kilobyte states — no corpus data moves. */
+  def drift(batch: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): Option[DataFrame] =
+    state.map { st =>
+      val hist = st.groupBy(col("slice"))
+        .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
+          .as("hist_q"))
+      val cur = batchStates(batch, -1L).groupBy(col("slice"))
+        .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
+          .as("batch_q"))
+      val qsCol = array(qs.map(lit): _*)
+      hist.join(cur, Seq("slice"))
+        .select(col("slice"), posexplode(
+          zip_with(col("hist_q"), col("batch_q"),
+            (h, b) => struct(h.as("h"), b.as("b")))))
+        .select(col("slice"),
+          element_at(qsCol, col("pos") + 1).as("q"),
+          col("col.h").as("hist_v"), col("col.b").as("batch_v"),
+          when(greatest(abs(col("col.h")), abs(col("col.b"))) === 0,
+            lit(0.0))
+            .otherwise(abs(col("col.h") - col("col.b")) /
+              greatest(abs(col("col.h")), abs(col("col.b"))))
+            .as("rel_gap"))
+    }
 }

@@ -52,6 +52,34 @@ class StreamingProfileSpec extends SparkSpec {
     assert(card(p) == expected(b1 ++ b2 ++ b3))
   }
 
+  test("drift: identical incoming distribution scores zero; a 2x length shift scores 0.5") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    // history: slice s1 with token lengths 2,4,6,8 (exact regime)
+    val hist = Seq(
+      ("s1", "a b"), ("s1", "a b c d"),
+      ("s1", "a b c d e f"), ("s1", "a b c d e f g h"))
+    p.applyBatch(df(hist), 0L)
+    // batch drawn from the SAME distribution -> every rel_gap is 0
+    val same = p.drift(df(hist)).get.collect()
+    assert(same.nonEmpty)
+    same.foreach(r => assert(r.getDouble(4) == 0.0, r.toString))
+    // batch with every length DOUBLED -> exact ladders differ 2x,
+    // rel_gap = |h - 2h| / 2h = 0.5 at every quantile
+    val shifted = Seq(
+      ("s1", "a b c d"), ("s1", "a b c d e f g h"),
+      ("s1", "a b c d e f g h i j k l"),
+      ("s1", "a b c d e f g h i j k l m n o p"))
+    val gaps = p.drift(df(shifted)).get.collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach(r => assert(math.abs(r.getDouble(4) - 0.5) < 1e-12,
+      r.toString))
+    // slices with no history do not appear (inner join semantics)
+    val newSlice = p.drift(df(Seq(("s9", "a b c")))).get.collect()
+    assert(newSlice.isEmpty)
+    // and drift is read-only: the stored card is untouched
+    assert(card(p) == expected(hist))
+  }
+
   test("replayed batch ids are skipped (foreachBatch at-least-once)") {
     val p = new StreamingProfile(spark, tmp() + "/state")
     p.applyBatch(df(b1), 0L)
