@@ -2417,8 +2417,15 @@ object LlmQueries {
     QuerySpec("q153_ks_drift",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // the (source, value) fold is the ONE corpus pass — it is
+        // referenced six times below (grid x2, per-source cum, global
+        // cum, totals, per-source n), so it materializes eagerly;
+        // without this Catalyst re-evaluates the corpus scan+shuffle
+        // per reference. The relation is |sources x distinct values|
+        // rows — control-plane data from here on.
         val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
           .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true)
         val grid = cnt.select(col("source")).distinct()
           .crossJoin(cnt.select(col("v")).distinct())
         val wS = org.apache.spark.sql.expressions.Window
