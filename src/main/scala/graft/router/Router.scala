@@ -229,10 +229,20 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * plain publishers) does a distinct-topic collect + per-topic pass;
     * that collect is over the set of destination topics, never
     * data-sized. */
+  /** Idempotency handle for one (group, handler, lineage, epoch)
+    * write. The group segment is LENGTH-PREFIXED so names containing
+    * '-' cannot alias across (group, handler) pairs — without it,
+    * (group "a-b", handler "c") and (group "a", handler "b-c") would
+    * share writerIds and overwrite each other's committed epochs. */
+  private def writerId(h: HandlerDef, epochId: Long): String = {
+    val g = group.getOrElse("g")
+    s"${g.length}.$g-${h.name}-$lineage-$epochId"
+  }
+
   private def sinkBatch(h: HandlerDef, batch: DataFrame, epochId: Long): Unit = {
     val pub = h.publisher.get
     val default = h.publishTopic.get
-    val writerId = s"${group.getOrElse("g")}-${h.name}-$lineage-$epochId"
+    val writerId = this.writerId(h, epochId)
     val routed = batch.withColumn("_topic",
       coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
     val cleaned = routed.withColumn("metadata",
@@ -254,6 +264,52 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     }
   }
 
+  /** Sink for consumer (no-publish) handlers. The handler itself emits
+    * nothing, so the batch holds ONLY rows the middleware chain
+    * produced — poison-queue routing, delay re-publish — each carrying
+    * a TopicOverride. Discarding them (the old `foreach(_ => ())`)
+    * silently acked-and-lost every dead-lettered message on consumer
+    * handlers, the opposite of the middleware's contract: route them
+    * through the subscribing transport when it can publish, and fail
+    * LOUDLY (batch retries, nothing acked) when it can't. */
+  private def consumerSink(h: HandlerDef, batch: DataFrame, epochId: Long): Unit = {
+    val persisted = batch.persist()
+    try {
+      // full materialization FIRST: consume() side effects run exactly
+      // once per row here; later filtered actions read the cache (a
+      // filtered first action could short-circuit and skip rows)
+      persisted.foreach(_ => ())
+      val routed = persisted.filter(
+        element_at(col("metadata"), lit(Ctx.TopicOverride)).isNotNull)
+      if (routed.limit(1).count() > 0) h.subscriber match {
+        case pub: graft.sources.Publisher =>
+          val cleaned = routed
+            .withColumn("_topic",
+              element_at(col("metadata"), lit(Ctx.TopicOverride)))
+            .withColumn("metadata", map_filter(col("metadata"),
+              (k, _) => !k.startsWith(Ctx.InternalPrefix)))
+          pub match {
+            case rp: graft.sources.RoutedPublisher =>
+              rp.publishRoutedEpoch(cleaned, "_topic", writerId(h, epochId))
+            case _ =>
+              val topics = cleaned.select(col("_topic")).distinct()
+                .collect().map(_.getString(0))
+              topics.foreach { t =>
+                pub.publishEpoch(t,
+                  cleaned.filter(col("_topic") === t)
+                    .select(Message.columns.map(col): _*),
+                  writerId(h, epochId))
+              }
+          }
+        case _ =>
+          throw new IllegalStateException(
+            s"consumer handler '${h.name}': middleware routed messages " +
+              "(poison queue / delay) but the subscribing transport " +
+              "cannot publish — they would be silently lost")
+      }
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers
     * (message/router.go:386-493). Returns once all queries are started
     * (the reference's `Running()` gate); callers await with
@@ -269,15 +325,25 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         val out = buildPlan(h).toDF()
           .observe("graft_sink", count(lit(1)).as("rows"))
         val writer = out.writeStream
-          .queryName(group.fold(s"graft-${h.name}")(g => s"graft-$g-${h.name}"))
+          // length-prefixed group, same injective scheme as writerId:
+          // names containing '-' must not alias query names either
+          .queryName(group.fold(s"graft-${h.name}")(g =>
+            s"graft-${g.length}.$g-${h.name}"))
           // group in the path, not just the queryName: two groups
           // sharing one checkpointRoot must have independent offset
           // lineages or the second group resumes from the first's
-          // commits and skips everything it already consumed
+          // commits and skips everything it already consumed. Group
+          // and handler are SEPARATE path segments — a joined
+          // "$g-$name" aliases (group "a-b", handler "c") with
+          // (group "a", handler "b-c"), silently sharing one offset
+          // log between two different handlers
           .option("checkpointLocation",
-            s"$ckptBase/${group.fold(h.name)(g => s"$g-${h.name}")}")
+            s"$ckptBase/${group.fold(s"nogroup/${h.name}")(g => s"grp_$g/${h.name}")}")
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
-            val body = () => { if (h.publisher.isDefined) sinkBatch(h, batch, epochId) else batch.foreach(_ => ()) }
+            val body = () => {
+              if (h.publisher.isDefined) sinkBatch(h, batch, epochId)
+              else consumerSink(h, batch, epochId)
+            }
             h.breaker match {
               case Some(cb) => cb.protect(body()); ()
               case None => body()

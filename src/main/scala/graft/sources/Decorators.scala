@@ -22,6 +22,12 @@ object Decorators {
       inner.publish(topic, msgs.map(perMessage))
     override def publishBatch(topic: String, df: DataFrame): Unit =
       inner.publishBatch(topic, perFrame(df))
+    // forward the epoch form too — the trait default drops writerId
+    // and calls publishBatch, silently downgrading a decorated
+    // transport's exactly-once sink path to at-least-once
+    override def publishEpoch(topic: String, df: DataFrame,
+        writerId: String): Unit =
+      inner.publishEpoch(topic, perFrame(df), writerId)
     override def close(): Unit = inner.close()
   }
 

@@ -144,35 +144,55 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
     * first would turn a transient publish failure into silent data
     * loss: the sink's retry of the same micro-batch would be dropped
     * as a duplicate (at-most-once, not exactly-once). */
+  // Claims carry a TOKEN so the failure path composes with eviction:
+  // a failed publish releases ITS claim (remove(key, token)); a retry
+  // claims a fresh token and enqueues again, leaving the old queue
+  // entry STALE — eviction removes a claim only when the queue entry's
+  // token still matches, so a stale entry can never evict the live
+  // retry's claim (which would re-open the dedup window and duplicate
+  // a redelivered epoch).
   private val seenEpochs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
   private val epochOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[((String, String), Long)]()
   // TrieMap.size and ConcurrentLinkedQueue.size are O(n) traversals —
   // a per-publish size check would make the epoch path quadratic over
-  // a long run, so the count is tracked explicitly.
+  // a long run, so the count (= live entries in seenEpochs) is
+  // tracked explicitly.
   private val trackedEpochs = new java.util.concurrent.atomic.AtomicInteger
+  private val claimTokens = new java.util.concurrent.atomic.AtomicLong
 
-  /** Claim the epoch (true = first delivery). Evicts the oldest claims
-    * past [[maxTrackedEpochs]] so the dedup set can't leak. */
-  private def claimEpoch(key: (String, String)): Boolean = {
-    val fresh = seenEpochs.putIfAbsent(key, true).isEmpty
-    if (fresh) {
-      epochOrder.add(key)
+  /** Claim the epoch (Some(token) = first delivery). Evicts the oldest
+    * live claims past [[maxTrackedEpochs]] so the dedup set can't
+    * leak; stale queue entries (failure-released) are skipped. */
+  private def claimEpoch(key: (String, String)): Option[Long] = {
+    val token = claimTokens.incrementAndGet()
+    val fresh = seenEpochs.putIfAbsent(key, token).isEmpty
+    if (!fresh) None
+    else {
+      epochOrder.add((key, token))
       var n = trackedEpochs.incrementAndGet()
       while (n > maxTrackedEpochs) {
         val old = epochOrder.poll()
-        if (old ne null) { seenEpochs.remove(old); n = trackedEpochs.decrementAndGet() }
-        else n = 0 // another thread drained the queue; nothing left to evict
+        if (old eq null) n = 0 // another thread drained the queue
+        else if (seenEpochs.remove(old._1, old._2))
+          n = trackedEpochs.decrementAndGet()
+        else n = trackedEpochs.get // stale entry: already released
       }
+      Some(token)
     }
-    fresh
   }
 
+  private def releaseEpoch(key: (String, String), token: Long): Unit =
+    if (seenEpochs.remove(key, token)) { trackedEpochs.decrementAndGet(); () }
+
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
-    if (claimEpoch((topic, writerId)))
+    claimEpoch((topic, writerId)).foreach { token =>
       try publishBatch(topic, df)
-      catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
+      catch { case e: Throwable =>
+        releaseEpoch((topic, writerId), token); throw e
+      }
+    }
 
   /** One-pass routed publish for the test transport: a single driver
     * collect, then per-topic appends grouped in memory (the collect was
@@ -185,9 +205,12 @@ class MemoryPubSub(spark: SparkSession, numPartitions: Option[Int] = None,
           Message.columns.map(org.apache.spark.sql.functions.col): _*).as("_2"))
       .as[(String, Message)].collect()
     rows.groupBy(_._1).foreach { case (topic, ms) =>
-      if (claimEpoch((topic, writerId)))
+      claimEpoch((topic, writerId)).foreach { token =>
         try publish(topic, ms.map(_._2).toSeq)
-        catch { case e: Throwable => seenEpochs.remove((topic, writerId)); throw e }
+        catch { case e: Throwable =>
+          releaseEpoch((topic, writerId), token); throw e
+        }
+      }
     }
   }
 
@@ -298,9 +321,14 @@ class FilePubSub(spark: SparkSession, root: String)
             new HPath(s"$root/.quarantine",
               s"epoch_${writerId}_${s.getPath.getName}")
           }
-        if (fs.exists(target)) fs.delete(target, true) // retry: overwrite, don't append
-        fs.mkdirs(target.getParent)
-        fs.rename(s.getPath, target)
+        // CHECKED ops (GenerationSwap): HDFS-style filesystems signal
+        // rename/delete failure by returning false — unchecked, a
+        // failed rename here would let the epoch "succeed", offsets
+        // commit, and the finally below delete the only copy
+        graft.streaming.GenerationSwap.deleteIfExists(fs, target) // retry: overwrite
+        if (!fs.mkdirs(target.getParent))
+          throw new java.io.IOException(s"mkdirs failed: ${target.getParent}")
+        graft.streaming.GenerationSwap.renameOrThrow(fs, s.getPath, target)
       }
     } finally { fs.delete(stagingPath, true); () }
   }
@@ -330,18 +358,24 @@ class FilePubSub(spark: SparkSession, root: String)
     // finishes) or trash (the original). Finish the swap forward if
     // staging exists, else roll back from trash, so no crash window
     // loses data or strands the topic.
+    // every rename/delete in the swap is CHECKED — a false return
+    // (HDFS-style signalling) mid-swap would otherwise strand or lose
+    // the topic silently (same class as the GenerationSwap fix)
+    import graft.streaming.GenerationSwap.{deleteIfExists, renameOrThrow}
     if (!fs.exists(live)) {
-      if (fs.exists(staging)) { fs.rename(staging, live); fs.delete(trash, true) }
-      else if (fs.exists(trash)) fs.rename(trash, live)
+      if (fs.exists(staging)) {
+        renameOrThrow(fs, staging, live); deleteIfExists(fs, trash)
+      }
+      else if (fs.exists(trash)) renameOrThrow(fs, trash, live)
       else return // topic never existed
       ()
     }
     subscribeBatch(topic).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(trash)) fs.delete(trash, true)
-    fs.rename(live, trash)
-    fs.rename(staging, live)
-    fs.delete(trash, true)
+    deleteIfExists(fs, trash)
+    renameOrThrow(fs, live, trash)
+    renameOrThrow(fs, staging, live)
+    deleteIfExists(fs, trash)
     ()
   }
 }
@@ -476,11 +510,18 @@ object KafkaPubSub {
       metadataToHeaders(col("metadata")).as("headers"))
 
   /** Kafka source rows -> envelope; inverse of [[publishProjection]]
-    * modulo `ts` (broker-assigned). */
+    * modulo `ts` (broker-assigned). Foreign producers legally send
+    * records with NO key and NO headers (both null) — coalesce both,
+    * because a null metadata map NPEs in the router's very first
+    * `withMeta` (outside the middleware onion, killing the query on
+    * the first such record), and a null uuid breaks dedup/poison
+    * bookkeeping the same way. */
   def subscribeProjection(records: DataFrame): DataFrame =
     records.select(
-      col("key").cast("string").as("uuid"),
-      headersToMetadata(col("headers")).as("metadata"),
+      coalesce(col("key").cast("string"), lit("")).as("uuid"),
+      coalesce(headersToMetadata(col("headers")),
+        map_from_arrays(array(), array())
+          .cast("map<string,string>")).as("metadata"),
       col("value").as("payload"),
       col("timestamp").as("ts"))
 }

@@ -40,8 +40,14 @@ import graft.core.Message
 final class SqlPubSub(spark: SparkSession, url: String,
     group: String = "default", pollIntervalMs: Long = 50,
     pollPageSize: Int = 10000,
+    gapTimeoutMs: Long = 5000,
     log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
   extends PubSub with RoutedPublisher with AutoCloseable {
+
+  /** Poller hold-state for temporary identity-id holes:
+    * topic -> (first missing id, first seen ms). See [[pollOnce]]. */
+  private val gapState =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
   /** Topic → table name. Non-identifier chars sanitize to '_', which
     * would ALIAS distinct topics ("a.b" and "a+b" → one table, silently
@@ -66,12 +72,31 @@ final class SqlPubSub(spark: SparkSession, url: String,
   }
 
   private def tableExists(c: Connection, name: String): Boolean = {
+    // getTables takes a LIKE pattern: '_' is a single-char wildcard,
+    // so unescaped, "graft_t_a_b" also matches "graft_t_axb" and the
+    // CREATE for the real table would be silently skipped. Escaping is
+    // not portable (Derby's getSearchStringEscape returns ""), so the
+    // wildcard matches are filtered to an EXACT name equality instead.
     val rs = c.getMetaData.getTables(null, null, name, null)
-    try rs.next() finally rs.close()
+    try {
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME") == name
+      found
+    } finally rs.close()
   }
+
+  /** Bookkeeping tables (offsets/delayed/epochs) store the raw topic
+    * and group in VARCHAR(128); an overflow would surface only AFTER
+    * delivery (storeOffset throws post-enqueue), putting the poller in
+    * an infinite redelivery storm — so reject loudly at the API edge. */
+  private def requireBookkeepable(s: String, what: String): Unit =
+    require(s.getBytes("UTF-8").length <= 128,
+      s"$what exceeds the SQL transport's 128-byte bookkeeping limit: '$s'")
 
   /** Topic DDL (messages table + offsets table), idempotent. */
   override def subscribeInitialize(topic: String): Unit = withConn { c =>
+    requireBookkeepable(topic, "topic")
+    requireBookkeepable(group, "group")
     if (!tableExists(c, table(topic))) {
       val st = c.createStatement()
       try st.executeUpdate(
@@ -411,15 +436,56 @@ final class SqlPubSub(spark: SparkSession, url: String,
       try {
         while (rs.next()) page += rs.getLong(1) -> rowMessage(rs)
       } finally rs.close()
-      if (page.nonEmpty) {
+      // Contiguous-prefix guard: identity ids are assigned BEFORE a
+      // publisher's transaction commits, so a slow concurrent commit
+      // leaves a temporary HOLE below rows already visible — advancing
+      // the stored offset past the hole would skip those rows forever
+      // once they commit (silent loss). Deliver only the contiguous
+      // prefix; a hole persisting past gapTimeoutMs is a rolled-back
+      // id (permanent) and is stepped over, one hole per timeout.
+      val deliverable: Seq[(Long, Message)] =
+        if (page.isEmpty) Nil
+        else {
+          var prefixLen = 0
+          var expected = from + 1
+          while (prefixLen < page.length && page(prefixLen)._1 == expected) {
+            prefixLen += 1; expected += 1
+          }
+          if (prefixLen == page.length) { gapState.remove(topic); page.toSeq }
+          else {
+            val firstMissing = expected
+            val now = System.currentTimeMillis()
+            gapState.get(topic) match {
+              case Some((miss, seen))
+                  if miss == firstMissing && now - seen > gapTimeoutMs =>
+                // permanent hole: step over it and take the next
+                // contiguous run (further holes get their own timeout)
+                gapState.remove(topic)
+                var runEnd = prefixLen + 1
+                var exp2 = page(prefixLen)._1 + 1
+                while (runEnd < page.length && page(runEnd)._1 == exp2) {
+                  runEnd += 1; exp2 += 1
+                }
+                log.info(s"sql poller: skipping permanent id hole before " +
+                  s"$firstMissing on topic '$topic'", Map.empty)
+                page.take(runEnd).toSeq
+              case Some((miss, _)) if miss == firstMissing =>
+                page.take(prefixLen).toSeq // hole still pending
+              case _ =>
+                gapState.update(topic, (firstMissing, now))
+                page.take(prefixLen).toSeq
+            }
+          }
+        }
+      if (deliverable.nonEmpty) {
         val now = System.currentTimeMillis()
-        val (delayed, ready) = page.map { case (off, m) => (off, m, dueAt(m)) }
+        val (delayed, ready) = deliverable.map { case (off, m) => (off, m, dueAt(m)) }
           .partition { case (_, _, due) => due.exists(_.getTime > now) }
         parkDelayed(c, topic, // park FIRST: crash before offset store re-parks, never loses
-          delayed.map { case (off, _, due) => (off, due.get) }.toSeq)
+          delayed.map { case (off, _, due) => (off, due.get) })
         if (ready.nonEmpty)
           broker.publish(topic, ready.map(_._2).toSeq) // enqueue FIRST …
-        storeOffset(c, topic, page.last._1)            // … ack after (at-least-once)
+        storeOffset(c, topic, deliverable.last._1)     // … ack after (at-least-once)
       }
     } finally ps.close()
     releaseDue(c, topic)

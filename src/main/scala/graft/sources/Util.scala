@@ -48,5 +48,13 @@ final class RetryingPublisher(inner: Publisher, maxRetries: Int = 5,
     withRetry(inner.publish(topic, msgs))
   override def publishBatch(topic: String, df: DataFrame): Unit =
     withRetry(inner.publishBatch(topic, df))
+  // forward the epoch form: the trait default would drop writerId and
+  // retry through publishBatch — a retry after a PARTIAL write would
+  // then append the successful prefix twice. Retrying publishEpoch
+  // keeps the retry idempotent, which is the entire point of both
+  // this wrapper and the epoch API.
+  override def publishEpoch(topic: String, df: DataFrame,
+      writerId: String): Unit =
+    withRetry(inner.publishEpoch(topic, df, writerId))
   override def close(): Unit = inner.close()
 }

@@ -49,6 +49,72 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("underscore topics do not LIKE-alias in the metadata existence check") {
+    val ps = new SqlPubSub(spark, url("sqllike"))
+    try {
+      // getTables takes a LIKE pattern where '_' matches any char:
+      // unescaped, initializing "axb" first made "a_b"'s CREATE a
+      // silent no-op and every later publish failed table-not-found
+      ps.publish("axb", Seq(msg("x1", "via-x")))
+      ps.publish("a_b", Seq(msg("u1", "via-underscore")))
+      val x = ps.subscribeBatch("axb").as[Message].collect().map(_.uuid).toSet
+      val u = ps.subscribeBatch("a_b").as[Message].collect().map(_.uuid).toSet
+      assert(x == Set("x1") && u == Set("u1"), s"aliased: $x / $u")
+    } finally ps.close()
+  }
+
+  test("oversized topic / group names are rejected loudly at initialize") {
+    val ps = new SqlPubSub(spark, url("sqllen"))
+    try {
+      val longTopic = "t" * 200
+      val e = intercept[IllegalArgumentException] {
+        ps.subscribeInitialize(longTopic)
+      }
+      assert(e.getMessage.contains("128"))
+    } finally ps.close()
+    val psg = new SqlPubSub(spark, url("sqllen2"), group = "g" * 200)
+    try intercept[IllegalArgumentException] { psg.subscribeInitialize("ok") }
+    finally psg.close()
+  }
+
+  test("poller holds at an id hole, then steps over it once the gap timeout passes") {
+    // identity ids are assigned before commit: a hole below visible
+    // rows means a possibly-in-flight publisher. The poller must NOT
+    // advance past it (those rows would be skipped forever once
+    // committed); a hole that persists past gapTimeoutMs is a rolled-
+    // back id and is stepped over.
+    val db = url("sqlgap")
+    val ps = new SqlPubSub(spark, db, group = "gg", pollIntervalMs = 20,
+      gapTimeoutMs = 600)
+    try {
+      ps.subscribeInitialize("gap_t")
+      ps.publish("gap_t", (1 to 5).map(i => msg(s"g$i", s"p$i")))
+      // delete the middle row -> permanent hole at offset 3
+      val c = java.sql.DriverManager.getConnection(db)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          "DELETE FROM \"graft_t_gap_t\" WHERE \"offset_id\" = 3")
+        finally st.close()
+      } finally c.close()
+      val received = new java.util.concurrent.atomic.LongAdder
+      val q = ps.subscribe("gap_t").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sqlgap-ck-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.add(b.count()); ()
+        }.start()
+      try {
+        val deadline = System.currentTimeMillis() + 20000
+        while (received.sum < 4 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); q.processAllAvailable()
+        }
+        assert(received.sum == 4,
+          s"expected 4 rows after stepping the hole, got ${received.sum}")
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   test("publishBatch goes through Spark's JDBC sink (executor inserts)") {
     val ps = new SqlPubSub(spark, url("sqlbulk"))
     try {
