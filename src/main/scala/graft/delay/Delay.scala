@@ -74,7 +74,13 @@ final class DelayingPublisher(inner: Publisher,
     inner.publish(topic, msgs.map(stamp))
 
   override def publishBatch(topic: String, df: DataFrame): Unit = {
+    // unstamped = missing OR empty value, matching the per-message
+    // path exactly (Message.get returns "" for a missing key, so
+    // `get(..).nonEmpty` treats "" as unstamped — a bare isNull here
+    // would deliver an empty-stamped row immediately on one path and
+    // delay it on the other)
     val until = element_at(col("metadata"), lit(Ctx.DelayedUntil))
+    val unstamped = until.isNull || until === ""
     val stamped = defaultDelay match {
       case Some(gen) =>
         val d = gen() // generated per publish call, one stamp per batch
@@ -82,7 +88,7 @@ final class DelayingPublisher(inner: Publisher,
         // map_concat(null, stamp) is NULL — the row would publish with
         // no delay stamp at all, silently skipping the default delay
         df.withColumn("metadata",
-          when(until.isNull, map_concat(
+          when(unstamped, map_concat(
             coalesce(col("metadata"),
               map().cast("map<string,string>")),
             map(lit(Ctx.DelayedUntil), lit(Instant.ofEpochMilli(d.untilMs).toString),
@@ -95,7 +101,7 @@ final class DelayingPublisher(inner: Publisher,
         // raise_error reports it at write time without a driver-side
         // pre-scan of the batch
         df.withColumn("metadata",
-          when(until.isNull, raise_error(lit(
+          when(unstamped, raise_error(lit(
             "message has no delay and no default delay configured (publisher.go:59-66)"))
             .cast("map<string,string>"))
             .otherwise(col("metadata")))

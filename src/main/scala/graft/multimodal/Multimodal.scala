@@ -506,7 +506,12 @@ object MediaCodec {
     var w = 0
     while (w < windows) {
       val from = w * per
-      val to = math.min(samples.length, from + per)
+      // the LAST window absorbs the len % windows trailing samples —
+      // truncating them dropped up to ~half the signal for clips with
+      // windows < len < 2*windows (a loud tail event scored zero)
+      val to =
+        if (w == windows - 1) samples.length
+        else math.min(samples.length, from + per)
       var acc = 0.0
       var i = from
       while (i < to) { val v = samples(i).toDouble; acc += v * v; i += 1 }
@@ -622,8 +627,12 @@ object Multimodal {
   def imageNearDups(df: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes", maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val h = imageHashes(df, idCol, bytesCol).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization, NOT persist: three consumers (candidates
+    // + both verify-join sides) would re-decode every image per plan
+    // reference, and a persist here leaked a cached relation per call
+    // for the application lifetime (localCheckpoint blocks are
+    // GC-reclaimed once the returned frame is unreferenced)
+    val h = imageHashes(df, idCol, bytesCol).toDF().localCheckpoint(true)
     val cand = graft.functions.DedupFunctions
       .hammingCandidates(h, "media_id", "dhash", maxHamming, maxBucket)
     val h1 = h.select(col("media_id").as("d1"), col("dhash").as("h1"))

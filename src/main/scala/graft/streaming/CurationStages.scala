@@ -57,8 +57,13 @@ object CurationStages {
       // _graft_ keys on publish) or a TopicOverride (poison/retry
       // middleware upstream) would make map_concat throw and fail the
       // whole micro-batch
+      // coalesce FIRST: the envelope allows a NULL metadata map, and
+      // map_filter/map_concat propagate the null — the row would lose
+      // its topic override entirely and silently route to the default
+      // topic as if it passed the gate
       .withColumn("metadata", map_concat(
-        map_filter(col("metadata"),
+        map_filter(coalesce(col("metadata"),
+            map().cast("map<string,string>")),
           (k, _) => k =!= Ctx.TopicOverride && k =!= "quality"),
         map(
           lit(Ctx.TopicOverride),

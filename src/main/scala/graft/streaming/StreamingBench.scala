@@ -62,7 +62,10 @@ object StreamingBench {
   def evidenceJson(m: Paired, f: Paired, s: Paired): (String, String) = {
     val ratios = Seq(m.pubPairRatio, m.subPairRatio, f.pubPairRatio,
       f.subPairRatio, s.pubPairRatio, s.subPairRatio).sorted
-    val median = ratios(ratios.size / 2)
+    // true median of the even-count list (average of the two middles):
+    // the upper-middle alone would let a single degenerate path flip
+    // the contamination verdict the key name promises a median for
+    val median = (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val contaminated = median > 1.5
     def passJson(p: Paired, sel: Result => Double): String =
       p.passes.map(r => f"${sel(r)}%.0f").mkString("[", ",", "]")

@@ -55,7 +55,8 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     // the index is hive-partitioned by band: data lives in band=N
     // subdirectories (plus _SUCCESS markers at the top level)
     fs.exists(p) && fs.listStatus(p).exists { s =>
-      s.getPath.getName.startsWith("band=") ||
+      s.getPath.getName.startsWith("batch_id=") ||
+        s.getPath.getName.startsWith("band=") ||
         s.getPath.getName.endsWith(".parquet")
     }
   }
@@ -70,10 +71,13 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
     val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
     if (!fs.exists(live)) {
-      if (fs.exists(tmp)) fs.rename(tmp, live)
-      else if (fs.exists(old)) fs.rename(old, live)
+      if (fs.exists(tmp)) GenerationSwap.renameOrThrow(fs, tmp, live)
+      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
     }
-    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+    if (fs.exists(live)) {
+      GenerationSwap.deleteIfExists(fs, tmp)
+      GenerationSwap.deleteIfExists(fs, old)
+    }
   }
 
   /** The live view of the index: rows within the retention horizon. */
@@ -118,15 +122,28 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
 
   /** Process one micro-batch: returns the RETAINED subset of `batch`
     * and appends the survivors' bands to the index. The batch frame
-    * must be bounded (a `foreachBatch` frame, not a streaming plan). */
-  def processBatch(batch: DataFrame): DataFrame = {
+    * must be bounded (a `foreachBatch` frame, not a streaming plan).
+    *
+    * REPLAY SAFETY: pass the foreachBatch `batchId`. Index rows carry
+    * it, the cross-batch join EXCLUDES rows of the current id (a
+    * replayed batch must not match its own first attempt's rows —
+    * every survivor would self-match at estSim 1.0 and be dropped,
+    * silently losing the whole batch), and the append overwrites only
+    * this batch's own (batch_id, band) partitions, so a replay is
+    * bit-identical instead of duplicating index rows. The default -1
+    * keeps the legacy append-only behavior for bounded-loop callers
+    * outside foreachBatch. */
+  def processBatch(batch: DataFrame, batchId: Long = -1L): DataFrame = {
     val bs = bandSigs(batch).persist() // batch-sized; read by 3 consumers
     try {
       // cross-batch: similar to any indexed (retained) doc → drop.
       // The touched-band list is control-plane sized (<= k/r values)
       // and pushes a partition filter into the index scan.
       val touched = bs.select(col("band")).distinct().collect().map(_.get(0)).toSeq
-      val crossDropped = indexForBands(touched).map { idx =>
+      val crossDropped = indexForBands(touched).map { idxAll =>
+        val idx =
+          if (batchId >= 0) idxAll.filter(col("batch_id") =!= batchId)
+          else idxAll
         bs.join(idx.withColumnRenamed("sig", "idx_sig")
             .select(col("band"), col("band_key"), col("idx_sig")),
             Seq("band", "band_key"))
@@ -153,12 +170,19 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       // one file per band per batch (the repartition), rows sorted by
       // band_key within it (parquet row-group min/max skipping on the
       // join key at corpus scale). All batch-sized work.
-      bs.join(kept.select(col(idCol)), Seq(idCol))
+      val rows = bs.join(kept.select(col(idCol)), Seq(idCol))
         .select(col(idCol), col("band"), col("band_key"), col("sig"),
-          current_timestamp().as("ingest_ts"))
+          current_timestamp().as("ingest_ts"),
+          lit(batchId).as("batch_id"))
         .repartition(col("band"))
         .sortWithinPartitions(col("band"), col("band_key"))
-        .write.partitionBy("band").mode("append").parquet(indexDir)
+      val w = rows.write.partitionBy("batch_id", "band")
+      if (batchId >= 0)
+        // dynamic overwrite: a replay rewrites EXACTLY its own
+        // (batch_id, band) partitions — idempotent appends
+        w.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(indexDir)
+      else w.mode("append").parquet(indexDir)
       // pin the returned frame BEFORE releasing bs: a lazy `kept` would
       // re-run the whole shingle/MinHash pipeline on every caller
       // action, and with retention set the current_timestamp() in the
@@ -183,12 +207,14 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       // adopts whichever sibling survives a crash)
       live.repartition(col("band"))
         .sortWithinPartitions(col("band"), col("band_key"))
-        .write.partitionBy("band").mode("overwrite").parquet(tmp)
+        .write.partitionBy("batch_id", "band").mode("overwrite").parquet(tmp)
+      // CHECKED swap (GenerationSwap contract): an unchecked false
+      // here reported success while leaving no live index
       val liveP = new org.apache.hadoop.fs.Path(indexDir)
       val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-      fs.rename(liveP, old)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), liveP)
-      fs.delete(old, true)
+      GenerationSwap.renameOrThrow(fs, liveP, old)
+      GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), liveP)
+      GenerationSwap.deleteIfExists(fs, old)
       ()
     }
   }

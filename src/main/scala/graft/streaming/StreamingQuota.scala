@@ -44,7 +44,10 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
   private def hasState: Boolean = {
     recoverCompact()
     val p = new org.apache.hadoop.fs.Path(stateDir)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName.startsWith("batch_id=") ||
+        s.getPath.getName.endsWith(".parquet")
+    }
   }
 
   /** Crash recovery for [[compact]]: if a crash landed between "old
@@ -57,34 +60,62 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".compact")
     val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
     if (!fs.exists(live)) {
-      if (fs.exists(tmp)) fs.rename(tmp, live)
-      else if (fs.exists(old)) fs.rename(old, live)
+      if (fs.exists(tmp)) GenerationSwap.renameOrThrow(fs, tmp, live)
+      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
     }
     // leftovers from a completed (or recovered) compact are dead state
-    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+    if (fs.exists(live)) {
+      GenerationSwap.deleteIfExists(fs, tmp)
+      GenerationSwap.deleteIfExists(fs, old)
+    }
   }
 
   /** Cumulative admitted count per key (the fold of all deltas);
     * None before the first admission. */
-  def used(): Option[DataFrame] =
+  def used(): Option[DataFrame] = usedExcluding(-1L)
+
+  /** The fold, optionally EXCLUDING one batch id's own deltas — the
+    * replay view: a re-run of batch N must budget against everything
+    * EXCEPT its first attempt's (uncommitted-downstream) counts, or
+    * it under-admits and permanently double-counts the budget. */
+  private def usedExcluding(batchId: Long): Option[DataFrame] =
     if (!hasState) None
-    else Some(spark.read.parquet(stateDir)
-      .groupBy(col(keyCol)).agg(sum(col("n")).as("graft_used")))
+    else {
+      val all = spark.read.parquet(stateDir)
+      val visible =
+        if (batchId >= 0) all.filter(col("batch_id") =!= batchId) else all
+      Some(visible.groupBy(col(keyCol)).agg(sum(col("n")).as("graft_used")))
+    }
 
   /** Admit up to the remaining budget per key from `batch`; append the
     * per-key admitted counts to the state and return the admitted
-    * rows (original schema). */
-  def admit(batch: DataFrame): DataFrame = {
+    * rows (original schema).
+    *
+    * REPLAY SAFETY: pass the foreachBatch `batchId`. The budget view
+    * excludes this id's own deltas and the state write overwrites
+    * only this id's partition (dynamic overwrite), so a replayed
+    * batch admits EXACTLY the rows of its first attempt instead of
+    * double-counting against the budget. The -1 default keeps the
+    * legacy append-only behavior for bounded-loop callers. Run
+    * [[compact]] only for ids past the stream's committed checkpoint
+    * (folding erases per-batch attribution). */
+  def admit(batch: DataFrame, batchId: Long = -1L): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
     val ranked = batch.withColumn("graft_rk", row_number().over(w))
-    val withUsed = used().fold(ranked.withColumn("graft_used", lit(0L)))(u =>
-      ranked.join(broadcast(u), Seq(keyCol), "left"))
+    val withUsed = usedExcluding(batchId)
+      .fold(ranked.withColumn("graft_used", lit(0L)))(u =>
+        ranked.join(broadcast(u), Seq(keyCol), "left"))
     val admitted = withUsed
       .filter(coalesce(col("graft_used"), lit(0L)) + col("graft_rk") <= budget)
       .drop("graft_rk", "graft_used")
       .localCheckpoint(true)
-    admitted.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(stateDir)
+    val delta = admitted.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    val dw = delta.write.partitionBy("batch_id")
+    if (batchId >= 0)
+      dw.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(stateDir)
+    else dw.mode("append").parquet(stateDir)
     admitted
   }
 
@@ -94,8 +125,12 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     * materialized before the old state is dropped. */
   def compact(): Unit = used().foreach { u =>
     val tmp = stateDir + ".compact"
+    // folded rows carry the -2 sentinel id: never excluded by any
+    // replay view (per-batch attribution is gone after folding)
     u.select(col(keyCol), col("graft_used").as("n"))
-      .repartition(1).write.mode("overwrite").parquet(tmp)
+      .withColumn("batch_id", lit(-2L))
+      .repartition(1).write.partitionBy("batch_id")
+      .mode("overwrite").parquet(tmp)
     // crash-safe swap: the live state is renamed ASIDE (not deleted)
     // before the compacted dir takes its place, so every crash point
     // leaves either the live dir or a recoverable sibling that
@@ -103,8 +138,8 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     // silently reset budgets and over-admit exhausted keys on restart
     val live = new org.apache.hadoop.fs.Path(stateDir)
     val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
-    fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
-    fs.delete(old, true)
+    GenerationSwap.renameOrThrow(fs, live, old)
+    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
+    GenerationSwap.deleteIfExists(fs, old)
   }
 }

@@ -128,9 +128,13 @@ class StreamingCurationSpec extends SparkSpec {
       assert(nd.indexSize() == stateAfter,
         "duplicates must contribute no index state")
 
-      // the index is hive-partitioned by band on disk …
-      val bandDirs = new java.io.File(dir + "/index").listFiles()
-        .filter(_.getName.startsWith("band=")).map(_.getName).sorted
+      // the index is hive-partitioned by (batch_id, band) on disk —
+      // batch_id is the replay-overwrite unit, band the join prune …
+      val batchDirs = new java.io.File(dir + "/index").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+      assert(batchDirs.nonEmpty, "expected batch_id partition dirs")
+      val bandDirs = new java.io.File(dir + "/index/" + batchDirs.head)
+        .listFiles().filter(_.getName.startsWith("band=")).map(_.getName).sorted
       assert(bandDirs.toSeq == (0 until nBands).map(b => s"band=$b"),
         s"expected one directory per band, got ${bandDirs.toSeq}")
       // … and a banded view pushes the band list into the scan's
@@ -285,6 +289,56 @@ class StreamingCurationSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(used == Map("en" -> 2L, "und" -> 2L), s"ledger: $used")
     } finally q.stop()
+  }
+
+  test("near-dup replay: a replayed foreachBatch batch keeps the same survivors, not zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndrp-").toString
+    val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5)
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val tB = "completely different content about database engines and vectorized execution paths"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 5: two distinct docs survive, bands indexed under batch_id=5
+    val first = keptIds(nd.processBatch(docs(1L -> tA, 2L -> tB), batchId = 5L))
+    assert(first == Set(1L, 2L))
+    val sizeAfterFirst = nd.indexSize()
+    // REPLAY of batch 5 (downstream failed; foreachBatch re-runs): the
+    // batch must NOT match its own first attempt's index rows — the
+    // pre-fix behavior dropped every survivor as a self-duplicate
+    val replay = keptIds(nd.processBatch(docs(1L -> tA, 2L -> tB), batchId = 5L))
+    assert(replay == Set(1L, 2L), s"replay lost survivors: $replay")
+    assert(nd.indexSize() == sizeAfterFirst,
+      "replay must overwrite its own partitions, not duplicate index rows")
+    // and a LATER batch still dedups against batch 5's docs
+    val next = keptIds(nd.processBatch(docs(10L -> tA, 11L -> (tB + " extra")),
+      batchId = 6L))
+    assert(!next.contains(10L), "cross-batch dup must still be dropped")
+  }
+
+  test("quota replay: a replayed batch admits the same rows instead of double-counting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqrp-").toString + "/state"
+    val quota = new StreamingQuota(spark, dir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 3)
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(quota.admit(batch(1L -> "a", 2L -> "a"), batchId = 0L)) ==
+      Set(1L, 2L))
+    // batch 1 first attempt: 1 of 2 rows fits the remaining budget
+    assert(ids(quota.admit(batch(3L -> "a", 4L -> "a"), batchId = 1L)) ==
+      Set(3L))
+    // REPLAY of batch 1: must admit the SAME row (pre-fix the first
+    // attempt's delta already counted, so the replay admitted nothing
+    // — its output was never committed downstream: data loss) and the
+    // ledger must not double-count
+    assert(ids(quota.admit(batch(3L -> "a", 4L -> "a"), batchId = 1L)) ==
+      Set(3L), "replay must re-admit its own rows")
+    val used = quota.used().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(used == Map("a" -> 3L), s"ledger double-counted: $used")
+    // budget now exhausted for later batches
+    assert(ids(quota.admit(batch(5L -> "a"), batchId = 2L)).isEmpty)
   }
 
   test("streaming quota: cumulative per-key budget across batches, deterministic, compactable") {
