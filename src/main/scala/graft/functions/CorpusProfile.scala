@@ -63,6 +63,13 @@ object CorpusProfile {
       .agg(DistinctSketch.sketch(xxhash64(col("_t")), vocabP, vocabSparseMax)
         .as("vocab"))
 
-    docStats.join(vocab, Seq("slice"))
+    // LEFT join: a slice whose documents ALL tokenize to zero tokens
+    // (binary garbage, a corrupted feed) produces doc rows but no
+    // vocab row — the inner join dropped exactly the slice a dataset
+    // card most needs to surface. Same guard as
+    // StreamingProfile.batchStates; the empty-sparse sketch state
+    // estimates 0 distinct.
+    docStats.join(vocab, Seq("slice"), "left")
+      .withColumn("vocab", coalesce(col("vocab"), lit(0L)))
   }
 }

@@ -44,6 +44,7 @@ object CountMin {
     require(width >= 1, s"width must be positive: $width")
     override def zero: Array[Long] = new Array[Long](Depth * width)
     override def reduce(buf: Array[Long], key: String): Array[Long] = {
+      if (key == null) return buf // built-in aggregates skip nulls; so do we
       var r = 0
       while (r < Depth) {
         buf(r * width + bucket(key, r, width)) += 1L

@@ -114,25 +114,36 @@ object DedupFunctions {
     bandPairs(bands, idCol, maxBucket)
   }
 
-  /** Distinct (d1 < d2) pairs sharing a band bucket: ONE shuffle
-    * groups bucket members through the capped collector, intra-bucket
-    * pairs come from a double explode. Shared by every banded
-    * candidate generator (minhash, incremental, estimates) — see the
-    * single-plan-reference rationale in [[minhashCandidates]]. */
-  private def bandPairs(bands: DataFrame, idCol: String,
-      maxBucket: Int): DataFrame = {
+  /** THE group-then-double-explode pair generator: (d1 < d2) pairs of
+    * ids sharing a bucket, ONE shuffle on the bucket key, members
+    * collected through the CAPPED collector (integral ids as longs,
+    * anything else as strings — a blanket long cast NULLs uuid-style
+    * ids and silently returns zero pairs), over-cap buckets dropped
+    * entirely (boilerplate skew guard). Shared by every bucketed
+    * candidate generator — MinHash bands, Hamming chunks, SRP bands,
+    * k-means cells — so the id-type and cap semantics cannot diverge
+    * between copies again. `dedup = false` skips the final distinct
+    * when each pair can appear at most once (single-assignment
+    * bucketing). */
+  private[functions] def bucketPairs(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucket: Int, dedup: Boolean = true): DataFrame = {
     val memberAgg =
-      if (idIsIntegralType(bands, idCol))
+      if (idIsIntegralType(rows, idCol))
         BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
       else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
-    bands.groupBy(col("band"), col("band_key"))
+    val pairs = rows.groupBy(bucketCols.map(col): _*)
       .agg(memberAgg.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
       .select(explode(col("members")).as("d1"), col("members"))
       .select(col("d1"), explode(col("members")).as("d2"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .select(col("d1"), col("d2"))
+    if (dedup) pairs.distinct() else pairs
   }
+
+  private def bandPairs(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
+    bucketPairs(bands, Seq("band", "band_key"), idCol, maxBucket)
 
   /** LSH candidates WITH the signature-agreement Jaccard estimate —
     * the verify half that completes the MinHash pipeline (candidates →
@@ -311,7 +322,13 @@ object DedupFunctions {
     // the semantic filter and must match the oracle's expression
     // bit-for-bit; the pruning stages only affect recall, and the
     // integer forms can only widen the candidate set.
-    val tMicro = math.round(threshold * 1e6)
+    // FLOOR, not round: round can land ABOVE the caller's double
+    // threshold (t = 6/7 rounds 857142.857… up to 857143), making the
+    // pruning stages STRICTER than the verify filter — a true boundary
+    // pair (jaccard exactly 6/7) would be pruned before verification,
+    // breaking the 100%-recall contract. floor(t·1e6)/1e6 <= t always,
+    // so both pruning stages stay necessary-condition-exact.
+    val tMicro = math.floor(threshold * 1e6).toLong
     val prefix = ex.join(freq, Seq("t"))
       .groupBy(col("doc_id"))
       .agg(first(col("n")).as("n"), collect_list(struct(col("df"), col("t"))).as("ps"))
@@ -496,17 +513,7 @@ object DedupFunctions {
     }
     val chunks = hashes.select(col(idCol), explode(array(chunkCols: _*)).as("x"))
       .select(col(idCol), col("x.chunk"), col("x.key"))
-    val members =
-      if (idIsIntegralType(chunks, idCol))
-        BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
-      else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
-    chunks.groupBy(col("chunk"), col("key"))
-      .agg(members.as("members"))
-      .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
-      .select(explode(col("members")).as("d1"), col("members"))
-      .select(col("d1"), explode(col("members")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    bucketPairs(chunks, Seq("chunk", "key"), idCol, maxBucket)
   }
 
   /** Duplicate-cluster resolution: candidate/verified pairs form a

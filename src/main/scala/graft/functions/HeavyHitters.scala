@@ -61,6 +61,9 @@ object HeavyHitters {
     require(capacity >= 1, s"capacity must be positive: $capacity")
     override def zero: Map[String, Long] = Map.empty
     override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+      if (key == null) buf // built-in aggregates skip nulls; so do we
+      else reduceNonNull(buf, key)
+    private def reduceNonNull(buf: Map[String, Long], key: String): Map[String, Long] =
       update(buf, key, capacity)
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
       combine(a, b, capacity)

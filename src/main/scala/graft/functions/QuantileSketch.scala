@@ -60,14 +60,20 @@ object QuantileSketch {
     * storage at fixed capacity k (first n0 slots live, unsorted);
     * buf(l+1) for l ≥ 1 = level-l values, sorted, weight 2^l. */
   final class Summary(k: Int, qs: Array[Double])
-      extends Aggregator[Double, Array[Array[Double]], Array[Double]] {
+      extends Aggregator[Option[Double], Array[Array[Double]], Array[Double]] {
     require(k >= 2 && k % 2 == 0, s"k must be even and >= 2: $k")
 
     override def zero: Array[Array[Double]] =
       Array(Array(0.0), new Array[Double](k))
 
+    // OPTION input on purpose: the primitive encoder turns a NULL row
+    // into 0.0 and silently injects zeros into the summary; the Option
+    // form receives None and skips it, like every built-in aggregate
+    // (percentile_approx, avg)
     override def reduce(
-        buf: Array[Array[Double]], v: Double): Array[Array[Double]] = {
+        buf: Array[Array[Double]], opt: Option[Double]): Array[Array[Double]] = {
+      if (opt.isEmpty) return buf
+      val v = opt.get
       val n0 = buf(0)(0).toInt
       if (n0 < k) { buf(1)(n0) = v; buf(0)(0) = n0 + 1; buf }
       else {
@@ -85,7 +91,7 @@ object QuantileSketch {
       // level 0 of b feeds through reduce (keeps the capacity invariant)
       val bn0 = b(0)(0).toInt
       var i = 0
-      while (i < bn0) { acc = reduce(acc, b(1)(i)); i += 1 }
+      while (i < bn0) { acc = reduce(acc, Some(b(1)(i))); i += 1 }
       // higher levels concatenate, then compact past k
       var l = 2
       while (l < b.length) {
@@ -192,12 +198,14 @@ object QuantileSketch {
   /** Aggregate column: interleaved [value, weight, …] CDF of the
     * group (sorted by value). */
   def sketch(value: Column, k: Int): Column =
-    udaf(new Summary(k, Array.empty), Encoders.scalaDouble)(value)
+    udaf(new Summary(k, Array.empty),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())(value)
 
   /** Aggregate column: ARRAY<DOUBLE> of the requested quantiles
     * (lower-rank order statistics of the summary's weighted CDF). */
   def quantiles(value: Column, k: Int, qs: Seq[Double]): Column =
-    udaf(new Summary(k, qs.toArray), Encoders.scalaDouble)(value)
+    udaf(new Summary(k, qs.toArray),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())(value)
 
   // ---- sketch-as-a-value lifecycle ---------------------------------
   // Same shelf pattern as [[DistinctSketch.sketchState]]: pre-aggregate
@@ -212,10 +220,10 @@ object QuantileSketch {
     * live prefix: safe, because merge only READS a consumed state's
     * level 0 (the accumulating buffer keeps fixed-capacity storage). */
   final class SummaryState(k: Int)
-      extends Aggregator[Double, Array[Array[Double]], Array[Array[Double]]] {
+      extends Aggregator[Option[Double], Array[Array[Double]], Array[Array[Double]]] {
     private val inner = new Summary(k, Array.empty)
     override def zero: Array[Array[Double]] = inner.zero
-    override def reduce(b: Array[Array[Double]], v: Double): Array[Array[Double]] =
+    override def reduce(b: Array[Array[Double]], v: Option[Double]): Array[Array[Double]] =
       inner.reduce(b, v)
     override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
       inner.merge(a, b)
@@ -277,7 +285,8 @@ object QuantileSketch {
 
   /** Aggregate values → storable ladder state. */
   def sketchState(value: Column, k: Int): Column =
-    udaf(new SummaryState(k), Encoders.scalaDouble)(value)
+    udaf(new SummaryState(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())(value)
 
   /** Aggregate stored states → merged state (for re-storage). */
   def mergeState(state: Column, k: Int): Column =

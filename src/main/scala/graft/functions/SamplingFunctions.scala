@@ -65,10 +65,17 @@ object SamplingFunctions {
     * per-group materialization). Skewed groups (one giant source) cost
     * one hot partition's sort, not a cross-join. */
   def quotaPerGroup(df: DataFrame, group: Column, order: Column,
-      tieBreak: Column, n: Int): DataFrame =
+      tieBreak: Column, n: Int): DataFrame = {
+    // `rk` (the within-group rank) is an OUTPUT column of this API —
+    // callers consume it (q39's gate) — so an input column of that
+    // name would be silently overwritten and returned corrupted:
+    // reject it loudly, the Merge/TableDiff reserved-name discipline
+    require(!df.columns.contains("rk"),
+      "column name 'rk' is reserved by quotaPerGroup (it is the emitted rank)")
     df.withColumn("rk",
         row_number().over(Window.partitionBy(group).orderBy(order, tieBreak)))
       .filter(col("rk") <= n)
+  }
 
   /** Deterministic "reservoir": a uniform random-LOOKING k docs per
     * group, derived from the portable hash instead of `rand()` — the

@@ -51,11 +51,17 @@ object VectorFunctions {
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0) // zero vectors: no direction, and ANSI throws on 0/0
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // zero-norm vectors (failed encoders) make sim = 0/0 = NaN, and
+      // Spark sorts NaN ABOVE every double — unguarded, one zero
+      // vector claims a top-k slot for every query
+      .filter(!isnan(col("sim")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -80,14 +86,17 @@ object VectorFunctions {
         col(labelCol).as("qlabel"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0) // zero-norm guard, see bruteForceTopK
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nlabel"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.join(broadcast(q),
         col("neighbor_id") =!= col("query_id") &&
           !(col("nlabel") <=> col("qlabel")))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(!isnan(col("sim"))) // zero-norm guard, see bruteForceTopK
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -107,12 +116,16 @@ object VectorFunctions {
     val a = vecs.select(col(idCol).as("d1"),
         col(vecCol).cast("array<double>").as("v1"))
       .withColumn("n1", l2Norm(col("v1")))
+      .filter(col("n1") > 0) // zero-norm guard, see bruteForceTopK
     val b = vecs.select(col(idCol).as("d2"),
         col(vecCol).cast("array<double>").as("v2"))
       .withColumn("n2", l2Norm(col("v2")))
+      .filter(col("n2") > 0)
     a.join(broadcast(b), col("d1") < col("d2"))
       .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("sim") >= threshold)
+      // NaN >= threshold is TRUE under Spark NaN ordering — a zero
+      // vector would pair with everything it meets
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
@@ -135,23 +148,24 @@ object VectorFunctions {
         srpBucket(col("v"), dim, nBits, seed = 1000 * bd + 7).as("key")))
     val bucketed = base.select(col("id"), explode(array(bandCols: _*)).as("x"))
       .select(col("id"), col("x.band"), col("x.key"))
-    val members = BoundedCollect.longs(col("id").cast("long"), maxBucket)
-    val cand = bucketed.groupBy(col("band"), col("key"))
-      .agg(members.as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-      .select(explode(col("ms")).as("d1"), col("ms"))
-      .select(col("d1"), explode(col("ms")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .distinct()
+    // shared generator: id-type branch + over-cap drop live in ONE
+    // place (DedupFunctions.bucketPairs) — this copy had a blanket
+    // long cast that silently returned zero pairs for string ids
+    val cand = DedupFunctions.bucketPairs(bucketed, Seq("band", "key"),
+      "id", maxBucket)
     // verification re-reads only the pruned (id, vec) projection — the
     // srpBucket compute above is not re-evaluated here
     val s1 = base.select(col("id").as("d1"), col("v").as("v1"))
       .withColumn("n1", l2Norm(col("v1")))
+      .filter(col("n1") > 0) // zero-norm guard, see bruteForceTopK
     val s2 = base.select(col("id").as("d2"), col("v").as("v2"))
       .withColumn("n2", l2Norm(col("v2")))
+      .filter(col("n2") > 0)
     cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
       .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("sim") >= threshold)
+      // NaN >= threshold is TRUE under Spark NaN ordering — NaN input
+      // components must not pair with everything they meet
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
@@ -206,7 +220,9 @@ object VectorFunctions {
     def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
     val base = vecs.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .filter(size(col("v")) === dim)
+      // zero vectors have no direction: unit() would NaN every
+      // component and poison the centroid assignment
+      .filter(size(col("v")) === dim && l2Norm(col("v")) > 0)
     // probes > 1 is multi-assignment: each vector joins its `probes`
     // nearest cells, recovering pairs that straddle a cell boundary —
     // the dominant recall loss at LOW thresholds, where "near-dups"
@@ -218,24 +234,24 @@ object VectorFunctions {
       else
         base.select(col("id"),
           explode(topCentroids(unit(col("v")), cents, probes)).as("cell"))
-    val members = BoundedCollect.longs(col("id").cast("long"), maxCluster)
-    val cand0 = assigned.groupBy(col("cell"))
-      .agg(members.as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode(col("ms")).as("d1"), col("ms"))
-      .select(col("d1"), explode(col("ms")).as("d2"))
-      .filter(col("d1") < col("d2"))
-    // single assignment => each pair appears at most once (one cell per
-    // vector) and the distinct shuffle is pure cost; multi-assignment
-    // can emit a pair from up to `probes` shared cells
-    val cand = if (probes == 1) cand0 else cand0.distinct()
+    // shared generator (id-type branch + over-cap drop in one place);
+    // single assignment => each pair appears at most once (one cell
+    // per vector) so the distinct shuffle is skipped; multi-assignment
+    // can emit a pair from up to `probes` shared cells. Cells past
+    // maxCluster are dropped entirely (they were previously truncated
+    // at the collector and still paired — the cap now means what the
+    // other generators' caps mean).
+    val cand = DedupFunctions.bucketPairs(assigned, Seq("cell"), "id",
+      maxCluster, dedup = probes > 1)
     val s1 = base.select(col("id").as("d1"), col("v").as("v1"))
       .withColumn("n1", l2Norm(col("v1")))
     val s2 = base.select(col("id").as("d2"), col("v").as("v2"))
       .withColumn("n2", l2Norm(col("v2")))
     cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
       .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("sim") >= threshold)
+      // NaN >= threshold is TRUE under Spark NaN ordering — a zero
+      // vector would pair with everything it meets
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim"))
   }
 
@@ -278,7 +294,7 @@ object VectorFunctions {
       transform(c, x => x / n)
     }
     val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
-      .filter(size(col("v0")) === dim)
+      .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(normalized(col("v0")).as("v"))
     var cents: Array[Array[Double]] = v
       .withColumn("h", xxhash64(col("v").cast("string")))
@@ -345,6 +361,7 @@ object VectorFunctions {
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine
+      .filter(!isnan(col("sim"))) // zero-norm guard, see bruteForceTopK
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -410,6 +427,7 @@ object VectorFunctions {
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("home", srpBucket(col("qv"), dim, nBits))
       .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0) // zero-norm guard, see bruteForceTopK
     // probe buckets: home plus home with bit b flipped, b < probes-1 …
     // flipping the LOWEST bits first is arbitrary but deterministic;
     // a score-ordered probe sequence would need the margins, omitted
@@ -423,11 +441,13 @@ object VectorFunctions {
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), dim, nBits))
       .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       // a neighbor can appear via several probes — dedup before ranking
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(!isnan(col("sim"))) // zero-norm guard, see bruteForceTopK
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -486,7 +506,7 @@ object VectorFunctions {
       transform(c, x => x / n)
     }
     val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
-      .filter(size(col("v0")) === dim)
+      .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(normalized(col("v0")).as("v"))
     // one lowest-hash pass seeds every subspace (sliced per codebook)
     val seed = v.withColumn("h", xxhash64(col("v").cast("string")))
@@ -546,6 +566,7 @@ object VectorFunctions {
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val scored = c.join(broadcast(cand), Seq("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine
+      .filter(!isnan(col("sim"))) // zero-norm guard, see bruteForceTopK
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -85,6 +85,52 @@ class GuardrailsSpec extends SparkSpec {
     assert(labels.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("sketch aggregators skip null inputs like built-in aggregates") {
+    val df = Seq(Some(10.0), Some(20.0), None, None).toDF("v")
+    // null-injection would make the summary [0,0,10,20] and the
+    // rank-pick median 0.0; null-skipping gives [10,20] -> 10.0
+    val med = df.agg(QuantileSketch.quantiles(col("v"), 64, Seq(0.5)))
+      .head.getSeq[Double](0).head
+    assert(med == 10.0, s"nulls must not inject zeros, got median $med")
+    val keys = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("k")
+    // pre-fix: NPE in MurmurHash3 / null map key at encode
+    val cm = keys.agg(CountMin.sketch(col("k"), width = 64)).head
+    assert(cm != null)
+    val mg = keys.agg(HeavyHitters.sketch(col("k"), capacity = 4))
+      .head.getMap[String, Long](0)
+    assert(mg.get("a").contains(2L) && mg.get("b").contains(1L))
+    assert(!mg.keys.exists(_ == null))
+  }
+
+  test("zero-norm embeddings never score, pair, or claim top-k slots") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (9L, Array(0.0, 0.0))). // failed encoder: no direction
+      toDF("vec_id", "embedding")
+    // pre-fix: sim = 0/0 = NaN sorts ABOVE every double, so the zero
+    // vector ranked first for every query and paired with everything
+    val topk = VectorFunctions.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1L), vecs, "vec_id", "embedding", k = 2)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(!topk.contains(9L), "zero vector must not claim a top-k slot")
+    val pairs = VectorFunctions.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"zero vector must not pair: $pairs")
+  }
+
+  test("SRP-bucketed near-dup with STRING ids finds pairs (shared generator id branch)") {
+    val vecs = Seq(
+      ("v-a", Array(1.0, 0.0, 0.0, 0.0)), ("v-b", Array(1.0, 0.0, 0.0, 0.0)),
+      ("v-c", Array(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // pre-fix the blanket long cast NULLed every string id and the
+    // function silently returned zero pairs
+    val pairs = VectorFunctions.cosineNearDupBucketed(
+      vecs, "vec_id", "embedding", dim = 4, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("v-a", "v-b")), s"string-id pair missed: $pairs")
+  }
+
   test("GenerationSwap surfaces rename/delete failures instead of returning") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft-swap-").toString
