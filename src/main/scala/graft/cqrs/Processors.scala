@@ -1,7 +1,6 @@
 package graft.cqrs
 
 import scala.reflect.ClassTag
-import scala.util.control.NonFatal
 
 import graft.core.Message
 import graft.router.{Middlewares, Router}
@@ -87,7 +86,14 @@ final class EventProcessor(
     generateSubscribeTopic: String => String = _ => "events") {
 
   // atomic: concurrent registration must not race to one query name
-  private val counter = new java.util.concurrent.atomic.AtomicInteger
+  // PER-EVENT-TYPE counters, not one global sequence: query names key
+  // the checkpoint paths, so a global counter would rename (and orphan
+  // the checkpoints of) every handler registered AFTER any newly-added
+  // one — the whole topic reprocessed, every side effect duplicated.
+  // Per-type, a second handler for the SAME type gets -2 and unrelated
+  // registrations never shift existing names.
+  private val counters =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicInteger]
 
   def addHandler[E: ClassTag](publishTopic: String)(
       handle: (E, Message) => Seq[Any]): this.type =
@@ -95,7 +101,8 @@ final class EventProcessor(
 
   def addHandlers(publishTopic: String, handlers: TypedHandler*): this.type = {
     handlers.foreach { th =>
-      val n = counter.incrementAndGet()
+      val n = counters.getOrElseUpdate(th.name,
+        new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
       val nameKey = marshaler.NameKey
       val expect = th.name
       val fn = th.fn

@@ -83,6 +83,12 @@ object ProtoWire {
   /** Decode to field-name → value; absent fields take proto3 defaults. */
   def decode(schema: ProtoSchema, bytes: Array[Byte]): Map[String, Any] = {
     var pos = 0
+    def checkedLen(raw: Long): Int = {
+      if (raw < 0 || pos + raw > bytes.length)
+        throw new IllegalArgumentException(
+          s"corrupt length-delimited field: len=$raw at pos=$pos of ${bytes.length}")
+      raw.toInt
+    }
     def varint(): Long = {
       var shift = 0; var acc = 0L; var b = 0
       do {
@@ -104,16 +110,20 @@ object ProtoWire {
             (0 until 8).foreach(i => { bits |= (bytes(pos) & 0xffL) << (8 * i); pos += 1 })
             got(f.name) = java.lang.Double.longBitsToDouble(bits)
           case PType.Str =>
-            val len = varint().toInt
+            val len = checkedLen(varint())
             got(f.name) = new String(bytes, pos, len, StandardCharsets.UTF_8); pos += len
           case PType.Bytes =>
-            val len = varint().toInt
+            val len = checkedLen(varint())
             got(f.name) = java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len
         }
         case None => wire match { // unknown field: skip per spec
           case 0 => varint(); ()
           case 1 => pos += 8
-          case 2 => pos += varint().toInt
+          // checked: a crafted negative length would move pos BACKWARD
+          // (e.g. exactly to the tag start) and spin the decode loop
+          // forever at 100% CPU with no exception — the one failure
+          // shape no error middleware can catch
+          case 2 => pos += checkedLen(varint())
           case 5 => pos += 4
           case w => throw new IllegalArgumentException(s"unsupported wire type $w")
         }
@@ -184,6 +194,11 @@ final class ProtoMarshaler(
     case (l: Long, t) if t == java.lang.Boolean.TYPE || t == classOf[java.lang.Boolean] =>
       java.lang.Boolean.valueOf(l != 0L)
     case (l: Long, t) if t == java.lang.Short.TYPE => java.lang.Short.valueOf(l.toShort)
+    // Fixed64 decodes as Double; a Float field marshals fine (encode
+    // widens) but without this narrowing every unmarshal of the type
+    // threw 'argument type mismatch' — an encode/decode asymmetry
+    case (d: Double, t) if t == java.lang.Float.TYPE || t == classOf[java.lang.Float] =>
+      java.lang.Float.valueOf(d.toFloat)
     case (other, _) => other.asInstanceOf[AnyRef]
   }
 }

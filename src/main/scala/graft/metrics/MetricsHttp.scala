@@ -65,13 +65,19 @@ object MetricsHttp {
       namespace: String = "graft"): Endpoint = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/metrics", exchange => {
-      val body =
-        prometheusText(metrics.snapshot, namespace).getBytes(StandardCharsets.UTF_8)
-      exchange.getResponseHeaders.add("Content-Type",
-        "text/plain; version=0.0.4; charset=utf-8")
-      exchange.sendResponseHeaders(200, body.length.toLong)
-      val os = exchange.getResponseBody
-      try os.write(body) finally os.close()
+      // close the exchange on EVERY path: an exception before the
+      // response starts would otherwise leak the connection, and with
+      // setExecutor(null) stalled connections pile onto the single
+      // dispatch thread until the scraper times out
+      try {
+        val body =
+          prometheusText(metrics.snapshot, namespace).getBytes(StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.add("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        val os = exchange.getResponseBody
+        try os.write(body) finally os.close()
+      } finally exchange.close()
     })
     server.setExecutor(null) // serve on the dispatch thread; scrape-rate traffic
     server.start()

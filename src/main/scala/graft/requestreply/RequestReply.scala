@@ -41,7 +41,14 @@ object RequestReply {
     * notification (handler.go:16-67 + backend_pubsub_marshaler.go:
     * error-in-metadata), so the requester always gets an answer. */
   def commandHandlerWithResult[C: ClassTag](marshaler: Marshaler)(
-      handle: C => Any): Middlewares.Handler = { m =>
+      handle: C => Any): Middlewares.Handler = {
+    // fail FAST if this marshaler cannot encode the error reply: a
+    // ProtoMarshaler without a registered ErrorReply schema would
+    // otherwise throw inside the catch block below — the handler's
+    // micro-batch retries forever and the requester blocks the full
+    // timeout, exactly when a handler failure most needs an answer
+    marshaler.marshal(ErrorReply("probe"))
+    m =>
     val opId = m.get(OperationIdKey)
     val reply =
       try marshaler.marshal(handle(marshaler.unmarshal[C](m)))

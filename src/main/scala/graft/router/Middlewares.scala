@@ -42,6 +42,14 @@ object Middlewares {
     try h(m)
     catch {
       case NonFatal(e) => throw e // ordinary errors pass through untouched
+      // cancellation is NOT a panic: wrapping an interrupt into a
+      // NonFatal error would let poison/ignore middleware swallow a
+      // task-kill and dead-letter an innocent in-flight message while
+      // clearing the interrupt status (the CircuitBreaker carries the
+      // same carve-out, Router.scala). Restore the flag and rethrow.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+      case e: scala.util.control.ControlThrowable => throw e
       case e: Throwable =>
         throw RecoveredPanicError(s"panic recovered: ${e.getMessage}", e)
     }

@@ -102,6 +102,25 @@ object Forwarder {
             col("payload"), col("metadata"))).cast("binary").as("payload"),
           col("ts")))
       }
+      // forward the epoch form — the trait default drops writerId and
+      // downgrades the router's exactly-once sink to at-least-once
+      // (Decorators.TransformingPublisher names this bug class). The
+      // ORIGINAL topic is folded into the forwarded writerId
+      // (length-prefixed, injective): the router's fallback path calls
+      // publishEpoch once per destination with the SAME writerId, and
+      // funneling them into one forwarder topic unchanged would dedup
+      // the second destination's publish as a replay.
+      override def publishEpoch(topic: String, df: org.apache.spark.sql.DataFrame,
+          writerId: String): Unit = {
+        import org.apache.spark.sql.functions._
+        inner.publishEpoch(forwarderTopic, df.select(
+          col("uuid"),
+          map().cast("map<string,string>").as("metadata"),
+          to_json(struct(
+            lit(topic).as("destination_topic"), col("uuid"),
+            col("payload"), col("metadata"))).cast("binary").as("payload"),
+          col("ts")), s"${topic.length}.$topic-$writerId")
+      }
       override def close(): Unit = inner.close()
     }
 

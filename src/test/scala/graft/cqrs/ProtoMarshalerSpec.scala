@@ -6,6 +6,7 @@ import graft.sources.MemoryPubSub
 
 // Top-level fixtures (constructed reflectively by unmarshal).
 case class Test1(a: Long)                       // protobuf docs' classic example
+case class FloatMsg(x: Float)                   // Fixed64 narrows on decode
 case class SearchRequest(query: String, pageNumber: Int, resultPerPage: Int)
 case class Telemetry(id: Long, score: Double, tag: String, blob: Array[Byte],
     enabled: Boolean)
@@ -71,6 +72,31 @@ class ProtoMarshalerSpec extends SparkSpec {
       Array[Byte]((9 << 3).toByte, 7)
     val decoded = ProtoWire.decode(test1Schema, extra)
     assert(decoded("a") == 150L)
+  }
+
+  test("crafted negative length-delimited fields throw instead of spinning the decoder") {
+    // unknown field tag (number 9, wire type 2) followed by a 5-byte
+    // varint whose low 32 bits are -6: the unchecked `pos += len.toInt`
+    // moved pos exactly back to the tag start and the decode loop spun
+    // forever at 100% CPU — unreachable by any error middleware
+    val evil = marshaler.marshal(Test1(150L)).payload ++
+      Array[Byte](((9 << 3) | 2).toByte,
+        0xFA.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F.toByte)
+    val e = intercept[IllegalArgumentException] {
+      ProtoWire.decode(test1Schema, evil)
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // and an over-length field (past the buffer) also throws loudly
+    val tooLong = marshaler.marshal(Test1(150L)).payload ++
+      Array[Byte](((9 << 3) | 2).toByte, 0x7F.toByte)
+    intercept[IllegalArgumentException] { ProtoWire.decode(test1Schema, tooLong) }
+  }
+
+  test("Float fields round-trip (Fixed64 decode narrows to the declared float)") {
+    val schema = ProtoSchema(ProtoField(1, "x", PType.Fixed64))
+    val m = new ProtoMarshaler(Map(classOf[FloatMsg] -> schema))
+    val back = m.unmarshal[FloatMsg](m.marshal(FloatMsg(2.5f)))
+    assert(back == FloatMsg(2.5f))
   }
 
   test("wire codec round-trips randomized values incl. negatives and extremes") {
