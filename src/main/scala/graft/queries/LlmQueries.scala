@@ -2427,7 +2427,7 @@ object LlmQueries {
           .agg(count(lit(1)).as("m"))
           .localCheckpoint(true)
         val grid = cnt.select(col("source")).distinct()
-          .crossJoin(cnt.select(col("v")).distinct())
+          .crossJoin(broadcast(cnt.select(col("v")).distinct()))
         val wS = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("v"))
         val perSrc = grid.join(cnt, Seq("source", "v"), "left")
