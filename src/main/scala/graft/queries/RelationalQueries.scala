@@ -493,18 +493,41 @@ object RelationalQueries {
              |  coalesce(CAST(d AS VARCHAR), '(all)') AS d, n
              |FROM r ORDER BY event_type, d""".stripMargin)),
 
-    // ---- ntile bucketing: users quartiled by total event value —
-    // the cohort-assignment window (one shuffle for the per-user agg,
-    // one ordered window over the small user set) ----
+    // ---- ntile bucketing: users quartiled by total event count.
+    // NOT the textbook `ntile(4) OVER (ORDER BY …)` — that window has
+    // no partitionBy, so Spark funnels EVERY per-user row through one
+    // task (the 100 TB cliff; users grow with the corpus). Instead:
+    // GlobalIndex assigns the global rank partition-parallel (range
+    // partition + per-partition numbering + control-plane offset
+    // prefix-sum), and the quartile is then a closed-form function of
+    // (rank, n) — exactly ntile's bucket arithmetic: with n rows and
+    // k tiles the first n%k tiles hold n/k+1 rows, the rest n/k. The
+    // (n_events, user_id) key is a total order, so the rank (and thus
+    // the tile) is deterministic. One extra count() pass over the
+    // already-aggregated per-user frame (localCheckpoint'd — two
+    // consumers) buys a plan with no corpus-scale single-task stage ----
     QuerySpec("q65_ntile",
-      (s, dir) => t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("quartile", ntile(4).over(
-          Window.orderBy(col("n_events").desc, col("user_id"))))
-        .groupBy(col("quartile"))
-        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
-        .orderBy(col("quartile")),
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .localCheckpoint(true) // two consumers: ranking + total count
+        val ranked = graft.operators.GlobalIndex.withRowIndex(
+          users, Seq(col("n_events").desc, col("user_id")), "idx")
+        val total = users.agg(count(lit(1)).as("_n"))
+        ranked.crossJoin(broadcast(total))
+          // ntile(k) from 0-based rank: cut = (n%k)·(n/k+1) splits the
+          // big tiles from the small; greatest(…,1) keeps the dead
+          // branch ANSI-safe when n < 4 (then every idx < cut)
+          .withColumn("quartile", expr(
+            """CAST(CASE WHEN idx < (_n % 4) * (_n div 4 + 1)
+              |  THEN idx div (_n div 4 + 1)
+              |  ELSE _n % 4 + (idx - (_n % 4) * (_n div 4 + 1)) div greatest(_n div 4, 1)
+              |END + 1 AS INT)""".stripMargin))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+          .orderBy(col("quartile"))
+      },
       Some("""WITH u AS (
              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
              |  FROM events GROUP BY 1),

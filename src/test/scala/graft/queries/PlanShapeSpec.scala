@@ -124,6 +124,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window in the diff path:\n$p")
   }
 
+  // ---- registry-wide guard: the partitionless-window class ----
+  //
+  // A `Window.orderBy(…)` with no partitionBy plans a SINGLE-partition
+  // WindowExec: every input row moves to one task and sorts there —
+  // correct at any SF, a cliff at 100 TB the moment the input scales
+  // with the corpus (the q65 defect round 11 found). The only sound
+  // uses are CONTROL-PLANE relations whose row count is bounded by
+  // construction, independent of data volume. This sweep walks the
+  // optimized logical plan of EVERY registered query (future entries
+  // included automatically, the DeterminismSpec pattern) and fails on
+  // any partitionless Window unless its ordering matches the explicit
+  // control-plane whitelist:
+  //   - `_pid` — GlobalIndex/GlobalPrefix offset prefix-sums: one row
+  //     per PARTITION (|tasks|, not |rows|) by the groupBy(_pid) that
+  //     feeds them;
+  //   - q153's CDF over `v` — one row per DISTINCT doc length, bounded
+  //     by the length domain, not the corpus.
+  test("no corpus-scale relation feeds a partitionless Window anywhere in the registry") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allowedOrderCols: Map[String, Set[String]] =
+      Map(
+        // global CDF / rank ladder over DISTINCT value points — the
+        // relation is |value domain|-sized, not corpus-sized
+        "q153_ks_drift" -> Set("v"),
+        "q159_mann_whitney" -> Set("v")).withDefaultValue(Set.empty)
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val orderCols = w.orderSpec
+            .flatMap(_.references.toSeq.map(_.name)).toSet
+          if (orderCols.subsetOf(Set("_pid") ++ allowedOrderCols(name))) None
+          else Some(s"$name: partitionless Window ordered by " +
+            s"${orderCols.mkString(",")}")
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window over corpus-scale data:\n${offenders.mkString("\n")}")
+  }
+
   test("q147 incremental dedup: the frozen corpus is read ONLY through the stored band index") {
     // the correctness precondition of continuous-ingestion dedup: the
     // incremental job's plan may scan documents only for the NEW slice
