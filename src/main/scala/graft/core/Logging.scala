@@ -10,6 +10,11 @@ import scala.collection.concurrent.TrieMap
   */
 trait LoggerAdapter {
   def error(msg: String, err: Throwable, fields: Map[String, Any] = Map.empty): Unit
+  /** One level beyond the reference's four (log.go:41-67 stops at
+    * Error/Info/Debug/Trace): operational hazards that are not yet
+    * failures — e.g. the SQL poller stepping over an id hole — need a
+    * level operators alert on without the Throwable `error` demands. */
+  def warn(msg: String, fields: Map[String, Any] = Map.empty): Unit
   def info(msg: String, fields: Map[String, Any] = Map.empty): Unit
   def debug(msg: String, fields: Map[String, Any] = Map.empty): Unit
   def trace(msg: String, fields: Map[String, Any] = Map.empty): Unit
@@ -22,6 +27,7 @@ private final class FieldBoundLogger(inner: LoggerAdapter,
     bound: Map[String, Any]) extends LoggerAdapter {
   override def error(m: String, e: Throwable, f: Map[String, Any]): Unit =
     inner.error(m, e, bound ++ f)
+  override def warn(m: String, f: Map[String, Any]): Unit = inner.warn(m, bound ++ f)
   override def info(m: String, f: Map[String, Any]): Unit = inner.info(m, bound ++ f)
   override def debug(m: String, f: Map[String, Any]): Unit = inner.debug(m, bound ++ f)
   override def trace(m: String, f: Map[String, Any]): Unit = inner.trace(m, bound ++ f)
@@ -34,6 +40,7 @@ final class Slf4jLogger(name: String = "graft") extends LoggerAdapter {
     if (f.isEmpty) m else s"$m ${f.map { case (k, v) => s"$k=$v" }.mkString(" ")}"
   override def error(m: String, e: Throwable, f: Map[String, Any]): Unit =
     log.error(fmt(m, f), e)
+  override def warn(m: String, f: Map[String, Any]): Unit = log.warn(fmt(m, f))
   override def info(m: String, f: Map[String, Any]): Unit = log.info(fmt(m, f))
   override def debug(m: String, f: Map[String, Any]): Unit = log.debug(fmt(m, f))
   override def trace(m: String, f: Map[String, Any]): Unit = log.trace(fmt(m, f))
@@ -42,6 +49,7 @@ final class Slf4jLogger(name: String = "graft") extends LoggerAdapter {
 /** NopLogger (log.go:178). */
 object NopLogger extends LoggerAdapter {
   override def error(m: String, e: Throwable, f: Map[String, Any]): Unit = ()
+  override def warn(m: String, f: Map[String, Any]): Unit = ()
   override def info(m: String, f: Map[String, Any]): Unit = ()
   override def debug(m: String, f: Map[String, Any]): Unit = ()
   override def trace(m: String, f: Map[String, Any]): Unit = ()
@@ -63,6 +71,8 @@ final class CaptureLogger extends LoggerAdapter {
     entries.exists(e => e.level == level && e.msg.contains(contains))
   override def error(m: String, e: Throwable, f: Map[String, Any]): Unit =
     { buf.add(Entry("error", m, Some(e), f)); () }
+  override def warn(m: String, f: Map[String, Any]): Unit =
+    { buf.add(Entry("warn", m, None, f)); () }
   override def info(m: String, f: Map[String, Any]): Unit =
     { buf.add(Entry("info", m, None, f)); () }
   override def debug(m: String, f: Map[String, Any]): Unit =

@@ -13,6 +13,28 @@ import QuerySpec.t
   */
 object LlmQueries {
 
+  /** q147's band-index scratch dir, scoped per SparkSession by
+    * applicationId so concurrent processes on one host (bench beside
+    * verify, parallel CI executors) never clobber each other's index.
+    * Registered once per path with a JVM shutdown hook that sweeps it
+    * — the session-lifetime overwrite discipline keeps it at ONE
+    * index per process while alive. */
+  private val q147Swept = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def q147ScratchDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft-q147-idx-${s.sparkContext.applicationId}")
+      .toString
+    if (q147Swept.putIfAbsent(dir, true) == null) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rm(new java.io.File(dir))))
+    }
+    dir
+  }
+
   /** Marker-word language-id table (deterministic, oracle-mirrored). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value"),
@@ -2070,12 +2092,15 @@ object LlmQueries {
         val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
           .unionByName(docs.filter(pmod(col("doc_id"), lit(60)) === 1)
             .withColumn("doc_id", col("doc_id") + lit(10000000L)))
-        // ONE fixed scratch path, overwritten per invocation — a fresh
-        // temp dir per call would leak a full band index onto (tmpfs)
-        // scratch for every bench pass/ladder rung of the session
-        val idxDir = java.nio.file.Paths
-          .get(System.getProperty("java.io.tmpdir"), "graft-q147-idx")
-          .toString
+        // ONE scratch path PER SESSION, overwritten per invocation — a
+        // fresh temp dir per call would leak a full band index onto
+        // (tmpfs) scratch for every bench pass/ladder rung, while one
+        // HOST-global path let two concurrent processes (bench beside
+        // verify, parallel CI executors) overwrite each other's index
+        // mid-query: the applicationId suffix keeps both properties
+        // (leak-free within a session, isolated across processes),
+        // and a shutdown hook sweeps the dir when the JVM exits
+        val idxDir = q147ScratchDir(s)
         DedupFunctions.minhashBandIndex(old, "doc_id", "text",
             shingleN = 3, k = 12, r = 2, portable = true)
           .write.mode("overwrite").parquet(idxDir)
@@ -2486,7 +2511,200 @@ object LlmQueries {
              |       ELSE CAST(max(num) AS DOUBLE) /
              |            CAST(n_s * n_r AS DOUBLE) END AS ks
              |FROM sc GROUP BY source, n_s, n_r
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ---- the drift screen's batch twin, oracle-gated: the EXACT code
+    // path StreamingProfile.drift serves from stored kilobyte states
+    // (StreamingProfile.ladderGap — per-slice token-length quantile
+    // ladders from QuantileSketch states, rel_gap = |h−b|/max(|h|,|b|))
+    // run in the sketch's exact regime (k ≥ every group) over parquet
+    // with a history/batch split, vs DuckDB order statistics at the
+    // same ceil(q·n) rank convention (the q129 discipline). q153 gates
+    // the KS math; THIS gates the serving path the streaming gate
+    // actually runs. Scale shape: states fold map-side (one shuffle
+    // per side over |slices| fixed-size buffers); the join is
+    // |slices|-rows control-plane ----
+    QuerySpec("q157_drift_gate",
+      (s, dir) => {
+        val k = 65536 // exact regime: >= any per-source group at test SFs
+        val qs = Seq(0.25, 0.5, 0.75, 0.9)
+        val docs = t(s, dir, "documents")
+          .select(col("source").as("slice"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("double").as("v"))
+        def states(side: org.apache.spark.sql.DataFrame) =
+          side.groupBy(col("slice"))
+            .agg(graft.functions.QuantileSketch.sketchState(col("v"), k)
+              .as("len_st"))
+        graft.streaming.StreamingProfile.ladderGap(
+            states(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+            states(docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+            k, qs)
+          .orderBy(col("slice"), col("q"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source AS slice, doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             |      AS BIGINT) AS v
+             |  FROM documents),
+             |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+             |         AS q),
+             |h AS (
+             |  SELECT slice, v,
+             |    row_number() OVER (PARTITION BY slice ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY slice) AS n
+             |  FROM t WHERE doc_id % 3 <> 0),
+             |c AS (
+             |  SELECT slice, v,
+             |    row_number() OVER (PARTITION BY slice ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY slice) AS n
+             |  FROM t WHERE doc_id % 3 = 0),
+             |hq AS (
+             |  SELECT slice, q, max(CASE WHEN rn = CAST(ceil(q * n) AS BIGINT)
+             |    THEN CAST(v AS DOUBLE) END) AS hist_v
+             |  FROM h CROSS JOIN qs GROUP BY slice, q),
+             |cq AS (
+             |  SELECT slice, q, max(CASE WHEN rn = CAST(ceil(q * n) AS BIGINT)
+             |    THEN CAST(v AS DOUBLE) END) AS batch_v
+             |  FROM c CROSS JOIN qs GROUP BY slice, q)
+             |SELECT hq.slice, hq.q, hq.hist_v, cq.batch_v,
+             |  CASE WHEN greatest(abs(hq.hist_v), abs(cq.batch_v)) = 0
+             |    THEN 0.0
+             |    ELSE abs(hq.hist_v - cq.batch_v) /
+             |      greatest(abs(hq.hist_v), abs(cq.batch_v)) END AS rel_gap
+             |FROM hq JOIN cq ON hq.slice = cq.slice AND hq.q = cq.q
+             |ORDER BY hq.slice, hq.q""".stripMargin)),
+
+    // ---- Pearson χ² homogeneity drift per source, CELL-DECOMPOSED:
+    // the categorical complement of q153's KS (which sees only
+    // ordered/numeric shape) — a source whose LANGUAGE mix shifted
+    // (scraper change, geo rollout) flags here even when its length
+    // profile is unchanged. Per (source, lang) cell vs rest-of-corpus:
+    // the paired cell term (O_s−E_s)²/E_s + (O_r−E_r)²/E_r folds to
+    // diff²/(n_s·n_r·C_c) with diff = O_sc·n_r − O_rc·n_s — an EXACT
+    // integer (≤ ~2^32 at corpus scale, squared only after the double
+    // cast; both factors < 2^53 so the one multiply + one divide are
+    // IEEE-identical cross-engine). Emitting cells, not just the χ²
+    // sum, keeps the output hash-exact (no cross-row float
+    // accumulation) AND answers the operator's next question — WHICH
+    // language shifted. Scale shape: ONE corpus pass folds to
+    // |sources|×|langs| cells (map-side combined); everything after is
+    // control-plane (dense grid via broadcast cross join, marginal
+    // joins broadcast) ----
+    QuerySpec("q158_chisq_drift",
+      (s, dir) => {
+        val cells = t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true) // 4 consumers: grid ×2, marginals, cells
+        val rowT = cells.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+        val colT = cells.groupBy(col("lang")).agg(sum(col("o")).as("c_c"))
+        val nT = cells.agg(sum(col("o")).as("n_g"))
+        // dense grid: a lang a source has ZERO docs of still
+        // contributes (its absence is the evidence)
+        cells.select(col("source")).distinct()
+          .crossJoin(broadcast(cells.select(col("lang")).distinct()))
+          .join(cells, Seq("source", "lang"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .join(broadcast(rowT), Seq("source"))
+          .join(broadcast(colT), Seq("lang"))
+          .crossJoin(broadcast(nT))
+          .withColumn("n_r", col("n_g") - col("n_s"))
+          .withColumn("diff",
+            col("o") * col("n_r") - (col("c_c") - col("o")) * col("n_s"))
+          .withColumn("term",
+            when(col("n_s") * col("n_r") === 0, lit(0.0))
+              .otherwise((col("diff").cast("double") * col("diff").cast("double")) /
+                (col("n_s") * col("n_r") * col("c_c")).cast("double")))
+          .select(col("source"), col("lang"), col("o"), col("n_s"),
+            col("c_c"), col("diff"), col("term"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c_c
+             |       FROM cells GROUP BY 1),
+             |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n_g FROM cells),
+             |x AS (
+             |  SELECT r.source, c.lang,
+             |    CAST(coalesce(cl.o, 0) AS BIGINT) AS o,
+             |    r.n_s, c.c_c, tt.n_g - r.n_s AS n_r
+             |  FROM rt r CROSS JOIN ct c CROSS JOIN tt
+             |  LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang),
+             |y AS (
+             |  SELECT source, lang, o, n_s, c_c,
+             |    CAST(o * n_r - (c_c - o) * n_s AS BIGINT) AS diff, n_r
+             |  FROM x)
+             |SELECT source, lang, o, n_s, c_c, diff,
+             |  CASE WHEN n_s * n_r = 0 THEN 0.0
+             |    ELSE (CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)) /
+             |      CAST(n_s * n_r * c_c AS DOUBLE) END AS term
+             |FROM y ORDER BY source, lang""".stripMargin)),
+
+    // ---- Mann–Whitney U rank-sum drift per event type: does a type's
+    // VALUE distribution sit higher/lower than the rest of the stream?
+    // The nonparametric location test completing the drift kit (KS =
+    // shape, χ² = categorical mix, U = location) — robust to the
+    // heavy tails that break mean-based monitors. EXACT integers via
+    // midranks-doubled: with per-value counts, midrank2(v) =
+    // 2·cumG(v) − G(v) + 1 is an INTEGER even where ties make
+    // midranks half-integral; 2R_s = Σ O_sv·midrank2, U2 = 2R_s −
+    // n_s(n_s+1), and the AUC effect size U2/(2·n_s·n_r) is one
+    // divide of exact operands (the q131/q151/q153 discipline).
+    // Scale shape: ONE corpus shuffle folds events to (type, v)
+    // counts; the value ladder and its cumulative window run over
+    // DISTINCT v — control-plane, the q153 CDF pattern (whitelisted
+    // in PlanShapeSpec's partitionless-window guard) ----
+    QuerySpec("q159_mann_whitney",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // consumers: ladder, rank join, totals
+        val ladder = cnt.groupBy(col("v")).agg(sum(col("m")).as("g"))
+          .withColumn("cumg", sum(col("g")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+          .select(col("v"),
+            (lit(2L) * col("cumg") - col("g") + 1).as("mid2"))
+        val nT = cnt.agg(sum(col("m")).as("n_g"))
+        cnt.join(broadcast(ladder), Seq("v"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("m")).as("n_s"),
+            sum(col("m") * col("mid2")).as("r2"))
+          .crossJoin(broadcast(nT))
+          .withColumn("n_r", col("n_g") - col("n_s"))
+          .withColumn("u2", col("r2") - col("n_s") * (col("n_s") + 1))
+          .select(col("event_type"), col("n_s"), col("n_r"), col("u2"),
+            when(col("n_s") * col("n_r") === 0, lit(0.5))
+              .otherwise(col("u2").cast("double") /
+                (lit(2L) * col("n_s") * col("n_r")).cast("double"))
+              .as("auc"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS m
+             |  FROM events GROUP BY 1, 2),
+             |lad AS (
+             |  SELECT v, CAST(2 * sum(sum(m)) OVER (ORDER BY v)
+             |    - sum(m) + 1 AS BIGINT) AS mid2
+             |  FROM cnt GROUP BY v),
+             |tt AS (SELECT CAST(sum(m) AS BIGINT) AS n_g FROM cnt),
+             |agg AS (
+             |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_s,
+             |    CAST(sum(m * l.mid2) AS BIGINT) AS r2
+             |  FROM cnt JOIN lad l USING (v) GROUP BY 1)
+             |SELECT event_type, n_s, tt.n_g - n_s AS n_r,
+             |  CAST(r2 - n_s * (n_s + 1) AS BIGINT) AS u2,
+             |  CASE WHEN n_s * (tt.n_g - n_s) = 0 THEN 0.5
+             |    ELSE CAST(r2 - n_s * (n_s + 1) AS DOUBLE) /
+             |      CAST(2 * n_s * (tt.n_g - n_s) AS DOUBLE) END AS auc
+             |FROM agg CROSS JOIN tt ORDER BY event_type""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

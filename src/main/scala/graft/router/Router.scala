@@ -310,6 +310,40 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     } finally { persisted.unpersist(); () }
   }
 
+  /** One-time upgrade adoption of PRE-group-scheme checkpoints: before
+    * the per-group path layout, a handler's checkpoint lived at
+    * `$ckptBase/<handler>` (no `grp_`/`nogroup` segment). A restart on
+    * an existing deployment would otherwise find the NEW path empty,
+    * start a fresh offset lineage, and reprocess every topic from the
+    * beginning — with duplicated side effects, because the re-publishes
+    * carry new-scheme writerIds the old committed epochs don't dedup.
+    * If the new-scheme dir is absent and a legacy one exists, RENAME it
+    * into place so the lineage (and its epochIds, which the writerId
+    * lineage hash keys off the unchanged `ckptBase`) simply continues.
+    * A legacy dir once SHARED by two groups can follow only one — the
+    * first to start adopts it, the other starts fresh; that sharing was
+    * the defect the layout change fixed, so there is no lossless
+    * reading of it. */
+  private def adoptLegacyCheckpoint(newLoc: String, handlerName: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val newP = new org.apache.hadoop.fs.Path(newLoc)
+    val oldP = new org.apache.hadoop.fs.Path(s"$ckptBase/$handlerName")
+    // a handler literally named "nogroup"/"grp_…" nests the legacy dir
+    // inside the new parent — renaming a dir into its own child fails
+    if (newP.toString.startsWith(oldP.toString + "/")) return
+    val fs = newP.getFileSystem(hconf)
+    // `offsets` is the marker every structured-streaming checkpoint
+    // writes — don't adopt arbitrary same-named directories
+    val legacyReal = fs.exists(oldP) &&
+      fs.exists(new org.apache.hadoop.fs.Path(oldP, "offsets"))
+    if (!fs.exists(newP) && legacyReal) {
+      if (!fs.mkdirs(newP.getParent))
+        throw new java.io.IOException(s"checkpoint adopt: mkdirs failed for ${newP.getParent}")
+      if (!fs.rename(oldP, newP))
+        throw new java.io.IOException(s"checkpoint adopt: rename failed: $oldP -> $newP")
+    }
+  }
+
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers
     * (message/router.go:386-493). Returns once all queries are started
     * (the reference's `Running()` gate); callers await with
@@ -337,8 +371,11 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           // "$g-$name" aliases (group "a-b", handler "c") with
           // (group "a", handler "b-c"), silently sharing one offset
           // log between two different handlers
-          .option("checkpointLocation",
-            s"$ckptBase/${group.fold(s"nogroup/${h.name}")(g => s"grp_$g/${h.name}")}")
+          .option("checkpointLocation", {
+            val loc = s"$ckptBase/${group.fold(s"nogroup/${h.name}")(g => s"grp_$g/${h.name}")}"
+            adoptLegacyCheckpoint(loc, h.name)
+            loc
+          })
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
             val body = () => {
               if (h.publisher.isDefined) sinkBatch(h, batch, epochId)

@@ -515,10 +515,20 @@ object KafkaPubSub {
     * because a null metadata map NPEs in the router's very first
     * `withMeta` (outside the middleware onion, killing the query on
     * the first such record), and a null uuid breaks dedup/poison
-    * bookkeeping the same way. */
+    * bookkeeping the same way. The keyless fallback uuid must be
+    * UNIQUE per record, not a shared sentinel: every uuid-seeded
+    * mechanism (chaos middleware hashing MurmurHash3(uuid), any
+    * uuid-keyed dedup) would otherwise treat ALL keyless foreign
+    * records as one message — perfectly correlated drops, collapsed
+    * dedup. (topic, partition, offset) is Kafka's own identity for a
+    * record and is stable across replays, so the synthesized uuid is
+    * deterministic too. */
   def subscribeProjection(records: DataFrame): DataFrame =
     records.select(
-      coalesce(col("key").cast("string"), lit("")).as("uuid"),
+      coalesce(col("key").cast("string"),
+        concat_ws(":", lit("kafka"), col("topic"),
+          col("partition").cast("string"),
+          col("offset").cast("string"))).as("uuid"),
       coalesce(headersToMetadata(col("headers")),
         map_from_arrays(array(), array())
           .cast("map<string,string>")).as("metadata"),

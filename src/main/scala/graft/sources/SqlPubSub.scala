@@ -40,7 +40,12 @@ import graft.core.Message
 final class SqlPubSub(spark: SparkSession, url: String,
     group: String = "default", pollIntervalMs: Long = 50,
     pollPageSize: Int = 10000,
-    gapTimeoutMs: Long = 5000,
+    // the hole step-over treats a gap older than this as a rolled-back
+    // id; a LIVE transaction holding its commit longer than this while
+    // later ids become visible has its rows skipped (and warned about)
+    // — so the default is sized for real-world slow commits under
+    // load, not for test latency (tests pass a small explicit value)
+    gapTimeoutMs: Long = 30000,
     log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
   extends PubSub with RoutedPublisher with AutoCloseable {
 
@@ -466,8 +471,15 @@ final class SqlPubSub(spark: SparkSession, url: String,
                 while (runEnd < page.length && page(runEnd)._1 == exp2) {
                   runEnd += 1; exp2 += 1
                 }
-                log.info(s"sql poller: skipping permanent id hole before " +
-                  s"$firstMissing on topic '$topic'", Map.empty)
+                // WARN, not info: if the hole was actually a
+                // slower-than-timeout commit, its rows are now lost —
+                // operators need this surfaced, with the id range,
+                // to correlate against long-transaction alerts
+                log.warn(s"sql poller: stepping over id hole at " +
+                  s"$firstMissing..${page(prefixLen)._1 - 1} on topic " +
+                  s"'$topic' after ${gapTimeoutMs}ms — rows from a " +
+                  s"transaction committing later than that are lost",
+                  Map.empty)
                 page.take(runEnd).toSeq
               case Some((miss, _)) if miss == firstMissing =>
                 page.take(prefixLen).toSeq // hole still pending

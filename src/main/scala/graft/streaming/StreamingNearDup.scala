@@ -51,6 +51,7 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
 
   private def hasIndex: Boolean = {
     recoverCompact()
+    migrateLegacyLayout()
     val p = new org.apache.hadoop.fs.Path(indexDir)
     // the index is hive-partitioned by band: data lives in band=N
     // subdirectories (plus _SUCCESS markers at the top level)
@@ -59,6 +60,44 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
         s.getPath.getName.startsWith("band=") ||
         s.getPath.getName.endsWith(".parquet")
     }
+  }
+
+  /** Upgrade guard: an index written by the pre-`batch_id` version is
+    * partitioned by `band=` ONLY (no batch_id level, no batch_id
+    * column). Once a new-format `batch_id=N/band=M` dir lands beside
+    * those, Spark's partition discovery rejects the mix ("conflicting
+    * directory structures") and the `batch_id =!= id` replay filter
+    * has no column to read — an analysis error at the first batch
+    * after upgrade. Detect the old layout and rewrite those rows under
+    * the `batch_id=-2` sentinel (visible to every replay exclusion,
+    * attributable to no batch — the [[StreamingQuota]] convention)
+    * with the same crash-safe rename-aside swap, preserving the
+    * retained-corpus index across the upgrade instead of breaking or
+    * silently re-admitting every duplicate. */
+  private def migrateLegacyLayout(): Unit = {
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(live)) return
+    val entries = fs.listStatus(live)
+    val legacyDirs = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("band="))
+    if (legacyDirs.isEmpty) return
+    val legacy = spark.read.option("basePath", indexDir)
+      .parquet(legacyDirs.map(_.getPath.toString).toSeq: _*)
+      .withColumn("batch_id", lit(-2L))
+    val newParts = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("batch_id="))
+    val merged =
+      if (newParts.isEmpty) legacy
+      else legacy.unionByName(spark.read.option("basePath", indexDir)
+        .parquet(newParts.map(_.getPath.toString).toSeq: _*))
+    val tmp = indexDir + ".compact"
+    merged.repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("band_key"))
+      .write.partitionBy("batch_id", "band").mode("overwrite").parquet(tmp)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    GenerationSwap.renameOrThrow(fs, live, old)
+    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
+    GenerationSwap.deleteIfExists(fs, old)
   }
 
   /** Crash recovery for [[compact]]'s swap — same contract as

@@ -43,11 +43,50 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
 
   private def hasState: Boolean = {
     recoverCompact()
+    migrateLegacyLayout()
     val p = new org.apache.hadoop.fs.Path(stateDir)
     fs.exists(p) && fs.listStatus(p).exists { s =>
       s.getPath.getName.startsWith("batch_id=") ||
         s.getPath.getName.endsWith(".parquet")
     }
+  }
+
+  /** Upgrade guard: a state dir written by the pre-`batch_id` version
+    * holds FLAT part files (no partition dirs, no batch_id column).
+    * Left in place, the first new-format read would die on partition
+    * discovery ("conflicting directory structures" once a batch_id=N
+    * dir lands next to them) or on the missing-column filter in
+    * [[usedExcluding]] — a Spark analysis error instead of a usable
+    * signal. Detect the old layout and fold it into the `batch_id=-2`
+    * sentinel partition ([[compact]]'s own convention: visible to
+    * every replay view, attributable to none) via the same
+    * crash-safe rename-aside swap, so an upgraded deployment keeps
+    * its budgets instead of over-admitting every exhausted key. */
+  private def migrateLegacyLayout(): Unit = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(live)) return
+    val entries = fs.listStatus(live)
+    val flat = entries.filter(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+    if (flat.isEmpty) return
+    val legacy = spark.read.parquet(flat.map(_.getPath.toString).toSeq: _*)
+      .groupBy(col(keyCol)).agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(-2L))
+    val newParts = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("batch_id="))
+    val merged =
+      if (newParts.isEmpty) legacy
+      else legacy.unionByName(
+        spark.read.option("basePath", stateDir)
+          .parquet(newParts.map(_.getPath.toString).toSeq: _*)
+          .select(col(keyCol), col("n"), col("batch_id")))
+    val tmp = stateDir + ".compact"
+    merged.repartition(1).write.partitionBy("batch_id")
+      .mode("overwrite").parquet(tmp)
+    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    GenerationSwap.renameOrThrow(fs, live, old)
+    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
+    GenerationSwap.deleteIfExists(fs, old)
   }
 
   /** Crash recovery for [[compact]]: if a crash landed between "old

@@ -63,15 +63,37 @@ class KafkaSpec extends SparkSpec {
 
   test("publish -> subscribe projections round-trip the envelope (sans ts)") {
     // Simulate what the broker hands back: the published record plus
-    // broker-assigned timestamp, then apply the subscribe projection.
+    // broker-assigned timestamp/partition/offset, then apply the
+    // subscribe projection.
     val published = KafkaPubSub.publishProjection(frame(m1, m2), lit("t"))
       .withColumn("timestamp", lit(new Timestamp(1700000002000L)))
+      .withColumn("partition", lit(0))
+      .withColumn("offset", monotonically_increasing_id())
     val back = KafkaPubSub.subscribeProjection(published)
       .as[Message].collect().map(m => m.uuid -> m).toMap
     assert(back("u1").metadata == m1.metadata)
     assert(back("u1").payloadString == m1.payloadString)
     assert(back("u2").metadata == m2.metadata)
     assert(back("u2").payloadString == m2.payloadString)
+  }
+
+  test("keyless foreign records synthesize DISTINCT uuids from (topic, partition, offset)") {
+    // A shared sentinel uuid ("" for every keyless record) perfectly
+    // correlates uuid-hash-seeded middleware (chaos drop/delay) and
+    // collapses any uuid-keyed dedup across ALL such records — the
+    // fallback must be unique per record and replay-stable.
+    val foreign = spark.range(2).select(
+      lit(null).cast("binary").as("key"),
+      lit("p".getBytes("UTF-8")).as("value"),
+      lit("t").as("topic"),
+      lit(null).cast("array<struct<key:string,value:binary>>").as("headers"),
+      lit(new Timestamp(1700000002000L)).as("timestamp"),
+      lit(3).as("partition"),
+      col("id").as("offset"))
+    val uuids = KafkaPubSub.subscribeProjection(foreign)
+      .select("uuid").as[String].collect().toSeq.sorted
+    assert(uuids == Seq("kafka:t:3:0", "kafka:t:3:1"),
+      s"fallback uuid must be the record's broker identity: $uuids")
   }
 
   test("routed publish projection takes the per-row topic column") {

@@ -374,6 +374,84 @@ class StreamingCurationSpec extends SparkSpec {
     assert(ids(b4).isEmpty, s"budgets exhausted, got ${ids(b4)}")
   }
 
+  test("quota upgrade: a pre-batch_id FLAT state layout migrates instead of breaking") {
+    // A state dir written by the pre-replay-safety version holds flat
+    // part files with NO batch_id column or partition dirs. The first
+    // new-format read must fold them into the batch_id=-2 sentinel
+    // (budgets preserved) — not die on partition discovery or on the
+    // missing-column replay filter, and not over-admit exhausted keys.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-squota-mig").toString + "/state"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // hand-write the LEGACY layout: (key, n) rows, flat files, no
+    // batch_id anywhere — source "a" has already used 2 of budget 3
+    Seq(("a", 2L)).toDF("source", "n")
+      .repartition(1).write.parquet(dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "precondition: legacy layout is flat part files")
+
+    val quota = new StreamingQuota(spark, dir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 3)
+    // replay-view read (batchId >= 0) over migrated state must see the
+    // legacy budget: only 1 of 2 rows fits
+    assert(ids(quota.admit(batch(5L -> "a", 6L -> "a"), batchId = 0L)) ==
+      Set(5L), "legacy budget must survive the migration")
+    // layout is now uniformly partitioned — flat files gone
+    val top = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!top.exists(_.endsWith(".parquet")),
+      s"post-migration state must be partitioned only: ${top.toSeq}")
+    assert(top.contains("batch_id=-2"),
+      s"legacy rows must sit in the sentinel partition: ${top.toSeq}")
+    val used = quota.used().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(used == Map("a" -> 3L), s"fold must be exact: $used")
+  }
+
+  test("near-dup upgrade: a band=-only legacy index migrates instead of breaking") {
+    // The pre-batch_id index was partitioned by band alone. Once a
+    // new-format batch_id=N dir lands beside band= dirs, partition
+    // discovery rejects the mix and the replay filter has no batch_id
+    // column — the migration must rewrite legacy rows under the
+    // batch_id=-2 sentinel and keep deduping against them.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-snd-mig").toString + "/index"
+    val nd = new StreamingNearDup(spark, dir, minSim = 0.5)
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val tB = "colorless green ideas sleep furiously while syntax dreams of semantic rivers flowing"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // seed via the current writer, then rewrite the dir into the
+    // LEGACY layout: band= dirs hoisted to the top, batch_id gone
+    assert(ids(nd.processBatch(docs(1L -> tA, 2L -> tB), batchId = 0L)) ==
+      Set(1L, 2L))
+    val root = Paths.get(dir)
+    val batchDir = Files.list(root).filter(_.getFileName.toString
+      .startsWith("batch_id=")).findFirst().get()
+    Files.list(batchDir).filter(_.getFileName.toString.startsWith("band="))
+      .forEach(b => Files.move(b, root.resolve(b.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE))
+    Files.delete(batchDir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("band=")),
+      "precondition: legacy band=-only layout")
+
+    // next batch (new format, replay filter active): the near-dup of a
+    // LEGACY-indexed doc must still drop, and the write must not die
+    // on conflicting directory structures
+    val tA2 = tA.replace("home tonight", "home forever")
+    assert(ids(nd.processBatch(docs(3L -> tA2, 4L -> tB), batchId = 1L))
+      .isEmpty, "legacy index rows must keep deduping after migration")
+    val top = new java.io.File(dir).listFiles().map(_.getName)
+    assert(top.contains("batch_id=-2") && !top.exists(_.startsWith("band=")),
+      s"legacy rows must fold under the sentinel batch_id: ${top.toSeq}")
+  }
+
   test("streaming quota: a crash mid-compact cannot silently reset budgets") {
     // Simulate every crash point of compact()'s swap by hand-arranging
     // the dirs it leaves behind; the next read must adopt the sibling
