@@ -137,33 +137,83 @@ final class StreamingProfile(
     * BEFORE folding the batch in ([[applyBatch]]), gate ingestion on
     * the score.
     *
-    * Output: (slice, q, hist_v, batch_v, rel_gap) — one row per
-    * requested quantile; alert on max(rel_gap) per slice. In the
-    * exact regime (lenK >= group sizes) both ladders are exact order
-    * statistics, so StreamingProfileSpec pins planted shifts
-    * deterministically. Cost: the batch folds once; history is |state
-    * rows| kilobyte states — no corpus data moves. */
+    * The ladder alone is LENGTH-blind to content: a template swap or
+    * language flip that preserves token counts sails through it. The
+    * second dimension closes that hole from the HLL states the
+    * profile already keeps: `vocab_novelty` = (|hist ∪ batch| −
+    * |hist|) / |batch| by inclusion–exclusion over the merged
+    * vocabulary sketches (the q125 overlap machinery) — ≈0 when the
+    * batch's vocabulary is already known, →1 as it diverges, at zero
+    * extra state.
+    *
+    * Output: (slice, q, hist_v, batch_v, rel_gap, vocab_novelty) —
+    * one row per requested quantile (vocab_novelty is per-slice,
+    * repeated); alert on max(rel_gap) and on vocab_novelty. In the
+    * exact regime (lenK >= group sizes, HLL sparse regime) ladders
+    * are exact order statistics and the novelty is exact-set
+    * arithmetic, so StreamingProfileSpec pins planted shifts
+    * deterministically. Cost: the batch folds once (one eager
+    * materialization, three consumers); history is |state rows|
+    * kilobyte states — no corpus data moves. */
   def drift(batch: DataFrame,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): Option[DataFrame] =
     state.map { st =>
-      val hist = st.groupBy(col("slice"))
-        .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
-          .as("hist_q"))
-      val cur = batchStates(batch, -1L).groupBy(col("slice"))
-        .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
-          .as("batch_q"))
-      val qsCol = array(qs.map(lit): _*)
-      hist.join(cur, Seq("slice"))
-        .select(col("slice"), posexplode(
-          zip_with(col("hist_q"), col("batch_q"),
-            (h, b) => struct(h.as("h"), b.as("b")))))
+      val bs = batchStates(batch, -1L).localCheckpoint(true)
+      val ladder = StreamingProfile.ladderGap(
+        st.select(col("slice"), col("len_st")),
+        bs.select(col("slice"), col("len_st")), lenK, qs)
+      val histVoc = st.groupBy(col("slice"))
+        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
+          vocabSparseMax).as("_hv"))
+      val batchVoc = bs.groupBy(col("slice"))
+        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
+          vocabSparseMax).as("_bv"))
+      val unionVoc = st.select(col("slice"), col("vocab_st"))
+        .unionByName(bs.select(col("slice"), col("vocab_st")))
+        .groupBy(col("slice"))
+        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
+          vocabSparseMax).as("_uv"))
+      val novelty = histVoc.join(batchVoc, Seq("slice"))
+        .join(unionVoc, Seq("slice"))
         .select(col("slice"),
-          element_at(qsCol, col("pos") + 1).as("q"),
-          col("col.h").as("hist_v"), col("col.b").as("batch_v"),
-          when(greatest(abs(col("col.h")), abs(col("col.b"))) === 0,
-            lit(0.0))
-            .otherwise(abs(col("col.h") - col("col.b")) /
-              greatest(abs(col("col.h")), abs(col("col.b"))))
-            .as("rel_gap"))
+          when(col("_bv") === 0, lit(0.0))
+            // clamp: estimator noise can put |union| a hair outside
+            // [|hist|, |hist|+|batch|]; novelty is a ratio in [0,1]
+            .otherwise(least(lit(1.0), greatest(lit(0.0),
+              (col("_uv") - col("_hv")).cast("double") / col("_bv"))))
+            .as("vocab_novelty"))
+      ladder.join(novelty, Seq("slice"))
     }
+}
+
+object StreamingProfile {
+
+  /** The drift screen's ladder comparison, factored so the q157
+    * oracle gate runs the SAME code as [[StreamingProfile.drift]]:
+    * given two per-slice relations of (slice, len_st) sketch states,
+    * merge each side's ladder and emit (slice, q, hist_v, batch_v,
+    * rel_gap) — one row per requested quantile, rel_gap =
+    * |h−b| / max(|h|,|b|) (0 when both sides are 0). */
+  def ladderGap(hist: DataFrame, cur: DataFrame, lenK: Int,
+      qs: Seq[Double]): DataFrame = {
+    val h = hist.groupBy(col("slice"))
+      .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
+        .as("hist_q"))
+    val c = cur.groupBy(col("slice"))
+      .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
+        .as("batch_q"))
+    val qsCol = array(qs.map(lit): _*)
+    h.join(c, Seq("slice"))
+      .select(col("slice"), posexplode(
+        zip_with(col("hist_q"), col("batch_q"),
+          (hv, bv) => struct(hv.as("h"), bv.as("b")))))
+      .select(col("slice"),
+        element_at(qsCol, col("pos") + 1).as("q"),
+        col("col.h").as("hist_v"), col("col.b").as("batch_v"),
+        when(greatest(abs(col("col.h")), abs(col("col.b"))) === 0,
+          lit(0.0))
+          .otherwise(abs(col("col.h") - col("col.b")) /
+            greatest(abs(col("col.h")), abs(col("col.b"))))
+          .as("rel_gap"))
+  }
 }

@@ -48,7 +48,10 @@ class OracleCastDisciplineSpec extends AnyFunSuite {
     ("q41_pack", "sum(n_tok) OVER ( PA"), // downstream-cast (consumed via CAST in cum)
     ("q48_simhash_portable", "sum(CASE WHEN (h >> "), // downstream-cast (bit vote)
     ("q57_mixture_sample", "sum(n_g) AS total FR"), // downstream-cast (quota arithmetic)
-    ("q91_lm_quality", "sum(ln((c2.n2 + 1.0)")) // double
+    ("q91_lm_quality", "sum(ln((c2.n2 + 1.0)"), // double
+    ("q159_mann_whitney", "sum(sum(m)) OVER (OR"), // downstream-cast (mid2's outer CAST)
+    ("q159_mann_whitney", "sum(m)) OVER (ORDER "), // downstream-cast (same expression, inner call)
+    ("q159_mann_whitney", "sum(m) + 1 AS BIGINT")) // downstream-cast (the outer CAST itself)
 
   private val SumCall = """(?i)(?<![a-z0-9_])sum\s*\(""".r
   private val CastBefore = """(?i)cast\s*\(\s*$""".r

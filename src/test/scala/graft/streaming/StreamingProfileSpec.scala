@@ -80,6 +80,40 @@ class StreamingProfileSpec extends SparkSpec {
     assert(card(p) == expected(hist))
   }
 
+  test("drift: vocab_novelty flags a content flip the length ladder is blind to") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    // history vocabulary: tokens a..h, lengths 2,4,6,8
+    val hist = Seq(
+      ("s1", "a b"), ("s1", "a b c d"),
+      ("s1", "a b c d e f"), ("s1", "a b c d e f g h"))
+    p.applyBatch(df(hist), 0L)
+    // identical batch: ladder 0 AND novelty 0 (all tokens known)
+    val same = p.drift(df(hist)).get.collect()
+    same.foreach { r =>
+      assert(r.getDouble(4) == 0.0, r.toString)
+      assert(r.getAs[Double]("vocab_novelty") == 0.0, r.toString)
+    }
+    // template/language flip: SAME token lengths (every rel_gap 0 —
+    // the ladder alone passes it) but an entirely new vocabulary q..x
+    // — exact in the HLL sparse regime, so novelty is exactly 1
+    val flipped = Seq(
+      ("s1", "q r"), ("s1", "q r s t"),
+      ("s1", "q r s t u v"), ("s1", "q r s t u v w x"))
+    val flip = p.drift(df(flipped)).get.collect()
+    assert(flip.nonEmpty)
+    flip.foreach { r =>
+      assert(r.getDouble(4) == 0.0,
+        s"lengths unchanged, the ladder must NOT alert: $r")
+      assert(r.getAs[Double]("vocab_novelty") == 1.0,
+        s"disjoint vocabulary must alert at novelty 1: $r")
+    }
+    // half-known vocabulary scores a half novelty
+    val mixed = Seq(("s1", "a b q r"))
+    val mix = p.drift(df(mixed)).get.collect()
+    mix.foreach(r => assert(r.getAs[Double]("vocab_novelty") == 0.5,
+      s"2 of 4 tokens new: $r"))
+  }
+
   test("replayed batch ids are skipped (foreachBatch at-least-once)") {
     val p = new StreamingProfile(spark, tmp() + "/state")
     p.applyBatch(df(b1), 0L)
