@@ -154,13 +154,18 @@ object Bench {
     // streaming dip vs r9 was unattributable between load and code
     val (streaming, streamingCompact) =
       try {
-        // tiny warmup per path first: pass 1 of a cold path pays JIT +
+        // warmup per path first: pass 1 of a cold path pays JIT +
         // classloading, which would masquerade as a ~1.3-1.5x pair
         // ratio and pollute the contamination verdict (observed: warm
-        // memory path paired at 1.01-1.06, cold file/sql at 1.3-1.5)
+        // memory path paired at 1.01-1.06, cold file/sql at 1.3-1.5).
+        // The SQL warm pass runs at FULL measured size: the small
+        // (2x500) warm pass left r11's sql pair ratios at 2.45/3.10 —
+        // Derby's page cache, lock manager, and conglomerate growth
+        // only reach steady state at the measured volume, so anything
+        // smaller warms the JVM but not the database
         graft.streaming.StreamingBench.run(spark, nBatches = 2, perBatch = 2000)
         graft.streaming.StreamingBench.runFile(spark, nBatches = 2, perBatch = 2000)
-        graft.streaming.StreamingBench.runSql(spark, nBatches = 2, perBatch = 500)
+        graft.streaming.StreamingBench.runSql(spark)
         val m = graft.streaming.StreamingBench.paired(
           graft.streaming.StreamingBench.run(spark))
         val f = graft.streaming.StreamingBench.paired(
@@ -195,6 +200,21 @@ object Bench {
         // the other nine queries' measured exponents
         try {
           val fn = SparkEntry.queries(name)
+          // ONE unmeasured warm run at the smallest rung before any
+          // timed rung: rung-1 otherwise pays the query's plan-specific
+          // JIT/codegen/model-fit cost and the ladder reads 14.3 s at
+          // sf0.001 next to 2.0 s at sf0.01 (r11's q58) — a nonsense
+          // negative slope polluting the monotone-rung evidence. The
+          // artifact records warm_runs so the hygiene is auditable.
+          locally {
+            val warmDir = parent.resolve(sfs.head._1).toString
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            (0 until Bench.ladderWarmRuns).foreach { _ =>
+              fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            }
+          }
           val times = sfs.map { case (d, sf) =>
             if (d == benchSf) sf -> results.find(_._1 == name).get._2
             else {
@@ -222,11 +242,7 @@ object Bench {
       System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
       None
     }
-    val scaleLadderJson = ladder.map(_.map { case (n, ts, e) =>
-      "\"" + n + "\":{\"times\":" +
-        ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
-        f""","exponent":$e%.2f}"""
-    }.mkString("{", ",", "}")).getOrElse("""{"error":true}""")
+    val scaleLadderJson = Bench.scaleLadderJson(ladder)
     // compact line carries the top-5 exponents (tail budget: all 10
     // with 2-decimal seconds would overflow the capture window); the
     // full 10-query ladder with raw times is in BENCH_FULL.json
@@ -294,6 +310,25 @@ object Bench {
       "q58_semantic_dedup_kmeans")
   private[graft] def anchorsJson: String =
     anchorQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** Unmeasured runs of each ladder query at the smallest rung before
+    * its timed rungs (warm-up hygiene; recorded in the artifact so the
+    * evidence channel is auditable — BenchArtifactSpec pins it). */
+  private[graft] val ladderWarmRuns = 1
+
+  /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
+    * shape (warm-run evidence + per-query times/exponent) without
+    * running the benchmark. */
+  private[graft] def scaleLadderJson(
+      ladder: Option[Seq[(String, Seq[Double], Double)]]): String =
+    ladder.map { l =>
+      val qs = l.map { case (n, ts, e) =>
+        "\"" + n + "\":{\"times\":" +
+          ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
+          f""","exponent":$e%.2f}"""
+      }.mkString("{", ",", "}")
+      s"""{"warm_runs":$ladderWarmRuns,"queries":$qs}"""
+    }.getOrElse("""{"error":true}""")
 
   private[graft] def compactLine(
       results: Seq[(String, Double)], failed: String, total: Double,

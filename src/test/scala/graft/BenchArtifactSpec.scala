@@ -76,6 +76,24 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.anchorsJson.startsWith("[\"q44"))
   }
 
+  test("scale-ladder JSON records the warm-rung hygiene and per-query evidence") {
+    // the r11 ladder computed exponents next to a 14.3 s JIT artifact
+    // at rung 1; the warm run fixes it and warm_runs in the artifact
+    // makes the hygiene auditable (and this row makes removing it a
+    // visible regression)
+    assert(Bench.ladderWarmRuns >= 1,
+      "every ladder query must get at least one unmeasured warm run")
+    val j = Bench.scaleLadderJson(Some(Seq(
+      ("q58_semantic_dedup_kmeans", Seq(1.0, 2.0, 3.0), 0.5))))
+    assert(j.contains("\"warm_runs\":" + Bench.ladderWarmRuns), j)
+    assert(j.contains(
+      "\"q58_semantic_dedup_kmeans\":{\"times\":[1.000,2.000,3.000],\"exponent\":0.50}"), j)
+    assert(Bench.scaleLadderJson(None) == """{"error":true}""")
+    // structural JSON sanity, same cheap check as the compact line
+    assert(j.count(_ == '{') == j.count(_ == '}'))
+    assert(j.count(_ == '"') % 2 == 0)
+  }
+
   test("compact line degrades to 1-decimal seconds rather than exceed the budget") {
     // pathological regime: every query at 100+ s (3-digit values). The
     // 2-decimal form would blow the window; the builder must fall back,

@@ -112,6 +112,88 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("endurance property: K random slices with cross-slice clones — incremental equals one-shot after EVERY append, prior text never re-read") {
+    // The continuous-ingestion claim under ITERATION, not a single
+    // append: fold K=5 randomly generated slices (planted clones of
+    // docs from random EARLIER slices at random distances, plus
+    // within-slice clones), and after every append assert (a) the
+    // incremental pair set equals the one-shot generator on the union
+    // minus accepted-internal pairs, and (b) the incremental plan's
+    // only FILE input is the stored band index — the accepted slices'
+    // text is structurally unreachable (parquet round-trip cuts the
+    // lineage, mirroring q147's frozen index).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(6, 14)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val rng = new scala.util.Random(900 + trial)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory(s"graft-inc-endure-$trial").toString + "/idx"
+      var accepted = Vector.empty[(Long, String)]
+      (0 until 5).foreach { sliceNo =>
+        val nBase = 4 + rng.nextInt(4)
+        val base = (0 until nBase).map { j =>
+          (sliceNo * 1000L + j,
+            docGen.pureApply(params, Seed(trial * 10000L + sliceNo * 100L + j)))
+        }
+        // planted clones: of a random doc from any EARLIER slice
+        // (random distance back), and of a same-slice sibling
+        val crossClones =
+          if (accepted.isEmpty) Seq.empty
+          else (0 until (1 + rng.nextInt(2))).map { c =>
+            val src = accepted(rng.nextInt(accepted.size))
+            (sliceNo * 1000L + 500L + c, src._2)
+          }
+        val intraClone =
+          if (rng.nextBoolean()) Seq((sliceNo * 1000L + 900L, base.head._2))
+          else Seq.empty
+        val slice = base ++ crossClones ++ intraClone
+        if (sliceNo == 0) {
+          bands(slice: _*).write.mode("overwrite").parquet(idxDir)
+        } else {
+          val stored = spark.read.parquet(idxDir)
+          val incDf = DedupFunctions.incrementalCandidates(
+            slice.toDF("doc_id", "text"), stored, "doc_id", "text",
+            shingleN = 3, k = 16, r = 4, portable = false)
+          // (b) plan audit FIRST: every file scan reads the index dir
+          // (string form — under AQE the adaptive wrapper is a leaf,
+          // so node-collect can't see inside; toString can)
+          val scans = incDf.queryExecution.executedPlan.toString
+            .linesIterator.filter(_.contains("FileScan")).toSeq
+          assert(scans.nonEmpty &&
+            scans.forall(_.contains(s"graft-inc-endure-$trial")),
+            s"slice $sliceNo: plan reads files outside the index:\n" +
+              scans.mkString("\n"))
+          // (a) pair-set equality with the one-shot generator
+          val inc = incDf.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val full = DedupFunctions.minhashCandidates(
+              (accepted ++ slice).toDF("doc_id", "text"), "doc_id",
+              "text", shingleN = 3, k = 16, r = 4, portable = false)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val accIds = accepted.map(_._1).toSet
+          val expected = full.filterNot { case (a, b) =>
+            accIds.contains(a) && accIds.contains(b)
+          }
+          assert(inc == expected, s"trial $trial slice $sliceNo: " +
+            s"missing ${expected -- inc}; extra ${inc -- expected}")
+          assert(crossClones.isEmpty || inc.nonEmpty,
+            s"trial $trial slice $sliceNo: planted cross-slice clones " +
+              "produced no candidates")
+          bands(slice: _*).write.mode("append").parquet(idxDir)
+        }
+        accepted ++= slice
+      }
+    }
+  }
+
   test("pair set matches the one-shot candidate generator on the combined corpus") {
     // incremental(old -> index, new) must equal the minhashCandidates
     // pairs of old ∪ new, minus the old-vs-old pairs — the invariant

@@ -32,18 +32,39 @@ class TransportAcceptanceSpec extends SparkSpec {
     *    checkpoints each receive ALL topic messages. True for all:
     *    file via per-group checkpoints; broker transports via
     *    MemoryStream's replay-to-every-query fanout.
+    *  - `restartable`: the transport's storage outlives the INSTANCE —
+    *    kill it, construct a fresh one over the same root/DB, and a
+    *    subscriber resumes without loss or duplication (the
+    *    reference's TestReconnect, test_pubsub.go:1042, gated there by
+    *    `Features.Persistent`). True for the durable transports only:
+    *    file (storage = the root dir; resume offsets live in the
+    *    QUERY checkpoint, the instance is stateless) and sql (storage
+    *    = the database; resume offsets live in graft_offsets, so the
+    *    fresh incarnation's subscriber needs a fresh checkpoint — its
+    *    in-process broker is new). False with reason for: memory (the
+    *    broker IS the instance — GoChannel semantics, the reference
+    *    gates it off the same way), http/io (the endpoint is process
+    *    wiring — a socket/pipe — with no storage to resume from).
+    *  - `resumeViaCheckpoint`: where the resume offsets live for the
+    *    restart row — true: the streaming checkpoint (file paths are
+    *    stable across instances); false: transport-side durable
+    *    offsets (sql), so the restarted subscriber runs on a fresh
+    *    checkpoint.
     * "Continue after subscribe close" and "no-ack blocks successors"
     * need no gate: the engine's subscriber/ack unit is the streaming
     * query/micro-batch, so both are properties of the query, not the
-    * store. Every cell of the 5-transport × 4-behavior matrix is
-    * currently green (45 battery tests); the gates exist so a future
-    * transport without a capability (e.g. a broker whose server-side
-    * ack cannot redeliver) declares it explicitly instead of failing
-    * obscurely — the reference's Features pattern.
+    * store. Every non-gated cell of the 5-transport × 10-behavior
+    * matrix is currently green (47 battery tests; the restart row's
+    * three gated-off cells are justified above); the gates exist so a
+    * future transport without a capability (e.g. a broker whose
+    * server-side ack cannot redeliver) declares it explicitly instead
+    * of failing obscurely — the reference's Features pattern.
     */
   private final case class Features(
       redelivery: Boolean = true,
-      consumerGroups: Boolean = true)
+      consumerGroups: Boolean = true,
+      restartable: Boolean = false,
+      resumeViaCheckpoint: Boolean = true)
 
   private final case class Harness(
       name: String,
@@ -81,21 +102,31 @@ class TransportAcceptanceSpec extends SparkSpec {
     }
   }
 
+  /** File roots cached per SCOPE key, so `make` called twice with one
+    * scope yields two instances over the SAME storage — what the
+    * restart row means by "fresh instance". Scopes are unique per
+    * test, so no cross-test sharing is introduced. */
+  private val fileRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val harnesses = Seq(
     Harness("memory",
       _ => new MemoryPubSub(spark),
       (_, _, r) => r.processAllAvailable(),
       _ => ()),
     Harness("file",
-      _ => new FilePubSub(spark, Files.createTempDirectory("graft-acc-").toString),
+      scope => new FilePubSub(spark, fileRoots.getOrElseUpdate(scope,
+        Files.createTempDirectory("graft-acc-").toString)),
       (_, _, r) => r.processAllAvailable(),
-      _ => ()),
+      _ => (),
+      features = Features(restartable = true, resumeViaCheckpoint = true)),
     Harness("sql",
       scope => new SqlPubSub(spark, s"jdbc:derby:memory:acc_$scope;create=true"),
       (ps, topic, r) => {
         ps.asInstanceOf[SqlPubSub].awaitCaughtUp(topic); r.processAllAvailable()
       },
-      ps => ps.asInstanceOf[SqlPubSub].close()),
+      ps => ps.asInstanceOf[SqlPubSub].close(),
+      features = Features(restartable = true, resumeViaCheckpoint = false)),
     Harness("http",
       _ => {
         val sub = new HttpSubscriber(spark)
@@ -315,6 +346,52 @@ class TransportAcceptanceSpec extends SparkSpec {
           s"lost across subscriber restarts: ${want -- received}")
       } finally h.close(ps)
     }
+
+    if (h.features.restartable)
+      test(s"[${h.name}] transport restart: a fresh instance over the same storage resumes without loss or duplication (test_pubsub.go:1042)") {
+        // TestReconnect's testable analogue in-JVM: the INSTANCE dies
+        // (close + drop), a fresh one is constructed over the same
+        // root/DB, and the subscriber picks up exactly where the dead
+        // one's last commit left off — already-consumed messages do
+        // not redeliver, messages published to the new incarnation do
+        // not get lost.
+        val scope = s"${h.name}_restart"
+        val ps1 = h.make(scope)
+        val out = new MemoryPubSub(spark)
+        val ckpt = Files.createTempDirectory(s"rt-${h.name}-").toString
+        try {
+          ps1.subscribeInitialize("acc_rt_in")
+          ps1.publish("acc_rt_in", Seq(msg("rt1", "a"), msg("rt2", "b")))
+          h.settle(ps1, "acc_rt_in")
+          val r1 = new Router(spark, Some(ckpt))
+          r1.addHandler("rt", "acc_rt_in", ps1, "acc_rt_out", out,
+            Middlewares.passthrough)
+          r1.run(); h.drain(ps1, "acc_rt_in", r1); r1.close()
+          assert(out.subscribeBatch("acc_rt_out").count() == 2)
+        } finally h.close(ps1) // the incarnation is DEAD from here
+
+        val ps2 = h.make(scope) // fresh instance, same storage
+        try {
+          // a message that arrives between incarnations
+          ps2.publish("acc_rt_in", Seq(msg("rt3", "c")))
+          h.settle(ps2, "acc_rt_in")
+          // resume: file carries offsets in the query checkpoint (the
+          // instance is stateless) — restart ON it; sql carries them
+          // in graft_offsets — its new in-process broker needs a
+          // fresh checkpoint
+          val ckpt2 =
+            if (h.features.resumeViaCheckpoint) ckpt
+            else Files.createTempDirectory(s"rt2-${h.name}-").toString
+          val r2 = new Router(spark, Some(ckpt2))
+          r2.addHandler("rt", "acc_rt_in", ps2, "acc_rt_out", out,
+            Middlewares.passthrough)
+          r2.run(); h.drain(ps2, "acc_rt_in", r2); r2.close()
+          val got = out.subscribeBatch("acc_rt_out").collect()
+            .map(_.getAs[String]("uuid")).toSeq
+          assert(got.sorted == Seq("rt1", "rt2", "rt3"),
+            s"restart must lose nothing and duplicate nothing: $got")
+        } finally h.close(ps2)
+      }
 
     if (h.features.consumerGroups)
       test(s"[${h.name}] consumer groups: every group receives all messages (test_pubsub.go:817)") {
