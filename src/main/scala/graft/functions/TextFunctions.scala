@@ -112,6 +112,17 @@ object TextFunctions {
     round(uniqueRatio(text) * 0.5 + stopwordRatio(text, stopwords) * 0.3 +
       (lit(1.0) - punctRatio(text)) * 0.2, 4)
 
+  /** The canonical marker-word language-id table (deterministic,
+    * oracle-mirrored) — the one definition shared by the query
+    * registry (LlmQueries.LangMarkers aliases it) and the streaming
+    * profile's language-mix tracking. */
+  val DefaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "de" -> Seq("table", "key"),
+    "fr" -> Seq("query", "group"),
+    "es" -> Seq("fast", "slow"),
+    "zh" -> Seq("stream", "row"))
+
   /** Stopword-overlap language id: score = |distinct tokens ∩ marker
     * words| per language; argmax with first-wins tie-break on the
     * declaration order. Pure expressions — scales linearly, no UDF. */

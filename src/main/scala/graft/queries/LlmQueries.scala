@@ -35,13 +35,13 @@ object LlmQueries {
     dir
   }
 
-  /** Marker-word language-id table (deterministic, oracle-mirrored). */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "value"),
-    "de" -> Seq("table", "key"),
-    "fr" -> Seq("query", "group"),
-    "es" -> Seq("fast", "slow"),
-    "zh" -> Seq("stream", "row"))
+  /** Marker-word language-id table (deterministic, oracle-mirrored);
+    * canonical definition lives in [[TextFunctions.DefaultLangMarkers]]
+    * so the streaming profile's language-mix tracking and the oracle
+    * twins (which spell these words as SQL literals) cannot diverge
+    * silently. */
+  val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextFunctions.DefaultLangMarkers
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -2656,7 +2656,11 @@ object LlmQueries {
     // Scale shape: ONE corpus shuffle folds events to (type, v)
     // counts; the value ladder and its cumulative window run over
     // DISTINCT v — control-plane, the q153 CDF pattern (whitelisted
-    // in PlanShapeSpec's partitionless-window guard) ----
+    // in PlanShapeSpec's partitionless-window guard). Arithmetic
+    // bound: 2R <= 2N² needs N <= ~2·10⁹ rows per test in long
+    // arithmetic (same class as q131's N³ bound); past that, ANSI
+    // overflow throws LOUDLY and the migration is decimal(38,0) on
+    // the r2 fold (DuckDB already widens to HUGEINT) ----
     QuerySpec("q159_mann_whitney",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

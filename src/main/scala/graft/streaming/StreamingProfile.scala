@@ -35,7 +35,12 @@ final class StreamingProfile(
     stateDir: String,
     vocabP: Int = 12,
     vocabSparseMax: Int = 16384,
-    lenK: Int = 4096) {
+    lenK: Int = 4096,
+    // marker table for the language-mix dimension (lang_m state +
+    // drift's lang_chisq); the canonical default keeps the streaming
+    // screen and the q158 batch twin classifying identically
+    markers: Seq[(String, Seq[String])] =
+      TextFunctions.DefaultLangMarkers) {
 
   private def fs = new org.apache.hadoop.fs.Path(stateDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -58,9 +63,20 @@ final class StreamingProfile(
   }
 
   /** Stored per-slice states (slice, n_docs, n_tokens, batch_id,
-    * vocab_st, len_st). */
+    * vocab_st, len_st, lang_m). A state dir written before the
+    * language-mix dimension lacks lang_m — normalize it to the empty
+    * map on read (the first applyBatch then persists the new schema),
+    * so upgrades keep their card instead of dying on a missing
+    * column. */
   def state: Option[DataFrame] =
-    if (hasState) Some(spark.read.parquet(stateDir)) else None
+    if (!hasState) None
+    else {
+      val df = spark.read.parquet(stateDir)
+      Some(
+        if (df.columns.contains("lang_m")) df
+        else df.withColumn("lang_m",
+          typedlit(Map.empty[String, Long])))
+    }
 
   /** Highest batch id folded in so far (−1 before any). */
   def appliedBatchId: Long =
@@ -70,7 +86,11 @@ final class StreamingProfile(
     val perDoc = batch
       .withColumn("_toks", TextFunctions.tokens(col("text")))
       .select(col("slice"), col("_toks"),
-        size(col("_toks")).cast("long").as("_ntok"))
+        size(col("_toks")).cast("long").as("_ntok"),
+        // language from the already-computed token array — the regex
+        // runs once per doc, not once per language
+        TextFunctions.langIdFromTokens(
+          array_distinct(col("_toks")), markers).as("_lg"))
     val doc = perDoc.groupBy(col("slice")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("_ntok")).as("n_tokens"),
@@ -80,11 +100,22 @@ final class StreamingProfile(
       .groupBy(col("slice"))
       .agg(DistinctSketch.sketchState(xxhash64(col("_t")), vocabP,
         vocabSparseMax).as("vocab_st"))
+    // language mix as a |langs|-entry map per slice (control-plane:
+    // the marker table bounds the key set; sort for a deterministic
+    // serialized order)
+    val lang = perDoc.groupBy(col("slice"), col("_lg"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("slice"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("_lg"), col("_n"))))).as("lang_m"))
     // left join: a slice whose batch docs all tokenize to zero tokens
     // still appears in doc but not in voc
     doc.join(voc, Seq("slice"), "left")
+      .join(lang, Seq("slice"), "left")
       .withColumn("vocab_st", coalesce(col("vocab_st"),
         typedlit(Array(0L, 0L))))
+      .withColumn("lang_m", coalesce(col("lang_m"),
+        typedlit(Map.empty[String, Long])))
       .withColumn("batch_id", lit(batchId))
   }
 
@@ -92,18 +123,34 @@ final class StreamingProfile(
     * below [[appliedBatchId]] (foreachBatch replay safety). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= appliedBatchId || batch.isEmpty) return
-    val incoming = batchStates(batch, batchId)
+    // eager: the union below references it from TWO aggregations
+    // (sketch/counter merge + language-map fold) — without the pin the
+    // whole tokenize pipeline would run twice per batch
+    val incoming = batchStates(batch, batchId).localCheckpoint(true)
     val merged = state match {
       case None => incoming
-      case Some(st) => st.unionByName(incoming)
-        .groupBy(col("slice"))
-        .agg(
-          sum(col("n_docs")).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          QuantileSketch.mergeState(col("len_st"), lenK).as("len_st"),
-          DistinctSketch.mergeState(col("vocab_st"), vocabP,
-            vocabSparseMax).as("vocab_st"),
-          max(col("batch_id")).as("batch_id"))
+      case Some(st) =>
+        val u = st.unionByName(incoming)
+        val base = u.groupBy(col("slice"))
+          .agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            QuantileSketch.mergeState(col("len_st"), lenK).as("len_st"),
+            DistinctSketch.mergeState(col("vocab_st"), vocabP,
+              vocabSparseMax).as("vocab_st"),
+            max(col("batch_id")).as("batch_id"))
+        // language maps merge by key-sum (explode → fold → re-map);
+        // |slices| × |langs| rows — control-plane
+        val lm = u.select(col("slice"), explode_outer(col("lang_m")))
+          .filter(col("key").isNotNull)
+          .groupBy(col("slice"), col("key"))
+          .agg(sum(col("value")).as("_n"))
+          .groupBy(col("slice"))
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("key"), col("_n"))))).as("lang_m"))
+        base.join(lm, Seq("slice"), "left")
+          .withColumn("lang_m", coalesce(col("lang_m"),
+            typedlit(Map.empty[String, Long])))
     }
     // checked swap (GenerationSwap): a false rename/delete fails the
     // batch for retry instead of silently dropping its counts
@@ -146,15 +193,24 @@ final class StreamingProfile(
     * batch's vocabulary is already known, →1 as it diverges, at zero
     * extra state.
     *
-    * Output: (slice, q, hist_v, batch_v, rel_gap, vocab_novelty) —
-    * one row per requested quantile (vocab_novelty is per-slice,
-    * repeated); alert on max(rel_gap) and on vocab_novelty. In the
-    * exact regime (lenK >= group sizes, HLL sparse regime) ladders
-    * are exact order statistics and the novelty is exact-set
-    * arithmetic, so StreamingProfileSpec pins planted shifts
-    * deterministically. Cost: the batch folds once (one eager
-    * materialization, three consumers); history is |state rows|
-    * kilobyte states — no corpus data moves. */
+    * The THIRD dimension is categorical: `lang_chisq` — the two-sample
+    * χ² homogeneity statistic between the batch's language mix and the
+    * stored history mix (per cell diff²/(n_b·n_h·C), the q158 batch
+    * twin's arithmetic, served from the lang_m state maps) — flags the
+    * geo rollout / scraper-locale change that shifts WHICH languages
+    * arrive while lengths and even token overlap within the dominant
+    * language stay put.
+    *
+    * Output: (slice, q, hist_v, batch_v, rel_gap, vocab_novelty,
+    * lang_chisq) — one row per requested quantile (the two per-slice
+    * scores repeated); alert on max(rel_gap), vocab_novelty, and
+    * lang_chisq. In the exact regime (lenK >= group sizes, HLL sparse
+    * regime) ladders are exact order statistics and the novelty is
+    * exact-set arithmetic; identical mixes score an exact 0 χ², so
+    * StreamingProfileSpec pins planted shifts deterministically.
+    * Cost: the batch folds once (one eager materialization, four
+    * consumers); history is |state rows| kilobyte states — no corpus
+    * data moves. */
   def drift(batch: DataFrame,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): Option[DataFrame] =
     state.map { st =>
@@ -182,7 +238,34 @@ final class StreamingProfile(
             .otherwise(least(lit(1.0), greatest(lit(0.0),
               (col("_uv") - col("_hv")).cast("double") / col("_bv"))))
             .as("vocab_novelty"))
+      // language-mix χ²: per (slice, lang) cell of history vs batch,
+      // diff²/(n_b·n_h·C) summed per slice (doubles throughout — a
+      // long-running history's counts × batch counts can pass 2^63;
+      // the screen is threshold-read, not oracle-hashed). The window
+      // runs over |slices| × |langs| rows — control-plane.
+      def catRows(df: DataFrame, n: String) = df
+        .select(col("slice"), explode_outer(col("lang_m")))
+        .filter(col("key").isNotNull)
+        .groupBy(col("slice"), col("key"))
+        .agg(sum(col("value")).as(n))
+        .withColumnRenamed("key", "lg")
+      val cells = catRows(st, "hn")
+        .join(catRows(bs, "bn"), Seq("slice", "lg"), "full")
+        .na.fill(0L, Seq("hn", "bn"))
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))
+      val chisq = cells
+        .withColumn("n_h", sum(col("hn")).over(wS).cast("double"))
+        .withColumn("n_b", sum(col("bn")).over(wS).cast("double"))
+        .withColumn("_d", col("bn").cast("double") * col("n_h")
+          - col("hn").cast("double") * col("n_b"))
+        .withColumn("_den", col("n_b") * col("n_h")
+          * (col("bn") + col("hn")).cast("double"))
+        .withColumn("_t", when(col("_den") === 0, lit(0.0))
+          .otherwise(col("_d") * col("_d") / col("_den")))
+        .groupBy(col("slice")).agg(sum(col("_t")).as("lang_chisq"))
       ladder.join(novelty, Seq("slice"))
+        .join(chisq, Seq("slice"), "left")
+        .withColumn("lang_chisq", coalesce(col("lang_chisq"), lit(0.0)))
     }
 }
 

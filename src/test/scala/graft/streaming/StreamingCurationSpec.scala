@@ -291,6 +291,66 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-gated ingestion: a drifted batch is quarantined BEFORE it pollutes the profile") {
+    // The drift screen in its production position: foreachBatch runs
+    // drift() FIRST (reading only stored kilobyte states), and only a
+    // batch under the alert thresholds folds into the profile. A
+    // quarantined batch leaves the card untouched — so the detector
+    // it would have skewed still fires on the NEXT bad batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dgate-").toString
+    val p = new StreamingProfile(spark, dir + "/state")
+    val src = new MemoryPubSub(spark)
+    val quarantined = scala.collection.concurrent.TrieMap.empty[Long, String]
+    var nextId = 0L
+    val q = src.subscribe("docs_dg").writeStream
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = b.select(col("metadata")("slice").as("slice"),
+          col("payload").cast("string").as("text"))
+        val alerts = p.drift(docs).map(_.groupBy(col("slice")).agg(
+            max(col("rel_gap")).as("g"), max(col("vocab_novelty")).as("v"),
+            max(col("lang_chisq")).as("c"))
+          .filter(col("g") > 0.4 || col("v") > 0.5 || col("c") > 1.0)
+          .select("slice").collect().map(_.getString(0)).toSet)
+          .getOrElse(Set.empty)
+        if (alerts.isEmpty) p.applyBatch(docs, batchId)
+        else alerts.foreach(s => quarantined(batchId) = s)
+        ()
+      }.start()
+    def pub(slice: String, texts: String*): Unit = {
+      src.publish("docs_dg", texts.map { t =>
+        nextId += 1
+        Message(nextId.toString, Map("slice" -> slice),
+          t.getBytes("UTF-8"), new Timestamp(1700000000000L + nextId))
+      })
+      q.processAllAvailable()
+    }
+    val normal = Seq("the a value of this table", "the a value grows",
+      "a value the stream keeps", "the a value of rows")
+    try {
+      pub("s1", normal: _*) // batch 0: no history yet -> folds
+      pub("s1", normal: _*) // batch 1: identical -> folds
+      assert(quarantined.isEmpty)
+      val before = p.profile.get.filter(col("slice") === "s1")
+        .select("n_docs").head.getLong(0)
+      assert(before == 8L)
+      // batch 2: language flip (same-ish lengths, de markers) -> gated
+      pub("s1", "table key rows columns pages here",
+        "table key grows fast", "key table stream holds",
+        "table key of pages")
+      assert(quarantined.values.toSet == Set("s1"),
+        s"drifted batch must quarantine: $quarantined")
+      val after = p.profile.get.filter(col("slice") === "s1")
+        .select("n_docs").head.getLong(0)
+      assert(after == before,
+        "a quarantined batch must NOT fold into the profile")
+      // batch 3: normal again -> folds (the detector survived intact)
+      pub("s1", normal: _*)
+      assert(p.profile.get.filter(col("slice") === "s1")
+        .select("n_docs").head.getLong(0) == 12L)
+    } finally q.stop()
+  }
+
   test("near-dup replay: a replayed foreachBatch batch keeps the same survivors, not zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sndrp-").toString
     val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5)

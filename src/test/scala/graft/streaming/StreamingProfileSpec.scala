@@ -114,6 +114,57 @@ class StreamingProfileSpec extends SparkSpec {
       s"2 of 4 tokens new: $r"))
   }
 
+  test("drift: lang_chisq flags a language-mix shift that lengths AND vocabulary both miss") {
+    val p = new StreamingProfile(spark, tmp() + "/state")
+    // history: 2 en + 2 de docs, lengths paired {4,6} per language —
+    // marker words pin the classifier (en: the/a/value; de: table/key)
+    val en4 = "the a value x"; val en6 = "the a value x y z"
+    val de4 = "table key x y"; val de6 = "table key x y z w"
+    val hist = Seq(("s1", en4), ("s1", en6), ("s1", de4), ("s1", de6))
+    p.applyBatch(df(hist), 0L)
+    // state carries the merged mix
+    val lm = p.state.get.filter(col("slice") === "s1")
+      .select("lang_m").collect().head.getAs[Map[String, Long]](0)
+    assert(lm == Map("en" -> 2L, "de" -> 2L), s"state mix: $lm")
+    // identical batch: all three dimensions exactly 0
+    p.drift(df(hist)).get.collect().foreach { r =>
+      assert(r.getDouble(4) == 0.0 &&
+        r.getAs[Double]("vocab_novelty") == 0.0 &&
+        r.getAs[Double]("lang_chisq") == 0.0, r.toString)
+    }
+    // all-en batch built ONLY from history's en docs: same length
+    // multiset {4,4,6,6} (ladder blind), vocabulary fully known
+    // (novelty blind) — but the mix flipped en:de 2:2 -> 4:0.
+    // Exact χ²: en cell (2·16−... ) diff=8 → 64/96; de diff=−8 →
+    // 64/32; total 8/3
+    val flip = Seq(("s1", en4), ("s1", en6), ("s1", en4), ("s1", en6))
+    val rows = p.drift(df(flip)).get.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.0, s"lengths unchanged: $r")
+      assert(r.getAs[Double]("vocab_novelty") == 0.0, s"vocab known: $r")
+      assert(math.abs(r.getAs[Double]("lang_chisq") - 8.0 / 3) < 1e-12,
+        s"mix flip must score the exact 2-sample chi-square: $r")
+    }
+  }
+
+  test("pre-lang_m state dirs are normalized on read (upgrade safety)") {
+    val dir = tmp() + "/state"
+    val p = new StreamingProfile(spark, dir)
+    p.applyBatch(df(b1), 0L)
+    // rewrite the state WITHOUT lang_m — the pre-language-mix schema
+    val legacy = spark.read.parquet(dir).drop("lang_m")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(dir)
+    val p2 = new StreamingProfile(spark, dir)
+    assert(card(p2) == expected(b1), "card must survive the old schema")
+    // merges and drift still work; the language history restarts empty
+    p2.applyBatch(df(b2), 1L)
+    assert(card(p2) == expected(b1 ++ b2))
+    val d = p2.drift(df(b2)).get.collect()
+    assert(d.nonEmpty && d.forall(_.getAs[Double]("lang_chisq") >= 0.0))
+  }
+
   test("replayed batch ids are skipped (foreachBatch at-least-once)") {
     val p = new StreamingProfile(spark, tmp() + "/state")
     p.applyBatch(df(b1), 0L)
