@@ -2592,8 +2592,13 @@ object LlmQueries {
     // joins broadcast) ----
     QuerySpec("q158_chisq_drift",
       (s, dir) => {
+        // lang normalized against NULLs in BOTH engines: Spark's
+        // equi-joins drop NULL keys while the oracle's CROSS JOIN
+        // grid keeps them — a latent cross-engine divergence on any
+        // corpus with unlabeled docs
         val cells = t(s, dir, "documents")
-          .groupBy(col("source"), col("lang"))
+          .groupBy(col("source"),
+            coalesce(col("lang"), lit("(null)")).as("lang"))
           .agg(count(lit(1)).as("o"))
           .localCheckpoint(true) // 4 consumers: grid ×2, marginals, cells
         val rowT = cells.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
@@ -2620,7 +2625,8 @@ object LlmQueries {
           .orderBy(col("source"), col("lang"))
       },
       Some("""WITH cells AS (
-             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             |  SELECT source, coalesce(lang, '(null)') AS lang,
+             |    CAST(count(*) AS BIGINT) AS o
              |  FROM documents GROUP BY 1, 2),
              |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
              |       FROM cells GROUP BY 1),
@@ -2663,7 +2669,6 @@ object LlmQueries {
     // the r2 fold (DuckDB already widens to HUGEINT) ----
     QuerySpec("q159_mann_whitney",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val cnt = t(s, dir, "events")
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("v"))

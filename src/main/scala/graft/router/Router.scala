@@ -310,38 +310,57 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     } finally { persisted.unpersist(); () }
   }
 
-  /** One-time upgrade adoption of PRE-group-scheme checkpoints: before
-    * the per-group path layout, a handler's checkpoint lived at
-    * `$ckptBase/<handler>` (no `grp_`/`nogroup` segment). A restart on
-    * an existing deployment would otherwise find the NEW path empty,
+  /** One-time upgrade adoption of LEGACY-scheme checkpoints. Two
+    * legacy layouts shipped before the per-group path scheme:
+    * ungrouped handlers checkpointed at `$ckptBase/<handler>`, and
+    * grouped handlers at the JOINED `$ckptBase/<group>-<handler>`
+    * (whose aliasing — group "a-b"/handler "c" vs group "a"/handler
+    * "b-c" — is exactly why the layout changed). A restart on an
+    * existing deployment would otherwise find the NEW path empty,
     * start a fresh offset lineage, and reprocess every topic from the
-    * beginning — with duplicated side effects, because the re-publishes
-    * carry new-scheme writerIds the old committed epochs don't dedup.
-    * If the new-scheme dir is absent and a legacy one exists, RENAME it
-    * into place so the lineage (and its epochIds, which the writerId
-    * lineage hash keys off the unchanged `ckptBase`) simply continues.
-    * A legacy dir once SHARED by two groups can follow only one — the
-    * first to start adopts it, the other starts fresh; that sharing was
-    * the defect the layout change fixed, so there is no lossless
-    * reading of it. */
+    * beginning — with duplicated side effects, because the
+    * re-publishes carry new-scheme writerIds the old committed epochs
+    * don't dedup. So: if the new-scheme dir holds no committed
+    * offsets and the scheme-faithful legacy candidate does, RENAME
+    * the legacy dir into place — the lineage (and its epochIds, which
+    * the writerId lineage hash keys off the unchanged `ckptBase`)
+    * simply continues.
+    *
+    * Inherent limits, both consequences of the legacy layouts' own
+    * ambiguity (documented, not fixable losslessly): a legacy dir
+    * once SHARED by two groups follows the first group to restart
+    * (the other starts fresh), and on a reused checkpoint root an
+    * ungrouped handler literally named "<g>-<h>" is indistinguishable
+    * from group g's handler h — don't name ungrouped handlers after
+    * retired group-handler pairs when sharing a root. */
   private def adoptLegacyCheckpoint(newLoc: String, handlerName: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val newP = new org.apache.hadoop.fs.Path(newLoc)
-    val oldP = new org.apache.hadoop.fs.Path(s"$ckptBase/$handlerName")
+    // the candidate under the scheme THIS router would have used
+    // pre-upgrade: joined "$g-$name" when grouped, bare name otherwise
+    val legacyName = group.fold(handlerName)(g => s"$g-$handlerName")
+    val oldP = new org.apache.hadoop.fs.Path(s"$ckptBase/$legacyName")
     // a handler literally named "nogroup"/"grp_…" nests the legacy dir
     // inside the new parent — renaming a dir into its own child fails
     if (newP.toString.startsWith(oldP.toString + "/")) return
     val fs = newP.getFileSystem(hconf)
     // `offsets` is the marker every structured-streaming checkpoint
     // writes — don't adopt arbitrary same-named directories
-    val legacyReal = fs.exists(oldP) &&
-      fs.exists(new org.apache.hadoop.fs.Path(oldP, "offsets"))
-    if (!fs.exists(newP) && legacyReal) {
-      if (!fs.mkdirs(newP.getParent))
-        throw new java.io.IOException(s"checkpoint adopt: mkdirs failed for ${newP.getParent}")
-      if (!fs.rename(oldP, newP))
-        throw new java.io.IOException(s"checkpoint adopt: rename failed: $oldP -> $newP")
-    }
+    def hasOffsets(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(p, "offsets"))
+    if (!hasOffsets(oldP)) return
+    // an EXISTING new-scheme dir is only authoritative if it holds
+    // committed offsets; a crashed first start can leave metadata
+    // with no offsets, and skipping adoption on that husk would
+    // strand the legacy lineage forever
+    if (hasOffsets(newP)) return
+    if (fs.exists(newP) && !fs.delete(newP, true))
+      throw new java.io.IOException(
+        s"checkpoint adopt: could not clear offsets-less $newP")
+    if (!fs.mkdirs(newP.getParent))
+      throw new java.io.IOException(s"checkpoint adopt: mkdirs failed for ${newP.getParent}")
+    if (!fs.rename(oldP, newP))
+      throw new java.io.IOException(s"checkpoint adopt: rename failed: $oldP -> $newP")
   }
 
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers

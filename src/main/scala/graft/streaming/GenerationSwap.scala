@@ -25,6 +25,22 @@ private[graft] object GenerationSwap {
       throw new java.io.IOException(
         s"generation swap: rename failed: $src -> $dst")
 
+  /** Replace the live dir with a FULLY-WRITTEN sibling via the
+    * rename-aside choreography (park live as `.old`, promote the
+    * sibling, drop `.old`) — the one definition of the crash contract
+    * that StreamingQuota/StreamingNearDup's compact AND legacy-layout
+    * migrations all share (their `recoverCompact` adopts whichever
+    * sibling survives a crash at any step). The sibling must be
+    * complete before calling: every crash point then leaves either
+    * the old live dir or a complete replacement. */
+  def replaceLive(fs: FileSystem, liveDir: String, tmpDir: String): Unit = {
+    val live = new Path(liveDir)
+    val old = new Path(liveDir + ".old")
+    renameOrThrow(fs, live, old)
+    renameOrThrow(fs, new Path(tmpDir), live)
+    deleteIfExists(fs, old)
+  }
+
   /** Promote a fully-written `<stateDir>.next` to live. Ordering makes
     * every crash point recoverable by adopt-last-complete:
     * pre-promotion crashes leave live (or `.old`) intact; a crash

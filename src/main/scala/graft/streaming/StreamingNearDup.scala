@@ -62,27 +62,48 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     }
   }
 
-  /** Upgrade guard: an index written by the pre-`batch_id` version is
-    * partitioned by `band=` ONLY (no batch_id level, no batch_id
-    * column). Once a new-format `batch_id=N/band=M` dir lands beside
-    * those, Spark's partition discovery rejects the mix ("conflicting
-    * directory structures") and the `batch_id =!= id` replay filter
-    * has no column to read — an analysis error at the first batch
-    * after upgrade. Detect the old layout and rewrite those rows under
-    * the `batch_id=-2` sentinel (visible to every replay exclusion,
-    * attributable to no batch — the [[StreamingQuota]] convention)
-    * with the same crash-safe rename-aside swap, preserving the
-    * retained-corpus index across the upgrade instead of breaking or
-    * silently re-admitting every duplicate. */
+  /** Upgrade guard for BOTH pre-`batch_id` index layouts: the
+    * band-partitioned era (`band=` dirs only — no batch_id level or
+    * column) and the original FLAT era before that (plain part files,
+    * band as a data column). Either one left in place breaks the
+    * first new-format batch: partition discovery rejects the mix
+    * ("conflicting directory structures") and the `batch_id =!= id`
+    * replay filter has no column to read. Detect them and rewrite the
+    * rows under the `batch_id=-2` sentinel (visible to every replay
+    * exclusion, attributable to no batch — the [[StreamingQuota]]
+    * convention) with the shared crash-safe rename-aside swap,
+    * preserving the retained-corpus index across the upgrade instead
+    * of breaking or silently re-admitting every duplicate. Memoized
+    * after the first successful probe (instance-owned dir, new writes
+    * always new-format — no LIST per read forever); an exception
+    * leaves the flag unset so the probe retries. */
+  @volatile private var legacyChecked = false
   private def migrateLegacyLayout(): Unit = {
+    if (legacyChecked) return
+    migrateLegacyLayoutImpl()
+    legacyChecked = true
+  }
+  private def migrateLegacyLayoutImpl(): Unit = {
     val live = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(live)) return
     val entries = fs.listStatus(live)
     val legacyDirs = entries.filter(e =>
       e.isDirectory && e.getPath.getName.startsWith("band="))
-    if (legacyDirs.isEmpty) return
-    val legacy = spark.read.option("basePath", indexDir)
-      .parquet(legacyDirs.map(_.getPath.toString).toSeq: _*)
+    val legacyFlat = entries.filter(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+    if (legacyDirs.isEmpty && legacyFlat.isEmpty) return
+    val bandLegacy =
+      if (legacyDirs.isEmpty) None
+      else Some(spark.read.option("basePath", indexDir)
+        .parquet(legacyDirs.map(_.getPath.toString).toSeq: _*))
+    // flat-era rows carry band as a DATA column — read without
+    // basePath, the partitionBy below re-derives the directory layout
+    val flatLegacy =
+      if (legacyFlat.isEmpty) None
+      else Some(spark.read
+        .parquet(legacyFlat.map(_.getPath.toString).toSeq: _*))
+    val legacy = (bandLegacy.toSeq ++ flatLegacy.toSeq)
+      .reduce(_.unionByName(_))
       .withColumn("batch_id", lit(-2L))
     val newParts = entries.filter(e =>
       e.isDirectory && e.getPath.getName.startsWith("batch_id="))
@@ -94,10 +115,7 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     merged.repartition(col("band"))
       .sortWithinPartitions(col("band"), col("band_key"))
       .write.partitionBy("batch_id", "band").mode("overwrite").parquet(tmp)
-    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    GenerationSwap.renameOrThrow(fs, live, old)
-    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
-    GenerationSwap.deleteIfExists(fs, old)
+    GenerationSwap.replaceLive(fs, indexDir, tmp)
   }
 
   /** Crash recovery for [[compact]]'s swap — same contract as
@@ -247,13 +265,10 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       live.repartition(col("band"))
         .sortWithinPartitions(col("band"), col("band_key"))
         .write.partitionBy("batch_id", "band").mode("overwrite").parquet(tmp)
-      // CHECKED swap (GenerationSwap contract): an unchecked false
-      // here reported success while leaving no live index
-      val liveP = new org.apache.hadoop.fs.Path(indexDir)
-      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-      GenerationSwap.renameOrThrow(fs, liveP, old)
-      GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), liveP)
-      GenerationSwap.deleteIfExists(fs, old)
+      // CHECKED swap (GenerationSwap.replaceLive — the shared
+      // choreography): an unchecked false here reported success while
+      // leaving no live index
+      GenerationSwap.replaceLive(fs, indexDir, tmp)
       ()
     }
   }

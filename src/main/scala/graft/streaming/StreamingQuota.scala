@@ -61,8 +61,19 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     * sentinel partition ([[compact]]'s own convention: visible to
     * every replay view, attributable to none) via the same
     * crash-safe rename-aside swap, so an upgraded deployment keeps
-    * its budgets instead of over-admitting every exhausted key. */
+    * its budgets instead of over-admitting every exhausted key.
+    * Memoized after the first successful probe: the state dir is
+    * instance-owned and new writes are always new-format, so paying a
+    * listStatus per read forever (a LIST request per micro-batch on
+    * object stores) would buy nothing; an exception leaves the flag
+    * unset so the probe retries. */
+  @volatile private var legacyChecked = false
   private def migrateLegacyLayout(): Unit = {
+    if (legacyChecked) return
+    migrateLegacyLayoutImpl()
+    legacyChecked = true
+  }
+  private def migrateLegacyLayoutImpl(): Unit = {
     val live = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(live)) return
     val entries = fs.listStatus(live)
@@ -83,10 +94,7 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     val tmp = stateDir + ".compact"
     merged.repartition(1).write.partitionBy("batch_id")
       .mode("overwrite").parquet(tmp)
-    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
-    GenerationSwap.renameOrThrow(fs, live, old)
-    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
-    GenerationSwap.deleteIfExists(fs, old)
+    GenerationSwap.replaceLive(fs, stateDir, tmp)
   }
 
   /** Crash recovery for [[compact]]: if a crash landed between "old
@@ -170,15 +178,11 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
       .withColumn("batch_id", lit(-2L))
       .repartition(1).write.partitionBy("batch_id")
       .mode("overwrite").parquet(tmp)
-    // crash-safe swap: the live state is renamed ASIDE (not deleted)
-    // before the compacted dir takes its place, so every crash point
-    // leaves either the live dir or a recoverable sibling that
+    // crash-safe swap (shared choreography — GenerationSwap.replaceLive):
+    // the live state is renamed ASIDE, not deleted, so every crash
+    // point leaves either the live dir or a recoverable sibling that
     // [[recoverCompact]] adopts on the next read — a crash can never
     // silently reset budgets and over-admit exhausted keys on restart
-    val live = new org.apache.hadoop.fs.Path(stateDir)
-    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
-    GenerationSwap.renameOrThrow(fs, live, old)
-    GenerationSwap.renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
-    GenerationSwap.deleteIfExists(fs, old)
+    GenerationSwap.replaceLive(fs, stateDir, tmp)
   }
 }

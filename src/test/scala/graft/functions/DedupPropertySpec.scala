@@ -198,7 +198,7 @@ class DedupPropertySpec extends SparkSpec {
   test("native md5-prefix expression is bit-identical to the composed conv/substring form") {
     val texts = Seq("", "a", "the quick brown fox", "0", "UPPER lower 123",
       "exactly-fifteen", "éèê unicode bytes", "salt:7:token",
-      "ffffffffffffffff", " nul-lead")
+      "ffffffffffffffff", "\u0000nul-lead")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
     val both = df.select(col("id"),
       Hashes.md5Long(col("s")).as("fast"),

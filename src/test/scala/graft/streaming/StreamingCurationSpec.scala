@@ -501,15 +501,51 @@ class StreamingCurationSpec extends SparkSpec {
       .exists(_.getName.startsWith("band=")),
       "precondition: legacy band=-only layout")
 
-    // next batch (new format, replay filter active): the near-dup of a
-    // LEGACY-indexed doc must still drop, and the write must not die
-    // on conflicting directory structures
+    // next batch through a FRESH instance — the real upgrade shape
+    // (the layout probe is memoized per instance, as new writes are
+    // always new-format): the near-dup of a LEGACY-indexed doc must
+    // still drop, and the write must not die on conflicting directory
+    // structures
+    val nd2 = new StreamingNearDup(spark, dir, minSim = 0.5)
     val tA2 = tA.replace("home tonight", "home forever")
-    assert(ids(nd.processBatch(docs(3L -> tA2, 4L -> tB), batchId = 1L))
+    assert(ids(nd2.processBatch(docs(3L -> tA2, 4L -> tB), batchId = 1L))
       .isEmpty, "legacy index rows must keep deduping after migration")
     val top = new java.io.File(dir).listFiles().map(_.getName)
     assert(top.contains("batch_id=-2") && !top.exists(_.startsWith("band=")),
       s"legacy rows must fold under the sentinel batch_id: ${top.toSeq}")
+  }
+
+  test("near-dup upgrade: the FLAT-era index (band as a data column) migrates too") {
+    // The oldest shipped layout: plain part files, no partition dirs
+    // at all, band in the data. hasIndex recognized it but the first
+    // migration pass only handled band= dirs — this is the regression
+    // row for the flat era.
+    import java.nio.file.Files
+    val dirNew = Files.createTempDirectory("graft-snd-flatseed").toString + "/index"
+    val nd0 = new StreamingNearDup(spark, dirNew, minSim = 0.5)
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(nd0.processBatch(docs(1L -> tA), batchId = 0L)) == Set(1L))
+    // rewrite as the FLAT layout into a fresh dir: band/batch_id
+    // partition values folded back into data columns, then dropped
+    // to the flat-era schema
+    val dirFlat = Files.createTempDirectory("graft-snd-flat").toString + "/index"
+    spark.read.parquet(dirNew)
+      .select("doc_id", "band", "band_key", "sig", "ingest_ts")
+      .write.parquet(dirFlat)
+    assert(new java.io.File(dirFlat).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "precondition: flat-era layout")
+    val nd = new StreamingNearDup(spark, dirFlat, minSim = 0.5)
+    val tA2 = tA.replace("home tonight", "home forever")
+    assert(ids(nd.processBatch(docs(3L -> tA2), batchId = 1L)).isEmpty,
+      "flat-era index rows must keep deduping after migration")
+    val top = new java.io.File(dirFlat).listFiles().map(_.getName)
+    assert(top.contains("batch_id=-2") &&
+      !top.exists(n => n.endsWith(".parquet") && new java.io.File(dirFlat, n).isFile),
+      s"flat rows must fold under the sentinel batch_id: ${top.toSeq}")
   }
 
   test("streaming quota: a crash mid-compact cannot silently reset budgets") {
