@@ -137,13 +137,11 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}"))
       .getOrElse("""{"error":true}""")
-    // compact twin: same numbers, 2-3 char keys for the tail budget
-    val auxShortKey = Map("q71_cand" -> "c71", "q72_cand" -> "c72",
-      "sem_all_pairs" -> "ap", "sem_n" -> "n")
-    val auxCompact = auxMap.map(_.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + auxShortKey.getOrElse(k, k) + "\":" + v }
-        .mkString("{", ",", "}"))
-      .getOrElse("""{"error":true}""")
+    // (aux rides ONLY the full-evidence forms since the registry
+    // passed 160 queries: at 161 entries the compact line's 1-decimal
+    // seconds overflowed the tail window by exactly the aux object's
+    // width — per-query seconds are the driver contract, the pruning
+    // counts are duplicated in BENCH_FULL.json + stderr)
     // in-memory transport throughput (BASELINE.md headline: GoChannel
     // 315,776 pub / 138,743 sub msg/s at 16 B / 16 CPU)
     // (full, compact) forms: same numbers, long keys for the evidence
@@ -288,7 +286,7 @@ object Bench {
     System.err.flush()
 
     println(Bench.compactLine(results, failed, total, extraPass,
-      medianPairRatio, contaminated, auxCompact, streamingCompact,
+      medianPairRatio, contaminated, streamingCompact,
       scaleExpCompact, loadAvg, nCpu, sfDir))
     Console.out.flush()
     spark.stop()
@@ -333,7 +331,7 @@ object Bench {
   private[graft] def compactLine(
       results: Seq[(String, Double)], failed: String, total: Double,
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
-      aux: String, streaming: String, scaleExp: String, loadAvg: Double,
+      streaming: String, scaleExp: String, loadAvg: Double,
       nCpu: Int, sfDir: String): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
@@ -351,7 +349,7 @@ object Bench {
     // the driver-contract fields (metric/value/unit/queries) keep
     // their full names.
     def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"ep":$extraPass,"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"aux":$aux,"streaming":$streaming,"sx":$scaleExp,"load":$loadAvg%.2f,"cpu":$nCpu,"sf":"$sfShort","queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"ep":$extraPass,"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"streaming":$streaming,"sx":$scaleExp,"load":$loadAvg%.2f,"cpu":$nCpu,"sf":"$sfShort","queries":$qs}"""
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
     // Degradation ladder: 2-decimal seconds, then 1, then whole

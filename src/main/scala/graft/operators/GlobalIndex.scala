@@ -44,7 +44,31 @@ object GlobalIndex {
       df: DataFrame,
       keys: Seq[Column],
       indexCol: String = "idx",
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    indexed(df, keys, indexCol, numPartitions, countCol = None)
+
+  /** [[withRowIndex]] plus the GLOBAL row count as a column — rank AND
+    * n in one plan, which is exactly what positional statistics need
+    * (ntile/percentile/quantile-split: the bucket is a closed-form
+    * function of (rank, n)). The count falls out of the SAME
+    * control-plane offsets relation the ranking already builds (max
+    * of offset + partition size), so no second pass over the data and
+    * no caller-side materialize-then-count — the q65 lesson made
+    * reusable. */
+  def withRowIndexAndCount(
+      df: DataFrame,
+      keys: Seq[Column],
+      indexCol: String = "idx",
+      countCol: String = "n_total",
+      numPartitions: Option[Int] = None): DataFrame =
+    indexed(df, keys, indexCol, numPartitions, countCol = Some(countCol))
+
+  private def indexed(
+      df: DataFrame,
+      keys: Seq[Column],
+      indexCol: String,
+      numPartitions: Option[Int],
+      countCol: Option[String]): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, keys: _*))
@@ -59,16 +83,26 @@ object GlobalIndex {
     // one row per partition → exclusive prefix sum. The orderBy-only
     // window IS single-partition, over numPartitions rows — that is the
     // control plane, not the data
-    val offsets = ranged.groupBy(col("_pid"))
+    val counts = ranged.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_n"))
+    val offsets = counts
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_n")
 
-    local.join(broadcast(offsets), Seq("_pid"), "left")
+    val ranked = local.join(broadcast(offsets), Seq("_pid"), "left")
       .withColumn(indexCol,
         (coalesce(col("_offset"), lit(0L)) + col("_local")).cast("long"))
       .drop("_pid", "_local", "_offset")
+
+    countCol.fold(ranked) { nc =>
+      // the total is the same control-plane counts relation folded to
+      // one row; both aggregations hang off the one range exchange
+      // (reuse), so the data is still touched once
+      val total = counts.agg(
+        coalesce(sum(col("_n")), lit(0L)).cast("long").as(nc))
+      ranked.crossJoin(broadcast(total))
+    }
   }
 }

@@ -2713,7 +2713,159 @@ object LlmQueries {
              |  CASE WHEN n_s * (tt.n_g - n_s) = 0 THEN 0.5
              |    ELSE CAST(r2 - n_s * (n_s + 1) AS DOUBLE) /
              |      CAST(2 * n_s * (tt.n_g - n_s) AS DOUBLE) END AS auc
-             |FROM agg CROSS JOIN tt ORDER BY event_type""".stripMargin))
+             |FROM agg CROSS JOIN tt ORDER BY event_type""".stripMargin)),
+
+    // ---- cross-source duplication matrix: WHICH sources copy from
+    // which — per unordered source pair, the count of MinHash-banded
+    // near-dup candidate pairs and of distinct docs involved. The
+    // operational view behind source-level curation decisions
+    // (deprioritize a mirror, dedup a pair of crawls against each
+    // other first): q20's candidate machinery, rolled up by
+    // provenance. Scale shape: candidates come from the capped band
+    // shuffle (never all-pairs); the provenance joins move only
+    // (doc_id, source) slivers and candidate-pair ids — text never
+    // moves; the matrix itself is |sources|² control-plane. Exact
+    // integers: each pair contributes two (pair, doc) rows, so
+    // n_pairs = count/2 and n_docs = count(DISTINCT doc) ----
+    QuerySpec("q160_dup_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val cand = DedupFunctions.minhashCandidates(docs, "doc_id",
+          "text", shingleN = 3, k = 12, r = 2, portable = true)
+        cand
+          .join(src.toDF("d1", "s1"), Seq("d1"))
+          .join(src.toDF("d2", "s2"), Seq("d2"))
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"),
+            explode(array(col("d1"), col("d2"))).as("d"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(expr("count(*) div 2").as("n_pairs"),
+            countDistinct(col("d")).as("n_docs"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |hs AS (
+             |  SELECT doc_id, list_transform(s, tk ->
+             |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) & 1073741823) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+             |    list_min(list_transform(hs, h ->
+             |      ((1000003*i + 12289) * h + (7919*i + 104729)) % 2147483647))) AS sig
+             |  FROM hs),
+             |bands AS (
+             |  SELECT doc_id, bb AS band,
+             |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
+             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (
+             |  SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (
+             |  SELECT b.* FROM bands b JOIN sized s USING (band, band_key)
+             |  WHERE s.n <= 1000),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM kept x JOIN kept y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND y.doc_id > x.doc_id),
+             |j AS (
+             |  SELECT least(a.source, b.source) AS src_a,
+             |    greatest(a.source, b.source) AS src_b, c.d1, c.d2
+             |  FROM cand c
+             |  JOIN documents a ON a.doc_id = c.d1
+             |  JOIN documents b ON b.doc_id = c.d2),
+             |x AS (SELECT src_a, src_b, unnest([d1, d2]) AS d FROM j)
+             |SELECT src_a, src_b, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+             |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+             |FROM x GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- per-source dedup impact: what earliest-wins near-dup
+    // removal DOES to each source — docs, docs in any dup cluster,
+    // docs removed (cluster members that are not the min-id keeper),
+    // docs kept. The before/after accounting a curation run reports
+    // (q160 says WHERE the duplication is; this says what acting on
+    // it costs each source). Cluster labels from the q33 pipeline
+    // (banded candidates → O(log d) pointer-jump resolve); keeper =
+    // label by the min-id convention, so removed ≡ doc_id ≠
+    // cluster_id. One slim left join of labels onto the (doc_id,
+    // source) projection, one rollup — text never moves, output is
+    // |sources| rows ----
+    QuerySpec("q161_dedup_impact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = DedupFunctions.dupClusters(
+          DedupFunctions.minhashCandidates(docs, "doc_id", "text",
+            shingleN = 3, k = 12, r = 2, portable = true))
+        docs.select(col("doc_id"), col("source"))
+          .join(clusters, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"),
+            sum(when(col("cluster_id").isNotNull &&
+                col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+              .as("n_removed"))
+          .withColumn("n_kept", col("n_docs") - col("n_removed"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3),
+             |hs AS (
+             |  SELECT doc_id, list_transform(s, tk ->
+             |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) & 1073741823) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+             |    list_min(list_transform(hs, h ->
+             |      ((1000003*i + 12289) * h + (7919*i + 104729)) % 2147483647))) AS sig
+             |  FROM hs),
+             |bands AS (
+             |  SELECT doc_id, bb AS band,
+             |    sig[2*bb + 1]::VARCHAR || '_' || sig[2*bb + 2]::VARCHAR AS band_key
+             |  FROM sig, unnest(generate_series(0, 5)) AS u(bb)),
+             |sized AS (
+             |  SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (
+             |  SELECT b.* FROM bands b JOIN sized s USING (band, band_key)
+             |  WHERE s.n <= 1000),
+             |pairs AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM kept x JOIN kept y
+             |    ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id > x.doc_id),
+             |edges AS (
+             |  SELECT d1 AS a, d2 AS b FROM pairs
+             |  UNION SELECT d2, d1 FROM pairs
+             |  UNION SELECT d1, d1 FROM pairs
+             |  UNION SELECT d2, d2 FROM pairs),
+             |reach AS (
+             |  SELECT a AS node, b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+             |cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+             |       FROM reach GROUP BY node),
+             |agg AS (
+             |  SELECT d.source,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(CASE WHEN cl.cluster_id IS NOT NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+             |    CAST(sum(CASE WHEN cl.cluster_id IS NOT NULL
+             |      AND d.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_removed
+             |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+             |  GROUP BY 1)
+             |SELECT source, n_docs, n_clustered, n_removed,
+             |  CAST(n_docs - n_removed AS BIGINT) AS n_kept
+             |FROM agg ORDER BY source""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

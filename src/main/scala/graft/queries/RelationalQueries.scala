@@ -503,19 +503,17 @@ object RelationalQueries {
     // (rank, n) — exactly ntile's bucket arithmetic: with n rows and
     // k tiles the first n%k tiles hold n/k+1 rows, the rest n/k. The
     // (n_events, user_id) key is a total order, so the rank (and thus
-    // the tile) is deterministic. One extra count() pass over the
-    // already-aggregated per-user frame (localCheckpoint'd — two
-    // consumers) buys a plan with no corpus-scale single-task stage ----
+    // the tile) is deterministic. The total n rides out of the SAME
+    // control-plane offsets relation the ranking builds
+    // (withRowIndexAndCount), so the per-user frame is consumed
+    // exactly once — no checkpoint, no second count pass ----
     QuerySpec("q65_ntile",
       (s, dir) => {
         val users = t(s, dir, "events")
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-          .localCheckpoint(true) // two consumers: ranking + total count
-        val ranked = graft.operators.GlobalIndex.withRowIndex(
-          users, Seq(col("n_events").desc, col("user_id")), "idx")
-        val total = users.agg(count(lit(1)).as("_n"))
-        ranked.crossJoin(broadcast(total))
+        graft.operators.GlobalIndex.withRowIndexAndCount(
+            users, Seq(col("n_events").desc, col("user_id")), "idx", "_n")
           // ntile(k) from 0-based rank: cut = (n%k)·(n/k+1) splits the
           // big tiles from the small; greatest(…,1) keeps the dead
           // branch ANSI-safe when n < 4 (then every idx < cut)

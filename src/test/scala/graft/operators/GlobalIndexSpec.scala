@@ -69,4 +69,42 @@ class GlobalIndexSpec extends SparkSpec {
     val out = GlobalIndex.withRowIndex(df, Seq(col("k")))
     assert(out.columns.contains("idx") && out.count() == 0)
   }
+
+  test("withRowIndexAndCount: the global n rides the same plan, exchange still reused") {
+    val df = spark.range(0, 777).select(
+      ((col("id") * 7919) % 777).as("k")).repartition(5)
+    val out = GlobalIndex.withRowIndexAndCount(df, Seq(col("k")),
+      numPartitions = Some(6))
+    out.collect() // AQE finalizes (and reuses exchanges) on execution
+    val rows = out.select("k", "idx", "n_total")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 777)
+    assert(rows.forall(_._3 == 777L), "every row must carry the global n")
+    rows.foreach { case (k, idx, _) => assert(idx == k) }
+    // still ONE evaluation of the ranged data: the count folds the
+    // same control-plane per-partition counts the offsets use
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"adding the count must not add a data pass:\n$plan")
+    // ntile-style positional statistics come out closed-form
+    val quartiles = out
+      .withColumn("tile", expr(
+        """CASE WHEN idx < (n_total % 4) * (n_total div 4 + 1)
+          |  THEN idx div (n_total div 4 + 1)
+          |  ELSE n_total % 4 +
+          |    (idx - (n_total % 4) * (n_total div 4 + 1))
+          |      div greatest(n_total div 4, 1)
+          |END + 1""".stripMargin))
+      .groupBy("tile").count().orderBy("tile")
+      .as[(Long, Long)].collect().toList
+    // 777 = 4*194 + 1 -> tile sizes 195,194,194,194
+    assert(quartiles == List((1L, 195L), (2L, 194L), (3L, 194L), (4L, 194L)),
+      s"got $quartiles")
+  }
+
+  test("withRowIndexAndCount: empty input stays empty") {
+    val df = Seq.empty[Long].toDF("k")
+    val out = GlobalIndex.withRowIndexAndCount(df, Seq(col("k")))
+    assert(out.columns.contains("n_total") && out.count() == 0)
+  }
 }
