@@ -165,6 +165,49 @@ class StreamingProfileSpec extends SparkSpec {
     assert(d.nonEmpty && d.forall(_.getAs[Double]("lang_chisq") >= 0.0))
   }
 
+  test("property: random batch sequences — incremental card equals batch truth at every step") {
+    // The merge-closure claim under randomization, not just the three
+    // hand-written batches: for generated (slice, text) batches the
+    // folded card must equal the batch-mode truth of the concatenation
+    // after EVERY applyBatch (counters are sums, both sketch families
+    // merge-closed, the language maps key-sum — any drift is a
+    // round-trip bug). Raw ScalaCheck generators with fixed seeds (the
+    // scalatest bridge artifact is not in the offline cache).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("the", "a", "value", "table", "key", "query",
+      "group", "fast", "slow", "stream", "row", "alpha", "beta")
+    val docGen: Gen[(String, String)] = for {
+      slice <- Gen.oneOf("s1", "s2", "s3")
+      len <- Gen.choose(1, 9)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield (slice, ws.mkString(" "))
+    val batchGen: Gen[Seq[(String, String)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, docGen)
+    } yield rows
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val p = new StreamingProfile(spark, tmp() + "/state")
+      var seen = Seq.empty[(String, String)]
+      (0 until 4).foreach { b =>
+        val batch = batchGen.pureApply(params,
+          Seed(7000L + trial * 100L + b))
+        p.applyBatch(df(batch), b.toLong)
+        seen ++= batch
+        assert(card(p) == expected(seen),
+          s"trial $trial after batch $b: card drifted from batch truth")
+      }
+      // and the drift screen stays well-formed over the random state
+      val d = p.drift(df(seen.take(3))).get.collect()
+      d.foreach { r =>
+        assert(r.getDouble(4) >= 0.0 &&
+          r.getAs[Double]("vocab_novelty") >= 0.0 &&
+          r.getAs[Double]("lang_chisq") >= 0.0, r.toString)
+      }
+    }
+  }
+
   test("replayed batch ids are skipped (foreachBatch at-least-once)") {
     val p = new StreamingProfile(spark, tmp() + "/state")
     p.applyBatch(df(b1), 0L)
