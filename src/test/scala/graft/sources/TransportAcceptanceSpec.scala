@@ -53,18 +53,31 @@ class TransportAcceptanceSpec extends SparkSpec {
     * "Continue after subscribe close" and "no-ack blocks successors"
     * need no gate: the engine's subscriber/ack unit is the streaming
     * query/micro-batch, so both are properties of the query, not the
-    * store. Every non-gated cell of the 5-transport × 10-behavior
-    * matrix is currently green (47 battery tests; the restart row's
-    * three gated-off cells are justified above); the gates exist so a
-    * future transport without a capability (e.g. a broker whose
-    * server-side ack cannot redeliver) declares it explicitly instead
-    * of failing obscurely — the reference's Features pattern.
+    * store. Every non-gated cell of the 5-transport × 11-behavior
+    * matrix is currently green (51 battery tests; the four gated-off
+    * cells — restart on memory/http/io, ordering on file — are
+    * justified above); the gates exist so a future transport without
+    * a capability (e.g. a broker whose server-side ack cannot
+    * redeliver) declares it explicitly instead of failing obscurely —
+    * the reference's Features pattern.
     */
   private final case class Features(
       redelivery: Boolean = true,
       consumerGroups: Boolean = true,
       restartable: Boolean = false,
-      resumeViaCheckpoint: Boolean = true)
+      resumeViaCheckpoint: Boolean = true,
+      // GuaranteedOrder (test_pubsub.go:405 / Features.GuaranteedOrder):
+      // one publisher's sequence arrives in publish order. True where
+      // the broker presents a single ordered log AND the engine reads
+      // it in one ordered partition per micro-batch (memory/sql/http/io
+      // — all MemoryStream-backed single-log brokers; sql additionally
+      // orders by the identity column). FALSE for file: a micro-batch
+      // spanning several spool files reads them partition-PARALLEL, so
+      // cross-file order is not preserved (the engine's contract there
+      // is per-key order via the partitioned plan, the q13 shape —
+      // same reason kafka-class transports gate GuaranteedOrder off
+      // in the reference unless single-partition).
+      ordered: Boolean = true)
 
   private final case class Harness(
       name: String,
@@ -119,7 +132,12 @@ class TransportAcceptanceSpec extends SparkSpec {
         Files.createTempDirectory("graft-acc-").toString)),
       (_, _, r) => r.processAllAvailable(),
       _ => (),
-      features = Features(restartable = true, resumeViaCheckpoint = true)),
+      features = Features(restartable = true, resumeViaCheckpoint = true,
+        // measured: a 3-file micro-batch delivered its files
+        // partition-parallel (cross-file scramble, within-file order
+        // kept) — see the Features scaladoc for the contract file
+        // offers instead (per-key order via the partitioned plan)
+        ordered = false)),
     Harness("sql",
       scope => new SqlPubSub(spark, s"jdbc:derby:memory:acc_$scope;create=true"),
       (ps, topic, r) => {
@@ -346,6 +364,45 @@ class TransportAcceptanceSpec extends SparkSpec {
           s"lost across subscriber restarts: ${want -- received}")
       } finally h.close(ps)
     }
+
+    if (h.features.ordered)
+      test(s"[${h.name}] in-order delivery: one publisher's sequence arrives in publish order (test_pubsub.go:405)") {
+        val ps = h.make(s"${h.name}_order")
+        try {
+          ps.subscribeInitialize("acc_ord_in")
+          val n = 30
+          // several publish calls: order must hold ACROSS publish
+          // units (files/pages/posts), not just within one
+          (0 until n).grouped(10).foreach { g =>
+            ps.publish("acc_ord_in", g.map(i => msg(f"ord$i%03d", s"p$i")).toSeq)
+          }
+          h.settle(ps, "acc_ord_in")
+          val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val q = ps.subscribe("acc_ord_in").writeStream
+            .option("checkpointLocation",
+              Files.createTempDirectory(s"ord-${h.name}-").toString)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              // driver-side collect: batch arrival order + row order
+              // within the batch IS the observed delivery order
+              b.collect().foreach(r => received.add(r.getAs[String]("uuid")))
+              ()
+            }.start()
+          try {
+            ps match {
+              case s: SqlPubSub => s.awaitCaughtUp("acc_ord_in")
+              case _ => ()
+            }
+            val deadline = System.currentTimeMillis() + 20000
+            while (received.size < n && System.currentTimeMillis() < deadline) {
+              q.processAllAvailable(); Thread.sleep(50)
+            }
+            import scala.jdk.CollectionConverters._
+            val got = received.asScala.toList
+            assert(got == (0 until n).map(i => f"ord$i%03d").toList,
+              s"delivery must preserve publish order: $got")
+          } finally q.stop()
+        } finally h.close(ps)
+      }
 
     if (h.features.restartable)
       test(s"[${h.name}] transport restart: a fresh instance over the same storage resumes without loss or duplication (test_pubsub.go:1042)") {
