@@ -394,7 +394,14 @@ object DedupFunctions {
       shingleN: Int, threshold: Double,
       persistShingles: Boolean = true,
       minPartitions: Option[Int] = None): DataFrame = {
-    val thrNum = math.round(threshold * 1e6)
+    // FLOOR, not round — the jaccardSimilarityJoin contract (see its
+    // tMicro note): round can land ABOVE the caller's threshold
+    // (t = 6/7 rounds 857142.857… up to 857143), and since HERE the
+    // integer form is the final gate too, a pair sitting exactly AT
+    // the threshold would be silently dropped — in the prefix pruning
+    // and the verify filter alike. floor(t·1e6) <= t·1e6 always, so
+    // the gate is never stricter than the advertised threshold.
+    val thrNum = math.floor(threshold * 1e6).toLong
     val pruned = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
     val input = minPartitions.fold(pruned)(n => pruned.repartition(n))
     val shPlan = input

@@ -91,30 +91,13 @@ object Diagnostics {
       })
   }
 
-  /** Per-group Spearman rank correlation — the monotone-association
-    * profile that survives outliers and nonlinearity (is `value`
-    * drifting with time? does doc length track quality?). Ranks are
-    * made INTEGER by a deterministic tie-break (ties get distinct ranks
-    * in `tieBreak` order — feeds must provide a unique one), so both
-    * rank columns are permutations of 1..n and the classical form
-    * applies with EXACT integer aggregates:
-    *   ρ = 1 − 6·Σ(rx−ry)² / (n·(n²−1))
-    * Only the final divide touches floating point, and both operands
-    * are single exact integers — the value is bit-identical across
-    * engines (the q131 gate), the same exactness discipline as the
-    * rank-pick medians and integer-rational Jaccard thresholds.
-    *
-    * Guard: Σd² ≤ n³/3, so the fold is exact to n ≈ 3 M rows per group
-    * (ANSI mode throws past it rather than wrapping silently).
-    *
-    * Scale shape: ONE hash shuffle on `group` carries both rank
-    * windows (per-partition sorts), then a per-group fold to two
-    * integers. Output: (g, n, rho); n < 2 yields null rho. */
   /** Null repair by per-group exact median — the imputation step of a
     * feature/metric pipeline (mean imputation drags with outliers; the
     * rank-pick median is robust AND engine-exact, q70's middle-element
-    * rule). Appends `<value>_imputed` (original where present, group
-    * median where null) and `<value>_was_null`.
+    * rule). Appends the columns `imputed` (original where present,
+    * group median where null) and `was_null` — fixed names, pinned by
+    * ImputeSpec and guarded against collisions below; impute one
+    * value column per call.
     *
     * ONE hash shuffle on `group` carries everything: non-null rows
     * rank ahead of nulls in the same window sort, the median is the
@@ -152,11 +135,30 @@ object Diagnostics {
       .withColumn("_med", max(when(
         col("_rn") === expr("(_cnt + 1) div 2") && col(vName).isNotNull,
         col(vName))).over(wG))
-      .withColumn(s"imputed", coalesce(col(vName), col("_med")))
-      .withColumn(s"was_null", col(vName).isNull)
+      .withColumn("imputed", coalesce(col(vName), col("_med")))
+      .withColumn("was_null", col(vName).isNull)
       .select(cols.map(col) :+ col("imputed") :+ col("was_null"): _*)
   }
 
+  /** Per-group Spearman rank correlation — the monotone-association
+    * profile that survives outliers and nonlinearity (is `value`
+    * drifting with time? does doc length track quality?). Ranks are
+    * made INTEGER by a deterministic tie-break (ties get distinct ranks
+    * in `tieBreak` order — feeds must provide a unique one), so both
+    * rank columns are permutations of 1..n and the classical form
+    * applies with EXACT integer aggregates:
+    *   ρ = 1 − 6·Σ(rx−ry)² / (n·(n²−1))
+    * Only the final divide touches floating point, and both operands
+    * are single exact integers — the value is bit-identical across
+    * engines (the q131 gate), the same exactness discipline as the
+    * rank-pick medians and integer-rational Jaccard thresholds.
+    *
+    * Guard: Σd² ≤ n³/3, so the fold is exact to n ≈ 3 M rows per group
+    * (ANSI mode throws past it rather than wrapping silently).
+    *
+    * Scale shape: ONE hash shuffle on `group` carries both rank
+    * windows (per-partition sorts), then a per-group fold to two
+    * integers. Output: (g, n, rho); n < 2 yields null rho. */
   def spearman(df: DataFrame, group: Column, x: Column, y: Column,
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SamplingFunctions {
 
+  /** The ONE salted portable hash every sampler here draws from:
+    * md5Long over "<salt>:<key>". A single definition, not a per-site
+    * recipe — a change to the salt format or hash family that missed
+    * one copy would silently shift which rows ONE sampler selects
+    * relative to the others (and to the DuckDB oracle twins, which
+    * spell this exact concatenation). */
+  private def saltedHash(key: Column, salt: String): Column =
+    Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string")))
+
   /** Uniform hash in [0, buckets) from a key column, portable across
     * engines. Salt separates independent sampling decisions on the
     * same key (sampling vs splitting must not correlate). */
   def hashBucket(key: Column, buckets: Int, salt: String): Column =
-    pmod(Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))), lit(buckets.toLong))
+    pmod(saltedHash(key, salt), lit(buckets.toLong))
 
   /** Fast variant (xxhash64) — not oracle-portable. */
   def hashBucketFast(key: Column, buckets: Int, salt: String): Column =
@@ -90,7 +99,7 @@ object SamplingFunctions {
   def reservoirPerGroup(df: DataFrame, group: Column, key: Column,
       n: Int, salt: String = "resv"): DataFrame =
     quotaPerGroup(df, group,
-      Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))).asc, key.asc, n)
+      saltedHash(key, salt).asc, key.asc, n)
       .drop("rk") // internal rank — "k docs per group" keeps the input schema
 
   /** Stratified deterministic sampling: a different keep-percentage
@@ -127,7 +136,7 @@ object SamplingFunctions {
     * [[hashSample]], extended to non-uniform weights). */
   def weightedRank(key: Column, weight: Column,
       salt: String = "wsample"): Column =
-    -log((Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))) + lit(1L))
+    -log((saltedHash(key, salt) + lit(1L))
       .cast("double") / lit((1L << 60).toDouble)) / weight.cast("double")
 
   /** The k rows with the smallest [[weightedRank]] — a deterministic
@@ -193,7 +202,7 @@ object SamplingFunctions {
       .select(col("graft_stratum"), col("graft_rate_bp"))
     df.withColumn("graft_stratum", stratum.cast("string"))
       .join(broadcast(rates), Seq("graft_stratum"))
-      .filter(pmod(Hashes.md5Long(concat(lit(s"$salt:"), key.cast("string"))),
+      .filter(pmod(saltedHash(key, salt),
         lit(10000L)) < col("graft_rate_bp"))
       .drop("graft_stratum", "graft_rate_bp")
   }

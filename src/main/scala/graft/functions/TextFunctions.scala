@@ -133,12 +133,21 @@ object TextFunctions {
     * tokenization into a projection so the regex runs once per row,
     * not once per language. */
   def langIdFromTokens(distinctTokens: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val scores = markers.map { case (lang, ws) =>
-      lang -> size(array_intersect(distinctTokens, array(ws.map(lit): _*)))
-    }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s === best && s > 0, lit(lang)).otherwise(els)
+    // Spark's greatest() demands >= 2 arguments — a 1-language marker
+    // table (perfectly legal: "is this English or not") or an empty
+    // one would die at ANALYSIS instead of classifying; take the
+    // degenerate arms explicitly
+    if (markers.isEmpty) lit("und")
+    else {
+      val scores = markers.map { case (lang, ws) =>
+        lang -> size(array_intersect(distinctTokens, array(ws.map(lit): _*)))
+      }
+      val best =
+        if (scores.size == 1) scores.head._2
+        else greatest(scores.map(_._2): _*)
+      scores.foldRight(lit("und")) { case ((lang, s), els) =>
+        when(s === best && s > 0, lit(lang)).otherwise(els)
+      }
     }
   }
 

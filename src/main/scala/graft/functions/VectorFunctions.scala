@@ -32,6 +32,19 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Unit-normalize an array column with the norm evaluated ONCE per
+    * row. The obvious `transform(c, x => x / l2Norm(c))` captures the
+    * norm expression inside the lambda, and HOF lambdas re-evaluate
+    * captured trees per ELEMENT (the rule TextFunctions documents for
+    * shingles) — an O(dim²)-per-row tax every ANN path was paying at
+    * dim=64. `array_repeat` pins the norm to one row-level evaluation
+    * the optimizer cannot push back into the lambda; values (and so
+    * every oracle hash) are bit-identical: same divide, same norm,
+    * zero-norm rows still produce the NaN/Infinity the callers'
+    * guards expect. */
+  def unitize(c: Column): Column =
+    zip_with(c, array_repeat(l2Norm(c), size(c)), (x, n) => x / n)
+
   /** Brute-force top-k cosine neighbors of `queries` within `corpus`.
     * Shape: broadcast the (small) query set against the corpus, then a
     * per-query window top-k. At cluster scale this is the exact
@@ -217,7 +230,6 @@ object VectorFunctions {
       dim: Int, threshold: Double, cents: Array[Array[Double]],
       maxCluster: Int = 100000, probes: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= cents.length, "probes out of range")
-    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
     val base = vecs.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       // zero vectors have no direction: unit() would NaN every
@@ -230,10 +242,10 @@ object VectorFunctions {
     // (>= 0.9) duplicates hug their centroid and probes=1 suffices.
     val assigned =
       if (probes == 1)
-        base.select(col("id"), nearestCentroid(unit(col("v")), cents).as("cell"))
+        base.select(col("id"), nearestCentroid(unitize(col("v")), cents).as("cell"))
       else
         base.select(col("id"),
-          explode(topCentroids(unit(col("v")), cents, probes)).as("cell"))
+          explode(topCentroids(unitize(col("v")), cents, probes)).as("cell"))
     // shared generator (id-type branch + over-cap drop in one place);
     // single assignment => each pair appears at most once (one cell
     // per vector) so the distinct shuffle is skipped; multi-assignment
@@ -289,13 +301,9 @@ object VectorFunctions {
     */
   def ivfTrain(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
       iters: Int = 3): Array[Array[Double]] = {
-    def normalized(c: Column) = {
-      val n = l2Norm(c)
-      transform(c, x => x / n)
-    }
     val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
-      .select(normalized(col("v0")).as("v"))
+      .select(unitize(col("v0")).as("v"))
     var cents: Array[Array[Double]] = v
       .withColumn("h", xxhash64(col("v").cast("string")))
       .orderBy(col("h")).limit(k)
@@ -350,12 +358,11 @@ object VectorFunctions {
       vecCol: String, dim: Int, k: Int, cents: Array[Array[Double]],
       nProbes: Int): DataFrame = {
     require(nProbes >= 1 && nProbes <= cents.length, "nProbes out of range")
-    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        unit(col(vecCol).cast("array<double>")).as("cv"))
+        unitize(col(vecCol).cast("array<double>")).as("cv"))
       .withColumn("cluster", nearestCentroid(col("cv"), cents))
     val q = queries.select(col(idCol).as("query_id"),
-        unit(col(vecCol).cast("array<double>")).as("qv"))
+        unitize(col(vecCol).cast("array<double>")).as("qv"))
       .withColumn("cluster", explode(topCentroids(col("qv"), cents, nProbes)))
       .select(col("query_id"), col("qv"), col("cluster"))
     val scored = c.join(broadcast(q), Seq("cluster"))
@@ -466,10 +473,24 @@ object VectorFunctions {
     * a fixed-size model rides the plan, the data never moves. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       vecCol: String, threshold: Double): DataFrame = {
+    // norms hoisted per ROW on both sides — inside the join condition
+    // they would be re-derived once per PAIR (3 array passes per pair,
+    // the trap bruteForceTopK documents) — and zero-norm vectors
+    // excluded from the comparison: 0/0 = NaN, and NaN >= threshold is
+    // TRUE under Spark NaN ordering, so ONE failed-encoder zero vector
+    // on the bench side would anti-join away the ENTIRE corpus. A
+    // zero-norm corpus row has no direction to compare and is KEPT
+    // (dropping needs a verified hit — the no-evidence default).
     val c = corpus.withColumn("_cv", col(vecCol).cast("array<double>"))
+      .withColumn("_cn", l2Norm(col("_cv")))
     val b = bench.select(col(vecCol).cast("array<double>").as("_bv"))
-    c.join(broadcast(b), cosine(col("_cv"), col("_bv")) >= threshold, "left_anti")
-      .drop("_cv")
+      .withColumn("_bn", l2Norm(col("_bv")))
+      .filter(col("_bn") > 0)
+    c.join(broadcast(b),
+        col("_cn") > 0 &&
+          dot(col("_cv"), col("_bv")) / (col("_cn") * col("_bn")) >= threshold,
+        "left_anti")
+      .drop("_cv", "_cn")
   }
 
   /** PQ codes column: `m` sub-centroid indices per vector, the
@@ -501,13 +522,9 @@ object VectorFunctions {
       ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    def normalized(c: Column) = {
-      val n = l2Norm(c)
-      transform(c, x => x / n)
-    }
     val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
-      .select(normalized(col("v0")).as("v"))
+      .select(unitize(col("v0")).as("v"))
     // one lowest-hash pass seeds every subspace (sliced per codebook)
     val seed = v.withColumn("h", xxhash64(col("v").cast("string")))
       .orderBy(col("h")).limit(ksub)
@@ -551,12 +568,11 @@ object VectorFunctions {
       vecCol: String, dim: Int, k: Int, books: Array[Array[Array[Double]]],
       refine: Int = 4): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
-    def unit(c: Column) = { val n = l2Norm(c); transform(c, x => x / n) }
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      unit(col(vecCol).cast("array<double>")).as("cv"))
+      unitize(col(vecCol).cast("array<double>")).as("cv"))
     val codes = c.select(col("neighbor_id"), pqCodes(col("cv"), books).as("codes"))
     val q = queries.select(col(idCol).as("query_id"),
-      unit(col(vecCol).cast("array<double>")).as("qv"))
+      unitize(col(vecCol).cast("array<double>")).as("qv"))
     val adc = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", pqAdcDist(col("qv"), col("codes"), books))
     val wAdc = Window.partitionBy(col("query_id"))

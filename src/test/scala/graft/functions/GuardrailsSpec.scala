@@ -119,6 +119,54 @@ class GuardrailsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"zero vector must not pair: $pairs")
   }
 
+  test("semanticDecontaminate: a zero-norm bench vector must not wipe the corpus") {
+    // pre-fix: cosine(corpus, zero-bench) = 0/0 = NaN, NaN >= t is
+    // TRUE under Spark NaN ordering, and the left_anti join deleted
+    // EVERY corpus row on one failed-encoder bench vector
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (9L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(0.0, 0.0)), // failed encoder in the eval suite
+      (101L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val kept = VectorFunctions.semanticDecontaminate(
+        corpus, bench, "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 1 drops (true hit vs 101); 2 survives; the zero-norm CORPUS row
+    // survives too (no direction, no verified hit — the no-evidence
+    // default)
+    assert(kept == Set(2L, 9L), s"got $kept")
+  }
+
+  test("containmentJoin keeps a pair sitting EXACTLY at a non-dyadic threshold") {
+    // t = 6/7: round(t*1e6) = 857143 lands ABOVE t, so the pre-fix
+    // integer gate 6_000_000 >= 7*857143 dropped the exactly-at-
+    // threshold pair; floor keeps the gate no stricter than t
+    val w = (1 to 9).map(i => s"w$i")
+    val d1 = w.mkString(" ")                    // shingles w1w2w3..w7w8w9: n1 = 7
+    val d2 = (w.take(8) :+ "zz").mkString(" ")  // shares exactly 6 of them
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = DedupFunctions.containmentJoin(docs, "doc_id", "text",
+        shingleN = 3, threshold = 6.0 / 7)
+      .select("d1", "d2", "shared", "n1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.contains((1L, 2L, 6L, 7L)),
+      s"containment exactly 6/7 must clear threshold 6/7: ${got.toSeq}")
+  }
+
+  test("langId handles 1-language and empty marker tables instead of failing analysis") {
+    // Spark's greatest() needs >= 2 args — a single-language table
+    // ("is this English or not") died at ANALYSIS pre-fix
+    val df = Seq("the cat sat", "chien chat rue").toDF("text")
+    val one = df.select(TextFunctions.langId(col("text"),
+        Seq("en" -> Seq("the"))).as("l"))
+      .collect().map(_.getString(0)).toList
+    assert(one == List("en", "und"), s"got $one")
+    val none = df.select(TextFunctions.langId(col("text"), Seq.empty).as("l"))
+      .collect().map(_.getString(0)).toSet
+    assert(none == Set("und"))
+  }
+
   test("SRP-bucketed near-dup with STRING ids finds pairs (shared generator id branch)") {
     val vecs = Seq(
       ("v-a", Array(1.0, 0.0, 0.0, 0.0)), ("v-b", Array(1.0, 0.0, 0.0, 0.0)),
