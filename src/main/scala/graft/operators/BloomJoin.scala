@@ -31,11 +31,19 @@ object BloomJoin {
     // string column the two never meet, so the pre-filter would drop
     // almost every matching row (false NEGATIVES, silently breaking
     // the exactness contract). Fail loudly instead of wrongly.
-    val keyType = fact.schema(key).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(keyType.typeName),
-      s"BloomJoin.semiJoin: key '$key' must be integral, got $keyType " +
-        "(string keys would be inserted as bytes but probed as longs)")
+    // BOTH sides must be integral: the filter is BUILT on the build
+    // side's column, so a string-typed build key (dimension-table
+    // drift) with an integral fact key inserts UTF-8 bytes and probes
+    // longs — the two never meet and the pre-filter false-NEGATIVES
+    // away nearly every matching row
+    Seq("fact" -> fact, "build" -> build).foreach { case (side, df) =>
+      val keyType = df.schema(key).dataType
+      require(Seq("byte", "short", "integer", "long")
+          .contains(keyType.typeName),
+        s"BloomJoin.semiJoin: $side key '$key' must be integral, got " +
+          s"$keyType (string keys would be inserted as bytes but " +
+          "probed as longs)")
+    }
     val bf = build.stat.bloomFilter(col(key), expectedKeys, fpp)
     fact.filter(Hashes.bloomContains(col(key).cast("long"), bf))
       .join(build.select(col(key)).distinct(), Seq(key), "left_semi")

@@ -36,7 +36,11 @@ object ChangelogApply {
 
   /** Compact a changelog to its latest row per key (tombstones kept —
     * downstream appliers still need them). Payload = every non-key,
-    * non-seq, non-op column of `changes`. */
+    * non-seq, non-op column of `changes`. The winner's SEQUENCE
+    * columns ride along in the output: a compacted changelog must
+    * remain a valid changelog, or the documented compositions —
+    * [[apply]] over a compacted frame, Merge conditions comparing
+    * sequences — die on a missing column. */
   def compact(
       changes: DataFrame,
       keyCols: Seq[String],
@@ -45,12 +49,13 @@ object ChangelogApply {
     val payload =
       changes.columns.filterNot(c =>
         keyCols.contains(c) || seqCols.contains(c) || c == opCol).toSeq
-    val winner = struct((opCol +: payload).map(col): _*)
+    val carried = (opCol +: seqCols) ++ payload
+    val winner = struct(carried.map(col): _*)
     val ord = struct(seqCols.map(col): _*)
     changes
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(winner, ord).as("_w"))
-      .select(keyCols.map(col) ++ (opCol +: payload).map(c =>
+      .select(keyCols.map(col) ++ carried.map(c =>
         col(s"_w.$c").as(c)): _*)
   }
 

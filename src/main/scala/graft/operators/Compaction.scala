@@ -36,11 +36,32 @@ object Compaction {
     // it exists, else roll back from .old, so no crash window strands
     // the directory or loses data
     if (!fs.exists(live)) {
+      // CHECKED recovery (GenerationSwap contract): an unchecked false
+      // rename here proceeded to delete the .old rollback copy while
+      // live was still absent — the silent-failure class the
+      // choreography exists to kill
       val tmp0 = new Path(dir + ".compact"); val old0 = new Path(dir + ".old")
-      if (fs.exists(tmp0)) { fs.rename(tmp0, live); fs.delete(old0, true); () }
-      else if (fs.exists(old0)) { fs.rename(old0, live); () }
+      if (fs.exists(tmp0)) {
+        graft.streaming.GenerationSwap.renameOrThrow(fs, tmp0, live)
+        graft.streaming.GenerationSwap.deleteIfExists(fs, old0)
+      } else if (fs.exists(old0)) {
+        graft.streaming.GenerationSwap.renameOrThrow(fs, old0, live)
+      }
     }
-    val total = fs.listStatus(live).iterator
+    val entries = fs.listStatus(live)
+    // partitioned layouts (key=value subdirs) would be read through
+    // partition discovery and rewritten FLAT — partition columns
+    // demoted to data, downstream pruned readers broken, and the
+    // non-recursive size here would read 0 bytes and force ONE output
+    // file. Refuse loudly: compact partitioned tables per partition.
+    val partDirs = entries.filter(e => e.isDirectory &&
+      e.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compactParquet: $dir is hive-partitioned " +
+        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each partition directory, not the table root " +
+        "(a flat rewrite would demote partition columns to data)")
+    val total = entries.iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
@@ -54,11 +75,12 @@ object Compaction {
 
     val tmp = new Path(dir + ".compact")
     val old = new Path(dir + ".old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    graft.streaming.GenerationSwap.deleteIfExists(fs, tmp)
+    graft.streaming.GenerationSwap.deleteIfExists(fs, old)
     out.write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(live, old), s"compact: cannot move $live aside")
-    require(fs.rename(tmp, live), s"compact: cannot promote $tmp")
-    fs.delete(old, true)
+    // shared rename-aside choreography — one definition of the crash
+    // contract across compact/migrate sites
+    graft.streaming.GenerationSwap.replaceLive(fs, dir, tmp.toString)
     nFiles
   }
 }

@@ -85,6 +85,14 @@ object DataAudit {
       }
 
     val refOuts = referential.map { r =>
+      // reserved internal names, same fail-fast as Merge (_t_ex/_s_ex)
+      // and TableDiff (_l_ex/_r_ex): a child table carrying its own
+      // _pk/_hit (a prior audit's intermediate, a join product) would
+      // otherwise resolve ambiguously and kill the whole audit
+      val clash = df.columns.filter(Seq("_pk", "_hit").contains)
+      require(clash.isEmpty,
+        s"DataAudit: column names ${clash.mkString(", ")} are reserved " +
+          s"by RefIntegrity '${r.name}'")
       val keys = r.parent.select(col(r.parentCol).as("_pk"))
         .where(col("_pk").isNotNull).distinct()
       df.where(col(r.childCol).isNotNull)

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * How: range-partition on the key (partition p holds keys entirely
   * below partition p+1 — `repartitionByRange` pins this), number rows
-  * WITHIN each partition (window partitioned by `spark_partition_id()`,
-  * so every sort is task-local), aggregate ONE ROW PER PARTITION to get
-  * partition sizes, prefix-sum those into offsets (a window over
-  * control-plane-sized data: 10⁴ partitions = 10⁴ rows however big the
-  * table), and broadcast-join the offsets back on partition id.
+  * WITHIN each partition (task-local sort + one narrow mapPartitions
+  * pass — NOT a `partitionBy(spark_partition_id())` window, which
+  * plans a second full-data hash exchange), aggregate ONE ROW PER
+  * PARTITION to get partition sizes, prefix-sum those into offsets (a
+  * window over control-plane-sized data: 10⁴ partitions = 10⁴ rows
+  * however big the table), and broadcast-join the offsets back on
+  * partition id.
   *
   * Everything is ONE plan / one action: both consumers of the ranged
   * data hang off the SAME range-repartition exchange, which Spark's
@@ -70,20 +72,43 @@ object GlobalIndex {
       numPartitions: Option[Int],
       countCol: Option[String]): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, keys: _*))
       .getOrElse(df.repartitionByRange(keys: _*))
-      .withColumn("_pid", spark_partition_id())
 
-    // rank within the local partition: the sort is per-task, never global
-    val local = ranged.withColumn("_local",
-      row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(keys: _*)) - lit(1))
+    // local rank WITHOUT a window: `Window.partitionBy(
+    // spark_partition_id())` looks task-local but plans an `Exchange
+    // hashpartitioning(_pid)` — range partitioning does not satisfy
+    // the window's clustering requirement, so EVERY row shuffled a
+    // SECOND time, silently doubling the operator's dominant cost
+    // (caught by plan inspection; the spec now pins its absence). A
+    // sortWithinPartitions + narrow per-partition pass assigns
+    // (pid, local) in place — zero additional movement.
+    val sorted = ranged.sortWithinPartitions(keys: _*)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("_pid", IntegerType, nullable = false) :+
+      StructField("_local", LongType, nullable = false))
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = -1L
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
+    }(Encoders.row(outSchema))
 
-    // one row per partition → exclusive prefix sum. The orderBy-only
-    // window IS single-partition, over numPartitions rows — that is the
-    // control plane, not the data
-    val counts = ranged.groupBy(col("_pid"))
+    // one row per partition → exclusive prefix sum. Partial
+    // aggregation folds each partition to ONE row BEFORE this
+    // exchange, and the orderBy-only window is single-partition over
+    // numPartitions rows — that is the control plane, not the data.
+    // Counts read the mapPartitions OUTPUT, not `ranged` directly:
+    // reading `ranged` lets column pruning push a different Project
+    // under each branch's copy of the range exchange, their canonical
+    // forms diverge, and exchange reuse — the boundary-consistency
+    // precondition — silently breaks (two shuffles of the data, and
+    // legally two DIFFERENT sampled boundary sets). Sharing `local`
+    // pins one exchange subtree; the counts branch re-runs only the
+    // task-local sort+pass (CPU, zero extra movement).
+    val counts = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_n"))
     val offsets = counts
       .withColumn("_offset",

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * token-budget watermarks over a whole corpus — all this shape.
   *
   * Classic two-phase distributed scan: range-partition on the order
-  * keys, compute the LOCAL running sum inside each partition (window
-  * keyed by `spark_partition_id()` — every sort is task-local),
-  * aggregate ONE ROW PER PARTITION of totals, exclusive-prefix-sum
-  * those (a window over control-plane-sized data), and broadcast-join
-  * the offsets back: global prefix = local prefix + partition offset.
+  * keys, compute the LOCAL running sum inside each partition (a
+  * task-local sort + one narrow mapPartitions pass — NOT a
+  * `partitionBy(spark_partition_id())` window, which plans a second
+  * full-data hash exchange), aggregate ONE ROW PER PARTITION of
+  * totals, exclusive-prefix-sum those (a window over
+  * control-plane-sized data), and broadcast-join the offsets back:
+  * global prefix = local prefix + partition offset.
   *
   * Like [[GlobalIndex]], everything is ONE plan so both consumers hang
   * off the SAME sampled range exchange (exchange reuse is a
@@ -38,17 +40,65 @@ object GlobalPrefix {
       outCol: String = "running",
       numPartitions: Option[Int] = None): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
-    val withV = df.withColumn("_v", value)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // the accumulator runs in a narrow per-partition pass, so the
+    // value type is pinned up front to Spark's own sum widening
+    // (integral → long, fractional → double); anything else fails
+    // loudly rather than silently mis-accumulating
+    val probe = df.withColumn("_v", value).schema("_v").dataType
+    val (castTo, isLong) = probe match {
+      case ByteType | ShortType | IntegerType | LongType => (LongType, true)
+      case FloatType | DoubleType => (DoubleType, false)
+      case other => throw new IllegalArgumentException(
+        s"runningSum: unsupported value type $other — cast to long or double")
+    }
+    val withV = df.withColumn("_v", value.cast(castTo))
     val ranged = numPartitions
       .map(n => withV.repartitionByRange(n, keys: _*))
       .getOrElse(withV.repartitionByRange(keys: _*))
-      .withColumn("_pid", spark_partition_id())
 
-    val local = ranged.withColumn("_lp",
-      sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(keys: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // local running sum WITHOUT a window: partitionBy(
+    // spark_partition_id()) plans Exchange hashpartitioning(_pid) — a
+    // SECOND full-data shuffle (range partitioning does not satisfy
+    // the window's clustering requirement). Task-local sort + one
+    // narrow pass, sequential accumulation in exactly the order the
+    // window form used — bit-identical results.
+    val sorted = ranged.sortWithinPartitions(keys: _*)
+    val vIdx = sorted.schema.fieldIndex("_v")
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("_pid", IntegerType, nullable = false) :+
+      StructField("_lp", castTo, nullable = true))
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // window-sum parity, nulls included: SUM over a frame of only
+      // nulls is NULL (not 0), so the prefix stays null until the
+      // first non-null value — same as the window form this replaces
+      var seen = false
+      if (isLong) {
+        var acc = 0L
+        it.map { r =>
+          if (!r.isNullAt(vIdx)) { acc += r.getLong(vIdx); seen = true }
+          Row.fromSeq(r.toSeq :+ pid :+ (if (seen) acc else null))
+        }
+      } else {
+        var acc = 0.0
+        it.map { r =>
+          if (!r.isNullAt(vIdx)) { acc += r.getDouble(vIdx); seen = true }
+          Row.fromSeq(r.toSeq :+ pid :+ (if (seen) acc else null))
+        }
+      }
+    }(Encoders.row(outSchema))
 
-    val offsets = ranged.groupBy(col("_pid"))
+    // one total row per partition (partial agg folds BEFORE the
+    // exchange — control-plane movement only). Totals read the
+    // mapPartitions OUTPUT, not `ranged`: reading `ranged` lets
+    // column pruning push a different Project under each branch's
+    // copy of the range exchange, canonical forms diverge, and
+    // exchange reuse — the boundary-consistency precondition —
+    // silently breaks (GlobalIndex note; caught by the spec's reuse
+    // assertion when this operator's payload columns became prunable)
+    val offsets = local.groupBy(col("_pid"))
       .agg(sum(col("_v")).as("_t"))
       .withColumn("_offset",
         coalesce(sum(col("_t")).over(Window.orderBy(col("_pid"))

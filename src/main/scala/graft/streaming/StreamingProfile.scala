@@ -158,6 +158,13 @@ final class StreamingProfile(
     GenerationSwap.deleteIfExists(fs, path(next))
     merged.write.mode("overwrite").parquet(next)
     GenerationSwap.promote(fs, stateDir)
+    // free this batch's checkpointed blocks NOW: a long-running
+    // foreachBatch stream otherwise pins one batch-sized block set
+    // per trigger until driver GC notices (the Hierarchy.scala
+    // discipline; Dataset.unpersist does not free localCheckpoint
+    // blocks — only the RDD-level call does)
+    graft.functions.DedupFunctions.checkpointRdd(incoming)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** The dataset card over everything folded so far: (slice, n_docs,
@@ -214,6 +221,9 @@ final class StreamingProfile(
   def drift(batch: DataFrame,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): Option[DataFrame] =
     state.map { st =>
+      // eager pin, four consumers; blocks are GC-reclaimed once the
+      // returned frame is unreferenced (Multimodal's discipline —
+      // drift cannot free them itself, the result still reads them)
       val bs = batchStates(batch, -1L).localCheckpoint(true)
       val ladder = StreamingProfile.ladderGap(
         st.select(col("slice"), col("len_st")),
@@ -229,8 +239,13 @@ final class StreamingProfile(
         .groupBy(col("slice"))
         .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
           vocabSparseMax).as("_uv"))
-      val novelty = histVoc.join(batchVoc, Seq("slice"))
+      // LEFT from the batch side, history coalesced to 0 — a slice
+      // with no history then scores novelty (|union|−0)/|batch| = 1,
+      // the full alert a brand-new source deserves (ladderGap's rule)
+      val novelty = batchVoc
+        .join(histVoc, Seq("slice"), "left")
         .join(unionVoc, Seq("slice"))
+        .withColumn("_hv", coalesce(col("_hv"), lit(0L)))
         .select(col("slice"),
           when(col("_bv") === 0, lit(0.0))
             // clamp: estimator noise can put |union| a hair outside
@@ -276,7 +291,14 @@ object StreamingProfile {
     * given two per-slice relations of (slice, len_st) sketch states,
     * merge each side's ladder and emit (slice, q, hist_v, batch_v,
     * rel_gap) — one row per requested quantile, rel_gap =
-    * |h−b| / max(|h|,|b|) (0 when both sides are 0). */
+    * |h−b| / max(|h|,|b|) (0 when both sides are 0).
+    *
+    * Joined LEFT from the BATCH side: a slice with NO history — a
+    * brand-new source appearing mid-stream — is the most-drifted
+    * input there is, and an inner join would silently pass it through
+    * the gate unexamined (the exact scraper-rollout case the screen
+    * exists to flag). Such slices emit full-alert rows: hist_v NULL,
+    * rel_gap 1.0. */
   def ladderGap(hist: DataFrame, cur: DataFrame, lenK: Int,
       qs: Seq[Double]): DataFrame = {
     val h = hist.groupBy(col("slice"))
@@ -286,17 +308,22 @@ object StreamingProfile {
       .agg(QuantileSketch.mergeQuantiles(col("len_st"), lenK, qs)
         .as("batch_q"))
     val qsCol = array(qs.map(lit): _*)
-    h.join(c, Seq("slice"))
+    c.join(h, Seq("slice"), "left")
+      // a null ladder would make zip_with null and posexplode DROP
+      // the rows — substitute a null-element ladder of matching shape
+      .withColumn("hist_q", coalesce(col("hist_q"),
+        transform(col("batch_q"), _ => lit(null).cast("double"))))
       .select(col("slice"), posexplode(
         zip_with(col("hist_q"), col("batch_q"),
           (hv, bv) => struct(hv.as("h"), bv.as("b")))))
       .select(col("slice"),
         element_at(qsCol, col("pos") + 1).as("q"),
         col("col.h").as("hist_v"), col("col.b").as("batch_v"),
-        when(greatest(abs(col("col.h")), abs(col("col.b"))) === 0,
-          lit(0.0))
-          .otherwise(abs(col("col.h") - col("col.b")) /
-            greatest(abs(col("col.h")), abs(col("col.b"))))
+        when(col("col.h").isNull, lit(1.0))
+          .otherwise(when(
+            greatest(abs(col("col.h")), abs(col("col.b"))) === 0, lit(0.0))
+            .otherwise(abs(col("col.h") - col("col.b")) /
+              greatest(abs(col("col.h")), abs(col("col.b")))))
           .as("rel_gap"))
   }
 }

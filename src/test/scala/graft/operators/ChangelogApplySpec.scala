@@ -37,13 +37,25 @@ class ChangelogApplySpec extends SparkSpec {
     // key 3 (deleted from base) and key 5 (delete of absent) are gone
   }
 
-  test("compact keeps one latest row per key INCLUDING tombstones") {
+  test("compact keeps one latest row per key INCLUDING tombstones, sequences carried") {
     val out = ChangelogApply.compact(changes, Seq("key"), Seq("seq"), "op")
       .orderBy($"key")
-      .as[(Long, String, String)].collect().toSeq
+      .as[(Long, String, Int, String)].collect().toSeq
     assert(out === Seq(
-      (2L, "U", "b3"), (3L, "D", "x"), (4L, "U", "d3"),
-      (5L, "D", "x"), (6L, "U", "f")))
+      (2L, "U", 5, "b3"), (3L, "D", 2, "x"), (4L, "U", 7, "d3"),
+      (5L, "D", 1, "x"), (6L, "U", 1, "f")))
+  }
+
+  test("compact output IS a changelog: apply composes over it (the documented contract)") {
+    // pre-fix compact dropped the seq columns, so this exact
+    // composition — the one compact's scaladoc and Merge's docs
+    // direct callers to — failed on a missing column
+    val compacted = ChangelogApply.compact(changes, Seq("key"), Seq("seq"), "op")
+    val viaCompact = ChangelogApply(base, compacted, Seq("key"), Seq("seq"), "op")
+      .orderBy($"key").collect().toSeq
+    val direct = ChangelogApply(base, changes, Seq("key"), Seq("seq"), "op")
+      .orderBy($"key").collect().toSeq
+    assert(viaCompact === direct)
   }
 
   test("out-of-order arrival is irrelevant: any row order, same result") {

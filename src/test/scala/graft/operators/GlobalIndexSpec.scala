@@ -47,19 +47,26 @@ class GlobalIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("plan: no single-partition global sort; the range exchange is reused") {
+  test("plan: the data moves exactly once — no second hash exchange, no global sort") {
     val df = spark.range(0, 100).select(col("id").as("k"))
     val out = GlobalIndex.withRowIndex(df, Seq(col("k")), numPartitions = Some(4))
     out.collect() // AQE finalizes the physical plan on execution
     val plan = out.queryExecution.executedPlan.toString
-    // the data-path window is partitioned by _pid — the only
-    // SinglePartition exchange allowed is the control-plane offset
-    // prefix-sum (one row per partition), which sits under the
-    // broadcast side of the final join
-    val dataWindows = plan.linesIterator
-      .filter(l => l.contains("Window") && !l.contains("_offset")).toList
-    assert(dataWindows.exists(_.contains("_pid")),
-      s"expected the data window keyed by _pid:\n$plan")
+    // the pre-fix shape planned Exchange hashpartitioning(_pid) under
+    // the local-rank window — EVERY row shuffled a second time (range
+    // partitioning doesn't satisfy the window's clustering). Now the
+    // local rank is a narrow per-partition pass; the only hash
+    // exchange allowed is the control-plane one above the
+    // partial-aggregated per-partition counts (<= 1 occurrence), and
+    // the only SinglePartition exchange is the offset prefix-sum
+    // AQE's toString prints the FINAL plan followed by the initial
+    // one — count only the final section or every exchange doubles
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"data must not re-shuffle after the range exchange ($hashEx hash exchanges):\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"local rank must be the narrow pass:\n$plan")
     assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
       s"range exchange must be evaluated once (reuse), got:\n$plan")
   }

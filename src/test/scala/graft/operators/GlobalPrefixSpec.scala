@@ -43,7 +43,7 @@ class GlobalPrefixSpec extends SparkSpec {
     assert(a == (0L until 400L).map(k => k -> (k + 1)).toSet)
   }
 
-  test("plan: the range exchange is reused; data windows keyed by _pid") {
+  test("plan: the range exchange is reused and the DATA moves exactly once") {
     val df = spark.range(0, 100).select(col("id").as("k"), lit(2L).as("v"))
     val out = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
       numPartitions = Some(4))
@@ -51,9 +51,20 @@ class GlobalPrefixSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
       s"range exchange must be evaluated once:\n$plan")
-    assert(plan.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("_pid")),
-      s"data window must be keyed by _pid:\n$plan")
+    // the pre-fix shape planned Exchange hashpartitioning(_pid) under
+    // a data-path window — EVERY row shuffled a second time (range
+    // partitioning doesn't satisfy the window's clustering). The only
+    // hash exchange allowed now is the control-plane one above the
+    // partial-aggregated per-partition totals (<= 1 occurrence)
+    // AQE's toString prints the FINAL plan followed by the initial
+    // one — count only the final section or every exchange doubles
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"data must not re-shuffle after the range exchange ($hashEx hash exchanges):\n$plan")
+    // and the local prefix is the narrow per-partition pass, not a window
+    assert(plan.contains("MapPartitions"),
+      s"local prefix must be the narrow pass:\n$plan")
   }
 
   test("empty input yields empty output with the column present") {

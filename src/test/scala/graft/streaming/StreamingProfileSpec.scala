@@ -73,9 +73,15 @@ class StreamingProfileSpec extends SparkSpec {
     assert(gaps.nonEmpty)
     gaps.foreach(r => assert(math.abs(r.getDouble(4) - 0.5) < 1e-12,
       r.toString))
-    // slices with no history do not appear (inner join semantics)
+    // a slice with NO history is the most-drifted input there is —
+    // it must surface as FULL-ALERT rows (hist_v null, rel_gap 1.0,
+    // vocab_novelty 1.0), never pass the gate unexamined
     val newSlice = p.drift(df(Seq(("s9", "a b c")))).get.collect()
-    assert(newSlice.isEmpty)
+    assert(newSlice.nonEmpty, "a brand-new slice must not be invisible")
+    newSlice.foreach { r =>
+      assert(r.isNullAt(2) && r.getDouble(4) == 1.0 &&
+        r.getAs[Double]("vocab_novelty") == 1.0, r.toString)
+    }
     // and drift is read-only: the stored card is untouched
     assert(card(p) == expected(hist))
   }
