@@ -287,7 +287,7 @@ object Bench {
 
     println(Bench.compactLine(results, failed, total, extraPass,
       medianPairRatio, contaminated, streamingCompact,
-      scaleExpCompact, loadAvg, nCpu, sfDir))
+      scaleExpCompact, loadAvg, sfDir))
     Console.out.flush()
     spark.stop()
   }
@@ -332,7 +332,7 @@ object Bench {
       results: Seq[(String, Double)], failed: String, total: Double,
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
       streaming: String, scaleExp: String, loadAvg: Double,
-      nCpu: Int, sfDir: String): String = {
+      sfDir: String): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -343,23 +343,35 @@ object Bench {
       }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last // full path lives in BENCH_FULL.json
     // bookkeeping keys compressed for the tail budget (long forms in
-    // BENCH_FULL.json): ep = extra_pass, mpr = median_pair_ratio,
-    // sx = scale-ladder exponents (top 5; all 10 + raw times in the
-    // full file), load = load_avg_1m, cpu = n_cpu. "contaminated" and
-    // the driver-contract fields (metric/value/unit/queries) keep
-    // their full names.
-    def line(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"ep":$extraPass,"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"streaming":$streaming,"sx":$scaleExp,"load":$loadAvg%.2f,"cpu":$nCpu,"sf":"$sfShort","queries":$qs}"""
+    // BENCH_FULL.json): ep = extra_pass (only when true), mpr =
+    // median_pair_ratio, sx = scale-ladder exponents (top 5; all 10 +
+    // raw times in the full file), load = load_avg_1m. "failed" rides
+    // only when non-empty; n_cpu is static context and lives only in
+    // BENCH_FULL.json. "contaminated" and the driver-contract fields
+    // (metric/value/unit/queries/sf) keep their full names.
+    def line(qs: String, withStreaming: Boolean, withSx: Boolean): String = {
+      val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
+      val epPart = if (extraPass) """"ep":true,""" else ""
+      val streamingPart =
+        if (withStreaming) s""""streaming":$streaming,""" else ""
+      val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
+    }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
-    // Degradation ladder: 2-decimal seconds, then 1, then whole
-    // seconds — precision yields before ANY per-query number falls off
-    // the line
-    val two = line(qsJson(2))
-    if (two.length <= 1880) two
-    else {
-      val one = line(qsJson(1))
-      if (one.length <= 1880) one else line(qsJson(0))
-    }
+    // Degradation priority as the registry grows: per-query seconds at
+    // >= 1 decimal are the driver contract and yield LAST; the sx and
+    // streaming summaries (both duplicated with full keys in
+    // BENCH_FULL.json + stderr) fall off the line first; whole-second
+    // rounding is the final fallback — no query's number ever falls
+    // off the line entirely
+    val candidates = Iterator(
+      line(qsJson(2), withStreaming = true, withSx = true),
+      line(qsJson(1), withStreaming = true, withSx = true),
+      line(qsJson(1), withStreaming = true, withSx = false),
+      line(qsJson(1), withStreaming = false, withSx = false),
+      line(qsJson(0), withStreaming = false, withSx = false))
+    candidates.find(_.length <= 1880)
+      .getOrElse(line(qsJson(0), withStreaming = false, withSx = false))
   }
 }

@@ -2865,7 +2865,175 @@ object LlmQueries {
              |  GROUP BY 1)
              |SELECT source, n_docs, n_clustered, n_removed,
              |  CAST(n_docs - n_removed AS BIGINT) AS n_kept
-             |FROM agg ORDER BY source""".stripMargin))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- survivorship merge (golden record) per exact-duplicate
+    // group: the record-consolidation step after dedup — keeper id =
+    // earliest, keeper source via min_by, language by majority vote
+    // (count desc, lang asc tie-break), max chars. Clones planted
+    // in-plan (every 17th doc gains two mirror copies at offset ids,
+    // one with a flipped language, mirrored verbatim in the oracle)
+    // since the raw corpus has no byte-exact dups. Scale: ONE
+    // groupBy(md5) fold for the scalar survivors plus one
+    // (grp, lang) fold for the vote — the vote window runs over
+    // (grp, lang) COUNTS (≤ |langs| rows per group), never rows ----
+    QuerySpec("q166_survivorship",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        val all = docs
+          .unionByName(base
+            .withColumn("doc_id", col("doc_id") + lit(10000000L))
+            .withColumn("source", concat(lit("mirror1_"), col("source"))))
+          .unionByName(base
+            .withColumn("doc_id", col("doc_id") + lit(20000000L))
+            .withColumn("source", concat(lit("mirror2_"), col("source")))
+            .withColumn("lang", lit("xx")))
+          .withColumn("grp", md5(col("text")))
+        val per = all.groupBy(col("grp")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper_id"),
+          min_by(col("source"), col("doc_id")).as("keeper_source"),
+          max(col("n_chars")).as("max_chars"))
+        val vote = all.groupBy(col("grp"), col("lang"))
+          .agg(count(lit(1)).as("cl"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("grp"))
+              .orderBy(col("cl").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("grp"), col("lang").as("lang_consensus"))
+        per.join(vote, Seq("grp")).filter(col("n_docs") >= 2)
+          .select(col("grp"), col("n_docs"), col("keeper_id"),
+            col("keeper_source"), col("lang_consensus"),
+            col("max_chars"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH b AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+             |a AS (
+             |  SELECT doc_id, text, lang, source, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text, lang,
+             |    'mirror1_' || source, n_chars FROM b
+             |  UNION ALL
+             |  SELECT doc_id + 20000000, text, 'xx',
+             |    'mirror2_' || source, n_chars FROM b),
+             |g AS (SELECT md5(text) AS grp, * FROM a),
+             |per AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+             |          min(doc_id) AS keeper_id,
+             |          min_by(source, doc_id) AS keeper_source,
+             |          max(n_chars) AS max_chars
+             |        FROM g GROUP BY 1),
+             |lc AS (SELECT grp, lang, count(*) AS cl FROM g GROUP BY 1, 2),
+             |cons AS (SELECT grp, lang AS lang_consensus FROM (
+             |           SELECT grp, lang, row_number() OVER (
+             |             PARTITION BY grp ORDER BY cl DESC, lang) AS rn
+             |           FROM lc) WHERE rn = 1)
+             |SELECT per.grp, per.n_docs, per.keeper_id,
+             |  per.keeper_source, cons.lang_consensus, per.max_chars
+             |FROM per JOIN cons USING (grp)
+             |WHERE n_docs >= 2 ORDER BY grp""".stripMargin)),
+
+    // ---- pairwise source-vocabulary Jaccard: which sources share a
+    // token inventory (template farms, scraped mirrors) — the
+    // source-level twin of the doc-level near-dup family. The
+    // (source, token) inventory dedupes ONCE (map-side combined);
+    // intersections come from the token-keyed inverted-index self-join
+    // (per-token cost = |sources containing it|², fine at this vocab;
+    // at open-web scale the production variant drops ubiquitous
+    // tokens first, exactly PPJoin's prefix-filter logic); set sizes
+    // broadcast back for the ONE divide ----
+    QuerySpec("q168_vocab_jaccard",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextFunctions.tokens(col("text"))))
+              .as("tok"))
+          .distinct()
+        val sizes = tok.groupBy(col("source"))
+          .agg(count(lit(1)).as("nv"))
+        val inter = tok.withColumnRenamed("source", "s1")
+          .join(tok.withColumnRenamed("source", "s2"), Seq("tok"))
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s1"),
+            col("nv").as("nv1"))), Seq("s1"))
+          .join(broadcast(sizes.select(col("source").as("s2"),
+            col("nv").as("nv2"))), Seq("s2"))
+          .select(col("s1"), col("s2"), col("n_inter"), col("nv1"),
+            col("nv2"),
+            (col("n_inter").cast("double") /
+              (col("nv1") + col("nv2") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some("""WITH tok AS (SELECT DISTINCT source,
+             |    unnest(list_distinct(
+             |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+             |  FROM documents),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+             |       FROM tok GROUP BY 1),
+             |inter AS (SELECT a.source AS s1, b.source AS s2,
+             |            CAST(count(*) AS BIGINT) AS n_inter
+             |          FROM tok a JOIN tok b ON a.tok = b.tok
+             |            AND a.source < b.source
+             |          GROUP BY 1, 2)
+             |SELECT i.s1, i.s2, i.n_inter, z1.nv AS nv1, z2.nv AS nv2,
+             |  CAST(i.n_inter AS DOUBLE) /
+             |    CAST(z1.nv + z2.nv - i.n_inter AS DOUBLE) AS jaccard
+             |FROM inter i
+             |JOIN sz z1 ON z1.source = i.s1
+             |JOIN sz z2 ON z2.source = i.s2
+             |ORDER BY s1, s2""".stripMargin)),
+
+    // ---- deterministic stratified split with exact per-stratum
+    // proportions (80/10/10 by hash rank within each (source, lang)
+    // stratum): the train/val/test assignment that is reproducible
+    // across engines and runs — no rand(), the order key is the
+    // cross-engine md5 of the id (the q134 leakage-safe discipline,
+    // here with exact quotas instead of hash thresholds). Integer gate
+    // arithmetic (rn·10 vs n·8/n·9) — no floats anywhere; id_sum pins
+    // the exact assignment, not just the counts. Scale: the rank
+    // window partitions by stratum; for mega-strata the same rank
+    // comes from [[graft.operators.GlobalIndex]] applied per stratum
+    // (range-partition the hash, prefix-sum the offsets) ----
+    QuerySpec("q169_stratified_split",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("lang"))
+        val r = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("h"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        r.withColumn("split",
+            when(col("rn") * 10 <= col("n") * 8, "train")
+              .when(col("rn") * 10 <= col("n") * 9, "val")
+              .otherwise("test"))
+          .groupBy(col("source"), col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("source"), col("lang"), col("split"))
+      },
+      Some("""WITH r AS (SELECT doc_id, source, lang,
+             |    row_number() OVER (PARTITION BY source, lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY source, lang) AS n
+             |  FROM documents),
+             |sp AS (SELECT source, lang, doc_id,
+             |         CASE WHEN rn * 10 <= n * 8 THEN 'train'
+             |              WHEN rn * 10 <= n * 9 THEN 'val'
+             |              ELSE 'test' END AS split
+             |       FROM r)
+             |SELECT source, lang, split,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM sp GROUP BY 1, 2, 3
+             |ORDER BY source, lang, split""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -2498,6 +2498,255 @@ object RelationalQueries {
              |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
              |            CAST(n * sxx - sx * sx AS DOUBLE)
              |  END AS slope
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- ordered conversion funnel (view → click → purchase, each
+    // step within 24 h of the previous): the canonical product-
+    // analytics query, expressed as three min-folds chained by
+    // co-partitioned user_id joins — no per-user sequence collect, no
+    // window over the event stream. Each step's timestamp is the MIN
+    // qualifying micro — exact integer comparisons end to end; the two
+    // conversion ratios are each ONE divide of exact longs. Scale: the
+    // joins reuse the user_id hash partitioning (AQE coalesces), the
+    // three count folds are map-side combined, and the final assembly
+    // cross-joins three ONE-ROW frames (control-plane) ----
+    QuerySpec("q162_funnel",
+      (s, dir) => {
+        val winUs = 86400000000L // 24 h in microseconds
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("tsu"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("tsu") > col("t1") &&
+            col("tsu") <= col("t1") + lit(winUs))
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("tsu") > col("t2") &&
+            col("tsu") <= col("t2") + lit(winUs))
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase"))))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            when(col("n_view") === 0, lit(null).cast("double"))
+              .otherwise(col("n_click").cast("double") /
+                col("n_view").cast("double")).as("conv_click"),
+            when(col("n_click") === 0, lit(null).cast("double"))
+              .otherwise(col("n_purchase").cast("double") /
+                col("n_click").cast("double")).as("conv_purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+             |           FROM events),
+             |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(tsu) AS t2
+             |       FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tsu > t1
+             |         AND tsu <= t1 + 86400000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(tsu) AS t3
+             |       FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tsu > t2
+             |         AND tsu <= t2 + 86400000000 GROUP BY 1)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+             |  CASE WHEN (SELECT count(*) FROM s1) = 0 THEN NULL
+             |    ELSE CAST((SELECT count(*) FROM s2) AS DOUBLE) /
+             |         CAST((SELECT count(*) FROM s1) AS DOUBLE) END
+             |    AS conv_click,
+             |  CASE WHEN (SELECT count(*) FROM s2) = 0 THEN NULL
+             |    ELSE CAST((SELECT count(*) FROM s3) AS DOUBLE) /
+             |         CAST((SELECT count(*) FROM s2) AS DOUBLE) END
+             |    AS conv_purchase""".stripMargin)),
+
+    // ---- cohort retention matrix: users grouped by first-active day,
+    // activity counted per day offset, rate = active / cohort size.
+    // The (user, day) activity set is deduped ONCE (one shuffle,
+    // map-side combined); the first-day fold and the join-back share
+    // its user_id partitioning, so the matrix costs two exchanges
+    // total. Cohort sizes are the offset-0 diagonal — a broadcast-
+    // sized frame joined back for the ONE divide per cell ----
+    QuerySpec("q163_cohort_retention",
+      (s, dir) => {
+        val act = t(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("2024-01-01")))
+              .cast("long").as("d"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        val ret = act.join(first, Seq("user_id"))
+          .groupBy(col("d0").as("cohort_day"),
+            (col("d") - col("d0")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+        val sizes = ret.filter(col("day_offset") === 0)
+          .select(col("cohort_day"), col("n_users").as("cohort_size"))
+        ret.join(broadcast(sizes), Seq("cohort_day"))
+          .select(col("cohort_day"), col("day_offset"), col("n_users"),
+            col("cohort_size"),
+            (col("n_users").cast("double") /
+              col("cohort_size").cast("double")).as("retention"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+             |      AS d
+             |  FROM events),
+             |f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1),
+             |r AS (SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset,
+             |        CAST(count(*) AS BIGINT) AS n_users
+             |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+             |c AS (SELECT cohort_day, n_users AS cohort_size FROM r
+             |      WHERE day_offset = 0)
+             |SELECT r.cohort_day, r.day_offset, r.n_users,
+             |  c.cohort_size,
+             |  CAST(r.n_users AS DOUBLE) / CAST(c.cohort_size AS DOUBLE)
+             |    AS retention
+             |FROM r JOIN c USING (cohort_day)
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: P(next type | type) — the behavioral-model /
+    // anomaly-baseline primitive. The successor pairing is ONE lead()
+    // window partitioned by user_id (the natural key partitioning;
+    // never global), the pair fold is map-side combined to ≤|types|²
+    // rows, and the row-normalizing total is an analytic sum over
+    // that control-plane-sized matrix. Counts exact; ONE divide ----
+    QuerySpec("q164_markov_transitions",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        val counts = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("n_from",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("n_from"),
+            (col("n").cast("double") / col("n_from").cast("double"))
+              .as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             |             event_id FROM events),
+             |pr AS (SELECT event_type, lead(event_type) OVER (
+             |         PARTITION BY user_id ORDER BY tsu, event_id)
+             |         AS next_type
+             |       FROM e),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             |       FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n, tt.n_from,
+             |  CAST(c.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+             |FROM c JOIN tt USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- Benford first-digit audit over order totals: the
+    // fraud/synthetic-data screen. The digit is taken from the DECIMAL
+    // STRING of the floored integer amount (exact in both engines — no
+    // log10 float boundary at powers of ten), folded map-side to ≤9
+    // rows; the share is ONE divide against a one-row broadcast
+    // total ----
+    QuerySpec("q165_benford",
+      (s, dir) => {
+        val byd = t(s, dir, "orders")
+          .select(floor(col("o_totalprice")).cast("long").as("v"))
+          .filter(col("v") >= 1)
+          .select(substring(col("v").cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        byd.crossJoin(broadcast(byd.agg(sum(col("n")).as("n_total"))))
+          .select(col("digit"), col("n"), col("n_total"),
+            (col("n").cast("double") / col("n_total").cast("double"))
+              .as("share"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+             |           FROM orders),
+             |d AS (SELECT substring(CAST(v AS VARCHAR), 1, 1) AS digit,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM v WHERE v >= 1 GROUP BY 1),
+             |t0 AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+             |SELECT digit, n, n_total,
+             |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+             |FROM d CROSS JOIN t0 ORDER BY digit""".stripMargin)),
+
+    // ---- robust location/spread per event type: exact median and MAD
+    // (median absolute deviation) in integer micro-units. The corpus
+    // folds ONCE to (type, value, count) — map-side combined, bounded
+    // by distinct values — and both medians come from cumulative-count
+    // ladders over that fold (the q159 value-ladder discipline: the
+    // windows run over DISTINCT values, not rows, so no corpus-scale
+    // relation meets a skewed window). Lower-median convention
+    // (element at ceil(n/2)) matches the q136 rank-pick; everything
+    // before the output is integer-exact, and there is NO divide at
+    // all ----
+    QuerySpec("q167_mad",
+      (s, dir) => {
+        val f = t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .filter(col("c").isNotNull)
+          .groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val wp = Window.partitionBy(col("event_type"))
+        def ladderPick(g: org.apache.spark.sql.DataFrame, v: String) = g
+          .withColumn("cum", sum(col("cnt"))
+            .over(Window.partitionBy(col("event_type")).orderBy(col(v))))
+          .withColumn("tot", sum(col("cnt")).over(wp))
+          .filter(expr("cum >= (tot + 1) div 2"))
+          .groupBy(col("event_type"))
+          .agg(min(col(v)).as(s"${v}_pick"), max(col("tot")).as("n"))
+        val med = ladderPick(f, "c")
+          .select(col("event_type"), col("c_pick").as("med"), col("n"))
+        val dev = f.join(broadcast(med.select("event_type", "med")),
+            Seq("event_type"))
+          .select(col("event_type"), abs(col("c") - col("med")).as("dv"),
+            col("cnt"))
+          .groupBy(col("event_type"), col("dv"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val mad = ladderPick(dev, "dv")
+          .select(col("event_type"), col("dv_pick").as("mad"))
+        med.join(mad, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("med"), col("mad"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT event_type, c, row_number() OVER (
+             |        PARTITION BY event_type ORDER BY c, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS cnt
+             |      FROM x),
+             |m AS (SELECT event_type, CAST(max(cnt) AS BIGINT) AS n,
+             |        max(CASE WHEN rn = (cnt + 1) // 2 THEN c END) AS med
+             |      FROM r GROUP BY 1),
+             |d AS (SELECT x.event_type, abs(x.c - m.med) AS dv,
+             |        x.event_id
+             |      FROM x JOIN m USING (event_type)),
+             |r2 AS (SELECT event_type, dv, row_number() OVER (
+             |         PARTITION BY event_type ORDER BY dv, event_id)
+             |         AS rn,
+             |         count(*) OVER (PARTITION BY event_type) AS cnt
+             |       FROM d),
+             |m2 AS (SELECT event_type,
+             |         max(CASE WHEN rn = (cnt + 1) // 2 THEN dv END)
+             |           AS mad
+             |       FROM r2 GROUP BY 1)
+             |SELECT m.event_type, m.n, m.med, m2.mad
+             |FROM m JOIN m2 USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -49,24 +49,54 @@ class BenchArtifactSpec extends AnyFunSuite {
     val line = Bench.compactLine(results, failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
       streaming = streaming, scaleExp = sx, loadAvg = 9.99,
-      nCpu = 32, sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1880,
       s"compact line ${line.length} chars — will be front-truncated in the 2KB tail")
     // the evidence the verdict audits must be ON the line
     assert(line.contains("\"contaminated\":false"))
     assert(line.contains("\"mpr\":1.23"))
-    assert(line.contains("\"sx\":{\"49\":0.82"))
     // at 147 queries the 2-decimal form exceeds the window and the
     // ladder steps down — the per-query value must survive at >= 1
     // decimal in this regime (whole-second rounding is reserved for
-    // the 3-digit fallback regime)
+    // the 3-digit fallback regime). sx/streaming are allowed to fall
+    // off first (they ride BENCH_FULL.json with full keys); when
+    // present they must be intact, never truncated mid-object
     assert(line.contains("\"queries\":{\"01\":8.99") ||
       line.contains("\"queries\":{\"01\":9.0"),
       s"per-query seconds must keep >=1 decimal: ${line.takeRight(300)}")
+    if (line.contains("\"sx\":")) assert(line.contains(sx))
+    if (line.contains("\"streaming\":")) assert(line.contains(streaming))
+    // empty failed list and false extra_pass are omitted, not printed
+    assert(!line.contains("\"failed\":[]"))
+    assert(!line.contains("\"ep\":false"))
     assert(line.endsWith("}"))
     // and it must parse as one JSON object (no stray quotes/braces):
     // cheap structural check without a JSON lib — balanced braces,
     // quotes even, single top-level object
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("registry growth sheds sx/streaming before per-query decimals") {
+    // the degradation priority: per-query seconds (driver contract)
+    // keep >= 1 decimal while the droppable summaries leave the line;
+    // model a 180-query registry at the realistic shape (the 1-decimal
+    // ceiling is ~186 entries — beyond that the whole-second final
+    // fallback is arithmetically forced and correct)
+    val grown = (1 to 180).map(i => f"q$i%02d_synthetic" ->
+      (if (i <= 16) 8.99 else 0.99))
+    val streaming =
+      """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922,"spr":1.23,"sc":false}"""
+    val sx = """{"49":0.82,"58":-0.95,"97":1.10,"48":0.88,"107":1.02}"""
+    val line = Bench.compactLine(grown, failed = "[]", total = 999.999,
+      extraPass = false, medianPairRatio = 1.23, contaminated = false,
+      streaming = streaming, scaleExp = sx, loadAvg = 9.99,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1880, s"grown-registry line ${line.length} chars")
+    assert(line.contains("\"contaminated\":false"),
+      "the contamination verdict never leaves the line")
+    assert(line.contains(":9.0") || line.contains(":8.99"),
+      s"per-query decimals lost before the droppable summaries: ${line.take(200)}")
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.count(_ == '"') % 2 == 0)
   }
@@ -108,7 +138,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       extraPass = true, medianPairRatio = 9.99, contaminated = true,
       streaming = """{"error":true}""",
       scaleExp = """{"error":true}""",
-      loadAvg = 32.0, nCpu = 32, sfDir = "/root/testdata/sf0.1")
+      loadAvg = 32.0, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1900,
       s"fallback line ${line.length} chars — still over the capture window")
     assert(line.contains("\"01\":123.5") || line.contains("\"01\":123.46") ||
