@@ -22,6 +22,15 @@ object Ctx {
   // and PoisonQueue routing per-row-native.
   val TopicOverride = "_graft_topic"
 
+  // --- consumer-ack handle (watermill's per-message Ack, mapped to
+  // the micro-batch ack unit): a transport whose durable offsets must
+  // advance on PROCESSING (not enqueue) stamps each delivered
+  // message's source offset here; the router sink acks the batch max
+  // back to the transport after a successful commit and the key is
+  // stripped on publish like every _graft_ key. See
+  // [[graft.sources.AckableSubscriber]].
+  val AckOffset = "_graft_ack_offset"
+
   // --- transported control metadata (kept on publish)
   /** parity with middleware/poison.go:14-19 */
   val ReasonPoisoned = "reason_poisoned"

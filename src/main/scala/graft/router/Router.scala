@@ -186,7 +186,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       subscriber: Subscriber, consume: Message => Unit,
       middlewares: Seq[Middleware] = Nil): this.type = {
     require(!handlers.contains(name), s"handler $name already added")
-    val h: Handler = m => { consume(m); Seq.empty }
+    // the consumed message passes through to the sink as an ack
+    // carrier — consumerSink publishes ONLY TopicOverride rows, so
+    // nothing leaves the process; without it, a consumer handler on an
+    // ackable transport (SQL) would never advance the durable offset
+    // and a fresh instance would redeliver everything ever consumed
+    val h: Handler = m => { consume(m); Seq(m) }
     handlers(name) = HandlerDef(name, subscribeTopic, subscriber, None, None,
       h, middlewares.toSeq, Nil, HandlerOptions(), None)
     this
@@ -209,12 +214,39 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     val pubTopic = h.publishTopic.getOrElse("")
     val composed = Middlewares.chain(routerMiddlewares.toSeq ++ h.middlewares)(h.handler)
     staged.flatMap { m =>
-      composed(m
+      val outs = composed(m
         .withMeta(Ctx.HandlerName, hName)
         .withMeta(Ctx.SubscribeTopic, subTopic)
         .withMeta(Ctx.PublishTopic, pubTopic))
+      // consumer-ack propagation: a handler constructing brand-new
+      // messages drops the source's ack stamp, and the sink could then
+      // never advance the transport's durable offset — re-stamp every
+      // output with its input's offset (stripped on publish like all
+      // _graft_ keys)
+      m.get(Ctx.AckOffset) match {
+        case "" => outs
+        case off => outs.map(o =>
+          if (o.get(Ctx.AckOffset).nonEmpty) o
+          else o.withMeta(Ctx.AckOffset, off))
+      }
     }
   }
+
+  /** After a successful sink commit, advance an [[graft.sources
+    * .AckableSubscriber]]'s durable offset to the batch's max stamped
+    * source offset (the micro-batch form of watermill's per-message
+    * Ack). No stamp in the batch (all rows filtered by the handler, or
+    * a non-stamping transport) → no ack: those source rows redeliver
+    * to a fresh instance and re-filter — at-least-once, never loss. */
+  private def ackBatch(h: HandlerDef, batch: DataFrame): Unit =
+    h.subscriber match {
+      case a: graft.sources.AckableSubscriber =>
+        val row = batch.agg(
+          max(element_at(col("metadata"), lit(Ctx.AckOffset)).cast("long")))
+          .collect()(0)
+        if (!row.isNullAt(0)) a.ack(h.subscribeTopic, row.getLong(0))
+      case _ => ()
+    }
 
   /** Publish one micro-batch, honoring per-row topic overrides and
     * stripping `_graft_` ctx keys. Publishes through the idempotent
@@ -243,25 +275,33 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     val pub = h.publisher.get
     val default = h.publishTopic.get
     val writerId = this.writerId(h, epochId)
-    val routed = batch.withColumn("_topic",
-      coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
-    val cleaned = routed.withColumn("metadata",
-      map_filter(col("metadata"), (k, _) => !k.startsWith(Ctx.InternalPrefix)))
-    pub match {
-      case rp: RoutedPublisher => rp.publishRoutedEpoch(cleaned, "_topic", writerId)
-      case _ =>
-        val persisted = cleaned.persist()
-        try {
-          val topics =
-            persisted.select(col("_topic")).distinct().collect().map(_.getString(0))
-          topics.foreach { t =>
-            pub.publishEpoch(t,
-              persisted.filter(col("_topic") === t)
-                .select(Message.columns.map(col): _*),
-              writerId)
-          }
-        } finally { persisted.unpersist(); () }
-    }
+    // an ackable source needs a second pass over the batch (the ack
+    // max) — persist so the handler's flatMap never re-runs its side
+    // effects for it
+    val needAck = h.subscriber.isInstanceOf[graft.sources.AckableSubscriber]
+    val src = if (needAck) batch.persist() else batch
+    try {
+      val routed = src.withColumn("_topic",
+        coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
+      val cleaned = routed.withColumn("metadata",
+        map_filter(col("metadata"), (k, _) => !k.startsWith(Ctx.InternalPrefix)))
+      pub match {
+        case rp: RoutedPublisher => rp.publishRoutedEpoch(cleaned, "_topic", writerId)
+        case _ =>
+          val persisted = cleaned.persist()
+          try {
+            val topics =
+              persisted.select(col("_topic")).distinct().collect().map(_.getString(0))
+            topics.foreach { t =>
+              pub.publishEpoch(t,
+                persisted.filter(col("_topic") === t)
+                  .select(Message.columns.map(col): _*),
+                writerId)
+            }
+          } finally { persisted.unpersist(); () }
+      }
+      if (needAck) ackBatch(h, src)
+    } finally { if (needAck) { src.unpersist(); () } }
   }
 
   /** Sink for consumer (no-publish) handlers. The handler itself emits
@@ -307,6 +347,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
               "(poison queue / delay) but the subscribing transport " +
               "cannot publish — they would be silently lost")
       }
+      ackBatch(h, persisted)
     } finally { persisted.unpersist(); () }
   }
 

@@ -51,6 +51,21 @@ trait SubscribeInitializer {
   def subscribeInitialize(topic: String): Unit = ()
 }
 
+/** Consumer-ack capability, the watermill per-message `Ack()`
+  * (message/message.go) mapped to the engine's micro-batch ack unit.
+  * A transport whose DURABLE consumer-group offsets must advance on
+  * processing — not on enqueue into the in-process broker — stamps
+  * each delivered message's source offset into
+  * `metadata[Ctx.AckOffset]`; the router sink calls `ack` with the
+  * batch's max offset AFTER the downstream publish commits. Acks are
+  * monotonic (a lower offset never regresses the mark) and idempotent,
+  * so a retried batch re-acks harmlessly. Non-router consumers that
+  * never ack get full redelivery on a fresh instance — the same
+  * contract as an un-acked watermill subscription. */
+trait AckableSubscriber {
+  def ack(topic: String, upTo: Long): Unit
+}
+
 /** Capability trait for transports that can publish a batch whose rows
   * carry their OWN destination topic in one data pass. The Forwarder
   * (reference: components/forwarder/forwarder.go:52-98) makes topic

@@ -19,14 +19,33 @@ import graft.core.Message
   *  - `subscribeBatch` is a parallel JDBC read of the whole topic
   *    (the replay view);
   *  - `subscribe` is CDC-style polling: a driver-side poller tails the
-  *    table past the stored offset in bounded pages (poll batches are
-  *    control-plane-sized) and feeds the in-process broker, which
-  *    exposes the streaming DataFrame. At-least-once: the offset row
-  *    advances AFTER enqueue, so a crash between the two redelivers.
+  *    table past the consumer group's acked offset in bounded pages
+  *    (poll batches are control-plane-sized) and feeds the in-process
+  *    broker, which exposes the streaming DataFrame.
+  *
+  * At-least-once across PROCESS deaths: the durable offset advances on
+  * CONSUMER ACK ([[AckableSubscriber.ack]], driven by the router sink
+  * after its downstream commit — watermill-sql's ack-advances-offset
+  * model), never at enqueue. The poller tracks its own in-memory
+  * enqueue mark so a live instance never re-enqueues; a fresh instance
+  * resumes from the last ACK, so a batch that was enqueued but never
+  * successfully processed (process crash, permanently failing sink)
+  * redelivers instead of being silently skipped — the reference's
+  * TestContinueAfterErrors (pubsub/tests/test_pubsub.go:755) semantics.
+  * Each delivered message carries its source offset in
+  * `metadata[Ctx.AckOffset]` (stripped on router publish). Consumers
+  * that never ack (raw streaming queries) get full redelivery on a
+  * fresh same-group instance, exactly like an unacked watermill
+  * subscription.
   *
   * Offsets are durable in `graft_offsets` keyed by (group, topic) —
   * a new subscriber with the same group resumes where the last one
-  * acked, watermill-sql's consumer-group semantics.
+  * acked, watermill-sql's consumer-group semantics. One remaining
+  * enqueue-side window, bounded to DELAYED traffic: [[releaseDue]]
+  * unparks a due row in the tick that enqueues it, so a process crash
+  * between release and the consumer's commit can lose that released
+  * row (its offset is already behind the ack mark). Mainline rows are
+  * not affected.
   *
   * Delayed consumption (the transport the reference documents it for,
   * docs/content/advanced/delayed-messages.md:9-41): rows stamped
@@ -47,12 +66,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
     // load, not for test latency (tests pass a small explicit value)
     gapTimeoutMs: Long = 30000,
     log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
-  extends PubSub with RoutedPublisher with AutoCloseable {
+  extends PubSub with RoutedPublisher with AckableSubscriber
+  with AutoCloseable {
 
   /** Poller hold-state for temporary identity-id holes:
     * topic -> (first missing id, first seen ms). See [[pollOnce]]. */
   private val gapState =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Instance-local enqueue high-water mark per topic: where the
+    * poller reads from while this instance is alive (seeded from the
+    * durable acked offset on first poll). Durable progress is ONLY the
+    * consumer ack — see the class contract. */
+  private val enqueuedMark =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Topic → table name. Non-identifier chars sanitize to '_', which
     * would ALIAS distinct topics ("a.b" and "a+b" → one table, silently
@@ -319,21 +346,27 @@ final class SqlPubSub(spark: SparkSession, url: String,
     } finally ps.close()
   }
 
+  /** Monotonic upsert: a lower offset never regresses the mark, so a
+    * late retried batch's re-ack (or a released delayed row's old
+    * offset) is a harmless no-op. */
   private def storeOffset(c: Connection, topic: String, off: Long): Unit = {
     val up = c.prepareStatement(
       s"""UPDATE ${quoted("graft_offsets")} SET ${quoted("last_offset")} = ?
-         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?
+         |  AND ${quoted("last_offset")} < ?""".stripMargin)
     val updated =
-      try { up.setLong(1, off); up.setString(2, group); up.setString(3, topic); up.executeUpdate() }
+      try { up.setLong(1, off); up.setString(2, group); up.setString(3, topic); up.setLong(4, off); up.executeUpdate() }
       finally up.close()
     if (updated == 0) {
       val ins = c.prepareStatement(
         s"""INSERT INTO ${quoted("graft_offsets")}
            |(${quoted("grp")}, ${quoted("topic")}, ${quoted("last_offset")})
            |VALUES (?, ?, ?)""".stripMargin)
-      // Two same-group instances can both see updated==0 and race the
-      // INSERT; the loser hits the (grp,topic) primary key. That means
-      // the row now exists — fall back to UPDATE instead of dying.
+      // updated==0 means either no row yet, or the row holds a HIGHER
+      // offset (monotonic guard, correct no-op). Try the INSERT; a
+      // PK violation means another caller created the row mid-race —
+      // re-run the GUARDED update so a higher offset still lands and a
+      // lower one still no-ops.
       val raced =
         try { ins.setString(1, group); ins.setString(2, topic); ins.setLong(3, off); ins.executeUpdate(); false }
         catch { case _: java.sql.SQLIntegrityConstraintViolationException => true }
@@ -341,12 +374,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
       if (raced) {
         val up2 = c.prepareStatement(
           s"""UPDATE ${quoted("graft_offsets")} SET ${quoted("last_offset")} = ?
-             |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
-        try { up2.setLong(1, off); up2.setString(2, group); up2.setString(3, topic); up2.executeUpdate(); () }
+             |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?
+             |  AND ${quoted("last_offset")} < ?""".stripMargin)
+        try { up2.setLong(1, off); up2.setString(2, group); up2.setString(3, topic); up2.setLong(4, off); up2.executeUpdate(); () }
         finally up2.close()
       }
     }
   }
+
+  /** Consumer ack ([[AckableSubscriber]]): advance the group's durable
+    * offset to `upTo` (monotonic). Called by the router sink after a
+    * successful downstream commit with the batch's max
+    * `metadata[Ctx.AckOffset]`. */
+  override def ack(topic: String, upTo: Long): Unit =
+    withConn { c => storeOffset(c, topic, upTo) }
 
   /** Delay metadata → due timestamp. Absent or malformed metadata
     * (foreign writers can stamp anything) means deliverable now. */
@@ -396,7 +437,11 @@ final class SqlPubSub(spark: SparkSession, url: String,
       finally rs.close()
     } finally sel.close()
     if (due.nonEmpty) {
-      broker.publish(topic, due.map(_._2).toSeq)
+      // stamped like mainline deliveries; a released row's old offset
+      // is usually behind the ack mark, where the monotonic store
+      // makes the consumer's re-ack a no-op
+      broker.publish(topic, due.map { case (off, m) =>
+        m.withMeta(graft.router.Ctx.AckOffset, off.toString) }.toSeq)
       val del = c.prepareStatement(
         s"""DELETE FROM ${quoted("graft_delayed")}
            |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ? AND ${quoted("offset_id")} = ?""".stripMargin)
@@ -427,7 +472,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * delay is due-time order, not insert order — same deviation the
     * reference accepts by hiding rows). */
   private def pollOnce(c: Connection, topic: String): Unit = {
-    val from = storedOffset(c, topic)
+    val from = enqueuedMark.getOrElse(topic, storedOffset(c, topic))
     val ps = c.prepareStatement(
       s"""SELECT ${quoted("offset_id")}, ${quoted("uuid")}, ${quoted("metadata")},
          |  ${quoted("payload")}, ${quoted("ts")}
@@ -493,11 +538,16 @@ final class SqlPubSub(spark: SparkSession, url: String,
         val now = System.currentTimeMillis()
         val (delayed, ready) = deliverable.map { case (off, m) => (off, m, dueAt(m)) }
           .partition { case (_, _, due) => due.exists(_.getTime > now) }
-        parkDelayed(c, topic, // park FIRST: crash before offset store re-parks, never loses
+        parkDelayed(c, topic, // park FIRST: crash before mark advance re-parks, never loses
           delayed.map { case (off, _, due) => (off, due.get) })
         if (ready.nonEmpty)
-          broker.publish(topic, ready.map(_._2).toSeq) // enqueue FIRST …
-        storeOffset(c, topic, deliverable.last._1)     // … ack after (at-least-once)
+          // each message carries its source offset so the consumer can
+          // ack processing back ([[ack]]); durable offsets do NOT move
+          // here — an enqueued-but-never-processed batch must redeliver
+          // to a fresh instance
+          broker.publish(topic, ready.map { case (off, m, _) =>
+            m.withMeta(graft.router.Ctx.AckOffset, off.toString) }.toSeq)
+        enqueuedMark(topic) = deliverable.last._1
       }
     } finally ps.close()
     releaseDue(c, topic)
@@ -549,6 +599,10 @@ final class SqlPubSub(spark: SparkSession, url: String,
 
   /** Block until the poller has drained everything currently in the
     * table for `topic` (test/drain helper, like processAllAvailable). */
+  /** Block until the poller has ENQUEUED every row currently in the
+    * topic table (drain helper for tests/benches). This is the enqueue
+    * mark, not the durable ack — a consumer that never acks still
+    * counts as caught up once the rows are in its stream. */
   def awaitCaughtUp(topic: String, timeoutMs: Long = 10000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     withConn { c =>
@@ -561,7 +615,9 @@ final class SqlPubSub(spark: SparkSession, url: String,
         } finally st.close()
       }
       val target = maxOffset
-      while (System.currentTimeMillis() < deadline && storedOffset(c, topic) < target)
+      def mark: Long =
+        enqueuedMark.getOrElse(topic, storedOffset(c, topic))
+      while (System.currentTimeMillis() < deadline && mark < target)
         Thread.sleep(20)
     }
   }

@@ -257,6 +257,96 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("durable offsets advance on consumer ACK, not on enqueue") {
+    // the at-enqueue ack was a silent-loss class: a batch enqueued into
+    // the in-process broker but never successfully processed (process
+    // crash, permanently failing sink) was skipped forever by the next
+    // instance. Protocol now: poller stamps metadata[Ctx.AckOffset],
+    // the router sink acks after its downstream commit.
+    val db = url("sqlack")
+    val n = 6
+
+    // phase 1: a subscriber that only FAILS consumes nothing durably
+    val ps1 = new SqlPubSub(spark, db, group = "ga")
+    try {
+      ps1.publish("t_ack", (0 until n).map(i => msg(s"a$i", s"p$i")))
+      val deadPub = new Publisher {
+        override def publish(t: String, m: Seq[Message]): Unit = ()
+        override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+          throw new RuntimeException("never acks")
+      }
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlack-dead-").toString))
+      r.addHandler("dead", "t_ack", ps1, "t_ack_out", deadPub,
+        Middlewares.passthrough)
+      r.run()
+      intercept[Exception] { ps1.awaitCaughtUp("t_ack"); r.processAllAvailable() }
+      r.close()
+    } finally ps1.close()
+
+    // phase 2: a FRESH same-group instance redelivers everything (no
+    // durable ack happened), a healthy router consumes and ACKS
+    val sink = new MemoryPubSub(spark)
+    val ps2 = new SqlPubSub(spark, db, group = "ga")
+    try {
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlack-ok-").toString))
+      r.addHandler("ok", "t_ack", ps2, "t_ack_out", sink,
+        Middlewares.passthrough)
+      r.run(); ps2.awaitCaughtUp("t_ack"); r.processAllAvailable(); r.close()
+      val got = sink.subscribeBatch("t_ack_out").collect()
+        .map(_.getAs[String]("uuid")).toSet
+      assert(got == (0 until n).map(i => s"a$i").toSet,
+        s"failed-subscriber enqueues must redeliver: missing ${(0 until n).map(i => s"a$i").toSet -- got}")
+      // the ack stamp is engine-internal and must NOT leave the router
+      val metas = sink.subscribeBatch("t_ack_out").collect()
+        .map(r0 => Option(r0.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty))
+      assert(metas.forall(m => !m.keys.exists(_.startsWith("_graft_"))),
+        s"internal keys leaked: ${metas.find(_.keys.exists(_.startsWith("_graft_")))}")
+    } finally ps2.close()
+
+    // phase 3: the ack is durable — a THIRD instance redelivers nothing
+    val ps3 = new SqlPubSub(spark, db, group = "ga")
+    try {
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlack-3-").toString))
+      r.addHandler("third", "t_ack", ps3, "t_ack_out3", sink,
+        Middlewares.passthrough)
+      r.run(); ps3.awaitCaughtUp("t_ack"); r.processAllAvailable(); r.close()
+      assert(sink.subscribeBatch("t_ack_out3").count() == 0,
+        "acked rows redelivered to a fresh instance")
+    } finally ps3.close()
+  }
+
+  test("consumer (no-publish) handlers ack too") {
+    // the consumed message passes through the sink as an ack carrier
+    // (published nowhere); without it a consumer handler would never
+    // advance the durable offset
+    val db = url("sqlcack")
+    val n = 5
+    val ps1 = new SqlPubSub(spark, db, group = "gc")
+    try {
+      ps1.publish("t_cack", (0 until n).map(i => msg(s"c$i", "x")))
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlcack-").toString))
+      r.addConsumerHandler("eat", "t_cack", ps1,
+        m => SqlAckProbe.seen.add(m.uuid))
+      r.run(); ps1.awaitCaughtUp("t_cack"); r.processAllAvailable(); r.close()
+      assert(SqlAckProbe.seen.size == n)
+    } finally ps1.close()
+    val ps2 = new SqlPubSub(spark, db, group = "gc")
+    val sink = new MemoryPubSub(spark)
+    try {
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlcack2-").toString))
+      r.addHandler("check", "t_cack", ps2, "t_cack_out", sink,
+        Middlewares.passthrough)
+      r.run(); ps2.awaitCaughtUp("t_cack"); r.processAllAvailable(); r.close()
+      assert(sink.subscribeBatch("t_cack_out").count() == 0,
+        "consumer-handler progress was not durably acked")
+    } finally ps2.close()
+  }
+
   test("polling subscribe tails new rows and resumes from the stored offset") {
     val db = url("sqlcdc")
     val ps = new SqlPubSub(spark, db, group = "g1")
@@ -298,4 +388,11 @@ class SqlSpec extends SparkSpec {
       } finally q.stop()
     } finally ps2.close()
   }
+}
+
+/** Executor-safe probe for the consumer-handler ack test (closures
+  * capture statics, never the suite). */
+object SqlAckProbe {
+  val seen: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

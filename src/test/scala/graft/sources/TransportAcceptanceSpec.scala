@@ -53,13 +53,25 @@ class TransportAcceptanceSpec extends SparkSpec {
     * "Continue after subscribe close" and "no-ack blocks successors"
     * need no gate: the engine's subscriber/ack unit is the streaming
     * query/micro-batch, so both are properties of the query, not the
-    * store. Every non-gated cell of the 5-transport × 11-behavior
-    * matrix is currently green (51 battery tests; the four gated-off
-    * cells — restart on memory/http/io, ordering on file — are
-    * justified above); the gates exist so a future transport without
-    * a capability (e.g. a broker whose server-side ack cannot
+    * store. Every non-gated cell of the 5-transport × 15-behavior
+    * matrix is currently green (62 battery tests; the gated-off
+    * cells — restart/publisher-close/concurrent-close/continue-after-
+    * errors on memory/http/io, ordering on file — are justified
+    * above); the gates exist so a future transport without a
+    * capability (e.g. a broker whose server-side ack cannot
     * redeliver) declares it explicitly instead of failing obscurely —
     * the reference's Features pattern.
+    *
+    * The restartable gate also covers TestPublisherClose (845 — a
+    * closed non-durable broker cannot be read back by definition),
+    * TestConcurrentClose (704 — needs shared storage outliving the
+    * concurrently-closed instances), and TestContinueAfterErrors
+    * (755 — the reference itself uses a fresh instance per nacking
+    * subscriber only when Features.Persistent). Not adopted:
+    * TestMessageCtx/TestSubscribeCtx (914/973 — Go context
+    * cancellation semantics; the engine's analogue is query stop +
+    * checkpoint resume, covered by the restart rows) and
+    * TestPubSubStressTest (216 — lives in StressSpec).
     */
   private final case class Features(
       redelivery: Boolean = true,
@@ -479,6 +491,163 @@ class TransportAcceptanceSpec extends SparkSpec {
           assert(b == want, s"group B missing ${want -- b}")
         } finally h.close(ps)
       }
+
+    test(s"[${h.name}] concurrent multi-topic subscribers: per-topic isolation under parallel traffic (test_pubsub.go:327)") {
+      // the reference drives topicsCount topics concurrently through
+      // ONE transport, each with its own publisher+reader, and asserts
+      // every topic receives exactly its own set — topic independence
+      // under contention, not just sequentially (the plain topic row)
+      val ps = h.make(s"${h.name}_mt")
+      try {
+        val topics = 6; val n = 8
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(topics)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        try {
+          val futures = (0 until topics).map { tIdx =>
+            pool.submit(new Runnable {
+              def run(): Unit = try {
+                val topic = s"acc_mt_$tIdx"
+                ps.subscribeInitialize(topic)
+                ps.publish(topic, (0 until n).map(i => msg(s"mt$tIdx-$i", s"p$i")))
+              } catch { case e: Throwable => errs.add(e) }
+            })
+          }
+          futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdown()
+        assert(errs.isEmpty, s"concurrent topic traffic failed: ${errs.peek()}")
+        (0 until topics).foreach { tIdx =>
+          h.settle(ps, s"acc_mt_$tIdx")
+          val got = ps.subscribeBatch(s"acc_mt_$tIdx").collect()
+            .map(_.getAs[String]("uuid"))
+          val want = (0 until n).map(i => s"mt$tIdx-$i").toSet
+          assert(got.toSet == want,
+            s"topic $tIdx wrong under parallel traffic: missing ${want -- got.toSet}, extra ${got.toSet -- want}")
+          assert(got.length == want.size, s"duplication on topic $tIdx")
+        }
+      } finally h.close(ps)
+    }
+
+    if (h.features.restartable) {
+      test(s"[${h.name}] publisher close durability: everything published before close survives the instance (test_pubsub.go:845)") {
+        // TestPublisherClose: a burst from parallel publishers, then
+        // close — nothing in flight may be lost at the close boundary.
+        // Durable-transport form: the proof is a FRESH instance over
+        // the same storage reading the exact set (a non-durable broker
+        // cannot be read after close by definition — gated off).
+        val scope = s"${h.name}_pclose"
+        val ps1 = h.make(scope)
+        val threads = 4; val perThread = 8
+        try {
+          ps1.subscribeInitialize("acc_pc_in")
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          try {
+            val futures = (0 until threads).map { t =>
+              pool.submit(new Runnable {
+                def run(): Unit = (0 until perThread).foreach(i =>
+                  ps1.publish("acc_pc_in", Seq(msg(s"pc$t-$i", s"p$t-$i"))))
+              })
+            }
+            futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+          } finally pool.shutdown()
+          h.settle(ps1, "acc_pc_in")
+        } finally h.close(ps1) // close immediately after the burst
+        val ps2 = h.make(scope)
+        try {
+          val got = ps2.subscribeBatch("acc_pc_in").collect()
+            .map(_.getAs[String]("uuid"))
+          val want = (for (t <- 0 until threads; i <- 0 until perThread)
+            yield s"pc$t-$i").toSet
+          assert(got.toSet == want,
+            s"lost at the close boundary: ${want -- got.toSet}")
+          assert(got.length == want.size, "duplication across the close boundary")
+        } finally h.close(ps2)
+      }
+
+      test(s"[${h.name}] concurrent close: parallel instances opening and closing never corrupt the shared storage (test_pubsub.go:704)") {
+        // the reference opens 10 pubsubs over the same storage,
+        // subscribes, and closes them concurrently; afterwards the
+        // storage must still accept publishes and serve a complete read
+        val scope = s"${h.name}_cclose"
+        val init = h.make(scope)
+        try init.subscribeInitialize("acc_cc_in") finally h.close(init)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        try {
+          val futures = (0 until 6).map { _ =>
+            pool.submit(new Runnable {
+              def run(): Unit = try {
+                val ps = h.make(scope)
+                try { ps.subscribeBatch("acc_cc_in").count(); () }
+                finally h.close(ps)
+              } catch { case e: Throwable => errs.add(e) }
+            })
+          }
+          futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdown()
+        assert(errs.isEmpty, s"concurrent open/close failed: ${errs.peek()}")
+        val psPub = h.make(scope)
+        try {
+          psPub.publish("acc_cc_in", (0 until 20).map(i => msg(s"cc$i", "x")))
+          h.settle(psPub, "acc_cc_in")
+        } finally h.close(psPub)
+        val psRead = h.make(scope)
+        try {
+          val got = psRead.subscribeBatch("acc_cc_in").collect()
+            .map(_.getAs[String]("uuid"))
+          val want = (0 until 20).map(i => s"cc$i").toSet
+          assert(got.toSet == want, s"storage corrupted by concurrent close: missing ${want -- got.toSet}")
+          assert(got.length == want.size, "duplication after concurrent close")
+        } finally h.close(psRead)
+      }
+
+      test(s"[${h.name}] continue after errors: repeatedly dying subscribers consume nothing (test_pubsub.go:755)") {
+        // three successive subscriber incarnations each fail their
+        // first delivery and die WITHOUT acking; a clean fourth then
+        // receives ALL messages — failed deliveries never advance the
+        // durable offsets (the reference's nack-only subscribers)
+        val scope = s"${h.name}_cae"
+        val n = 12
+        val seed = h.make(scope)
+        try {
+          seed.subscribeInitialize("acc_cae_in")
+          seed.publish("acc_cae_in", (0 until n).map(i => msg(s"cae$i", s"p$i")))
+          h.settle(seed, "acc_cae_in")
+        } finally h.close(seed)
+        val out = new MemoryPubSub(spark)
+        val deadPub = new Publisher {
+          override def publish(t: String, m: Seq[Message]): Unit =
+            out.publish(t, m)
+          override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+            throw new RuntimeException("nack-only subscriber (never acks)")
+        }
+        (0 until 3).foreach { attempt =>
+          val ps = h.make(scope)
+          try {
+            val r = new Router(spark, Some(Files
+              .createTempDirectory(s"cae-${h.name}-$attempt-").toString))
+            r.addHandler(s"cae-$attempt", "acc_cae_in", ps, "acc_cae_out",
+              deadPub, Middlewares.passthrough)
+            r.run()
+            intercept[Exception] { h.drain(ps, "acc_cae_in", r) }
+            r.close()
+          } finally h.close(ps)
+        }
+        val ps = h.make(scope)
+        try {
+          assert(out.subscribeBatch("acc_cae_out").count() == 0,
+            "a dying subscriber must never commit")
+          val r = new Router(spark, Some(Files
+            .createTempDirectory(s"cae-${h.name}-ok-").toString))
+          r.addHandler("cae-ok", "acc_cae_in", ps, "acc_cae_out", out,
+            Middlewares.passthrough)
+          r.run(); h.drain(ps, "acc_cae_in", r); r.close()
+          val got = out.subscribeBatch("acc_cae_out").collect()
+            .map(_.getAs[String]("uuid")).toSet
+          assert(got == (0 until n).map(i => s"cae$i").toSet,
+            s"messages consumed by failed subscribers: ${(0 until n).map(i => s"cae$i").toSet -- got}")
+        } finally h.close(ps)
+      }
+    }
   }
 }
 
