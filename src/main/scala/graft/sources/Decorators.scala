@@ -31,20 +31,44 @@ object Decorators {
     override def close(): Unit = inner.close()
   }
 
-  final class TransformingSubscriber(inner: Subscriber,
-      perFrame: DataFrame => DataFrame) extends Subscriber {
+  class TransformingSubscriber(inner: Subscriber,
+      perFrame: DataFrame => DataFrame)
+    extends Subscriber with SubscribeInitializer {
     override def subscribe(topic: String): DataFrame = perFrame(inner.subscribe(topic))
     // forward the rate-limited form too — the trait default would
     // silently drop maxPerTrigger (Throttle) on decorated transports
     override def subscribe(topic: String, maxPerTrigger: Option[Long]): DataFrame =
       perFrame(inner.subscribe(topic, maxPerTrigger))
     override def subscribeBatch(topic: String): DataFrame = perFrame(inner.subscribeBatch(topic))
+    // forward topic init — a decorated FilePubSub/SqlPubSub otherwise
+    // loses its DDL hook and the first subscribe dies topic-not-found
+    override def subscribeInitialize(topic: String): Unit = inner match {
+      case si: SubscribeInitializer => si.subscribeInitialize(topic)
+      case _ => ()
+    }
   }
 
+  /** NOT forwarded on the publisher: [[RoutedPublisher]]. The routed
+    * frame carries the extra `_topic` column, and an arbitrary
+    * `perFrame` (written against the 4-column envelope) may drop it —
+    * the router's fallback per-topic loop is the safe path: it feeds
+    * `perFrame` clean envelope frames through `publishEpoch`, at the
+    * cost of one filtered pass per destination topic. */
   def publisher(inner: Publisher, perMessage: Message => Message,
       perFrame: DataFrame => DataFrame): Publisher =
     new TransformingPublisher(inner, perMessage, perFrame)
 
+  /** Decorate a subscriber, preserving the inner transport's
+    * [[AckableSubscriber]] capability — without the delegation a
+    * decorated SQL subscriber would never advance its durable
+    * consumer-group offsets (no loss, but every fresh instance
+    * redelivers everything ever consumed). */
   def subscriber(inner: Subscriber, perFrame: DataFrame => DataFrame): Subscriber =
-    new TransformingSubscriber(inner, perFrame)
+    inner match {
+      case a: AckableSubscriber =>
+        new TransformingSubscriber(inner, perFrame) with AckableSubscriber {
+          override def ack(topic: String, upTo: Long): Unit = a.ack(topic, upTo)
+        }
+      case _ => new TransformingSubscriber(inner, perFrame)
+    }
 }

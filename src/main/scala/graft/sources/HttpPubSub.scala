@@ -43,8 +43,15 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", exchange => {
       try {
-        if (exchange.getRequestMethod == "POST") {
-          val topic = exchange.getRequestURI.getPath.stripPrefix("/")
+        val topicOfPath = exchange.getRequestURI.getPath.stripPrefix("/")
+        if (exchange.getRequestMethod != "POST") {
+          exchange.sendResponseHeaders(405, -1)
+        } else if (topicOfPath.isEmpty) {
+          // a POST to "/" has no topic — reject instead of silently
+          // filing every such message under the "" topic
+          exchange.sendResponseHeaders(404, -1)
+        } else {
+          val topic = topicOfPath
           val body = exchange.getRequestBody.readAllBytes()
           val headers = exchange.getRequestHeaders
           val uuid = Option(headers.getFirst(HttpWire.UuidHeader))
@@ -67,7 +74,7 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
           broker.publish(topic, Seq(Message(uuid, meta, body,
             new Timestamp(System.currentTimeMillis()))))
           exchange.sendResponseHeaders(200, -1) // enqueued = acked
-        } else exchange.sendResponseHeaders(405, -1)
+        }
       } catch {
         case _: Throwable =>
           exchange.sendResponseHeaders(500, -1) // nack: sender retries
@@ -95,10 +102,15 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
   * nack path). */
 final class HttpPublisher(baseUrl: String) extends Publisher with Serializable {
 
-  override def publish(topic: String, msgs: Seq[Message]): Unit = {
-    val client = HttpClient.newHttpClient()
-    msgs.foreach(m => HttpPublisher.post(client, baseUrl, topic, m))
-  }
+  // one client per INSTANCE side (driver here, per-partition in
+  // publishBatch) — HttpClient owns a connection pool and executor
+  // threads and pre-JDK21 has no close(), so a client per publish CALL
+  // leaks thread churn under chatty publishers. @transient: the lazy
+  // re-materializes after closure serialization.
+  @transient private lazy val driverClient = HttpClient.newHttpClient()
+
+  override def publish(topic: String, msgs: Seq[Message]): Unit =
+    msgs.foreach(m => HttpPublisher.post(driverClient, baseUrl, topic, m))
 
   override def publishBatch(topic: String, df: DataFrame): Unit = {
     val url = baseUrl // local only — `this` must not serialize
