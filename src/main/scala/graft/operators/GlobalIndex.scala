@@ -95,6 +95,18 @@ object GlobalIndex {
       var i = -1L
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
     }(Encoders.row(outSchema))
+      // MATERIALIZED once (localCheckpoint): exchange reuse across the
+      // data/offsets/count branches is the boundary-consistency
+      // precondition, and it is FRAGILE under composition — with an
+      // upstream aggregation, column pruning pushes different Projects
+      // under each branch's copy of the range exchange, canonical
+      // forms diverge, and the runtime plan re-ran the ENTIRE input
+      // pipeline per branch (measured on q65: 3 parquet scans, 4
+      // range exchanges, 0 reuse) — with each copy legally sampling
+      // DIFFERENT range boundaries. One checkpointed pass is both the
+      // single-data-movement claim made here and the guarantee every
+      // consumer sees the same partitioning.
+      .localCheckpoint()
 
     // one row per partition → exclusive prefix sum. Partial
     // aggregation folds each partition to ONE row BEFORE this

@@ -89,6 +89,16 @@ object GlobalPrefix {
         }
       }
     }(Encoders.row(outSchema))
+      // MATERIALIZED once (localCheckpoint) — same reasoning as
+      // [[GlobalIndex]]: exchange reuse between the offsets branch and
+      // the output join is the boundary-consistency CORRECTNESS
+      // precondition (each re-materialized range exchange legally
+      // samples different boundaries, silently mispairing offsets
+      // with partitions), and reuse measurably breaks under
+      // composition when pruning diverges the branch plans. One
+      // checkpointed pass closes the hazard and pins the
+      // one-data-movement cost claim.
+      .localCheckpoint()
 
     // one total row per partition (partial agg folds BEFORE the
     // exchange — control-plane movement only). Totals read the

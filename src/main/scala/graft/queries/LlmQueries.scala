@@ -2945,11 +2945,16 @@ object LlmQueries {
     // broadcast back for the ONE divide ----
     QuerySpec("q168_vocab_jaccard",
       (s, dir) => {
+        // the (source, token) inventory is vocab-sized after the
+        // distinct; localCheckpoint so its three references (sizes +
+        // both self-join sides) don't each re-scan and re-tokenize
+        // the corpus (q153 discipline)
         val tok = t(s, dir, "documents")
           .select(col("source"),
             explode(array_distinct(TextFunctions.tokens(col("text"))))
               .as("tok"))
           .distinct()
+          .localCheckpoint()
         val sizes = tok.groupBy(col("source"))
           .agg(count(lit(1)).as("nv"))
         val inter = tok.withColumnRenamed("source", "s1")
@@ -3033,7 +3038,68 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM sp GROUP BY 1, 2, 3
-             |ORDER BY source, lang, split""".stripMargin))
+             |ORDER BY source, lang, split""".stripMargin)),
+
+    // ---- token co-occurrence lift (the PMI family's exact-ratio
+    // form): which token pairs appear together in documents more than
+    // independence predicts — collocation mining / template detection.
+    // lift = n_ab·N / (n_a·n_b): THREE exact integer document counts
+    // and one integer-product ratio, ONE divide. The per-doc pair
+    // expansion is |doc vocab|² — bounded here by the corpus's token
+    // inventory; the open-web shape caps each doc to its top-m salient
+    // tokens first (same prefix-filter logic as PPJoin). Document
+    // frequencies broadcast back (vocab-sized) ----
+    QuerySpec("q170_cooccurrence",
+      (s, dir) => {
+        // ONE corpus scan: the per-doc distinct token sets materialize
+        // once (localCheckpoint — the q153 multi-reference discipline;
+        // four downstream references would otherwise re-run the scan
+        // and re-tokenize per reference), pairs come from the
+        // double-explode of the set (no doc-keyed self-join shuffle)
+        val sets = t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+          .filter(size(col("ts")) > 0)
+          .localCheckpoint()
+        val dfreq = sets.select(explode(col("ts")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        val pairs = sets.select(explode(col("ts")).as("a"), col("ts"))
+          .select(col("a"), explode(col("ts")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        val total = sets.agg(count(lit(1)).as("n_docs"))
+        pairs
+          .join(broadcast(dfreq.select(col("tok").as("a"),
+            col("n_tok").as("n_a"))), Seq("a"))
+          .join(broadcast(dfreq.select(col("tok").as("b"),
+            col("n_tok").as("n_b"))), Seq("b"))
+          .crossJoin(broadcast(total))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            col("n_docs"),
+            ((col("n_ab") * col("n_docs")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH dt AS (SELECT DISTINCT doc_id,
+             |    unnest(list_distinct(
+             |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+             |      FROM dt GROUP BY 1),
+             |p AS (SELECT x.tok AS a, y.tok AS b,
+             |        CAST(count(*) AS BIGINT) AS n_ab
+             |      FROM dt x JOIN dt y ON x.doc_id = y.doc_id
+             |        AND x.tok < y.tok
+             |      GROUP BY 1, 2),
+             |t0 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+             |         AS n_docs FROM dt)
+             |SELECT p.a, p.b, p.n_ab, fa.n_tok AS n_a, fb.n_tok AS n_b,
+             |  t0.n_docs,
+             |  CAST(p.n_ab * t0.n_docs AS DOUBLE) /
+             |    CAST(fa.n_tok * fb.n_tok AS DOUBLE) AS lift
+             |FROM p JOIN f fa ON fa.tok = p.a
+             |JOIN f fb ON fb.tok = p.b CROSS JOIN t0
+             |ORDER BY a, b""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -2695,12 +2695,16 @@ object RelationalQueries {
     // all ----
     QuerySpec("q167_mad",
       (s, dir) => {
+        // the fold is |distinct values|-sized; localCheckpoint so its
+        // two references (median ladder + deviation fold) run the
+        // corpus scan once (q153 discipline)
         val f = t(s, dir, "events")
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("c"))
           .filter(col("c").isNotNull)
           .groupBy(col("event_type"), col("c"))
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val wp = Window.partitionBy(col("event_type"))
         def ladderPick(g: org.apache.spark.sql.DataFrame, v: String) = g
           .withColumn("cum", sum(col("cnt"))
@@ -2747,6 +2751,144 @@ object RelationalQueries {
              |       FROM r2 GROUP BY 1)
              |SELECT m.event_type, m.n, m.med, m2.mad
              |FROM m JOIN m2 USING (event_type)
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- inter-arrival gap profile per event type: how bursty is each
+    // stream — gaps between a user's consecutive events, bucketed by
+    // ORDER OF MAGNITUDE via the decimal-digit count of the gap in
+    // microseconds (length of the integer's decimal string: exact in
+    // both engines, no float log10). ONE lead() window on the user_id
+    // partitioning, then a map-side-combined fold to ≤ |types|×20
+    // cells. All integers, no divide ----
+    QuerySpec("q171_interarrival",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("gap", lead(col("tsu"), 1).over(w) - col("tsu"))
+          .filter(col("gap").isNotNull && col("gap") > 0)
+          .groupBy(col("event_type"),
+            length(col("gap").cast("string")).as("gap_digits"))
+          .agg(count(lit(1)).as("n"), min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"), sum(col("gap")).as("sum_gap"))
+          .orderBy(col("event_type"), col("gap_digits"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             |             event_id FROM events),
+             |g AS (SELECT event_type,
+             |        lead(tsu) OVER (PARTITION BY user_id
+             |          ORDER BY tsu, event_id) - tsu AS gap
+             |      FROM e)
+             |SELECT event_type,
+             |  CAST(length(CAST(gap AS VARCHAR)) AS INT) AS gap_digits,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(gap) AS BIGINT) AS min_gap,
+             |  CAST(max(gap) AS BIGINT) AS max_gap,
+             |  CAST(sum(gap) AS BIGINT) AS sum_gap
+             |FROM g WHERE gap IS NOT NULL AND gap > 0
+             |GROUP BY 1, 2 ORDER BY event_type, gap_digits""".stripMargin)),
+
+    // ---- degree distribution of the co-purchase graph (the q97/q107
+    // graph family's structural profile): node degrees fold from the
+    // edge list, the histogram folds from degrees, share = ONE divide
+    // against the broadcast node total. Degenerate-free scaling: both
+    // folds are map-side combined; the histogram is ≤ max-degree rows ----
+    QuerySpec("q172_degree_distribution",
+      (s, dir) => {
+        // ONE reference to the edge subtree: both endpoints explode
+        // from the same pass — a union of e.select(u) and e.select(v)
+        // would re-compute the whole co-purchase chain per branch
+        // (caught by the exchange-budget gate: 13 exchanges vs 7)
+        val deg = coPurchaseEdges(s, dir)
+          .select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        // the histogram is ≤ max-degree rows; localCheckpoint so its
+        // two references (rows + total) don't each re-run the whole
+        // co-purchase edge computation (q153 discipline)
+        val hist = deg.groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+        hist.crossJoin(broadcast(hist.agg(sum(col("n_nodes")).as("n_total"))))
+          .select(col("degree"), col("n_nodes"), col("n_total"),
+            (col("n_nodes").cast("double") / col("n_total").cast("double"))
+              .as("share"))
+          .orderBy(col("degree"))
+      },
+      Some(s"""WITH $CoPurchaseEdgeCtes,
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |        FROM (SELECT u AS node FROM e0
+             |              UNION ALL SELECT v FROM e0)
+             |        GROUP BY node),
+             |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             |      FROM deg GROUP BY 1),
+             |t0 AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+             |SELECT degree, n_nodes, n_total,
+             |  CAST(n_nodes AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+             |FROM h CROSS JOIN t0 ORDER BY degree""".stripMargin)),
+
+    // ---- lag-1 autocorrelation of daily volume per event type: is the
+    // stream momentum-driven or mean-reverting — the time-series twin
+    // of q156's trend. The daily fold is the only corpus-scale shuffle;
+    // the (x_t, x_{t+1}) pairing is a lead over ≤ |days| rows per type.
+    // Numerator and the two variance terms are EXACT integers; r is
+    // the one float expression, the identical tree in both engines
+    // (IEEE sqrt and divide are correctly rounded — deterministic on
+    // exact operands) ----
+    QuerySpec("q173_autocorr",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("2024-01-01"))).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val pairs = daily
+          .withColumn("y2", lead(col("y"), 1).over(w))
+          .filter(col("y2").isNotNull)
+        val agg = pairs.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sx"), sum(col("y2")).as("sy"),
+          sum(col("y") * col("y2")).as("sxy"),
+          sum(col("y") * col("y")).as("sxx"),
+          sum(col("y2") * col("y2")).as("syy"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val dx = col("n") * col("sxx") - col("sx") * col("sx")
+        val dy = col("n") * col("syy") - col("sy") * col("sy")
+        agg.select(col("event_type"), col("n"),
+            num.as("r_num"), dx.as("dx"), dy.as("dy"),
+            when(dx === 0 || dy === 0, lit(null).cast("double"))
+              .otherwise(num.cast("double") /
+                (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+              .as("r"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d0 AS (
+             |  SELECT event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT event_type, y,
+             |        lead(y) OVER (PARTITION BY event_type ORDER BY d)
+             |          AS y2
+             |      FROM d0),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(y) AS BIGINT) AS sx,
+             |        CAST(sum(y2) AS BIGINT) AS sy,
+             |        CAST(sum(y * y2) AS BIGINT) AS sxy,
+             |        CAST(sum(y * y) AS BIGINT) AS sxx,
+             |        CAST(sum(y2 * y2) AS BIGINT) AS syy
+             |      FROM p WHERE y2 IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n,
+             |  n * sxy - sx * sy AS r_num,
+             |  n * sxx - sx * sx AS dx,
+             |  n * syy - sy * sy AS dy,
+             |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |       THEN NULL
+             |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+             |            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             |  END AS r
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

@@ -65,10 +65,15 @@ class GlobalIndexSpec extends SparkSpec {
     val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx <= 1,
       s"data must not re-shuffle after the range exchange ($hashEx hash exchanges):\n$plan")
-    assert(plan.contains("MapPartitions"),
-      s"local rank must be the narrow pass:\n$plan")
-    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
-      s"range exchange must be evaluated once (reuse), got:\n$plan")
+    // the ranked pass is MATERIALIZED (localCheckpoint): every branch
+    // reads the checkpointed RDD — the input pipeline and its range
+    // exchange ran exactly once, by construction rather than by the
+    // fragile exchange-reuse canonical match (which measurably broke
+    // under composition: q65 re-ran the whole input per branch)
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"branches must read the checkpointed pass:\n$plan")
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      s"the range exchange must be inside the one materialized pass:\n$plan")
   }
 
   test("empty input yields empty output with the index column present") {
@@ -88,10 +93,14 @@ class GlobalIndexSpec extends SparkSpec {
     assert(rows.length == 777)
     assert(rows.forall(_._3 == 777L), "every row must carry the global n")
     rows.foreach { case (k, idx, _) => assert(idx == k) }
-    // still ONE evaluation of the ranged data: the count folds the
-    // same control-plane per-partition counts the offsets use
+    // still ONE evaluation of the ranged data: offsets, count, and
+    // the output join all read the checkpointed pass — no branch can
+    // re-run the input pipeline (or re-sample range boundaries)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+    val fin = plan.split("== Initial Plan ==").head
+    assert(fin.contains("Scan ExistingRDD"),
+      s"adding the count must read the checkpointed pass:\n$plan")
+    assert(!fin.contains("Exchange rangepartitioning"),
       s"adding the count must not add a data pass:\n$plan")
     // ntile-style positional statistics come out closed-form
     val quartiles = out

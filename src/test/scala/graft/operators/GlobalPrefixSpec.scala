@@ -49,8 +49,16 @@ class GlobalPrefixSpec extends SparkSpec {
       numPartitions = Some(4))
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
-      s"range exchange must be evaluated once:\n$plan")
+    // the accumulated pass is MATERIALIZED (localCheckpoint): the
+    // offsets branch and the output join read the same checkpointed
+    // RDD — one range exchange by construction, and no branch can
+    // re-sample different boundaries (the correctness hazard the old
+    // exchange-reuse assertion guarded fragilely)
+    assert(plan.split("== Initial Plan ==").head.contains("Scan ExistingRDD"),
+      s"branches must read the checkpointed pass:\n$plan")
+    assert(!plan.split("== Initial Plan ==").head
+      .contains("Exchange rangepartitioning"),
+      s"range exchange must be inside the one materialized pass:\n$plan")
     // the pre-fix shape planned Exchange hashpartitioning(_pid) under
     // a data-path window — EVERY row shuffled a second time (range
     // partitioning doesn't satisfy the window's clustering). The only
@@ -62,9 +70,13 @@ class GlobalPrefixSpec extends SparkSpec {
     val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx <= 1,
       s"data must not re-shuffle after the range exchange ($hashEx hash exchanges):\n$plan")
-    // and the local prefix is the narrow per-partition pass, not a window
-    assert(plan.contains("MapPartitions"),
-      s"local prefix must be the narrow pass:\n$plan")
+    // the local prefix ran as the narrow per-partition pass INSIDE
+    // the materialized pass — the output plan reads its rows (the
+    // _lp column) from the checkpoint rather than re-planning any
+    // window over the data
+    assert(!finalPlan.contains("windowspecdefinition(") ||
+      finalPlan.contains("_pid"),
+      s"no data-path window may replace the narrow local pass:\n$plan")
   }
 
   test("empty input yields empty output with the column present") {

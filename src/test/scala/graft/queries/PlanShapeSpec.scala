@@ -141,6 +141,17 @@ class PlanShapeSpec extends SparkSpec {
   //     feeds them;
   //   - q153's CDF over `v` — one row per DISTINCT doc length, bounded
   //     by the length domain, not the corpus.
+  /** ONE walk of the whole registry shared by the registry-wide
+    * guards below: invoking a query's builder re-runs its eager side
+    * effects (q147's index write, the localCheckpoint folds), so each
+    * guard walking separately would multiply that cost per guard. */
+  private lazy val registryWalk: Map[String,
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)] =
+    graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      name -> ((qe.optimizedPlan, qe.executedPlan.toString))
+    }.toMap
+
   test("no corpus-scale relation feeds a partitionless Window anywhere in the registry") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val allowedOrderCols: Map[String, Set[String]] =
@@ -149,9 +160,7 @@ class PlanShapeSpec extends SparkSpec {
         // relation is |value domain|-sized, not corpus-sized
         "q153_ks_drift" -> Set("v"),
         "q159_mann_whitney" -> Set("v")).withDefaultValue(Set.empty)
-    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.optimizedPlan
+    val offenders = registryWalk.toSeq.sortBy(_._1).flatMap { case (name, (plan, _)) =>
       plan.collect {
         case w: LWindow if w.partitionSpec.isEmpty =>
           val orderCols = w.orderSpec
@@ -163,6 +172,46 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"single-partition window over corpus-scale data:\n${offenders.mkString("\n")}")
+  }
+
+  // ---- registry-wide guard: the exchange-budget gate ----
+  //
+  // Every data exchange (hash or range partitioning) is a full
+  // shuffle of its input; an ACCIDENTAL extra one is the classic
+  // silent scale regression — results stay hash-identical while the
+  // 100 TB cost doubles (the GlobalIndex `Window.partitionBy(
+  // spark_partition_id())` defect this round: "task-local" on paper,
+  // planned as a second full Exchange). This gate pins every
+  // registered query's measured data-exchange count against the
+  // checked-in budget (`src/test/resources/exchange_budgets.txt`,
+  // regenerated via `runMain graft.tools.PlanBudget` exactly when a
+  // plan change is intentional). Broadcast exchanges are excluded:
+  // they are the cheap kind the plans should prefer, and counting
+  // them would punish a shuffle→broadcast improvement.
+  test("no registered query exceeds its recorded data-exchange budget") {
+    val budgetFile = java.nio.file.Paths
+      .get("src/test/resources/exchange_budgets.txt")
+    assert(java.nio.file.Files.exists(budgetFile),
+      "exchange_budgets.txt missing — run `sbt 'runMain graft.tools.PlanBudget'`")
+    val budgets: Map[String, Int] =
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(budgetFile)).asScala
+        .filter(_.nonEmpty)
+        .map { l => val Array(n, c) = l.split(" "); n -> c.toInt }.toMap
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val missing = names.filterNot(budgets.contains)
+    assert(missing.isEmpty,
+      s"queries with no recorded exchange budget (run PlanBudget and commit): ${missing.mkString(", ")}")
+    val stale = budgets.keys.filterNot(names.contains)
+    assert(stale.isEmpty,
+      s"budgets for queries no longer registered (re-run PlanBudget): ${stale.mkString(", ")}")
+    val over = names.flatMap { name =>
+      val got = graft.tools.PlanBudget.dataExchanges(registryWalk(name)._2)
+      if (got > budgets(name)) Some(s"$name: $got exchanges > budget ${budgets(name)}")
+      else None
+    }
+    assert(over.isEmpty,
+      s"data-exchange regressions (if intentional, re-run PlanBudget and commit the diff):\n${over.mkString("\n")}")
   }
 
   test("q147 incremental dedup: the frozen corpus is read ONLY through the stored band index") {
