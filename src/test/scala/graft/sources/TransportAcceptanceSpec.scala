@@ -67,11 +67,16 @@ class TransportAcceptanceSpec extends SparkSpec {
     * TestConcurrentClose (704 — needs shared storage outliving the
     * concurrently-closed instances), and TestContinueAfterErrors
     * (755 — the reference itself uses a fresh instance per nacking
-    * subscriber only when Features.Persistent). Not adopted:
-    * TestMessageCtx/TestSubscribeCtx (914/973 — Go context
-    * cancellation semantics; the engine's analogue is query stop +
-    * checkpoint resume, covered by the restart rows) and
-    * TestPubSubStressTest (216 — lives in StressSpec).
+    * subscriber only when Features.Persistent).
+    * TestMessageCtx/TestSubscribeCtx (914/973) are adopted in their
+    * Spark-native form: the subscription-cancel row (query stopped,
+    * checkpoint abandoned, fresh subscribe on the LIVE instance sees
+    * everything) and the message-ctx row (_graft_ metadata injected
+    * for the handler, ack-offset stamped on ack-capable transports,
+    * everything internal stripped past the delivery — the "context
+    * dies at Ack" invariant). With those, every behavior of the
+    * reference's universal suite has a battery row or a named home
+    * (TestPubSubStressTest, 216, lives in StressSpec).
     */
   private final case class Features(
       redelivery: Boolean = true,
@@ -524,6 +529,97 @@ class TransportAcceptanceSpec extends SparkSpec {
             s"topic $tIdx wrong under parallel traffic: missing ${want -- got.toSet}, extra ${got.toSet -- want}")
           assert(got.length == want.size, s"duplication on topic $tIdx")
         }
+      } finally h.close(ps)
+    }
+
+    test(s"[${h.name}] subscription cancel: a cancelled, uncommitted subscription loses nothing (test_pubsub.go:973)") {
+      // TestSubscribeCtx: the reference cancels the subscribe context,
+      // Nacks everything the dying channel delivers, then asserts a
+      // FRESH Subscribe receives every message. The engine's
+      // subscription unit is the streaming query + its checkpoint, so
+      // cancel = stop the query and abandon its uncommitted
+      // checkpoint. Distinct from "resend on error" (the SAME
+      // checkpoint resumes) and from "transport restart" (the INSTANCE
+      // dies): here the instance stays live and only the subscription
+      // dies — which is why this row runs ungated on all transports.
+      val ps = h.make(s"${h.name}_sctx")
+      val out = new MemoryPubSub(spark)
+      try {
+        ps.subscribeInitialize("acc_sx_in")
+        val n = 20
+        ps.publish("acc_sx_in", (0 until n).map(i => msg(s"sx$i", s"p$i")))
+        h.settle(ps, "acc_sx_in")
+        // subscription 1 consumes but commits nothing: a sink that
+        // always throws is the micro-batch form of nack-everything
+        val deadPub = new Publisher {
+          override def publish(t: String, m: Seq[Message]): Unit =
+            out.publish(t, m)
+          override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+            throw new RuntimeException("cancelled before commit (nack-all)")
+        }
+        val r1 = new Router(spark,
+          Some(Files.createTempDirectory(s"sx-${h.name}-c-").toString))
+        r1.addHandler(s"sx-${h.name}-c", "acc_sx_in", ps, "acc_sx_out",
+          deadPub, Middlewares.passthrough)
+        r1.run()
+        intercept[Exception] { h.drain(ps, "acc_sx_in", r1) }
+        r1.close() // the cancel
+        assert(out.subscribeBatch("acc_sx_out").count() == 0,
+          "a cancelled subscription must not commit")
+        // fresh subscription on the SAME live instance: full delivery
+        val r2 = new Router(spark,
+          Some(Files.createTempDirectory(s"sx-${h.name}-f-").toString))
+        r2.addHandler(s"sx-${h.name}-f", "acc_sx_in", ps, "acc_sx_out",
+          out, Middlewares.passthrough)
+        r2.run(); h.drain(ps, "acc_sx_in", r2); r2.close()
+        val got = out.subscribeBatch("acc_sx_out").collect()
+          .map(_.getAs[String]("uuid")).toSet
+        assert(got == (0 until n).map(i => s"sx$i").toSet,
+          s"lost by the cancelled subscription: ${(0 until n).map(i => s"sx$i").toSet -- got}")
+        assert(out.subscribeBatch("acc_sx_out").count() == n,
+          "duplication after subscription cancel")
+      } finally h.close(ps)
+    }
+
+    test(s"[${h.name}] message ctx: injected ctx visible during handling, dead past the delivery (test_pubsub.go:914)") {
+      // TestMessageCtx: the reference's per-message context dies at
+      // Ack/Close — nothing context-scoped outlives its delivery. The
+      // engine's ctx analogue is _graft_-prefixed metadata (Ctx):
+      // injected for the handler (handler name, topics, and — on
+      // ack-capable transports — the delivery's ack-offset stamp),
+      // observable mid-flight, and stripped from everything the
+      // handler publishes onward; user metadata is transported intact.
+      val ps = h.make(s"${h.name}_mctx")
+      val out = new MemoryPubSub(spark)
+      try {
+        ps.subscribeInitialize("acc_mx_in")
+        ps.publish("acc_mx_in",
+          Seq(msg("mx1", "payload", Map("correlation_id" -> "cx"))))
+        h.settle(ps, "acc_mx_in")
+        val r = new Router(spark)
+        // the handler snapshots what it SAW into user metadata, so the
+        // mid-flight ctx is assertable from the delivered envelope
+        // (closure captures only the static Ctx object — executor-safe)
+        r.addHandler(s"mx-${h.name}", "acc_mx_in", ps, "acc_mx_out", out,
+          (m: Message) => Seq(m
+            .withMeta("saw_ctx",
+              if (m.get(graft.router.Ctx.HandlerName).nonEmpty) "1" else "0")
+            .withMeta("saw_ack",
+              if (m.get(graft.router.Ctx.AckOffset).nonEmpty) "1" else "0")))
+        r.run(); h.drain(ps, "acc_mx_in", r); r.close()
+        val rows = out.subscribeBatch("acc_mx_out").collect()
+        assert(rows.length == 1)
+        val meta = Option(rows(0).getAs[Map[String, String]]("metadata"))
+          .getOrElse(Map.empty[String, String])
+        assert(meta.get("saw_ctx").contains("1"),
+          "handler must observe the injected ctx during the delivery")
+        if (ps.isInstanceOf[AckableSubscriber])
+          assert(meta.get("saw_ack").contains("1"),
+            "an ack-capable transport must stamp the delivery's ack offset")
+        assert(meta.get("correlation_id").contains("cx"),
+          "user metadata must be transported")
+        val leaked = meta.keys.filter(_.startsWith(graft.router.Ctx.InternalPrefix))
+        assert(leaked.isEmpty, s"ctx outlived the delivery: $leaked")
       } finally h.close(ps)
     }
 
