@@ -777,11 +777,22 @@ object DedupFunctions {
       textCol: String,
       k: Int = 5,
       minDocs: Int = 2,
-      minRun: Int = 3): DataFrame = {
+      minRun: Int = 3): DataFrame =
+    spanRuns(docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("_w")), idCol, k, minDocs, minRun)
+
+  /** [[duplicateSpans]] body over a pre-built (idCol, _w) word frame —
+    * the entry point [[scrubDuplicateSpans]] uses so its single
+    * checkpointed words pass feeds span detection, content hashing,
+    * and the rebuild without re-tokenizing per branch. */
+  private def spanRuns(
+      words: DataFrame,
+      idCol: String,
+      k: Int,
+      minDocs: Int,
+      minRun: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDocs >= 2 && minRun >= 1)
-    val words = docs.select(col(idCol),
-      TextFunctions.words(col(textCol)).as("_w"))
     val grams = words
       .filter(size(col("_w")) >= k) // cheap guard BEFORE the transform
       .select(col(idCol), explode(transform(
@@ -833,8 +844,14 @@ object DedupFunctions {
     * array rebuild — interval lists are per-doc and tiny, so the
     * position filter is row-local work inside the scan stage. The
     * word-array projection is consumed by three plan branches (span
-    * detection, content hashing, rebuild), so the input is READ three
-    * times — cache or checkpoint upstream when the scan dominates.
+    * detection, content hashing, rebuild) and the span-content frame
+    * by two (keeper election, removal join), so BOTH are
+    * localCheckpoint'd — one tokenization pass total, instead of the
+    * measured 10-scan re-execution tree the lazy form planned (each
+    * content reference re-ran span detection, which re-read the
+    * input; the GlobalIndex round-12 lesson applied here). The words
+    * materialization is corpus-sized — the deliberate memory/disk
+    * trade the one-pass guarantee costs; content is span-count-sized.
     */
   def scrubDuplicateSpans(
       docs: DataFrame,
@@ -843,9 +860,10 @@ object DedupFunctions {
       k: Int = 5,
       minDocs: Int = 2,
       minRun: Int = 3): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k, minDocs, minRun)
     val words = docs.select(col(idCol),
       TextFunctions.words(col(textCol)).as("_w"))
+      .localCheckpoint() // one tokenization pass for all three consumers
+    val spans = spanRuns(words, idCol, k, minDocs, minRun)
     // span content hash: the exact covered words, not the grams
     val content = spans.join(words, Seq(idCol))
       .select(col(idCol), col("start_pos"), col("end_pos"),
@@ -853,6 +871,7 @@ object DedupFunctions {
           slice(col("_w"), col("start_pos").cast("int"),
             (col("end_pos") - col("start_pos") + 1).cast("int")))
           .cast("binary")).as("_ch"))
+      .localCheckpoint() // span-count-sized; read by keepers AND join
     val keepers = content.groupBy(col("_ch")).agg(min(col(idCol)).as("_keep"))
     val removals = content.join(keepers, Seq("_ch"))
       .filter(col(idCol) =!= col("_keep"))

@@ -46,14 +46,16 @@ object LanguageModel {
     * occurrences. Natural-language slices land in a tight band; spam,
     * boilerplate, and encoding damage stand off it on either side.
     *
-    * Scale shape: the bigram table is derived three times (itself +
-    * two count aggregations) — at test scale Catalyst recomputes the
-    * scan-shaped tokenize per branch; at corpus scale materialize
-    * [[bigrams]] to parquet once and train/score from that (two-phase,
-    * same math). The count joins are 1:1 (aggregated right sides), so
-    * row multiplicity is exact. */
+    * Scale shape: the bigram table feeds THREE consumers (both count
+    * aggregations and the scoring join), so it localCheckpoints once —
+    * lazily, each consumer re-ran the tokenize + bigram explode over
+    * the corpus (the runtime-audit re-execution class; measured 4
+    * scans for a one-table query). For a multi-job pipeline (train
+    * once, score many), write [[bigrams]] to parquet instead — same
+    * math, durable model. The count joins are 1:1 (aggregated right
+    * sides), so row multiplicity is exact. */
   def bigramCrossEntropy(docs: DataFrame, group: Column): DataFrame = {
-    val bg = bigrams(docs, group)
+    val bg = bigrams(docs, group).localCheckpoint()
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
     // vocabulary over ALL token positions of the modeled docs (one row;

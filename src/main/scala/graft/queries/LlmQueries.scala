@@ -2876,7 +2876,10 @@ object LlmQueries {
     // since the raw corpus has no byte-exact dups. Scale: ONE
     // groupBy(md5) fold for the scalar survivors plus one
     // (grp, lang) fold for the vote — the vote window runs over
-    // (grp, lang) COUNTS (≤ |langs| rows per group), never rows ----
+    // (grp, lang) COUNTS (≤ |langs| rows per group), never rows.
+    // The hashed-and-projected corpus (text dropped after md5)
+    // localCheckpoints once: it feeds BOTH folds, and lazily each
+    // re-ran the three-scan union (measured 6 scans) ----
     QuerySpec("q166_survivorship",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -2889,7 +2892,9 @@ object LlmQueries {
             .withColumn("doc_id", col("doc_id") + lit(20000000L))
             .withColumn("source", concat(lit("mirror2_"), col("source")))
             .withColumn("lang", lit("xx")))
-          .withColumn("grp", md5(col("text")))
+          .select(md5(col("text")).as("grp"), col("doc_id"),
+            col("source"), col("n_chars"), col("lang"))
+          .localCheckpoint()
         val per = all.groupBy(col("grp")).agg(
           count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("keeper_id"),

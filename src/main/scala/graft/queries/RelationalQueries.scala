@@ -802,8 +802,12 @@ object RelationalQueries {
     // happens downstream where rounding doesn't gate ----
     QuerySpec("q85_cooccurrence",
       (s, dir) => {
+        // the deduped (user, type) set feeds the pair fold AND the
+        // support fold — localCheckpoint so the dedup shuffle over the
+        // event stream runs once, not per consumer
         val d = t(s, dir, "events")
           .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint()
         val pairs = d.groupBy(col("user_id"))
           .agg(sort_array(collect_set(col("event_type"))).as("ts"))
           .select(explode(col("ts")).as("t1"), col("ts"))
@@ -1235,10 +1239,14 @@ object RelationalQueries {
     // left join and the fill window; the span row is broadcast ----
     QuerySpec("q105_gap_fill",
       (s, dir) => {
+        // daily is (user × day)-sized and feeds THREE consumers (span,
+        // spine, the fill join) — localCheckpoint so the event-stream
+        // fold runs once, not per reference
         val daily = t(s, dir, "events")
           .filter(col("user_id") < 40)
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
           .agg(round(sum(col("value")), 2).as("day_v"))
+          .localCheckpoint()
         val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
         val spine = daily.select(col("user_id")).distinct()
           .crossJoin(broadcast(span))
@@ -2507,9 +2515,15 @@ object RelationalQueries {
     // window over the event stream. Each step's timestamp is the MIN
     // qualifying micro — exact integer comparisons end to end; the two
     // conversion ratios are each ONE divide of exact longs. Scale: the
-    // joins reuse the user_id hash partitioning (AQE coalesces), the
-    // three count folds are map-side combined, and the final assembly
-    // cross-joins three ONE-ROW frames (control-plane) ----
+    // three event-type scans stay separate (each filter-pushed to the
+    // parquet scan — a single materialized full pass would read the
+    // other types too), but each STEP frame is localCheckpoint'd: s1
+    // feeds s2 AND the view count, s2 feeds s3 AND the click count,
+    // and without the materialization each consumer re-ran the whole
+    // upstream chain (measured: 6 scans / 5 shuffles for a 3-step
+    // funnel — the runtime-audit class). Step frames are user-sized,
+    // far below the event stream. Final assembly cross-joins three
+    // ONE-ROW frames (control-plane) ----
     QuerySpec("q162_funnel",
       (s, dir) => {
         val winUs = 86400000000L // 24 h in microseconds
@@ -2517,11 +2531,13 @@ object RelationalQueries {
           col("event_type"), unix_micros(col("ts")).as("tsu"))
         val s1 = ev.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+          .localCheckpoint()
         val s2 = ev.filter(col("event_type") === "click")
           .join(s1, Seq("user_id"))
           .filter(col("tsu") > col("t1") &&
             col("tsu") <= col("t1") + lit(winUs))
           .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+          .localCheckpoint()
         val s3 = ev.filter(col("event_type") === "purchase")
           .join(s2, Seq("user_id"))
           .filter(col("tsu") > col("t2") &&
@@ -2565,10 +2581,12 @@ object RelationalQueries {
 
     // ---- cohort retention matrix: users grouped by first-active day,
     // activity counted per day offset, rate = active / cohort size.
-    // The (user, day) activity set is deduped ONCE (one shuffle,
-    // map-side combined); the first-day fold and the join-back share
-    // its user_id partitioning, so the matrix costs two exchanges
-    // total. Cohort sizes are the offset-0 diagonal — a broadcast-
+    // The (user, day) activity set is deduped ONCE and
+    // localCheckpoint'd — it feeds the first-day fold AND the
+    // join-back, and lazily each reference re-ran the dedup shuffle
+    // over the full event stream. The matrix is likewise
+    // checkpointed (control-plane-sized) so the offset-0 diagonal
+    // doesn't re-run the whole chain. Cohort sizes are a broadcast-
     // sized frame joined back for the ONE divide per cell ----
     QuerySpec("q163_cohort_retention",
       (s, dir) => {
@@ -2578,11 +2596,13 @@ object RelationalQueries {
               lit(java.sql.Date.valueOf("2024-01-01")))
               .cast("long").as("d"))
           .distinct()
+          .localCheckpoint()
         val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
         val ret = act.join(first, Seq("user_id"))
           .groupBy(col("d0").as("cohort_day"),
             (col("d") - col("d0")).as("day_offset"))
           .agg(count(lit(1)).as("n_users"))
+          .localCheckpoint()
         val sizes = ret.filter(col("day_offset") === 0)
           .select(col("cohort_day"), col("n_users").as("cohort_size"))
         ret.join(broadcast(sizes), Seq("cohort_day"))
