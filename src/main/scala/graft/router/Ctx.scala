@@ -31,6 +31,16 @@ object Ctx {
   // [[graft.sources.AckableSubscriber]].
   val AckOffset = "_graft_ack_offset"
 
+  // --- delayed-release marker: a due delayed row is RE-PUBLISHED as a
+  // NEW offset of its topic table so the ack-advances-offset protocol
+  // covers the release (a crash between release and the consumer's
+  // commit redelivers instead of losing). The copy is private to the
+  // releasing consumer group — other groups release the original row on
+  // their own schedule — so it is stamped here, skipped by every other
+  // group's poller, hidden from the replay view, and stripped before
+  // delivery like all internal keys.
+  val DelayGroup = "_graft_delay_grp"
+
   // --- transported control metadata (kept on publish)
   /** parity with middleware/poison.go:14-19 */
   val ReasonPoisoned = "reason_poisoned"

@@ -213,7 +213,21 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     val subTopic = h.subscribeTopic
     val pubTopic = h.publishTopic.getOrElse("")
     val composed = Middlewares.chain(routerMiddlewares.toSeq ++ h.middlewares)(h.handler)
-    staged.flatMap { m =>
+    staged.flatMap { m0 =>
+      // ingress sanitization: `_graft_` keys are ENGINE state, but the
+      // transports are open surfaces (SQL tables, HTTP endpoints, Kafka
+      // topics accept foreign writers) — an inbound `_graft_topic`
+      // would otherwise ride the pass-through ack carrier into the sink
+      // and forward the message to an attacker-chosen topic. Drop every
+      // internal key except the transport-stamped ack offset (the one
+      // internal key a transport legitimately delivers) before the
+      // handler runs; middleware re-stamp what they need downstream.
+      val m =
+        if (m0.metadata.exists { case (k, _) =>
+            k.startsWith(Ctx.InternalPrefix) && k != Ctx.AckOffset })
+          m0.copy(metadata = m0.metadata.filter { case (k, _) =>
+            !k.startsWith(Ctx.InternalPrefix) || k == Ctx.AckOffset })
+        else m0
       val outs = composed(m
         .withMeta(Ctx.HandlerName, hName)
         .withMeta(Ctx.SubscribeTopic, subTopic)
@@ -241,8 +255,14 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   private def ackBatch(h: HandlerDef, batch: DataFrame): Unit =
     h.subscriber match {
       case a: graft.sources.AckableSubscriber =>
+        // guarded cast: under ANSI mode a malformed stamp (a handler
+        // copying a foreign message's garbage into its outputs) would
+        // THROW, failing the batch forever — a permanent wedge. A
+        // non-numeric stamp must degrade to no-ack (redelivery), the
+        // at-least-once direction.
+        val stamp = element_at(col("metadata"), lit(Ctx.AckOffset))
         val row = batch.agg(
-          max(element_at(col("metadata"), lit(Ctx.AckOffset)).cast("long")))
+          max(when(stamp.rlike("^[0-9]{1,18}$"), stamp.cast("long"))))
           .collect()(0)
         if (!row.isNullAt(0)) a.ack(h.subscribeTopic, row.getLong(0))
       case _ => ()

@@ -40,18 +40,24 @@ import graft.core.Message
   *
   * Offsets are durable in `graft_offsets` keyed by (group, topic) —
   * a new subscriber with the same group resumes where the last one
-  * acked, watermill-sql's consumer-group semantics. One remaining
-  * enqueue-side window, bounded to DELAYED traffic: [[releaseDue]]
-  * unparks a due row in the tick that enqueues it, so a process crash
-  * between release and the consumer's commit can lose that released
-  * row (its offset is already behind the ack mark). Mainline rows are
-  * not affected.
+  * acked, watermill-sql's consumer-group semantics.
   *
   * Delayed consumption (the transport the reference documents it for,
   * docs/content/advanced/delayed-messages.md:9-41): rows stamped
   * `delayed_until` in the future are parked durably in `graft_delayed`
   * per (group, topic, offset) and released once due — hidden from the
-  * stream, without blocking later rows.
+  * stream, without blocking later rows. A release RE-PUBLISHES the row
+  * as a NEW offset of the topic table (same transaction as the park-row
+  * delete), so released traffic flows through the mainline poll path
+  * under the same ack-advances-offset protocol as everything else —
+  * the delivery contract is at-least-once across the WHOLE surface,
+  * delayed rows included (see [[releaseDue]]).
+  *
+  * Ingress sanitization: the topic table is an open surface (foreign
+  * writers can INSERT anything), so `_graft_`-prefixed metadata keys on
+  * polled rows are dropped before delivery — engine-internal state
+  * ([[graft.router.Ctx.TopicOverride]] routing, ack stamps) must come
+  * from THIS engine, never from an untrusted producer.
   *
   * Tables use QUOTED lower-case identifiers so Spark's JDBC writer
   * (which quotes column names) appends cleanly into pre-created DDL.
@@ -303,7 +309,10 @@ final class SqlPubSub(spark: SparkSession, url: String,
   /** Replay view: PARTITIONED JDBC read — the offset column ranges the
     * scan across `defaultParallelism` tasks, so a large topic table
     * reads in parallel instead of through one connection (the
-    * 100 TB-read knob; a 1-row table still reads fine with one range). */
+    * 100 TB-read knob; a 1-row table still reads fine with one range).
+    * Rows stamped [[graft.router.Ctx.DelayGroup]] are a consumer
+    * group's private released-delayed copies, not topic content —
+    * replay shows each logical message once (its original row). */
   override def subscribeBatch(topic: String): DataFrame = {
     subscribeInitialize(topic)
     val maxOff = withConn { c =>
@@ -326,6 +335,8 @@ final class SqlPubSub(spark: SparkSession, url: String,
             math.min(spark.sparkContext.defaultParallelism, maxOff).toString)
       else r
     envelope(partitioned.load())
+      .filter(element_at(col("metadata"),
+        lit(graft.router.Ctx.DelayGroup)).isNull)
   }
 
   // ---- CDC-style polling subscribe ----
@@ -417,9 +428,29 @@ final class SqlPubSub(spark: SparkSession, url: String,
     } finally ps.close()
   }
 
-  /** Deliver parked rows whose due time has passed, then unpark them.
-    * Deliver-BEFORE-delete keeps the at-least-once contract (a crash
-    * between the two redelivers). */
+  /** Release parked rows whose due time has passed by RE-PUBLISHING
+    * each as a NEW row of the topic table, in the SAME transaction as
+    * the park-row delete. The released copy then flows through the
+    * mainline poll path at its new offset — which is ahead of the ack
+    * mark — so the ack-advances-offset protocol covers it: a crash
+    * between release and the consumer's downstream commit REDELIVERS
+    * the row to the next incarnation. (The previous side-door enqueue
+    * delivered the row under its ORIGINAL offset, already behind the
+    * ack mark once later mainline rows were acked — a crash in that
+    * window lost the row permanently, the last at-most-once corner of
+    * this transport.)
+    *
+    * Crash windows: before commit → the transaction rolls back, the
+    * row stays parked and is released next tick (no loss, no dup);
+    * after commit → the copy is an ordinary unacked row, mainline
+    * at-least-once applies. DELETE-then-INSERT inside the transaction
+    * keeps concurrent same-group instances from double-releasing (the
+    * loser's delete matches 0 rows and skips the insert).
+    *
+    * The copy is stamped [[graft.router.Ctx.DelayGroup]]: it is THIS
+    * group's private redelivery — every other group still releases the
+    * original row on its own schedule — so other groups' pollers skip
+    * it and [[subscribeBatch]] hides it from the replay view. */
   private def releaseDue(c: Connection, topic: String): Unit = {
     val sel = c.prepareStatement(
       s"""SELECT d.${quoted("offset_id")}, m.${quoted("uuid")}, m.${quoted("metadata")},
@@ -437,18 +468,30 @@ final class SqlPubSub(spark: SparkSession, url: String,
       finally rs.close()
     } finally sel.close()
     if (due.nonEmpty) {
-      // stamped like mainline deliveries; a released row's old offset
-      // is usually behind the ack mark, where the monotonic store
-      // makes the consumer's re-ack a no-op
-      broker.publish(topic, due.map { case (off, m) =>
-        m.withMeta(graft.router.Ctx.AckOffset, off.toString) }.toSeq)
-      val del = c.prepareStatement(
-        s"""DELETE FROM ${quoted("graft_delayed")}
-           |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ? AND ${quoted("offset_id")} = ?""".stripMargin)
-      try due.foreach { case (off, _) =>
-        del.setString(1, group); del.setString(2, topic); del.setLong(3, off)
-        del.executeUpdate()
-      } finally del.close()
+      c.setAutoCommit(false)
+      try {
+        val del = c.prepareStatement(
+          s"""DELETE FROM ${quoted("graft_delayed")}
+             |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ? AND ${quoted("offset_id")} = ?""".stripMargin)
+        val ins = c.prepareStatement(
+          s"""INSERT INTO ${quoted(table(topic))}
+             |(${quoted("uuid")}, ${quoted("metadata")}, ${quoted("payload")}, ${quoted("ts")})
+             |VALUES (?, ?, ?, ?)""".stripMargin)
+        try due.foreach { case (off, m) =>
+          del.setString(1, group); del.setString(2, topic); del.setLong(3, off)
+          if (del.executeUpdate() == 1) {
+            val stamped = m.withMeta(graft.router.Ctx.DelayGroup, group)
+            ins.setString(1, stamped.uuid)
+            ins.setString(2,
+              new String(graft.cqrs.JsonCodec.write(stamped.metadata), "UTF-8"))
+            ins.setBytes(3, stamped.payload)
+            ins.setTimestamp(4, stamped.ts)
+            ins.executeUpdate(); ()
+          }
+        } finally { del.close(); ins.close() }
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.setAutoCommit(true)
     }
   }
 
@@ -536,7 +579,15 @@ final class SqlPubSub(spark: SparkSession, url: String,
         }
       if (deliverable.nonEmpty) {
         val now = System.currentTimeMillis()
-        val (delayed, ready) = deliverable.map { case (off, m) => (off, m, dueAt(m)) }
+        // rows re-published by ANOTHER group's releaseDue are that
+        // group's private redelivery — skip them (this group releases
+        // the ORIGINAL row on its own schedule); the mark still
+        // advances over them like over any non-deliverable id
+        val mine = deliverable.filter { case (_, m) =>
+          val dg = m.get(graft.router.Ctx.DelayGroup)
+          dg.isEmpty || dg == group
+        }
+        val (delayed, ready) = mine.map { case (off, m) => (off, m, dueAt(m)) }
           .partition { case (_, _, due) => due.exists(_.getTime > now) }
         parkDelayed(c, topic, // park FIRST: crash before mark advance re-parks, never loses
           delayed.map { case (off, _, due) => (off, due.get) })
@@ -544,9 +595,16 @@ final class SqlPubSub(spark: SparkSession, url: String,
           // each message carries its source offset so the consumer can
           // ack processing back ([[ack]]); durable offsets do NOT move
           // here — an enqueued-but-never-processed batch must redeliver
-          // to a fresh instance
+          // to a fresh instance. Deliveries are SANITIZED first: the
+          // table is an open surface, and a foreign `_graft_` stamp
+          // (routing override, forged ack offset) must never enter the
+          // engine as trusted state — only the poller's own ack stamp
+          // (and the router's ctx injection) may exist internally.
           broker.publish(topic, ready.map { case (off, m, _) =>
-            m.withMeta(graft.router.Ctx.AckOffset, off.toString) }.toSeq)
+            m.copy(metadata = m.metadata.filterNot { case (k, _) =>
+                k.startsWith(graft.router.Ctx.InternalPrefix) })
+              .withMeta(graft.router.Ctx.AckOffset, off.toString)
+          }.toSeq)
         enqueuedMark(topic) = deliverable.last._1
       }
     } finally ps.close()

@@ -113,6 +113,45 @@ class RouterSpec extends SparkSpec {
     assert(m("seen_pub") == "out3")
   }
 
+  test("foreign _graft_ metadata is sanitized at ingress (no forwarding hijack)") {
+    // transports are open surfaces: a foreign producer stamping
+    // _graft_topic must NOT cause the engine to forward its message to
+    // an attacker-chosen topic (the pass-through ack carrier would ride
+    // it into the sink's per-row routing). Internal keys are stripped
+    // before the handler runs; only the transport's ack stamp survives.
+    val ps = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    router.addHandler("pass", "ing_in", ps, "ing_out", ps,
+      m => Seq(m.withMeta("seen_override", m.get(Ctx.TopicOverride))))
+    ps.publish("ing_in", Seq(
+      msg("f1", "payload", meta = Map(
+        Ctx.TopicOverride -> "attacker_topic",
+        "_graft_handler_name" -> "forged",
+        "user_key" -> "kept"))))
+    router.run(); router.processAllAvailable(); router.close()
+    assert(ps.subscribeBatch("attacker_topic").count() == 0,
+      "foreign _graft_topic must not route the message")
+    val out = ps.subscribeBatch("ing_out").collect()
+    assert(out.length == 1)
+    val meta = Option(out(0).getAs[Map[String, String]]("metadata")).getOrElse(Map.empty)
+    assert(meta("seen_override") == "", "handler must see the key stripped")
+    assert(meta("user_key") == "kept", "user metadata must survive sanitization")
+  }
+
+  test("consumer handlers do not forward foreign _graft_topic stamps") {
+    // the consumer sink republishes rows carrying TopicOverride
+    // (middleware-produced poison/delay routing) — a foreign stamp on
+    // the consumed message itself must never reach it
+    val ps = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    router.addConsumerHandler("eat", "cing_in", ps, _ => ())
+    ps.publish("cing_in", Seq(
+      msg("f2", "payload", meta = Map(Ctx.TopicOverride -> "attacker_topic2"))))
+    router.run(); router.processAllAvailable(); router.close()
+    assert(ps.subscribeBatch("attacker_topic2").count() == 0,
+      "consumer ack carrier forwarded a foreign routing stamp")
+  }
+
   test("duplicate handler name is rejected (router.go:278)") {
     val ps = new MemoryPubSub(spark)
     val router = new Router(spark)

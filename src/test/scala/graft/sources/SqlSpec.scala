@@ -257,6 +257,119 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("released delayed row survives a crash between release and consumer commit") {
+    // the last at-most-once corner, now closed: a due delayed row is
+    // re-published as a NEW offset (same txn as the park-row delete),
+    // so the ack-advances-offset protocol covers it. Old behavior:
+    // release side-door-enqueued under the ORIGINAL offset — already
+    // behind the ack mark once later mainline rows were acked — and a
+    // crash before the consumer's commit lost the row permanently.
+    val db = url("sqldrel")
+    val due = java.time.Instant.now().plusMillis(5000)
+
+    // incarnation A: consume the mainline rows, acking PAST the
+    // delayed row's original offset (offsets: r1=1, r2=2, r3=3; ack=3)
+    val sinkA = new MemoryPubSub(spark)
+    val psA = new SqlPubSub(spark, db, group = "gr", pollIntervalMs = 20)
+    try {
+      psA.publish("t_drel", Seq(
+        msg("r1", "one"),
+        msg("r2", "two", Map(graft.router.Ctx.DelayedUntil -> due.toString)),
+        msg("r3", "three")))
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqldrel-a-").toString))
+      r.addHandler("a", "t_drel", psA, "t_drel_out", sinkA,
+        Middlewares.passthrough)
+      r.run(); psA.awaitCaughtUp("t_drel"); r.processAllAvailable(); r.close()
+      assert(sinkA.subscribeBatch("t_drel_out").collect()
+        .map(_.getAs[String]("uuid")).toSet == Set("r1", "r3"))
+    } finally psA.close()
+
+    // incarnation B: poller releases the due row (re-publish + unpark
+    // commit), then "crashes" before any consumer commits it
+    def delayedCount(): Long = {
+      val c = java.sql.DriverManager.getConnection(db)
+      try {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT COUNT(*) FROM \"graft_delayed\" WHERE \"grp\" = 'gr'")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally st.close()
+      } finally c.close()
+    }
+    assert(delayedCount() == 1, "row must be parked while not yet due")
+    val psB = new SqlPubSub(spark, db, group = "gr", pollIntervalMs = 20)
+    try {
+      psB.subscribe("t_drel") // starts the poller; nobody consumes
+      val deadline = System.currentTimeMillis() + 15000
+      while (delayedCount() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(delayedCount() == 0, "due row was never released")
+    } finally psB.close() // crash: released, never committed downstream
+
+    // incarnation C: a fresh same-group instance MUST redeliver the
+    // released row (its re-published offset is past the ack mark) —
+    // exactly once, sanitized of internal keys
+    val sinkC = new MemoryPubSub(spark)
+    val psC = new SqlPubSub(spark, db, group = "gr", pollIntervalMs = 20)
+    try {
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqldrel-c-").toString))
+      r.addHandler("c", "t_drel", psC, "t_drel_out_c", sinkC,
+        Middlewares.passthrough)
+      r.run(); psC.awaitCaughtUp("t_drel"); r.processAllAvailable(); r.close()
+      val got = sinkC.subscribeBatch("t_drel_out_c").collect()
+      assert(got.map(_.getAs[String]("uuid")).toSeq == Seq("r2"),
+        s"released row must redeliver exactly once, got ${got.map(_.getAs[String]("uuid")).toSeq}")
+      val meta = Option(got(0).getAs[Map[String, String]]("metadata")).getOrElse(Map.empty)
+      assert(!meta.keys.exists(_.startsWith("_graft_")),
+        s"internal keys leaked through the release path: $meta")
+      assert(meta.contains(graft.router.Ctx.DelayedUntil),
+        "transported delay metadata must survive the release")
+    } finally psC.close()
+
+    // replay view: each logical message once — the group-private
+    // released copy is hidden, the original delayed row shows
+    val psR = new SqlPubSub(spark, db)
+    try {
+      val replay = psR.subscribeBatch("t_drel").collect().map(_.getAs[String]("uuid"))
+      assert(replay.length == 3 && replay.toSet == Set("r1", "r2", "r3"),
+        s"replay must show each message once, got ${replay.toSeq}")
+    } finally psR.close()
+  }
+
+  test("a malformed ack stamp degrades to no-ack (redelivery), never a wedge") {
+    // a handler copying garbage into metadata[_graft_ack_offset] must
+    // not THROW in the sink's ANSI cast — that would fail the batch
+    // forever. It degrades to no-ack: the rows redeliver to a fresh
+    // instance, the at-least-once direction.
+    val db = url("sqlbadack")
+    val sink = new MemoryPubSub(spark)
+    val ps1 = new SqlPubSub(spark, db, group = "gb")
+    try {
+      ps1.publish("t_bad", Seq(msg("b1", "x"), msg("b2", "y")))
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlbad-").toString))
+      r.addHandler("garble", "t_bad", ps1, "t_bad_out", sink,
+        m => Seq(m.withMeta(graft.router.Ctx.AckOffset, "not-a-number")))
+      r.run(); ps1.awaitCaughtUp("t_bad"); r.processAllAvailable(); r.close()
+      assert(sink.subscribeBatch("t_bad_out").count() == 2,
+        "batch must still commit with a malformed stamp")
+    } finally ps1.close()
+    // no durable ack happened -> a fresh instance redelivers
+    val ps2 = new SqlPubSub(spark, db, group = "gb")
+    try {
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("sqlbad2-").toString))
+      r.addHandler("check", "t_bad", ps2, "t_bad_out2", sink,
+        Middlewares.passthrough)
+      r.run(); ps2.awaitCaughtUp("t_bad"); r.processAllAvailable(); r.close()
+      assert(sink.subscribeBatch("t_bad_out2").count() == 2,
+        "malformed stamps must mean no-ack (redelivery), not a silent ack")
+    } finally ps2.close()
+  }
+
   test("durable offsets advance on consumer ACK, not on enqueue") {
     // the at-enqueue ack was a silent-loss class: a batch enqueued into
     // the in-process broker but never successfully processed (process
