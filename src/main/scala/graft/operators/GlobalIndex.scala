@@ -24,17 +24,20 @@ import org.apache.spark.sql.functions._
   * however big the table), and broadcast-join the offsets back on
   * partition id.
   *
-  * Everything is ONE plan / one action: both consumers of the ranged
-  * data hang off the SAME range-repartition exchange, which Spark's
-  * exchange-reuse rule evaluates once — this is a correctness
+  * The ranked pass is MATERIALIZED once and every consumer (data join,
+  * offsets, count) reads that one materialization — a correctness
   * requirement, not just a saving, because `repartitionByRange` samples
-  * boundaries with an RDD-id-derived seed, so two separate actions
-  * could legally pick different boundaries and the offsets would then
-  * belong to a different partitioning than the local ranks
-  * (GlobalIndexSpec asserts the ReusedExchange is present). The final
-  * index is boundary-invariant either way: it equals the global rank of
-  * the key under ANY ordered partitioning, so run-to-run results are
-  * identical even though sampled boundaries may not be.
+  * boundaries with an RDD-id-derived seed, so two separate
+  * materializations could legally pick different boundaries and the
+  * offsets would then belong to a different partitioning than the
+  * local ranks (GlobalIndexSpec pins the plan shape). The
+  * [[Materialize]] strategy picks the durability/speed trade:
+  * localCheckpoint (default; single-machine), persist(DISK_ONLY_2) or
+  * a reliable checkpoint for cluster runs where executor loss is
+  * routine. The final index is boundary-invariant either way: it
+  * equals the global rank of the key under ANY ordered partitioning,
+  * so run-to-run results are identical even though sampled boundaries
+  * may not be.
   *
   * Requires `keys` to be a TOTAL order (unique combination) — ties
   * would make the numbering nondeterministic; append a unique id column
@@ -42,12 +45,19 @@ import org.apache.spark.sql.functions._
   */
 object GlobalIndex {
 
+  /** @param materialize how the ranked pass is pinned so every branch
+    *   reads ONE partitioning (a boundary-consistency requirement, see
+    *   [[Materialize]]): LocalCheckpoint (default — fastest, but an
+    *   executor loss kills the job; single-machine/bench),
+    *   PersistDisk (replicated, lineage kept; the cluster choice), or
+    *   ReliableCheckpoint (survives anything; needs a checkpoint dir). */
   def withRowIndex(
       df: DataFrame,
       keys: Seq[Column],
       indexCol: String = "idx",
-      numPartitions: Option[Int] = None): DataFrame =
-    indexed(df, keys, indexCol, numPartitions, countCol = None)
+      numPartitions: Option[Int] = None,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame =
+    indexed(df, keys, indexCol, numPartitions, countCol = None, materialize)
 
   /** [[withRowIndex]] plus the GLOBAL row count as a column — rank AND
     * n in one plan, which is exactly what positional statistics need
@@ -62,15 +72,18 @@ object GlobalIndex {
       keys: Seq[Column],
       indexCol: String = "idx",
       countCol: String = "n_total",
-      numPartitions: Option[Int] = None): DataFrame =
-    indexed(df, keys, indexCol, numPartitions, countCol = Some(countCol))
+      numPartitions: Option[Int] = None,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame =
+    indexed(df, keys, indexCol, numPartitions, countCol = Some(countCol),
+      materialize)
 
   private def indexed(
       df: DataFrame,
       keys: Seq[Column],
       indexCol: String,
       numPartitions: Option[Int],
-      countCol: Option[String]): DataFrame = {
+      countCol: Option[String],
+      materialize: Materialize): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -90,23 +103,24 @@ object GlobalIndex {
     val outSchema = StructType(sorted.schema.fields :+
       StructField("_pid", IntegerType, nullable = false) :+
       StructField("_local", LongType, nullable = false))
-    val local = sorted.mapPartitions { it =>
+    val localRaw = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = -1L
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
     }(Encoders.row(outSchema))
-      // MATERIALIZED once (localCheckpoint): exchange reuse across the
-      // data/offsets/count branches is the boundary-consistency
-      // precondition, and it is FRAGILE under composition — with an
-      // upstream aggregation, column pruning pushes different Projects
-      // under each branch's copy of the range exchange, canonical
-      // forms diverge, and the runtime plan re-ran the ENTIRE input
-      // pipeline per branch (measured on q65: 3 parquet scans, 4
-      // range exchanges, 0 reuse) — with each copy legally sampling
-      // DIFFERENT range boundaries. One checkpointed pass is both the
-      // single-data-movement claim made here and the guarantee every
-      // consumer sees the same partitioning.
-      .localCheckpoint()
+    // MATERIALIZED once (strategy-selected, default localCheckpoint):
+    // exchange reuse across the data/offsets/count branches is the
+    // boundary-consistency precondition, and it is FRAGILE under
+    // composition — with an upstream aggregation, column pruning
+    // pushes different Projects under each branch's copy of the range
+    // exchange, canonical forms diverge, and the runtime plan re-ran
+    // the ENTIRE input pipeline per branch (measured on q65: 3 parquet
+    // scans, 4 range exchanges, 0 reuse) — with each copy legally
+    // sampling DIFFERENT range boundaries. One materialized pass is
+    // both the single-data-movement claim made here and the guarantee
+    // every consumer sees the same partitioning. On a cluster, pick
+    // the strategy by failure-domain — see [[Materialize]].
+    val local = materialize(localRaw)
 
     // one row per partition → exclusive prefix sum. Partial
     // aggregation folds each partition to ONE row BEFORE this

@@ -20,12 +20,20 @@ import org.apache.spark.sql.functions._
   * control-plane-sized data), and broadcast-join the offsets back:
   * global prefix = local prefix + partition offset.
   *
-  * Like [[GlobalIndex]], everything is ONE plan so both consumers hang
-  * off the SAME sampled range exchange (exchange reuse is a
-  * correctness precondition — boundaries are RDD-id-seeded;
-  * GlobalPrefixSpec asserts the ReusedExchange). The result is
-  * boundary-invariant: it equals the prefix sum under the total order
-  * whatever boundaries the sampler picked.
+  * Like [[GlobalIndex]], the accumulated pass is MATERIALIZED once and
+  * both consumers read that one materialization (boundary consistency:
+  * boundaries are RDD-id-seeded, so separate materializations could
+  * legally differ; GlobalPrefixSpec pins the plan shape). The
+  * [[Materialize]] strategy picks the durability/speed trade for
+  * cluster runs. The result is boundary-invariant: it equals the
+  * prefix sum under the total order whatever boundaries the sampler
+  * picked.
+  *
+  * NULL semantics match `SUM() OVER (ORDER BY … ROWS UNBOUNDED
+  * PRECEDING)` exactly: a row's prefix is NULL only while NO non-null
+  * value precedes it in the GLOBAL order — a row whose partition has
+  * seen no non-null yet still gets the carry from earlier partitions
+  * (window SUM ignores nulls; it is NULL only over an all-null frame).
   *
   * `keys` must be a TOTAL order; `value` should be integral for
   * cross-engine exactness (sum of longs; ANSI throws on overflow
@@ -38,7 +46,8 @@ object GlobalPrefix {
       keys: Seq[Column],
       value: Column,
       outCol: String = "running",
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -69,11 +78,13 @@ object GlobalPrefix {
     val outSchema = StructType(sorted.schema.fields :+
       StructField("_pid", IntegerType, nullable = false) :+
       StructField("_lp", castTo, nullable = true))
-    val local = sorted.mapPartitions { it =>
+    val localRaw = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       // window-sum parity, nulls included: SUM over a frame of only
-      // nulls is NULL (not 0), so the prefix stays null until the
-      // first non-null value — same as the window form this replaces
+      // nulls is NULL (not 0), so the LOCAL prefix stays null until
+      // the partition's first non-null — the final join adds the
+      // cross-partition carry (or yields it alone when _lp is null
+      // but an earlier partition contributed)
       var seen = false
       if (isLong) {
         var acc = 0L
@@ -89,16 +100,17 @@ object GlobalPrefix {
         }
       }
     }(Encoders.row(outSchema))
-      // MATERIALIZED once (localCheckpoint) — same reasoning as
-      // [[GlobalIndex]]: exchange reuse between the offsets branch and
-      // the output join is the boundary-consistency CORRECTNESS
-      // precondition (each re-materialized range exchange legally
-      // samples different boundaries, silently mispairing offsets
-      // with partitions), and reuse measurably breaks under
-      // composition when pruning diverges the branch plans. One
-      // checkpointed pass closes the hazard and pins the
-      // one-data-movement cost claim.
-      .localCheckpoint()
+    // MATERIALIZED once (strategy-selected, default localCheckpoint) —
+    // same reasoning as [[GlobalIndex]]: exchange reuse between the
+    // offsets branch and the output join is the boundary-consistency
+    // CORRECTNESS precondition (each re-materialized range exchange
+    // legally samples different boundaries, silently mispairing
+    // offsets with partitions), and reuse measurably breaks under
+    // composition when pruning diverges the branch plans. One
+    // materialized pass closes the hazard and pins the
+    // one-data-movement cost claim; [[Materialize]] documents the
+    // executor-loss trade per strategy.
+    val local = materialize(localRaw)
 
     // one total row per partition (partial agg folds BEFORE the
     // exchange — control-plane movement only). Totals read the
@@ -108,15 +120,30 @@ object GlobalPrefix {
     // exchange reuse — the boundary-consistency precondition —
     // silently breaks (GlobalIndex note; caught by the spec's reuse
     // assertion when this operator's payload columns became prunable)
+    // _offset stays NULLABLE on purpose: NULL means "no partition
+    // before this one contributed a non-null value" (sum skips nulls,
+    // so an all-null partition's _t is null and doesn't break the
+    // carry). That distinction drives the window-exact null rule below.
     val offsets = local.groupBy(col("_pid"))
       .agg(sum(col("_v")).as("_t"))
       .withColumn("_offset",
-        coalesce(sum(col("_t")).over(Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        sum(col("_t")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("_t")
 
     local.join(broadcast(offsets), Seq("_pid"), "left")
-      .withColumn(outCol, coalesce(col("_offset"), lit(0L)) + col("_lp"))
+      // window-SUM-exact null semantics, boundary-invariant: a row
+      // with a local prefix adds the carry (0 when it sits in the
+      // globally-first contributing partition); a row BEFORE its
+      // partition's first non-null gets the carried prefix alone —
+      // NULL only when no non-null precedes it in the GLOBAL order.
+      // (The old coalesce emitted NULL for such rows even when earlier
+      // partitions had contributed, so the answer depended on which
+      // partition a row landed in — violating boundary invariance.)
+      .withColumn(outCol,
+        when(col("_lp").isNotNull,
+          coalesce(col("_offset"), lit(0L).cast(castTo)) + col("_lp"))
+          .otherwise(col("_offset")))
       .drop("_pid", "_lp", "_offset", "_v")
   }
 }

@@ -2566,13 +2566,14 @@ object LlmQueries {
              |  SELECT slice, q, max(CASE WHEN rn = CAST(ceil(q * n) AS BIGINT)
              |    THEN CAST(v AS DOUBLE) END) AS batch_v
              |  FROM c CROSS JOIN qs GROUP BY slice, q)
-             |SELECT hq.slice, hq.q, hq.hist_v, cq.batch_v,
-             |  CASE WHEN greatest(abs(hq.hist_v), abs(cq.batch_v)) = 0
+             |SELECT cq.slice, cq.q, hq.hist_v, cq.batch_v,
+             |  CASE WHEN hq.hist_v IS NULL THEN 1.0
+             |    WHEN greatest(abs(hq.hist_v), abs(cq.batch_v)) = 0
              |    THEN 0.0
              |    ELSE abs(hq.hist_v - cq.batch_v) /
              |      greatest(abs(hq.hist_v), abs(cq.batch_v)) END AS rel_gap
-             |FROM hq JOIN cq ON hq.slice = cq.slice AND hq.q = cq.q
-             |ORDER BY hq.slice, hq.q""".stripMargin)),
+             |FROM cq LEFT JOIN hq ON hq.slice = cq.slice AND hq.q = cq.q
+             |ORDER BY cq.slice, cq.q""".stripMargin)),
 
     // ---- Pearson χ² homogeneity drift per source, CELL-DECOMPOSED:
     // the categorical complement of q153's KS (which sees only
@@ -3104,7 +3105,119 @@ object LlmQueries {
              |    CAST(fa.n_tok * fb.n_tok AS DOUBLE) AS lift
              |FROM p JOIN f fa ON fa.tok = p.a
              |JOIN f fb ON fb.tok = p.b CROSS JOIN t0
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- the drift screen's VOCABULARY dimension, oracle-gated (the
+    // q157 discipline extended to the second drift axis):
+    // StreamingProfile.vocabNovelty — the EXACT code drift() serves
+    // from stored HLL states — run over a history/batch split in the
+    // sparse-exact regime, where inclusion–exclusion over merged
+    // states IS exact distinct-set arithmetic, vs DuckDB's exact
+    // distinct counts. One divide of exact integers per slice → the
+    // double hash-matches. Scale shape: each side folds to |slices|
+    // kilobyte states in one corpus pass; the novelty join is
+    // |slices|-rows control-plane ----
+    QuerySpec("q174_vocab_novelty",
+      (s, dir) => {
+        // ONE corpus pass: fold per (slice, side) — HLL states are
+        // merge-closed, so vocabNovelty's union merge over the split
+        // states equals the direct union sketch. The |slices|×2 state
+        // rows are checkpointed (control-plane) because vocabNovelty
+        // references each side twice (its own estimate + the union) —
+        // exactly how drift() serves it (stored state + pinned batch).
+        val states = t(s, dir, "documents")
+          .select(col("source").as("slice"),
+            (pmod(col("doc_id"), lit(3)) === 0).as("_isb"),
+            explode(TextFunctions.tokens(col("text"))).as("_t"))
+          .groupBy(col("slice"), col("_isb"))
+          .agg(graft.functions.DistinctSketch
+            .sketchState(xxhash64(col("_t"))).as("vocab_st"))
+          .localCheckpoint()
+        graft.streaming.StreamingProfile.vocabNovelty(
+            states.filter(!col("_isb")).select("slice", "vocab_st"),
+            states.filter(col("_isb")).select("slice", "vocab_st"),
+            p = 12, sparseMax = 8192)
+          .orderBy(col("slice"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source AS slice, doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents),
+             |h AS (SELECT slice, CAST(count(DISTINCT tok) AS BIGINT) AS hv
+             |      FROM t WHERE doc_id % 3 <> 0 GROUP BY slice),
+             |b AS (SELECT slice, CAST(count(DISTINCT tok) AS BIGINT) AS bv
+             |      FROM t WHERE doc_id % 3 = 0 GROUP BY slice),
+             |u AS (SELECT slice, CAST(count(DISTINCT tok) AS BIGINT) AS uv
+             |      FROM t GROUP BY slice)
+             |SELECT b.slice, coalesce(h.hv, 0) AS hist_vocab,
+             |  b.bv AS batch_vocab, u.uv AS union_vocab,
+             |  CASE WHEN b.bv = 0 THEN 0.0
+             |    ELSE least(1.0, greatest(0.0,
+             |      CAST(u.uv - coalesce(h.hv, 0) AS DOUBLE) /
+             |        CAST(b.bv AS DOUBLE)))
+             |  END AS vocab_novelty
+             |FROM b LEFT JOIN h ON h.slice = b.slice
+             |JOIN u ON u.slice = b.slice
+             |ORDER BY b.slice""".stripMargin)),
+
+    // ---- the drift screen's LANGUAGE-MIX dimension, oracle-gated:
+    // StreamingProfile.langChisqCells — the EXACT code drift() serves
+    // from stored lang_m state maps — run over a history/batch split
+    // built from the lang column (the oracle-expressible labeler; the
+    // streaming path labels with langIdFromTokens, whose own gate is
+    // q138/StreamingProfileSpec). Cells carry exact-integer counts +
+    // marginals and ONE deterministic multiply/divide per cell (the
+    // q158 discipline) so the gate hash-matches without cross-row
+    // float accumulation. Scale shape: one corpus pass folds to
+    // |slices|×|langs| map entries per side; everything after is
+    // control-plane ----
+    QuerySpec("q175_lang_chisq",
+      (s, dir) => {
+        // ONE corpus fold to |slices|×2×|langs| cells, checkpointed
+        // (control-plane); both sides' lang_m maps derive from it —
+        // the state shape drift() serves from
+        val cells = t(s, dir, "documents")
+          .select(col("source").as("slice"),
+            (pmod(col("doc_id"), lit(3)) === 0).as("_isb"),
+            coalesce(col("lang"), lit("(null)")).as("_lg"))
+          .groupBy(col("slice"), col("_isb"), col("_lg"))
+          .agg(count(lit(1)).as("_n"))
+          .localCheckpoint()
+        def langm(isBatch: Boolean) = cells
+          .filter(if (isBatch) col("_isb") else !col("_isb"))
+          .groupBy(col("slice"))
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("_lg"), col("_n"))))).as("lang_m"))
+        graft.streaming.StreamingProfile.langChisqCells(
+            langm(isBatch = false), langm(isBatch = true))
+          .orderBy(col("slice"), col("lg"))
+      },
+      Some("""WITH d AS (SELECT source AS slice, doc_id,
+             |    coalesce(lang, '(null)') AS lg FROM documents),
+             |hc AS (SELECT slice, lg, CAST(count(*) AS BIGINT) AS hn
+             |       FROM d WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+             |bc AS (SELECT slice, lg, CAST(count(*) AS BIGINT) AS bn
+             |       FROM d WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+             |cells AS (SELECT coalesce(hc.slice, bc.slice) AS slice,
+             |            coalesce(hc.lg, bc.lg) AS lg,
+             |            coalesce(hn, 0) AS hn, coalesce(bn, 0) AS bn
+             |          FROM hc FULL JOIN bc
+             |            ON hc.slice = bc.slice AND hc.lg = bc.lg),
+             |m AS (SELECT slice, lg, hn, bn,
+             |        CAST(sum(hn) OVER (PARTITION BY slice) AS BIGINT) AS n_h,
+             |        CAST(sum(bn) OVER (PARTITION BY slice) AS BIGINT) AS n_b
+             |      FROM cells)
+             |SELECT slice, lg, hn, bn, n_h, n_b,
+             |  CASE WHEN CAST(n_b AS DOUBLE) * CAST(n_h AS DOUBLE)
+             |         * CAST(bn + hn AS DOUBLE) = 0 THEN 0.0
+             |    ELSE (CAST(bn AS DOUBLE) * CAST(n_h AS DOUBLE)
+             |           - CAST(hn AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |       * (CAST(bn AS DOUBLE) * CAST(n_h AS DOUBLE)
+             |           - CAST(hn AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |       / (CAST(n_b AS DOUBLE) * CAST(n_h AS DOUBLE)
+             |           * CAST(bn + hn AS DOUBLE))
+             |  END AS term
+             |FROM m ORDER BY slice, lg""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -228,56 +228,18 @@ final class StreamingProfile(
       val ladder = StreamingProfile.ladderGap(
         st.select(col("slice"), col("len_st")),
         bs.select(col("slice"), col("len_st")), lenK, qs)
-      val histVoc = st.groupBy(col("slice"))
-        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
-          vocabSparseMax).as("_hv"))
-      val batchVoc = bs.groupBy(col("slice"))
-        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
-          vocabSparseMax).as("_bv"))
-      val unionVoc = st.select(col("slice"), col("vocab_st"))
-        .unionByName(bs.select(col("slice"), col("vocab_st")))
-        .groupBy(col("slice"))
-        .agg(DistinctSketch.mergeEstimate(col("vocab_st"), vocabP,
-          vocabSparseMax).as("_uv"))
-      // LEFT from the batch side, history coalesced to 0 — a slice
-      // with no history then scores novelty (|union|−0)/|batch| = 1,
-      // the full alert a brand-new source deserves (ladderGap's rule)
-      val novelty = batchVoc
-        .join(histVoc, Seq("slice"), "left")
-        .join(unionVoc, Seq("slice"))
-        .withColumn("_hv", coalesce(col("_hv"), lit(0L)))
-        .select(col("slice"),
-          when(col("_bv") === 0, lit(0.0))
-            // clamp: estimator noise can put |union| a hair outside
-            // [|hist|, |hist|+|batch|]; novelty is a ratio in [0,1]
-            .otherwise(least(lit(1.0), greatest(lit(0.0),
-              (col("_uv") - col("_hv")).cast("double") / col("_bv"))))
-            .as("vocab_novelty"))
-      // language-mix χ²: per (slice, lang) cell of history vs batch,
-      // diff²/(n_b·n_h·C) summed per slice (doubles throughout — a
-      // long-running history's counts × batch counts can pass 2^63;
-      // the screen is threshold-read, not oracle-hashed). The window
-      // runs over |slices| × |langs| rows — control-plane.
-      def catRows(df: DataFrame, n: String) = df
-        .select(col("slice"), explode_outer(col("lang_m")))
-        .filter(col("key").isNotNull)
-        .groupBy(col("slice"), col("key"))
-        .agg(sum(col("value")).as(n))
-        .withColumnRenamed("key", "lg")
-      val cells = catRows(st, "hn")
-        .join(catRows(bs, "bn"), Seq("slice", "lg"), "full")
-        .na.fill(0L, Seq("hn", "bn"))
-      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))
-      val chisq = cells
-        .withColumn("n_h", sum(col("hn")).over(wS).cast("double"))
-        .withColumn("n_b", sum(col("bn")).over(wS).cast("double"))
-        .withColumn("_d", col("bn").cast("double") * col("n_h")
-          - col("hn").cast("double") * col("n_b"))
-        .withColumn("_den", col("n_b") * col("n_h")
-          * (col("bn") + col("hn")).cast("double"))
-        .withColumn("_t", when(col("_den") === 0, lit(0.0))
-          .otherwise(col("_d") * col("_d") / col("_den")))
-        .groupBy(col("slice")).agg(sum(col("_t")).as("lang_chisq"))
+      val novelty = StreamingProfile.vocabNovelty(
+          st.select(col("slice"), col("vocab_st")),
+          bs.select(col("slice"), col("vocab_st")), vocabP, vocabSparseMax)
+        .select(col("slice"), col("vocab_novelty"))
+      // language-mix χ² summed per slice from the cell decomposition
+      // ([[StreamingProfile.langChisqCells]] — the oracle-gated math;
+      // doubles throughout: a long-running history's counts × batch
+      // counts can pass 2^63, and the screen is threshold-read)
+      val chisq = StreamingProfile.langChisqCells(
+          st.select(col("slice"), col("lang_m")),
+          bs.select(col("slice"), col("lang_m")))
+        .groupBy(col("slice")).agg(sum(col("term")).as("lang_chisq"))
       ladder.join(novelty, Seq("slice"))
         .join(chisq, Seq("slice"), "left")
         .withColumn("lang_chisq", coalesce(col("lang_chisq"), lit(0.0)))
@@ -325,5 +287,78 @@ object StreamingProfile {
             .otherwise(abs(col("col.h") - col("col.b")) /
               greatest(abs(col("col.h")), abs(col("col.b")))))
           .as("rel_gap"))
+  }
+
+  /** The drift screen's VOCABULARY dimension, factored (like
+    * [[ladderGap]]) so the q174 oracle gate runs the SAME code
+    * [[StreamingProfile.drift]] serves: given two per-slice relations
+    * of (slice, vocab_st) HLL states, emit (slice, hist_vocab,
+    * batch_vocab, union_vocab, vocab_novelty) with novelty =
+    * (|hist ∪ batch| − |hist|) / |batch| by inclusion–exclusion over
+    * the merged states — exact-set arithmetic in the sparse regime,
+    * where the oracle gate hash-matches exact SQL distinct counts.
+    *
+    * LEFT from the batch side, history coalesced to 0 — a slice with
+    * no history scores (|union|−0)/|batch| = 1, the full alert a
+    * brand-new source deserves (ladderGap's rule). */
+  def vocabNovelty(hist: DataFrame, cur: DataFrame, p: Int,
+      sparseMax: Int): DataFrame = {
+    val histVoc = hist.groupBy(col("slice"))
+      .agg(DistinctSketch.mergeEstimate(col("vocab_st"), p, sparseMax)
+        .as("hist_vocab"))
+    val batchVoc = cur.groupBy(col("slice"))
+      .agg(DistinctSketch.mergeEstimate(col("vocab_st"), p, sparseMax)
+        .as("batch_vocab"))
+    val unionVoc = hist.select(col("slice"), col("vocab_st"))
+      .unionByName(cur.select(col("slice"), col("vocab_st")))
+      .groupBy(col("slice"))
+      .agg(DistinctSketch.mergeEstimate(col("vocab_st"), p, sparseMax)
+        .as("union_vocab"))
+    batchVoc
+      .join(histVoc, Seq("slice"), "left")
+      .join(unionVoc, Seq("slice"))
+      .withColumn("hist_vocab", coalesce(col("hist_vocab"), lit(0L)))
+      .select(col("slice"), col("hist_vocab"), col("batch_vocab"),
+        col("union_vocab"),
+        when(col("batch_vocab") === 0, lit(0.0))
+          // clamp: estimator noise can put |union| a hair outside
+          // [|hist|, |hist|+|batch|]; novelty is a ratio in [0,1]
+          .otherwise(least(lit(1.0), greatest(lit(0.0),
+            (col("union_vocab") - col("hist_vocab")).cast("double") /
+              col("batch_vocab"))))
+          .as("vocab_novelty"))
+  }
+
+  /** The drift screen's LANGUAGE-MIX dimension, cell-decomposed (the
+    * q158 discipline: exact-integer cells, one IEEE-deterministic
+    * multiply+divide per cell, no cross-row float accumulation) and
+    * factored so the q175 oracle gate runs the SAME code
+    * [[StreamingProfile.drift]] serves from stored lang_m state maps:
+    * per (slice, lg) cell of history-vs-batch, the two-sample χ²
+    * homogeneity term diff²/(n_b·n_h·C) with diff = bn·n_h − hn·n_b.
+    * Emits (slice, lg, hn, bn, n_h, n_b, term); [[drift]] sums `term`
+    * per slice into `lang_chisq`. The window runs over
+    * |slices| × |langs| rows — control-plane. */
+  def langChisqCells(hist: DataFrame, cur: DataFrame): DataFrame = {
+    def catRows(df: DataFrame, n: String) = df
+      .select(col("slice"), explode_outer(col("lang_m")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("slice"), col("key"))
+      .agg(sum(col("value")).as(n))
+      .withColumnRenamed("key", "lg")
+    val cells = catRows(hist, "hn")
+      .join(catRows(cur, "bn"), Seq("slice", "lg"), "full")
+      .na.fill(0L, Seq("hn", "bn"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))
+    cells
+      .withColumn("n_h", sum(col("hn")).over(wS))
+      .withColumn("n_b", sum(col("bn")).over(wS))
+      .withColumn("_d", col("bn").cast("double") * col("n_h").cast("double")
+        - col("hn").cast("double") * col("n_b").cast("double"))
+      .withColumn("_den", col("n_b").cast("double") * col("n_h").cast("double")
+        * (col("bn") + col("hn")).cast("double"))
+      .withColumn("term", when(col("_den") === 0, lit(0.0))
+        .otherwise(col("_d") * col("_d") / col("_den")))
+      .drop("_d", "_den")
   }
 }

@@ -123,4 +123,33 @@ class GlobalIndexSpec extends SparkSpec {
     val out = GlobalIndex.withRowIndexAndCount(df, Seq(col("k")))
     assert(out.columns.contains("n_total") && out.count() == 0)
   }
+
+  test("Materialize.PersistDisk: dense permutation, one cached pass, no re-sampled exchange") {
+    // the cluster-scale strategy (lineage kept, disk-replicated) must
+    // hold the same boundary-consistency contract as the checkpoint
+    // default: a mispairing of offsets against a re-sampled
+    // partitioning would break the dense 0..n-1 permutation
+    val df = spark.range(0, 555).select(
+      ((col("id") * 104729) % 555).as("k")).repartition(5)
+    val out = GlobalIndex.withRowIndexAndCount(df, Seq(col("k")),
+      numPartitions = Some(7), materialize = Materialize.PersistDisk)
+    val rows = out.select("k", "idx", "n_total").as[(Long, Long, Long)].collect()
+    assert(rows.length == 555)
+    assert(rows.map(_._2).sorted.toSeq == (0L until 555L),
+      "indices must be a dense permutation — a gap/dup means mispaired offsets")
+    rows.foreach { case (k, idx, n) => assert(idx == k && n == 555L) }
+    // the cached relation's printed body holds the one legitimate
+    // range exchange; any exchange beyond those bodies means a branch
+    // re-materialized (and legally re-sampled) boundaries
+    val fin = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def occurrences(s: String, sub: String) =
+      s.sliding(sub.length).count(_ == sub)
+    assert(fin.contains("InMemoryTableScan"),
+      s"persist mode must read the cached pass:\n$fin")
+    assert(occurrences(fin, "Exchange rangepartitioning") <=
+      occurrences(fin, "InMemoryRelation"),
+      s"a branch re-materialized the range exchange outside the cache:\n$fin")
+    out.unpersist()
+  }
 }

@@ -84,4 +84,80 @@ class GlobalPrefixSpec extends SparkSpec {
       Seq(col("k")), lit(1L))
     assert(out.columns.contains("running") && out.count() == 0)
   }
+
+  test("null values: window-exact semantics, invariant to partition boundaries") {
+    // SUM() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING) ignores nulls:
+    // a row is NULL only while NO non-null precedes it in the GLOBAL
+    // order. The old implementation emitted NULL for any row before
+    // its PARTITION's first non-null even when earlier partitions had
+    // contributed — so the same row could be NULL or the carried
+    // prefix depending on which partition it landed in.
+    val df = spark.range(0, 400).select(
+        col("id").as("k"),
+        // leading global run of nulls (k<37) + nulls scattered through
+        // every later range-partition (k%5==0) — partitions beginning
+        // with a null row are guaranteed at 8 partitions over 400 keys
+        when(col("id") < 37 || col("id") % 5 === 0, lit(null))
+          .otherwise(col("id") % 97).cast("long").as("v"))
+      .repartition(7)
+    val got = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+        numPartitions = Some(8))
+      .select("k", "running").as[(Long, Option[Long])].collect().toMap
+    // single-sequence truth with window null semantics
+    val vals = df.select("k", "v").as[(Long, Option[Long])].collect().sortBy(_._1)
+    var acc = Option.empty[Long]
+    vals.foreach { case (k, v) =>
+      acc = (acc, v) match {
+        case (None, None) => None
+        case (a, b) => Some(a.getOrElse(0L) + b.getOrElse(0L))
+      }
+      assert(got(k) == acc, s"k=$k: got ${got(k)}, want $acc")
+    }
+    // the leading all-null prefix is NULL; everything after k=37 is not
+    assert(got(0L).isEmpty && got(36L).isEmpty && got(40L).nonEmpty)
+  }
+
+  test("Materialize.PersistDisk: same results, branches share one cached pass") {
+    val df = spark.range(0, 300).select(
+      ((col("id") * 7919) % 300).as("k"), (col("id") % 13).as("v"))
+    val byDefault = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+      numPartitions = Some(6)).select("k", "running")
+      .as[(Long, Long)].collect().toSet
+    val out = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+      numPartitions = Some(6), materialize = Materialize.PersistDisk)
+    val byPersist = out.select("k", "running").as[(Long, Long)].collect().toSet
+    assert(byPersist == byDefault)
+    // boundary consistency in persist mode: both branches read the ONE
+    // InMemoryRelation (cache manager canonicalizes them). The cached
+    // relation's PRINTED body contains the single legitimate range
+    // exchange, so the invariant is: no range exchange beyond those
+    // inside printed InMemoryRelation bodies (an extra one would mean
+    // a branch re-materialized — and legally re-sampled — boundaries).
+    val fin = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def occurrences(s: String, sub: String) =
+      s.sliding(sub.length).count(_ == sub)
+    assert(fin.contains("InMemoryTableScan"),
+      s"persist mode must read the cached pass:\n$fin")
+    assert(occurrences(fin, "Exchange rangepartitioning") <=
+      occurrences(fin, "InMemoryRelation"),
+      s"a branch re-materialized the range exchange outside the cache:\n$fin")
+    out.unpersist()
+  }
+
+  test("Materialize.ReliableCheckpoint needs a checkpoint dir, then works") {
+    val df = spark.range(0, 50).select(col("id").as("k"), lit(1L).as("v"))
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+          materialize = Materialize.ReliableCheckpoint)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-relckpt-")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val got = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
+        numPartitions = Some(4), materialize = Materialize.ReliableCheckpoint)
+      .select("k", "running").as[(Long, Long)].collect().toSet
+    assert(got == (0L until 50L).map(k => k -> (k + 1)).toSet)
+  }
 }
