@@ -24,6 +24,33 @@ object Bench {
     // plan's cost, not the co-tenant's.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
+    // Machine-speed calibration: SUSTAINED co-tenant load inflates BOTH
+    // passes, beating min-of-N (r12's artifact read +22% vs r11 purely
+    // from load — mpr 1.23 vs 1.12 — and the delta was only
+    // attributable via local receipts). A FIXED synthetic workload
+    // (CPU + one shuffle, no disk reads) timed median-of-3 before the
+    // first and after the last pass gives every artifact its own
+    // machine-speed index: round-over-round consumers compare
+    // total/calib ratios, which cancels the co-tenant term without any
+    // external receipt. Outside all timed windows.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val ts = (0 until 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .select(pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
+            (col("id") % 8191).as("v"))
+          .groupBy(col("k"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
+            avg(col("v")).as("a"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val calibPre = try calibrate() catch { case _: Throwable => -1.0 }
+
     // Per-query shuffle-write volume (pass 1 only): the scale-limiting
     // resource a wall-clock number can't show — a query that's fast at
     // sf0.1 but shuffles its whole input is the one that dies at 100 TB.
@@ -217,7 +244,12 @@ object Bench {
             if (d == benchSf) sf -> results.find(_._1 == name).get._2
             else {
               val dir = parent.resolve(d).toString
-              val ts = (0 until 2).map { _ =>
+              // min-of-3 per rung: the r12 ladder still showed one
+              // rung-1 anomaly (q81: 3.45 s at sf0.001 vs 0.53 s at
+              // 10× the data) the single warm pass + min-of-2 didn't
+              // absorb — a third sample makes a double co-tenant hit
+              // on the same rung vanishingly unlikely
+              val ts = (0 until Bench.ladderRungRuns).map { _ =>
                 spark.catalog.clearCache()
                 spark.sparkContext.getPersistentRDDs.values
                   .foreach(_.unpersist(blocking = false))
@@ -253,6 +285,8 @@ object Bench {
     // recorded numbers later falsified as co-tenant load noise
     val loadAvg = osBean.getSystemLoadAverage
     val nCpu = osBean.getAvailableProcessors
+    val calibPost = try calibrate() catch { case _: Throwable => -1.0 }
+    val calibJson = f"""[$calibPre%.3f,$calibPost%.3f]"""
     val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val passQueriesJson = passes.map(p =>
       p.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"))
@@ -272,7 +306,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -287,7 +321,7 @@ object Bench {
 
     println(Bench.compactLine(results, failed, total, extraPass,
       medianPairRatio, contaminated, streamingCompact,
-      scaleExpCompact, loadAvg, sfDir))
+      scaleExpCompact, loadAvg, sfDir, calibJson))
     Console.out.flush()
     spark.stop()
   }
@@ -314,6 +348,11 @@ object Bench {
     * evidence channel is auditable — BenchArtifactSpec pins it). */
   private[graft] val ladderWarmRuns = 1
 
+  /** Timed samples per non-bench ladder rung, min taken (r12's q81
+    * rung-1 anomaly showed min-of-2 + one warm run still lets a
+    * co-tenant double-hit through; BenchArtifactSpec pins >= 3). */
+  private[graft] val ladderRungRuns = 3
+
   /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
     * shape (warm-run evidence + per-query times/exponent) without
     * running the benchmark. */
@@ -325,14 +364,14 @@ object Bench {
           ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
           f""","exponent":$e%.2f}"""
       }.mkString("{", ",", "}")
-      s"""{"warm_runs":$ladderWarmRuns,"queries":$qs}"""
+      s"""{"warm_runs":$ladderWarmRuns,"rung_runs":$ladderRungRuns,"queries":$qs}"""
     }.getOrElse("""{"error":true}""")
 
   private[graft] def compactLine(
       results: Seq[(String, Double)], failed: String, total: Double,
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
       streaming: String, scaleExp: String, loadAvg: Double,
-      sfDir: String): String = {
+      sfDir: String, calibJson: String = "[-1.000,-1.000]"): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -355,7 +394,10 @@ object Bench {
       val streamingPart =
         if (withStreaming) s""""streaming":$streaming,""" else ""
       val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
+      // calib is NON-droppable like mpr/contaminated: it is the
+      // machine-speed index that makes round-over-round totals
+      // comparable under different co-tenant load (divide by it)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibJson,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.

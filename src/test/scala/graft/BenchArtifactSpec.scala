@@ -55,6 +55,11 @@ class BenchArtifactSpec extends AnyFunSuite {
     // the evidence the verdict audits must be ON the line
     assert(line.contains("\"contaminated\":false"))
     assert(line.contains("\"mpr\":1.23"))
+    // the machine-speed index is non-droppable: without it on the
+    // compact line, round-over-round totals are only comparable via
+    // local receipts (the r12 +22% load confound)
+    assert(line.contains("\"calib\":["),
+      s"calib index missing from the compact line: ${line.take(200)}")
     // at 147 queries the 2-decimal form exceeds the window and the
     // ladder steps down — the per-query value must survive at >= 1
     // decimal in this regime (whole-second rounding is reserved for
@@ -118,9 +123,15 @@ class BenchArtifactSpec extends AnyFunSuite {
     // visible regression)
     assert(Bench.ladderWarmRuns >= 1,
       "every ladder query must get at least one unmeasured warm run")
+    // min-of-2 + one warm run still let r12's q81 rung-1 anomaly
+    // through (3.45 s at sf0.001 vs 0.53 s at 10x the data): each
+    // non-bench rung takes the min of >= 3 samples
+    assert(Bench.ladderRungRuns >= 3,
+      "each ladder rung must be the min of at least 3 timed samples")
     val j = Bench.scaleLadderJson(Some(Seq(
       ("q58_semantic_dedup_kmeans", Seq(1.0, 2.0, 3.0), 0.5))))
     assert(j.contains("\"warm_runs\":" + Bench.ladderWarmRuns), j)
+    assert(j.contains("\"rung_runs\":" + Bench.ladderRungRuns), j)
     assert(j.contains(
       "\"q58_semantic_dedup_kmeans\":{\"times\":[1.000,2.000,3.000],\"exponent\":0.50}"), j)
     assert(Bench.scaleLadderJson(None) == """{"error":true}""")
