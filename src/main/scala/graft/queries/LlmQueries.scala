@@ -3217,7 +3217,92 @@ object LlmQueries {
              |       / (CAST(n_b AS DOUBLE) * CAST(n_h AS DOUBLE)
              |           * CAST(bn + hn AS DOUBLE))
              |  END AS term
-             |FROM m ORDER BY slice, lg""".stripMargin))
+             |FROM m ORDER BY slice, lg""".stripMargin)),
+
+    // ---- pretraining sequence packing (concat-and-chunk): docs
+    // concatenate in a deterministic total order and chunk into
+    // fixed-size context windows — per doc, which window it starts
+    // and ends in and how many it spans (the boundary-crossing count
+    // drives the truncate-vs-pad policy decision). The cumulative
+    // token position is [[GlobalPrefix.runningSum]] — the distributed
+    // prefix scan, NOT a single-partition window — and every derived
+    // column is integer division on exact longs (zero divides →
+    // hash-exact). Scale shape: one range exchange inside the
+    // operator's materialized pass + control-plane offsets; the chunk
+    // arithmetic is per-row expressions ----
+    QuerySpec("q176_sequence_packing",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+        graft.operators.GlobalPrefix.runningSum(
+            docs, Seq(col("doc_id")), col("n_tok"), outCol = "cum_tok")
+          .select(col("doc_id"), col("n_tok"), col("cum_tok"),
+            expr("(cum_tok - n_tok) div 512").as("start_seq"),
+            expr("(cum_tok - 1) div 512").as("end_seq"),
+            expr("(cum_tok - 1) div 512 - (cum_tok - n_tok) div 512 + 1")
+              .as("spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             |      AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tok
+             |  FROM d WHERE n_tok > 0)
+             |SELECT doc_id, n_tok, cum_tok,
+             |  CAST((cum_tok - n_tok) // 512 AS BIGINT) AS start_seq,
+             |  CAST((cum_tok - 1) // 512 AS BIGINT) AS end_seq,
+             |  CAST((cum_tok - 1) // 512 - (cum_tok - n_tok) // 512 + 1
+             |    AS BIGINT) AS spans
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-mislabel screen: exact-duplicate TEXT carrying
+    // DIFFERENT language labels is a labeling defect (scraper locale
+    // leakage, pipeline mix-up) that silently skews every per-lang
+    // stat downstream. Planted in-plan (every 11th doc re-appears
+    // under a forced 'xx' label, the q126 discipline) so the gate
+    // always has known positives; grouping key is md5(text) — text
+    // never moves past its hash. Scale shape: ONE corpus shuffle on
+    // the hash, map-side combined; langs join as a sorted
+    // comma-string (no array-typed oracle surface) ----
+    QuerySpec("q177_lang_mislabel",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("lang"), lit("(null)")).as("lang"))
+        val corpus = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+              lit("xx").as("lang")))
+        corpus
+          .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("lang")).as("n_langs"),
+            array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_langs") > 1)
+          .orderBy(col("text_md5"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, coalesce(lang, '(null)') AS lang
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text, 'xx'
+             |  FROM documents WHERE doc_id % 11 = 0)
+             |SELECT md5(text) AS text_md5,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+             |    AS langs,
+             |  CAST(min(doc_id) AS BIGINT) AS min_doc
+             |FROM corpus GROUP BY md5(text)
+             |HAVING count(DISTINCT lang) > 1
+             |ORDER BY text_md5""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -205,7 +205,21 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
 
   private def buildPlan(h: HandlerDef): Dataset[Message] = {
     import spark.implicits._
-    val src = h.subscriber.subscribe(h.subscribeTopic, h.options.maxPerTrigger).as[Message]
+    // ingress sanitization — AT the subscribe boundary, BEFORE stages:
+    // `_graft_` keys are ENGINE state, but the transports are open
+    // surfaces (SQL tables, HTTP endpoints, Kafka topics accept foreign
+    // writers) — an inbound `_graft_topic` would otherwise ride the
+    // pass-through ack carrier into the sink and forward the message to
+    // an attacker-chosen topic. Everything INSIDE the plan (stages,
+    // middleware, handlers) is trusted engine-side code whose stamps
+    // must survive — only what crosses the transport boundary is
+    // suspect. The transport-stamped ack offset is the one internal key
+    // a transport legitimately delivers. Pure column expression: stays
+    // in codegen, no object hop before the stages.
+    val src = h.subscriber.subscribe(h.subscribeTopic, h.options.maxPerTrigger)
+      .withColumn("metadata", map_filter(col("metadata"), (k, _) =>
+        !k.startsWith(Ctx.InternalPrefix) || k === Ctx.AckOffset))
+      .as[Message]
     val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.
     // Locals only in the closure — the Router itself must not serialize.
@@ -213,21 +227,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     val subTopic = h.subscribeTopic
     val pubTopic = h.publishTopic.getOrElse("")
     val composed = Middlewares.chain(routerMiddlewares.toSeq ++ h.middlewares)(h.handler)
-    staged.flatMap { m0 =>
-      // ingress sanitization: `_graft_` keys are ENGINE state, but the
-      // transports are open surfaces (SQL tables, HTTP endpoints, Kafka
-      // topics accept foreign writers) — an inbound `_graft_topic`
-      // would otherwise ride the pass-through ack carrier into the sink
-      // and forward the message to an attacker-chosen topic. Drop every
-      // internal key except the transport-stamped ack offset (the one
-      // internal key a transport legitimately delivers) before the
-      // handler runs; middleware re-stamp what they need downstream.
-      val m =
-        if (m0.metadata.exists { case (k, _) =>
-            k.startsWith(Ctx.InternalPrefix) && k != Ctx.AckOffset })
-          m0.copy(metadata = m0.metadata.filter { case (k, _) =>
-            !k.startsWith(Ctx.InternalPrefix) || k == Ctx.AckOffset })
-        else m0
+    staged.flatMap { m =>
       val outs = composed(m
         .withMeta(Ctx.HandlerName, hName)
         .withMeta(Ctx.SubscribeTopic, subTopic)

@@ -421,6 +421,68 @@ class TransportAcceptanceSpec extends SparkSpec {
         } finally h.close(ps)
       }
 
+    if (!h.features.ordered)
+      test(s"[${h.name}] per-key order is recoverable via the partitioned plan (the ordered=false contract's positive twin)") {
+        // the gate that turns GuaranteedOrder off for this transport
+        // (measured cross-file scramble) defers to a DIFFERENT
+        // contract: each key's sequence is recoverable by the q13
+        // shape — a keyed window over event time — whatever
+        // file/partition order the raw parallel scan delivered. This
+        // row PROVES that contract instead of merely asserting the
+        // scramble.
+        val ps = h.make(s"${h.name}_keyorder")
+        try {
+          ps.subscribeInitialize("acc_kord_in")
+          val keys = 3; val perKey = 10
+          val ms = (0 until keys * perKey).map { i =>
+            val k = s"k${i % keys}"
+            Message(f"ko$i%03d",
+              Map("key" -> k, "seq" -> (i / keys).toString),
+              s"p$i".getBytes("UTF-8"),
+              new Timestamp(1700000000000L + i))
+          }
+          // several publish units (spool files): the raw read is
+          // cross-file parallel — exactly the measured scramble
+          ms.grouped(10).foreach(g => ps.publish("acc_kord_in", g.toSeq))
+          h.settle(ps, "acc_kord_in")
+          val arrivals =
+            new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+          import org.apache.spark.sql.functions.{col, element_at, lit, row_number}
+          val q = ps.subscribe("acc_kord_in").writeStream
+            .option("checkpointLocation",
+              Files.createTempDirectory(s"kord-${h.name}-").toString)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(element_at(col("metadata"), lit("key")))
+                .orderBy(col("ts"))
+              b.withColumn("rn", row_number().over(w))
+                .orderBy(element_at(col("metadata"), lit("key")), col("rn"))
+                .collect()
+                .foreach { r =>
+                  val m = r.getAs[Map[String, String]]("metadata")
+                  arrivals.add(m("key") -> m("seq").toInt); ()
+                }
+              ()
+            }.start()
+          try {
+            val deadline = System.currentTimeMillis() + 20000
+            while (arrivals.size < keys * perKey &&
+                System.currentTimeMillis() < deadline) {
+              q.processAllAvailable(); Thread.sleep(50)
+            }
+            import scala.jdk.CollectionConverters._
+            val got = arrivals.asScala.toList
+            assert(got.length == keys * perKey,
+              s"loss under the partitioned plan: ${got.length} of ${keys * perKey}")
+            got.groupBy(_._1).foreach { case (k, rows) =>
+              val seqs = rows.map(_._2)
+              assert(seqs == (0 until perKey).toList,
+                s"per-key order not recovered for $k: $seqs")
+            }
+          } finally q.stop()
+        } finally h.close(ps)
+      }
+
     if (h.features.restartable)
       test(s"[${h.name}] transport restart: a fresh instance over the same storage resumes without loss or duplication (test_pubsub.go:1042)") {
         // TestReconnect's testable analogue in-JVM: the INSTANCE dies
