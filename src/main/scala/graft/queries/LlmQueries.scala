@@ -3302,7 +3302,64 @@ object LlmQueries {
              |  CAST(min(doc_id) AS BIGINT) AS min_doc
              |FROM corpus GROUP BY md5(text)
              |HAVING count(DISTINCT lang) > 1
-             |ORDER BY text_md5""".stripMargin))
+             |ORDER BY text_md5""".stripMargin)),
+
+    // ---- boilerplate line detection (the CCNet/RefinedWeb line-dedup
+    // screen): a line appearing in >= 50% of a source's documents is
+    // template boilerplate (nav bars, newsletter prompts, footers) and
+    // should be stripped before training. Planted in-plan: ~75% of
+    // each source's docs gain a per-source header line (known
+    // positive) and ~6% a footer (known negative, below threshold).
+    // The gate is an integer product (cnt*100 >= n_docs*50 — no float
+    // ratio at the boundary). Scale shape: explode lines once, ONE
+    // distinct-count fold per (source, line); source totals broadcast
+    // back — lines never self-join ----
+    QuerySpec("q178_boilerplate_lines",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus = docs.select(col("doc_id"), col("source"),
+          concat(
+            when(pmod(col("doc_id"), lit(4)) =!= 3,
+              concat(lit("subscribe to "), col("source"),
+                lit(" newsletter today\n"))).otherwise(lit("")),
+            col("text"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              lit("\nunsubscribe link footer")).otherwise(lit("")))
+            .as("txt"))
+        val lines = corpus.select(col("doc_id"), col("source"),
+          explode(split(col("txt"), "\n")).as("line"))
+        val cnt = lines.groupBy(col("source"), col("line"))
+          .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        cnt.join(broadcast(tot), Seq("source"))
+          .filter(col("n_docs_with") * 100 >= col("n_docs") * 50 &&
+            col("n_docs_with") >= 2)
+          .select(col("source"), col("line"), col("n_docs_with"), col("n_docs"))
+          .orderBy(col("source"), col("line"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 4 <> 3
+             |      THEN 'subscribe to ' || source || ' newsletter today'
+             |        || chr(10) ELSE '' END
+             |    || text
+             |    || CASE WHEN doc_id % 17 = 0
+             |      THEN chr(10) || 'unsubscribe link footer' ELSE '' END
+             |      AS txt
+             |  FROM documents),
+             |l AS (SELECT doc_id, source,
+             |        unnest(string_split(txt, chr(10))) AS line FROM c),
+             |cnt AS (SELECT source, line,
+             |          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+             |        FROM l GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |        FROM documents GROUP BY 1)
+             |SELECT cnt.source, cnt.line, cnt.n_docs_with, tot.n_docs
+             |FROM cnt JOIN tot ON tot.source = cnt.source
+             |WHERE cnt.n_docs_with * 100 >= tot.n_docs * 50
+             |  AND cnt.n_docs_with >= 2
+             |ORDER BY cnt.source, cnt.line""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
