@@ -20,13 +20,16 @@ import org.apache.spark.storage.StorageLevel
   *    dynamic allocation downscaling) makes the job unrecoverable.
   *    Do not use with `spark.dynamicAllocation.enabled` unless
   *    `spark.dynamicAllocation.cachedExecutorIdleTimeout` is infinite.
-  *  - [[Materialize.PersistDisk]] — `persist(DISK_ONLY_2)`: blocks are
+  *  - [[Materialize.persistDisk]] — `persist(DISK_ONLY_2)`: blocks are
   *    written to disk with a replica on a second executor, and lineage
   *    is KEPT, so a lost executor recomputes or reads the replica
   *    instead of killing the job. All consumers share the one cached
   *    plan (Spark's cache manager canonicalizes them onto a single
   *    InMemoryRelation), so boundary consistency holds identically.
-  *    The cluster-scale default choice.
+  *    The cluster-scale default choice. The returned handle is
+  *    RELEASABLE — call `release()` when downstream consumption is
+  *    done (unpersisting the operator's output is a silent no-op; see
+  *    [[Materialize.PersistDisk]]).
   *  - [[Materialize.ReliableCheckpoint]] — `checkpoint()` to the
   *    configured `spark.sparkContext.setCheckpointDir` (HDFS/object
   *    store): survives ANY number of executor losses; the most durable
@@ -50,12 +53,33 @@ object Materialize {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
-  case object PersistDisk extends Materialize {
+  /** Each call returns a fresh releasable instance — the caller that
+    * picked the persist strategy OWNS the cache entry's lifetime. */
+  def persistDisk(): PersistDisk = new PersistDisk
+
+  /** Releasable persist handle. Calling `unpersist()` on the
+    * OPERATOR'S OUTPUT would be a silent no-op — the cache manager
+    * matches the exact cached plan (the operator's internal pass), not
+    * the returned join plan — so without this handle every
+    * PersistDisk call in a long-lived session would leak one
+    * disk-cached relation until clearCache(). Call [[release]] once
+    * downstream consumption is done. */
+  final class PersistDisk private[Materialize] () extends Materialize {
+    @volatile private var pinned: List[DataFrame] = Nil
     // persist is lazy, but all references canonicalize onto the ONE
     // InMemoryRelation, whose child executes once — one exchange, one
     // sampled boundary set, shared by every branch. No eager action
     // needed (an extra count() would be a second pass over the data).
-    def apply(df: DataFrame): DataFrame = df.persist(StorageLevel.DISK_ONLY_2)
+    def apply(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.DISK_ONLY_2)
+      synchronized { pinned ::= p }
+      p
+    }
+    /** Unpersist every pass this instance pinned. */
+    def release(blocking: Boolean = false): Unit = synchronized {
+      pinned.foreach { df => df.unpersist(blocking); () }
+      pinned = Nil
+    }
   }
 
   case object ReliableCheckpoint extends Materialize {

@@ -57,4 +57,23 @@ object Ctx {
   val Retries = "retries"
 
   val InternalPrefix = "_graft_"
+
+  /** Column form of the internal-key strip — THE one predicate every
+    * sanitization site shares (router ingress, both sink publishes,
+    * transport-side polls use [[sanitizeMeta]]): drop `_graft_` keys,
+    * keeping only the explicit `keep` whitelist. Single-sourcing it
+    * means a future internal key with special transport semantics
+    * (the DelayGroup lesson) has ONE place to be considered. */
+  def stripInternal(meta: org.apache.spark.sql.Column,
+      keep: String*): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.map_filter
+    map_filter(meta, (k, _) =>
+      keep.foldLeft(!k.startsWith(InternalPrefix))((acc, w) => acc || k === w))
+  }
+
+  /** Scala-map twin of [[stripInternal]] for driver/transport-side
+    * sanitization (the SQL poller). */
+  def sanitizeMeta(meta: Map[String, String],
+      keep: Set[String] = Set.empty): Map[String, String] =
+    meta.filter { case (k, _) => !k.startsWith(InternalPrefix) || keep(k) }
 }

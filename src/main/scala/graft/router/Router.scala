@@ -213,12 +213,21 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // an attacker-chosen topic. Everything INSIDE the plan (stages,
     // middleware, handlers) is trusted engine-side code whose stamps
     // must survive — only what crosses the transport boundary is
-    // suspect. The transport-stamped ack offset is the one internal key
-    // a transport legitimately delivers. Pure column expression: stays
+    // suspect. The ack-offset stamp survives ONLY from a transport
+    // that actually acks (it stamps its own value post-sanitize); on
+    // every other transport a forged `_graft_ack_offset` is just as
+    // foreign as a forged routing key and is dropped — were it kept,
+    // a transport later gaining ack support without poll-side
+    // sanitization would let a forged stamp win the ack max and
+    // silently skip undelivered rows. Pure column expression: stays
     // in codegen, no object hop before the stages.
-    val src = h.subscriber.subscribe(h.subscribeTopic, h.options.maxPerTrigger)
-      .withColumn("metadata", map_filter(col("metadata"), (k, _) =>
-        !k.startsWith(Ctx.InternalPrefix) || k === Ctx.AckOffset))
+    val raw = h.subscriber.subscribe(h.subscribeTopic, h.options.maxPerTrigger)
+    val keepKeys =
+      if (h.subscriber.isInstanceOf[graft.sources.AckableSubscriber])
+        Seq(Ctx.AckOffset)
+      else Seq.empty
+    val src = raw
+      .withColumn("metadata", Ctx.stripInternal(col("metadata"), keepKeys: _*))
       .as[Message]
     val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.
@@ -257,12 +266,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       case a: graft.sources.AckableSubscriber =>
         // guarded cast: under ANSI mode a malformed stamp (a handler
         // copying a foreign message's garbage into its outputs) would
-        // THROW, failing the batch forever — a permanent wedge. A
-        // non-numeric stamp must degrade to no-ack (redelivery), the
-        // at-least-once direction.
-        val stamp = element_at(col("metadata"), lit(Ctx.AckOffset))
-        val row = batch.agg(
-          max(when(stamp.rlike("^[0-9]{1,18}$"), stamp.cast("long"))))
+        // THROW, failing the batch forever — a permanent wedge.
+        // try_cast degrades ANY bad stamp — non-numeric, overflow, a
+        // 19-digit value a length-regex would misjudge — to null =
+        // no-ack (redelivery), the at-least-once direction.
+        val row = batch.agg(max(expr(
+          s"try_cast(element_at(metadata, '${Ctx.AckOffset}') as bigint)")))
           .collect()(0)
         if (!row.isNullAt(0)) a.ack(h.subscribeTopic, row.getLong(0))
       case _ => ()
@@ -304,7 +313,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       val routed = src.withColumn("_topic",
         coalesce(element_at(col("metadata"), lit(Ctx.TopicOverride)), lit(default)))
       val cleaned = routed.withColumn("metadata",
-        map_filter(col("metadata"), (k, _) => !k.startsWith(Ctx.InternalPrefix)))
+        Ctx.stripInternal(col("metadata")))
       pub match {
         case rp: RoutedPublisher => rp.publishRoutedEpoch(cleaned, "_topic", writerId)
         case _ =>
@@ -346,8 +355,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           val cleaned = routed
             .withColumn("_topic",
               element_at(col("metadata"), lit(Ctx.TopicOverride)))
-            .withColumn("metadata", map_filter(col("metadata"),
-              (k, _) => !k.startsWith(Ctx.InternalPrefix)))
+            .withColumn("metadata", Ctx.stripInternal(col("metadata")))
           pub match {
             case rp: graft.sources.RoutedPublisher =>
               rp.publishRoutedEpoch(cleaned, "_topic", writerId(h, epochId))

@@ -587,8 +587,18 @@ final class SqlPubSub(spark: SparkSession, url: String,
           val dg = m.get(graft.router.Ctx.DelayGroup)
           dg.isEmpty || dg == group
         }
+        // a group-own released copy is ALWAYS ready: releaseDue's
+        // predicate (DB CURRENT_TIMESTAMP) already judged it due, and
+        // re-checking against the JVM clock here would, under DB-ahead
+        // clock skew, re-park the copy — which releaseDue would then
+        // re-release as yet ANOTHER row, appending one junk row per
+        // poll tick until the JVM clock catches up (a release loop).
+        // One release decision per row, made by one clock.
         val (delayed, ready) = mine.map { case (off, m) => (off, m, dueAt(m)) }
-          .partition { case (_, _, due) => due.exists(_.getTime > now) }
+          .partition { case (_, m, due) =>
+            due.exists(_.getTime > now) &&
+              m.get(graft.router.Ctx.DelayGroup).isEmpty
+          }
         parkDelayed(c, topic, // park FIRST: crash before mark advance re-parks, never loses
           delayed.map { case (off, _, due) => (off, due.get) })
         if (ready.nonEmpty)
@@ -601,8 +611,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
           // engine as trusted state — only the poller's own ack stamp
           // (and the router's ctx injection) may exist internally.
           broker.publish(topic, ready.map { case (off, m, _) =>
-            m.copy(metadata = m.metadata.filterNot { case (k, _) =>
-                k.startsWith(graft.router.Ctx.InternalPrefix) })
+            m.copy(metadata = graft.router.Ctx.sanitizeMeta(m.metadata))
               .withMeta(graft.router.Ctx.AckOffset, off.toString)
           }.toSeq)
         enqueuedMark(topic) = deliverable.last._1

@@ -131,8 +131,9 @@ class GlobalIndexSpec extends SparkSpec {
     // partitioning would break the dense 0..n-1 permutation
     val df = spark.range(0, 555).select(
       ((col("id") * 104729) % 555).as("k")).repartition(5)
+    val strat = Materialize.persistDisk()
     val out = GlobalIndex.withRowIndexAndCount(df, Seq(col("k")),
-      numPartitions = Some(7), materialize = Materialize.PersistDisk)
+      numPartitions = Some(7), materialize = strat)
     val rows = out.select("k", "idx", "n_total").as[(Long, Long, Long)].collect()
     assert(rows.length == 555)
     assert(rows.map(_._2).sorted.toSeq == (0L until 555L),
@@ -150,6 +151,8 @@ class GlobalIndexSpec extends SparkSpec {
     assert(occurrences(fin, "Exchange rangepartitioning") <=
       occurrences(fin, "InMemoryRelation"),
       s"a branch re-materialized the range exchange outside the cache:\n$fin")
-    out.unpersist()
+    // the strategy handle owns the cache lifetime; unpersisting the
+    // operator output would be a silent no-op (plan mismatch)
+    strat.release(blocking = true)
   }
 }

@@ -123,8 +123,10 @@ class GlobalPrefixSpec extends SparkSpec {
     val byDefault = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
       numPartitions = Some(6)).select("k", "running")
       .as[(Long, Long)].collect().toSet
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val strat = Materialize.persistDisk()
     val out = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
-      numPartitions = Some(6), materialize = Materialize.PersistDisk)
+      numPartitions = Some(6), materialize = strat)
     val byPersist = out.select("k", "running").as[(Long, Long)].collect().toSet
     assert(byPersist == byDefault)
     // boundary consistency in persist mode: both branches read the ONE
@@ -142,7 +144,13 @@ class GlobalPrefixSpec extends SparkSpec {
     assert(occurrences(fin, "Exchange rangepartitioning") <=
       occurrences(fin, "InMemoryRelation"),
       s"a branch re-materialized the range exchange outside the cache:\n$fin")
-    out.unpersist()
+    // the strategy handle owns the cache entry — unpersisting `out`
+    // would be a silent no-op (the cached plan is the internal pass,
+    // not the returned join plan), which in a long-lived session leaks
+    // one disk-cached relation per call. release() must drop it.
+    strat.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      "release() must drop the pinned pass (cache leak)")
   }
 
   test("Materialize.ReliableCheckpoint needs a checkpoint dir, then works") {

@@ -122,11 +122,18 @@ class RouterSpec extends SparkSpec {
     val ps = new MemoryPubSub(spark)
     val router = new Router(spark)
     router.addHandler("pass", "ing_in", ps, "ing_out", ps,
-      m => Seq(m.withMeta("seen_override", m.get(Ctx.TopicOverride))))
+      m => Seq(m
+        .withMeta("seen_override", m.get(Ctx.TopicOverride))
+        .withMeta("seen_ack", m.get(Ctx.AckOffset))))
     ps.publish("ing_in", Seq(
       msg("f1", "payload", meta = Map(
         Ctx.TopicOverride -> "attacker_topic",
         "_graft_handler_name" -> "forged",
+        // a forged ack stamp on a NON-acking transport must die at
+        // ingress too: were it kept, a transport later gaining ack
+        // support would let it win the ack max and skip undelivered
+        // rows (the whitelist is scoped to AckableSubscriber sources)
+        Ctx.AckOffset -> "999999999",
         "user_key" -> "kept"))))
     router.run(); router.processAllAvailable(); router.close()
     assert(ps.subscribeBatch("attacker_topic").count() == 0,
@@ -135,6 +142,8 @@ class RouterSpec extends SparkSpec {
     assert(out.length == 1)
     val meta = Option(out(0).getAs[Map[String, String]]("metadata")).getOrElse(Map.empty)
     assert(meta("seen_override") == "", "handler must see the key stripped")
+    assert(meta("seen_ack") == "",
+      "forged ack stamp must not survive ingress on a non-acking transport")
     assert(meta("user_key") == "kept", "user metadata must survive sanitization")
   }
 

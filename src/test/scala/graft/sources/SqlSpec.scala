@@ -339,6 +339,66 @@ class SqlSpec extends SparkSpec {
     } finally psR.close()
   }
 
+  test("DB-ahead clock skew cannot loop the release: the copy is never re-parked") {
+    // releaseDue judges due-ness by the DB clock; pollOnce's park
+    // check uses the JVM clock. With the DB ahead, a released copy
+    // still carrying its (JVM-future) delayed_until would be
+    // re-parked and re-released every tick — appending one junk row
+    // per poll interval until the clocks agree. The rule: one release
+    // decision per row, made by one clock — a group-own copy is
+    // always delivered ready.
+    val db = url("sqlskew")
+    val ps = new SqlPubSub(spark, db, group = "gs", pollIntervalMs = 20)
+    def count(sql: String): Long = {
+      val c = java.sql.DriverManager.getConnection(db)
+      try {
+        val st = c.createStatement()
+        try { val rs = st.executeQuery(sql)
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally st.close()
+      } finally c.close()
+    }
+    try {
+      val due = java.time.Instant.now().plusSeconds(3600) // JVM-future
+      ps.publish("t_skew", Seq(
+        msg("s1", "x", Map(graft.router.Ctx.DelayedUntil -> due.toString))))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = ps.subscribe("t_skew").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sqlskew-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getAs[String]("uuid"))); ()
+        }.start()
+      try {
+        ps.awaitCaughtUp("t_skew"); q.processAllAvailable()
+        assert(count("SELECT COUNT(*) FROM \"graft_delayed\"") == 1,
+          "row must be parked while the JVM clock says not-due")
+        // simulate the DB clock running ahead: the park row becomes
+        // due by DB time while delayed_until stays in the JVM future
+        val c = java.sql.DriverManager.getConnection(db)
+        try {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            "UPDATE \"graft_delayed\" SET \"due_at\" = TIMESTAMP('2020-01-01 00:00:00')")
+          finally st.close()
+        } finally c.close()
+        val deadline = System.currentTimeMillis() + 10000
+        while (seen.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); q.processAllAvailable()
+        }
+        assert(seen.size == 1 && seen.peek() == "s1",
+          s"released copy must deliver exactly once, got $seen")
+        // several more poll ticks: a release loop would keep appending
+        Thread.sleep(400); q.processAllAvailable()
+        assert(count("SELECT COUNT(*) FROM \"graft_t_t_skew\"") == 2,
+          "release loop: junk copies appended to the topic table")
+        assert(count("SELECT COUNT(*) FROM \"graft_delayed\"") == 0,
+          "copy was re-parked")
+        assert(seen.size == 1, s"copy redelivered in-process: $seen")
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   test("a malformed ack stamp degrades to no-ack (redelivery), never a wedge") {
     // a handler copying garbage into metadata[_graft_ack_offset] must
     // not THROW in the sink's ANSI cast — that would fail the batch
