@@ -33,9 +33,15 @@ final case class QueryStats(
 final class GraftMetrics extends StreamingQueryListener {
 
   private val stats = TrieMap.empty[String, QueryStats]
+  // id -> name: termination events carry only the id, but stats are
+  // keyed by name (the stable handler identity across restarts)
+  private val names = TrieMap.empty[java.util.UUID, String]
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit =
-    stats.putIfAbsent(Option(event.name).getOrElse(event.id.toString), QueryStats())
+  override def onQueryStarted(event: QueryStartedEvent): Unit = {
+    val name = Option(event.name).getOrElse(event.id.toString)
+    names(event.id) = name
+    stats.putIfAbsent(name, QueryStats()); ()
+  }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
@@ -59,7 +65,15 @@ final class GraftMetrics extends StreamingQueryListener {
     }
   }
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  /** Zero the RATE gauge on termination: counters are cumulative facts
+    * that rightly persist, but a dead query's last rows-per-second
+    * scraped forever reads as healthy throughput on a query that died
+    * hours ago — dashboards and rate alerts must see 0. */
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    names.remove(event.id).foreach { name =>
+      stats.updateWith(name)(_.map(_.copy(lastProcessedRowsPerSec = 0.0)))
+      ()
+    }
 
   def snapshot: Map[String, QueryStats] = stats.toMap
 

@@ -60,10 +60,17 @@ object MetricsHttp {
   }
 
   /** Start an HTTP server exposing `/metrics`; `port = 0` binds an
-    * ephemeral port (read it back from [[Endpoint.port]]). */
+    * ephemeral port (read it back from [[Endpoint.port]]).
+    * Binds LOOPBACK by default: the endpoint is unauthenticated and
+    * enumerates handler/topic names and throughput — a wildcard bind
+    * would expose that on every interface of a multi-homed driver
+    * (plus a DoS lever: the single dispatch thread stalls on one slow
+    * external client). Pass `bindAddress` explicitly to scrape from
+    * another host. */
   def serve(metrics: GraftMetrics, port: Int = 0,
-      namespace: String = "graft"): Endpoint = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      namespace: String = "graft",
+      bindAddress: String = "127.0.0.1"): Endpoint = {
+    val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/metrics", exchange => {
       // close the exchange on EVERY path: an exception before the
       // response starts would otherwise leak the connection, and with

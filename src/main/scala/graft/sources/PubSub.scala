@@ -275,13 +275,39 @@ class FilePubSub(spark: SparkSession, root: String)
       .parquet(s"${path(topic)}/pub_${java.util.UUID.randomUUID().toString.replace("-", "")}")
 
   /** Exactly-once epoch publish: each writer epoch owns a
-    * deterministic subdirectory written with overwrite — a retried
-    * micro-batch rewrites the same subdir instead of appending
-    * duplicates. Readers list recursively, so flat appends and epoch
-    * dirs coexist. */
-  override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
+    * deterministic subdirectory — a retried micro-batch SKIPS when the
+    * epoch is already complete (`_SUCCESS` present — a partial dir
+    * from a crashed write has none and is overwritten), and a
+    * [[compact]]ed epoch is remembered in the topic's hidden manifest
+    * so a late retry after compaction cannot re-append rows the
+    * consolidated file already holds. Readers list recursively, so
+    * flat appends and epoch dirs coexist. */
+  override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(s"${path(topic)}/epoch_$writerId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new HPath(dir, "_SUCCESS"))) return
+    if (compactedEpochs(fs, topic).contains(s"epoch_$writerId")) return
     df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").parquet(s"${path(topic)}/epoch_$writerId")
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Epoch dirs folded away by [[compact]], one name per line in the
+    * topic's hidden `_epochs_manifest` file (underscore-prefixed:
+    * invisible to Spark readers). Kept so the exactly-once contract
+    * survives compaction — without it, a checkpoint-replayed epoch
+    * from inside the redelivery horizon would recreate its dir next to
+    * the consolidated copy of the same rows. */
+  private def compactedEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      topic: String): Set[String] = {
+    val mf = new org.apache.hadoop.fs.Path(s"${path(topic)}/_epochs_manifest")
+    if (!fs.exists(mf)) Set.empty
+    else {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+      finally in.close()
+    }
+  }
 
   override def subscribe(topic: String): DataFrame = subscribe(topic, None)
 
@@ -348,9 +374,17 @@ class FilePubSub(spark: SparkSession, root: String)
     } finally { fs.delete(stagingPath, true); () }
   }
 
-  /** Topic init = directory creation (empty topics readable at once). */
+  /** Topic init = directory creation (empty topics readable at once).
+    * Through the Hadoop FileSystem like every other operation here —
+    * java.nio on an `hdfs://` root would "succeed" by creating a bogus
+    * RELATIVE local directory and leave the real topic uncreated. */
   override def subscribeInitialize(topic: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path(topic))); ()
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path(topic))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.mkdirs(p))
+      throw new java.io.IOException(s"subscribeInitialize: mkdirs failed: $p")
+    ()
   }
 
   /** Maintenance compaction: epoch-per-micro-batch writes accumulate
@@ -358,9 +392,23 @@ class FilePubSub(spark: SparkSession, root: String)
     * file-backed log at scale. Rewrites the topic as `targetFiles`
     * consolidated parquet files, swapping directories so a crash never
     * loses data: write `.compact`, move the live dir to `.trash`, move
-    * `.compact` in, delete `.trash`. Single-writer maintenance op (run
-    * it from the housekeeping job, not concurrently with publishers —
-    * same contract as any log compactor). */
+    * `.compact` in, delete `.trash`.
+    *
+    * QUIESCENT-TOPIC maintenance op — run with no concurrent
+    * publishers AND no active streaming subscribers on the topic:
+    * Spark's file stream source tracks seen FILES, so a live
+    * subscriber would treat the consolidated file as brand-new input
+    * and reprocess the topic's full history (and a subscriber holding
+    * a listed-but-unread backlog dies on the deleted originals).
+    * Subscribers started AFTER the compact read the consolidated file
+    * once, exactly as before. Same contract as any log compactor.
+    *
+    * Exactly-once survives compaction: every folded `epoch_*` dir's
+    * name is recorded (cumulatively) in the topic's hidden
+    * `_epochs_manifest`, and [[publishEpoch]] consults it — a
+    * checkpoint-replayed epoch from inside the redelivery horizon
+    * skips instead of duplicating rows the consolidated file already
+    * holds. */
   def compact(topic: String, targetFiles: Int = 1): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val live = new HPath(path(topic))
@@ -387,6 +435,18 @@ class FilePubSub(spark: SparkSession, root: String)
     }
     subscribeBatch(topic).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
+    // remember the folded epoch dirs (cumulative with prior compacts)
+    // BEFORE the swap, inside the staged output so the manifest rides
+    // the same atomic rename as the data it covers
+    val folded = fs.listStatus(live).collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("epoch_") =>
+        s.getPath.getName
+    }.toSet ++ compactedEpochs(fs, topic)
+    if (folded.nonEmpty) {
+      val out = fs.create(new HPath(staging, "_epochs_manifest"), true)
+      try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     deleteIfExists(fs, trash)
     renameOrThrow(fs, live, trash)
     renameOrThrow(fs, staging, live)
@@ -540,7 +600,11 @@ object KafkaPubSub {
     * deterministic too. */
   def subscribeProjection(records: DataFrame): DataFrame =
     records.select(
-      coalesce(col("key").cast("string"),
+      // nullif: an EMPTY byte-array key is legal Kafka and distinct
+      // from null — cast to "" it would skip the fallback and hand
+      // every such record the same shared uuid (the exact collapsed-
+      // identity failure the fallback exists to prevent)
+      coalesce(nullif(col("key").cast("string"), lit("")),
         concat_ws(":", lit("kafka"), col("topic"),
           col("partition").cast("string"),
           col("offset").cast("string"))).as("uuid"),

@@ -52,10 +52,21 @@ object Envelope {
     m.copy(payload = JsonCodec.write(Wrapped(destinationTopic, m.uuid, m.payload, m.metadata)),
       metadata = Map.empty)
 
+  /** Inner metadata is SANITIZED on unwrap: the envelope rides a
+    * foreign-writable topic, and its payload is a second metadata
+    * ingress the router's subscribe-boundary strip cannot see — a
+    * crafted envelope carrying `_graft_ack_offset` would otherwise
+    * survive into the ack max (offset skip = silent loss), and a
+    * forged `_graft_topic` would override the envelope's own
+    * destination. Same rule as every transport boundary: internal
+    * state comes from THIS engine only. */
   def unwrap(m: Message): Message = {
     val w = JsonCodec.read(m.payload, classOf[Wrapped])
-    Message(w.uuid, w.metadata, w.payload, m.ts)
+    Message(w.uuid, Ctx.sanitizeMeta(safeMeta(w.metadata)), w.payload, m.ts)
   }
+
+  private def safeMeta(m: Map[String, String]): Map[String, String] =
+    Option(m).getOrElse(Map.empty)
 
   def destination(m: Message): String =
     JsonCodec.read(m.payload, classOf[Wrapped]).destination_topic
@@ -70,7 +81,7 @@ object Envelope {
   }
 
   def unwrapParsed(p: Parsed): Message =
-    Message(p.w.uuid, p.w.metadata, p.w.payload, p.ts)
+    Message(p.w.uuid, Ctx.sanitizeMeta(safeMeta(p.w.metadata)), p.w.payload, p.ts)
 }
 
 /** Forwarder, parity with `forwarder.Forwarder`
@@ -131,6 +142,15 @@ object Forwarder {
       // one parse: destination() + unwrap() would each deserialize the
       // same payload — double Jackson work on the forwarder hot path
       val w = Envelope.parse(m)
+      // destination is DATA from a foreign-writable topic: an empty or
+      // null value parses fine but then reaches the routed sink, where
+      // a transport that rejects it (Kafka) fails the WHOLE micro-batch
+      // on every retry — a permanent wedge. Throwing here keeps it in
+      // the onBad middleware's jurisdiction (poison or drop), the
+      // fail-open path the forwarder contract specifies.
+      if (w.destinationTopic == null || w.destinationTopic.isEmpty)
+        throw new IllegalArgumentException(
+          s"forwarder envelope ${m.uuid}: missing destination_topic")
       Seq(Envelope.unwrapParsed(w).withMeta(Ctx.TopicOverride, w.destinationTopic))
     }
     val onBad: Middlewares.Middleware =

@@ -46,6 +46,17 @@ class MetricsSpec extends SparkSpec {
         assert(body.contains(
           "graft_publisher_messages_published_total{handler_name=\"graft-metered\"} 25"))
       } finally ep.close()
+
+      // a terminated query's RATE gauge zeroes (counters persist): a
+      // dead handler's last rows/sec scraped forever reads as healthy
+      // throughput on a query that died hours ago
+      val zeroDeadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < zeroDeadline &&
+        !stats.exists(_.lastProcessedRowsPerSec == 0.0)) Thread.sleep(100)
+      val term = stats.get
+      assert(term.lastProcessedRowsPerSec == 0.0,
+        "dead query's rate gauge must zero on termination")
+      assert(term.inputRows == 25, "counters must persist past termination")
     } finally metrics.detach(spark)
   }
 }

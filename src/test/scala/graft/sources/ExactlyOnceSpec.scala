@@ -158,6 +158,48 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("cmp").count() == 10)
   }
 
+  test("file transport: a checkpoint-replayed epoch after compaction does not duplicate") {
+    // the compacted file already holds epoch w-1's rows; a replay of
+    // w-1 from inside the redelivery horizon (driver crashed before
+    // the checkpoint commit, restarts after the housekeeping compact)
+    // must SKIP — the folded epoch names ride the hidden manifest.
+    // Without it the replay recreated epoch_w-1 next to the
+    // consolidated copy: duplicated rows, broken exactly-once.
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-cmpr-").toString)
+    ps.publishEpoch("cmpr", frame("a", "b"), writerId = "w-1")
+    ps.publishEpoch("cmpr", frame("c"), writerId = "w-2")
+    ps.compact("cmpr")
+    ps.publishEpoch("cmpr", frame("a", "b"), writerId = "w-1") // the late replay
+    val got = ps.subscribeBatch("cmpr").collect().map(_.getAs[String]("uuid"))
+    assert(got.length == 3 && got.toSet == Set("a", "b", "c"),
+      s"replayed epoch after compact duplicated rows: ${got.toSeq.sorted}")
+    // a SECOND compact folds the manifest forward (cumulative), and a
+    // replay after it still skips
+    ps.publishEpoch("cmpr", frame("d"), writerId = "w-3")
+    ps.compact("cmpr")
+    ps.publishEpoch("cmpr", frame("c"), writerId = "w-2")
+    ps.publishEpoch("cmpr", frame("d"), writerId = "w-3")
+    assert(ps.subscribeBatch("cmpr").count() == 4,
+      "manifest must accumulate across compactions")
+    // a fresh epoch still lands
+    ps.publishEpoch("cmpr", frame("e"), writerId = "w-4")
+    assert(ps.subscribeBatch("cmpr").count() == 5)
+  }
+
+  test("file transport: retried epoch with a complete _SUCCESS is skipped, partial is rewritten") {
+    val root = Files.createTempDirectory("graft-eps-").toString
+    val ps = new FilePubSub(spark, root)
+    ps.publishEpoch("eps", frame("a"), writerId = "w-1")
+    ps.publishEpoch("eps", frame("a"), writerId = "w-1") // retry: skip, no rewrite
+    assert(ps.subscribeBatch("eps").count() == 1)
+    // simulate a crashed partial write: epoch dir exists, no _SUCCESS
+    val partial = java.nio.file.Paths.get(root, "eps", "epoch_w-9")
+    java.nio.file.Files.createDirectories(partial)
+    ps.publishEpoch("eps", frame("z"), writerId = "w-9") // must complete it
+    assert(ps.subscribeBatch("eps").collect().map(_.getAs[String]("uuid")).toSet
+      == Set("a", "z"), "partial epoch dir must be overwritten, not skipped")
+  }
+
   test("file transport: routed epoch preserves a '+' in the topic name") {
     // Spark's partition-path escaping leaves '+' literal; URLDecoder
     // would have turned it into a space and routed rows to topic "a b"

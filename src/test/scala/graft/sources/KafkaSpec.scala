@@ -96,6 +96,24 @@ class KafkaSpec extends SparkSpec {
       s"fallback uuid must be the record's broker identity: $uuids")
   }
 
+  test("EMPTY-byte-array keys (legal Kafka, distinct from null) also synthesize unique uuids") {
+    // key = new byte[0] casts to "" — without the nullif guard every
+    // such record shared uuid "", the exact collapsed-identity failure
+    // the keyless fallback exists to prevent
+    val foreign = spark.range(2).select(
+      lit(Array.emptyByteArray).as("key"),
+      lit("p".getBytes("UTF-8")).as("value"),
+      lit("t").as("topic"),
+      lit(null).cast("array<struct<key:string,value:binary>>").as("headers"),
+      lit(new Timestamp(1700000002000L)).as("timestamp"),
+      lit(4).as("partition"),
+      col("id").as("offset"))
+    val uuids = KafkaPubSub.subscribeProjection(foreign)
+      .select("uuid").as[String].collect().toSeq.sorted
+    assert(uuids == Seq("kafka:t:4:0", "kafka:t:4:1"),
+      s"empty-key records must not share one uuid: $uuids")
+  }
+
   test("routed publish projection takes the per-row topic column") {
     val routed = frame(m1, m2).withColumn("_topic",
       concat(lit("dest_"), col("uuid")))

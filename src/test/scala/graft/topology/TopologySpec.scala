@@ -100,6 +100,44 @@ class TopologySpec extends SparkSpec {
       s"router sink fell back to ${perTopicEpochCalls.get()} per-topic passes")
   }
 
+  test("Envelope unwrap sanitizes forged internal metadata from the payload") {
+    // the envelope rides a foreign-writable topic, and its payload is
+    // a SECOND metadata ingress the router's subscribe-boundary strip
+    // cannot see — a crafted _graft_ack_offset would otherwise win the
+    // ack max (silent offset skip), a forged _graft_topic would
+    // override the envelope's own destination
+    val forged = Message("x",
+      Map("_graft_ack_offset" -> "9223372036854775807",
+        "_graft_topic" -> "attacker", "user" -> "kept"),
+      "p".getBytes("UTF-8"), new Timestamp(1700000000000L))
+    val back = Envelope.unwrap(Envelope.wrap(forged, "dest"))
+    assert(back.metadata == Map("user" -> "kept"),
+      s"internal keys must die at the envelope boundary: ${back.metadata}")
+    val parsed = Envelope.parse(Envelope.wrap(forged, "dest"))
+    assert(Envelope.unwrapParsed(parsed).metadata == Map("user" -> "kept"))
+  }
+
+  test("Forwarder routes envelopes with missing destinations to poison, not the sink") {
+    // a syntactically-valid envelope with an empty destination parses
+    // fine; unvalidated it reaches the routed sink, where a transport
+    // that rejects the topic (Kafka) fails the whole micro-batch on
+    // every retry — a permanent wedge. The handler throws instead, so
+    // the onBad middleware keeps jurisdiction.
+    val ps = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    val empty = Message("nodest",
+      Map.empty, graft.cqrs.JsonCodec.write(
+        Envelope.Wrapped("", "nodest", "p".getBytes("UTF-8"), Map.empty)),
+      new Timestamp(1700000000000L))
+    ps.publish("fwd_nodest", Seq(empty))
+    Forwarder.register(router, ps, ps, "fwd_nodest",
+      ackWhenCannotUnwrap = false, poisonTopic = "fwd_nodest_dlq")
+    router.run(); router.processAllAvailable(); router.close()
+    val dlq = ps.subscribeBatch("fwd_nodest_dlq").collect()
+    assert(dlq.length == 1 && dlq.head.getAs[String]("uuid") == "nodest",
+      "destination-less envelope must land in the poison topic")
+  }
+
   test("Forwarder poisons unparseable envelopes unless ackWhenCannotUnwrap") {
     val ps = new MemoryPubSub(spark)
     val router = new Router(spark)
