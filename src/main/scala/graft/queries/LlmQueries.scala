@@ -878,8 +878,12 @@ object LlmQueries {
     // agg shuffle builds the vocab, one join scores docs against it ----
     QuerySpec("q63_token_rarity",
       (s, dir) => {
+        // materialized once: vocab AND the scoring join both read it —
+        // unpinned, the scan + tokenize + explode re-ran per reference
+        // (the q153/q170 multi-reference discipline)
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .localCheckpoint()
         val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         toks.join(vocab, Seq("tok"))
           .groupBy(col("doc_id"))
@@ -1033,9 +1037,12 @@ object LlmQueries {
     QuerySpec("q74_tfidf_keywords",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // tf feeds BOTH the df fold and the scoring join — pinned so
+        // the corpus pass runs once, not per reference
         val tf = t(s, dir, "documents")
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("tok"))
@@ -1082,6 +1089,8 @@ object LlmQueries {
             slice(col("tk"), lit(1), size(col("tk")) - 1),
             slice(col("tk"), lit(2), size(col("tk")) - 1),
             (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          // pinned: vocab + the join both read it (multi-reference rule)
+          .localCheckpoint()
         val vocab = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         bg.join(vocab, Seq("bigram"))
           .groupBy(col("doc_id"))
@@ -1653,7 +1662,11 @@ object LlmQueries {
           .select(col("source"), xxhash64(col("sh")).as("h"))
         val states = sh.groupBy(col("source"))
           .agg(graft.functions.DistinctSketch.sketchState(col("h")).as("st"))
-          .cache() // 20 rows — referenced by three plan branches
+          // 20 rows, three plan branches. localCheckpoint, NOT cache:
+          // a cache entry leaks per call outside Bench/Verify's
+          // clearCache isolation (the q151 rule); checkpointed blocks
+          // are GC-reclaimed with the frame
+          .localCheckpoint(true)
         val ests = states.groupBy(col("source"))
           .agg(graft.functions.DistinctSketch.mergeEstimate(col("st")).as("est"))
         val unions = states.select(col("source").as("sa"), col("st").as("sta"))
@@ -1970,7 +1983,11 @@ object LlmQueries {
         val seed = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         val ev = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         val profiles = graft.functions.LangProfile
-          .trainProfiles(seed, col("lang"), col("text"), k = 100).cache()
+          .trainProfiles(seed, col("lang"), col("text"), k = 100)
+          // control-plane table, two consumers. localCheckpoint, not
+          // cache: a cache entry leaks per call outside the harnesses'
+          // clearCache isolation (the q151 rule)
+          .localCheckpoint(true)
         graft.functions.LangProfile
           .classify(ev, "doc_id", col("text"), profiles, k = 100, m = 20)
           .join(ev.select(col("doc_id"), col("lang")), Seq("doc_id"))

@@ -57,7 +57,11 @@ object RelationalQueries {
     QuerySpec("q01_pricing_summary",
       (s, dir) => {
         t(s, dir, "lineitem")
-          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          // string literal cast in the SESSION zone (pinned UTC), never
+          // Timestamp.valueOf — that parses in the JVM DEFAULT zone,
+          // which is NOT pinned, so on a UTC+2 machine the boundary
+          // would shift two hours off the DuckDB oracle's naive value
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).cast("long").as("sum_qty"), // whole-valued
@@ -111,7 +115,7 @@ object RelationalQueries {
         val purchases = e.filter(col("event_type") === "purchase").select(col("user_id"), col("value"))
         clicks.unionByName(purchases)
           .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("value") * 100)) / 100.0).as("sum_value"))
           .orderBy(col("user_id"))
       },
       Some("""WITH u AS (
@@ -119,7 +123,8 @@ object RelationalQueries {
              |  UNION ALL
              |  SELECT user_id, value FROM events WHERE event_type = 'purchase')
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value
              |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- windowed dedup: Deduplicator middleware (deduplicator.go:64-126)
@@ -167,11 +172,12 @@ object RelationalQueries {
     QuerySpec("q09_stateful_counter",
       (s, dir) => t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), (sum(floor(col("value") * 100)) / 100.0).as("total_value"))
         .filter(col("n_events") > 60)
         .orderBy(col("user_id")),
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             |  round(sum(value), 2) AS total_value
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
              |FROM events GROUP BY user_id HAVING count(*) > 60
              |ORDER BY user_id""".stripMargin)),
 
@@ -221,12 +227,13 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           // sum, not avg: round(avg) can land on exact .0005 ties where
           // Spark (HALF_UP) and DuckDB (half-even) disagree
-          round(sum(col("value")), 2).as("sum_value"),
+          (sum(floor(col("value") * 100)) / 100.0).as("sum_value"),
           countDistinct(col("user_id")).as("uniq_users"))
         .orderBy(col("bucket"), col("event_type")),
       Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS sum_value,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
              |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
 
@@ -299,7 +306,7 @@ object RelationalQueries {
         .select((regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 10).as("k_bucket"))
         .groupBy(col("k_bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("k_bucket")),
-      Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE event_type = 'signup'
              |GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
@@ -313,7 +320,7 @@ object RelationalQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 100)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("value") * 100)) / 100.0).as("sum_value"))
           .orderBy(col("event_type"))
       },
       Some("""WITH r AS (
@@ -321,7 +328,8 @@ object RelationalQueries {
              |    PARTITION BY event_type ORDER BY ts, event_id) AS rn
              |  FROM events)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value
              |FROM r WHERE rn <= 100 GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
@@ -372,10 +380,11 @@ object RelationalQueries {
           explode(array(lit("audit"), lit("billing"), lit("analytics"))).as("consumer"),
           col("value"))
         .groupBy(col("consumer"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), (sum(floor(col("value") * 100)) / 100.0).as("total"))
         .orderBy(col("consumer")),
       Some("""SELECT consumer, CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 2) AS total
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total
              |FROM (SELECT event_id,
              |        unnest(['audit', 'billing', 'analytics']) AS consumer,
              |        value
@@ -1028,7 +1037,9 @@ object RelationalQueries {
     // merge==recompute proof. Refresh cost scales with the delta ----
     QuerySpec("q96_incremental_agg",
       (s, dir) => {
-        val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        // session-zone cast, not Timestamp.valueOf (JVM-default-zone) —
+        // the q01 rule
+        val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
         // integer-cents sums: this gate's Spark side accumulates as
         // snapshot-sum + delta-sum while the oracle sums directly — a
         // GUARANTEED different double-accumulation grouping, the worst
@@ -1114,11 +1125,12 @@ object RelationalQueries {
         graft.operators.BloomJoin.semiJoin(
             fact, build, "l_partkey", expectedKeys = 200)
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("l_quantity") * 100)) / 100.0).as("qty"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(l_quantity), 2) AS qty
+             |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS qty
              |FROM lineitem
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
              |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
@@ -1245,7 +1257,7 @@ object RelationalQueries {
         val daily = t(s, dir, "events")
           .filter(col("user_id") < 40)
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-          .agg(round(sum(col("value")), 2).as("day_v"))
+          .agg((sum(floor(col("value") * 100)) / 100.0).as("day_v"))
           .localCheckpoint()
         val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
         val spine = daily.select(col("user_id")).distinct()
@@ -1262,7 +1274,9 @@ object RelationalQueries {
           .orderBy(col("user_id"), col("d"))
       },
       Some("""WITH daily AS (
-             |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS day_v
+             |  SELECT user_id, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             |      / 100.0 AS day_v
              |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
              |span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
              |spine AS (
@@ -1462,8 +1476,13 @@ object RelationalQueries {
         val x = t(s, dir, "events")
           .filter(col("user_id").isin(7, 8))
           .select(col("user_id"),
+            // FLOOR division in double space on BOTH engines: the old
+            // floor-then-divide-then-cast truncated toward zero in
+            // Spark while the oracle's BIGINT // floored — divergent
+            // for any negative value (latent on the non-negative
+            // fixture, a trap for the next data regen)
             when(col("value") > 99.9, lit(null))
-              .otherwise((floor(col("value")) / 10).cast("long")).as("bucket"))
+              .otherwise(floor(col("value") / 10).cast("long")).as("bucket"))
         def side(u: Int, as: String) = x.filter(col("user_id") === u)
           .groupBy(col("bucket").as(s"b$u"))
           .agg(count(lit(1)).as(as))
@@ -1477,7 +1496,7 @@ object RelationalQueries {
       Some("""WITH x AS (
              |  SELECT user_id,
              |    CASE WHEN value > 99.9 THEN NULL
-             |         ELSE CAST(floor(value) AS BIGINT) // 10 END AS bucket
+             |         ELSE CAST(floor(value / 10) AS BIGINT) END AS bucket
              |  FROM events WHERE user_id IN (7, 8)),
              |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n7
              |      FROM x WHERE user_id = 7 GROUP BY 1),
@@ -2687,6 +2706,10 @@ object RelationalQueries {
           .filter(col("v") >= 1)
           .select(substring(col("v").cast("string"), 1, 1).as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          // pinned: the rows AND the broadcast total both read it —
+          // unpinned, the orders scan + digit fold ran twice (q172's
+          // histogram/total discipline)
+          .localCheckpoint()
         byd.crossJoin(broadcast(byd.agg(sum(col("n")).as("n_total"))))
           .select(col("digit"), col("n"), col("n_total"),
             (col("n").cast("double") / col("n_total").cast("double"))
