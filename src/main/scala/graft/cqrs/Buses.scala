@@ -18,8 +18,15 @@ final class CommandBus(
     onSend: Message => Message = identity) {
 
   def send(cmd: Any): Unit = {
-    val msg = onSend(marshaler.marshal(cmd))
-    publisher.publish(generatePublishTopic(marshaler.nameFromMessage(msg)), Seq(msg))
+    // topic from the FRESHLY MARSHALED message, not the hook's output:
+    // a hook that rebuilds/strips metadata (tracing decorators do)
+    // would drop the name stamp, route to generatePublishTopic("") and
+    // have every processor ack-drop the command — silent total loss.
+    // The reference derives the topic from the command TYPE, never
+    // from mutable metadata (command_bus.go:116-168).
+    val marshaled = marshaler.marshal(cmd)
+    val topic = generatePublishTopic(marshaler.nameFromMessage(marshaled))
+    publisher.publish(topic, Seq(onSend(marshaled)))
   }
 }
 
@@ -32,7 +39,10 @@ final class EventBus(
     onPublish: Message => Message = identity) {
 
   def publish(event: Any): Unit = {
-    val msg = onPublish(marshaler.marshal(event))
-    publisher.publish(generatePublishTopic(marshaler.nameFromMessage(msg)), Seq(msg))
+    // same rule as CommandBus.send: topic from the marshaled message,
+    // hook applied after — metadata-rebuilding hooks must not reroute
+    val marshaled = marshaler.marshal(event)
+    val topic = generatePublishTopic(marshaler.nameFromMessage(marshaled))
+    publisher.publish(topic, Seq(onPublish(marshaled)))
   }
 }

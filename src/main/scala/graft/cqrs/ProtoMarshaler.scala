@@ -70,7 +70,14 @@ object ProtoWire {
             (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
           }
         case (PType.Str, v) =>
-          val b = v.toString.getBytes(StandardCharsets.UTF_8)
+          // strict like the VarInt/Fixed64 branches: toString would
+          // silently encode "Some(x)" / "42" for a mis-schema'd field
+          val s = v match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"field ${f.name}: ${other.getClass.getName} is not a String value")
+          }
+          val b = s.getBytes(StandardCharsets.UTF_8)
           if (b.nonEmpty) { tag(); writeVarint(out, b.length.toLong); out.write(b) }
         case (PType.Bytes, v) =>
           val b = v.asInstanceOf[Array[Byte]]
@@ -92,6 +99,13 @@ object ProtoWire {
     def varint(): Long = {
       var shift = 0; var acc = 0L; var b = 0
       do {
+        // cap at 10 bytes (shift 63 is the last valid position): the
+        // JVM masks shift amounts mod 64, so an over-long varint would
+        // silently wrap bits into LOW positions and decode to garbage
+        // that "processes successfully" — corrupt data bypassing the
+        // exception path poison-routing depends on
+        if (shift > 63) throw new IllegalArgumentException(
+          s"over-long varint at pos=$pos (corrupt proto stream)")
         b = bytes(pos) & 0xff; pos += 1
         acc |= (b & 0x7fL) << shift; shift += 7
       } while ((b & 0x80) != 0)
@@ -167,8 +181,17 @@ final class ProtoMarshaler(
         s"${other.getClass.getName} is not a case class")
     }
     val values = p.productElementNames.zip(p.productIterator).toMap
+    val schema = schemaOf(v.getClass)
+    // loud on a schema/field-name mismatch: encode's getOrElse-null
+    // skip would otherwise DROP the field silently and unmarshal would
+    // fill the proto3 default — data loss on every round trip that
+    // surfaces nowhere
+    val unmatched = schema.fields.map(_.name).filterNot(values.contains)
+    require(unmatched.isEmpty,
+      s"${v.getClass.getName}: ProtoSchema field(s) ${unmatched.mkString(", ")} " +
+        "match no case-class field — the value would silently encode as the proto3 default")
     Message(newUuid(), Map(NameKey -> nameOf(v.getClass)),
-      ProtoWire.encode(schemaOf(v.getClass), values),
+      ProtoWire.encode(schema, values),
       new Timestamp(System.currentTimeMillis()))
   }
 

@@ -121,6 +121,13 @@ object MediaCodec {
     * upgrade, exactly as you would re-shingle after changing a
     * tokenizer. Formats with bit-exact decode specs (PNG/PPM/BMP/WAV)
     * carry no such caveat. */
+  // no disk-backed image cache: ImageIO's default FileCacheImageInput-
+  // Stream writes every JPEG's compressed bytes to an executor temp
+  // file on the hot decode path — pure I/O churn at millions of
+  // images, and an outright failure when java.io.tmpdir is full or
+  // read-only. In-memory caching decodes straight from the blob.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeJpeg(bytes: Array[Byte]): Pixels = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "javax.imageio could not decode the JPEG stream " +
@@ -221,7 +228,9 @@ object MediaCodec {
     while (!done && pos + 8 <= bytes.length) {
       val len = buf.getInt(pos)
       val body = pos + 8
-      require(len >= 0 && body + len + 4 <= bytes.length,
+      // long comparison — an int body+len+4 overflows negative for a
+      // crafted len and would pass (the WAV rule)
+      require(len >= 0 && body.toLong + len + 4 <= bytes.length,
         s"corrupt PNG chunk at $pos: len=$len, blob=${bytes.length}")
       val typ = new String(bytes, pos + 4, 4, "US-ASCII")
       typ match {
@@ -247,7 +256,12 @@ object MediaCodec {
         s"PNG color type $ct not supported (palette/gray-alpha are the stub boundary)")
     }
     // one zlib stream across all IDAT chunks; output = h rows of
-    // (1 filter byte + w*channels filtered samples)
+    // (1 filter byte + w*channels filtered samples). Dimensions are
+    // untrusted IHDR input: (stride+1)*h can wrap for crafted w/h and
+    // allocate a tiny array for huge declared dimensions — guard in
+    // long space before any allocation
+    require((w.toLong * channels + 1) * h <= Int.MaxValue,
+      s"PNG dimensions overflow: ${w}x$h x$channels")
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new java.util.zip.Inflater()
@@ -336,8 +350,11 @@ object MediaCodec {
       val body = pos + 8
       // the chunk size is untrusted input: a negative or oversized value
       // would stall (size = -8 leaves pos fixed) or walk pos backwards —
-      // an executor hang instead of the exception poison-routing expects
-      require(size >= 0 && body + size <= bytes.length,
+      // an executor hang instead of the exception poison-routing expects.
+      // LONG comparison: body + size near Int.MaxValue overflows
+      // negative and would PASS an int check, then allocate ~2 GB
+      // before any read fails (OOM escapes the poison middleware)
+      require(size >= 0 && body.toLong + size <= bytes.length,
         s"corrupt WAV chunk '$id' at $pos: size=$size, blob=${bytes.length}")
       id match {
         case "fmt " =>
@@ -408,8 +425,12 @@ object MediaCodec {
   /** Grid mean-pool feature vector (gridDim × gridDim × channels) —
     * real implementation, the classic cheap visual embedding. */
   def gridMeanPool(p: Pixels, gridDim: Int): Array[Float] = {
-    val out = new Array[Float](gridDim * gridDim * p.channels)
-    val counts = new Array[Int](out.length)
+    // accumulate in DOUBLE (grayGrid's rule): a float running sum past
+    // 2^24 has ulp > the per-pixel increment, so large-image cell sums
+    // stop growing and the mean is systematically biased — the float
+    // lives only in the output embedding
+    val sums = new Array[Double](gridDim * gridDim * p.channels)
+    val counts = new Array[Int](sums.length)
     var y = 0
     while (y < p.height) {
       val gy = math.min(y * gridDim / p.height, gridDim - 1)
@@ -419,7 +440,7 @@ object MediaCodec {
         var c = 0
         while (c < p.channels) {
           val k = (gy * gridDim + gx) * p.channels + c
-          out(k) += (p.data((y * p.width + x) * p.channels + c) & 0xff)
+          sums(k) += (p.data((y * p.width + x) * p.channels + c) & 0xff)
           counts(k) += 1
           c += 1
         }
@@ -427,8 +448,12 @@ object MediaCodec {
       }
       y += 1
     }
+    val out = new Array[Float](sums.length)
     var k = 0
-    while (k < out.length) { if (counts(k) > 0) out(k) /= counts(k); k += 1 }
+    while (k < out.length) {
+      out(k) = if (counts(k) > 0) (sums(k) / counts(k)).toFloat else 0f
+      k += 1
+    }
     out
   }
 
@@ -500,6 +525,10 @@ object MediaCodec {
 
   /** Windowed RMS energy over int16 samples — real implementation. */
   def rmsEnergy(samples: Array[Short], windows: Int): Array[Float] = {
+    // loud at the API edge: windows=0 would otherwise surface as one
+    // '/ by zero' PER ROW inside executors (N poison rows for one
+    // caller mistake), negative as NegativeArraySizeException
+    require(windows > 0, s"rmsEnergy needs windows > 0, got $windows")
     val out = new Array[Float](windows)
     if (samples.isEmpty) return out
     val per = math.max(1, samples.length / windows)

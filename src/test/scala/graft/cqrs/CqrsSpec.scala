@@ -25,6 +25,30 @@ class CqrsSpec extends SparkSpec {
     assert(marshaler.unmarshal[AddUser](m) == AddUser("ada", 36))
   }
 
+  test("bus topic routing survives a metadata-rebuilding onSend/onPublish hook") {
+    // the topic derives from the FRESHLY MARSHALED message, never from
+    // the hook's output: a tracing hook that rebuilds metadata (and
+    // drops the name stamp) used to route to generatePublishTopic("")
+    // — every processor then ack-dropped the message, silent total loss
+    val ps = new MemoryPubSub(spark)
+    val bus = new CommandBus(ps,
+      generatePublishTopic = n => if (n.isEmpty) "lost" else "cmds_ok",
+      onSend = m => m.copy(metadata = Map("trace" -> "t1"))) // drops 'name'
+    bus.send(AddUser("lin", 30))
+    assert(ps.subscribeBatch("lost").count() == 0,
+      "hook-stripped metadata must not reroute the command")
+    val got = ps.subscribeBatch("cmds_ok").collect()
+    assert(got.length == 1 &&
+      got.head.getAs[Map[String, String]]("metadata") == Map("trace" -> "t1"))
+    val eps = new MemoryPubSub(spark)
+    val ebus = new EventBus(eps,
+      generatePublishTopic = n => if (n.isEmpty) "lost_e" else "evts_ok",
+      onPublish = m => m.copy(metadata = Map.empty))
+    ebus.publish(AuditEvent("x"))
+    assert(eps.subscribeBatch("lost_e").count() == 0)
+    assert(eps.subscribeBatch("evts_ok").count() == 1)
+  }
+
   test("command bus → processor → typed result event, end to end") {
     val ps = new MemoryPubSub(spark)
     val router = new Router(spark)

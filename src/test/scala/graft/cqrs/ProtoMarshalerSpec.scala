@@ -92,6 +92,35 @@ class ProtoMarshalerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ProtoWire.decode(test1Schema, tooLong) }
   }
 
+  test("over-long varints throw instead of wrapping bits (JVM shift-mod-64)") {
+    // 11+ continuation bytes push shift past 63; the JVM masks shift
+    // amounts mod 64, so bits would silently wrap into LOW positions
+    // and the field would decode to garbage that 'processes
+    // successfully' — corrupt data bypassing the exception path
+    val evil = Array.fill[Byte](12)(0x80.toByte) :+ 0x01.toByte
+    val e = intercept[IllegalArgumentException] {
+      ProtoWire.decode(test1Schema, evil)
+    }
+    assert(e.getMessage.contains("varint"))
+  }
+
+  test("a ProtoSchema field naming no case-class field fails marshal loudly") {
+    // encode's skip-absent-value rule would otherwise DROP the field
+    // silently: every round trip loses the value to the proto3 default
+    // with no error anywhere
+    val typoSchema = ProtoSchema(ProtoField(1, "valueA", PType.VarInt)) // field is 'a'
+    val m = new ProtoMarshaler(Map(classOf[Test1] -> typoSchema))
+    val e = intercept[IllegalArgumentException] { m.marshal(Test1(150L)) }
+    assert(e.getMessage.contains("valueA"))
+  }
+
+  test("Str fields reject non-String values instead of encoding toString garbage") {
+    val badSchema = ProtoSchema(ProtoField(1, "a", PType.Str)) // field a is Long
+    val m = new ProtoMarshaler(Map(classOf[Test1] -> badSchema))
+    val e = intercept[IllegalArgumentException] { m.marshal(Test1(150L)) }
+    assert(e.getMessage.contains("not a String"))
+  }
+
   test("Float fields round-trip (Fixed64 decode narrows to the declared float)") {
     val schema = ProtoSchema(ProtoField(1, "x", PType.Fixed64))
     val m = new ProtoMarshaler(Map(classOf[FloatMsg] -> schema))

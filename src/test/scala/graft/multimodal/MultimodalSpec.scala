@@ -267,6 +267,21 @@ class MultimodalSpec extends SparkSpec {
     val neg = intercept[IllegalArgumentException] { MediaCodec.decodeAudio(wav(-8)) }
     assert(neg.getMessage.contains("corrupt WAV chunk"))
     intercept[IllegalArgumentException] { MediaCodec.decodeAudio(wav(1 << 20)) }
+    // Int-overflow bypass: size = MaxValue makes body+size wrap
+    // NEGATIVE and pass an int guard — then a ~2 GB allocation OOMs
+    // the executor before any bounds check (OOM escapes the poison
+    // middleware). The long-space guard must throw first.
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeAudio(wav(Int.MaxValue))
+    }
+  }
+
+  test("rmsEnergy rejects windows <= 0 at the API edge") {
+    // windows=0 would otherwise surface as one '/ by zero' PER ROW on
+    // executors — N poison rows for one caller mistake
+    intercept[IllegalArgumentException] {
+      MediaCodec.rmsEnergy(Array[Short](1, 2, 3), 0)
+    }
   }
 
   test("real-format blobs flow through the distributed feature pipeline") {
