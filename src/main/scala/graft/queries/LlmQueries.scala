@@ -878,12 +878,16 @@ object LlmQueries {
     // agg shuffle builds the vocab, one join scores docs against it ----
     QuerySpec("q63_token_rarity",
       (s, dir) => {
-        // materialized once: vocab AND the scoring join both read it —
-        // unpinned, the scan + tokenize + explode re-ran per reference
-        // (the q153/q170 multi-reference discipline)
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        // materialized once in the COMPACT per-doc array form (the
+        // q170 shape): vocab AND the scoring join both derive from it,
+        // so the scan + regex tokenize run once — while the checkpoint
+        // holds text-sized arrays, not the exploded row form (which
+        // would cost more to serialize than the re-scan it saves); the
+        // cheap explode re-runs per branch
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
           .localCheckpoint()
+        val toks = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
         val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         toks.join(vocab, Seq("tok"))
           .groupBy(col("doc_id"))
@@ -1984,10 +1988,14 @@ object LlmQueries {
         val ev = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         val profiles = graft.functions.LangProfile
           .trainProfiles(seed, col("lang"), col("text"), k = 100)
-          // control-plane table, two consumers. localCheckpoint, not
-          // cache: a cache entry leaks per call outside the harnesses'
-          // clearCache isolation (the q151 rule)
-          .localCheckpoint(true)
+          // control-plane table, two consumers. LAZY localCheckpoint,
+          // not cache: a cache entry leaks per call outside the
+          // harnesses' clearCache isolation (the q151 rule), while
+          // checkpointed blocks free with the frame; lazy (not eager)
+          // keeps the train pipeline fused into the first consumer's
+          // job instead of paying a separate up-front job boundary
+          // (measured: eager cost ~+0.9 s on this control-plane frame)
+          .localCheckpoint(false)
         graft.functions.LangProfile
           .classify(ev, "doc_id", col("text"), profiles, k = 100, m = 20)
           .join(ev.select(col("doc_id"), col("lang")), Seq("doc_id"))

@@ -32,19 +32,12 @@ class OracleCastDisciplineSpec extends AnyFunSuite {
     *    since round 5).
     */
   private val Allowed: Set[(String, String)] = Set(
-    ("q04_fanin_union", "sum(value), 2) AS su"), // double
-    ("q09_stateful_counter", "sum(value), 2) AS to"), // double
-    ("q12_metrics_window", "sum(value), 2) AS su"), // double
-    ("q25_throttle_bulk", "sum(value), 2) AS su"), // double
-    ("q32_fanout_multicast", "sum(value), 2) AS to"), // double
     ("q97_pagerank", "sum(r0.rank // deg.d"), // integer-div
     ("q97_pagerank", "sum(r1.rank // deg.d"), // integer-div
     ("q97_pagerank", "sum(r2.rank // deg.d"), // integer-div
     ("q97_pagerank", "sum(r3.rank // deg.d"), // integer-div
     ("q97_pagerank", "sum(r4.rank // deg.d"), // integer-div
-    ("q101_bloom_semijoin", "sum(l_quantity), 2) "), // double
     ("q104_set_ops", "sum(user_id), 0) AS "), // downstream-cast (CAST(coalesce(…)))
-    ("q105_gap_fill", "sum(value), 2) AS da"), // double
     ("q41_pack", "sum(n_tok) OVER ( PA"), // downstream-cast (consumed via CAST in cum)
     ("q48_simhash_portable", "sum(CASE WHEN (h >> "), // downstream-cast (bit vote)
     ("q57_mixture_sample", "sum(n_g) AS total FR"), // downstream-cast (quota arithmetic)
