@@ -3384,7 +3384,88 @@ object LlmQueries {
              |FROM cnt JOIN tot ON tot.source = cnt.source
              |WHERE cnt.n_docs_with * 100 >= tot.n_docs * 50
              |  AND cnt.n_docs_with >= 2
-             |ORDER BY cnt.source, cnt.line""".stripMargin))
+             |ORDER BY cnt.source, cnt.line""".stripMargin)),
+
+    // ---- contamination REPORT (the audit twin of q43's decontaminate
+    // DROP): per (train doc, benchmark doc) pair, how many distinct
+    // 5-gram shingles they share and what fraction of the train doc
+    // that is — the evidence table a release review reads before
+    // deciding what q43 removes. Rare-gram prefilter (benchmark doc
+    // frequency <= 20): a boilerplate gram pairs every train doc with
+    // every bench doc — the contamination signal lives in RARE grams,
+    // and the cap is also what bounds the join fan-out at 100 TB.
+    // Exact integers + one basis-point integer division (the q18
+    // rule). Scale shape: one gram materialization feeds both sides;
+    // the join is gram-keyed with the capped bench side; pair rollup
+    // is map-side combined ----
+    QuerySpec("q179_contamination_report",
+      (s, dir) => {
+        // planted contamination (the q126/q177 discipline): every
+        // benchmark doc re-appears TRUNCATED on the train side
+        // (doc_id+300000 ≡ 12 mod 13 — never benchmark), so the gate
+        // always has known leaked pairs at every SF
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"),
+              substring(col("text"), 1, 400).as("text")))
+        // (doc_id, h) long pairs — compact; THREE consumers (bench
+        // side, train side, per-doc sizes), so pinned once
+        val grams = corpus
+          .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("sh"))
+          .select(col("doc_id"), graft.functions.Hashes.md5Long(col("sh")).as("h"))
+          .localCheckpoint()
+        val bench = grams.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select(col("doc_id").as("bench_id"), col("h"))
+        val rare = bench.groupBy(col("h"))
+          .agg(count_distinct(col("bench_id")).as("dfb"))
+          .filter(col("dfb") <= 20)
+        val train = grams.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        train.join(bench.join(rare.select(col("h")), Seq("h")), Seq("h"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .join(sizes, Seq("doc_id"))
+          .select(col("doc_id"), col("bench_id"), col("n_shared"),
+            col("n_grams"),
+            expr("n_shared * 10000L div n_grams").as("overlap_bp"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000, substr(text, 1, 400)
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 4),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             |      || w[i+3] || ' ' || w[i+4]))) AS sh
+             |  FROM w WHERE len(w) >= 5),
+             |h AS (SELECT doc_id,
+             |  CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
+             |bench AS (SELECT doc_id AS bench_id, h FROM h
+             |          WHERE doc_id % 13 = 0),
+             |rare AS (SELECT h FROM bench
+             |         GROUP BY h HAVING count(DISTINCT bench_id) <= 20),
+             |br AS (SELECT bench.bench_id, bench.h
+             |       FROM bench JOIN rare USING (h)),
+             |train AS (SELECT doc_id, h FROM h WHERE doc_id % 13 <> 0),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+             |          FROM train GROUP BY 1),
+             |pairs AS (SELECT t.doc_id, br.bench_id,
+             |            CAST(count(*) AS BIGINT) AS n_shared
+             |          FROM train t JOIN br USING (h)
+             |          GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p.doc_id, p.bench_id, p.n_shared, s.n_grams,
+             |  p.n_shared * 10000 // s.n_grams AS overlap_bp
+             |FROM pairs p JOIN sizes s USING (doc_id)
+             |ORDER BY p.doc_id, p.bench_id""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
