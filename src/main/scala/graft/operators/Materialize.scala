@@ -50,6 +50,13 @@ sealed trait Materialize {
 object Materialize {
 
   case object LocalCheckpoint extends Materialize {
+    // EAGER by choice: construction-time materialization IS the
+    // boundary-consistency statement these operators make (every
+    // consumer reads one pinned partitioning, whatever actions follow).
+    // The lazy form shares within one action too
+    // (MaterializationDisciplineSpec) and was measured here — no
+    // faster on the q65/q124 family — so eager keeps the stronger
+    // guarantee at no cost.
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 

@@ -123,7 +123,6 @@ class GlobalPrefixSpec extends SparkSpec {
     val byDefault = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
       numPartitions = Some(6)).select("k", "running")
       .as[(Long, Long)].collect().toSet
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
     val strat = Materialize.persistDisk()
     val out = GlobalPrefix.runningSum(df, Seq(col("k")), col("v"),
       numPartitions = Some(6), materialize = strat)
@@ -148,8 +147,14 @@ class GlobalPrefixSpec extends SparkSpec {
     // would be a silent no-op (the cached plan is the internal pass,
     // not the returned join plan), which in a long-lived session leaks
     // one disk-cached relation per call. release() must drop it.
+    // DISK_ONLY_2 is this strategy's unique marker level, so the
+    // assertion is immune to OTHER tests' checkpoint blocks coming and
+    // going under the ContextCleaner.
+    def diskPinned = spark.sparkContext.getPersistentRDDs.values.count(
+      _.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+    assert(diskPinned >= 1, "persist mode must pin a DISK_ONLY_2 pass")
     strat.release(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+    assert(diskPinned == 0,
       "release() must drop the pinned pass (cache leak)")
   }
 
