@@ -613,6 +613,80 @@ class SqlSpec extends SparkSpec {
     }
   }
 
+  test("delayed-release chaos: crashes around releases never lose; dups only on delayed rows") {
+    // randomized lifecycle over the NEW release protocol: every
+    // incarnation publishes mainline + short-delay rows, its sink may
+    // fail its first attempt, instances die and restart fresh. The
+    // contract: at-least-once for EVERYTHING (released rows included —
+    // the class this round's re-publish-on-release fix closed) with
+    // duplicates possible ONLY on delayed rows (a fresh instance can
+    // re-read an original past-due row that an earlier incarnation
+    // also released — at-least-once, never loss).
+    val rnd = new scala.util.Random(7)
+    val db = url("sqldchaos")
+    val sink = new MemoryPubSub(spark)
+    val mainline = scala.collection.mutable.Set.empty[String]
+    val delayed = scala.collection.mutable.Set.empty[String]
+    (0 until 3).foreach { incarnation =>
+      val ps = new SqlPubSub(spark, db, group = "gdc", pollIntervalMs = 20)
+      try {
+        val due = java.time.Instant.now().plusMillis(300 + rnd.nextInt(400))
+        val m = (0 until 3).map(i => s"m$incarnation-$i")
+        val d = s"d$incarnation"
+        mainline ++= m; delayed += d
+        ps.publish("t_dchaos",
+          m.map(u => msg(u, "x")) :+
+            msg(d, "late", Map(graft.router.Ctx.DelayedUntil -> due.toString)))
+        val failures = rnd.nextInt(2)
+        AcceptanceLatch.arm(s"dchaos-$incarnation", failures)
+        val out = new Publisher {
+          override def publish(t: String, ms: Seq[Message]): Unit =
+            sink.publish(t, ms)
+          override def publishBatch(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+            if (AcceptanceLatch.shouldFail(s"dchaos-$incarnation"))
+              throw new RuntimeException("chaos sink failure")
+            sink.publishBatch(t, df)
+          }
+        }
+        val r = new Router(spark, Some(java.nio.file.Files
+          .createTempDirectory(s"dchaos-$incarnation-").toString))
+        r.addHandler(s"h$incarnation", "t_dchaos", ps, "t_dchaos_out", out,
+          Middlewares.passthrough)
+        r.run()
+        try { ps.awaitCaughtUp("t_dchaos"); r.processAllAvailable() }
+        catch { case _: Exception => () }
+        Thread.sleep(400 + rnd.nextInt(300)) // let some releases happen
+        try { r.processAllAvailable() } catch { case _: Exception => () }
+        r.close()
+      } finally ps.close() // crash: whatever was released but uncommitted redelivers
+    }
+    // final healthy incarnation: wait past every due time, drain all
+    val ps = new SqlPubSub(spark, db, group = "gdc", pollIntervalMs = 20)
+    try {
+      Thread.sleep(900)
+      val r = new Router(spark, Some(java.nio.file.Files
+        .createTempDirectory("dchaos-final-").toString))
+      r.addHandler("hf", "t_dchaos", ps, "t_dchaos_out", sink,
+        Middlewares.passthrough)
+      r.run()
+      val want = mainline.toSet ++ delayed
+      val deadline = System.currentTimeMillis() + 20000
+      var got = Seq.empty[String]
+      while (System.currentTimeMillis() < deadline && {
+        ps.awaitCaughtUp("t_dchaos"); r.processAllAvailable()
+        got = sink.subscribeBatch("t_dchaos_out").collect()
+          .map(_.getAs[String]("uuid")).toSeq
+        !want.subsetOf(got.toSet)
+      }) Thread.sleep(100)
+      r.close()
+      assert(want.subsetOf(got.toSet),
+        s"lost under delayed chaos: ${want -- got.toSet}")
+      val dups = got.groupBy(identity).filter(_._2.length > 1).keySet
+      assert(dups.subsetOf(delayed),
+        s"mainline rows must never duplicate, got dups: ${dups -- delayed}")
+    } finally ps.close()
+  }
+
   test("polling subscribe tails new rows and resumes from the stored offset") {
     val db = url("sqlcdc")
     val ps = new SqlPubSub(spark, db, group = "g1")
