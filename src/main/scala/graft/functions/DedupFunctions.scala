@@ -152,18 +152,29 @@ object DedupFunctions {
     * `agree` (gate on `agree >= ceil(t*k)`, never on the double) —
     * the integer-rational threshold discipline.
     *
-    * Scale shape: signatures materialize ONCE (localCheckpoint — three
-    * consumers: banding and both join sides; k longs per doc, the rows
-    * an index build would persist anyway); candidate pairs come from
-    * [[bandPairs]]' one grouped shuffle; the estimate is two hash
-    * joins carrying k-long arrays plus a row-local zip_with fold —
-    * never a shingle-set intersection (the full sets stay unshuffled).
-    */
+    * Scale shape: signatures materialize ONCE (strategy-selected, see
+    * `materialize` — three consumers: banding and both join sides; k
+    * longs per doc, the rows an index build would persist anyway);
+    * candidate pairs come from [[bandPairs]]' one grouped shuffle; the
+    * estimate is two hash joins carrying k-long arrays plus a
+    * row-local zip_with fold — never a shingle-set intersection (the
+    * full sets stay unshuffled).
+    *
+    * @param materialize pin strategy for the signature pass
+    *   ([[graft.operators.Materialize]]). Default: session conf
+    *   `graft.materialize` (local | persist | reliable), else eager
+    *   localCheckpoint — fastest single-machine, but lineage-
+    *   truncating; a 1000-executor run with dynamic allocation should
+    *   set `reliable` (or pass [[graft.operators.Materialize.ReliableCheckpoint]])
+    *   so a lost executor recomputes instead of killing the job. */
   def minhashEstimates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, r: Int, portable: Boolean,
-      maxBucket: Int = 1000, minAgree: Int = 0): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k, portable)
-      .localCheckpoint(true)
+      maxBucket: Int = 1000, minAgree: Int = 0,
+      materialize: graft.operators.Materialize =
+        graft.operators.Materialize.SessionDefault(
+          "DedupFunctions.minhashEstimates.sig")): DataFrame = {
+    val sig = materialize(
+      minhashSignatures(docs, idCol, textCol, shingleN, k, portable))
     val pairs = bandPairs(lshBands(sig, idCol, "sig", k, r), idCol, maxBucket)
     // join keys must match bandPairs' member type: longs for integral
     // ids, strings otherwise (a blanket long cast would NULL every
@@ -223,12 +234,17 @@ object DedupFunctions {
     * equi-join on (band, band_key) — with the index stored bucketed by
     * band_key, only the new slice's bands move; new-vs-new candidates
     * reuse the grouped-bucket pair generation. The new bands relation
-    * MATERIALIZES EAGERLY (localCheckpoint): it has two consumers
-    * (index join + self-pairs) which would otherwise re-run the whole
-    * shingle/hash pipeline per reference, and the materialized rows
-    * are exactly what a caller appends to the stored index after
-    * accepting the slice — so the returned frame's plan provably
-    * contains NO document-text scan (PlanShapeSpec pins this).
+    * MATERIALIZES EAGERLY by default (localCheckpoint): it has two
+    * consumers (index join + self-pairs) which would otherwise re-run
+    * the whole shingle/hash pipeline per reference, and the
+    * materialized rows are exactly what a caller appends to the stored
+    * index after accepting the slice — so the returned frame's plan
+    * provably contains NO document-text scan (PlanShapeSpec pins
+    * this). `materialize` picks the durability trade: the default
+    * eager localCheckpoint truncates lineage (one lost executor kills
+    * the job — fine single-JVM); a cluster run under dynamic
+    * allocation should set session conf `graft.materialize=reliable`
+    * or pass [[graft.operators.Materialize.ReliableCheckpoint]].
     *
     * `index` must carry (band, band_key, `idCol`) with the SAME
     * (shingleN, k, r, portable, maxBucket) configuration it was built
@@ -237,10 +253,12 @@ object DedupFunctions {
     */
   def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, shingleN: Int, k: Int, r: Int,
-      portable: Boolean, maxBucket: Int = 1000): DataFrame = {
-    val nb = minhashBandIndex(newDocs, idCol, textCol, shingleN, k, r,
-      portable, maxBucket)
-      .localCheckpoint(true)
+      portable: Boolean, maxBucket: Int = 1000,
+      materialize: graft.operators.Materialize =
+        graft.operators.Materialize.SessionDefault(
+          "DedupFunctions.incrementalCandidates.newBands")): DataFrame = {
+    val nb = materialize(minhashBandIndex(newDocs, idCol, textCol,
+      shingleN, k, r, portable, maxBucket))
     val oldPairs = nb
       .join(index.select(col("band"), col("band_key"),
         col(idCol).as("_acc_id")), Seq("band", "band_key"))
@@ -859,10 +877,16 @@ object DedupFunctions {
       textCol: String,
       k: Int = 5,
       minDocs: Int = 2,
-      minRun: Int = 3): DataFrame = {
-    val words = docs.select(col(idCol),
-      TextFunctions.words(col(textCol)).as("_w"))
-      .localCheckpoint() // one tokenization pass for all three consumers
+      minRun: Int = 3,
+      // strategy for the CORPUS-SIZED words pin (the content pin below
+      // is span-count-sized and stays localCheckpoint): default eager
+      // localCheckpoint; cluster runs set graft.materialize=reliable
+      materialize: graft.operators.Materialize =
+        graft.operators.Materialize.SessionDefault(
+          "DedupFunctions.scrubDuplicateSpans.words")): DataFrame = {
+    val words = materialize(docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("_w")))
+      // one tokenization pass for all three consumers
     val spans = spanRuns(words, idCol, k, minDocs, minRun)
     // span content hash: the exact covered words, not the grams
     val content = spans.join(words, Seq(idCol))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Materialization strategy for operators whose correctness requires
@@ -45,9 +45,26 @@ sealed trait Materialize {
   /** One shared materialization of `df` that every downstream branch
     * reads — see the strategy docs for the durability trade. */
   def apply(df: DataFrame): DataFrame
+
+  /** Whether this strategy materializes at CONSTRUCTION time (vs
+    * lazily on the first action). Operators whose pin must capture a
+    * non-deterministic evaluation (e.g. a `current_timestamp()` the
+    * caller just persisted a copy of — [[graft.streaming.StreamingNearDup]])
+    * require an eager strategy: a lazy pin with lineage kept would
+    * legally RE-evaluate on recompute and drift from the persisted
+    * copy. */
+  def isEager: Boolean = true
+
+  /** Conf-resolving strategies return the concrete choice for this
+    * frame's session; concrete strategies return themselves. */
+  def resolveFor(df: DataFrame): Materialize = this
 }
 
 object Materialize {
+
+  /** Session conf key for the conf-overridable strategies:
+    * `local` | `persist` | `reliable` (see [[SessionDefault]]). */
+  val ConfKey = "graft.materialize"
 
   case object LocalCheckpoint extends Materialize {
     // EAGER by choice: construction-time materialization IS the
@@ -61,8 +78,12 @@ object Materialize {
   }
 
   /** Each call returns a fresh releasable instance — the caller that
-    * picked the persist strategy OWNS the cache entry's lifetime. */
-  def persistDisk(): PersistDisk = new PersistDisk
+    * picked the persist strategy OWNS the cache entry's lifetime.
+    * `level` defaults to DISK_ONLY_2 (replica on a second executor —
+    * the corpus-scale choice); control-plane-sized pins can pass
+    * MEMORY_AND_DISK. */
+  def persistDisk(level: StorageLevel = StorageLevel.DISK_ONLY_2): PersistDisk =
+    new PersistDisk(level)
 
   /** Releasable persist handle. Calling `unpersist()` on the
     * OPERATOR'S OUTPUT would be a silent no-op — the cache manager
@@ -71,14 +92,16 @@ object Materialize {
     * PersistDisk call in a long-lived session would leak one
     * disk-cached relation until clearCache(). Call [[release]] once
     * downstream consumption is done. */
-  final class PersistDisk private[Materialize] () extends Materialize {
+  final class PersistDisk private[Materialize] (
+      level: StorageLevel = StorageLevel.DISK_ONLY_2) extends Materialize {
     @volatile private var pinned: List[DataFrame] = Nil
+    override def isEager: Boolean = false
     // persist is lazy, but all references canonicalize onto the ONE
     // InMemoryRelation, whose child executes once — one exchange, one
     // sampled boundary set, shared by every branch. No eager action
     // needed (an extra count() would be a second pass over the data).
     def apply(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.DISK_ONLY_2)
+      val p = df.persist(level)
       synchronized { pinned ::= p }
       p
     }
@@ -96,4 +119,100 @@ object Materialize {
       df.checkpoint()
     }
   }
+
+  /** Bounded, releasable persist pin for sites with no caller to own
+    * a [[PersistDisk]] handle's lifetime (query-registry functions): a
+    * plain lazy persist there would leak one cache entry PER CALL —
+    * the q151 rule that forced those sites onto `localCheckpoint` in
+    * the first place. At most ONE pinned relation per (session, site)
+    * is ever alive: pinning releases the site's previous handle first,
+    * and [[releaseSitePins]] clears a session's remainder.
+    *
+    * Lazy and shared via the cache manager (the fast shape `cache()`
+    * had — no up-front job boundary, branches of one action share
+    * blocks as they compute, MaterializationDisciplineSpec), with
+    * lineage KEPT — an executor loss recomputes the lost blocks
+    * instead of killing the job, so this is ALSO the scale-safe
+    * default for these pins (the localCheckpoint forms it replaces
+    * truncate lineage). DETERMINISTIC pins only: a lazy pin may
+    * legally recompute, so a non-deterministic upstream
+    * (current_timestamp, rand, sampled boundaries) must use an eager
+    * strategy instead. */
+  final case class SitePin(site: String,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends Materialize {
+    override def isEager: Boolean = false
+    def apply(df: DataFrame): DataFrame = {
+      val h = new PersistDisk(level)
+      val prev = sitePins.synchronized {
+        val m = Option(sitePins.get(df.sparkSession)).getOrElse {
+          val fresh = scala.collection.mutable.Map.empty[String, PersistDisk]
+          sitePins.put(df.sparkSession, fresh)
+          fresh
+        }
+        m.put(site, h)
+      }
+      // release BEFORE pinning: the previous call's plan may be
+      // cache-canonically identical to this one (same inputs), and
+      // unpersisting it after the new persist would evict the new pin
+      prev.foreach(_.release())
+      h(df)
+    }
+  }
+
+  // weak keys: a dropped SparkSession must not be kept alive by its
+  // pin bookkeeping (the cached blocks die with the session anyway)
+  private val sitePins =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, PersistDisk]]
+
+  /** Release every [[SitePin]] handle held for `spark` — harness/
+    * session-teardown hook (Bench/Verify's `clearCache()` already
+    * evicts the blocks; this also clears the handle bookkeeping). */
+  def releaseSitePins(spark: SparkSession): Unit = sitePins.synchronized {
+    Option(sitePins.get(spark)).foreach { m =>
+      m.values.foreach(_.release()); m.clear()
+    }
+  }
+
+  /** Test/observability hook: live [[SitePin]] handle count for a
+    * session (bounded by the number of distinct sites, never by call
+    * count — the no-leak property MaterializationDisciplineSpec pins). */
+  private[graft] def liveSitePins(spark: SparkSession): Int =
+    sitePins.synchronized {
+      Option(sitePins.get(spark)).map(_.size).getOrElse(0)
+    }
+
+  /** The conf-overridable strategy for a library/registry pin site:
+    * session conf [[ConfKey]] (`graft.materialize`) picks
+    * `local` → [[LocalCheckpoint]], `persist` → [[SitePin]] (keyed by
+    * `site`), `reliable` → [[ReliableCheckpoint]]; unset falls back to
+    * `fallback` (same vocabulary). One session flag switches every
+    * threaded pin site to the reliable store for a 100 TB run with
+    * dynamic allocation — no per-call plumbing needed. */
+  final case class SessionDefault(site: String, fallback: String = "local")
+      extends Materialize {
+    override def resolveFor(df: DataFrame): Materialize =
+      strategy(df.sparkSession.conf.get(ConfKey, fallback), site)
+    def apply(df: DataFrame): DataFrame = resolveFor(df)(df)
+    // unresolved eagerness is unknowable; callers that REQUIRE eager
+    // must check resolveFor(df).isEager (StreamingNearDup does)
+    override def isEager: Boolean =
+      throw new UnsupportedOperationException(
+        "SessionDefault.isEager is conf-dependent — call resolveFor(df).isEager")
+  }
+
+  private def strategy(name: String, site: String): Materialize = name match {
+    case "local"    => LocalCheckpoint
+    case "persist"  => SitePin(site)
+    case "reliable" => ReliableCheckpoint
+    case other => throw new IllegalArgumentException(
+      s"$ConfKey=$other (expected local | persist | reliable)")
+  }
+
+  /** Query-registry pin for a DETERMINISTIC multi-consumer relation:
+    * conf-overridable ([[ConfKey]]), defaulting to [[SitePin]] — the
+    * lazy shared shape that avoids both the per-call cache leak and
+    * the eager pin's extra job boundary (the q125/q145 regression). */
+  def registryPin(df: DataFrame, site: String): DataFrame =
+    SessionDefault(site, fallback = "persist")(df)
 }

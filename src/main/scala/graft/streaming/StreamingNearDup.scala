@@ -41,10 +41,21 @@ import graft.functions.{DedupFunctions, TextFunctions}
   * the per-batch join shuffles the (small) batch side to the index's
   * band buckets; the retained corpus never re-shuffles.
   */
+/** @param materialize pin strategy for the returned kept-set
+  *   ([[graft.operators.Materialize]]) — must resolve to an EAGER
+  *   strategy (LocalCheckpoint default, or ReliableCheckpoint /
+  *   session conf `graft.materialize=reliable` for cluster runs under
+  *   dynamic allocation): the kept frame must capture the exact rows
+  *   whose bands were just appended to the index, and a LAZY pin with
+  *   lineage kept could legally recompute — re-evaluating
+  *   current_timestamp() and drifting from the persisted index. */
 final class StreamingNearDup(spark: SparkSession, indexDir: String,
     idCol: String = "doc_id", textCol: String = "text",
     shingleN: Int = 3, k: Int = 12, r: Int = 2,
-    minSim: Double = 0.7, retention: Option[String] = None) {
+    minSim: Double = 0.7, retention: Option[String] = None,
+    materialize: graft.operators.Materialize =
+      graft.operators.Materialize.SessionDefault(
+        "StreamingNearDup.kept")) {
 
   private def fs = new org.apache.hadoop.fs.Path(indexDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -245,8 +256,14 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       // action, and with retention set the current_timestamp() in the
       // index view would re-evaluate — returning a kept-set drifted
       // from the survivors whose bands were just appended (same hazard
-      // StreamingQuota checkpoints `admitted` against)
-      kept.localCheckpoint()
+      // StreamingQuota checkpoints `admitted` against). The strategy
+      // MUST therefore be eager — reject a lazy one loudly rather than
+      // silently reintroduce the drift
+      val m = materialize.resolveFor(kept)
+      require(m.isEager, s"StreamingNearDup needs an EAGER Materialize " +
+        s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
+        "lazy pin may recompute and drift from the just-appended index")
+      m(kept)
     } finally { bs.unpersist(); () }
   }
 

@@ -18,9 +18,23 @@ import graft.GraftSession
   * scale regression discovered at 100x.
   */
 object PlanBudget {
+  /** Count of DISTINCT data exchanges in a physical-plan string. A
+    * cached relation (Materialize.SitePin / registryPin) is printed
+    * once under EVERY InMemoryTableScan that references it, so a raw
+    * occurrence count would bill the one shuffle that body executes
+    * once per reference — dedup by the exchange's own line text
+    * (operator/plan ids and expression ids make every distinct
+    * exchange line unique, while reprints of the same node are
+    * character-identical after stripping tree decoration). Note this
+    * also made the audit MORE honest than the eager-localCheckpoint
+    * era: that form ran the pinned pass's shuffle in a separate
+    * construction-time job the main plan never showed. */
   def dataExchanges(plan: String): Int =
-    "Exchange (hashpartitioning|rangepartitioning)".r
-      .findAllIn(plan).length
+    plan.linesIterator
+      .map(_.dropWhile(c => !c.isLetter))
+      .filter(l => l.startsWith("Exchange hashpartitioning") ||
+        l.startsWith("Exchange rangepartitioning"))
+      .toSeq.distinct.size
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0)

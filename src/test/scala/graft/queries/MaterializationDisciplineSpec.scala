@@ -69,6 +69,97 @@ class MaterializationDisciplineSpec extends SparkSpec {
       "cached blocks must be shared as they compute")
     finally { df.unpersist(); () }
   }
+
+  // ---- the r14 strategy-threading rows: every corpus-scale pin site
+  // now goes through [[graft.operators.Materialize]], and the registry
+  // sites (q125.states, q145.profiles, q179.grams) use the bounded
+  // releasable SitePin — these rows pin its three load-bearing claims:
+  // cache-like sharing, per-site boundedness (NO per-call leak), and
+  // the conf override that switches a 100 TB run to the reliable store.
+
+  test("SitePin shares the upstream between branches of one action, like cache") {
+    import graft.operators.Materialize
+    val df = Materialize.SitePin("spec.share")(base)
+    try assert(twoConsumersOneAction(df) == 4,
+      "SitePin must share blocks between branches of one action")
+    finally Materialize.releaseSitePins(spark)
+  }
+
+  test("SitePin is BOUNDED per site: N calls leave one live handle and one cache entry") {
+    import graft.operators.Materialize
+    Materialize.releaseSitePins(spark)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (0 until 5).foreach { i =>
+      // distinct plans per call (the registry's per-SF reality) — a
+      // plain lazy persist here would leak 5 cache entries
+      val df = Materialize.SitePin("spec.bounded")(
+        base.filter(col("v") >= i))
+      df.agg(sum("v")).collect()
+      ()
+    }
+    assert(Materialize.liveSitePins(spark) == 1,
+      "repeated pins at one site must keep exactly one live handle")
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"SitePin leaked cache entries: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    Materialize.releaseSitePins(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "releaseSitePins must drop the last pinned relation")
+    assert(Materialize.liveSitePins(spark) == 0)
+  }
+
+  test("registryPin: graft.materialize conf overrides the SitePin default at every threaded site") {
+    import graft.operators.Materialize
+    // local → eager localCheckpoint (no cache entry, LogicalRDD leaf)
+    spark.conf.set(Materialize.ConfKey, "local")
+    try {
+      spark.catalog.clearCache()
+      val pinned = Materialize.registryPin(base, "spec.conf")
+      // eager localCheckpoint = LogicalRDD leaf (its block-backed RDD
+      // rides getPersistentRDDs until the frame GCs — that's the
+      // documented reclamation model, not a cache-manager pin)
+      assert(pinned.queryExecution.optimizedPlan.toString.contains("LogicalRDD") ||
+        pinned.queryExecution.optimizedPlan.toString.contains("Scan ExistingRDD"),
+        "conf=local must resolve to an eager localCheckpoint")
+      assert(Materialize.liveSitePins(spark) == 0,
+        "conf=local must not create a SitePin handle")
+      // reliable without a checkpoint dir fails LOUDLY (the GlobalIndex
+      // contract) — the same strategy object serves the registry sites
+      spark.conf.set(Materialize.ConfKey, "reliable")
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        intercept[IllegalArgumentException] {
+          Materialize.registryPin(base, "spec.conf"); ()
+        }
+      spark.conf.set(Materialize.ConfKey, "garbage")
+      intercept[IllegalArgumentException] {
+        Materialize.registryPin(base, "spec.conf"); ()
+      }
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      Materialize.releaseSitePins(spark)
+    }
+  }
+
+  test("threaded library sites accept an explicit strategy and match the default's result") {
+    import graft.functions.DedupFunctions
+    import graft.operators.Materialize
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val t = if (i % 10 == 0) "the quick brown fox jumps over the lazy dog again and again"
+      else s"doc $i with words ${i * 7} ${i * 13} unique tail ${i % 3}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    def run(m: Materialize) = DedupFunctions.minhashEstimates(
+      docs, "doc_id", "text", shingleN = 3, k = 12, r = 2,
+      portable = true, materialize = m)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    val dflt = run(Materialize.SessionDefault("spec.lib"))
+    assert(run(Materialize.LocalCheckpoint) == dflt)
+    val sp = run(Materialize.SitePin("spec.lib.pin"))
+    Materialize.releaseSitePins(spark)
+    assert(sp == dflt,
+      "strategy choice must never change minhashEstimates' results")
+  }
 }
 
 /** Executor-visible probe (closures capture statics, never the suite). */

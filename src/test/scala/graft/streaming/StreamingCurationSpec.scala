@@ -147,6 +147,22 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup REJECTS a lazy Materialize strategy loudly (kept-set must not drift from the index)") {
+    // the returned kept frame captures the exact rows whose bands were
+    // just appended (current_timestamp in the index rows): a lazy pin
+    // with lineage kept could legally recompute and drift — the
+    // constructor threads the strategy, processBatch enforces eagerness
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndm-").toString
+    val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5,
+      materialize = graft.operators.Materialize.SitePin("spec.nd"))
+    import spark.implicits._
+    val docs = Seq((1L, "one lonely document with enough words to shingle properly here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] { nd.processBatch(docs); () }
+    assert(e.getMessage.contains("EAGER"), e.getMessage)
+    graft.operators.Materialize.releaseSitePins(spark)
+  }
+
   test("CurationStages compose: PII scrub + decontaminate + quality route in one handler") {
     import org.apache.spark.sql.Dataset
     val clean = "the quick value of a table scan is the key to fast query group work"
