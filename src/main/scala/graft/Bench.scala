@@ -28,26 +28,51 @@ object Bench {
     // passes, beating min-of-N (r12's artifact read +22% vs r11 purely
     // from load — mpr 1.23 vs 1.12 — and the delta was only
     // attributable via local receipts). A FIXED synthetic workload
-    // (CPU + one shuffle, no disk reads) timed median-of-3 before the
-    // first and after the last pass gives every artifact its own
-    // machine-speed index: round-over-round consumers compare
-    // total/calib ratios, which cancels the co-tenant term without any
-    // external receipt. Outside all timed windows.
+    // timed median-of-3 before the first and after the last pass gives
+    // every artifact its own machine-speed index: round-over-round
+    // consumers compare total/calib ratios, which cancels the co-tenant
+    // term without any external receipt. Outside all timed windows.
+    //
+    // The workload has a CPU+shuffle term AND a disk term (fixed
+    // parquet write + read-back): the r13 calib was CPU+shuffle only
+    // and therefore BLIND to the driver-box disk contention that
+    // inflated q147 6x (13.3 s vs a 2.1 s local receipt on a slower-
+    // calib machine) with "contaminated": false — the index cannot
+    // attribute what its workload never exercises. r14 calib values
+    // are NOT comparable to r13's (different workload); compare within
+    // one artifact and r14-forward.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
-      val ts = (0 until 3).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        spark.range(0L, 20000000L, 1L, 32)
-          .select(pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
-            (col("id") % 8191).as("v"))
-          .groupBy(col("k"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
-            avg(col("v")).as("a"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      val diskDir = java.nio.file.Files
+        .createTempDirectory("graft-calib-").toString
+      try {
+        val ts = (0 until 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          spark.range(0L, 20000000L, 1L, 32)
+            .select(pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
+              (col("id") % 8191).as("v"))
+            .groupBy(col("k"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
+              avg(col("v")).as("a"))
+            .write.format("noop").mode("overwrite").save()
+          // disk term: ~25 MB parquet through the same spark.local.dir
+          // filesystem the queries' scratch writes hit
+          spark.range(0L, 2000000L, 1L, 32)
+            .select(col("id"),
+              pmod(col("id") * 2654435761L, lit(1000003L)).as("k"))
+            .write.mode("overwrite").parquet(s"$diskDir/t")
+          spark.read.parquet(s"$diskDir/t").agg(sum(col("k")))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(diskDir))
       }
-      ts.sorted.apply(1)
     }
     val calibPre = try calibrate() catch { case _: Throwable => -1.0 }
 
@@ -138,18 +163,56 @@ object Bench {
     val medianPairRatio =
       if (pairRatios.isEmpty) 1.0 else pairRatios(pairRatios.size / 2)
     val contaminated = divergent(totals.sorted.take(2)) || medianPairRatio > 2.0
-    // min over passes; a failure in ANY pass stays flagged
+
+    // fresh timed samples of ONE query under the standard isolation —
+    // the re-measure primitive for both targeted gates below
+    def timeQuery(name: String, n: Int): Seq[Double] = {
+      val fn = SparkEntry.queries(name)
+      (0 until n).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    // Per-query pass-disagreement gate (r13 lesson: min-of-N KEEPS a
+    // contaminated value when EVERY pass is hit — q147 shipped 13.3 s
+    // from passes 28.4/13.3 while its committed local receipt on a
+    // slower-calib machine read 2.1 s, and neither the total-divergence
+    // check nor the MEDIAN pair ratio can trip on one query). Any query
+    // whose two best-pass times disagree > 3x (both non-trivial) is
+    // re-timed fresh min-of-2 after the passes, and the artifact
+    // records the rerun samples so the correction is auditable.
+    val rerunNames = bestTwo.head.indices.flatMap { i =>
+      val name = bestTwo.head(i)._1
+      val ts = bestTwo.map(_(i)._2)
+      if (ts.forall(_ >= 0.2) && ts.max / ts.min > Bench.rerunPairRatioGate)
+        Some(name)
+      else None
+    }
+    val reruns: Map[String, Seq[Double]] = rerunNames.map { name =>
+      name -> (try timeQuery(name, 2)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] rerun $name failed: ${e.getMessage}")
+          Seq.empty
+        })
+    }.toMap
+    // min over passes AND any rerun samples; a failure in ANY pass
+    // stays flagged
     val results = passes.head.indices.map { i =>
       val name = passes.head(i)._1
-      val ts = passes.map(_(i)._2)
+      val ts = passes.map(_(i)._2) ++ reruns.getOrElse(name, Seq.empty)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val passTotals = totals
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // (qs/failed/total move BELOW the ladder: its exponent gate can
+    // re-time a contested bench-rung value, and the headline per-query
+    // map must carry the corrected min, not the contaminated one)
     // semantic-dedup pruning evidence (q71/q72 production regime):
     // candidates vs all-pairs, so the 100 TB pruning claim is auditable
     // from the artifact each round, not only inside
@@ -213,6 +276,10 @@ object Bench {
     // cannot see (SURVEY §7.4.6's design rule made measurable). Times
     // are min-of-2 warm at the smaller SFs; the bench SF reuses this
     // run's min-of-passes. Outside the timed window.
+    // bench-rung re-times from the exponent gate: the corrected min
+    // must reach the headline per-query map (q147's r13 13.3 s would
+    // have shipped uncorrected otherwise)
+    val ladderCorrections = scala.collection.mutable.Map.empty[String, Double]
     val ladder = try {
       val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
       val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
@@ -240,29 +307,55 @@ object Bench {
               fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             }
           }
-          val times = sfs.map { case (d, sf) =>
-            if (d == benchSf) sf -> results.find(_._1 == name).get._2
-            else {
-              val dir = parent.resolve(d).toString
-              // min-of-3 per rung: the r12 ladder still showed one
-              // rung-1 anomaly (q81: 3.45 s at sf0.001 vs 0.53 s at
-              // 10× the data) the single warm pass + min-of-2 didn't
-              // absorb — a third sample makes a double co-tenant hit
-              // on the same rung vanishingly unlikely
-              val ts = (0 until Bench.ladderRungRuns).map { _ =>
-                spark.catalog.clearCache()
-                spark.sparkContext.getPersistentRDDs.values
-                  .foreach(_.unpersist(blocking = false))
-                val t0 = System.nanoTime()
-                fn(spark, dir).write.format("noop").mode("overwrite").save()
-                (System.nanoTime() - t0) / 1e9
-              }
-              sf -> ts.min
-            }
+          // min-of-3 per rung: the r12 ladder still showed one rung-1
+          // anomaly (q81: 3.45 s at sf0.001 vs 0.53 s at 10× the data)
+          // the single warm pass + min-of-2 didn't absorb — a third
+          // sample makes a double co-tenant hit on the same rung
+          // vanishingly unlikely
+          def timeRung(d: String): Double = {
+            val dir = parent.resolve(d).toString
+            (0 until Bench.ladderRungRuns).map { _ =>
+              spark.catalog.clearCache()
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+              val t0 = System.nanoTime()
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }.min
           }
-          val Seq((sfA, tA), (sfB, tB)) = times.takeRight(2)
-          val exp = math.log(tB / tA) / math.log(sfB / sfA)
-          Some((name, times.map(_._2), exp))
+          val times0 = sfs.map { case (d, sf) =>
+            if (d == benchSf) (d, sf, results.find(_._1 == name).get._2)
+            else (d, sf, timeRung(d))
+          }
+          def expOf(ts: Seq[(String, Double, Double)]): Double = {
+            val Seq((_, sfA, tA), (_, sfB, tB)) = ts.takeRight(2)
+            math.log(tB / tA) / math.log(sfB / sfA)
+          }
+          // Exponent gate (r13 lesson: q147's driver ladder printed
+          // exponent 1.3 off a disk-contention hit on the bench rung
+          // and NOTHING tripped — a super-linear exponent is either a
+          // real scale-killer or a contaminated rung, and both demand
+          // a second look, not a silent artifact row). Over the gate:
+          // re-time the two largest rungs fresh (min with the existing
+          // samples — the bench rung gets fresh samples instead of
+          // trusting the pass times) and recompute; still over →
+          // "suspect": true in the artifact.
+          val exp0 = expOf(times0)
+          val (times, exp, suspect) =
+            if (exp0 <= Bench.ladderExponentGate) (times0, exp0, false)
+            else {
+              val retimed = times0.zipWithIndex.map { case ((d, sf, t), i) =>
+                if (i >= times0.size - 2) {
+                  val fresh = math.min(t, timeRung(d))
+                  if (d == benchSf && fresh < t)
+                    ladderCorrections(name) = fresh
+                  (d, sf, fresh)
+                } else (d, sf, t)
+              }
+              val e = expOf(retimed)
+              (retimed, e, e > Bench.ladderExponentGate)
+            }
+          Some((name, times.map(_._3), exp, suspect))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ladder $name failed: ${e.getMessage}")
           None
@@ -272,13 +365,83 @@ object Bench {
       System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
       None
     }
-    val scaleLadderJson = Bench.scaleLadderJson(ladder)
+    // ---- q147 split ladder: frozen-index BUILD vs INCREMENTAL join ----
+    // The 100 TB claim behind incremental dedup is "accepted text is
+    // never re-read" — previously only a plan-shape pin (PlanShapeSpec)
+    // plus ONE combined wall number. Timing the two halves apart makes
+    // the incremental path's scaling a measured number: the build rung
+    // scales with the frozen corpus, the incremental rung with the new
+    // slice + a band-row join, so its exponent must sit at or below the
+    // combined query's. Same hygiene as the main ladder (warm at the
+    // smallest rung, min-of-ladderRungRuns per rung); per rung the
+    // build runs first so the incremental half always joins the index
+    // built at ITS OWN scale.
+    val splitLadder = try {
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
+        .filter { case (d, _) => java.nio.file.Files.isDirectory(parent.resolve(d)) }
+      if (sfs.size < 2) None
+      else {
+        def isolate(): Unit = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        def sample(f: => Unit): Double =
+          (0 until Bench.ladderRungRuns).map { _ =>
+            isolate()
+            val t0 = System.nanoTime()
+            f
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        locally { // warm both halves (JIT/codegen), unmeasured
+          val warmDir = parent.resolve(sfs.head._1).toString
+          isolate()
+          graft.queries.LlmQueries.q147LadderBuild(spark, warmDir)
+          graft.queries.LlmQueries.q147LadderIncr(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val perRung = sfs.map { case (d, sf) =>
+          val dir = parent.resolve(d).toString
+          val b = sample(graft.queries.LlmQueries.q147LadderBuild(spark, dir))
+          val i = sample(graft.queries.LlmQueries.q147LadderIncr(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+          (sf, b, i)
+        }
+        def entry(nm: String, sel: ((Double, Double, Double)) => Double) = {
+          val Seq(a, b) = perRung.takeRight(2)
+          val e = math.log(sel(b) / sel(a)) / math.log(b._1 / a._1)
+          (nm, perRung.map(sel), e, e > Bench.ladderExponentGate)
+        }
+        Some(Seq(entry("q147b_index_build", _._2),
+          entry("q147i_incremental_join", _._3)))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] split ladder failed: ${e.getMessage}")
+      None
+    }
+    val ladderAll = (ladder, splitLadder) match {
+      case (Some(a), Some(b)) => Some(a ++ b)
+      case (a, b) => a.orElse(b)
+    }
+    val scaleLadderJson = Bench.scaleLadderJson(ladderAll)
     // compact line carries the top-5 exponents (tail budget: all 10
     // with 2-decimal seconds would overflow the capture window); the
-    // full 10-query ladder with raw times is in BENCH_FULL.json
-    val scaleExpCompact = ladder.map(_.take(5).map { case (n, _, e) =>
+    // full ladder with raw times is in BENCH_FULL.json
+    val scaleExpCompact = ladderAll.map(_.take(5).map { case (n, _, e, _) =>
       "\"" + n.takeWhile(_ != '_').stripPrefix("q") + f"""\":$e%.2f"""
     }.mkString("{", ",", "}")).getOrElse("""{"error":true}""")
+
+    // headline per-query map: min over passes, targeted reruns, and
+    // any exponent-gate bench-rung retime
+    val finalResults = results.map { case (n, v) =>
+      n -> (if (v >= 0) math.min(v, ladderCorrections.getOrElse(n, v)) else v)
+    }
+    val qs = finalResults.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val failed = finalResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
 
     // machine-load context: 1-minute OS load average (and CPU count)
     // so a contaminated run is visible IN the artifact — r5/r6 both
@@ -306,7 +469,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -319,9 +482,10 @@ object Bench {
     System.err.println(fullLine)
     System.err.flush()
 
-    println(Bench.compactLine(results, failed, total, extraPass,
+    println(Bench.compactLine(finalResults, failed, total, extraPass,
       medianPairRatio, contaminated, streamingCompact,
-      scaleExpCompact, loadAvg, sfDir, calibJson))
+      scaleExpCompact, loadAvg, sfDir, calibJson,
+      rerunCount = reruns.size))
     Console.out.flush()
     spark.stop()
   }
@@ -353,25 +517,42 @@ object Bench {
     * co-tenant double-hit through; BenchArtifactSpec pins >= 3). */
   private[graft] val ladderRungRuns = 3
 
+  /** Per-query pass-disagreement gate: min-of-N keeps a contaminated
+    * value when EVERY pass is hit (r13 q147: passes 28.4/13.3 s vs a
+    * 2.1 s local receipt, nothing tripped) — over this ratio the query
+    * is re-timed fresh and the rerun recorded in the artifact. */
+  private[graft] val rerunPairRatioGate = 3.0
+
+  /** Ladder super-linear exponent gate: an exponent above this is
+    * either a real scale-killer or a contaminated rung — the two
+    * largest rungs are re-timed, and a still-over entry carries
+    * "suspect": true instead of shipping silently (r13 shipped q147 at
+    * exponent 1.3 ungated). */
+  private[graft] val ladderExponentGate = 1.1
+
   /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
-    * shape (warm-run evidence + per-query times/exponent) without
-    * running the benchmark. */
+    * shape (warm-run evidence + per-query times/exponent + the
+    * suspect flag for a still-super-linear entry after re-timing)
+    * without running the benchmark. */
   private[graft] def scaleLadderJson(
-      ladder: Option[Seq[(String, Seq[Double], Double)]]): String =
+      ladder: Option[Seq[(String, Seq[Double], Double, Boolean)]]): String =
     ladder.map { l =>
-      val qs = l.map { case (n, ts, e) =>
+      val qs = l.map { case (n, ts, e, suspect) =>
         "\"" + n + "\":{\"times\":" +
           ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
-          f""","exponent":$e%.2f}"""
+          f""","exponent":$e%.2f""" +
+          (if (suspect) ""","suspect":true}""" else "}")
       }.mkString("{", ",", "}")
-      s"""{"warm_runs":$ladderWarmRuns,"rung_runs":$ladderRungRuns,"queries":$qs}"""
+      s"""{"warm_runs":$ladderWarmRuns,"rung_runs":$ladderRungRuns,""" +
+        s""""exponent_gate":$ladderExponentGate,"queries":$qs}"""
     }.getOrElse("""{"error":true}""")
 
   private[graft] def compactLine(
       results: Seq[(String, Double)], failed: String, total: Double,
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
       streaming: String, scaleExp: String, loadAvg: Double,
-      sfDir: String, calibJson: String = "[-1.000,-1.000]"): String = {
+      sfDir: String, calibJson: String = "[-1.000,-1.000]",
+      rerunCount: Int = 0): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -391,13 +572,16 @@ object Bench {
     def line(qs: String, withStreaming: Boolean, withSx: Boolean): String = {
       val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
       val epPart = if (extraPass) """"ep":true,""" else ""
+      // rr = count of pass-disagreement reruns (samples in BENCH_FULL
+      // "reruns"); omitted when zero, like ep/failed
+      val rrPart = if (rerunCount > 0) s""""rr":$rerunCount,""" else ""
       val streamingPart =
         if (withStreaming) s""""streaming":$streaming,""" else ""
       val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
       // calib is NON-droppable like mpr/contaminated: it is the
       // machine-speed index that makes round-over-round totals
       // comparable under different co-tenant load (divide by it)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibJson,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibJson,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.

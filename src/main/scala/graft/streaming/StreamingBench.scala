@@ -33,7 +33,15 @@ object StreamingBench {
       messages: Long, batches: Int,
       publishMsgsPerSec: Double, subscribeMsgsPerSec: Double,
       pubPairRatio: Double, subPairRatio: Double,
-      passes: Seq[Result])
+      passes: Seq[Result],
+      extraPass: Boolean = false)
+
+  /** Per-METRIC contamination gate: a single metric's pair ratio over
+    * this takes a third pass for its path. The MEDIAN-only verdict let
+    * r13's file_sub ship a 6.01 pair ratio silently (81.6k vs 490.3k
+    * msg/s — the artifact's number was fine, but nothing re-measured
+    * the hit metric or marked it). */
+  private[graft] val metricPairRatioGate = 2.0
 
   def paired(f: => Result): Paired = {
     val a = f; val b = f
@@ -44,12 +52,21 @@ object StreamingBench {
     def ratio(x: Double, y: Double): Double =
       if (math.min(x, y) <= 0) 9999.99
       else math.max(x, y) / math.min(x, y)
-    Paired(a.messages, a.batches,
-      math.max(a.publishMsgsPerSec, b.publishMsgsPerSec),
-      math.max(a.subscribeMsgsPerSec, b.subscribeMsgsPerSec),
-      ratio(a.publishMsgsPerSec, b.publishMsgsPerSec),
-      ratio(a.subscribeMsgsPerSec, b.subscribeMsgsPerSec),
-      Seq(a, b))
+    val extra =
+      ratio(a.publishMsgsPerSec, b.publishMsgsPerSec) > metricPairRatioGate ||
+        ratio(a.subscribeMsgsPerSec, b.subscribeMsgsPerSec) > metricPairRatioGate
+    val passes = if (extra) Seq(a, b, f) else Seq(a, b)
+    // best rate over ALL passes; the reported pair ratio is over the
+    // two BEST values per metric (the cleanest evidence, mirroring the
+    // batch side's best-two-passes rule)
+    def best2(sel: Result => Double): (Double, Double) = {
+      val s = passes.map(sel).sorted.reverse
+      (s(0), s(1))
+    }
+    val (p1, p2) = best2(_.publishMsgsPerSec)
+    val (s1, s2) = best2(_.subscribeMsgsPerSec)
+    Paired(a.messages, a.batches, p1, s1,
+      ratio(p1, p2), ratio(s1, s2), passes, extra)
   }
 
   /** (full, compact) streaming-evidence JSON for the three transport
@@ -70,7 +87,7 @@ object StreamingBench {
     def passJson(p: Paired, sel: Result => Double): String =
       p.passes.map(r => f"${sel(r)}%.0f").mkString("[", ",", "]")
     val full =
-      f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f,"pair_ratios":{"pub":${m.pubPairRatio}%.2f,"sub":${m.subPairRatio}%.2f,"file_pub":${f.pubPairRatio}%.2f,"file_sub":${f.subPairRatio}%.2f,"sql_pub":${s.pubPairRatio}%.2f,"sql_sub":${s.subPairRatio}%.2f},"passes":{"pub":${passJson(m, _.publishMsgsPerSec)},"sub":${passJson(m, _.subscribeMsgsPerSec)},"file_pub":${passJson(f, _.publishMsgsPerSec)},"file_sub":${passJson(f, _.subscribeMsgsPerSec)},"sql_pub":${passJson(s, _.publishMsgsPerSec)},"sql_sub":${passJson(s, _.subscribeMsgsPerSec)}},"median_pair_ratio":$median%.2f,"contaminated":$contaminated}"""
+      f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f,"pair_ratios":{"pub":${m.pubPairRatio}%.2f,"sub":${m.subPairRatio}%.2f,"file_pub":${f.pubPairRatio}%.2f,"file_sub":${f.subPairRatio}%.2f,"sql_pub":${s.pubPairRatio}%.2f,"sql_sub":${s.subPairRatio}%.2f},"passes":{"pub":${passJson(m, _.publishMsgsPerSec)},"sub":${passJson(m, _.subscribeMsgsPerSec)},"file_pub":${passJson(f, _.publishMsgsPerSec)},"file_sub":${passJson(f, _.subscribeMsgsPerSec)},"sql_pub":${passJson(s, _.publishMsgsPerSec)},"sql_sub":${passJson(s, _.subscribeMsgsPerSec)}},"extra_pass":{"mem":${m.extraPass},"file":${f.extraPass},"sql":${s.extraPass}},"median_pair_ratio":$median%.2f,"contaminated":$contaminated}"""
     val compact =
       f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f,"spr":$median%.2f,"sc":$contaminated}"""
     (full, compact)

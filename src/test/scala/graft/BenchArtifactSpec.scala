@@ -129,15 +129,50 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.ladderRungRuns >= 3,
       "each ladder rung must be the min of at least 3 timed samples")
     val j = Bench.scaleLadderJson(Some(Seq(
-      ("q58_semantic_dedup_kmeans", Seq(1.0, 2.0, 3.0), 0.5))))
+      ("q58_semantic_dedup_kmeans", Seq(1.0, 2.0, 3.0), 0.5, false),
+      ("q97_pagerank", Seq(1.0, 2.0, 30.0), 1.18, true))))
     assert(j.contains("\"warm_runs\":" + Bench.ladderWarmRuns), j)
     assert(j.contains("\"rung_runs\":" + Bench.ladderRungRuns), j)
     assert(j.contains(
       "\"q58_semantic_dedup_kmeans\":{\"times\":[1.000,2.000,3.000],\"exponent\":0.50}"), j)
+    // a still-super-linear entry after the re-time carries the flag;
+    // a clean entry must NOT (artifact noise)
+    assert(j.contains("\"exponent\":1.18,\"suspect\":true"), j)
+    assert(!j.contains("\"q58_semantic_dedup_kmeans\":{\"times\":[1.000,2.000,3.000],\"exponent\":0.50,\"suspect\""), j)
+    // the gate itself rides the artifact so a consumer can audit the
+    // threshold the flag was computed against
+    assert(j.contains("\"exponent_gate\":" + Bench.ladderExponentGate), j)
     assert(Bench.scaleLadderJson(None) == """{"error":true}""")
     // structural JSON sanity, same cheap check as the compact line
     assert(j.count(_ == '{') == j.count(_ == '}'))
     assert(j.count(_ == '"') % 2 == 0)
+  }
+
+  test("the r14 targeted-rerun and exponent gates hold their documented thresholds") {
+    // r13 shipped q147 at 13.3 s from passes 28.4/13.3 (ratio 2.14 —
+    // below any rerun gate much above 3) with ladder exponent 1.3 and
+    // nothing tripped. The two gates work TOGETHER: pass disagreement
+    // > ~3x catches broad per-query contamination, the exponent gate
+    // <= ~1.1 catches the contaminated-rung/scale-killer class (1.3
+    // must trip it; AQE step effects keep honest queries under ~1.05)
+    assert(Bench.rerunPairRatioGate <= 3.0,
+      "pass-disagreement rerun gate drifted above the documented ~3x")
+    assert(Bench.ladderExponentGate <= 1.1 && Bench.ladderExponentGate > 1.0,
+      "exponent gate must sit between linear (1.0) and r13's shipped 1.3")
+  }
+
+  test("compact line carries the rerun count only when reruns happened") {
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 16) 8.99 else 0.99)
+    }
+    def mk(rr: Int) = Bench.compactLine(results, failed = "[]",
+      total = 999.999, extraPass = false, medianPairRatio = 1.23,
+      contaminated = false, streaming = """{"error":true}""",
+      scaleExp = """{"error":true}""", loadAvg = 9.99,
+      sfDir = "/root/testdata/sf0.1", rerunCount = rr)
+    assert(mk(2).contains("\"rr\":2"))
+    assert(!mk(0).contains("\"rr\""))
+    assert(mk(2).length <= 1880)
   }
 
   test("compact line degrades to 1-decimal seconds rather than exceed the budget") {

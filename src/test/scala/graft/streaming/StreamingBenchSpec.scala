@@ -21,6 +21,29 @@ class StreamingBenchSpec extends SparkSpec {
     assert(p.publishMsgsPerSec == 1000.0 && p.subscribeMsgsPerSec == 800.0)
     assert(p.pubPairRatio == 2.0 && p.subPairRatio == 2.0)
     assert(p.passes.size == 2)
+    assert(!p.extraPass, "ratio at the gate (not over) must not re-run")
+  }
+
+  test("a single metric's pair ratio over the gate takes a THIRD pass for its path") {
+    // r13's file_sub shipped a 6.01 pair ratio under the MEDIAN-only
+    // verdict: the per-metric gate re-measures the hit path and
+    // reports the two cleanest samples' ratio
+    var n = 0
+    val p = StreamingBench.paired {
+      n += 1
+      n match {
+        case 1 => StreamingBench.Result(100, 2, 1000.0, 480000.0)
+        case 2 => StreamingBench.Result(100, 2, 990.0, 80000.0) // 6x sub dip
+        case _ => StreamingBench.Result(100, 2, 995.0, 460000.0)
+      }
+    }
+    assert(n == 3, "over-gate metric must trigger a third pass")
+    assert(p.extraPass)
+    assert(p.subscribeMsgsPerSec == 480000.0)
+    // ratio over the two BEST values (480k/460k), not best/worst
+    assert(p.subPairRatio < 1.1,
+      s"pair ratio must use the two cleanest samples, got ${p.subPairRatio}")
+    assert(p.passes.size == 3)
   }
 
   test("evidenceJson carries pair ratios and a median-based contamination verdict") {
@@ -34,6 +57,8 @@ class StreamingBenchSpec extends SparkSpec {
     assert(fullClean.contains("\"contaminated\":false"))
     assert(fullClean.contains("\"pair_ratios\":{"))
     assert(fullClean.contains("\"passes\":{"))
+    // the per-metric gate's verdict is IN the artifact per path
+    assert(fullClean.contains("\"extra_pass\":{\"mem\":false,\"file\":false,\"sql\":false}"))
     assert(compactClean.contains("\"sc\":false"))
     assert(compactClean.contains("\"spr\":"))
     // sustained load: most metrics scattered >1.5x -> contaminated,
