@@ -40,6 +40,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // anchors for the oracle-less rows, next to the oracle SQL: the
+    // driver's correctness artifact marks those rows "no_oracle" — this
+    // file (and the stderr echo) names the hash-matched twin / green
+    // spec gating each one, so the consumer verifies the anchor instead
+    // of archaeologizing (AnchorsSpec pins exact coverage)
+    val anchorsJson = SparkEntry.anchors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/anchors.json"), anchorsJson)
+    SparkEntry.anchors.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      System.err.println(s"[verify] no_oracle $k; anchor=$v")
+    }
     spark.stop()
   }
 }

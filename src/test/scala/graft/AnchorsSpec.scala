@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the anchor mapping for oracle-less registry queries: every
+  * query without a DuckDB oracle MUST name the hash-matched twin /
+  * green spec that gates its code path ([[SparkEntry.anchors]], dumped
+  * by Verify as anchors.json). Without this gate, a new
+  * non-SQL-expressible query could register with neither an oracle nor
+  * an anchor — a correctness hole the round-13 verdict asked to make
+  * machine-checkable (task 6).
+  */
+class AnchorsSpec extends AnyFunSuite {
+
+  private val noOracle =
+    SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+
+  test("anchors cover EXACTLY the oracle-less registry") {
+    val unanchored = noOracle -- SparkEntry.anchors.keySet
+    assert(unanchored.isEmpty,
+      s"oracle-less queries with no named anchor: ${unanchored.toSeq.sorted.mkString(", ")}")
+    val stale = SparkEntry.anchors.keySet -- noOracle
+    assert(stale.isEmpty,
+      s"anchors for queries that have an oracle (or left the registry): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every anchor that names a qNN query names a REGISTERED one with an oracle") {
+    // an anchor pointing at a renamed/removed query would silently rot
+    val qRef = "q\\d+_[a-z0-9_]+".r
+    SparkEntry.anchors.foreach { case (k, v) =>
+      qRef.findAllIn(v).foreach { ref =>
+        assert(SparkEntry.queries.contains(ref),
+          s"anchor of $k names unregistered query $ref")
+        assert(SparkEntry.oracleSql.contains(ref),
+          s"anchor of $k names $ref, which is itself oracle-less — anchors must ground out in gated evidence")
+      }
+    }
+  }
+
+  test("every anchor that names a Spec names a real test suite source file") {
+    val specRef = "[A-Z][A-Za-z]+Spec".r
+    SparkEntry.anchors.foreach { case (k, v) =>
+      specRef.findAllIn(v).foreach { ref =>
+        val found = java.nio.file.Files.walk(
+            java.nio.file.Paths.get("src/test/scala"))
+          .anyMatch(p => p.getFileName.toString == s"$ref.scala")
+        assert(found, s"anchor of $k names missing suite $ref")
+      }
+    }
+  }
+}
