@@ -32,16 +32,21 @@ final case class QueryStats(
   * Prometheus `/metrics` scrape endpoint (metrics/http.go:14-41). */
 final class GraftMetrics extends StreamingQueryListener {
 
-  private val stats = TrieMap.empty[String, QueryStats]
+  // private[metrics]: the started/terminated protocol is driven
+  // directly by MetricsSpec's restart-race row (the listener events
+  // have no public constructors)
+  private[metrics] val stats = TrieMap.empty[String, QueryStats]
   // id -> name: termination events carry only the id, but stats are
   // keyed by name (the stable handler identity across restarts)
   private val names = TrieMap.empty[java.util.UUID, String]
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = {
-    val name = Option(event.name).getOrElse(event.id.toString)
-    names(event.id) = name
+  private[metrics] def registerStarted(id: java.util.UUID, name: String): Unit = {
+    names(id) = name
     stats.putIfAbsent(name, QueryStats()); ()
   }
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    registerStarted(event.id, Option(event.name).getOrElse(event.id.toString))
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
@@ -68,11 +73,23 @@ final class GraftMetrics extends StreamingQueryListener {
   /** Zero the RATE gauge on termination: counters are cumulative facts
     * that rightly persist, but a dead query's last rows-per-second
     * scraped forever reads as healthy throughput on a query that died
-    * hours ago — dashboards and rate alerts must see 0. */
+    * hours ago — dashboards and rate alerts must see 0.
+    *
+    * Restart race: when a query restarts under the same NAME, the new
+    * run's onQueryStarted can register (new id → same name) before the
+    * OLD run's termination event drains off the listener bus — zeroing
+    * unconditionally would clobber the live run's gauge until its next
+    * progress tick. Zero only when no other live id still maps to the
+    * name. */
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    names.remove(event.id).foreach { name =>
-      stats.updateWith(name)(_.map(_.copy(lastProcessedRowsPerSec = 0.0)))
-      ()
+    registerTerminated(event.id)
+
+  private[metrics] def registerTerminated(id: java.util.UUID): Unit =
+    names.remove(id).foreach { name =>
+      if (!names.values.exists(_ == name)) {
+        stats.updateWith(name)(_.map(_.copy(lastProcessedRowsPerSec = 0.0)))
+        ()
+      }
     }
 
   def snapshot: Map[String, QueryStats] = stats.toMap

@@ -433,12 +433,34 @@ class FilePubSub(spark: SparkSession, root: String)
       else return // topic never existed
       ()
     }
-    subscribeBatch(topic).coalesce(targetFiles)
+    // ONE listing drives BOTH the consolidated read and the manifest.
+    // Listing after the read left a window: an epoch published between
+    // the read and the listing was recorded as FOLDED while its rows
+    // were absent from the consolidated output, so a later checkpoint
+    // replay of it SKIPPED — silent loss. From a single captured
+    // listing, a mid-compact epoch is simply not folded: the swap
+    // drops it and the replay re-publishes it as a fresh epoch, so
+    // even a violation of the quiescent-topic contract degrades to
+    // self-healing redelivery instead of loss.
+    val entries = fs.listStatus(live)
+    val dataPaths = entries.collect {
+      case s if !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") => s.getPath.toString
+    }
+    val consolidated =
+      if (dataPaths.isEmpty)
+        spark.read.schema(Message.schema).parquet(live.toString)
+      else
+        spark.read.schema(Message.schema)
+          .option("recursiveFileLookup", "true")
+          .parquet(dataPaths.toSeq: _*)
+    consolidated.coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    // remember the folded epoch dirs (cumulative with prior compacts)
-    // BEFORE the swap, inside the staged output so the manifest rides
-    // the same atomic rename as the data it covers
-    val folded = fs.listStatus(live).collect {
+    // the folded epoch dirs (cumulative with prior compacts) come from
+    // the SAME listing the data pass read, and are written BEFORE the
+    // swap, inside the staged output, so the manifest rides the same
+    // atomic rename as the data it covers
+    val folded = entries.collect {
       case s if s.isDirectory && s.getPath.getName.startsWith("epoch_") =>
         s.getPath.getName
     }.toSet ++ compactedEpochs(fs, topic)

@@ -170,6 +170,26 @@ final class SqlPubSub(spark: SparkSession, url: String,
       catch { case _: java.sql.SQLException => () }
       finally st.close()
     }
+    // engine-owned record of released-delayed copies ([[releaseDue]]):
+    // row visibility (which offsets are a group's private redelivery,
+    // hidden from other pollers and from replay) is decided by THIS
+    // table, never by row metadata — the topic table is an open surface
+    // and a foreign writer stamping `_graft_delay_grp` on its own
+    // inserts must not be able to hide rows from consumers or audit
+    // (the same trust rule as the ingress sanitization). One row per
+    // released copy, written in the release transaction; a copy offset
+    // is created by exactly one release, so (topic, offset) is a key.
+    if (!tableExists(c, "graft_released")) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE ${quoted("graft_released")} (
+           |  ${quoted("topic")} VARCHAR(128),
+           |  ${quoted("offset_id")} BIGINT,
+           |  ${quoted("grp")} VARCHAR(128),
+           |  PRIMARY KEY (${quoted("topic")}, ${quoted("offset_id")}))""".stripMargin)
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    }
   }
 
   override def publish(topic: String, msgs: Seq[Message]): Unit = {
@@ -310,9 +330,14 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * scan across `defaultParallelism` tasks, so a large topic table
     * reads in parallel instead of through one connection (the
     * 100 TB-read knob; a 1-row table still reads fine with one range).
-    * Rows stamped [[graft.router.Ctx.DelayGroup]] are a consumer
-    * group's private released-delayed copies, not topic content —
-    * replay shows each logical message once (its original row). */
+    * Rows recorded in the engine-owned `graft_released` table are a
+    * consumer group's private released-delayed copies, not topic
+    * content — replay shows each logical message once (its original
+    * row). The exclusion joins on the side table, never on the
+    * `_graft_delay_grp` metadata stamp: the topic table is an open
+    * surface, and a metadata-keyed exclusion would let a foreign
+    * writer hide its own inserted rows from the replay/audit view by
+    * stamping them (the ingress-trust rule, applied to reads). */
   override def subscribeBatch(topic: String): DataFrame = {
     subscribeInitialize(topic)
     val maxOff = withConn { c =>
@@ -334,9 +359,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
           .option("numPartitions",
             math.min(spark.sparkContext.defaultParallelism, maxOff).toString)
       else r
-    envelope(partitioned.load())
-      .filter(element_at(col("metadata"),
-        lit(graft.router.Ctx.DelayGroup)).isNull)
+    // broadcast anti-join against the (small: one row per released
+    // delayed copy) side table — a partitioned big-table scan minus a
+    // control-plane exclusion list, the 100 TB replay shape
+    val escTopic = topic.replace("'", "''")
+    val released = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        s"""(SELECT ${quoted("offset_id")} AS ${quoted("_rel_off")}
+           |FROM ${quoted("graft_released")}
+           |WHERE ${quoted("topic")} = '$escTopic') rel""".stripMargin)
+      .load()
+    envelope(partitioned.load().join(
+      org.apache.spark.sql.functions.broadcast(released),
+      col("offset_id") === col("_rel_off"), "left_anti"))
   }
 
   // ---- CDC-style polling subscribe ----
@@ -447,10 +483,16 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * keeps concurrent same-group instances from double-releasing (the
     * loser's delete matches 0 rows and skips the insert).
     *
-    * The copy is stamped [[graft.router.Ctx.DelayGroup]]: it is THIS
-    * group's private redelivery — every other group still releases the
-    * original row on its own schedule — so other groups' pollers skip
-    * it and [[subscribeBatch]] hides it from the replay view. */
+    * The copy is recorded in the ENGINE-OWNED `graft_released` table
+    * (same transaction): it is THIS group's private redelivery — every
+    * other group still releases the original row on its own schedule —
+    * so other groups' pollers skip it and [[subscribeBatch]] hides it
+    * from the replay view. Visibility is decided by that side table,
+    * NOT by the [[graft.router.Ctx.DelayGroup]] metadata stamp (still
+    * written for human debugging, ignored by the engine): the topic
+    * table is an open surface, and trusting a metadata key would let a
+    * foreign writer hide its own inserted rows from consumers and
+    * replay by stamping them. */
   private def releaseDue(c: Connection, topic: String): Unit = {
     val sel = c.prepareStatement(
       s"""SELECT d.${quoted("offset_id")}, m.${quoted("uuid")}, m.${quoted("metadata")},
@@ -476,7 +518,12 @@ final class SqlPubSub(spark: SparkSession, url: String,
         val ins = c.prepareStatement(
           s"""INSERT INTO ${quoted(table(topic))}
              |(${quoted("uuid")}, ${quoted("metadata")}, ${quoted("payload")}, ${quoted("ts")})
-             |VALUES (?, ?, ?, ?)""".stripMargin)
+             |VALUES (?, ?, ?, ?)""".stripMargin,
+          java.sql.Statement.RETURN_GENERATED_KEYS)
+        val rel = c.prepareStatement(
+          s"""INSERT INTO ${quoted("graft_released")}
+             |(${quoted("topic")}, ${quoted("offset_id")}, ${quoted("grp")})
+             |VALUES (?, ?, ?)""".stripMargin)
         try due.foreach { case (off, m) =>
           del.setString(1, group); del.setString(2, topic); del.setLong(3, off)
           if (del.executeUpdate() == 1) {
@@ -486,9 +533,18 @@ final class SqlPubSub(spark: SparkSession, url: String,
               new String(graft.cqrs.JsonCodec.write(stamped.metadata), "UTF-8"))
             ins.setBytes(3, stamped.payload)
             ins.setTimestamp(4, stamped.ts)
-            ins.executeUpdate(); ()
+            ins.executeUpdate()
+            // release record rides the SAME transaction: the copy row
+            // and its engine-owned visibility marker commit atomically,
+            // so no poller can ever observe one without the other
+            val keys = ins.getGeneratedKeys
+            val newOff =
+              try { require(keys.next(), "no generated offset"); keys.getLong(1) }
+              finally keys.close()
+            rel.setString(1, topic); rel.setLong(2, newOff); rel.setString(3, group)
+            rel.executeUpdate(); ()
           }
-        } finally { del.close(); ins.close() }
+        } finally { del.close(); ins.close(); rel.close() }
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
       finally c.setAutoCommit(true)
@@ -516,18 +572,28 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * reference accepts by hiding rows). */
   private def pollOnce(c: Connection, topic: String): Unit = {
     val from = enqueuedMark.getOrElse(topic, storedOffset(c, topic))
+    // LEFT JOIN the engine-owned release record: a non-null rel grp
+    // marks the row as a group's private released-delayed copy. The
+    // copy row and its record commit in one transaction (releaseDue),
+    // so this read sees both or neither.
     val ps = c.prepareStatement(
-      s"""SELECT ${quoted("offset_id")}, ${quoted("uuid")}, ${quoted("metadata")},
-         |  ${quoted("payload")}, ${quoted("ts")}
-         |FROM ${quoted(table(topic))} WHERE ${quoted("offset_id")} > ?
-         |ORDER BY ${quoted("offset_id")}
+      s"""SELECT m.${quoted("offset_id")}, m.${quoted("uuid")}, m.${quoted("metadata")},
+         |  m.${quoted("payload")}, m.${quoted("ts")}, r.${quoted("grp")}
+         |FROM ${quoted(table(topic))} m
+         |LEFT JOIN ${quoted("graft_released")} r
+         |  ON r.${quoted("topic")} = ? AND r.${quoted("offset_id")} = m.${quoted("offset_id")}
+         |WHERE m.${quoted("offset_id")} > ?
+         |ORDER BY m.${quoted("offset_id")}
          |FETCH FIRST $pollPageSize ROWS ONLY""".stripMargin)
     try {
-      ps.setLong(1, from)
+      ps.setString(1, topic)
+      ps.setLong(2, from)
       val rs = ps.executeQuery()
-      val page = scala.collection.mutable.ArrayBuffer.empty[(Long, Message)]
+      val page =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Message, Option[String])]
       try {
-        while (rs.next()) page += rs.getLong(1) -> rowMessage(rs)
+        while (rs.next())
+          page += ((rs.getLong(1), rowMessage(rs), Option(rs.getString(6))))
       } finally rs.close()
       // Contiguous-prefix guard: identity ids are assigned BEFORE a
       // publisher's transaction commits, so a slow concurrent commit
@@ -536,7 +602,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
       // once they commit (silent loss). Deliver only the contiguous
       // prefix; a hole persisting past gapTimeoutMs is a rolled-back
       // id (permanent) and is stepped over, one hole per timeout.
-      val deliverable: Seq[(Long, Message)] =
+      val deliverable: Seq[(Long, Message, Option[String])] =
         if (page.isEmpty) Nil
         else {
           var prefixLen = 0
@@ -579,13 +645,14 @@ final class SqlPubSub(spark: SparkSession, url: String,
         }
       if (deliverable.nonEmpty) {
         val now = System.currentTimeMillis()
-        // rows re-published by ANOTHER group's releaseDue are that
-        // group's private redelivery — skip them (this group releases
-        // the ORIGINAL row on its own schedule); the mark still
-        // advances over them like over any non-deliverable id
-        val mine = deliverable.filter { case (_, m) =>
-          val dg = m.get(graft.router.Ctx.DelayGroup)
-          dg.isEmpty || dg == group
+        // rows released by ANOTHER group's releaseDue (per the engine-
+        // owned graft_released record — NEVER per row metadata, which a
+        // foreign writer controls) are that group's private redelivery
+        // — skip them (this group releases the ORIGINAL row on its own
+        // schedule); the mark still advances over them like over any
+        // non-deliverable id
+        val mine = deliverable.filter { case (_, _, relGrp) =>
+          relGrp.isEmpty || relGrp.contains(group)
         }
         // a group-own released copy is ALWAYS ready: releaseDue's
         // predicate (DB CURRENT_TIMESTAMP) already judged it due, and
@@ -594,13 +661,13 @@ final class SqlPubSub(spark: SparkSession, url: String,
         // re-release as yet ANOTHER row, appending one junk row per
         // poll tick until the JVM clock catches up (a release loop).
         // One release decision per row, made by one clock.
-        val (delayed, ready) = mine.map { case (off, m) => (off, m, dueAt(m)) }
-          .partition { case (_, m, due) =>
-            due.exists(_.getTime > now) &&
-              m.get(graft.router.Ctx.DelayGroup).isEmpty
+        val (delayed, ready) = mine
+          .map { case (off, m, relGrp) => (off, m, relGrp, dueAt(m)) }
+          .partition { case (_, _, relGrp, due) =>
+            due.exists(_.getTime > now) && relGrp.isEmpty
           }
         parkDelayed(c, topic, // park FIRST: crash before mark advance re-parks, never loses
-          delayed.map { case (off, _, due) => (off, due.get) })
+          delayed.map { case (off, _, _, due) => (off, due.get) })
         if (ready.nonEmpty)
           // each message carries its source offset so the consumer can
           // ack processing back ([[ack]]); durable offsets do NOT move
@@ -610,7 +677,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
           // (routing override, forged ack offset) must never enter the
           // engine as trusted state — only the poller's own ack stamp
           // (and the router's ctx injection) may exist internally.
-          broker.publish(topic, ready.map { case (off, m, _) =>
+          broker.publish(topic, ready.map { case (off, m, _, _) =>
             m.copy(metadata = graft.router.Ctx.sanitizeMeta(m.metadata))
               .withMeta(graft.router.Ctx.AckOffset, off.toString)
           }.toSeq)

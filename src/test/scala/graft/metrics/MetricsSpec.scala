@@ -59,4 +59,24 @@ class MetricsSpec extends SparkSpec {
       assert(term.inputRows == 25, "counters must persist past termination")
     } finally metrics.detach(spark)
   }
+
+  test("restart race: the OLD run's late termination must not zero the LIVE run's gauge") {
+    // a query restarting under the same name can register its new id
+    // before the old run's QueryTerminatedEvent drains off the async
+    // listener bus — zeroing unconditionally clobbered the live gauge
+    // until its next progress tick (driven directly: the events have
+    // no public constructors)
+    val m = new GraftMetrics
+    val oldId = java.util.UUID.randomUUID()
+    val newId = java.util.UUID.randomUUID()
+    m.registerStarted(oldId, "graft-h")
+    m.stats.updateWith("graft-h")(
+      _.map(_.copy(lastProcessedRowsPerSec = 123.0)))
+    m.registerStarted(newId, "graft-h") // restart before old termination
+    m.registerTerminated(oldId)         // late event for the OLD id
+    assert(m.snapshot("graft-h").lastProcessedRowsPerSec == 123.0,
+      "old id's termination must not clobber the live run's rate gauge")
+    m.registerTerminated(newId)         // the real termination still zeroes
+    assert(m.snapshot("graft-h").lastProcessedRowsPerSec == 0.0)
+  }
 }

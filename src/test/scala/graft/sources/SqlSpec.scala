@@ -257,6 +257,50 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("a foreign _graft_delay_grp stamp cannot hide a row from pollers or replay") {
+    // the topic table is an open surface: row visibility (which
+    // offsets are a group's private released copy) is decided by the
+    // engine-owned graft_released table, written only by releaseDue's
+    // transaction. Before r14 it was decided by the metadata stamp —
+    // a foreign writer stamping its own inserts could hide them from
+    // every consumer group's poller AND from the replay/audit view
+    // (the exact trust inversion the ingress sanitization exists to
+    // block, on the read side).
+    val ps = new SqlPubSub(spark, url("sqlhide"), group = "gh",
+      pollIntervalMs = 20)
+    try {
+      ps.publish("t_hide", Seq(
+        msg("h1", "normal"),
+        // foreign writer's insert, stamped with ANOTHER group's name…
+        msg("h2", "stamped-other", Map(graft.router.Ctx.DelayGroup -> "zz")),
+        // …and with THIS group's name (the all-but-one-group variant)
+        msg("h3", "stamped-own", Map(graft.router.Ctx.DelayGroup -> "gh"))))
+      // replay/audit view: all three rows visible (no graft_released
+      // record exists for any of them)
+      val replay = ps.subscribeBatch("t_hide").as[Message].collect()
+        .map(_.uuid).toSet
+      assert(replay == Set("h1", "h2", "h3"),
+        s"a metadata stamp must not hide rows from replay, got $replay")
+      // poller: all three delivered (and the foreign stamp itself is
+      // sanitized off before the handler sees it)
+      val seen = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+      val q = ps.subscribe("t_hide").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqlh-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[Message].collect().foreach(m => seen(m.uuid) = m.metadata); ()
+        }.start()
+      try {
+        ps.awaitCaughtUp("t_hide"); q.processAllAvailable()
+        assert(seen.keySet == Set("h1", "h2", "h3"),
+          s"a metadata stamp must not hide rows from the poller, got ${seen.keySet}")
+        assert(!seen("h2").contains(graft.router.Ctx.DelayGroup) &&
+          !seen("h3").contains(graft.router.Ctx.DelayGroup),
+          "the foreign stamp must be sanitized off before delivery")
+      } finally q.stop()
+    } finally ps.close()
+  }
+
   test("released delayed row survives a crash between release and consumer commit") {
     // the last at-most-once corner, now closed: a due delayed row is
     // re-published as a NEW offset (same txn as the park-row delete),
