@@ -30,12 +30,22 @@ import org.apache.spark.sql.functions._
   *
   * At cluster scale: the state side of the join is tiny and
   * broadcast; the batch side shuffles once on the key for the ranking
-  * window. The admitted output is localCheckpointed before the state
-  * append so the side effect and the returned frame agree even if the
-  * caller re-evaluates lazily.
+  * window. The admitted output is eagerly materialized
+  * (strategy-selected, see `materialize`) before the state append so
+  * the side effect and the returned frame agree even if the caller
+  * re-evaluates lazily.
   */
+/** @param materialize pin strategy for the admitted output
+  *   ([[graft.operators.Materialize]]) — must resolve EAGER
+  *   (LocalCheckpoint default, ReliableCheckpoint / session conf
+  *   `graft.materialize=reliable` for cluster runs): the returned
+  *   frame must be the exact rows whose delta was just written to the
+  *   state; a lazy pin could recompute against a state that has since
+  *   grown and return a DIFFERENT admitted set than was counted. */
 final class StreamingQuota(spark: SparkSession, stateDir: String,
-    keyCol: String, orderCol: String, tieCol: String, budget: Int) {
+    keyCol: String, orderCol: String, tieCol: String, budget: Int,
+    materialize: graft.operators.Materialize =
+      graft.operators.Materialize.SessionDefault("StreamingQuota.admitted")) {
   require(budget > 0, "budget must be positive")
 
   private def fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -152,10 +162,13 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     val withUsed = usedExcluding(batchId)
       .fold(ranked.withColumn("graft_used", lit(0L)))(u =>
         ranked.join(broadcast(u), Seq(keyCol), "left"))
-    val admitted = withUsed
+    val m = materialize.resolveFor(batch)
+    require(m.isEager, s"StreamingQuota needs an EAGER Materialize " +
+      s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
+      "lazy pin could recompute the admitted set against a grown state")
+    val admitted = m(withUsed
       .filter(coalesce(col("graft_used"), lit(0L)) + col("graft_rk") <= budget)
-      .drop("graft_rk", "graft_used")
-      .localCheckpoint(true)
+      .drop("graft_rk", "graft_used"))
     val delta = admitted.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .withColumn("batch_id", lit(batchId))
     val dw = delta.write.partitionBy("batch_id")

@@ -163,6 +163,21 @@ class StreamingCurationSpec extends SparkSpec {
     graft.operators.Materialize.releaseSitePins(spark)
   }
 
+  test("quota REJECTS a lazy Materialize strategy loudly (admitted set must match the counted delta)") {
+    // same hazard class as the near-dup pin: the returned admitted
+    // frame must be the exact rows whose delta was just written — a
+    // lazy pin could recompute against a state that has since grown
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqm-").toString
+    val q = new StreamingQuota(spark, dir + "/state", "k", "o", "t",
+      budget = 5,
+      materialize = graft.operators.Materialize.SitePin("spec.quota"))
+    import spark.implicits._
+    val batch = Seq(("a", 1L, 1L)).toDF("k", "o", "t")
+    val e = intercept[IllegalArgumentException] { q.admit(batch, 0L); () }
+    assert(e.getMessage.contains("EAGER"), e.getMessage)
+    graft.operators.Materialize.releaseSitePins(spark)
+  }
+
   test("CurationStages compose: PII scrub + decontaminate + quality route in one handler") {
     import org.apache.spark.sql.Dataset
     val clean = "the quick value of a table scan is the key to fast query group work"
