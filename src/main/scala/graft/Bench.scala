@@ -56,8 +56,13 @@ object Bench {
             .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
               avg(col("v")).as("a"))
             .write.format("noop").mode("overwrite").save()
-          // disk term: ~25 MB parquet through the same spark.local.dir
-          // filesystem the queries' scratch writes hit
+          // disk term: ~25 MB parquet through java.io.tmpdir — the
+          // filesystem query-level scratch writes hit (q147's band
+          // index lives there; this is the device whose contention
+          // inflated r13's q147). Shuffle spills go to spark.local.dir
+          // (tmpfs when GraftSession could claim /dev/shm), and THAT
+          // device is already exercised by the shuffle term above — so
+          // the two terms cover both disks the bench actually touches
           spark.range(0L, 2000000L, 1L, 32)
             .select(col("id"),
               pmod(col("id") * 2654435761L, lit(1000003L)).as("k"))
@@ -100,19 +105,30 @@ object Bench {
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // ONE isolation primitive shared by every timing site (the passes,
+    // the targeted reruns, ladder rungs, the split ladder): drop cache
+    // entries and straggler persisted/checkpointed blocks so no timer
+    // measures a predecessor's storage state (r6 recorded q33 at 2.5x
+    // its isolated cost for exactly this reason). A future isolation
+    // fix lands once, not in four hand-copied variants.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // min over n isolated timed samples — the ladder/rerun primitive
+    def minOfN(n: Int)(f: => Unit): Double =
+      (0 until n).map { _ =>
+        isolate()
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
     def runPass(recordShuffle: Boolean = false): (Seq[(String, Double)], Double) = {
       var loadMax = osBean.getSystemLoadAverage
       val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // Isolate each query from its predecessors' storage state: drop
-        // every CacheManager entry AND any straggler persisted/local-
-        // checkpointed RDD blocks (dupClusters-style iterative queries
-        // leave small per-round checkpoint RDDs; queries that persist
-        // internal relations leave cache entries that shift the memory
-        // available to the next query). Without this, a query's recorded
-        // time depends on which queries ran before it — r6 recorded q33
-        // at 2.5x its isolated cost for exactly this reason.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        isolate()
         loadMax = math.max(loadMax, osBean.getSystemLoadAverage)
         val shuffleBefore = if (recordShuffle) quiesceShuffle() else 0L
         val t0 = System.nanoTime()
@@ -169,9 +185,7 @@ object Bench {
     def timeQuery(name: String, n: Int): Seq[Double] = {
       val fn = SparkEntry.queries(name)
       (0 until n).map { _ =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        isolate()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -300,9 +314,7 @@ object Bench {
           // artifact records warm_runs so the hygiene is auditable.
           locally {
             val warmDir = parent.resolve(sfs.head._1).toString
-            spark.catalog.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+            isolate()
             (0 until Bench.ladderWarmRuns).foreach { _ =>
               fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             }
@@ -314,14 +326,9 @@ object Bench {
           // vanishingly unlikely
           def timeRung(d: String): Double = {
             val dir = parent.resolve(d).toString
-            (0 until Bench.ladderRungRuns).map { _ =>
-              spark.catalog.clearCache()
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
-              val t0 = System.nanoTime()
+            minOfN(Bench.ladderRungRuns) {
               fn(spark, dir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            }.min
+            }
           }
           val times0 = sfs.map { case (d, sf) =>
             if (d == benchSf) (d, sf, results.find(_._1 == name).get._2)
@@ -382,39 +389,57 @@ object Bench {
         .filter { case (d, _) => java.nio.file.Files.isDirectory(parent.resolve(d)) }
       if (sfs.size < 2) None
       else {
-        def isolate(): Unit = {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
-        def sample(f: => Unit): Double =
-          (0 until Bench.ladderRungRuns).map { _ =>
-            isolate()
-            val t0 = System.nanoTime()
-            f
-            (System.nanoTime() - t0) / 1e9
-          }.min
+        def buildAt(dir: String): Unit =
+          graft.queries.LlmQueries.q147LadderBuild(spark, dir)
+        def incrAt(dir: String): Unit =
+          graft.queries.LlmQueries.q147LadderIncr(spark, dir)
+            .write.format("noop").mode("overwrite").save()
         locally { // warm both halves (JIT/codegen), unmeasured
           val warmDir = parent.resolve(sfs.head._1).toString
           isolate()
-          graft.queries.LlmQueries.q147LadderBuild(spark, warmDir)
-          graft.queries.LlmQueries.q147LadderIncr(spark, warmDir)
-            .write.format("noop").mode("overwrite").save()
+          buildAt(warmDir); incrAt(warmDir)
         }
         val perRung = sfs.map { case (d, sf) =>
           val dir = parent.resolve(d).toString
-          val b = sample(graft.queries.LlmQueries.q147LadderBuild(spark, dir))
-          val i = sample(graft.queries.LlmQueries.q147LadderIncr(spark, dir)
-            .write.format("noop").mode("overwrite").save())
-          (sf, b, i)
+          val b = minOfN(Bench.ladderRungRuns)(buildAt(dir))
+          val i = minOfN(Bench.ladderRungRuns)(incrAt(dir))
+          (dir, sf, b, i)
         }
-        def entry(nm: String, sel: ((Double, Double, Double)) => Double) = {
-          val Seq(a, b) = perRung.takeRight(2)
-          val e = math.log(sel(b) / sel(a)) / math.log(b._1 / a._1)
-          (nm, perRung.map(sel), e, e > Bench.ladderExponentGate)
+        def expFrom(ts: Seq[(Double, Double)]): Double = {
+          val Seq(a, b) = ts.takeRight(2)
+          math.log(b._2 / a._2) / math.log(b._1 / a._1)
         }
-        Some(Seq(entry("q147b_index_build", _._2),
-          entry("q147i_incremental_join", _._3)))
+        // same gate discipline as the main ladder: an over-gate
+        // exponent gets the two largest rungs RE-TIMED (min-folded)
+        // before the suspect flag is earned — a single co-tenant hit
+        // on one rung must not ship as a verified scale-killer. The
+        // incremental half's retime rebuilds the index at that rung
+        // first (unmeasured): the scratch path holds whichever rung
+        // built last, and joining another scale's index would measure
+        // the wrong work.
+        def entry(nm: String,
+            sel: ((String, Double, Double, Double)) => Double,
+            retime: String => Double) = {
+          val ts0 = perRung.map(r => (r._2, sel(r)))
+          val e0 = expFrom(ts0)
+          if (e0 <= Bench.ladderExponentGate)
+            (nm, ts0.map(_._2), e0, false)
+          else {
+            val ts = perRung.zipWithIndex.map { case (r, i) =>
+              if (i >= perRung.size - 2) (r._2, math.min(sel(r), retime(r._1)))
+              else (r._2, sel(r))
+            }
+            val e = expFrom(ts)
+            (nm, ts.map(_._2), e, e > Bench.ladderExponentGate)
+          }
+        }
+        Some(Seq(
+          entry("q147b_index_build", _._3,
+            dir => minOfN(Bench.ladderRungRuns)(buildAt(dir))),
+          entry("q147i_incremental_join", _._4, { dir =>
+            isolate(); buildAt(dir)
+            minOfN(Bench.ladderRungRuns)(incrAt(dir))
+          })))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] split ladder failed: ${e.getMessage}")

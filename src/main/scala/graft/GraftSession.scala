@@ -52,6 +52,13 @@ object GraftSession {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def local(): SparkSession = {
+    // pin the JVM default locale for the artifact mains (Bench/Verify/
+    // tools): the evidence JSON is rendered with f"...%.2f"
+    // interpolators throughout, and a comma-decimal default locale
+    // (de, fr, ...) would turn "1.04" into "1,04" — syntactically
+    // invalid JSON for every artifact consumer. Root locale, set once
+    // at the engine's session entry point.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -55,18 +55,29 @@ object DedupFunctions {
     * rows — the join key that replaces the O(N²) pair space. Band keys
     * are built positionally from the signature array (element_at is
     * 1-based), never via collect_list, so they are deterministic. */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String, k: Int, r: Int): DataFrame = {
+  /** @param keepSig carry the signature column through the explode.
+    *   A consumer needing (band rows AND the signature) must use this
+    *   instead of joining the band rows back onto the signature frame:
+    *   that join references the signature subtree on BOTH shuffle
+    *   sides, so an unmaterialized upstream (a foreachBatch caller's
+    *   batch source) is scanned twice — the double-evaluation class
+    *   StreamingNearDup's single-evaluation probe row pins. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, k: Int, r: Int,
+      keepSig: Boolean = false): DataFrame = {
     // k must split evenly into bands: integer division would silently
     // drop the trailing k % r signature elements, quietly lowering
     // candidate recall below what the configured k implies
     require(r > 0 && k % r == 0,
       s"signature length k=$k must be a positive multiple of band rows r=$r")
     val nBands = k / r
-    df.select(col(idCol), explode(array((0 until nBands).map { b =>
+    val carried = if (keepSig) Seq(col(sigCol)) else Nil
+    df.select((col(idCol) +: carried) :+ explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until r).map(j =>
           element_at(col(sigCol), b * r + j + 1).cast("string")): _*).as("band_key"))
-    }: _*)).as("x")).select(col(idCol), col("x.band"), col("x.band_key"))
+    }: _*)).as("x"): _*)
+      .select((col(idCol) +: carried) ++
+        Seq(col("x.band"), col("x.band_key")): _*)
   }
 
   /** MinHash-LSH candidate pairs: distinct (d1 < d2) doc pairs sharing

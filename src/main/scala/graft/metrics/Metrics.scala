@@ -40,8 +40,25 @@ final class GraftMetrics extends StreamingQueryListener {
   // keyed by name (the stable handler identity across restarts)
   private val names = TrieMap.empty[java.util.UUID, String]
 
+  // name -> most recent id registered for it: zeroing is keyed on the
+  // terminating id being the LATEST registrant, not on names being
+  // empty of the name — Spark's async listener bus can DROP events
+  // under backpressure, and a dropped termination would otherwise
+  // leave a stale id in `names` that blocks every future zeroing of
+  // that name forever (one lost event must cost one missed zero, not
+  // all of them)
+  private val latest = TrieMap.empty[String, java.util.UUID]
+
   private[metrics] def registerStarted(id: java.util.UUID, name: String): Unit = {
+    // purge predecessors under the same name: either terminated (their
+    // id already left `names`) or stale from a dropped event — Spark
+    // refuses to START a query whose name is already active in the
+    // session, so by the time a new id registers, older same-name ids
+    // are dead. Keeps `names` from accumulating one entry per dropped
+    // event for the life of the process.
+    names.filterInPlace((_, n) => n != name)
     names(id) = name
+    latest(name) = id
     stats.putIfAbsent(name, QueryStats()); ()
   }
 
@@ -79,14 +96,19 @@ final class GraftMetrics extends StreamingQueryListener {
     * run's onQueryStarted can register (new id → same name) before the
     * OLD run's termination event drains off the listener bus — zeroing
     * unconditionally would clobber the live run's gauge until its next
-    * progress tick. Zero only when no other live id still maps to the
-    * name. */
+    * progress tick. Zero only when the terminating id is the name's
+    * latest registrant (stale-id-proof: see `latest`). */
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
     registerTerminated(event.id)
 
   private[metrics] def registerTerminated(id: java.util.UUID): Unit =
     names.remove(id).foreach { name =>
-      if (!names.values.exists(_ == name)) {
+      // zero only when the terminating run is the name's LATEST
+      // registrant: a restarted run's id has already taken `latest`,
+      // so the old run's late event can't clobber the live gauge —
+      // and a stale id (dropped event) can never block future zeroing
+      // because it is, by construction, not the latest
+      if (latest.get(name).contains(id)) {
         stats.updateWith(name)(_.map(_.copy(lastProcessedRowsPerSec = 0.0)))
         ()
       }

@@ -94,7 +94,12 @@ object Materialize {
     * downstream consumption is done. */
   final class PersistDisk private[Materialize] (
       level: StorageLevel = StorageLevel.DISK_ONLY_2) extends Materialize {
-    @volatile private var pinned: List[DataFrame] = Nil
+    // WEAK pins, not the Datasets themselves: a Dataset (and its
+    // analyzed plan) strongly references its SparkSession, and a
+    // handle sitting in the weak-keyed sitePins map would then pin its
+    // own key — the dropped session could never be collected. See
+    // [[org.apache.spark.sql.graft.CacheBridge]].
+    @volatile private var pinned: List[org.apache.spark.sql.graft.CacheBridge.PlanPin] = Nil
     override def isEager: Boolean = false
     // persist is lazy, but all references canonicalize onto the ONE
     // InMemoryRelation, whose child executes once — one exchange, one
@@ -102,12 +107,14 @@ object Materialize {
     // needed (an extra count() would be a second pass over the data).
     def apply(df: DataFrame): DataFrame = {
       val p = df.persist(level)
-      synchronized { pinned ::= p }
+      val pin = org.apache.spark.sql.graft.CacheBridge.pin(p)
+      synchronized { pinned ::= pin }
       p
     }
-    /** Unpersist every pass this instance pinned. */
+    /** Unpersist every pass this instance pinned (no-op for entries
+      * the cache manager or the session has already dropped). */
     def release(blocking: Boolean = false): Unit = synchronized {
-      pinned.foreach { df => df.unpersist(blocking); () }
+      pinned.foreach(_.release(blocking))
       pinned = Nil
     }
   }
@@ -141,26 +148,34 @@ object Materialize {
   final case class SitePin(site: String,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends Materialize {
     override def isEager: Boolean = false
-    def apply(df: DataFrame): DataFrame = {
+    def apply(df: DataFrame): DataFrame = sitePins.synchronized {
+      // the whole replace-release-pin sequence is atomic under the
+      // registry lock: two concurrent pins at one site interleaving
+      // release and persist could otherwise strand a persisted entry
+      // under a handle already evicted from the map (the per-call leak
+      // this class exists to bound), and release must precede the new
+      // persist because the previous call's plan may be
+      // cache-canonically identical to this one (same inputs) —
+      // unpersisting it after the new persist would evict the new pin.
+      // persist() is a driver-side cache-manager registration, not a
+      // job, so holding the lock across it is cheap.
       val h = new PersistDisk(level)
-      val prev = sitePins.synchronized {
-        val m = Option(sitePins.get(df.sparkSession)).getOrElse {
-          val fresh = scala.collection.mutable.Map.empty[String, PersistDisk]
-          sitePins.put(df.sparkSession, fresh)
-          fresh
-        }
-        m.put(site, h)
+      val m = Option(sitePins.get(df.sparkSession)).getOrElse {
+        val fresh = scala.collection.mutable.Map.empty[String, PersistDisk]
+        sitePins.put(df.sparkSession, fresh)
+        fresh
       }
-      // release BEFORE pinning: the previous call's plan may be
-      // cache-canonically identical to this one (same inputs), and
-      // unpersisting it after the new persist would evict the new pin
-      prev.foreach(_.release())
+      m.put(site, h).foreach(_.release())
       h(df)
     }
   }
 
   // weak keys: a dropped SparkSession must not be kept alive by its
-  // pin bookkeeping (the cached blocks die with the session anyway)
+  // pin bookkeeping (the cached blocks die with the session anyway).
+  // This only works because the VALUES hold no strong path back to the
+  // key: PersistDisk pins via CacheBridge's weak (session, plan) refs —
+  // a handle holding Datasets would strongly reference the session and
+  // pin its own key forever (WeakHashMap semantics).
   private val sitePins =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, PersistDisk]]

@@ -190,6 +190,70 @@ final class SqlPubSub(spark: SparkSession, url: String,
       catch { case _: java.sql.SQLException => () }
       finally st.close()
     }
+    backfillReleased(c, topic)
+  }
+
+  /** One-time-per-topic upgrade backfill: copies released by a
+    * PRE-side-table engine version carry only the metadata stamp and
+    * have no `graft_released` record — without this, an upgraded
+    * database would deliver every such copy to every OTHER consumer
+    * group (it was that group's private redelivery) and show it in
+    * replay beside its original: duplicates. Scans the topic table for
+    * stamped rows ONCE (gated by a sentinel row at offset −1, which no
+    * real offset can collide with) and records them. This is the one
+    * place the stamp is still read — a deliberate, documented trust of
+    * pre-upgrade data at upgrade time only; rows inserted after the
+    * sentinel exists are governed solely by the release transaction's
+    * own records. */
+  private def backfillReleased(c: Connection, topic: String): Unit = {
+    val sen = c.prepareStatement(
+      s"""SELECT 1 FROM ${quoted("graft_released")}
+         |WHERE ${quoted("topic")} = ? AND ${quoted("offset_id")} = -1""".stripMargin)
+    val hasSentinel =
+      try {
+        sen.setString(1, topic)
+        val rs = sen.executeQuery()
+        try rs.next() finally rs.close()
+      } finally sen.close()
+    if (hasSentinel) return
+    val stamped = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val sel = c.prepareStatement(
+      s"""SELECT ${quoted("offset_id")}, ${quoted("metadata")}
+         |FROM ${quoted(table(topic))}
+         |WHERE ${quoted("metadata")} LIKE ?""".stripMargin)
+    try {
+      sel.setString(1, s"""%"${graft.router.Ctx.DelayGroup}"%""")
+      val rs = sel.executeQuery()
+      try while (rs.next()) {
+        val meta = Option(rs.getString(2))
+          .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
+            classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+        meta.get(graft.router.Ctx.DelayGroup)
+          .foreach(g => stamped += rs.getLong(1) -> g)
+      } finally rs.close()
+    } finally sel.close()
+    // records + sentinel commit atomically: a crash mid-backfill
+    // re-runs the whole scan next initialize instead of half-trusting
+    c.setAutoCommit(false)
+    try {
+      val ins = c.prepareStatement(
+        s"""INSERT INTO ${quoted("graft_released")}
+           |(${quoted("topic")}, ${quoted("offset_id")}, ${quoted("grp")})
+           |VALUES (?, ?, ?)""".stripMargin)
+      try {
+        stamped.foreach { case (off, g) =>
+          ins.setString(1, topic); ins.setLong(2, off); ins.setString(3, g)
+          // a concurrent initializer may have inserted the same offset
+          try { ins.executeUpdate(); () }
+          catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+        }
+        ins.setString(1, topic); ins.setLong(2, -1L); ins.setString(3, "")
+        try { ins.executeUpdate(); () }
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      } finally ins.close()
+      c.commit()
+    } catch { case e: Throwable => c.rollback(); throw e }
+    finally c.setAutoCommit(true)
   }
 
   override def publish(topic: String, msgs: Seq[Message]): Unit = {

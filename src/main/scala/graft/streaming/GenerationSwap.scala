@@ -54,4 +54,42 @@ private[graft] object GenerationSwap {
     renameOrThrow(fs, next, live)
     deleteIfExists(fs, old)
   }
+
+  /** Crash recovery for [[replaceLive]]: if a crash landed between
+    * "live renamed aside" and "compacted dir renamed into place", the
+    * live dir is missing but the fully-materialized `.compact` sibling
+    * (or the untouched `.old`) holds the state — adopt it rather than
+    * silently resetting (a quota state reset over-admits every
+    * exhausted key; a near-dup index reset re-admits every duplicate).
+    * Leftovers from a completed or recovered swap are dead state and
+    * are swept. ONE definition of the crash contract — the previous
+    * per-operator hand-copies (StreamingQuota/StreamingNearDup) could
+    * drift apart under a future ordering fix. */
+  def recoverReplace(fs: FileSystem, liveDir: String): Unit = {
+    val live = new Path(liveDir)
+    val tmp = new Path(liveDir + ".compact")
+    val old = new Path(liveDir + ".old")
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) renameOrThrow(fs, tmp, live)
+      else if (fs.exists(old)) renameOrThrow(fs, old, live)
+    }
+    if (fs.exists(live)) {
+      deleteIfExists(fs, tmp)
+      deleteIfExists(fs, old)
+    }
+  }
+
+  /** Crash recovery for [[promote]]: live missing → adopt the COMPLETE
+    * (`_SUCCESS`-marked) `.next`, else roll back to `.old`. Shared by
+    * StreamingCdc/StreamingProfile (same dedup rationale as
+    * [[recoverReplace]]). */
+  def recoverPromote(fs: FileSystem, stateDir: String): Unit = {
+    val live = new Path(stateDir)
+    if (!fs.exists(live)) {
+      if (fs.exists(new Path(stateDir + ".next/_SUCCESS")))
+        renameOrThrow(fs, new Path(stateDir + ".next"), live)
+      else if (fs.exists(new Path(stateDir + ".old")))
+        renameOrThrow(fs, new Path(stateDir + ".old"), live)
+    }
+  }
 }

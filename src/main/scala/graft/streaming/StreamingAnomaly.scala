@@ -46,7 +46,16 @@ object StreamingAnomaly {
 
   private def step(window: Int, minObs: Int, factor: Long)(
       rows: Iterator[Obs], st: GroupState[Ring]): Iterator[AnomalyFlag] = {
-    val prev = st.getOption.getOrElse(Ring(new Array[Long](window), 0, 0, 0L))
+    // a checkpointed Ring from a run configured with a DIFFERENT
+    // `window` must reset, not be reused: a larger window would walk
+    // `pos` past the old array's end (ArrayIndexOutOfBounds on every
+    // micro-batch), a smaller one would never trip the `filled ==
+    // window` eviction and silently accumulate `sum` over values the
+    // ring has overwritten — wrong anomaly verdicts forever. Resetting
+    // re-warms the key over `minObs` observations, the same cost as a
+    // TTL eviction.
+    val prev = st.getOption.filter(_.ring.length == window)
+      .getOrElse(Ring(new Array[Long](window), 0, 0, 0L))
     // ONE defensive copy per invocation, then mutate in place: cloning
     // the ring per OBSERVATION made a hot key's micro-batch O(rows ×
     // window) allocation for immutability nothing observes — only the

@@ -46,17 +46,9 @@ final class StreamingCdc(
     .getFileSystem(spark.sessionState.newHadoopConf())
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  /** Adopt a complete generation after a crash mid-swap. */
-  private def recover(): Unit = {
-    val live = path(stateDir)
-    val next = path(stateDir + ".next")
-    val old = path(stateDir + ".old")
-    if (!fs.exists(live)) {
-      if (fs.exists(next) && fs.exists(path(stateDir + ".next/_SUCCESS")))
-        GenerationSwap.renameOrThrow(fs, next, live)
-      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
-    }
-  }
+  /** Adopt a complete generation after a crash mid-swap — the shared
+    * [[GenerationSwap.recoverPromote]] choreography. */
+  private def recover(): Unit = GenerationSwap.recoverPromote(fs, stateDir)
 
   private def hasState: Boolean = {
     recover()

@@ -129,23 +129,18 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     GenerationSwap.replaceLive(fs, indexDir, tmp)
   }
 
-  /** Crash recovery for [[compact]]'s swap — same contract as
-    * [[StreamingQuota]]: if a crash left the live dir missing, adopt
-    * the fully-materialized `.compact` sibling (or the untouched
-    * `.old`) instead of silently dropping the whole retained-corpus
-    * index (which would re-admit every duplicate). */
+  /** Crash recovery for [[compact]]'s swap —
+    * [[GenerationSwap.recoverReplace]] (the shared crash contract).
+    * Memoized after the first successful pass: recovery is only needed
+    * once per instance start, and re-probing the filesystem on every
+    * `indexView` read is a per-micro-batch LIST tax on object stores
+    * (the same rationale as [[migrateLegacyLayout]]'s memo); an
+    * exception leaves the flag unset so the probe retries. */
+  @volatile private var recovered = false
   private def recoverCompact(): Unit = {
-    val live = new org.apache.hadoop.fs.Path(indexDir)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
-    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    if (!fs.exists(live)) {
-      if (fs.exists(tmp)) GenerationSwap.renameOrThrow(fs, tmp, live)
-      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
-    }
-    if (fs.exists(live)) {
-      GenerationSwap.deleteIfExists(fs, tmp)
-      GenerationSwap.deleteIfExists(fs, old)
-    }
+    if (recovered) return
+    GenerationSwap.recoverReplace(fs, indexDir)
+    recovered = true
   }
 
   /** The live view of the index: rows within the retention horizon. */
@@ -180,7 +175,11 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     val sig = sh.select(col(idCol),
       DedupFunctions.minhashSignatureFromHashes(
         DedupFunctions.baseHashes(col("s"), portable = false), k).as("sig"))
-    DedupFunctions.lshBands(sig, idCol, "sig", k, r).join(sig, Seq(idCol))
+    // keepSig carries the signature THROUGH the explode — the previous
+    // lshBands(sig).join(sig) referenced the sig subtree on both
+    // shuffle sides, scanning the caller's batch source twice per
+    // micro-batch (caught by the single-evaluation probe row)
+    DedupFunctions.lshBands(sig, idCol, "sig", k, r, keepSig = true)
   }
 
   /** Estimated Jaccard between two k-length signatures: the fraction
@@ -233,12 +232,30 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       val droppedIds = crossDropped.fold(intraDropped)(_.unionByName(intraDropped))
         .distinct()
       val kept = batch.join(droppedIds, Seq(idCol), "left_anti")
+      // pin the kept-set BEFORE the index append (and before releasing
+      // bs): pinning AFTER the write evaluated `kept` TWICE — once
+      // inside the append's join, once in the pin — re-running the
+      // whole dedup pipeline (index scan, estSim verify, anti-join,
+      // the caller's batch source) per micro-batch, and with
+      // `retention` set the index view's current_timestamp() could
+      // cross the horizon BETWEEN the two evaluations: the returned
+      // kept-set would drift from the survivors whose bands were just
+      // appended (a doc kept by the second evaluation but not indexed
+      // by the first is re-admittable forever). One evaluation, one
+      // truth: pin first, append from the pinned frame. The strategy
+      // MUST be eager — a lazy pin with lineage kept reintroduces the
+      // same drift on recompute, so reject it loudly.
+      val m = materialize.resolveFor(kept)
+      require(m.isEager, s"StreamingNearDup needs an EAGER Materialize " +
+        s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
+        "lazy pin may recompute and drift from the just-appended index")
+      val pinned = m(kept)
       // index only survivors' bands; duplicates contribute no state.
       // Layout: hive-partitioned by band (the join's directory prune),
       // one file per band per batch (the repartition), rows sorted by
       // band_key within it (parquet row-group min/max skipping on the
       // join key at corpus scale). All batch-sized work.
-      val rows = bs.join(kept.select(col(idCol)), Seq(idCol))
+      val rows = bs.join(pinned.select(col(idCol)), Seq(idCol))
         .select(col(idCol), col("band"), col("band_key"), col("sig"),
           current_timestamp().as("ingest_ts"),
           lit(batchId).as("batch_id"))
@@ -251,19 +268,7 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
         w.option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(indexDir)
       else w.mode("append").parquet(indexDir)
-      // pin the returned frame BEFORE releasing bs: a lazy `kept` would
-      // re-run the whole shingle/MinHash pipeline on every caller
-      // action, and with retention set the current_timestamp() in the
-      // index view would re-evaluate — returning a kept-set drifted
-      // from the survivors whose bands were just appended (same hazard
-      // StreamingQuota checkpoints `admitted` against). The strategy
-      // MUST therefore be eager — reject a lazy one loudly rather than
-      // silently reintroduce the drift
-      val m = materialize.resolveFor(kept)
-      require(m.isEager, s"StreamingNearDup needs an EAGER Materialize " +
-        s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
-        "lazy pin may recompute and drift from the just-appended index")
-      m(kept)
+      pinned
     } finally { bs.unpersist(); () }
   }
 

@@ -46,15 +46,9 @@ final class StreamingProfile(
     .getFileSystem(spark.sessionState.newHadoopConf())
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  private def recover(): Unit = {
-    val live = path(stateDir)
-    if (!fs.exists(live)) {
-      if (fs.exists(path(stateDir + ".next/_SUCCESS")))
-        GenerationSwap.renameOrThrow(fs, path(stateDir + ".next"), live)
-      else if (fs.exists(path(stateDir + ".old")))
-        GenerationSwap.renameOrThrow(fs, path(stateDir + ".old"), live)
-    }
-  }
+  // adopt a complete generation after a crash mid-swap — the shared
+  // [[GenerationSwap.recoverPromote]] choreography
+  private def recover(): Unit = GenerationSwap.recoverPromote(fs, stateDir)
 
   private def hasState: Boolean = {
     recover()

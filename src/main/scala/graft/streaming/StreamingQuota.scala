@@ -107,24 +107,18 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     GenerationSwap.replaceLive(fs, stateDir, tmp)
   }
 
-  /** Crash recovery for [[compact]]: if a crash landed between "old
-    * state renamed aside" and "compacted dir renamed into place", the
-    * live dir is missing but the fully-materialized `.compact` sibling
-    * (or the untouched `.old`) holds the budgets — adopt it rather than
-    * silently resetting every key's budget to zero. */
+  /** Crash recovery for [[compact]] — [[GenerationSwap.recoverReplace]]
+    * (shared crash contract). Memoized after the first successful
+    * pass: recovery is only needed once per instance start (the
+    * in-process [[compact]] swap throws rather than crash silently),
+    * and re-probing 3–5 filesystem RPCs on EVERY read is the same
+    * per-micro-batch LIST tax the legacy-layout probe below memoizes
+    * away; an exception leaves the flag unset so the probe retries. */
+  @volatile private var recovered = false
   private def recoverCompact(): Unit = {
-    val live = new org.apache.hadoop.fs.Path(stateDir)
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".compact")
-    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
-    if (!fs.exists(live)) {
-      if (fs.exists(tmp)) GenerationSwap.renameOrThrow(fs, tmp, live)
-      else if (fs.exists(old)) GenerationSwap.renameOrThrow(fs, old, live)
-    }
-    // leftovers from a completed (or recovered) compact are dead state
-    if (fs.exists(live)) {
-      GenerationSwap.deleteIfExists(fs, tmp)
-      GenerationSwap.deleteIfExists(fs, old)
-    }
+    if (recovered) return
+    GenerationSwap.recoverReplace(fs, stateDir)
+    recovered = true
   }
 
   /** Cumulative admitted count per key (the fold of all deltas);

@@ -79,4 +79,22 @@ class MetricsSpec extends SparkSpec {
     m.registerTerminated(newId)         // the real termination still zeroes
     assert(m.snapshot("graft-h").lastProcessedRowsPerSec == 0.0)
   }
+
+  test("a DROPPED termination event costs one missed zero, not all future ones") {
+    // Spark's async listener bus sheds events under backpressure: if
+    // run A's termination for a name is dropped, its stale id must not
+    // block zeroing for every later run of that name (zeroing is keyed
+    // on the terminating id being the name's LATEST registrant)
+    val m = new GraftMetrics
+    val a = java.util.UUID.randomUUID()
+    val b = java.util.UUID.randomUUID()
+    m.registerStarted(a, "graft-d")
+    // A's termination event is dropped — never delivered
+    m.registerStarted(b, "graft-d")
+    m.stats.updateWith("graft-d")(
+      _.map(_.copy(lastProcessedRowsPerSec = 55.0)))
+    m.registerTerminated(b)
+    assert(m.snapshot("graft-d").lastProcessedRowsPerSec == 0.0,
+      "a stale id from a dropped event must not block future zeroing")
+  }
 }

@@ -301,6 +301,48 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("upgrade: pre-side-table released copies backfill instead of duplicating") {
+    // a database written by the engine version BEFORE graft_released
+    // holds released copies identified only by their metadata stamp.
+    // Without the one-time backfill, an upgraded engine would deliver
+    // every such copy to every OTHER consumer group (it was one
+    // group's private redelivery) and show it in replay beside its
+    // original — duplicates. The backfill reads the stamp exactly
+    // once, gated by the per-topic sentinel row at offset -1.
+    val db = url("sqlupg")
+    val ps = new SqlPubSub(spark, db, group = "g1", pollIntervalMs = 20)
+    try ps.publish("t_upg", Seq(
+      msg("o1", "original"),
+      msg("c1", "released-copy", Map(graft.router.Ctx.DelayGroup -> "g1"))))
+    finally ps.close()
+    // simulate the pre-r14 database: that version had no side table
+    val c = java.sql.DriverManager.getConnection(db)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE \"graft_released\"") finally st.close()
+    } finally c.close()
+    // upgraded engine, DIFFERENT group: initialize must backfill
+    val ps2 = new SqlPubSub(spark, db, group = "g2", pollIntervalMs = 20)
+    try {
+      val replay = ps2.subscribeBatch("t_upg").as[Message].collect()
+        .map(_.uuid).toSet
+      assert(replay == Set("o1"),
+        s"legacy released copy must stay hidden from replay, got $replay")
+      val seen = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+      val q = ps2.subscribe("t_upg").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqlu-").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen(r.getAs[String]("uuid")) = true); ()
+        }.start()
+      try {
+        ps2.awaitCaughtUp("t_upg"); q.processAllAvailable()
+        assert(seen.keySet == Set("o1"),
+          s"g1's legacy copy must not deliver to g2, got ${seen.keySet}")
+      } finally q.stop()
+    } finally ps2.close()
+  }
+
   test("released delayed row survives a crash between release and consumer commit") {
     // the last at-most-once corner, now closed: a due delayed row is
     // re-published as a NEW offset (same txn as the park-row delete),

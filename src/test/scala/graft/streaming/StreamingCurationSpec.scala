@@ -163,6 +163,35 @@ class StreamingCurationSpec extends SparkSpec {
     graft.operators.Materialize.releaseSitePins(spark)
   }
 
+  test("near-dup evaluates the caller's batch ONCE per processBatch consumer (pin precedes the append)") {
+    // regression: the kept-set pin used to come AFTER the index append,
+    // so `kept` (and through it the caller's batch source) evaluated a
+    // THIRD time in the pin — and with retention set, the index view's
+    // current_timestamp() could cross the horizon between the append's
+    // evaluation and the pin's, drifting the returned kept-set from
+    // the rows just indexed. Post-fix the batch computes exactly twice
+    // (once into the persisted bands, once as the anti-join's left
+    // side inside the single pin action); pre-fix this probe reads 3x.
+    val dir = java.nio.file.Files.createTempDirectory("graft-snd1x-").toString
+    val nd = new StreamingNearDup(spark, dir + "/index", minSim = 0.5,
+      retention = Some("1 hour"))
+    import spark.implicits._
+    NearDupEvalProbe.computes.set(0)
+    val nParts = 2
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (2L, "colorless green ideas sleep furiously while syntax dreams deep"))
+      .toDF("doc_id", "text").repartition(nParts)
+      .as[(Long, String)]
+      .mapPartitions { it => NearDupEvalProbe.computes.incrementAndGet(); it }
+      .toDF("doc_id", "text")
+    val kept = nd.processBatch(batch, batchId = 0L)
+    assert(kept.count() == 2)
+    val evals = NearDupEvalProbe.computes.get / nParts
+    assert(evals == 2,
+      s"batch source must compute exactly twice (bands + pinned anti-join), got $evals evaluations")
+  }
+
   test("quota REJECTS a lazy Materialize strategy loudly (admitted set must match the counted delta)") {
     // same hazard class as the near-dup pin: the returned admitted
     // frame must be the exact rows whose delta was just written — a
@@ -594,12 +623,19 @@ class StreamingCurationSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
 
+    // a crash kills the INSTANCE too: recovery is asserted on a fresh
+    // one (the real restart model — and the in-instance recovery probe
+    // is memoized after its first successful pass, so a same-instance
+    // dir mutation would test a situation that cannot occur)
+    def restarted(dir: String) = new StreamingQuota(spark, dir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 2)
+
     // crash point A: live dir renamed aside, compacted dir not yet in
     // place — only ".old" exists
     val (dirA, qa) = mkQuota()
     qa.admit(batch(1L -> "a", 2L -> "a"))
     Files.move(Paths.get(dirA), Paths.get(dirA + ".old"))
-    assert(ids(qa.admit(batch(3L -> "a"))).isEmpty,
+    assert(ids(restarted(dirA).admit(batch(3L -> "a"))).isEmpty,
       "budget must survive a crash after the aside-rename")
 
     // crash point B: compacted dir fully written, live dir gone — only
@@ -607,7 +643,13 @@ class StreamingCurationSpec extends SparkSpec {
     val (dirB, qb) = mkQuota()
     qb.admit(batch(1L -> "a", 2L -> "a"))
     Files.move(Paths.get(dirB), Paths.get(dirB + ".compact"))
-    assert(ids(qb.admit(batch(3L -> "a"))).isEmpty,
+    assert(ids(restarted(dirB).admit(batch(3L -> "a"))).isEmpty,
       "budget must survive a crash before the into-place rename")
   }
+}
+
+/** Executor-visible probe for the near-dup single-evaluation row
+  * (closures capture statics, never the suite). */
+object NearDupEvalProbe {
+  val computes = new java.util.concurrent.atomic.AtomicLong(0)
 }
