@@ -3503,7 +3503,76 @@ object LlmQueries {
              |SELECT p.doc_id, p.bench_id, p.n_shared, s.n_grams,
              |  p.n_shared * 10000 // s.n_grams AS overlap_bp
              |FROM pairs p JOIN sizes s USING (doc_id)
-             |ORDER BY p.doc_id, p.bench_id""".stripMargin))
+             |ORDER BY p.doc_id, p.bench_id""".stripMargin)),
+
+    // ---- tokenizer fertility by language: BPE-ish tokens per word-ish
+    // token, the tokenizer-suitability diagnostic (a language whose
+    // fertility balloons under a given tokenizer eats the training
+    // budget; the number every multilingual data mix is weighted by).
+    // Built from the two ALREADY-PAIRED counting kernels (q29's
+    // bpeTokenCount, q17's tokenCount) so the oracle twins are known
+    // bit-exact; the ratio is integer basis points (one div, no double
+    // compare). Scale: one partial-agg shuffle on lang ----
+    QuerySpec("q180_tokenizer_fertility",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextFunctions.bpeTokenCount(col("text"))).cast("long")
+            .as("bpe_tokens"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("long")
+            .as("word_tokens"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("fertility_bp",
+          expr("bpe_tokens * 10000L div word_tokens"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, bpe_tokens, word_tokens, n_docs,
+             |  CAST(bpe_tokens * 10000 // word_tokens AS BIGINT) AS fertility_bp
+             |FROM (SELECT lang,
+             |  CAST(sum(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+             |  CAST(sum(length(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS word_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY lang)
+             |ORDER BY lang""".stripMargin)),
+
+    // ---- exact-dup cluster size distribution: the dedup-impact
+    // histogram (how much of the corpus sits in clusters of size n —
+    // the long tail is boilerplate, the head is the unique mass; the
+    // curve every dedup-rate claim should be read against). Planted
+    // clones (every 7th doc twice, every 21st a third time — derived
+    // in-plan, any SF) guarantee sizes {1,2,3,4} exist. md5-keyed
+    // one-shuffle fold then a size-keyed fold: cluster-count-sized.
+    // keeper_id_sum (sum of each cluster's min id) rides the gate so a
+    // wrong cluster MEMBERSHIP cannot hash-match by luck of the counts ----
+    QuerySpec("q181_cluster_size_histogram",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+          .unionByName(base.filter(pmod(col("doc_id"), lit(21)) === 0)
+            .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        corpus
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("keeper"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            (col("sz") * count(lit(1))).as("n_docs"),
+            sum(col("keeper")).as("keeper_id_sum"))
+          .orderBy(col("sz"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 21 = 0),
+             |cl AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz,
+             |         min(doc_id) AS keeper
+             |       FROM corpus GROUP BY h)
+             |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+             |FROM cl GROUP BY sz ORDER BY sz""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the
