@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
 object DedupFunctions {
 
   /** Exact dedup: keep the lowest-id row per content hash. One shuffle
-    * on the hash; map-side partial aggregation applies. */
+    * on the hash; map-side partial aggregation applies. NULL text is
+    * skipped: contentHash(null) is null and GROUP BY collects nulls
+    * together, so a corrupted feed's null-text docs would otherwise
+    * report as ONE giant duplicate set with a keeper — and a pipeline
+    * acting on it would delete all but one of them. Null text is
+    * absence of content, not equal content (empty strings DO dedup:
+    * md5('') is a real hash). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(Hashes.contentHash(col(textCol)).as("content_hash"), col(idCol))
+    df.filter(col(textCol).isNotNull)
+      .select(Hashes.contentHash(col(textCol)).as("content_hash"), col(idCol))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 

@@ -44,7 +44,11 @@ object Diagnostics {
     val wG = Window.partitionBy(col("g"))
     val wVal = wG.orderBy(col("v"), col("tb"))
     val wDev = wG.orderBy(col("dev"), col("tb"))
+    // null values are SKIPPED, the SQL-aggregate rule: ascending sort
+    // is NULLS FIRST, so an unfiltered null row would consume rank 1,
+    // inflate n_g, and shift (or null out) the rank-picked median/MAD
     df.select(group.as("g"), tieBreak.as("tb"), value.as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("rk", row_number().over(wVal))
       .withColumn("n_g", count(lit(1)).over(wG))
       .withColumn("med", max(when(expr("rk = (n_g + 1) div 2"), col("v"))).over(wG))
@@ -78,7 +82,11 @@ object Diagnostics {
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_tb"))
+    // null values skipped (the SQL-aggregate rule): a null row would
+    // consume rank 1 and inflate n while contributing nothing to the
+    // sums — [null, 1, 1] read gini 0.333 instead of 0
     df.select(group.as("_g"), value.as("_v"), tieBreak.as("_tb"))
+      .filter(col("_v").isNotNull)
       .withColumn("_i", row_number().over(w).cast("long"))
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"),
@@ -164,7 +172,11 @@ object Diagnostics {
     import org.apache.spark.sql.expressions.Window
     val wG = Window.partitionBy(col("g"))
     val d = col("rx") - col("ry")
+    // pairwise-complete rule (every statistics package's default): a
+    // row with a null x or y is skipped — unfiltered, NULLS FIRST
+    // ordering would hand it rank 1 and corrupt every rho in the group
     df.select(group.as("g"), x.as("x"), y.as("y"), tieBreak.as("tb"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("rx",
         row_number().over(wG.orderBy(col("x"), col("tb"))).cast("long"))
       .withColumn("ry",

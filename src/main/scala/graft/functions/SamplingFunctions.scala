@@ -98,7 +98,9 @@ object SamplingFunctions {
     * `group`, WindowGroupLimit bounds hot groups, output ≤ |groups|·k. */
   def reservoirPerGroup(df: DataFrame, group: Column, key: Column,
       n: Int, salt: String = "resv"): DataFrame =
-    quotaPerGroup(df, group,
+    // key.isNotNull: a null key hashes null and NULLS FIRST ordering
+    // would hand such rows every group's reservoir slots
+    quotaPerGroup(df.filter(key.isNotNull), group,
       saltedHash(key, salt).asc, key.asc, n)
       .drop("rk") // internal rank — "k docs per group" keeps the input schema
 
@@ -150,12 +152,20 @@ object SamplingFunctions {
     * property (global top-k == top-k of unioned per-split top-k's),
     * pinned by WeightedSampleSpec. */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
-      salt: String = "wsample"): DataFrame =
-    df.filter(weight > lit(0))
+      salt: String = "wsample"): DataFrame = {
+    // a null key fails fast instead of winning: saltedHash(null) is
+    // null, ascending rank order is NULLS FIRST, so null-key rows
+    // would claim the top k slots and displace every valid row (while
+    // hashSample silently DROPS the same rows — two samplers, two
+    // silent null policies). The reserved working name fails fast too.
+    require(!df.columns.contains("graft_wrank"),
+      "column name graft_wrank is reserved by weightedSample")
+    df.filter(weight > lit(0) && key.isNotNull)
       .withColumn("graft_wrank", weightedRank(key, weight, salt))
       .orderBy(col("graft_wrank"), key)
       .limit(k)
       .drop("graft_wrank")
+  }
 
   /** Per-group weighted sample: k docs per group, weight-biased —
     * [[reservoirPerGroup]] with non-uniform odds (e.g. favor long or
@@ -164,7 +174,8 @@ object SamplingFunctions {
     * WindowGroupLimit bounds hot groups. */
   def weightedPerGroup(df: DataFrame, group: Column, key: Column,
       weight: Column, n: Int, salt: String = "wresv"): DataFrame =
-    quotaPerGroup(df.filter(weight > lit(0)), group,
+    // key.isNotNull: same NULLS FIRST displacement as [[weightedSample]]
+    quotaPerGroup(df.filter(weight > lit(0) && key.isNotNull), group,
       weightedRank(key, weight, salt).asc, key.asc, n)
       .drop("rk")
 
@@ -177,6 +188,10 @@ object SamplingFunctions {
     * absent from `targetBp` are dropped. All arithmetic is integer
     * (basis points, `div`), all membership is portable-hash-derived —
     * the whole draw reproduces bit-for-bit across engines and re-runs.
+    * Rows with a NULL stratum are dropped — explicitly, below, not as
+    * a silent inner-join artifact (a null key never equi-joins, so
+    * they vanished indistinguishably from a 0-bp target); tag unknowns
+    * with a sentinel stratum value first to keep them samplable.
     *
     * Scale shape: one column-pruned pass over `stratum` for the
     * per-group counts (a |strata|-row aggregate), broadcast of those
@@ -201,6 +216,8 @@ object SamplingFunctions {
         least(lit(10000L), expr("(graft_target_bp * graft_total) div graft_n_g")))
       .select(col("graft_stratum"), col("graft_rate_bp"))
     df.withColumn("graft_stratum", stratum.cast("string"))
+      // the explicit form of the null-stratum drop (see scaladoc)
+      .filter(col("graft_stratum").isNotNull)
       .join(broadcast(rates), Seq("graft_stratum"))
       .filter(pmod(saltedHash(key, salt),
         lit(10000L)) < col("graft_rate_bp"))

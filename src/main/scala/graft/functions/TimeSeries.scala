@@ -30,8 +30,17 @@ object TimeSeries {
   def twap(df: DataFrame, group: Column, value: Column, ts: Column,
       tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(col("_g")).orderBy(col("_t"), col("_tb"))
+    // null-valued samples are DROPPED before the gap computation: an
+    // unfiltered null tick contributed its interval to twap_den while
+    // sum skipped its product in twap_num — the average was silently
+    // biased toward zero (one null in a feed halves the TWAP). With
+    // the drop, the preceding sample's value holds across the gap.
+    // (Engine note: the q138 oracle twin assumes non-null values, as
+    // the testdata guarantees — on a nully feed this library function
+    // is the defined semantics.)
     df.select(group.as("_g"), value.as("_v"),
         unix_micros(ts).as("_t"), tieBreak.as("_tb"))
+      .filter(col("_v").isNotNull)
       .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
       .groupBy(col("_g"))
       .agg(

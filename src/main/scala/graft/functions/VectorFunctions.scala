@@ -473,6 +473,11 @@ object VectorFunctions {
     * a fixed-size model rides the plan, the data never moves. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       vecCol: String, threshold: Double): DataFrame = {
+    // append-to-original-frame shape: internal names fail fast (the
+    // imputeGroupMedian/quotaPerGroup discipline) — a caller's real
+    // _cv/_cn would be silently replaced then dropped from the output
+    Seq("_cv", "_cn").foreach(n => require(!corpus.columns.contains(n),
+      s"column name $n is reserved by semanticDecontaminate"))
     // norms hoisted per ROW on both sides — inside the join condition
     // they would be re-derived once per PAIR (3 array passes per pair,
     // the trap bruteForceTopK documents) — and zero-norm vectors
@@ -568,11 +573,20 @@ object VectorFunctions {
       vecCol: String, dim: Int, k: Int, books: Array[Array[Array[Double]]],
       refine: Int = 4): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      unitize(col(vecCol).cast("array<double>")).as("cv"))
+    // dimension guard on BOTH sides, same as pqTrain: pqEncode/
+    // pqAdcDist index to dim-1, and a shorter vector either throws
+    // (GenericArrayData) or — worse — silently reads adjacent heap via
+    // the unchecked UnsafeArrayData fast path, producing
+    // nondeterministic codes and wrong neighbors
+    val c = corpus
+      .filter(size(col(vecCol)) === dim && !col(vecCol).isNull)
+      .select(col(idCol).as("neighbor_id"),
+        unitize(col(vecCol).cast("array<double>")).as("cv"))
     val codes = c.select(col("neighbor_id"), pqCodes(col("cv"), books).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      unitize(col(vecCol).cast("array<double>")).as("qv"))
+    val q = queries
+      .filter(size(col(vecCol)) === dim && !col(vecCol).isNull)
+      .select(col(idCol).as("query_id"),
+        unitize(col(vecCol).cast("array<double>")).as("qv"))
     val adc = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", pqAdcDist(col("qv"), col("codes"), books))
     val wAdc = Window.partitionBy(col("query_id"))

@@ -38,11 +38,16 @@ object ZOrder {
     * dimension: range-partition into `files` disjoint z-ranges, sort
     * inside each. The z column is dropped — layout is a physical
     * property, not data. */
-  def cluster(df: DataFrame, x: Column, y: Column, files: Int): DataFrame =
+  def cluster(df: DataFrame, x: Column, y: Column, files: Int): DataFrame = {
+    // append-to-original-frame shape: the internal name fails fast —
+    // a caller's real __z column would be replaced and then dropped
+    require(!df.columns.contains("__z"),
+      "column name __z is reserved by ZOrder.cluster")
     df.withColumn("__z", zvalue16(x, y))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
 }
 
 object ZOrderUtil {

@@ -41,6 +41,7 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       payloadCols: Seq[String], inner: Boolean = true): DataFrame = {
+    reserveNames(left)
     val r = right.select(col(key), col(time),
       struct(payloadCols.map(col): _*).as("_asof_pay"))
     val l = left
@@ -79,6 +80,12 @@ object AsofJoin {
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
       time: String, payloadCols: Seq[String], inner: Boolean = true,
       tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    reserveNames(left)
+    // _rt rides inside the payload struct: a right payload column of
+    // that name would shadow the carried right-time the tolerance
+    // check reads
+    require(!payloadCols.contains("_rt"),
+      "payload column name _rt is reserved by AsofJoin.asofJoinForward")
     val r = right.select(col(key), col(time),
       struct(col(time).as("_rt") +: payloadCols.map(col): _*).as("_asof_pay"))
     val l = left
@@ -102,6 +109,15 @@ object AsofJoin {
     base.select(left.columns.map(col) ++
       payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
+
+  // internal names fail fast (the Merge/TableDiff discipline): a left
+  // frame already carrying one would have its data silently replaced
+  // by withColumn and echoed back corrupted in the output (a real
+  // `_side` column, e.g., would come back as the constant 1)
+  private def reserveNames(left: DataFrame): Unit =
+    Seq("_asof_pay", "_side", "_asof").foreach(n =>
+      require(!left.columns.contains(n),
+        s"column name $n is reserved by AsofJoin"))
 
   /** Pre-aggregation for a right side with duplicate (key, time) rows:
     * keep each group's row with the maximum tiebreak value (one

@@ -56,6 +56,13 @@ object DataAudit {
     require(rules.nonEmpty, "audit needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "audit rule names must be unique")
+    // validated here, not at the reduce: an empty cols list would die
+    // in Catalyst with an opaque empty.reduceLeft, naming no rule
+    rules.foreach {
+      case NotNull(n, cols) => require(cols.nonEmpty,
+        s"NotNull rule '$n' needs at least one column")
+      case _ => ()
+    }
     val scalar = rules.filter(!_.isInstanceOf[RefIntegrity])
     val referential = rules.collect { case r: RefIntegrity => r }
 

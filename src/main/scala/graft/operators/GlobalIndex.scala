@@ -85,6 +85,12 @@ object GlobalIndex {
       countCol: Option[String],
       materialize: Materialize): DataFrame = {
     require(keys.nonEmpty, "at least one ordering key")
+    // internal names fail fast (the Merge/TableDiff discipline): a
+    // caller column with one of these names would be silently
+    // shadowed and then dropped from the output
+    Seq("_pid", "_local", "_offset", "_n").foreach(n =>
+      require(!df.columns.contains(n),
+        s"column name $n is reserved by GlobalIndex"))
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val ranged = numPartitions

@@ -52,6 +52,11 @@ object GlobalPrefix {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // the accumulator runs in a narrow per-partition pass, so the
+    // internal names fail fast (the Merge/TableDiff discipline): a
+    // caller column named _v would be silently replaced then DROPPED
+    // from the output, _pid/_lp silently shadowed
+    Seq("_v", "_pid", "_lp").foreach(n => require(!df.columns.contains(n),
+      s"column name $n is reserved by GlobalPrefix.runningSum"))
     // value type is pinned up front to Spark's own sum widening
     // (integral → long, fractional → double); anything else fails
     // loudly rather than silently mis-accumulating
@@ -89,7 +94,13 @@ object GlobalPrefix {
       if (isLong) {
         var acc = 0L
         it.map { r =>
-          if (!r.isNullAt(vIdx)) { acc += r.getLong(vIdx); seen = true }
+          // addExact, not +=: the scaladoc promises window-form parity
+          // INCLUDING ANSI's throw-on-overflow — a wrapping JVM
+          // accumulator would return garbage prefixes exactly where
+          // the SQL sum in the offsets branch throws
+          if (!r.isNullAt(vIdx)) {
+            acc = Math.addExact(acc, r.getLong(vIdx)); seen = true
+          }
           Row.fromSeq(r.toSeq :+ pid :+ (if (seen) acc else null))
         }
       } else {

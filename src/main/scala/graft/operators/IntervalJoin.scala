@@ -34,6 +34,8 @@ object IntervalJoin {
   def pointInInterval(intervals: DataFrame, points: DataFrame, key: String,
       lo: Column, hi: Column, x: Column, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    reserve(intervals, "__lo", "__hi", "__b")
+    reserve(points, "__x", "__b")
     val iv = intervals
       .withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
       .filter(col("__lo") <= col("__hi"))
@@ -43,7 +45,10 @@ object IntervalJoin {
       .withColumn("__b", expr(s"__x div ${bucketWidth}L"))
     iv.join(pt, Seq(key, "__b"))
       .filter(col("__lo") <= col("__x") && col("__x") <= col("__hi"))
-      .drop("__b")
+      // drop ALL internals, not just the join bucket — the helper
+      // copies leaked into every result (and into any select("*")
+      // write downstream)
+      .drop("__b", "__lo", "__hi", "__x")
   }
 
   /** Interval×interval overlap (`[lo1,hi1] ∩ [lo2,hi2] ≠ ∅`) on a
@@ -53,6 +58,8 @@ object IntervalJoin {
       lo1: Column, hi1: Column, lo2: Column, hi2: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    reserve(left, "__lo1", "__hi1", "__b")
+    reserve(right, "__lo2", "__hi2", "__b")
     def expand(df: DataFrame, lo: Column, hi: Column, p: String) =
       df.withColumn(s"__lo$p", lo.cast("long"))
         .withColumn(s"__hi$p", hi.cast("long"))
@@ -64,6 +71,13 @@ object IntervalJoin {
       .filter(col("__lo1") <= col("__hi2") && col("__lo2") <= col("__hi1"))
       .filter(col("__b") === greatest(
         expr(s"__lo1 div ${bucketWidth}L"), expr(s"__lo2 div ${bucketWidth}L")))
-      .drop("__b")
+      .drop("__b", "__lo1", "__hi1", "__lo2", "__hi2")
   }
+
+  // internal names fail fast (the Merge/TableDiff discipline): a
+  // caller column with one of these names would be silently replaced
+  // by withColumn and then dropped from the result
+  private def reserve(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"column name $n is reserved by IntervalJoin"))
 }

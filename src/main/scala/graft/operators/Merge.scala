@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * `source` must carry every target column (same names) and be UNIQUE
   * per key — MERGE on a duplicate-key source is nondeterministic in
   * every engine; compact first ([[ChangelogApply.compact]]).
+  *
+  * Null keys follow ANSI `ON t.k = s.k`: they never match — a
+  * null-key source row is NOT MATCHED (inserts under the clause), a
+  * null-key target row stays untouched (MergeSpec pins this; Delta
+  * behaves the same).
   */
 object Merge {
 
@@ -49,7 +54,12 @@ object Merge {
 
     val t = target.withColumn("_t_ex", lit(true)).alias("t")
     val s = source.withColumn("_s_ex", lit(true)).alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // plain equality, NOT <=> : ANSI MERGE's `ON t.k = s.k` never
+    // matches null keys — a null-key source row is NOT MATCHED (it
+    // inserts), a null-key target row stays untouched. The null-safe
+    // form also fanned out: EVERY null-key target row full-outer-
+    // matched the single null-key source row and got rewritten.
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
     val matched = col("t._t_ex").isNotNull && col("s._s_ex").isNotNull

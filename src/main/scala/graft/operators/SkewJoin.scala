@@ -30,6 +30,10 @@ object SkewJoin {
       keyL: String, keyR: String, nSalts: Int,
       saltBy: Column): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive: $nSalts")
+    // internal name fails fast: a caller's real _salt column would be
+    // silently replaced and then dropped from the result
+    Seq(skewed, other).foreach(d => require(!d.columns.contains("_salt"),
+      "column name _salt is reserved by SkewJoin.saltedJoin"))
     val l = skewed.withColumn("_salt", pmod(xxhash64(saltBy), lit(nSalts.toLong)))
     // one generator row per salt value, exploded on the build side
     val r = other.withColumn("_salt",

@@ -70,18 +70,33 @@ object TableDiff {
           Seq(status.as("status"), changedCols.as("changed_cols")): _*)
   }
 
-  /** Per-bucket digest: `(bucket, n, digest)` — row count and
-    * order-invariant XOR of `xxhash64` over the full row (all columns,
-    * key-prefixed order). Equal tables ⇒ equal digest frames; compare
-    * the two tiny frames, then [[diff]] only keys hashing into
-    * differing buckets. */
+  /** Per-bucket digest: `(bucket, n, digest, digest_sum)` — row count
+    * plus two order-invariant folds of a per-row hash. Equal tables ⇒
+    * equal digest frames; compare the two tiny frames, then [[diff]]
+    * only keys hashing into differing buckets.
+    *
+    * Two details exist to kill FALSE NEGATIVES (a differing bucket
+    * reported clean — the one failure mode a pre-filter must not
+    * have):
+    *  - per-field NULL sentinels: `xxhash64` SKIPS null children, so
+    *    (x, NULL) and (NULL, x) would otherwise fold identically and a
+    *    value that MOVED columns would digest as unchanged. Each field
+    *    hashes alone and nulls become a sentinel long, so the row hash
+    *    folds a fixed arity.
+    *  - a second fold: XOR alone self-cancels even multiplicities
+    *    ({R,R} vs {S,S} both XOR to 0) — the masked SUM (31-bit
+    *    terms: no ANSI overflow below ~4e9 rows per bucket) is
+    *    multiset-sensitive where XOR is blind. */
   def bucketDigests(df: DataFrame, keys: Seq[String], nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
     val ordered = (keys ++ df.columns.filterNot(keys.contains)).map(col)
+    val fields = ordered.map(c =>
+      coalesce(xxhash64(c), lit(0x9e3779b97f4a7c15L)))
     df.select(
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).as("bucket"),
-        xxhash64(ordered: _*).as("_rh"))
+        xxhash64(fields: _*).as("_rh"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), bit_xor(col("_rh")).as("digest"))
+      .agg(count(lit(1)).as("n"), bit_xor(col("_rh")).as("digest"),
+        sum(col("_rh").bitwiseAND(lit(0x7fffffffL))).as("digest_sum"))
   }
 }

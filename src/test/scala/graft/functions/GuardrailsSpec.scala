@@ -23,6 +23,20 @@ class GuardrailsSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("exactDedup skips null text instead of reporting it as one giant duplicate set") {
+    // pre-fix: contentHash(null) is null and GROUP BY collects nulls,
+    // so a corrupted feed's null-text docs became ONE cluster with a
+    // keeper — a pipeline acting on keeper_id would delete all but one
+    import spark.implicits._
+    val docs = Seq((1L, Some("same")), (2L, Some("same")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]),
+      (5L, Some(""))).toDF("doc_id", "text")
+    val got = DedupFunctions.exactDedup(docs, "text", "doc_id")
+      .select("keeper_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (5L, 1L)),
+      s"null text must be skipped (empty string still dedups), got $got")
+  }
+
   test("minhashCandidates with STRING ids uses the bounded collector and still finds planted dups") {
     val base = "the quick brown fox jumps over the lazy dog while the cat " +
       "sleeps on the warm windowsill and birds sing in the garden trees"

@@ -35,6 +35,25 @@ class PqSpec extends SparkSpec {
     assert(pq == brute)
   }
 
+  test("a wrong-dimension corpus vector is filtered, not read out of bounds") {
+    // pre-fix: pqEncode indexed to dim-1 on an unguarded corpus —
+    // a short vector threw on GenericArrayData or silently read
+    // adjacent heap on the unchecked UnsafeArrayData fast path
+    // (nondeterministic codes, wrong neighbors). pqTrain always
+    // guarded; pqTopK now guards both sides the same way.
+    val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,
+      ksub = 8, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val clean = key(VectorFunctions.pqTopK(queries, corpus, "vec_id",
+      "embedding", dim, k = 3, books, refine = 60))
+    val dirty = corpus.unionByName(
+      Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val got = key(VectorFunctions.pqTopK(queries, dirty, "vec_id",
+      "embedding", dim, k = 3, books, refine = 60))
+    assert(got == clean,
+      "a short vector must be excluded, never encoded or returned")
+  }
+
   test("planted exact copy is recalled at refine = 1 despite lossy codes") {
     val planted = (0 until 6).map { i =>
       (i + 1000L, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))

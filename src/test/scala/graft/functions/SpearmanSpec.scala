@@ -56,6 +56,33 @@ class SpearmanSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
 
+  test("null values are SKIPPED by the rank-pick family (the SQL-aggregate rule)") {
+    // pre-fix: NULLS FIRST ordering handed a null row rank 1 —
+    // [null, 1, 1] read gini 0.333 instead of 0, a null x corrupted
+    // every rho in its group, and robustOutliers' median shifted
+    val g = Diagnostics.gini(
+        Seq(("a", Option.empty[Long], 0L), ("a", Some(1L), 1L), ("a", Some(1L), 2L))
+          .toDF("g", "v", "id"),
+        col("g"), col("v"), col("id"))
+      .select("gini").as[Option[Double]].collect().head
+    assert(g.contains(0.0), s"gini over [null,1,1] must be 0 (nulls skipped), got $g")
+    val rho = Diagnostics.spearman(
+        Seq(("a", Option.empty[Long], Some(9L), 0L), ("a", Some(1L), Some(1L), 1L),
+          ("a", Some(2L), Some(2L), 2L), ("a", Some(3L), Some(3L), 3L))
+          .toDF("g", "x", "y", "id"),
+        col("g"), col("x"), col("y"), col("id"))
+      .select("rho").as[Option[Double]].collect().head
+    assert(rho.contains(1.0),
+      s"a null-x row must not corrupt the remaining perfect monotone pairs, got $rho")
+    val med = Diagnostics.robustOutliers(
+        Seq(("a", Option.empty[Long], 0L), ("a", Some(1L), 1L),
+          ("a", Some(2L), 2L), ("a", Some(3L), 3L)).toDF("g", "v", "id"),
+        col("g"), col("v"), col("id"))
+      .select("med").as[Option[Long]].collect().head
+    assert(med.contains(2L),
+      s"median of [null,1,2,3] must be 2 (nulls skipped), got $med")
+  }
+
   test("gini: perfectly even is 0; total concentration approaches (n-1)/n") {
     val even = (1 to 10).map(i => ("even", 7L, i.toLong))
     val conc = (1 to 9).map(i => ("conc", 0L, i.toLong)) :+ (("conc", 1000L, 10L))

@@ -28,6 +28,20 @@ class TimeSeriesSpec extends SparkSpec {
       Some(20000000L), Some(17.5))))
   }
 
+  test("TWAP: a null tick is dropped, not averaged in as zero") {
+    // pre-fix: the null sample's 10s gap counted in twap_den while its
+    // product was skipped in twap_num — 10 for 10s, null for 10s,
+    // (10 last) read 5.0 instead of 10.0
+    val rows = Seq(
+      ("g", Some(10L), ts(100), 1L), ("g", Option.empty[Long], ts(110), 2L),
+      ("g", Some(10L), ts(120), 3L))
+      .toDF("k", "c", "t", "id")
+    val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))
+      .as[(String, Option[Long], Option[Long], Option[Double])].collect().head
+    assert(out._4 == Some(10.0),
+      s"one null tick must not bias the TWAP toward zero, got ${out._4}")
+  }
+
   test("TWAP: a single-sample group has null average (zero total weight)") {
     val rows = Seq(("solo", 42L, ts(100), 1L)).toDF("k", "c", "t", "id")
     val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))

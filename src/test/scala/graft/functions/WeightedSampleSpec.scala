@@ -18,6 +18,27 @@ class WeightedSampleSpec extends SparkSpec {
     (i.toLong, if (i < 200) 1L else 10L)
   }.toDF("id", "w")
 
+  test("null-key rows are excluded, never sampled (NULLS FIRST would rank them on top)") {
+    // pre-fix: saltedHash(null) is null, ascending rank is NULLS
+    // FIRST, so null-key rows claimed the top k slots and displaced
+    // every valid row
+    val dirty = Seq((Some(1L), 5L), (Some(2L), 5L),
+      (Option.empty[Long], 1000L), (Option.empty[Long], 1000L))
+      .toDF("id", "w")
+    val got = SamplingFunctions.weightedSample(dirty, col("id"), col("w"), 3)
+      .select("id").as[Option[Long]].collect().toSet
+    assert(got == Set(Some(1L), Some(2L)),
+      s"null keys must not win sample slots, got $got")
+    val perGroup = SamplingFunctions.weightedPerGroup(
+        dirty.withColumn("g", lit("x")), col("g"), col("id"), col("w"), 3)
+      .select("id").as[Option[Long]].collect().toSet
+    assert(perGroup == Set(Some(1L), Some(2L)))
+    val resv = SamplingFunctions.reservoirPerGroup(
+        dirty.withColumn("g", lit("x")), col("g"), col("id"), 3)
+      .select("id").as[Option[Long]].collect().toSet
+    assert(resv == Set(Some(1L), Some(2L)))
+  }
+
   test("weightedSample is deterministic and partitioning-invariant") {
     val a = SamplingFunctions.weightedSample(corpus, col("id"), col("w"), 60)
       .select("id").as[Long].collect().toSet

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Merge clause semantics: conditional update/delete/insert, clause
-  * precedence (delete before update), absent clauses, null-safe keys,
-  * and the untouched-target guarantee.
+  * precedence (delete before update), absent clauses, ANSI null-key
+  * semantics (null keys never match), and the untouched-target
+  * guarantee.
   */
 class MergeSpec extends SparkSpec {
 
@@ -28,6 +29,23 @@ class MergeSpec extends SparkSpec {
     val got = run(Seq((2L, "B", 99.0), (9L, "z", 1.0)))
     assert(got == List((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
       (4L, "d", 40.0), (9L, "z", 1.0)))
+  }
+
+  test("ANSI null keys: never match — null-key source inserts, null-key targets untouched") {
+    // the null-safe <=> join this replaces matched null keys: a
+    // null-key source row UPDATED (instead of inserting beside) every
+    // null-key target row — and with two null-key target rows, BOTH
+    // full-outer-matched the one source row (fan-out rewrite). ANSI
+    // MERGE (and Delta) treat null keys as NOT MATCHED.
+    val t = Seq((Option.empty[Long], "t1", 1.0), (Option.empty[Long], "t2", 2.0),
+      (Some(5L), "e", 50.0)).toDF("k", "name", "v")
+    val s = Seq((Option.empty[Long], "s1", 9.0)).toDF("k", "name", "v")
+    val got = Merge.merge(t, s, Seq("k"))
+      .orderBy("name").as[(Option[Long], String, Double)].collect().toList
+    assert(got == List(
+      (Some(5L), "e", 50.0),
+      (None, "s1", 9.0),  // inserted, not matched
+      (None, "t1", 1.0), (None, "t2", 2.0))) // untouched, no fan-out
   }
 
   test("conditional update compares target and source values") {

@@ -60,9 +60,9 @@ class TableDiffSpec extends SparkSpec {
     val b = (0L until 1000L).map(i =>
       (i, s"n$i", if (i == 137L) -1.0 else i * 1.5)).toDF("k", "name", "v")
     val da = TableDiff.bucketDigests(a, Seq("k"), 16)
-      .as[(Long, Long, Long)].collect().toMap2
+      .as[(Long, Long, Long, Long)].collect().toMap2
     val db = TableDiff.bucketDigests(b, Seq("k"), 16)
-      .as[(Long, Long, Long)].collect().toMap2
+      .as[(Long, Long, Long, Long)].collect().toMap2
     assert(da.keySet == db.keySet)
     val bad = da.keys.filter(k => da(k) != db(k)).toList
     // exactly one bucket differs — the one key 137 hashes into
@@ -74,16 +74,43 @@ class TableDiffSpec extends SparkSpec {
     assert(da(bad.head)._1 == db(bad.head)._1)
   }
 
-  test("digest is partitioning-invariant (bit_xor commutes)") {
+  test("digest is partitioning-invariant (bit_xor and masked sum commute)") {
     val a = (0L until 500L).map(i => (i, s"x$i")).toDF("k", "s")
     val one = TableDiff.bucketDigests(a.repartition(1), Seq("k"), 8)
-      .orderBy("bucket").as[(Long, Long, Long)].collect().toList
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
     val many = TableDiff.bucketDigests(a.repartition(17), Seq("k"), 8)
-      .orderBy("bucket").as[(Long, Long, Long)].collect().toList
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
     assert(one == many)
   }
 
-  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
-    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  test("a value MOVED between columns (nulls filling the gaps) changes the digest") {
+    // xxhash64 SKIPS null children: without per-field null sentinels,
+    // (x, NULL) and (NULL, x) folded identically and this real change
+    // digested as "equal" — a false negative in the pre-filter whose
+    // only job is to have none
+    val l = Seq((1L, Some("x"), Option.empty[String])).toDF("k", "a", "b")
+    val r = Seq((1L, Option.empty[String], Some("x"))).toDF("k", "a", "b")
+    val dl = TableDiff.bucketDigests(l, Seq("k"), 4)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val dr = TableDiff.bucketDigests(r, Seq("k"), 4)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(dl != dr, "a column-shifted value must change the bucket digest")
+  }
+
+  test("even multiplicities do not XOR-cancel into a false 'equal'") {
+    // {R,R} vs {S,S}: both XOR to 0 with equal counts — only the
+    // masked-sum component distinguishes them
+    val l = Seq((1L, "r"), (1L, "r")).toDF("k", "s")
+    val r = Seq((1L, "s"), (1L, "s")).toDF("k", "s")
+    val dl = TableDiff.bucketDigests(l, Seq("k"), 2)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val dr = TableDiff.bucketDigests(r, Seq("k"), 2)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(dl != dr, "duplicated-row buckets must not digest equal")
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 }
