@@ -52,13 +52,18 @@ object GraftSession {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def local(): SparkSession = {
-    // pin the JVM default locale for the artifact mains (Bench/Verify/
-    // tools): the evidence JSON is rendered with f"...%.2f"
-    // interpolators throughout, and a comma-decimal default locale
+    // pin the JVM FORMAT-category locale for the artifact mains
+    // (Bench/Verify/tools): the evidence JSON is rendered with
+    // f"...%.2f" interpolators throughout (java.util.Formatter reads
+    // Locale.Category.FORMAT), and a comma-decimal default locale
     // (de, fr, ...) would turn "1.04" into "1,04" — syntactically
-    // invalid JSON for every artifact consumer. Root locale, set once
-    // at the engine's session entry point.
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // invalid JSON for every artifact consumer. ONLY the FORMAT
+    // category: setting the BASE default to Locale.ROOT broke every
+    // embedded-Derby database creation (Derby validates the default
+    // locale as a territory and ROOT's empty language fails XBM0X —
+    // found when the r14 bench's SQL transport rows went dark).
+    java.util.Locale.setDefault(
+      java.util.Locale.Category.FORMAT, java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

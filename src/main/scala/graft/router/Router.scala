@@ -226,8 +226,19 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       if (h.subscriber.isInstanceOf[graft.sources.AckableSubscriber])
         Seq(Ctx.AckOffset)
       else Seq.empty
+    // coalesce AFTER the strip: Message.schema marks metadata nullable
+    // and an open-surface transport can deliver a row with metadata =
+    // NULL (a foreign parquet file in a FilePubSub topic dir, the
+    // documented production pattern) — map_filter passes the null
+    // through, and the ctx injection below would then NPE inside the
+    // flatMap, OUTSIDE the middleware onion (recoverer can't catch
+    // it): the query dies and restarts into the same row forever.
+    // KafkaPubSub coalesces per-transport; the router guards centrally
+    // so every transport is covered.
     val src = raw
-      .withColumn("metadata", Ctx.stripInternal(col("metadata"), keepKeys: _*))
+      .withColumn("metadata", coalesce(
+        Ctx.stripInternal(col("metadata"), keepKeys: _*),
+        typedLit(Map.empty[String, String])))
       .as[Message]
     val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.

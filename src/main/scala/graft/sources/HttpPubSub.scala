@@ -29,6 +29,31 @@ import graft.core.{Ids, Message}
 object HttpWire {
   val UuidHeader = "X-Graft-Uuid"
   val MetaPrefix = "X-Graft-Meta-"
+
+  /** Carrier for metadata entries that cannot ride as one-per-header
+    * (a key with non-token characters — legal in Kafka headers — or a
+    * value with CR/LF): URL-encoded JSON map in ONE header. Without
+    * it, HttpRequest.Builder throws IllegalArgumentException on the
+    * first such entry — on EVERY retry — and the batch wedges
+    * permanently instead of the retryable-nack path this transport
+    * documents. Entries that are header-safe still ride verbatim
+    * (wire-compatible with plain HTTP producers). */
+  val EncHeader = "X-Graft-Meta-Enc"
+
+  private val TokenKey = "^[0-9A-Za-z!#$%&'*+.^_`|~-]+$".r
+  /** Header-safe = token key + a value free of CTLs (HTAB allowed). */
+  private[sources] def headerSafe(k: String, v: String): Boolean =
+    TokenKey.matches(k) &&
+      v.forall(c => c >= 0x20 && c != 0x7f || c == '\t')
+
+  private[sources] def encodeUnsafe(entries: Map[String, String]): String =
+    java.net.URLEncoder.encode(
+      new String(graft.cqrs.JsonCodec.write(entries), "UTF-8"), "UTF-8")
+
+  private[sources] def decodeUnsafe(h: String): Map[String, String] =
+    graft.cqrs.JsonCodec.read(
+      java.net.URLDecoder.decode(h, "UTF-8").getBytes("UTF-8"),
+      classOf[Map[String, String]])
 }
 
 /** Server half: POSTs to `/<topic>` enqueue into an in-process broker
@@ -66,8 +91,16 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
               // case broke every metadata-keyed consumer (correlation,
               // dedup) after one HTTP hop. Contract: metadata keys are
               // case-insensitive on this transport, delivered lowercase.
-              if (k.toLowerCase.startsWith(HttpWire.MetaPrefix.toLowerCase) && !vs.isEmpty)
+              if (k.equalsIgnoreCase(HttpWire.EncHeader)) ()
+              else if (k.toLowerCase.startsWith(HttpWire.MetaPrefix.toLowerCase) && !vs.isEmpty)
                 b += k.substring(HttpWire.MetaPrefix.length).toLowerCase -> vs.get(0)
+            }
+            // entries that couldn't ride one-per-header (non-token key,
+            // CTL value) arrive URL-encoded in the carrier header —
+            // original key case and value bytes preserved exactly
+            Option(headers.getFirst(HttpWire.EncHeader)).foreach { enc =>
+              try b ++= HttpWire.decodeUnsafe(enc)
+              catch { case _: Exception => () } // malformed carrier: drop, never wedge
             }
             b.result()
           }
@@ -132,9 +165,14 @@ object HttpPublisher {
   private[sources] def post(client: HttpClient, baseUrl: String, topic: String,
       m: Message): Unit = {
     val b = HttpRequest.newBuilder(java.net.URI.create(s"$baseUrl/$topic"))
-      .POST(HttpRequest.BodyPublishers.ofByteArray(m.payload))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        Option(m.payload).getOrElse(Array.emptyByteArray)))
       .header(HttpWire.UuidHeader, m.uuid)
-    m.metadata.foreach { case (k, v) => b.header(s"${HttpWire.MetaPrefix}$k", v) }
+    val (safe, unsafe) = Option(m.metadata).getOrElse(Map.empty)
+      .partition { case (k, v) => HttpWire.headerSafe(k, v) }
+    safe.foreach { case (k, v) => b.header(s"${HttpWire.MetaPrefix}$k", v) }
+    if (unsafe.nonEmpty)
+      b.header(HttpWire.EncHeader, HttpWire.encodeUnsafe(unsafe))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.discarding())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(

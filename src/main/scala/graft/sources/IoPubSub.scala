@@ -29,8 +29,16 @@ object IoFraming {
       payload: String, ts: Long)
 
   def marshal(m: Message): String =
-    new String(graft.cqrs.JsonCodec.write(Frame(m.uuid, m.metadata,
-      Base64.getEncoder.encodeToString(m.payload), m.ts.getTime)),
+    // null-tolerant on every nullable Message field (the schema marks
+    // ts/metadata/payload nullable and foreign parquet rows exercise
+    // that): a raw m.ts.getTime NPE'd mid-publish AFTER earlier lines
+    // were flushed — partial emission plus a poisoned retry. Null ts
+    // defaults to epoch 0, the SQL transport's rule (rowMessage).
+    new String(graft.cqrs.JsonCodec.write(Frame(m.uuid,
+      Option(m.metadata).getOrElse(Map.empty),
+      Base64.getEncoder.encodeToString(
+        Option(m.payload).getOrElse(Array.emptyByteArray)),
+      Option(m.ts).map(_.getTime).getOrElse(0L))),
       StandardCharsets.UTF_8)
 
   def unmarshal(line: String): Message = {

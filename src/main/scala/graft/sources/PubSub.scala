@@ -355,21 +355,32 @@ class FilePubSub(spark: SparkSession, root: String)
         // eliminates). Quarantine instead: the rows land under a
         // reserved dir, preserved and observable, never lost; the
         // escaped-name target keeps retries idempotent (overwrite).
-        val target =
-          if (isValidTopic(topic)) new HPath(path(topic), s"epoch_$writerId")
-          else {
-            log.warn(s"routed publish: invalid topic '$topic' quarantined")
-            new HPath(s"$root/.quarantine",
-              s"epoch_${writerId}_${s.getPath.getName}")
-          }
-        // CHECKED ops (GenerationSwap): HDFS-style filesystems signal
-        // rename/delete failure by returning false — unchecked, a
-        // failed rename here would let the epoch "succeed", offsets
-        // commit, and the finally below delete the only copy
-        graft.streaming.GenerationSwap.deleteIfExists(fs, target) // retry: overwrite
-        if (!fs.mkdirs(target.getParent))
-          throw new java.io.IOException(s"mkdirs failed: ${target.getParent}")
-        graft.streaming.GenerationSwap.renameOrThrow(fs, s.getPath, target)
+        // the SAME folded-epoch rule as publishEpoch: a checkpoint-
+        // replayed epoch that compact() already folded into the
+        // consolidated file must NOT re-appear as a fresh dir — this
+        // is the router's MAIN FilePubSub path (RoutedPublisher wins),
+        // so without the manifest consult here the exactly-once
+        // contract only covered the side path
+        if (isValidTopic(topic) &&
+            compactedEpochs(fs, topic).contains(s"epoch_$writerId")) {
+          graft.streaming.GenerationSwap.deleteIfExists(fs, s.getPath)
+        } else {
+          val target =
+            if (isValidTopic(topic)) new HPath(path(topic), s"epoch_$writerId")
+            else {
+              log.warn(s"routed publish: invalid topic '$topic' quarantined")
+              new HPath(s"$root/.quarantine",
+                s"epoch_${writerId}_${s.getPath.getName}")
+            }
+          // CHECKED ops (GenerationSwap): HDFS-style filesystems signal
+          // rename/delete failure by returning false — unchecked, a
+          // failed rename here would let the epoch "succeed", offsets
+          // commit, and the finally below delete the only copy
+          graft.streaming.GenerationSwap.deleteIfExists(fs, target) // retry: overwrite
+          if (!fs.mkdirs(target.getParent))
+            throw new java.io.IOException(s"mkdirs failed: ${target.getParent}")
+          graft.streaming.GenerationSwap.renameOrThrow(fs, s.getPath, target)
+        }
       }
     } finally { fs.delete(stagingPath, true); () }
   }

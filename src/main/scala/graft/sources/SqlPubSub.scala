@@ -131,17 +131,41 @@ final class SqlPubSub(spark: SparkSession, url: String,
     require(s.getBytes("UTF-8").length <= 128,
       s"$what exceeds the SQL transport's 128-byte bookkeeping limit: '$s'")
 
+  // one DDL probe per topic per INSTANCE on the hot path: publish/
+  // subscribe re-initialize on every call for idempotence, and
+  // un-memoized that cost four JDBC metadata round-trips plus the
+  // backfill sentinel SELECT per micro-batch per topic. Only the
+  // INTERNAL calls memoize — the public subscribeInitialize always
+  // probes, so an operator recovering from a destructive outage
+  // (dropped table) can explicitly re-create (SqlSpec's heal row).
+  private val initialized =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def ensureInitialized(topic: String): Unit =
+    if (!initialized.contains(topic)) subscribeInitialize(topic)
+
   /** Topic DDL (messages table + offsets table), idempotent. */
-  override def subscribeInitialize(topic: String): Unit = withConn { c =>
+  override def subscribeInitialize(topic: String): Unit = {
     requireBookkeepable(topic, "topic")
     requireBookkeepable(group, "group")
+    withConn(c => initializeImpl(c, topic))
+    initialized.put(topic, true); ()
+  }
+
+  private def initializeImpl(c: Connection, topic: String): Unit = {
     if (!tableExists(c, table(topic))) {
       val st = c.createStatement()
+      // uuid 256 / metadata 32672 (Derby's VARCHAR max): the previous
+      // 64/4000 let ONE oversized message (a 70-char foreign uuid, a
+      // poison-middleware reason pushing metadata past 4000) fail the
+      // INSERT with SQLDataException on every redelivery — a permanent
+      // batch wedge. Pre-r14 tables keep their old widths (Derby ALTER
+      // can widen VARCHAR if an operator needs it in place).
       try st.executeUpdate(
         s"""CREATE TABLE ${quoted(table(topic))} (
            |  ${quoted("offset_id")} BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
-           |  ${quoted("uuid")} VARCHAR(64),
-           |  ${quoted("metadata")} VARCHAR(4000),
+           |  ${quoted("uuid")} VARCHAR(256),
+           |  ${quoted("metadata")} VARCHAR(32672),
            |  ${quoted("payload")} BLOB,
            |  ${quoted("ts")} TIMESTAMP)""".stripMargin)
       catch { case _: java.sql.SQLException => () } // raced CREATE: exists
@@ -257,7 +281,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
   }
 
   override def publish(topic: String, msgs: Seq[Message]): Unit = {
-    subscribeInitialize(topic)
+    ensureInitialized(topic)
     withConn { c =>
       val ps = c.prepareStatement(
         s"""INSERT INTO ${quoted(table(topic))}
@@ -279,7 +303,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
   /** Bulk publish through Spark's JDBC sink: the metadata map travels
     * as JSON text (JDBC has no map type); INSERTs run on executors. */
   override def publishBatch(topic: String, df: DataFrame): Unit = {
-    subscribeInitialize(topic)
+    ensureInitialized(topic)
     df.select(col("uuid"),
         to_json(col("metadata")).as("metadata"),
         col("payload"), col("ts"))
@@ -298,7 +322,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * executor-parallel [[publishBatch]] stays the bulk path; at true
     * bulk scale the same marker trick runs per partition). */
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
-    subscribeInitialize(topic)
+    ensureInitialized(topic)
     ensureEpochTable()
     val rows = df.select(col("uuid"), to_json(col("metadata")).as("metadata"),
       col("payload"), col("ts")).collect()
@@ -403,7 +427,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * writer hide its own inserted rows from the replay/audit view by
     * stamping them (the ingress-trust rule, applied to reads). */
   override def subscribeBatch(topic: String): DataFrame = {
-    subscribeInitialize(topic)
+    ensureInitialized(topic)
     val maxOff = withConn { c =>
       val st = c.createStatement()
       try {
@@ -412,9 +436,25 @@ final class SqlPubSub(spark: SparkSession, url: String,
         try { if (rs.next()) rs.getLong(1) else 0L } finally rs.close()
       } finally st.close()
     }
+    // the released-copy exclusion is INSIDE each partition's query
+    // (LEFT JOIN … WHERE r.offset IS NULL), not a separate Spark-side
+    // anti-join: two independent JDBC fetches had no shared snapshot,
+    // so a release committing between them could transiently show a
+    // private copy in the replay view — per-statement consistency
+    // makes each row and its visibility marker atomic (the release
+    // transaction writes both together)
+    val escTopic = topic.replace("'", "''")
+    val joined =
+      s"""(SELECT m.${quoted("offset_id")}, m.${quoted("uuid")},
+         |  m.${quoted("metadata")}, m.${quoted("payload")}, m.${quoted("ts")}
+         |FROM ${quoted(table(topic))} m
+         |LEFT JOIN ${quoted("graft_released")} r
+         |  ON r.${quoted("topic")} = '$escTopic'
+         |  AND r.${quoted("offset_id")} = m.${quoted("offset_id")}
+         |WHERE r.${quoted("offset_id")} IS NULL) g""".stripMargin
     val r = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", quoted(table(topic)))
+      .option("dbtable", joined)
     val partitioned =
       if (maxOff > 1)
         r.option("partitionColumn", quoted("offset_id"))
@@ -423,20 +463,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
           .option("numPartitions",
             math.min(spark.sparkContext.defaultParallelism, maxOff).toString)
       else r
-    // broadcast anti-join against the (small: one row per released
-    // delayed copy) side table — a partitioned big-table scan minus a
-    // control-plane exclusion list, the 100 TB replay shape
-    val escTopic = topic.replace("'", "''")
-    val released = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable",
-        s"""(SELECT ${quoted("offset_id")} AS ${quoted("_rel_off")}
-           |FROM ${quoted("graft_released")}
-           |WHERE ${quoted("topic")} = '$escTopic') rel""".stripMargin)
-      .load()
-    envelope(partitioned.load().join(
-      org.apache.spark.sql.functions.broadcast(released),
-      col("offset_id") === col("_rel_off"), "left_anti"))
+    envelope(partitioned.load())
   }
 
   // ---- CDC-style polling subscribe ----
@@ -754,7 +781,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
   /** Streaming subscribe: starts (once per topic) a poller tailing the
     * table into the in-process broker and returns the broker's stream. */
   override def subscribe(topic: String): DataFrame = {
-    subscribeInitialize(topic)
+    ensureInitialized(topic)
     val df = broker.subscribe(topic) // MemoryStream must exist BEFORE rows arrive
     pollers.getOrElseUpdate(topic, {
       // The poller must survive transient DB failures (outage, lock

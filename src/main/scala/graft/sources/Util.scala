@@ -26,8 +26,16 @@ object BulkRead {
 
 /** Retrying publisher, parity with the internal retrying publisher
   * (reference: internal/publisher/retry.go:17-37): bounded attempts
-  * with doubling backoff. Wraps any transport. */
-final class RetryingPublisher(inner: Publisher, maxRetries: Int = 5,
+  * with doubling backoff. Wraps any transport. Construct via
+  * [[RetryingPublisher.apply]]: retry is shape-transparent, so
+  * wrapping a [[RoutedPublisher]] must PRESERVE the capability —
+  * `new RetryingPublisher(fileTransport)` silently downgraded the
+  * router sink from one routed pass per micro-batch to O(topics)
+  * filtered passes (the scale shape publishRoutedEpoch exists for),
+  * because the router's `case rp: RoutedPublisher` stopped matching.
+  * (Contrast Decorators, which deliberately WITHHOLDS RoutedPublisher:
+  * a perFrame hook may drop the routing column.) */
+class RetryingPublisher(inner: Publisher, maxRetries: Int = 5,
     initialBackoffMs: Long = 10, sleep: Long => Unit = Thread.sleep)
   extends Publisher {
 
@@ -56,5 +64,25 @@ final class RetryingPublisher(inner: Publisher, maxRetries: Int = 5,
   override def publishEpoch(topic: String, df: DataFrame,
       writerId: String): Unit =
     withRetry(inner.publishEpoch(topic, df, writerId))
+  protected def retry[A](body: => A): A = withRetry(body)
   override def close(): Unit = inner.close()
+}
+
+object RetryingPublisher {
+  /** Capability-preserving constructor: a routed inner transport gets
+    * a routed retrying wrapper (see the class scaladoc). */
+  def apply(inner: Publisher, maxRetries: Int = 5,
+      initialBackoffMs: Long = 10,
+      sleep: Long => Unit = Thread.sleep): RetryingPublisher =
+    inner match {
+      case rp: Publisher with RoutedPublisher =>
+        new RetryingPublisher(inner, maxRetries, initialBackoffMs, sleep)
+          with RoutedPublisher {
+          override def publishRoutedEpoch(df: DataFrame, topicCol: String,
+              writerId: String): Unit =
+            retry(rp.publishRoutedEpoch(df, topicCol, writerId))
+        }
+      case _ =>
+        new RetryingPublisher(inner, maxRetries, initialBackoffMs, sleep)
+    }
 }

@@ -147,6 +147,27 @@ class RouterSpec extends SparkSpec {
     assert(meta("user_key") == "kept", "user metadata must survive sanitization")
   }
 
+  test("a foreign row with NULL metadata flows through, never NPEs the query") {
+    // Message.schema marks metadata nullable and an open-surface
+    // transport can deliver it (a foreign parquet file in a FilePubSub
+    // topic dir): pre-fix, the ctx injection did null + (k -> v)
+    // inside the flatMap — OUTSIDE the middleware onion, so recoverer
+    // couldn't catch it and the query died into the same row forever.
+    // The subscribe boundary now coalesces to an empty map centrally.
+    val ps = new MemoryPubSub(spark)
+    val router = new Router(spark)
+    router.addHandler("nullm", "nm_in", ps, "nm_out", ps,
+      m => Seq(m.withMeta("touched", "yes")))
+    ps.publish("nm_in", Seq(Message("n1", null, "p".getBytes("UTF-8"),
+      new Timestamp(1700000000000L))))
+    router.run(); router.processAllAvailable(); router.close()
+    val out = ps.subscribeBatch("nm_out").collect()
+    assert(out.length == 1, "null-metadata row must be delivered")
+    val meta = Option(out(0).getAs[Map[String, String]]("metadata"))
+      .getOrElse(Map.empty)
+    assert(meta("touched") == "yes")
+  }
+
   test("consumer handlers do not forward foreign _graft_topic stamps") {
     // the consumer sink republishes rows carrying TopicOverride
     // (middleware-produced poison/delay routing) — a foreign stamp on

@@ -186,6 +186,32 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("cmpr").count() == 5)
   }
 
+  test("file transport: a checkpoint-replayed ROUTED epoch after compaction does not duplicate") {
+    // publishRoutedEpoch is the router's MAIN FilePubSub path
+    // (RoutedPublisher wins over publishEpoch) — pre-fix it never
+    // consulted the folded-epoch manifest, so the exactly-once-
+    // across-compaction contract only covered the side path: a replay
+    // of a folded routed epoch re-appended every row beside its
+    // consolidated copy
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-cmprr-").toString)
+    def routed = Seq(("a", "rt_one"), ("b", "rt_one"), ("c", "rt_two"))
+      .map { case (u, t) => (u, Map.empty[String, String], u.getBytes,
+        new Timestamp(1700000000000L), t) }
+      .toDF("uuid", "metadata", "payload", "ts", "_topic")
+    ps.publishRoutedEpoch(routed, "_topic", writerId = "rw-0")
+    ps.compact("rt_one")
+    ps.compact("rt_two")
+    ps.publishRoutedEpoch(routed, "_topic", writerId = "rw-0") // late replay
+    assert(ps.subscribeBatch("rt_one").collect().map(_.getAs[String]("uuid")).toSet
+      == Set("a", "b"))
+    assert(ps.subscribeBatch("rt_one").count() == 2,
+      "replayed routed epoch after compact must not duplicate")
+    assert(ps.subscribeBatch("rt_two").count() == 1)
+    // a fresh routed epoch still lands
+    ps.publishRoutedEpoch(routed.filter($"uuid" === "a"), "_topic", "rw-1")
+    assert(ps.subscribeBatch("rt_one").count() == 3)
+  }
+
   test("file transport: retried epoch with a complete _SUCCESS is skipped, partial is rewritten") {
     val root = Files.createTempDirectory("graft-eps-").toString
     val ps = new FilePubSub(spark, root)

@@ -34,6 +34,27 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("header-unsafe metadata (spaced key, newline value) round-trips via the carrier header") {
+    // pre-fix: HttpRequest.Builder threw IllegalArgumentException on
+    // the first non-token key or CTL value — on EVERY retry — wedging
+    // the batch permanently instead of the documented retryable-nack
+    // path. Unsafe entries now ride ONE URL-encoded carrier header,
+    // original key case and value bytes preserved; safe entries stay
+    // verbatim (wire-compatible with plain HTTP producers).
+    val sub = new HttpSubscriber(spark)
+    try {
+      val pub = new HttpPublisher(s"http://localhost:${sub.boundPort}")
+      pub.publish("hooks_u", Seq(msg("u1", "alpha", Map(
+        "user id" -> "kafka-style key",
+        "note" -> "line1\nline2",
+        "plain" -> "ok"))))
+      val got = sub.subscribeBatch("hooks_u").as[Message].collect().head
+      assert(got.metadata("user id") == "kafka-style key")
+      assert(got.metadata("note") == "line1\nline2")
+      assert(got.metadata("plain") == "ok")
+    } finally sub.close()
+  }
+
   test("metadata keys are case-insensitive over HTTP: delivered lowercase, deterministically") {
     // header NAMES are case-insensitive by RFC and the JDK server
     // canonicalizes them — a camelCase metadata key cannot survive the

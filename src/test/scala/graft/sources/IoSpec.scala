@@ -37,6 +37,19 @@ class IoSpec extends SparkSpec {
     assert(back.metadata == m.metadata, s"got ${back.metadata}")
   }
 
+  test("marshal tolerates null ts/metadata/payload (nullable schema fields)") {
+    // pre-fix: m.ts.getTime NPE'd mid-publish AFTER earlier frames
+    // were flushed — partial emission plus a poisoned retry. Null ts
+    // defaults to epoch 0 (the SQL transport's rowMessage rule).
+    val m = graft.core.Message("nt1", null, null, null)
+    val line = IoFraming.marshal(m)
+    val back = IoFraming.unmarshal(line)
+    assert(back.uuid == "nt1")
+    assert(back.metadata == Map.empty[String, String])
+    assert(back.payload.isEmpty)
+    assert(back.ts.getTime == 0L)
+  }
+
   test("a corrupt frame mid-stream is dropped; later frames still drain") {
     val po = new PipedOutputStream()
     val pi = new PipedInputStream(po, 1 << 16)

@@ -63,6 +63,22 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("large metadata and long uuids fit the topic table (no redelivery wedge)") {
+    // pre-fix widths (uuid 64 / metadata 4000) let ONE oversized
+    // message — a 70-char foreign uuid, a poison-middleware reason
+    // pushing metadata past 4000 — fail the INSERT with a
+    // SQLDataException on every redelivery: a permanent wedge
+    val ps = new SqlPubSub(spark, url("sqlwide"))
+    try {
+      val longUuid = "u" * 200
+      val bigMeta = Map("reason_poisoned" -> ("x" * 8000), "k" -> "v")
+      ps.publish("t_wide", Seq(msg(longUuid, "payload", bigMeta)))
+      val got = ps.subscribeBatch("t_wide").as[Message].collect().head
+      assert(got.uuid == longUuid)
+      assert(got.metadata == bigMeta)
+    } finally ps.close()
+  }
+
   test("oversized topic / group names are rejected loudly at initialize") {
     val ps = new SqlPubSub(spark, url("sqllen"))
     try {
