@@ -29,7 +29,16 @@ final case class QueryStats(
 /** StreamingQueryListener bridge — attach once per session; stats
   * accumulate per query name (router handlers are named
   * `graft-<handler>`). [[MetricsHttp.serve]] exposes [[snapshot]] as a
-  * Prometheus `/metrics` scrape endpoint (metrics/http.go:14-41). */
+  * Prometheus `/metrics` scrape endpoint (metrics/http.go:14-41).
+  *
+  * ONE SESSION PER INSTANCE: the started-purge and latest-registrant
+  * protocol below lean on Spark's per-session query-name uniqueness
+  * (a start under an already-active name is refused). The listener
+  * events carry no session handle, so an instance registered on TWO
+  * sessions running same-named queries would let one session's start
+  * silently purge the other's live id — its termination could then no
+  * longer zero the rate gauge. Attach a separate GraftMetrics per
+  * session (stats keys collide across sessions anyway). */
 final class GraftMetrics extends StreamingQueryListener {
 
   // private[metrics]: the started/terminated protocol is driven

@@ -58,9 +58,24 @@ sealed trait Materialize {
   /** Conf-resolving strategies return the concrete choice for this
     * frame's session; concrete strategies return themselves. */
   def resolveFor(df: DataFrame): Materialize = this
+
+  /** [[resolveFor]] for an EAGER-REQUIRED site (streaming operators
+    * whose pin must capture the evaluation just persisted/counted).
+    * Concrete strategies return themselves unchanged — a caller who
+    * explicitly passed a lazy strategy gets the operator's loud
+    * `require` (they overrode the default deliberately). Conf-resolved
+    * strategies ([[Materialize.SessionDefault]]) instead substitute
+    * [[Materialize.LocalCheckpoint]] with a warning when the session
+    * flag picks a lazy one: `graft.materialize` is advertised as a
+    * one-flag session-wide switch, and `persist` crashing every
+    * streaming operator at its first micro-batch would contradict
+    * that contract (`reliable` is eager and passes through). */
+  def resolveEagerFor(df: DataFrame): Materialize = resolveFor(df)
 }
 
 object Materialize {
+
+  private lazy val log = new graft.core.Slf4jLogger("graft.materialize")
 
   /** Session conf key for the conf-overridable strategies:
     * `local` | `persist` | `reliable` (see [[SessionDefault]]). */
@@ -144,7 +159,15 @@ object Materialize {
     * truncate lineage). DETERMINISTIC pins only: a lazy pin may
     * legally recompute, so a non-deterministic upstream
     * (current_timestamp, rand, sampled boundaries) must use an eager
-    * strategy instead. */
+    * strategy instead.
+    *
+    * SINGLE-FLIGHT per site: two CONCURRENT queries pinning the same
+    * site in one session release each other's live handle mid-job —
+    * with deterministic lineage that is a silent recompute (the
+    * evicted query re-derives its blocks), a performance hazard only,
+    * never corruption. Registry sites are invoked single-flight by
+    * Bench/Verify; a concurrent caller who needs isolation should own
+    * a [[PersistDisk]] handle instead. */
   final case class SitePin(site: String,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends Materialize {
     override def isEager: Boolean = false
@@ -208,6 +231,20 @@ object Materialize {
       extends Materialize {
     override def resolveFor(df: DataFrame): Materialize =
       strategy(df.sparkSession.conf.get(ConfKey, fallback), site)
+    /** Eager-required resolution: a session-conf `persist` (lazy) falls
+      * back to [[LocalCheckpoint]] with a warning instead of crashing
+      * the streaming operator — see [[Materialize.resolveEagerFor]]. */
+    override def resolveEagerFor(df: DataFrame): Materialize = {
+      val r = resolveFor(df)
+      if (r.isEager) r
+      else {
+        log.warn(s"$ConfKey resolved to the lazy strategy $r at " +
+          s"eager-required site '$site' — falling back to " +
+          "LocalCheckpoint (the pin must capture the evaluation just " +
+          "persisted; use 'reliable' for a durable eager pin)")
+        LocalCheckpoint
+      }
+    }
     def apply(df: DataFrame): DataFrame = resolveFor(df)(df)
     // unresolved eagerness is unknowable; callers that REQUIRE eager
     // must check resolveFor(df).isEager (StreamingNearDup does)

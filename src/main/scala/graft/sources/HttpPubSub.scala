@@ -41,10 +41,15 @@ object HttpWire {
   val EncHeader = "X-Graft-Meta-Enc"
 
   private val TokenKey = "^[0-9A-Za-z!#$%&'*+.^_`|~-]+$".r
-  /** Header-safe = token key + a value free of CTLs (HTAB allowed). */
+  /** Header-safe = token key + a value free of CTLs (HTAB allowed) AND
+    * of anything above 0xFF: JDK HttpRequest.Builder rejects header
+    * values with any char > 255, so a CJK/emoji metadata value routed
+    * down the plain-header path would throw IllegalArgumentException
+    * on every retry — exactly the permanent wedge [[EncHeader]] was
+    * introduced to close. Non-Latin-1 values ride the encoded carrier. */
   private[sources] def headerSafe(k: String, v: String): Boolean =
     TokenKey.matches(k) &&
-      v.forall(c => c >= 0x20 && c != 0x7f || c == '\t')
+      v.forall(c => (c >= 0x20 && c != 0x7f && c <= 0xff) || c == '\t')
 
   private[sources] def encodeUnsafe(entries: Map[String, String]): String =
     java.net.URLEncoder.encode(

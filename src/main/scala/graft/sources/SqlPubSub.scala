@@ -249,10 +249,26 @@ final class SqlPubSub(spark: SparkSession, url: String,
       sel.setString(1, s"""%"${graft.router.Ctx.DelayGroup}"%""")
       val rs = sel.executeQuery()
       try while (rs.next()) {
-        val meta = Option(rs.getString(2))
-          .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
-            classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+        // the topic table is an open surface: one foreign row with
+        // UNPARSEABLE metadata matching the LIKE filter must not wedge
+        // the backfill (and with it every initialize for the topic)
+        // forever — skip it; it carries no trustworthy stamp anyway
+        val meta =
+          try Option(rs.getString(2))
+            .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
+              classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+          catch { case _: Exception =>
+            log.info(s"backfill: skipping row ${rs.getLong(1)} of topic " +
+              s"'$topic' with unparseable metadata")
+            Map.empty[String, String]
+          }
         meta.get(graft.router.Ctx.DelayGroup)
+          // grp rides VARCHAR(128): a forged oversize stamp would throw
+          // SQLDataException mid-backfill — the sentinel would never
+          // commit and the topic would wedge. A >128-byte value cannot
+          // be a real group name (requireBookkeepable bounds them), so
+          // skip the row rather than trust a truncation of a forgery.
+          .filter(_.getBytes("UTF-8").length <= 128)
           .foreach(g => stamped += rs.getLong(1) -> g)
       } finally rs.close()
     } finally sel.close()
@@ -314,66 +330,102 @@ final class SqlPubSub(spark: SparkSession, url: String,
       .save()
   }
 
-  /** Exactly-once epoch publish: the epoch marker and the rows commit
-    * in ONE transaction — a retried micro-batch hits the marker's
-    * primary key and skips; a crash mid-write rolls both back, so the
-    * retry delivers cleanly. Epoch batches are micro-batch-sized, so
-    * the transactional driver-side write is the right tool (the
-    * executor-parallel [[publishBatch]] stays the bulk path; at true
-    * bulk scale the same marker trick runs per partition). */
+  /** writer_id rides VARCHAR(256) with a "#p<partition>" suffix
+    * appended by the per-partition marker keys — bound the caller's id
+    * so the suffixed key can never overflow AFTER delivery started. */
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.getBytes("UTF-8").length <= 240,
+      s"writerId exceeds the SQL transport's 240-byte limit: '$writerId'")
+
+  /** Pre-r15 upgrade probe: an epoch fully committed by the old
+    * driver-transactional path left ONE whole-epoch marker keyed
+    * (topic, writerId) exactly. A checkpoint replay that crosses an
+    * engine upgrade must skip such an epoch rather than re-insert it
+    * under the new per-partition keys. Never memoized: during a
+    * rolling upgrade an old-version writer may still be committing
+    * whole-epoch markers concurrently. */
+  private def legacyEpochDone(topic: String, writerId: String): Boolean =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"""SELECT 1 FROM ${quoted("graft_epochs")}
+           |WHERE ${quoted("topic")} = ? AND ${quoted("writer_id")} = ?""".stripMargin)
+      try {
+        ps.setString(1, topic); ps.setString(2, writerId)
+        val rs = ps.executeQuery()
+        try rs.next() finally rs.close()
+      } finally ps.close()
+    }
+
+  /** Exactly-once epoch publish, EXECUTOR-PARALLEL: each non-empty
+    * partition opens its own transaction and commits its rows together
+    * with a marker keyed (topic, writerId + "#p" + partitionId) — a
+    * replayed partition (task retry, speculative attempt, or a whole
+    * micro-batch replayed from the checkpoint) hits its marker's
+    * primary key and skips; a crash mid-partition rolls that
+    * partition's rows and marker back together, so the retry delivers
+    * it cleanly while already-committed partitions stay skipped. No
+    * row ever funnels through the driver — this is the router's
+    * default SQL sink path, and at bulk scale it writes with the
+    * cluster, not with one JVM.
+    *
+    * Same determinism contract as every idempotent Spark sink: a
+    * replay must produce the same rows in the same partitions
+    * (Structured Streaming replays a micro-batch from the same source
+    * offsets through the same plan, which satisfies it). Partitions
+    * commit independently, so a failed job can leave a SUBSET of
+    * partitions visible — readers see ordinary unacked rows, and the
+    * retry completes the remainder exactly once. */
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
     ensureInitialized(topic)
     ensureEpochTable()
-    val rows = df.select(col("uuid"), to_json(col("metadata")).as("metadata"),
-      col("payload"), col("ts")).collect()
-    withConn { c =>
-      c.setAutoCommit(false)
-      try {
-        val mark = c.prepareStatement(
-          s"""INSERT INTO ${quoted("graft_epochs")}
-             |(${quoted("topic")}, ${quoted("writer_id")}) VALUES (?, ?)""".stripMargin)
-        val fresh = // duplicate marker = the retry of an already-delivered batch
-          try { mark.setString(1, topic); mark.setString(2, writerId); mark.executeUpdate(); true }
-          catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
-          finally mark.close()
-        if (fresh) {
-          val ins = c.prepareStatement(
-            s"""INSERT INTO ${quoted(table(topic))}
-               |(${quoted("uuid")}, ${quoted("metadata")}, ${quoted("payload")}, ${quoted("ts")})
-               |VALUES (?, ?, ?, ?)""".stripMargin)
-          try {
-            rows.foreach { r =>
-              ins.setString(1, r.getAs[String]("uuid"))
-              ins.setString(2, r.getAs[String]("metadata"))
-              ins.setBytes(3, r.getAs[Array[Byte]]("payload"))
-              ins.setTimestamp(4, r.getAs[Timestamp]("ts"))
-              ins.addBatch()
-            }
-            ins.executeBatch()
-          } finally ins.close()
-          c.commit()
-        } else c.rollback()
-      } catch { case e: Throwable => c.rollback(); throw e }
-      finally c.setAutoCommit(true)
-    }
+    requireWriterId(writerId)
+    if (legacyEpochDone(topic, writerId)) return
+    val u = url
+    val tbl = table(topic)
+    df.select(col("uuid"), to_json(col("metadata")).as("metadata"),
+        col("payload"), col("ts"))
+      .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
+        SqlPubSub.writeEpochPartition(u, tbl, topic, writerId, it))
   }
 
-  /** One-pass routed epoch: group the (micro-batch-sized) routed rows
-    * by destination in memory, then one transactional epoch write per
-    * destination topic. */
+  /** One-pass routed epoch, EXECUTOR-PARALLEL: rows carry their
+    * destination in `topicCol`; each partition opens ONE transaction
+    * covering every destination it touches, with one marker per
+    * (destination, writerId + "#p" + partitionId) — all of a
+    * partition's markers commit atomically with its rows, so a replay
+    * is decided by any one of them (guards in
+    * [[SqlPubSub.writeRoutedEpochPartition]] make a torn replay loud,
+    * never a silent drop). The only driver work is control-plane: the
+    * DISTINCT destination set (bounded by topology fan-out, never
+    * data-sized) for DDL + the legacy-marker probe — the documented
+    * collect class the router's fallback path already uses. */
   override def publishRoutedEpoch(df: DataFrame, topicCol: String,
       writerId: String): Unit = {
-    val grouped = df
-      .select((Message.columns.map(col) :+ col(topicCol).as("_topic")): _*)
-      .collect().groupBy(_.getAs[String]("_topic"))
-    grouped.foreach { case (topic, rows) =>
-      import spark.implicits._
-      val ms = rows.map(r => Message(r.getAs[String]("uuid"),
-        Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
-        Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray),
-        r.getAs[Timestamp]("ts"))).toSeq
-      publishEpoch(topic, ms.toDF(), writerId)
-    }
+    requireWriterId(writerId)
+    val sel = df.select(col("uuid"), to_json(col("metadata")).as("metadata"),
+      col("payload"), col("ts"), col(topicCol).cast("string").as("_dest"))
+    // pin: two actions follow (distinct destinations + the write), and
+    // an upstream handler's flatMap must not re-run its side effects
+    val persisted = sel.persist()
+    try {
+      val topics = persisted.select(col("_dest")).distinct()
+        .collect().map(_.getString(0))
+      if (topics.nonEmpty) {
+        topics.foreach(ensureInitialized) // driver-side DDL before executors write
+        ensureEpochTable()
+        // epochs fully committed by a pre-r15 engine skip wholesale
+        val live = topics.filterNot(t => legacyEpochDone(t, writerId))
+        if (live.nonEmpty) {
+          val tables = live.map(t => t -> table(t)).toMap
+          val u = url
+          val frame =
+            if (live.length == topics.length) persisted
+            else persisted.filter(col("_dest").isInCollection(live.toIndexedSeq))
+          frame.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
+            SqlPubSub.writeRoutedEpochPartition(u, tables, writerId, it))
+        }
+      }
+    } finally { persisted.unpersist(); () }
   }
 
   private def ensureEpochTable(): Unit = withConn { c =>
@@ -851,5 +903,158 @@ final class SqlPubSub(spark: SparkSession, url: String,
     running = false
     pollers.values.foreach(_.interrupt())
     pollers.clear()
+  }
+}
+
+/** Executor-side partition writers for the exactly-once epoch paths.
+  * Static on purpose: the closures shipped by [[SqlPubSub.publishEpoch]]
+  * / [[SqlPubSub.publishRoutedEpoch]] capture only strings and a small
+  * topic→table map, never the (non-serializable) transport instance —
+  * each task opens its own JDBC connection, the watermill-SQL model
+  * (inserts run in the consuming/producing process) made
+  * partition-parallel. */
+object SqlPubSub {
+
+  private def q(name: String) = "\"" + name + "\""
+
+  private def insertSql(tbl: String) =
+    s"""INSERT INTO ${q(tbl)}
+       |(${q("uuid")}, ${q("metadata")}, ${q("payload")}, ${q("ts")})
+       |VALUES (?, ?, ?, ?)""".stripMargin
+
+  /** Marker insert inside an open per-partition transaction: true if
+    * fresh, false if a prior attempt of this partition already
+    * committed (primary-key hit; Derby/ANSI statement-level abort
+    * leaves the transaction usable). A CONCURRENT attempt (speculative
+    * task) blocks on the first attempt's uncommitted marker row and
+    * resolves to dup-or-fresh when it commits or rolls back. */
+  private def insertMarker(c: Connection, topic: String, key: String): Boolean = {
+    val ps = c.prepareStatement(
+      s"""INSERT INTO ${q("graft_epochs")}
+         |(${q("topic")}, ${q("writer_id")}) VALUES (?, ?)""".stripMargin)
+    try { ps.setString(1, topic); ps.setString(2, key); ps.executeUpdate(); true }
+    catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+    finally ps.close()
+  }
+
+  private def markerExists(c: Connection, topic: String, key: String): Boolean = {
+    val ps = c.prepareStatement(
+      s"""SELECT 1 FROM ${q("graft_epochs")}
+         |WHERE ${q("topic")} = ? AND ${q("writer_id")} = ?""".stripMargin)
+    try {
+      ps.setString(1, topic); ps.setString(2, key)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
+
+  private def addRow(ins: java.sql.PreparedStatement,
+      r: org.apache.spark.sql.Row): Unit = {
+    ins.setString(1, r.getString(0))
+    ins.setString(2, r.getString(1))
+    ins.setBytes(3, r.getAs[Array[Byte]](2))
+    ins.setTimestamp(4, r.getTimestamp(3))
+    ins.addBatch()
+  }
+
+  private def withPartitionTxn(url: String)(body: Connection => Unit): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      c.setAutoCommit(false)
+      try body(c)
+      catch { case e: Throwable =>
+        try c.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+      }
+    } finally {
+      try c.setAutoCommit(true) catch { case _: java.sql.SQLException => () }
+      c.close()
+    }
+  }
+
+  /** One partition's exactly-once write for [[SqlPubSub.publishEpoch]]:
+    * marker (topic, writerId#p<pid>) + rows, one transaction. Rows are
+    * the pre-projected (uuid, metadata-json, payload, ts) shape. Empty
+    * partitions write nothing (and no marker — a deterministic replay
+    * of an empty partition re-inserts nothing). */
+  private[sources] def writeEpochPartition(url: String, tbl: String,
+      topic: String, writerId: String,
+      it: Iterator[org.apache.spark.sql.Row]): Unit = {
+    if (!it.hasNext) return
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    withPartitionTxn(url) { c =>
+      if (insertMarker(c, topic, s"$writerId#p$pid")) {
+        val ins = c.prepareStatement(insertSql(tbl))
+        try {
+          var pending = 0
+          it.foreach { r =>
+            addRow(ins, r); pending += 1
+            if (pending >= 1000) { ins.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ins.executeBatch()
+        } finally ins.close()
+        c.commit()
+      } else c.rollback() // this partition already committed: clean skip
+    }
+  }
+
+  /** One partition's exactly-once write for
+    * [[SqlPubSub.publishRoutedEpoch]]: rows carry their destination in
+    * column 4; every destination this partition touches gets a marker,
+    * and ALL markers + ALL rows commit in one transaction. A replayed
+    * partition therefore resolves off its FIRST marker probe:
+    * fresh ⇒ no prior commit (write everything), dup ⇒ prior commit
+    * (skip everything). Either mixed outcome can only mean the replay
+    * produced different partition contents than the committed attempt
+    * (broken sink determinism) — that fails LOUDLY instead of silently
+    * dropping or duplicating the divergent rows. */
+  private[sources] def writeRoutedEpochPartition(url: String,
+      tables: Map[String, String], writerId: String,
+      it: Iterator[org.apache.spark.sql.Row]): Unit = {
+    if (!it.hasNext) return
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val key = s"$writerId#p$pid"
+    withPartitionTxn(url) { c =>
+      val stmts = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+      val seen = scala.collection.mutable.Set.empty[String]
+      var fresh = 0
+      var dup = false
+      try {
+        while (it.hasNext && !(dup && fresh == 0)) {
+          val r = it.next()
+          val t = r.getString(4)
+          if (seen.add(t)) {
+            if (insertMarker(c, t, key)) fresh += 1 else dup = true
+            if (dup && fresh > 0)
+              throw new IllegalStateException(
+                s"routed epoch replay diverged on partition $pid of " +
+                  s"writer '$writerId': destination '$t' was already " +
+                  "committed but another destination in this partition " +
+                  "was not — the replay produced different partition " +
+                  "contents than the committed attempt")
+          }
+          if (!dup) addRow(stmts.getOrElseUpdate(t,
+            c.prepareStatement(insertSql(tables(t)))), r)
+        }
+        if (dup) {
+          // prior commit: before skipping, verify every REMAINING
+          // destination's marker exists too (all markers committed
+          // atomically, so a miss means a divergent replay — loud)
+          while (it.hasNext) {
+            val t = it.next().getString(4)
+            if (seen.add(t) && !markerExists(c, t, key))
+              throw new IllegalStateException(
+                s"routed epoch replay diverged on partition $pid of " +
+                  s"writer '$writerId': destination '$t' appears in the " +
+                  "replay but was not part of the committed attempt")
+          }
+          c.rollback()
+        } else {
+          stmts.valuesIterator.foreach(_.executeBatch())
+          c.commit()
+        }
+      } finally stmts.valuesIterator.foreach(s =>
+        try s.close() catch { case _: java.sql.SQLException => () })
+    }
   }
 }

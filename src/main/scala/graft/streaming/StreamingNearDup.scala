@@ -245,7 +245,10 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
       // truth: pin first, append from the pinned frame. The strategy
       // MUST be eager — a lazy pin with lineage kept reintroduces the
       // same drift on recompute, so reject it loudly.
-      val m = materialize.resolveFor(kept)
+      // resolveEagerFor: a session-conf 'persist' (the advertised
+      // one-flag knob) falls back to LocalCheckpoint with a warning;
+      // an EXPLICITLY passed lazy strategy still fails this require
+      val m = materialize.resolveEagerFor(kept)
       require(m.isEager, s"StreamingNearDup needs an EAGER Materialize " +
         s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
         "lazy pin may recompute and drift from the just-appended index")

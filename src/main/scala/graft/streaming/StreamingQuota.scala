@@ -156,7 +156,10 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     val withUsed = usedExcluding(batchId)
       .fold(ranked.withColumn("graft_used", lit(0L)))(u =>
         ranked.join(broadcast(u), Seq(keyCol), "left"))
-    val m = materialize.resolveFor(batch)
+    // resolveEagerFor: a session-conf 'persist' (the advertised
+    // one-flag knob) falls back to LocalCheckpoint with a warning;
+    // an EXPLICITLY passed lazy strategy still fails this require
+    val m = materialize.resolveEagerFor(batch)
     require(m.isEager, s"StreamingQuota needs an EAGER Materialize " +
       s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
       "lazy pin could recompute the admitted set against a grown state")

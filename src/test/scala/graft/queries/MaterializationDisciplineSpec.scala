@@ -160,6 +160,41 @@ class MaterializationDisciplineSpec extends SparkSpec {
     assert(sp == dflt,
       "strategy choice must never change minhashEstimates' results")
   }
+
+  test("graft.materialize=reliable runs the incremental-dedup serving path end-to-end, hash-identical") {
+    // the one-flag dynamic-allocation story, proven THROUGH a real
+    // operator rather than only the strategy resolver: the q147
+    // serving path (frozen band index + incrementalCandidates) under
+    // the reliable store returns byte-identical candidates to the
+    // default run
+    import graft.functions.DedupFunctions
+    import graft.operators.Materialize
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val t = if (i % 12 == 0) "the quick brown fox jumps over the lazy dog again and again tonight"
+      else s"document number $i carries words ${i * 7} ${i * 13} and a tail ${i % 4}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val accepted = docs.filter($"doc_id" < 40)
+    val fresh = docs.filter($"doc_id" >= 36) // overlaps: candidates exist
+    val index = DedupFunctions.minhashBandIndex(accepted, "doc_id", "text",
+      shingleN = 3, k = 12, r = 2, portable = true)
+    def run() = DedupFunctions.incrementalCandidates(fresh, index,
+      "doc_id", "text", shingleN = 3, k = 12, r = 2, portable = true)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    val baseline = run()
+    assert(baseline.nonEmpty, "fixture must produce candidate pairs")
+    val prevCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-relb-").toString)
+    spark.conf.set(Materialize.ConfKey, "reliable")
+    try assert(run() == baseline,
+      "reliable store must be plumbing-only: results hash-identical")
+    finally {
+      spark.conf.unset(Materialize.ConfKey)
+      prevCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
 }
 
 /** Executor-visible probe (closures capture statics, never the suite). */

@@ -55,6 +55,32 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("non-Latin-1 metadata values (CJK, emoji) ride the carrier, not the plain header path") {
+    // pre-fix: headerSafe accepted chars in (0xFF, 0xFFFF], but JDK
+    // HttpRequest.Builder rejects header VALUES with any char > 255 —
+    // a CJK/emoji metadata value threw IllegalArgumentException on
+    // every retry, the same permanent wedge the carrier header closed
+    // for CTL values
+    assert(!HttpWire.headerSafe("lang", "日本語"),
+      "chars above 0xFF must not be judged header-safe")
+    assert(!HttpWire.headerSafe("mood", "ok 🙂"),
+      "surrogate pairs must not be judged header-safe")
+    assert(HttpWire.headerSafe("latin1", "café"),
+      "Latin-1 values stay on the plain header path")
+    val sub = new HttpSubscriber(spark)
+    try {
+      new HttpPublisher(s"http://localhost:${sub.boundPort}")
+        .publish("hooks_cjk", Seq(msg("j1", "alpha", Map(
+          "title" -> "日本語のタイトル",
+          "emoji" -> "🙂",
+          "plain" -> "ok"))))
+      val got = sub.subscribeBatch("hooks_cjk").as[Message].collect().head.metadata
+      assert(got("title") == "日本語のタイトル", s"got $got")
+      assert(got("emoji") == "🙂", s"got $got")
+      assert(got("plain") == "ok", s"got $got")
+    } finally sub.close()
+  }
+
   test("metadata keys are case-insensitive over HTTP: delivered lowercase, deterministically") {
     // header NAMES are case-insensitive by RFC and the JDK server
     // canonicalizes them — a camelCase metadata key cannot survive the

@@ -171,6 +171,108 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("epoch publish is executor-parallel and replay-idempotent per partition") {
+    val ps = new SqlPubSub(spark, url("sqlpareo"))
+    try {
+      def frame = (0 until 64).map(i => msg(s"pp$i", s"v$i")).toDF().repartition(8)
+      ps.publishEpoch("t_ppeo", frame, writerId = "w-pp")
+      ps.publishEpoch("t_ppeo", frame, writerId = "w-pp") // full micro-batch replay
+      val got = ps.subscribeBatch("t_ppeo").collect().map(_.getAs[String]("uuid"))
+      assert(got.length == 64, s"replay duplicated: ${got.length}")
+      assert(got.toSet == (0 until 64).map(i => s"pp$i").toSet)
+    } finally ps.close()
+  }
+
+  test("a replayed PARTITION skips on its own marker while fresh partitions write") {
+    // drives the executor-side helper directly (driver = partition 0):
+    // the partial-failure shape — one partition committed, the job
+    // died, the retry re-runs EVERY partition — must re-insert nothing
+    // for the committed one and deliver the rest exactly once
+    val dbUrl = url("sqlppart")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_part")
+      ps.publishEpoch("t_part", Seq(msg("seed", "s")).toDF(), "w-seed") // creates marker table
+      def rows(us: String*) = us.map(u =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))).iterator
+      val tbl = "graft_t_t_part"
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_part", "w-r", rows("a", "b"))
+      // the retry of the same partition (same key) must skip
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_part", "w-r", rows("a", "b"))
+      // a different writer epoch still writes
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_part", "w-r2", rows("c"))
+      val got = ps.subscribeBatch("t_part").collect().map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("seed", "a", "b", "c"), s"got $got")
+    } finally ps.close()
+  }
+
+  test("routed epoch: a divergent replay fails loudly instead of dropping rows") {
+    val dbUrl = url("sqlrdiv")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_da")
+      ps.subscribeInitialize("t_db")
+      ps.publishEpoch("t_da", Seq(msg("seed", "s")).toDF(), "w-seed")
+      val tables = Map("t_da" -> "graft_t_t_da", "t_db" -> "graft_t_t_db")
+      def routedRows(pairs: (String, String)*) = pairs.map { case (u, t) =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t)
+      }.iterator
+      // attempt 1 commits destinations {t_da}
+      SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-d",
+        routedRows("x" -> "t_da"))
+      // clean replay: same contents — skips silently
+      SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-d",
+        routedRows("x" -> "t_da"))
+      assert(ps.subscribeBatch("t_da").count() == 2) // seed + x, no dup
+      // divergent replay, dup-first shape: committed t_da plus a NEW
+      // destination t_db — the new destination's rows would be silently
+      // dropped by a naive first-marker skip; must throw instead
+      intercept[IllegalStateException] {
+        SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-d",
+          routedRows("x" -> "t_da", "y" -> "t_db"))
+      }
+      // divergent replay, fresh-first shape: new destination first,
+      // then the already-committed one — must also throw, and the
+      // transaction rolls back so t_db stays clean
+      intercept[IllegalStateException] {
+        SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-d",
+          routedRows("y" -> "t_db", "x" -> "t_da"))
+      }
+      assert(ps.subscribeBatch("t_db").count() == 0,
+        "divergent replay must roll back, not half-write")
+    } finally ps.close()
+  }
+
+  test("an epoch committed by a pre-r15 whole-epoch marker skips wholesale on replay") {
+    val dbUrl = url("sqllegacy")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.publishEpoch("t_lg", Seq(msg("first", "f")).toDF(), "w-any") // creates tables
+      // simulate the OLD engine's whole-epoch marker: (topic, writerId)
+      // with no #p suffix
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val st = c.prepareStatement(
+          """INSERT INTO "graft_epochs" ("topic", "writer_id") VALUES (?, ?)""")
+        try { st.setString(1, "t_lg"); st.setString(2, "w-old"); st.executeUpdate(); () }
+        finally st.close()
+      } finally c.close()
+      // a replay of that epoch across the engine upgrade must skip
+      ps.publishEpoch("t_lg", Seq(msg("dup", "d")).toDF(), "w-old")
+      val got = ps.subscribeBatch("t_lg").collect().map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("first"), s"legacy epoch replay duplicated: $got")
+      // routed replay honors the same legacy marker per destination
+      val routed = Seq(("r1", "t_lg"))
+        .map { case (u, t) => (u, Map.empty[String, String], u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t) }
+        .toDF("uuid", "metadata", "payload", "ts", "_topic")
+      ps.publishRoutedEpoch(routed, "_topic", writerId = "w-old")
+      assert(ps.subscribeBatch("t_lg").count() == 1)
+    } finally ps.close()
+  }
+
   test("subscribeBatch reads in parallel ranges over the offset column") {
     val ps = new SqlPubSub(spark, url("sqlpar"))
     try {
@@ -356,6 +458,57 @@ class SqlSpec extends SparkSpec {
         assert(seen.keySet == Set("o1"),
           s"g1's legacy copy must not deliver to g2, got ${seen.keySet}")
       } finally q.stop()
+    } finally ps2.close()
+  }
+
+  test("backfill converges past malformed metadata and an oversize forged stamp (no permanent wedge)") {
+    // the topic table is an open surface: ONE foreign pre-upgrade row
+    // with unparseable metadata matching the LIKE filter (JsonCodec
+    // throws) or a forged stamp longer than grp's VARCHAR(128)
+    // (SQLDataException on the record insert) used to abort the
+    // backfill BEFORE its sentinel committed — every initialize for
+    // the topic then re-ran into the same row forever: a permanent
+    // wedge on the engine's own initialization path
+    val db = url("sqlbfw")
+    val ps = new SqlPubSub(spark, db, group = "g1", pollIntervalMs = 20)
+    try ps.publish("t_bfw", Seq(
+      msg("o1", "original"),
+      msg("c1", "real-copy", Map(graft.router.Ctx.DelayGroup -> "g1"))))
+    finally ps.close()
+    val c = java.sql.DriverManager.getConnection(db)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE \"graft_released\"") finally st.close()
+      // foreign row: metadata contains the stamp key but is NOT JSON
+      val bad = c.prepareStatement(
+        """INSERT INTO "graft_t_t_bfw" ("uuid", "metadata", "payload", "ts")
+          |VALUES (?, ?, ?, ?)""".stripMargin)
+      try {
+        bad.setString(1, "f1")
+        bad.setString(2, s"""not json at all "${graft.router.Ctx.DelayGroup}" oops""")
+        bad.setBytes(3, "x".getBytes("UTF-8"))
+        bad.setTimestamp(4, new Timestamp(1700000000000L))
+        bad.executeUpdate()
+        // foreign row: valid JSON whose stamp value exceeds 128 bytes
+        bad.setString(1, "f2")
+        bad.setString(2, new String(graft.cqrs.JsonCodec.write(
+          Map(graft.router.Ctx.DelayGroup -> ("g" * 200))), "UTF-8"))
+        bad.setBytes(3, "y".getBytes("UTF-8"))
+        bad.setTimestamp(4, new Timestamp(1700000000000L))
+        bad.executeUpdate(); ()
+      } finally bad.close()
+    } finally c.close()
+    // upgraded engine: initialize must converge (sentinel committed),
+    // the REAL legacy copy stays hidden, the foreign rows deliver as
+    // ordinary (untrusted-stamp) topic content
+    val ps2 = new SqlPubSub(spark, db, group = "g2", pollIntervalMs = 20)
+    try {
+      val replay = ps2.subscribeBatch("t_bfw").as[Message].collect().map(_.uuid).toSet
+      assert(replay == Set("o1", "f1", "f2"),
+        s"backfill must skip the poison rows but still hide the real copy, got $replay")
+      // and the sentinel committed: a THIRD instance initializes clean
+      val ps3 = new SqlPubSub(spark, db, group = "g3")
+      try ps3.subscribeInitialize("t_bfw") finally ps3.close()
     } finally ps2.close()
   }
 

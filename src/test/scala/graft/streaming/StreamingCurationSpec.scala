@@ -207,6 +207,32 @@ class StreamingCurationSpec extends SparkSpec {
     graft.operators.Materialize.releaseSitePins(spark)
   }
 
+  test("session-conf graft.materialize=persist falls back to an eager pin for streaming ops (one-flag knob must not crash)") {
+    // the advertised one-flag session switch must not crash the
+    // eager-required streaming operators at their first micro-batch:
+    // a DEFAULT-constructed (SessionDefault) quota/near-dup under
+    // conf=persist substitutes LocalCheckpoint with a warning, while
+    // an EXPLICITLY passed lazy strategy still rejects (rows above)
+    import graft.operators.Materialize
+    spark.conf.set(Materialize.ConfKey, "persist")
+    try {
+      import spark.implicits._
+      val qDir = java.nio.file.Files.createTempDirectory("graft-sqcf-").toString
+      val q = new StreamingQuota(spark, qDir + "/state", "k", "o", "t", budget = 5)
+      val admitted = q.admit(Seq(("a", 1L, 1L), ("a", 2L, 2L)).toDF("k", "o", "t"), 0L)
+      assert(admitted.count() == 2, "conf=persist must admit via the eager fallback")
+      val ndDir = java.nio.file.Files.createTempDirectory("graft-sndcf-").toString
+      val nd = new StreamingNearDup(spark, ndDir + "/index", minSim = 0.5)
+      val kept = nd.processBatch(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again tonight"))
+        .toDF("doc_id", "text"), batchId = 0L)
+      assert(kept.count() == 1, "conf=persist must keep via the eager fallback")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      graft.operators.Materialize.releaseSitePins(spark)
+    }
+  }
+
   test("CurationStages compose: PII scrub + decontaminate + quality route in one handler") {
     import org.apache.spark.sql.Dataset
     val clean = "the quick value of a table scan is the key to fast query group work"
