@@ -38,10 +38,16 @@ object Bench {
     // and therefore BLIND to the driver-box disk contention that
     // inflated q147 6x (13.3 s vs a 2.1 s local receipt on a slower-
     // calib machine) with "contaminated": false — the index cannot
-    // attribute what its workload never exercises. r14 calib values
-    // are NOT comparable to r13's (different workload); compare within
-    // one artifact and r14-forward.
-    def calibrate(): Double = {
+    // attribute what its workload never exercises.
+    //
+    // v2 (round 15): the TERMS are timed separately and both ride the
+    // artifact beside a calib_version — r14 folded them into one
+    // number, which silently broke round-over-round comparability (a
+    // consumer normalizing r14/r13 totals by calib ratio compared
+    // DIFFERENT workloads with nothing in-band saying so). The
+    // cpu_shuffle term alone is the r13-comparable index; the sum is
+    // the r14-comparable one; r15-forward carries both.
+    def calibrate(): (Double, Double) = {
       import org.apache.spark.sql.functions._
       val diskDir = java.nio.file.Files
         .createTempDirectory("graft-calib-").toString
@@ -56,6 +62,7 @@ object Bench {
             .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
               avg(col("v")).as("a"))
             .write.format("noop").mode("overwrite").save()
+          val tCpu = (System.nanoTime() - t0) / 1e9
           // disk term: ~25 MB parquet through java.io.tmpdir — the
           // filesystem query-level scratch writes hit (q147's band
           // index lives there; this is the device whose contention
@@ -63,15 +70,17 @@ object Bench {
           // (tmpfs when GraftSession could claim /dev/shm), and THAT
           // device is already exercised by the shuffle term above — so
           // the two terms cover both disks the bench actually touches
+          val t1 = System.nanoTime()
           spark.range(0L, 2000000L, 1L, 32)
             .select(col("id"),
               pmod(col("id") * 2654435761L, lit(1000003L)).as("k"))
             .write.mode("overwrite").parquet(s"$diskDir/t")
           spark.read.parquet(s"$diskDir/t").agg(sum(col("k")))
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          (tCpu, (System.nanoTime() - t1) / 1e9)
         }
-        ts.sorted.apply(1)
+        // per-term medians: each term is its own machine-speed index
+        (ts.map(_._1).sorted.apply(1), ts.map(_._2).sorted.apply(1))
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -79,7 +88,7 @@ object Bench {
         rm(new java.io.File(diskDir))
       }
     }
-    val calibPre = try calibrate() catch { case _: Throwable => -1.0 }
+    val calibPre = try calibrate() catch { case _: Throwable => (-1.0, -1.0) }
 
     // Per-query shuffle-write volume (pass 1 only): the scale-limiting
     // resource a wall-clock number can't show — a query that's fast at
@@ -161,14 +170,30 @@ object Bench {
     // two cleanest passes still disagree, "contaminated": true tells
     // the consumer not to bank per-query numbers without an isolated
     // re-check (graft.tools.Time).
-    var passRuns = Vector(runPass(recordShuffle = true), runPass())
+    //
+    // Pre-flight load gate (r14 lesson: pass 1 ran at 1-minute load
+    // 12.02, and all ~170 s of it were PAID FOR before the
+    // extra-pass trigger discarded it): before each timed pass, check
+    // the load; above nCpu/4, wait bounded and re-check; still hot →
+    // proceed FLAGGED, so the artifact says the pass started
+    // contaminated instead of charging a wasted pass to find out.
+    val nCpu = osBean.getAvailableProcessors
+    val preflights =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Boolean)]
+    def gatedPass(recordShuffle: Boolean = false) = {
+      preflights += Bench.preflightGate(() => osBean.getSystemLoadAverage,
+        threshold = nCpu / 4.0, maxWaits = Bench.preflightMaxWaits,
+        sleep = Thread.sleep, waitMs = Bench.preflightWaitMs)
+      runPass(recordShuffle)
+    }
+    var passRuns = Vector(gatedPass(recordShuffle = true), gatedPass())
     def totals = passRuns.map(_._1.map(_._2).filter(_ >= 0).sum)
     def divergent(ts: Seq[Double]): Boolean = {
       val s = ts.sorted
       s.nonEmpty && s.head > 0 && s(math.min(1, s.size - 1)) > s.head * 1.35
     }
     val extraPass = divergent(totals)
-    if (extraPass) passRuns :+= runPass()
+    if (extraPass) passRuns :+= gatedPass()
     val passes = passRuns.map(_._1)
     // the two passes with the smallest totals = the cleanest evidence
     val bestTwo = passes.zip(totals).sortBy(_._2).take(2).map(_._1)
@@ -472,9 +497,12 @@ object Bench {
     // so a contaminated run is visible IN the artifact — r5/r6 both
     // recorded numbers later falsified as co-tenant load noise
     val loadAvg = osBean.getSystemLoadAverage
-    val nCpu = osBean.getAvailableProcessors
-    val calibPost = try calibrate() catch { case _: Throwable => -1.0 }
-    val calibJson = f"""[$calibPre%.3f,$calibPost%.3f]"""
+    val calibPost = try calibrate() catch { case _: Throwable => (-1.0, -1.0) }
+    val calibJson = Bench.calibSumJson(calibPre, calibPost)
+    val preflightJson = preflights.map { case (l, w, hot) =>
+      f"""{"load":$l%.2f,"waits":$w,"hot":$hot}"""
+    }.mkString("[", ",", "]")
+    val preflightHot = preflights.count(_._3)
     val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val passQueriesJson = passes.map(p =>
       p.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"))
@@ -494,7 +522,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -510,7 +538,9 @@ object Bench {
     println(Bench.compactLine(finalResults, failed, total, extraPass,
       medianPairRatio, contaminated, streamingCompact,
       scaleExpCompact, loadAvg, sfDir, calibJson,
-      rerunCount = reruns.size))
+      rerunCount = reruns.size,
+      calibJsonV2 = Bench.calibArrayV2Json(calibPre, calibPost),
+      preflightHot = preflightHot))
     Console.out.flush()
     spark.stop()
   }
@@ -555,6 +585,67 @@ object Bench {
     * exponent 1.3 ungated). */
   private[graft] val ladderExponentGate = 1.1
 
+  /** Calibration schema version. v1 (≤ r13): CPU+shuffle workload
+    * only. Unversioned r14: CPU+shuffle AND disk folded into one
+    * number — r14/r13 calib ratios silently compared different
+    * workloads. v2 (r15-forward): the two terms ride the artifact
+    * separately plus this version field; the r13-comparable index is
+    * the cpu_shuffle term, the r14-comparable one is the sum. */
+  private[graft] val calibVersion = 2
+
+  /** Bounded pre-flight wait before a timed pass: up to `maxWaits` ×
+    * `waitMs` (80 s total at the defaults) — cheap against the ~170 s
+    * a fully-contaminated pass costs before the extra-pass trigger
+    * detects it (r14 pass 1, load 12.02). */
+  private[graft] val preflightMaxWaits = 4
+  private[graft] val preflightWaitMs = 20000L
+
+  /** Pre-flight load gate: poll `load` until it is at or under
+    * `threshold` or `maxWaits` waits are spent; returns (final load,
+    * waits taken, still-hot). A still-hot pass PROCEEDS — the bench
+    * must terminate on a permanently busy box — but the artifact
+    * carries the flag, so the contamination is known before any pass
+    * total can reveal it. */
+  private[graft] def preflightGate(load: () => Double, threshold: Double,
+      maxWaits: Int, sleep: Long => Unit, waitMs: Long): (Double, Int, Boolean) = {
+    var l = load()
+    var waits = 0
+    while (l > threshold && waits < maxWaits) {
+      sleep(waitMs); waits += 1; l = load()
+    }
+    (l, waits, l > threshold)
+  }
+
+  private def sumTerm(t: (Double, Double)): Double =
+    if (t._1 < 0 || t._2 < 0) -1.0 else t._1 + t._2
+
+  /** The summed (r14-comparable) calib index — the non-droppable
+    * `calib`/`calib_sec` value both artifact forms carry. */
+  private[graft] def calibSumJson(pre: (Double, Double),
+      post: (Double, Double)): String =
+    f"""[${sumTerm(pre)}%.3f,${sumTerm(post)}%.3f]"""
+
+  /** Full-evidence split-term fields (see [[calibVersion]]). */
+  private[graft] def calibTermsFullJson(pre: (Double, Double),
+      post: (Double, Double)): String =
+    f""""calib_terms":{"cpu_shuffle":[${pre._1}%.3f,${post._1}%.3f],""" +
+      f""""disk":[${pre._2}%.3f,${post._2}%.3f]},""" +
+      s""""calib_version":$calibVersion"""
+
+  /** Compact-line v2 calib array: `[sumPre, sumPost, cpuPre, cpuPost,
+    * version]` — elements 0-1 keep the v1/r14 positions (old consumers
+    * unaffected), 2-3 are the cpu_shuffle term (r13-comparable), the
+    * LAST element is the integer version marker, and the disk term is
+    * the difference (explicit in BENCH_FULL.json's `calib_terms`).
+    * This costs 16 chars against the ~22-char tail headroom where a
+    * separate-keys form cost 41 and silently degraded per-query
+    * seconds to whole numbers — the driver-contract regression the
+    * degradation ladder exists to prevent. */
+  private[graft] def calibArrayV2Json(pre: (Double, Double),
+      post: (Double, Double)): String =
+    f"""[${sumTerm(pre)}%.3f,${sumTerm(post)}%.3f,""" +
+      f"""${pre._1}%.2f,${post._1}%.2f,$calibVersion]"""
+
   /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
     * shape (warm-run evidence + per-query times/exponent + the
     * suspect flag for a still-super-linear entry after re-timing)
@@ -577,7 +668,8 @@ object Bench {
       extraPass: Boolean, medianPairRatio: Double, contaminated: Boolean,
       streaming: String, scaleExp: String, loadAvg: Double,
       sfDir: String, calibJson: String = "[-1.000,-1.000]",
-      rerunCount: Int = 0): String = {
+      rerunCount: Int = 0, calibJsonV2: String = "",
+      preflightHot: Int = 0): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -594,35 +686,49 @@ object Bench {
     // only when non-empty; n_cpu is static context and lives only in
     // BENCH_FULL.json. "contaminated" and the driver-contract fields
     // (metric/value/unit/queries/sf) keep their full names.
-    def line(qs: String, withStreaming: Boolean, withSx: Boolean): String = {
+    def line(qs: String, withStreaming: Boolean, withSx: Boolean,
+        withCalibV2: Boolean = true): String = {
       val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
       val epPart = if (extraPass) """"ep":true,""" else ""
       // rr = count of pass-disagreement reruns (samples in BENCH_FULL
       // "reruns"); omitted when zero, like ep/failed
       val rrPart = if (rerunCount > 0) s""""rr":$rerunCount,""" else ""
+      // pf = count of passes that started hot despite the pre-flight
+      // wait (details in BENCH_FULL "preflight"); omitted when zero
+      val pfPart = if (preflightHot > 0) s""""pf":$preflightHot,""" else ""
       val streamingPart =
         if (withStreaming) s""""streaming":$streaming,""" else ""
       val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
       // calib is NON-droppable like mpr/contaminated: it is the
       // machine-speed index that makes round-over-round totals
-      // comparable under different co-tenant load (divide by it)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibJson,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
+      // comparable under different co-tenant load (divide by it).
+      // The v2 form appends the split terms + version to the SAME
+      // array (see calibArrayV2Json); on a registry too fat for the
+      // 16 extra chars the ladder falls back to the 2-element v1 form
+      // BEFORE per-query decimals pay for it.
+      val calibPart = if (withCalibV2 && calibJsonV2.nonEmpty)
+        calibJsonV2 else calibJson
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibPart,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
     // Degradation priority as the registry grows: per-query seconds at
     // >= 1 decimal are the driver contract and yield LAST; the sx and
-    // streaming summaries (both duplicated with full keys in
-    // BENCH_FULL.json + stderr) fall off the line first; whole-second
-    // rounding is the final fallback — no query's number ever falls
-    // off the line entirely
+    // streaming summaries, then the calib v2 extension (all duplicated
+    // with full keys in BENCH_FULL.json + stderr) fall off the line
+    // first; whole-second rounding is the final fallback — no query's
+    // number ever falls off the line entirely
     val candidates = Iterator(
       line(qsJson(2), withStreaming = true, withSx = true),
       line(qsJson(1), withStreaming = true, withSx = true),
       line(qsJson(1), withStreaming = true, withSx = false),
       line(qsJson(1), withStreaming = false, withSx = false),
-      line(qsJson(0), withStreaming = false, withSx = false))
+      line(qsJson(1), withStreaming = false, withSx = false,
+        withCalibV2 = false),
+      line(qsJson(0), withStreaming = false, withSx = false,
+        withCalibV2 = false))
     candidates.find(_.length <= 1880)
-      .getOrElse(line(qsJson(0), withStreaming = false, withSx = false))
+      .getOrElse(line(qsJson(0), withStreaming = false, withSx = false,
+        withCalibV2 = false))
   }
 }

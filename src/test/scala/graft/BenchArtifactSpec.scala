@@ -161,6 +161,107 @@ class BenchArtifactSpec extends AnyFunSuite {
       "exponent gate must sit between linear (1.0) and r13's shipped 1.3")
   }
 
+  test("calib v2: split terms + version ride both artifact forms; sums stay r14-comparable") {
+    // r14 folded the CPU+shuffle and disk calibration terms into ONE
+    // number with no version field — a consumer normalizing r14/r13
+    // totals by calib ratio silently compared different workloads.
+    // v2 pins: a version >= 2, both terms recorded (explicitly in the
+    // full file; compact carries sum + cpu term + version, disk = the
+    // difference), and the summed index keeps its v1 array positions
+    assert(Bench.calibVersion >= 2)
+    val full = Bench.calibTermsFullJson((6.1, 2.7), (1.9, 0.7))
+    assert(full.contains("\"calib_terms\":{\"cpu_shuffle\":[6.100,1.900]"), full)
+    assert(full.contains("\"disk\":[2.700,0.700]"), full)
+    assert(full.contains("\"calib_version\":" + Bench.calibVersion), full)
+    assert(Bench.calibSumJson((6.1, 2.7), (1.9, 0.7)) == "[8.800,2.600]")
+    // a failed calibration marks -1, never a nonsense negative sum
+    assert(Bench.calibSumJson((-1.0, -1.0), (1.9, 0.7)) == "[-1.000,2.600]")
+    // compact v2 array: [sumPre, sumPost, cpuPre, cpuPost, version] —
+    // elements 0-1 keep the r14 positions so old consumers read the
+    // same index, and the version marker is in-band
+    val v2 = Bench.calibArrayV2Json((6.1, 2.7), (1.9, 0.7))
+    assert(v2 == "[8.800,2.600,6.10,1.90," + Bench.calibVersion + "]", v2)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 16) 8.99 else 0.99)
+    }
+    val line = Bench.compactLine(results, failed = "[]", total = 999.999,
+      extraPass = false, medianPairRatio = 1.23, contaminated = false,
+      streaming = """{"error":true}""", scaleExp = """{"error":true}""",
+      loadAvg = 9.99, sfDir = "/root/testdata/sf0.1",
+      calibJson = "[8.800,2.600]", calibJsonV2 = v2)
+    assert(line.contains("\"calib\":" + v2), line.take(300))
+    assert(line.length <= 1880, s"line ${line.length} chars with calib v2 fields")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("per-query decimals outrank the calib v2 extension in the degradation ladder") {
+    // the v2 extension costs 16 chars; on a registry too fat for them
+    // it must fall back to the 2-element v1 array BEFORE per-query
+    // seconds round to whole numbers (the regression the first v2
+    // attempt shipped: separate cv/cc/cd keys cost 41 chars and
+    // silently degraded the driver-contract decimals at 181 queries)
+    val v2 = Bench.calibArrayV2Json((6.1, 2.7), (1.9, 0.7))
+    def mk(n: Int) = Bench.compactLine(
+      (1 to n).map(i => f"q$i%02d_synthetic" -> (if (i <= 16) 8.99 else 0.99)),
+      failed = "[]", total = 999.999,
+      extraPass = false, medianPairRatio = 1.23, contaminated = false,
+      streaming = """{"error":true}""", scaleExp = """{"error":true}""",
+      loadAvg = 9.99, sfDir = "/root/testdata/sf0.1",
+      calibJson = "[8.800,2.600]", calibJsonV2 = v2)
+    // find the registry width where 1-decimal fits ONLY without the
+    // extension — exactly there the ladder must shed v2, not decimals
+    val window = (178 to 186).find { n =>
+      val l = mk(n)
+      l.length <= 1880 && !l.contains(v2) && l.contains(":9.0")
+    }
+    assert(window.isDefined,
+      "no registry width sheds the v2 extension before decimals — ladder broken")
+    val line = mk(window.get)
+    assert(line.contains("\"calib\":[8.800,2.600]"),
+      "the v1 calib index never leaves the line")
+    // and while the extension fits, it rides
+    val small = mk(100)
+    assert(small.contains("\"calib\":" + v2),
+      s"v2 extension must ride when the budget allows: ${small.take(200)}")
+  }
+
+  test("pre-flight load gate: waits out a hot box, flags a permanently hot one, skips a cool one") {
+    // r14's pass 1 ran at load 12.02 and its ~170 s were paid before
+    // the extra-pass trigger discarded it — the gate must spend
+    // bounded cheap waits FIRST, and when the box never cools, proceed
+    // flagged so the artifact says so in-band
+    var slept = 0L
+    val sleepFn: Long => Unit = ms => slept += ms
+    // cool box: no waits, no flag
+    assert(Bench.preflightGate(() => 2.0, threshold = 8.0,
+      maxWaits = 4, sleep = sleepFn, waitMs = 100L) == ((2.0, 0, false)))
+    assert(slept == 0L)
+    // hot box that cools after two waits: two waits, no flag
+    val loads = Iterator(12.0, 10.0, 3.0)
+    assert(Bench.preflightGate(() => loads.next(), threshold = 8.0,
+      maxWaits = 4, sleep = sleepFn, waitMs = 100L) == ((3.0, 2, false)))
+    assert(slept == 200L)
+    // permanently hot box: bounded waits, PROCEEDS flagged
+    val (l, w, hot) = Bench.preflightGate(() => 12.0, threshold = 8.0,
+      maxWaits = 4, sleep = sleepFn, waitMs = 100L)
+    assert(l == 12.0 && w == 4 && hot, "must proceed flagged, not spin forever")
+    assert(slept == 600L)
+    // the production bounds: total pre-flight wait stays cheap against
+    // a wasted ~170 s pass
+    assert(Bench.preflightMaxWaits * Bench.preflightWaitMs <= 120000L,
+      "pre-flight budget must stay well under one pass's cost")
+    // the compact line carries pf only when a pass started hot
+    val results = names.map(_ -> 0.99)
+    def mk(pf: Int) = Bench.compactLine(results, failed = "[]",
+      total = 99.9, extraPass = false, medianPairRatio = 1.0,
+      contaminated = false, streaming = """{"error":true}""",
+      scaleExp = """{"error":true}""", loadAvg = 2.0,
+      sfDir = "/root/testdata/sf0.1", preflightHot = pf)
+    assert(mk(1).contains("\"pf\":1"))
+    assert(!mk(0).contains("\"pf\""))
+  }
+
   test("compact line carries the rerun count only when reruns happened") {
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i < 16) 8.99 else 0.99)

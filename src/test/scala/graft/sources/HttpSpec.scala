@@ -81,6 +81,67 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("server bounce on the same port: publisher retries bridge the downtime, no loss, no duplication (test_pubsub.go:1042)") {
+    // the reference's TestReconnect restarts the BROKER service
+    // mid-stream while publishers retry until it returns (gated there
+    // by RestartServiceCommand, its service-restart hook — NOT by
+    // Persistent). The in-process analogue for the webhook transport:
+    // the server half dies (releasing its port) after its backlog was
+    // drained, the retry wrapper absorbs the connection failures of
+    // everything published during the downtime, a fresh server binds
+    // the SAME port, and across the two incarnations every message
+    // lands exactly once. (Rows 200-ed but neither drained nor still
+    // retried do NOT survive an instance death — the broker is
+    // in-memory by design, which is why the battery's restart row
+    // stays gated off for http; this row covers the reconnect
+    // contract the reference actually tests.)
+    val sub1 = new HttpSubscriber(spark)
+    val port = sub1.boundPort
+    val url = s"http://localhost:$port"
+    val phase1 = (0 until 5).map(i => msg(s"r$i", s"v$i"))
+    new HttpPublisher(url).publish("hooks_rc", phase1)
+    val got1 = sub1.subscribeBatch("hooks_rc").as[Message].collect().map(_.uuid).toSet
+    assert(got1 == phase1.map(_.uuid).toSet)
+    sub1.close() // the bounce: port released, in-flight 200s all drained
+
+    // publishers keep going THROUGH the downtime, retrying on refused
+    // connections (bounded backoff spans the restart window)
+    val retrying = RetryingPublisher(new HttpPublisher(url),
+      maxRetries = 60, initialBackoffMs = 25,
+      sleep = ms => Thread.sleep(math.min(ms, 200L)))
+    val phase2 = (5 until 10).map(i => msg(s"r$i", s"v$i"))
+    val publisherErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try retrying.publish("hooks_rc", phase2)
+      catch { case e: Throwable => publisherErr.set(e) })
+    t.start()
+    Thread.sleep(300) // downtime the retries must bridge
+    // fresh incarnation on the SAME port (brief bind retry: the old
+    // listener's close may lag a tick)
+    val sub2 = {
+      val deadline = System.currentTimeMillis() + 5000
+      var s: HttpSubscriber = null
+      while (s == null) {
+        try s = new HttpSubscriber(spark, port)
+        catch { case e: java.io.IOException =>
+          if (System.currentTimeMillis() > deadline) throw e
+          Thread.sleep(50)
+        }
+      }
+      s
+    }
+    try {
+      t.join(30000)
+      assert(!t.isAlive, "publisher thread must finish")
+      assert(publisherErr.get == null,
+        s"retries must bridge the bounce: ${publisherErr.get}")
+      val got2 = sub2.subscribeBatch("hooks_rc").as[Message].collect().map(_.uuid)
+      assert(got2.toSet == phase2.map(_.uuid).toSet,
+        s"downtime publishes must all land exactly once, got ${got2.toSeq}")
+      assert(got2.length == 5, s"no duplication through the retries: ${got2.toSeq}")
+    } finally sub2.close()
+  }
+
   test("metadata keys are case-insensitive over HTTP: delivered lowercase, deterministically") {
     // header NAMES are case-insensitive by RFC and the JDK server
     // canonicalizes them — a camelCase metadata key cannot survive the

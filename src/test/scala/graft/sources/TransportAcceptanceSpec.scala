@@ -43,8 +43,17 @@ class TransportAcceptanceSpec extends SparkSpec {
     *    fresh incarnation's subscriber needs a fresh checkpoint — its
     *    in-process broker is new). False with reason for: memory (the
     *    broker IS the instance — GoChannel semantics, the reference
-    *    gates it off the same way), http/io (the endpoint is process
-    *    wiring — a socket/pipe — with no storage to resume from).
+    *    gates it off the same way); http (the broker is in-memory by
+    *    design, so storage does NOT outlive the instance — but the
+    *    reference's TestReconnect is really a SERVER-BOUNCE test,
+    *    gated on RestartServiceCommand and bridged by publisher
+    *    retries, and THAT contract is covered for http by HttpSpec's
+    *    dedicated bounce row: same port rebound, retries absorb the
+    *    downtime, exactly-once across the incarnations); io (a single
+    *    byte stream has exactly one reader end and no ADDRESS to
+    *    rebind — "reconnect" would mean the consumer re-creating the
+    *    pipe wiring itself, a property of the harness, not the
+    *    transport, so there is nothing transport-level to test).
     *  - `resumeViaCheckpoint`: where the resume offsets live for the
     *    restart row — true: the streaming checkpoint (file paths are
     *    stable across instances); false: transport-side durable
