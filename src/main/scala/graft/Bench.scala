@@ -637,14 +637,17 @@ object Bench {
     * unaffected), 2-3 are the cpu_shuffle term (r13-comparable), the
     * LAST element is the integer version marker, and the disk term is
     * the difference (explicit in BENCH_FULL.json's `calib_terms`).
-    * This costs 16 chars against the ~22-char tail headroom where a
-    * separate-keys form cost 41 and silently degraded per-query
-    * seconds to whole numbers — the driver-contract regression the
-    * degradation ladder exists to prevent. */
+    * Width discipline: sums at 2 decimals, cpu terms at 1 — the whole
+    * v2 extension costs 8 chars where a separate-keys form cost 41
+    * and silently degraded per-query seconds to whole numbers (the
+    * driver-contract regression the degradation ladder exists to
+    * prevent); a ~±0.05 s index on a multi-second workload is well
+    * inside the co-tenant noise the ratio is used to cancel, and the
+    * 3-decimal values ride BENCH_FULL.json. */
   private[graft] def calibArrayV2Json(pre: (Double, Double),
       post: (Double, Double)): String =
-    f"""[${sumTerm(pre)}%.3f,${sumTerm(post)}%.3f,""" +
-      f"""${pre._1}%.2f,${post._1}%.2f,$calibVersion]"""
+    f"""[${sumTerm(pre)}%.2f,${sumTerm(post)}%.2f,""" +
+      f"""${pre._1}%.1f,${post._1}%.1f,$calibVersion]"""
 
   /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
     * shape (warm-run evidence + per-query times/exponent + the

@@ -3572,7 +3572,60 @@ object LlmQueries {
              |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
              |  CAST(sz * count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
-             |FROM cl GROUP BY sz ORDER BY sz""".stripMargin))
+             |FROM cl GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // ---- registrable-domain quota (web-crawl curation's domain-cap
+    // rule): no domain may exceed 1.5× its fair share of the corpus —
+    // cap = 1.5·N/D docs (N corpus docs, D distinct domains; the
+    // synthetic domain key is source/lang, standing in for the
+    // registrable-domain key a crawl carries) — keeping each domain's
+    // deterministically-ranked head (cross-engine md5 order, the q169
+    // discipline) and evicting the tail. Generalizes q57/q116's
+    // source-level mixing to the key cardinality that matters at
+    // 100 TB (millions of registrable domains). Exact integer gate:
+    // admit iff 2·rn·D ≤ 3·N — no floats anywhere; admitted_id_sum
+    // pins exact MEMBERSHIP (q181's keeper-sum rule), not just counts.
+    // Scale: the rank window partitions by domain (high cardinality =
+    // even distribution); a mega-domain hotspot takes the per-stratum
+    // GlobalIndex rank, same note as q169; (N, D) is one broadcast
+    // scalar row, never a second pass over ranked rows ----
+    QuerySpec("q182_domain_quota",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat_ws("/", col("source"), col("lang")).as("domain"))
+        val consts = d.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("domain")).as("n_domains"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        d.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(consts))
+          .withColumn("adm",
+            col("rn") * col("n_domains") * 2 <= col("n_total") * 3)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("adm"), col("doc_id")).otherwise(0L))
+              .as("admitted_id_sum"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    concat_ws('/', source, lang) AS domain FROM documents),
+             |c AS (SELECT count(*) AS n_total,
+             |    count(DISTINCT domain) AS n_domains FROM d),
+             |r AS (SELECT doc_id, domain,
+             |    row_number() OVER (PARTITION BY domain
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM d)
+             |SELECT domain,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN rn * n_domains * 2 <= n_total * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+             |  CAST(sum(CASE WHEN rn * n_domains * 2 <= n_total * 3
+             |    THEN doc_id ELSE 0 END) AS BIGINT) AS admitted_id_sum
+             |FROM r, c
+             |GROUP BY domain ORDER BY domain""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

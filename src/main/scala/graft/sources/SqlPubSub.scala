@@ -428,18 +428,27 @@ final class SqlPubSub(spark: SparkSession, url: String,
     } finally { persisted.unpersist(); () }
   }
 
-  private def ensureEpochTable(): Unit = withConn { c =>
-    if (!tableExists(c, "graft_epochs")) {
-      val st = c.createStatement()
-      try st.executeUpdate(
-        s"""CREATE TABLE ${quoted("graft_epochs")} (
-           |  ${quoted("topic")} VARCHAR(128),
-           |  ${quoted("writer_id")} VARCHAR(256),
-           |  ${quoted("created_at")} TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
-           |  PRIMARY KEY (${quoted("topic")}, ${quoted("writer_id")}))""".stripMargin)
-      catch { case _: java.sql.SQLException => () }
-      finally st.close()
+  // memoized per instance like `initialized`: the epoch path runs per
+  // micro-batch, and an un-memoized DDL probe cost one extra JDBC
+  // connection + metadata round-trip per publish. A destructive outage
+  // (dropped marker table) surfaces loudly on the next marker insert;
+  // recovery = a fresh instance (same as the topic-table contract).
+  @volatile private var epochTableReady = false
+  private def ensureEpochTable(): Unit = if (!epochTableReady) {
+    withConn { c =>
+      if (!tableExists(c, "graft_epochs")) {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE ${quoted("graft_epochs")} (
+             |  ${quoted("topic")} VARCHAR(128),
+             |  ${quoted("writer_id")} VARCHAR(256),
+             |  ${quoted("created_at")} TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+             |  PRIMARY KEY (${quoted("topic")}, ${quoted("writer_id")}))""".stripMargin)
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      }
     }
+    epochTableReady = true
   }
 
   /** Housekeeping: delete epoch markers older than `olderThanMs`.
@@ -1037,9 +1046,14 @@ object SqlPubSub {
             c.prepareStatement(insertSql(tables(t)))), r)
         }
         if (dup) {
-          // prior commit: before skipping, verify every REMAINING
-          // destination's marker exists too (all markers committed
-          // atomically, so a miss means a divergent replay — loud)
+          // prior commit: roll back FIRST (a constraint hit aborts the
+          // whole transaction on engines like PostgreSQL, and any
+          // statement inside an aborted transaction throws — Derby's
+          // statement-level abort is the lenient case), THEN verify
+          // every REMAINING destination's marker exists too (all
+          // markers committed atomically, so a miss means a divergent
+          // replay — loud, never a silent drop)
+          c.rollback()
           while (it.hasNext) {
             val t = it.next().getString(4)
             if (seen.add(t) && !markerExists(c, t, key))
@@ -1048,7 +1062,6 @@ object SqlPubSub {
                   s"writer '$writerId': destination '$t' appears in the " +
                   "replay but was not part of the committed attempt")
           }
-          c.rollback()
         } else {
           stmts.valuesIterator.foreach(_.executeBatch())
           c.commit()

@@ -178,9 +178,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.calibSumJson((-1.0, -1.0), (1.9, 0.7)) == "[-1.000,2.600]")
     // compact v2 array: [sumPre, sumPost, cpuPre, cpuPost, version] —
     // elements 0-1 keep the r14 positions so old consumers read the
-    // same index, and the version marker is in-band
+    // same index, and the version marker is in-band; slim decimals
+    // (the whole extension must cost <= ~8 chars against the tail
+    // budget — see calibArrayV2Json)
     val v2 = Bench.calibArrayV2Json((6.1, 2.7), (1.9, 0.7))
-    assert(v2 == "[8.800,2.600,6.10,1.90," + Bench.calibVersion + "]", v2)
+    assert(v2 == "[8.80,2.60,6.1,1.9," + Bench.calibVersion + "]", v2)
+    assert(v2.length - "[8.800,2.600]".length <= 9,
+      s"v2 extension too wide for the tail budget: $v2")
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i < 16) 8.99 else 0.99)
     }
