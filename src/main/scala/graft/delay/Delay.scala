@@ -169,25 +169,45 @@ object DelayedDelivery {
             Iterator.single(due)
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[Message]
-            msgs.foreach { m =>
+            def dueMsOf(m: Message): Option[Long] = {
               val untilStr = m.get(Ctx.DelayedUntil)
               // malformed stamps (foreign writers can stamp anything)
               // pass through like undelayed rows — a throwing parse here
               // would kill the stateful query on one corrupt row, the
               // same fail-open contract as isReady and SqlPubSub.dueAt
-              val untilMs =
-                if (untilStr.isEmpty) None
-                else try Some(java.time.Instant.parse(untilStr).toEpochMilli)
-                  // NonFatal, not just DateTimeParseException: a valid-ISO
-                  // stamp at year +999999999 parses fine and then throws
-                  // ArithmeticException in toEpochMilli — same poison class
-                  catch { case scala.util.control.NonFatal(_) => None }
-              untilMs match {
+              if (untilStr.isEmpty) None
+              else try Some(java.time.Instant.parse(untilStr).toEpochMilli)
+                // NonFatal, not just DateTimeParseException: a valid-ISO
+                // stamp at year +999999999 parses fine and then throws
+                // ArithmeticException in toEpochMilli — same poison class
+                catch { case scala.util.control.NonFatal(_) => None }
+            }
+            msgs.foreach { m =>
+              dueMsOf(m) match {
                 case None => out += m // undelayed or malformed: pass through
                 case Some(ms) if ms <= state.getCurrentWatermarkMs() =>
                   out += m // already due
-                case Some(ms) =>
-                  state.update(m); state.setTimeoutTimestamp(ms)
+                case Some(_) => state.update(m) // timer armed below
+              }
+            }
+            // re-arm on EVERY invocation that leaves a row buffered:
+            // the GroupState contract RESETS a key's timeout each time
+            // the function is called for it ("the user has to set the
+            // timeout duration every time the function is called"), so
+            // a later same-uuid arrival — one undelayed replay
+            // duplicate is enough — would otherwise silently cancel
+            // the buffered row's timer and strand it in state forever.
+            // The timer re-derives from the buffered row's own stamp;
+            // a stamp due by now flushes here instead (arming a timer
+            // at or below the watermark throws).
+            if (state.exists) {
+              val buffered = state.get
+              dueMsOf(buffered) match {
+                case Some(ms) if ms > state.getCurrentWatermarkMs() =>
+                  state.setTimeoutTimestamp(ms)
+                case _ => // due, or stamp unreadable: fail-open like isReady
+                  out += buffered
+                  state.remove()
               }
             }
             out.iterator

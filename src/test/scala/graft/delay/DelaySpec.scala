@@ -109,6 +109,50 @@ class DelaySpec extends SparkSpec {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rel_out"); () }
   }
 
+  test("releaseWhenDue: a same-uuid arrival does not cancel a buffered row's timer") {
+    // GroupState resets a key's timeout on EVERY invocation ("the user
+    // has to set the timeout duration every time the function is
+    // called") — pre-fix, one undelayed replay duplicate arriving for
+    // a buffered key cancelled its event-time timer and the delayed
+    // row sat in state forever (silent infinite delay)
+    import spark.implicits._
+    val ps = new MemoryPubSub(spark)
+    val t0 = Instant.ofEpochMilli(1700000000000L)
+    val released = DelayedDelivery.releaseWhenDue(ps.subscribe("rel2_in").as[Message])
+    val q = released.toDF().writeStream
+      .format("memory").queryName("rel2_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-rel2-").toString)
+      .start()
+    try {
+      def out = spark.table("rel2_out").collect().map(_.getAs[String]("uuid")).toSeq
+      // batch 1: a row delayed 60 s, buffered under uuid "dup"
+      ps.publish("rel2_in", Seq(
+        Delay.message(Message("dup", Map.empty, "y".getBytes,
+          new Timestamp(t0.toEpochMilli)), Delay.until(t0.plusSeconds(60)))))
+      q.processAllAvailable()
+      assert(out.isEmpty, "delayed row must be held")
+      // batch 2: an UNDELAYED arrival for the SAME uuid — the
+      // invocation that used to cancel the timer without re-arming it
+      // (ts strictly above the batch-1 watermark so the row is not
+      // dropped as late, and still far below the buffered row's due)
+      ps.publish("rel2_in", Seq(
+        Message("dup", Map.empty, "x".getBytes,
+          new Timestamp(t0.plusSeconds(1).toEpochMilli))))
+      q.processAllAvailable()
+      assert(out == Seq("dup"), s"undelayed duplicate passes through: $out")
+      // batches 3+4: watermark advances past the due point, timer fires
+      ps.publish("rel2_in", Seq(Message("adv", Map.empty, "z".getBytes,
+        new Timestamp(t0.plusSeconds(120).toEpochMilli))))
+      q.processAllAvailable()
+      ps.publish("rel2_in", Seq(Message("adv2", Map.empty, "w".getBytes,
+        new Timestamp(t0.plusSeconds(121).toEpochMilli))))
+      q.processAllAvailable()
+      assert(out.count(_ == "dup") == 2,
+        s"buffered delayed row must still release after the duplicate: $out")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rel2_out"); () }
+  }
+
   test("drain forwards due rows once, idempotently") {
     val ps = new MemoryPubSub(spark)
     val now = Instant.ofEpochMilli(1700000000000L)
