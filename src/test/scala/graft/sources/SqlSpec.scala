@@ -207,6 +207,49 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("concurrent partition attempts resolve on the marker lock: loser skips after commit, proceeds after rollback") {
+    // the speculative-attempt contract: attempt B's marker insert
+    // BLOCKS on attempt A's uncommitted marker row lock and resolves
+    // to dup (skip) when A commits, or fresh (write) when A rolls back
+    val dbUrl = url("sqlconc")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.publishEpoch("t_conc", Seq(msg("seed", "s")).toDF(), "w-seed")
+      val tbl = "graft_t_t_conc"
+      def rows(us: String*) = us.map(u =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))).iterator
+      def holdMarker(key: String)(resolve: java.sql.Connection => Unit): Thread = {
+        val c = java.sql.DriverManager.getConnection(dbUrl)
+        c.setAutoCommit(false)
+        val st = c.prepareStatement(
+          """INSERT INTO "graft_epochs" ("topic", "writer_id") VALUES (?, ?)""")
+        try { st.setString(1, "t_conc"); st.setString(2, key); st.executeUpdate(); () }
+        finally st.close()
+        // resolve A's transaction AFTER B has had time to block on the lock
+        val t = new Thread(() => {
+          Thread.sleep(400)
+          try resolve(c) finally { c.setAutoCommit(true); c.close() }
+        })
+        t.start(); t
+      }
+      // shape 1: A commits (attempt A won) -> B must skip cleanly
+      val tc = holdMarker("w-c#p0")(_.commit())
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_conc", "w-c", rows("b1", "b2"))
+      tc.join(10000)
+      assert(ps.subscribeBatch("t_conc").filter(
+        org.apache.spark.sql.functions.col("uuid").isin("b1", "b2")).count() == 0,
+        "loser attempt must skip after the winner commits")
+      // shape 2: A rolls back (attempt A died) -> B proceeds and writes
+      val tr = holdMarker("w-r#p0")(_.rollback())
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_conc", "w-r", rows("c1"))
+      tr.join(10000)
+      assert(ps.subscribeBatch("t_conc").filter(
+        org.apache.spark.sql.functions.col("uuid") === "c1").count() == 1,
+        "attempt must proceed after the holder rolls back")
+    } finally ps.close()
+  }
+
   test("routed epoch: a divergent replay fails loudly instead of dropping rows") {
     val dbUrl = url("sqlrdiv")
     val ps = new SqlPubSub(spark, dbUrl)
