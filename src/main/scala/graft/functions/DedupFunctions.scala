@@ -203,13 +203,26 @@ object DedupFunctions {
         Seq("d1"))
       .join(sig.select(col(idCol).cast(keyType).as("d2"), col("sig").as("_s2")),
         Seq("d2"))
-      .withColumn("agree", aggregate(
-        zip_with(col("_s1"), col("_s2"),
-          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
-        lit(0L), (a, b) => a + b))
+      // native per-pair agreement count (SigAgreeExpr) — the composed
+      // zip_with/aggregate re-entered interpreted lambdas once per
+      // signature position per candidate pair; bit-identical values
+      // (DedupPropertySpec pins native == composed)
+      .withColumn("agree", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.SigAgreeExpr(
+          ColumnBridge.expression(col("_s1")),
+          ColumnBridge.expression(col("_s2"))))
+      })
       .filter(col("agree") >= minAgree)
       .select(col("d1"), col("d2"), col("agree"))
   }
+
+  /** The composed-HOF agreement form, kept ONLY for the equivalence
+    * test pinning [[graft.functions.SigAgreeExpr]]. */
+  private[graft] def agreeComposed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
 
   /** The durable MinHash band index of a corpus slice: one
     * (band, band_key, id) row per band of each doc's signature, with
@@ -510,6 +523,20 @@ object DedupFunctions {
   private val Pow2To60: Column = array((0 until 60).map(b => lit(1L << b)): _*)
 
   def simhash60Portable(hashedCol: Column): Column = {
+    // native single pass (SimHash60Expr) — the composed HOF fold below
+    // allocated three 60-wide arrays + ~180 interpreted lambda
+    // re-entries per token and dominated q48's scan stage; values are
+    // bit-identical (SimhashSpec pins native == composed, nulls and
+    // empties included), so the DuckDB oracle is untouched
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash60Expr(
+      ColumnBridge.expression(hashedCol)))
+  }
+
+  /** The composed-HOF reference form, kept ONLY for the equivalence
+    * test pinning [[graft.functions.SimHash60Expr]] to the same bit
+    * pattern (the dotComposed pattern). */
+  private[graft] def simhash60Composed(hashedCol: Column): Column = {
     val votes = aggregate(hashedCol, array_repeat(lit(0L), 60),
       (acc, h) => zip_with(acc,
         transform(Pow2To60, p => when(h.bitwiseAND(p) === p, 1L).otherwise(-1L)),

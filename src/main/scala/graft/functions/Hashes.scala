@@ -113,6 +113,41 @@ object HashUtil {
     max
   }
 
+  /** Single-pass 60-bit SimHash over an array of PRE-HASHED longs (the
+    * portable md5-prefix family, cross-engine reproducible): ±1 votes
+    * per bit, sign-packed. Bit-identical to the composed
+    * `aggregate(hs, zeros60, (acc,h) => zip_with(acc, ±1(bit_b(h)),
+    * _+_))` form it replaces — including its null-element rule (a null
+    * hash votes −1 on every bit: `null & p === p` is null, and the
+    * composed `when(...).otherwise(-1)` lands in the otherwise). That
+    * form allocated three 60-wide arrays and ~180 interpreted lambda
+    * re-entries PER TOKEN (higher-order functions are CodegenFallback)
+    * and dominated q48's scan stage; this is one tight loop under
+    * whole-stage codegen. */
+  def simhash60(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Single-pass 64-bit SimHash over a token array: per token, hash
     * once (Spark's own xxhash64, seed 42 — bit-identical to the
     * `xxhash64` SQL function) and accumulate ±1 votes into 64 counters;
@@ -149,6 +184,25 @@ object HashUtil {
 
 /** JVM-side vector kernels, callable from generated code. */
 object VecUtil {
+  /** Count of positions where two `array<long>` values agree — the
+    * MinHash signature-agreement kernel. Bit-identical to the composed
+    * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)),
+    * 0, _+_)` form it replaces: zip_with pads the shorter array with
+    * nulls and `null === anything` lands in the otherwise(0), so only
+    * positions BOTH non-null and equal count. */
+  def agreeCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1L
+      i += 1
+    }
+    c
+  }
+
   /** Sequential left-fold dot product — the SAME accumulation order as
     * the composed `aggregate(zip_with(...))` form, so results are
     * bit-identical to it (and to the DuckDB oracle's sequential fold).
@@ -351,6 +405,39 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** MinHash signature agreement count of two `array<long>` columns as a
+  * native codegen'd expression — per candidate pair the composed
+  * zip_with/aggregate form re-entered interpreted lambda evaluation
+  * once per signature position; see [[VecUtil.agreeCount]] for the
+  * bit-equivalence contract. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sig_agree"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.agreeCount(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.agreeCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigAgreeExpr = copy(left = newLeft, right = newRight)
+}
+
+/** 60-bit SimHash over PRE-HASHED longs (the portable md5-prefix hash
+  * family) as a native codegen'd expression — the cross-engine twin of
+  * [[SimHash64Expr]]; see [[HashUtil.simhash60]] for the
+  * bit-equivalence contract with the composed HOF form it replaces. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.simhash60(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
     copy(child = newChild)
 }
 

@@ -229,6 +229,74 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("native portable simhash60 is bit-identical to the composed HOF fold") {
+    // the composed fold allocated three 60-wide arrays + ~180
+    // interpreted lambda re-entries per token (q48's scan-stage
+    // hotspot); the native expression must reproduce it exactly,
+    // including the null-element rule (null votes -1 on every bit),
+    // the empty-array result (all-zero votes -> 0), and null input
+    val hs = Seq(
+      (0L, Seq(0x123456789abcdefL, 0x7ffffffffffffffL, 0L)),
+      (1L, Seq(0xfffffffffffffffL)),
+      (2L, Seq.empty[Long]),
+      (3L, (0 until 97).map(i => i.toLong * 0x9E3779B97F4A7CL)),
+      (4L, Seq(1L, 2L, 4L, 8L, 16L))).toDF("id", "hs")
+    val both = hs.select(col("id"),
+      DedupFunctions.simhash60Portable(col("hs")).as("fast"),
+      DedupFunctions.simhash60Composed(col("hs")).as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}"))
+    // null ELEMENT: votes -1 on every bit, same as the composed
+    // when(null).otherwise(-1) — drive through an array<long> with null
+    val withNull = spark.sql(
+      "SELECT array(CAST(3 AS BIGINT), CAST(null AS BIGINT), CAST(3 AS BIGINT)) AS hs")
+    val bn = withNull.select(
+      DedupFunctions.simhash60Portable(col("hs")).as("fast"),
+      DedupFunctions.simhash60Composed(col("hs")).as("slow")).collect().head
+    assert(bn.getLong(0) == bn.getLong(1), s"${bn.getLong(0)} vs ${bn.getLong(1)}")
+    assert(bn.getLong(0) == 3L, "two +1 votes on bits 0-1 beat one null -1 vote")
+    // null INPUT array propagates null both ways
+    val ni = spark.sql("SELECT CAST(null AS ARRAY<BIGINT>) AS hs").select(
+      DedupFunctions.simhash60Portable(col("hs")).as("f"),
+      DedupFunctions.simhash60Composed(col("hs")).as("c")).collect().head
+    assert(ni.isNullAt(0) && ni.isNullAt(1))
+  }
+
+  test("native signature-agreement expression is bit-identical to the composed fold") {
+    // per-pair kernel of minhashEstimates; must match the zip_with
+    // rules exactly: shorter side null-padded (those positions count
+    // 0), null elements never match (even null vs null)
+    val df = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (1L, Seq(1L, 2L), Seq(1L, 2L, 3L, 4L)), // length mismatch
+      (2L, Seq.empty[Long], Seq(5L)),
+      (3L, (0 until 64).map(_.toLong), (0 until 64).map(i => (i * 2).toLong))
+    ).toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.SigAgreeExpr(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+      }.as("fast"),
+      DedupFunctions.agreeComposed(col("a"), col("b")).as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}"))
+    // null elements: null vs null must NOT count (when(null===null) is
+    // null -> otherwise(0) in the composed form)
+    val nulls = spark.sql(
+      """SELECT array(CAST(1 AS BIGINT), CAST(null AS BIGINT)) AS a,
+        |       array(CAST(1 AS BIGINT), CAST(null AS BIGINT)) AS b""".stripMargin)
+    val nr = nulls.select(
+      {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.SigAgreeExpr(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+      }.as("fast"),
+      DedupFunctions.agreeComposed(col("a"), col("b")).as("slow")).collect().head
+    assert(nr.getLong(0) == 1L && nr.getLong(1) == 1L,
+      s"null elements must not match: ${nr.getLong(0)} vs ${nr.getLong(1)}")
+  }
+
   test("bucketed cosine near-dup: exact-precision subset, full recall on identical vectors") {
     val base = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat))
