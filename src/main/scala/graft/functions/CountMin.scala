@@ -79,8 +79,11 @@ object CountMin {
       extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     private val inner = new Sketch(width)
     override def zero: Array[Long] = inner.zero
+    // null state rows SKIP (SQL-aggregate rule): stored state tables
+    // are an open parquet surface — one foreign/evolved null row must
+    // not NPE the whole aggregation
     override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
-      inner.merge(buf, st)
+      if (st == null) buf else inner.merge(buf, st)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       inner.merge(a, b)
     override def finish(buf: Array[Long]): Array[Long] = buf

@@ -170,8 +170,12 @@ object DistinctSketch {
       extends Aggregator[Array[Long], Array[Long], Long] {
     private val inner = new Sketch(p, sparseMax)
     override def zero: Array[Long] = inner.zero
+    // null state rows SKIP (SQL-aggregate rule): stored state tables
+    // are an open parquet surface, and one foreign/evolved null row
+    // must degrade like a null input to any built-in aggregate, not
+    // NPE the whole aggregation
     override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
-      inner.merge(buf, st)
+      if (st == null) buf else inner.merge(buf, st)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
     override def finish(buf: Array[Long]): Long = inner.finish(buf)
     override def bufferEncoder: Encoder[Array[Long]] =
@@ -185,8 +189,9 @@ object DistinctSketch {
       extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     private val inner = new SketchState(p, sparseMax)
     override def zero: Array[Long] = inner.zero
+    // null state rows skip — see SketchMerge.reduce
     override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
-      inner.merge(buf, st)
+      if (st == null) buf else inner.merge(buf, st)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
     override def finish(buf: Array[Long]): Array[Long] = inner.finish(buf)
     override def bufferEncoder: Encoder[Array[Long]] =

@@ -92,8 +92,11 @@ object HeavyHitters {
       extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
     require(capacity >= 1, s"capacity must be positive: $capacity")
     override def zero: Map[String, Long] = Map.empty
+    // null state rows SKIP (SQL-aggregate rule): stored state tables
+    // are an open parquet surface — one foreign/evolved null row must
+    // not NPE the whole aggregation
     override def reduce(buf: Map[String, Long], st: Map[String, Long]): Map[String, Long] =
-      combine(buf, st, capacity)
+      if (st == null) buf else combine(buf, st, capacity)
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
       combine(a, b, capacity)
     override def finish(buf: Map[String, Long]): Map[String, Long] = buf

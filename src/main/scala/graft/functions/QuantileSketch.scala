@@ -245,8 +245,11 @@ object QuantileSketch {
       extends Aggregator[Array[Array[Double]], Array[Array[Double]], Array[Double]] {
     private val inner = new Summary(k, qs)
     override def zero: Array[Array[Double]] = inner.zero
+    // null state rows SKIP (SQL-aggregate rule): stored state tables
+    // are an open parquet surface — one foreign/evolved null row must
+    // not NPE the whole aggregation
     override def reduce(buf: Array[Array[Double]], st: Array[Array[Double]]): Array[Array[Double]] =
-      inner.merge(buf, st)
+      if (st == null) buf else inner.merge(buf, st)
     override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
       inner.merge(a, b)
     override def finish(buf: Array[Array[Double]]): Array[Double] = inner.finish(buf)
@@ -265,8 +268,9 @@ object QuantileSketch {
       extends Aggregator[Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]] {
     private val inner = new SummaryState(k)
     override def zero: Array[Array[Double]] = inner.zero
+    // null state rows skip — see SummaryMerge.reduce
     override def reduce(buf: Array[Array[Double]], st: Array[Array[Double]]): Array[Array[Double]] =
-      inner.merge(buf, st)
+      if (st == null) buf else inner.merge(buf, st)
     override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
       inner.merge(a, b)
     override def finish(buf: Array[Array[Double]]): Array[Array[Double]] =

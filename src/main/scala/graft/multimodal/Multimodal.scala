@@ -94,6 +94,15 @@ object MediaCodec {
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G') {
       val buf = ByteBuffer.wrap(bytes); buf.position(4)
       val w = buf.getInt; val h = buf.getInt; val c = buf.get().toInt
+      // decode-bomb guard (the PNG/WAV long-space rule): dimensions are
+      // untrusted header input, and an UNCOMPRESSED format's pixel
+      // bytes must actually be present in the blob — without this, a
+      // 13-byte blob claiming 2^30 x 2^30 allocates gigabytes BEFORE
+      // any read fails, and the resulting OutOfMemoryError escapes the
+      // poison middleware (an executor death loop, not a dead letter)
+      require(w > 0 && h > 0 && c > 0 &&
+        w.toLong * h * c <= bytes.length - 13L,
+        s"corrupt GIMG header: ${w}x$h x$c vs ${bytes.length} blob bytes")
       val px = new Array[Byte](w * h * c); buf.get(px)
       Pixels(w, h, c, px)
     } else throw new IllegalArgumentException(
@@ -170,6 +179,13 @@ object MediaCodec {
     require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
     require(maxv == 255, s"only 8-bit PPM supported, maxval=$maxv")
     pos += 1 // single whitespace after maxval per spec
+    // decode-bomb guard in LONG space (the GIMG rule): w*h*3 wraps Int
+    // for crafted headers — either a gigabyte allocation from a tiny
+    // blob (OOM escapes the poison middleware) or a wrapped-small
+    // array under huge declared dimensions
+    require(w.toLong * h * 3 <= bytes.length - pos,
+      s"PPM pixel data short: ${w}x$h needs ${w.toLong * h * 3} bytes, " +
+        s"blob has ${bytes.length - pos} past the header")
     val px = new Array[Byte](w * h * 3)
     System.arraycopy(bytes, pos, px, 0, px.length)
     Pixels(w, h, 3, px)
@@ -188,7 +204,16 @@ object MediaCodec {
       s"only uncompressed 24-bit BMP supported (bpp=$bpp, compression=$compression)")
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = (w * 3 + 3) / 4 * 4
+    // decode-bomb guard in LONG space (the GIMG rule): header
+    // dimensions are untrusted, rows are padded to 4 bytes, and every
+    // declared pixel row must be present in the blob before anything
+    // allocates
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    require(w > 0 && h > 0 && dataOffset >= 0 &&
+      dataOffset + rowBytesL * h <= bytes.length,
+      s"corrupt BMP header: ${w}x$h rows at offset $dataOffset vs " +
+        s"${bytes.length} blob bytes")
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -325,6 +350,10 @@ object MediaCodec {
     else if (bytes(0) == 'G' && bytes(1) == 'A' && bytes(2) == 'U' && bytes(3) == 'D') {
       val buf = ByteBuffer.wrap(bytes); buf.position(4)
       val rate = buf.getInt; val n = buf.getInt
+      // decode-bomb guard (the GIMG rule): every declared int16 sample
+      // must be present in the blob before the array allocates
+      require(n >= 0 && 12L + n.toLong * 2 <= bytes.length,
+        s"corrupt GAUD header: $n samples vs ${bytes.length} blob bytes")
       val out = new Array[Short](n)
       var i = 0; while (i < n) { out(i) = buf.getShort; i += 1 }
       (rate, out)
@@ -391,6 +420,11 @@ object MediaCodec {
     val magic = new Array[Byte](4); buf.get(magic)
     require(new String(magic, "US-ASCII") == "GVID", "not a GVID blob (stub decoder)")
     val fps = buf.getInt; val n = buf.getInt
+    // decode-bomb guard: every frame record needs at least its 4-byte
+    // length header, so a crafted count past that bound would allocate
+    // a giant offsets list from a tiny blob before any read failed
+    require(n >= 0 && n.toLong * 4 <= bytes.length - 12L,
+      s"corrupt GVID header: $n frames vs ${bytes.length} blob bytes")
     val offsets = (0 until n).map { _ =>
       val len = buf.getInt; val pos = buf.position(); buf.position(pos + len)
       (pos, len)

@@ -114,6 +114,45 @@ class DistinctSketchSpec extends SparkSpec {
     }
   }
 
+  test("a NULL state row skips like a null input to any built-in aggregate") {
+    // stored state tables are an open parquet surface: one
+    // foreign-written or schema-evolved null row used to NPE the whole
+    // merge aggregation — it must skip per the SQL-aggregate rule (the
+    // same rule the element-level reducers already follow). Pinned
+    // here for the whole sketch shelf's state-merge family.
+    val vals = spread(500)
+    val states = vals.toDF("h")
+      .agg(DistinctSketch.sketchState($"h", 12, 8192).as("st"))
+      .select($"st")
+      .unionByName(spark.sql("SELECT CAST(null AS ARRAY<BIGINT>) AS st"))
+    val est = states.agg(DistinctSketch.mergeEstimate($"st", 12, 8192))
+      .head.getLong(0)
+    assert(est === 500L, s"null state must skip, got $est")
+    val restored = states.agg(DistinctSketch.mergeState($"st", 12, 8192).as("st"))
+      .agg(DistinctSketch.mergeEstimate($"st", 12, 8192)).head.getLong(0)
+    assert(restored === 500L)
+    // same rule across the shelf: KLL ladder, Misra–Gries, CountMin
+    val q = Seq(1.0, 2.0, 3.0).toDF("v")
+      .agg(QuantileSketch.sketchState($"v", 64).as("st")).select($"st")
+      .unionByName(spark.sql("SELECT CAST(null AS ARRAY<ARRAY<DOUBLE>>) AS st"))
+      .agg(QuantileSketch.mergeQuantiles($"st", 64, Seq(0.5)).as("q"))
+      .head.getSeq[Double](0)
+    assert(q == Seq(2.0), s"KLL null state must skip, got $q")
+    val hh = Seq("a", "a", "b").toDF("k")
+      .agg(HeavyHitters.sketch($"k", 4).as("st")).select($"st")
+      .unionByName(spark.sql("SELECT CAST(null AS MAP<STRING,BIGINT>) AS st"))
+      .agg(HeavyHitters.mergeSketches($"st", 4).as("m"))
+      .head.getAs[Map[String, Long]]("m")
+    assert(hh == Map("a" -> 2L, "b" -> 1L), s"MG null state must skip, got $hh")
+    val cmState = Seq("x", "x", "y").toDF("k")
+      .agg(CountMin.sketch($"k", 64).as("st")).select($"st")
+      .unionByName(spark.sql("SELECT CAST(null AS ARRAY<BIGINT>) AS st"))
+      .agg(CountMin.mergeSketches($"st", 64).as("st"))
+      .head.getSeq[Long](0).toArray
+    assert(CountMin.estimate(cmState, "x") === 2L,
+      "CountMin null state must skip")
+  }
+
   test("inclusion–exclusion intersection is exact in the sparse regime") {
     // |A| = 3000, |B| = 3000, |A∩B| = 1000 by construction
     val a = spread(5000).take(3000)

@@ -111,6 +111,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode-bomb headers throw BEFORE allocating (OOM escapes the poison middleware)") {
+    // a tiny blob claiming enormous dimensions must fail the header
+    // check, never reach the pixel allocation: OutOfMemoryError is not
+    // NonFatal, so it would bypass poison routing and kill the
+    // executor on every redelivery — the WAV chunk-walk rule applied
+    // to every uncompressed decoder
+    import java.nio.ByteBuffer
+    def gimg(w: Int, h: Int, c: Int) =
+      ByteBuffer.allocate(13).put("GIMG".getBytes("US-ASCII"))
+        .putInt(w).putInt(h).put(c.toByte).array()
+    // 2^30 x 2^30 x 3 from a 13-byte blob
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(gimg(1 << 30, 1 << 30, 3)); ()
+    }
+    assert(e1.getMessage.contains("GIMG"), e1.getMessage)
+    // Int-overflow shape: w*h*c wraps to a small positive number
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(gimg(65536, 65536, 1)); () // 2^32 wraps to 0
+    }
+    // PPM claiming gigapixels in an 11-byte header + no data
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage("P6\n46341 46341\n255\n".getBytes("US-ASCII")); ()
+    }
+    assert(e2.getMessage.contains("PPM"), e2.getMessage)
+    // BMP with huge declared dims and a 54-byte header
+    val bmp = ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte)
+    bmp.putInt(10, 54) // data offset
+    bmp.putInt(18, 1 << 28); bmp.putInt(22, 1 << 28) // w, h
+    bmp.putShort(28, 24.toShort); bmp.putInt(30, 0)
+    val e3 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(bmp.array()); ()
+    }
+    assert(e3.getMessage.contains("BMP"), e3.getMessage)
+    // GAUD claiming a billion samples in 12 bytes
+    val gaud = ByteBuffer.allocate(12).put("GAUD".getBytes("US-ASCII"))
+      .putInt(44100).putInt(Int.MaxValue).array()
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeAudio(gaud); ()
+    }
+    assert(e4.getMessage.contains("GAUD"), e4.getMessage)
+    // GVID claiming a billion frames in 12 bytes
+    val gvid = ByteBuffer.allocate(12).put("GVID".getBytes("US-ASCII"))
+      .putInt(30).putInt(Int.MaxValue).array()
+    val e5 = intercept[IllegalArgumentException] {
+      MediaCodec.videoFrameOffsets(gvid); ()
+    }
+    assert(e5.getMessage.contains("GVID"), e5.getMessage)
+  }
+
   test("REAL decode: binary PPM with comments parses to exact pixels") {
     // 2x2 RGB: red, green / blue, white — with a header comment
     val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
