@@ -293,13 +293,16 @@ object Bench {
         graft.streaming.StreamingBench.run(spark, nBatches = 2, perBatch = 2000)
         graft.streaming.StreamingBench.runFile(spark, nBatches = 2, perBatch = 2000)
         graft.streaming.StreamingBench.runSql(spark)
+        graft.streaming.StreamingBench.runSqlEpochRate(spark) // full-size warm (the Derby rule)
         val m = graft.streaming.StreamingBench.paired(
           graft.streaming.StreamingBench.run(spark))
         val f = graft.streaming.StreamingBench.paired(
           graft.streaming.StreamingBench.runFile(spark))
         val s = graft.streaming.StreamingBench.paired(
           graft.streaming.StreamingBench.runSql(spark))
-        graft.streaming.StreamingBench.evidenceJson(m, f, s)
+        val e = graft.streaming.StreamingBench.pairedScalar(
+          graft.streaming.StreamingBench.runSqlEpochRate(spark))
+        graft.streaming.StreamingBench.evidenceJson(m, f, s, e)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         ("""{"error":true}""", """{"error":true}""")

@@ -298,12 +298,24 @@ object VectorFunctions {
     *  - centroids re-normalized each round (spherical variant: cosine
     *    assignment = dot on unit vectors); empty clusters keep their
     *    previous centroid.
-    */
+    *
+    * BOUNDED TRAINING SCANS: Lloyd re-estimation reads its input once
+    * per round — unbounded, that is `iters` FULL corpus scans to fit a
+    * k×dim model (3 scans of 100 TB for a 16×64 quantizer). The
+    * trainer therefore runs on a deterministic hash-top-N sample
+    * (`trainSampleN`, floored at 64·k) — the SAME hash order the
+    * seeding has always used, so at corpus sizes ≤ N (every test and
+    * bench scale here) the sample IS the corpus and training is
+    * unchanged, while at 100 TB the per-round cost is bounded by the
+    * sample. The sample materializes ONCE (localCheckpoint,
+    * hash-partitioned for a deterministic layout); rounds iterate over
+    * the pinned copy, never re-reading the corpus. */
   def ivfTrain(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
-      iters: Int = 3): Array[Array[Double]] = {
-    val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
+      iters: Int = 3, trainSampleN: Int = 1 << 17): Array[Array[Double]] = {
+    val vAll = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(unitize(col("v0")).as("v"))
+    val v = trainSample(vAll, math.max(trainSampleN, 64 * k))
     var cents: Array[Array[Double]] = v
       .withColumn("h", xxhash64(col("v").cast("string")))
       .orderBy(col("h")).limit(k)
@@ -325,6 +337,22 @@ object VectorFunctions {
       cents = next
     }
     cents
+  }
+
+  /** Deterministic hash-top-N training sample over a unit-vector frame
+    * with column `v` (the ivfTrain/pqTrain bounded-scan contract):
+    * top-N by the content hash the seeding already orders on, pinned
+    * once so Lloyd rounds never re-read the corpus. Hash-partitioned
+    * after the limit: the global top-N funnels through one task, and
+    * re-spreading by the deterministic hash gives the rounds a stable,
+    * parallel layout. */
+  private def trainSample(vAll: DataFrame, n: Int): DataFrame = {
+    val par = vAll.sparkSession.sparkContext.defaultParallelism
+    vAll.withColumn("h", xxhash64(col("v").cast("string")))
+      .orderBy(col("h")).limit(n)
+      .repartition(par, col("h"))
+      .select(col("v"))
+      .localCheckpoint()
   }
 
   /** Argmax-similarity centroid id for a UNIT vector column. Native
@@ -519,17 +547,21 @@ object VectorFunctions {
     * re-estimate via a single (subspace, code, pos) aggregation — so
     * the per-round cost is one scan + one shuffle regardless of `m`,
     * and the driver only ever holds the m × ksub × dsub model.
-    * Same deterministic lowest-hash init and spherical input
-    * (unit-normalized vectors) as [[ivfTrain]]; empty codes keep
+    * Same deterministic lowest-hash init, spherical input
+    * (unit-normalized vectors), and bounded hash-top-N training sample
+    * as [[ivfTrain]] (floored at 64·ksub — each subspace's k-means sees
+    * the full sample, so one floor covers all m); empty codes keep
     * their previous sub-centroid.
     */
   def pqTrain(vecs: DataFrame, vecCol: String, dim: Int, m: Int,
-      ksub: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
+      ksub: Int = 16, iters: Int = 3,
+      trainSampleN: Int = 1 << 17): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    val v = vecs.select(col(vecCol).cast("array<double>").as("v0"))
+    val vAll = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(unitize(col("v0")).as("v"))
+    val v = trainSample(vAll, math.max(trainSampleN, 64 * ksub))
     // one lowest-hash pass seeds every subspace (sliced per codebook)
     val seed = v.withColumn("h", xxhash64(col("v").cast("string")))
       .orderBy(col("h")).limit(ksub)

@@ -99,8 +99,12 @@ object MediaCodec {
       // bytes must actually be present in the blob — without this, a
       // 13-byte blob claiming 2^30 x 2^30 allocates gigabytes BEFORE
       // any read fails, and the resulting OutOfMemoryError escapes the
-      // poison middleware (an executor death loop, not a dead letter)
+      // poison middleware (an executor death loop, not a dead letter).
+      // Bound w*h FIRST: w.toLong*h can't wrap (≤ 2^62) but w.toLong*h*c
+      // CAN exceed 2^63 for Int-range w,h and c up to 127 — comparing a
+      // wrapped product passes the check it was meant to enforce
       require(w > 0 && h > 0 && c > 0 &&
+        w.toLong * h <= bytes.length - 13L &&
         w.toLong * h * c <= bytes.length - 13L,
         s"corrupt GIMG header: ${w}x$h x$c vs ${bytes.length} blob bytes")
       val px = new Array[Byte](w * h * c); buf.get(px)
@@ -182,9 +186,12 @@ object MediaCodec {
     // decode-bomb guard in LONG space (the GIMG rule): w*h*3 wraps Int
     // for crafted headers — either a gigabyte allocation from a tiny
     // blob (OOM escapes the poison middleware) or a wrapped-small
-    // array under huge declared dimensions
-    require(w.toLong * h * 3 <= bytes.length - pos,
-      s"PPM pixel data short: ${w}x$h needs ${w.toLong * h * 3} bytes, " +
+    // array under huge declared dimensions. Bound w*h FIRST: w.toLong*h
+    // can't wrap (≤ 2^62) but w.toLong*h*3 CAN exceed 2^63 for w,h both
+    // near Int.MaxValue, and the wrapped-negative product would pass
+    require(w.toLong * h <= (bytes.length - pos).toLong &&
+      w.toLong * h * 3 <= bytes.length - pos,
+      s"PPM pixel data short: ${w}x$h needs w*h*3 bytes, " +
         s"blob has ${bytes.length - pos} past the header")
     val px = new Array[Byte](w * h * 3)
     System.arraycopy(bytes, pos, px, 0, px.length)
@@ -207,10 +214,14 @@ object MediaCodec {
     // decode-bomb guard in LONG space (the GIMG rule): header
     // dimensions are untrusted, rows are padded to 4 bytes, and every
     // declared pixel row must be present in the blob before anything
-    // allocates
+    // allocates. Division, not multiplication: rowBytesL*h wraps past
+    // 2^63 for w near Int.MaxValue with h ≳ 1.5e9, and the wrapped-
+    // negative product would pass the ≤ check — h ≤ (len-off)/rowBytesL
+    // is the same bound and can't overflow (the && short-circuit keeps
+    // the division behind w > 0, so rowBytesL ≥ 4 when it runs)
     val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
-    require(w > 0 && h > 0 && dataOffset >= 0 &&
-      dataOffset + rowBytesL * h <= bytes.length,
+    require(w > 0 && h > 0 && dataOffset >= 0 && dataOffset <= bytes.length &&
+      h <= (bytes.length - dataOffset) / rowBytesL,
       s"corrupt BMP header: ${w}x$h rows at offset $dataOffset vs " +
         s"${bytes.length} blob bytes")
     val rowBytes = rowBytesL.toInt
@@ -283,9 +294,12 @@ object MediaCodec {
     // one zlib stream across all IDAT chunks; output = h rows of
     // (1 filter byte + w*channels filtered samples). Dimensions are
     // untrusted IHDR input: (stride+1)*h can wrap for crafted w/h and
-    // allocate a tiny array for huge declared dimensions — guard in
-    // long space before any allocation
-    require((w.toLong * channels + 1) * h <= Int.MaxValue,
+    // allocate a tiny array for huge declared dimensions — guard via
+    // division, not multiplication: (w.toLong*channels+1)*h itself
+    // exceeds 2^63 for w,h both near Int.MaxValue and the wrapped
+    // product would pass the ≤ check (w > 0 is already required, so
+    // the divisor is ≥ 2 and the division can't overflow or divide by 0)
+    require(h <= Int.MaxValue / (w.toLong * channels + 1),
       s"PNG dimensions overflow: ${w}x$h x$channels")
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)

@@ -3625,7 +3625,80 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN rn * n_domains * 2 <= n_total * 3
              |    THEN doc_id ELSE 0 END) AS BIGINT) AS admitted_id_sum
              |FROM r, c
-             |GROUP BY domain ORDER BY domain""".stripMargin))
+             |GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // ---- INCREMENTAL domain quota (q182's cap rule maintained against
+    // stored per-domain admission state — the q147 discipline applied
+    // to curation): the corpus arrives in two slices; slice 0 folds
+    // from empty state (exactly q182 on that slice), slice 1 ranks
+    // ONLY its own rows, offsets each domain's ranks by the state's
+    // consumed slots, and re-evaluates the cap under the UPDATED
+    // totals (N and D grow; admission stays monotone — history is
+    // never un-admitted). The form a continuously-ingesting crawl
+    // actually runs: per-epoch cost scales with the slice, the state
+    // is one row per domain. Scale notes in
+    // [[graft.streaming.DomainQuota]] (window and state join share the
+    // domain hash partitioning; (N, D) is one broadcast scalar) ----
+    QuerySpec("q183_incremental_domain_quota",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat_ws("/", col("source"), col("lang")).as("domain"))
+        // pin the slice-0 state (the production shape: state comes from
+        // STORAGE, not a live subplan — fold 1 reads it three times:
+        // totals, a0 join, final outer join; unpinned, each read
+        // re-derives the whole slice-0 fold). SitePin: deterministic
+        // upstream (md5 rank order), bounded per (session, site).
+        val st0 = graft.operators.Materialize.SitePin("q183.state0")(
+          graft.streaming.DomainQuota.admitIncrement(
+            graft.streaming.DomainQuota.emptyState(s),
+            d.filter(col("doc_id") % 3 =!= 0)))
+        graft.streaming.DomainQuota.admitIncrement(
+            st0, d.filter(col("doc_id") % 3 === 0))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    concat_ws('/', source, lang) AS domain FROM documents),
+             |old AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+             |nw  AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+             |c0 AS (SELECT count(*) AS n0,
+             |    count(DISTINCT domain) AS d0 FROM old),
+             |r0 AS (SELECT doc_id, domain, row_number() OVER (
+             |    PARTITION BY domain
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM old),
+             |st AS (SELECT domain, count(*) AS s_docs,
+             |    CAST(sum(CASE WHEN rn * d0 * 2 <= n0 * 3
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS s_adm,
+             |    CAST(sum(CASE WHEN rn * d0 * 2 <= n0 * 3
+             |      THEN doc_id ELSE 0 END) AS BIGINT) AS s_sum
+             |  FROM r0, c0 GROUP BY domain),
+             |c1 AS (SELECT
+             |    (SELECT coalesce(CAST(sum(s_docs) AS BIGINT), 0) FROM st)
+             |      + (SELECT count(*) FROM nw) AS n1,
+             |    (SELECT count(DISTINCT domain) FROM
+             |      (SELECT domain FROM st
+             |       UNION ALL SELECT domain FROM nw)) AS d1),
+             |r1 AS (SELECT n.doc_id, n.domain,
+             |    coalesce(st.s_adm, 0) AS a0,
+             |    row_number() OVER (PARTITION BY n.domain
+             |      ORDER BY md5(CAST(n.doc_id AS VARCHAR)), n.doc_id) AS rn
+             |  FROM nw n LEFT JOIN st ON n.domain = st.domain),
+             |inc AS (SELECT domain, count(*) AS i_docs,
+             |    CAST(sum(CASE WHEN (a0 + rn) * d1 * 2 <= n1 * 3
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS i_adm,
+             |    CAST(sum(CASE WHEN (a0 + rn) * d1 * 2 <= n1 * 3
+             |      THEN doc_id ELSE 0 END) AS BIGINT) AS i_sum
+             |  FROM r1, c1 GROUP BY domain)
+             |SELECT coalesce(st.domain, inc.domain) AS domain,
+             |  CAST(coalesce(s_docs, 0) + coalesce(i_docs, 0)
+             |    AS BIGINT) AS n_docs,
+             |  CAST(coalesce(s_adm, 0) + coalesce(i_adm, 0)
+             |    AS BIGINT) AS n_admitted,
+             |  CAST(coalesce(s_sum, 0) + coalesce(i_sum, 0)
+             |    AS BIGINT) AS admitted_id_sum
+             |FROM st FULL OUTER JOIN inc ON st.domain = inc.domain
+             |ORDER BY domain""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

@@ -18,7 +18,17 @@ trait Publisher {
     * a micro-batch retried after a sink failure — must not duplicate
     * rows. This is what upgrades foreachBatch from at-least-once to
     * exactly-once (SURVEY §7.4 #5); the default is plain at-least-once
-    * append for transports without an idempotency handle. */
+    * append for transports without an idempotency handle.
+    *
+    * DETERMINISM PRECONDITION (the contract of every idempotent Spark
+    * sink): a replay of the same writerId must produce the same rows in
+    * the same partitions. Structured Streaming satisfies this by
+    * replaying a micro-batch from the same source offsets through the
+    * same plan; a manual caller who re-invokes with the SAME writerId
+    * but a different frame, a changed `spark.sql.shuffle.partitions`,
+    * or AQE toggled across a checkpoint restart breaks it. Transports
+    * with partition-level idempotency (SQL) detect the divergence and
+    * fail loudly rather than silently dropping or duplicating rows. */
   def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit =
     publishBatch(topic, df)
 

@@ -71,7 +71,19 @@ final class SqlPubSub(spark: SparkSession, url: String,
     // — so the default is sized for real-world slow commits under
     // load, not for test latency (tests pass a small explicit value)
     gapTimeoutMs: Long = 30000,
-    log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"))
+    log: graft.core.LoggerAdapter = new graft.core.Slf4jLogger("graft.sql"),
+    // graft_epochs retention: per-partition exactly-once markers accrue
+    // one row per non-empty partition per micro-batch, so a long-running
+    // router grows the table without bound unless swept. Markers older
+    // than `epochRetentionMs` prune automatically at most once per
+    // `epochSweepIntervalMs` (piggybacked on epoch publishes and
+    // subscribeInitialize — zero extra round-trips between sweeps).
+    // The retention default is sized FAR above any redelivery horizon
+    // (a marker pruned too early downgrades a late-retried batch to
+    // at-least-once — same contract as any idempotency-key TTL);
+    // epochRetentionMs <= 0 disables the automatic sweep.
+    epochRetentionMs: Long = 7L * 24 * 3600 * 1000,
+    epochSweepIntervalMs: Long = 10L * 60 * 1000)
   extends PubSub with RoutedPublisher with AckableSubscriber
   with AutoCloseable {
 
@@ -149,7 +161,8 @@ final class SqlPubSub(spark: SparkSession, url: String,
     requireBookkeepable(topic, "topic")
     requireBookkeepable(group, "group")
     withConn(c => initializeImpl(c, topic))
-    initialized.put(topic, true); ()
+    initialized.put(topic, true)
+    maybeSweepEpochs() // lifecycle hook: long-lived routers re-init topics
   }
 
   private def initializeImpl(c: Connection, topic: String): Unit = {
@@ -332,10 +345,21 @@ final class SqlPubSub(spark: SparkSession, url: String,
 
   /** writer_id rides VARCHAR(256) with a "#p<partition>" suffix
     * appended by the per-partition marker keys — bound the caller's id
-    * so the suffixed key can never overflow AFTER delivery started. */
-  private def requireWriterId(writerId: String): Unit =
+    * so the suffixed key can never overflow AFTER delivery started.
+    * The suffix is in-band in the shared `graft_epochs` keyspace, so a
+    * caller-supplied id that ITSELF ends in "#p<digits>" (e.g. "job#p3")
+    * would collide with writer "job"'s partition-3 marker and make the
+    * legacy-marker probe silently skip that caller's entire epoch — a
+    * silent data drop. Router-generated ids end in "-<epochId>" and can
+    * never hit this; the public API rejects the ambiguous shape loudly. */
+  private def requireWriterId(writerId: String): Unit = {
     require(writerId.getBytes("UTF-8").length <= 240,
       s"writerId exceeds the SQL transport's 240-byte limit: '$writerId'")
+    require(!SqlPubSub.PartitionSuffix.matcher(writerId).find(),
+      s"writerId '$writerId' ends in the reserved per-partition marker " +
+        "suffix '#p<digits>' — it would collide with another writer's " +
+        "partition marker in graft_epochs and silently skip an epoch")
+  }
 
   /** Pre-r15 upgrade probe: an epoch fully committed by the old
     * driver-transactional path left ONE whole-epoch marker keyed
@@ -378,6 +402,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
     ensureInitialized(topic)
     ensureEpochTable()
+    maybeSweepEpochs()
     requireWriterId(writerId)
     if (legacyEpochDone(topic, writerId)) return
     val u = url
@@ -413,6 +438,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
       if (topics.nonEmpty) {
         topics.foreach(ensureInitialized) // driver-side DDL before executors write
         ensureEpochTable()
+        maybeSweepEpochs()
         // epochs fully committed by a pre-r15 engine skip wholesale
         val live = topics.filterNot(t => legacyEpochDone(t, writerId))
         if (live.nonEmpty) {
@@ -443,13 +469,41 @@ final class SqlPubSub(spark: SparkSession, url: String,
              |  ${quoted("topic")} VARCHAR(128),
              |  ${quoted("writer_id")} VARCHAR(256),
              |  ${quoted("created_at")} TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+             |  ${quoted("row_count")} BIGINT,
              |  PRIMARY KEY (${quoted("topic")}, ${quoted("writer_id")}))""".stripMargin)
         catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      } else {
+        // pre-r16 table: add the divergence-count column in place (a
+        // NULL count on old markers means "count unknown — existence
+        // check only", the rolling-upgrade rule legacyEpochDone follows)
+        val st = c.createStatement()
+        try { st.executeUpdate(s"""ALTER TABLE ${quoted("graft_epochs")}
+             | ADD COLUMN ${quoted("row_count")} BIGINT""".stripMargin); () }
+        catch { case _: java.sql.SQLException => () } // already migrated
         finally st.close()
       }
     }
     epochTableReady = true
   }
+
+  /** Automatic marker-retention sweep (the class-param contract): runs
+    * [[pruneEpochs]] at most once per `epochSweepIntervalMs`, memoized
+    * like `epochTableReady` so the steady-state cost between sweeps is
+    * one volatile read — never a JDBC round-trip per publish. The
+    * timestamp is claimed BEFORE the delete so concurrent publishers
+    * don't stampede the sweep. */
+  @volatile private var lastEpochSweepMs = 0L
+  private def maybeSweepEpochs(): Unit =
+    if (epochRetentionMs > 0) {
+      val now = System.currentTimeMillis()
+      if (now - lastEpochSweepMs >= epochSweepIntervalMs) {
+        lastEpochSweepMs = now
+        val n = pruneEpochs(epochRetentionMs)
+        if (n > 0) log.info(s"pruned $n epoch markers older than " +
+          s"${epochRetentionMs}ms", Map("pruned" -> n.toString))
+      }
+    }
 
   /** Housekeeping: delete epoch markers older than `olderThanMs`.
     * The marker table otherwise grows one row per micro-batch forever.
@@ -924,6 +978,11 @@ final class SqlPubSub(spark: SparkSession, url: String,
   * partition-parallel. */
 object SqlPubSub {
 
+  /** The reserved in-band per-partition marker key suffix — see
+    * [[SqlPubSub.requireWriterId]]. */
+  private[sources] val PartitionSuffix =
+    java.util.regex.Pattern.compile("#p\\d+$")
+
   private def q(name: String) = "\"" + name + "\""
 
   private def insertSql(tbl: String) =
@@ -946,14 +1005,43 @@ object SqlPubSub {
     finally ps.close()
   }
 
-  private def markerExists(c: Connection, topic: String, key: String): Boolean = {
+  /** Stamp the committed row count onto an open transaction's marker
+    * (inserted NULL, updated once the partition iterator is drained —
+    * both commit atomically, so a visible marker either carries its
+    * exact count or a NULL from a pre-r16 engine). */
+  private def setMarkerCount(c: Connection, topic: String, key: String,
+      n: Long): Unit = {
     val ps = c.prepareStatement(
-      s"""SELECT 1 FROM ${q("graft_epochs")}
+      s"""UPDATE ${q("graft_epochs")} SET ${q("row_count")} = ?
          |WHERE ${q("topic")} = ? AND ${q("writer_id")} = ?""".stripMargin)
     try {
-      ps.setString(1, topic); ps.setString(2, key)
+      ps.setLong(1, n); ps.setString(2, topic); ps.setString(3, key)
+      ps.executeUpdate(); ()
+    } finally ps.close()
+  }
+
+  /** Every destination the committed attempt of partition key `key`
+    * touched, with its committed row count (None = pre-r16 marker,
+    * count unknown). ONE query replaces a per-destination probe loop —
+    * keys are exact (the "#p<pid>" suffix is reserved by
+    * requireWriterId, so no foreign writerId can alias into this set). */
+  private def committedMarkers(c: Connection,
+      key: String): Map[String, Option[Long]] = {
+    val ps = c.prepareStatement(
+      s"""SELECT ${q("topic")}, ${q("row_count")} FROM ${q("graft_epochs")}
+         |WHERE ${q("writer_id")} = ?""".stripMargin)
+    try {
+      ps.setString(1, key)
       val rs = ps.executeQuery()
-      try rs.next() finally rs.close()
+      try {
+        val b = Map.newBuilder[String, Option[Long]]
+        while (rs.next()) {
+          val t = rs.getString(1)
+          val n = rs.getLong(2)
+          b += t -> (if (rs.wasNull()) None else Some(n))
+        }
+        b.result()
+      } finally rs.close()
     } finally ps.close()
   }
 
@@ -985,25 +1073,56 @@ object SqlPubSub {
     * marker (topic, writerId#p<pid>) + rows, one transaction. Rows are
     * the pre-projected (uuid, metadata-json, payload, ts) shape. Empty
     * partitions write nothing (and no marker — a deterministic replay
-    * of an empty partition re-inserts nothing). */
+    * of an empty partition re-inserts nothing).
+    *
+    * Divergent-replay guard (the routed path's rule, applied here):
+    * the marker stores the partition's committed ROW COUNT, and a dup
+    * partition re-counts its replayed rows against it — a replay whose
+    * partitioning changed across a checkpoint restart (different
+    * spark.sql.shuffle.partitions, AQE toggled) would otherwise
+    * silently duplicate rows in fresh partition ids while the dup ids
+    * skip their changed contents. A count mismatch fails LOUDLY.
+    * Pre-r16 markers carry a NULL count and keep the existence-only
+    * check (rolling upgrade). */
   private[sources] def writeEpochPartition(url: String, tbl: String,
       topic: String, writerId: String,
       it: Iterator[org.apache.spark.sql.Row]): Unit = {
     if (!it.hasNext) return
     val pid = org.apache.spark.TaskContext.getPartitionId()
+    val key = s"$writerId#p$pid"
     withPartitionTxn(url) { c =>
-      if (insertMarker(c, topic, s"$writerId#p$pid")) {
+      if (insertMarker(c, topic, key)) {
         val ins = c.prepareStatement(insertSql(tbl))
+        var n = 0L
         try {
           var pending = 0
           it.foreach { r =>
-            addRow(ins, r); pending += 1
+            addRow(ins, r); pending += 1; n += 1
             if (pending >= 1000) { ins.executeBatch(); pending = 0 }
           }
           if (pending > 0) ins.executeBatch()
         } finally ins.close()
+        setMarkerCount(c, topic, key, n)
         c.commit()
-      } else c.rollback() // this partition already committed: clean skip
+      } else {
+        // prior commit: roll back FIRST (a constraint hit aborts the
+        // whole transaction on engines like PostgreSQL — any statement
+        // inside an aborted transaction throws), THEN verify the replay
+        // matches what was committed
+        c.rollback()
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        committedMarkers(c, key).get(topic).flatten.foreach { committed =>
+          if (committed != n)
+            throw new IllegalStateException(
+              s"epoch replay diverged on partition $pid of writer " +
+                s"'$writerId' for topic '$topic': the committed attempt " +
+                s"wrote $committed rows but the replay produced $n — " +
+                "the sink's determinism precondition (same rows in the " +
+                "same partitions on replay) was broken, refusing to " +
+                "silently drop the difference")
+        }
+      }
     }
   }
 
@@ -1026,12 +1145,14 @@ object SqlPubSub {
     withPartitionTxn(url) { c =>
       val stmts = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
       val seen = scala.collection.mutable.Set.empty[String]
+      val counts = scala.collection.mutable.Map.empty[String, Long]
       var fresh = 0
       var dup = false
       try {
         while (it.hasNext && !(dup && fresh == 0)) {
           val r = it.next()
           val t = r.getString(4)
+          counts.update(t, counts.getOrElse(t, 0L) + 1)
           if (seen.add(t)) {
             if (insertMarker(c, t, key)) fresh += 1 else dup = true
             if (dup && fresh > 0)
@@ -1049,21 +1170,40 @@ object SqlPubSub {
           // prior commit: roll back FIRST (a constraint hit aborts the
           // whole transaction on engines like PostgreSQL, and any
           // statement inside an aborted transaction throws — Derby's
-          // statement-level abort is the lenient case), THEN verify
-          // every REMAINING destination's marker exists too (all
-          // markers committed atomically, so a miss means a divergent
-          // replay — loud, never a silent drop)
+          // statement-level abort is the lenient case), THEN verify the
+          // replay against the committed attempt. All of a partition's
+          // markers committed atomically, so ONE writer_id-keyed query
+          // yields the full committed (destination → row count) map:
+          // a replay destination that was never committed, a committed
+          // destination missing from the replay, or a per-destination
+          // count mismatch all mean broken sink determinism — loud,
+          // never a silent drop or duplicate
           c.rollback()
           while (it.hasNext) {
             val t = it.next().getString(4)
-            if (seen.add(t) && !markerExists(c, t, key))
-              throw new IllegalStateException(
-                s"routed epoch replay diverged on partition $pid of " +
-                  s"writer '$writerId': destination '$t' appears in the " +
-                  "replay but was not part of the committed attempt")
+            counts.update(t, counts.getOrElse(t, 0L) + 1)
+          }
+          val committed = committedMarkers(c, key)
+          def diverged(what: String): Nothing =
+            throw new IllegalStateException(
+              s"routed epoch replay diverged on partition $pid of " +
+                s"writer '$writerId': $what — the replay produced " +
+                "different partition contents than the committed attempt")
+          counts.keysIterator.foreach { t =>
+            if (!committed.contains(t))
+              diverged(s"destination '$t' appears in the replay but was " +
+                "not part of the committed attempt")
+          }
+          committed.foreach { case (t, n) =>
+            if (!counts.contains(t))
+              diverged(s"committed destination '$t' is missing from the replay")
+            n.foreach(c0 => if (c0 != counts(t))
+              diverged(s"destination '$t' committed $c0 rows but the " +
+                s"replay produced ${counts(t)}"))
           }
         } else {
           stmts.valuesIterator.foreach(_.executeBatch())
+          counts.foreach { case (t, n) => setMarkerCount(c, t, key, n) }
           c.commit()
         }
       } finally stmts.valuesIterator.foreach(s =>

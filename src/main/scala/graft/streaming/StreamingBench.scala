@@ -69,27 +69,50 @@ object StreamingBench {
       ratio(p1, p2), ratio(s1, s2), passes, extra)
   }
 
+  /** Best-of-2 (+contamination third pass) for a single-scalar path —
+    * the epoch-publish row, which has no subscribe half (its read side
+    * is runSql's poller, already measured). Same pair-ratio defense as
+    * [[paired]]. */
+  final case class ScalarRate(rate: Double, pairRatio: Double,
+      passes: Seq[Double], extraPass: Boolean = false)
+
+  def pairedScalar(f: => Double): ScalarRate = {
+    def ratio(x: Double, y: Double): Double =
+      if (math.min(x, y) <= 0) 9999.99
+      else math.max(x, y) / math.min(x, y)
+    val a = f; val b = f
+    val extra = ratio(a, b) > metricPairRatioGate
+    val passes = if (extra) Seq(a, b, f) else Seq(a, b)
+    val s = passes.sorted.reverse
+    ScalarRate(s(0), ratio(s(0), s(1)), passes, extra)
+  }
+
   /** (full, compact) streaming-evidence JSON for the three transport
-    * paths. Pure string builders so StreamingBenchSpec pins the key
-    * set, the ratio arithmetic, and the contamination rule without
-    * running the transports. Verdict rule: the MEDIAN of the six
-    * per-metric pair ratios > 1.5 — a single-path transient keeps the
-    * median clean, while machine-wide load that touched most passes
-    * trips it, telling the consumer not to bank the absolute rates. */
-  def evidenceJson(m: Paired, f: Paired, s: Paired): (String, String) = {
+    * paths plus the exactly-once epoch publish row. Pure string
+    * builders so StreamingBenchSpec pins the key set, the ratio
+    * arithmetic, and the contamination rule without running the
+    * transports. Verdict rule: the MEDIAN of the seven per-metric pair
+    * ratios > 1.5 — a single-path transient keeps the median clean,
+    * while machine-wide load that touched most passes trips it, telling
+    * the consumer not to bank the absolute rates. */
+  def evidenceJson(m: Paired, f: Paired, s: Paired,
+      e: ScalarRate): (String, String) = {
     val ratios = Seq(m.pubPairRatio, m.subPairRatio, f.pubPairRatio,
-      f.subPairRatio, s.pubPairRatio, s.subPairRatio).sorted
-    // true median of the even-count list (average of the two middles):
-    // the upper-middle alone would let a single degenerate path flip
-    // the contamination verdict the key name promises a median for
-    val median = (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+      f.subPairRatio, s.pubPairRatio, s.subPairRatio, e.pairRatio).sorted
+    // true median for either parity (the even-count form averages the
+    // two middles): a single degenerate path must not flip the
+    // contamination verdict the key name promises a median for
+    val median =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val contaminated = median > 1.5
     def passJson(p: Paired, sel: Result => Double): String =
       p.passes.map(r => f"${sel(r)}%.0f").mkString("[", ",", "]")
+    val epochPasses = e.passes.map(r => f"$r%.0f").mkString("[", ",", "]")
     val full =
-      f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f,"pair_ratios":{"pub":${m.pubPairRatio}%.2f,"sub":${m.subPairRatio}%.2f,"file_pub":${f.pubPairRatio}%.2f,"file_sub":${f.subPairRatio}%.2f,"sql_pub":${s.pubPairRatio}%.2f,"sql_sub":${s.subPairRatio}%.2f},"passes":{"pub":${passJson(m, _.publishMsgsPerSec)},"sub":${passJson(m, _.subscribeMsgsPerSec)},"file_pub":${passJson(f, _.publishMsgsPerSec)},"file_sub":${passJson(f, _.subscribeMsgsPerSec)},"sql_pub":${passJson(s, _.publishMsgsPerSec)},"sql_sub":${passJson(s, _.subscribeMsgsPerSec)}},"extra_pass":{"mem":${m.extraPass},"file":${f.extraPass},"sql":${s.extraPass}},"median_pair_ratio":$median%.2f,"contaminated":$contaminated}"""
+      f"""{"messages":${m.messages},"batches":${m.batches},"publish_msgs_per_sec":${m.publishMsgsPerSec}%.0f,"subscribe_msgs_per_sec":${m.subscribeMsgsPerSec}%.0f,"file_publish_msgs_per_sec":${f.publishMsgsPerSec}%.0f,"file_subscribe_msgs_per_sec":${f.subscribeMsgsPerSec}%.0f,"sql_publish_msgs_per_sec":${s.publishMsgsPerSec}%.0f,"sql_subscribe_msgs_per_sec":${s.subscribeMsgsPerSec}%.0f,"sql_epoch_publish_msgs_per_sec":${e.rate}%.0f,"pair_ratios":{"pub":${m.pubPairRatio}%.2f,"sub":${m.subPairRatio}%.2f,"file_pub":${f.pubPairRatio}%.2f,"file_sub":${f.subPairRatio}%.2f,"sql_pub":${s.pubPairRatio}%.2f,"sql_sub":${s.subPairRatio}%.2f,"sql_epoch_pub":${e.pairRatio}%.2f},"passes":{"pub":${passJson(m, _.publishMsgsPerSec)},"sub":${passJson(m, _.subscribeMsgsPerSec)},"file_pub":${passJson(f, _.publishMsgsPerSec)},"file_sub":${passJson(f, _.subscribeMsgsPerSec)},"sql_pub":${passJson(s, _.publishMsgsPerSec)},"sql_sub":${passJson(s, _.subscribeMsgsPerSec)},"sql_epoch_pub":$epochPasses},"extra_pass":{"mem":${m.extraPass},"file":${f.extraPass},"sql":${s.extraPass},"sql_epoch":${e.extraPass}},"median_pair_ratio":$median%.2f,"contaminated":$contaminated}"""
     val compact =
-      f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f,"spr":$median%.2f,"sc":$contaminated}"""
+      f"""{"pub":${m.publishMsgsPerSec}%.0f,"sub":${m.subscribeMsgsPerSec}%.0f,"fp":${f.publishMsgsPerSec}%.0f,"fs":${f.subscribeMsgsPerSec}%.0f,"qp":${s.publishMsgsPerSec}%.0f,"qs":${s.subscribeMsgsPerSec}%.0f,"qe":${e.rate}%.0f,"spr":$median%.2f,"sc":$contaminated}"""
     (full, compact)
   }
 
@@ -194,6 +217,43 @@ object StreamingBench {
         require(received.sum == n, s"sql sink saw ${received.sum} of $n")
         Result(n, nBatches, n / pubSec, n / subSec)
       } finally q.stop()
+    } finally { ps.close(); dropDb() }
+  }
+
+  /** Exactly-once epoch-publish throughput — the router's DEFAULT SQL
+    * sink path ([[graft.sources.SqlPubSub.publishEpoch]]: per-partition
+    * transactions, rows + marker committed together, no driver funnel).
+    * Measured at 8 partitions so the number reflects the
+    * executor-parallel shape, reported beside the at-least-once
+    * `publishBatch` row (sql_pub) it upgraded. Publish-only: the read
+    * side is runSql's poller, already measured. The delivery check
+    * (every row actually landed, exactly once) runs OUTSIDE the timed
+    * window. */
+  def runSqlEpochRate(spark: SparkSession, nBatches: Int = 5,
+      perBatch: Int = 4000): Double = {
+    import spark.implicits._
+    val db = s"graftepoch${System.nanoTime()}"
+    val ps = new graft.sources.SqlPubSub(spark,
+      s"jdbc:derby:memory:$db;create=true")
+    def dropDb(): Unit =
+      try { java.sql.DriverManager.getConnection(
+        s"jdbc:derby:memory:$db;drop=true"); () }
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+    try {
+      ps.subscribeInitialize("bench")
+      val payload = Array.fill[Byte](16)(7)
+      val ts = new Timestamp(1700000000000L)
+      val n = nBatches.toLong * perBatch
+      val p0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        ps.publishEpoch("bench", (0 until perBatch)
+          .map(i => Message(s"$b-$i", Map.empty, payload, ts)).toDF()
+          .repartition(8), writerId = s"bench-w-$b")
+      }
+      val pubSec = (System.nanoTime() - p0) / 1e9
+      val cnt = ps.subscribeBatch("bench").count()
+      require(cnt == n, s"epoch publish delivered $cnt of $n")
+      n / pubSec
     } finally { ps.close(); dropDb() }
   }
 

@@ -58,4 +58,41 @@ class IvfSpec extends SparkSpec {
     }
     assert(run() == run())
   }
+
+  test("bounded-sample training (N << corpus) keeps recall within the full-training bound") {
+    // the 100 TB regime: Lloyd re-estimation reads only the
+    // deterministic hash-top-N sample, never the full corpus per
+    // round. Quality contract: the quantizer trained on a strict
+    // subset (trainSampleN floored at 64·k = 256 of 512 vectors) cells
+    // the space well enough that search recall stays within the
+    // full-corpus-trained model's bound.
+    val big = (0 until 512).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") < 8)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val brute = topSets(VectorFunctions.bruteForceTopK(queries, big,
+      "vec_id", "embedding", k = 5))
+    def recall(cents: Array[Array[Double]]): Double = {
+      val ivf = topSets(VectorFunctions.ivfTopK(queries, big, "vec_id",
+        "embedding", dim, k = 5, cents, nProbes = 2))
+      val hits = brute.map { case (q, b) => (ivf.getOrElse(q, Set.empty) & b).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val full = VectorFunctions.ivfTrain(big, "embedding", dim, k = 4,
+      iters = 2) // default sample >> 512: trains on the whole corpus
+    val sampled = VectorFunctions.ivfTrain(big, "embedding", dim, k = 4,
+      iters = 2, trainSampleN = 1) // floors to 64*4 = 256, a strict subset
+    val (rFull, rSampled) = (recall(full), recall(sampled))
+    assert(rSampled >= rFull - 0.15,
+      f"sampled-training recall $rSampled%.2f fell more than 0.15 below full-training $rFull%.2f")
+    assert(rSampled >= 0.5, f"sampled-training recall degenerate: $rSampled%.2f")
+    // the sampled model is just as deterministic as the full one
+    val sampled2 = VectorFunctions.ivfTrain(big, "embedding", dim, k = 4,
+      iters = 2, trainSampleN = 1)
+    assert(sampled.map(_.toSeq).toSeq == sampled2.map(_.toSeq).toSeq)
+  }
 }

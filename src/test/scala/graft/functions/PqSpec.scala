@@ -104,6 +104,40 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall@3 at refine=4 fell to $recall%.2f ($hits/$total)")
   }
 
+  test("bounded-sample training (N << corpus) keeps ADC recall within the full-training bound") {
+    // same contract as IvfSpec's bounded-sample row: codebooks fitted
+    // on the deterministic hash-top-N subset (floored at 64·ksub = 512
+    // of 700 vectors) must not tank practical-regime recall
+    val big = (0 until 700).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") < 8)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val brute = topSets(VectorFunctions.bruteForceTopK(queries, big,
+      "vec_id", "embedding", k = 3))
+    def recall(books: Array[Array[Array[Double]]]): Double = {
+      val pq = topSets(VectorFunctions.pqTopK(queries, big, "vec_id",
+        "embedding", dim, k = 3, books, refine = 8))
+      val hits = brute.map { case (q, b) => (pq.getOrElse(q, Set.empty) & b).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val full = VectorFunctions.pqTrain(big, "embedding", dim, m = 4,
+      ksub = 8, iters = 2) // default sample >> 700: the whole corpus
+    val sampled = VectorFunctions.pqTrain(big, "embedding", dim, m = 4,
+      ksub = 8, iters = 2, trainSampleN = 1) // floors to 64*8 = 512
+    val (rFull, rSampled) = (recall(full), recall(sampled))
+    // the contract is RELATIVE: codes from subset-fitted books must not
+    // lose materially more than full-corpus-fitted ones (absolute
+    // recall on this dense sin-lattice corpus is codebook-resolution
+    // bound — 2-dim subspaces at ksub=8 — for BOTH trainings alike)
+    assert(rSampled >= rFull - 0.15,
+      f"sampled-training recall $rSampled%.2f fell more than 0.15 below full-training $rFull%.2f")
+    assert(rSampled > 0.2, f"sampled-training recall degenerate: $rSampled%.2f (full: $rFull%.2f)")
+  }
+
   test("codebook training and search are deterministic across runs") {
     def run() = {
       val books = VectorFunctions.pqTrain(corpus, "embedding", dim, m = 4,

@@ -161,6 +161,54 @@ class MultimodalSpec extends SparkSpec {
     assert(e5.getMessage.contains("GVID"), e5.getMessage)
   }
 
+  test("decode-bomb guards survive LONG-space overflow (wrapped product must not pass)") {
+    // The r15 guards compared a Long product against the blob length —
+    // but the PRODUCT ITSELF can exceed 2^63 for Int-range dimensions
+    // and wrap negative, sailing through the ≤ check into an Int-space
+    // allocation of up to ~2 GB from a tiny blob (the exact
+    // OOM-escapes-poison class the guards exist to block). Each shape
+    // below wrapped past 2^63 under the r15 multiply-then-compare form.
+    import java.nio.ByteBuffer
+    def gimg(w: Int, h: Int, c: Int) =
+      ByteBuffer.allocate(13).put("GIMG".getBytes("US-ASCII"))
+        .putInt(w).putInt(h).put(c.toByte).array()
+    // GIMG: (2^31-1)^2 * 3 ≈ 1.38e19 wraps negative in Long
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(gimg(Int.MaxValue, Int.MaxValue, 3)); ()
+    }
+    assert(e1.getMessage.contains("GIMG"), e1.getMessage)
+    // PPM: same product shape via the ASCII header
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(
+        s"P6\n${Int.MaxValue} ${Int.MaxValue}\n255\n".getBytes("US-ASCII")); ()
+    }
+    assert(e2.getMessage.contains("PPM"), e2.getMessage)
+    // BMP (the advisory shape): w = Int.MaxValue → rowBytesL ≈ 6.4e9;
+    // h = 1.5e9 → rowBytesL*h ≈ 9.7e18 > Long.MaxValue, wraps negative
+    val bmp = ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte)
+    bmp.putInt(10, 54)
+    bmp.putInt(18, Int.MaxValue); bmp.putInt(22, 1500000000)
+    bmp.putShort(28, 24.toShort); bmp.putInt(30, 0)
+    val e3 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(bmp.array()); ()
+    }
+    assert(e3.getMessage.contains("BMP"), e3.getMessage)
+    // PNG: IHDR claiming Int.MaxValue² RGB — (w*3+1)*h ≈ 1.38e19 wraps
+    val png = ByteBuffer.allocate(8 + 25 + 12)
+    png.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    png.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(Int.MaxValue).putInt(Int.MaxValue)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .putInt(0) // CRC (not verified by the decoder)
+    png.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodec.decodeImage(png.array()); ()
+    }
+    assert(e4.getMessage.contains("PNG"), e4.getMessage)
+  }
+
   test("REAL decode: binary PPM with comments parses to exact pixels") {
     // 2x2 RGB: red, green / blue, white — with a header comment
     val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")

@@ -288,6 +288,176 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("writerIds ending in the reserved #p<digits> suffix are rejected at the API edge") {
+    // the per-partition marker keys are in-band (writerId + "#p<pid>")
+    // in the shared graft_epochs keyspace: a caller-supplied "job#p3"
+    // would collide with writer "job"'s partition-3 marker and make
+    // legacyEpochDone silently skip the caller's entire epoch
+    val ps = new SqlPubSub(spark, url("sqlwid"))
+    try {
+      def frame(us: String*) = us.map(u => msg(u, u)).toDF()
+      val e = intercept[IllegalArgumentException] {
+        ps.publishEpoch("t_wid", frame("a"), writerId = "job#p3")
+      }
+      assert(e.getMessage.contains("#p"), e.getMessage)
+      val routed = Seq(("r1", "t_wid"))
+        .map { case (u, t) => (u, Map.empty[String, String], u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t) }
+        .toDF("uuid", "metadata", "payload", "ts", "_topic")
+      intercept[IllegalArgumentException] {
+        ps.publishRoutedEpoch(routed, "_topic", writerId = "job#p12")
+      }
+      // '#p' NOT followed by trailing digits is unambiguous and stays legal
+      ps.publishEpoch("t_wid", frame("ok"), writerId = "job#party")
+      assert(ps.subscribeBatch("t_wid").count() == 1)
+    } finally ps.close()
+  }
+
+  test("plain epoch: a replay with different partition contents fails loudly (count guard)") {
+    // the partitioning-drift shape: spark.sql.shuffle.partitions changed
+    // or AQE toggled across a checkpoint restart, so a replayed
+    // partition id carries DIFFERENT rows than its committed attempt —
+    // a naive marker skip would silently drop the difference
+    val dbUrl = url("sqlediv")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_ed")
+      ps.publishEpoch("t_ed", Seq(msg("seed", "s")).toDF(), "w-seed") // creates tables
+      def rows(us: String*) = us.map(u =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))).iterator
+      val tbl = "graft_t_t_ed"
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_ed", "w-d", rows("a", "b"))
+      // clean replay, same contents: silent skip
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_ed", "w-d", rows("a", "b"))
+      assert(ps.subscribeBatch("t_ed").count() == 3) // seed + a + b
+      // divergent replay: same partition id, different contents
+      val e = intercept[IllegalStateException] {
+        SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_ed", "w-d", rows("a", "b", "c"))
+      }
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      assert(ps.subscribeBatch("t_ed").count() == 3,
+        "divergent replay must write nothing")
+      // pre-r16 marker (NULL row_count): existence-only skip — a
+      // rolling upgrade must not false-positive on old markers
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val st = c.prepareStatement(
+          """INSERT INTO "graft_epochs" ("topic", "writer_id") VALUES (?, ?)""")
+        try { st.setString(1, "t_ed"); st.setString(2, "w-old#p0"); st.executeUpdate(); () }
+        finally st.close()
+      } finally c.close()
+      SqlPubSub.writeEpochPartition(dbUrl, tbl, "t_ed", "w-old", rows("z1", "z2"))
+      assert(ps.subscribeBatch("t_ed").count() == 3,
+        "pre-r16 marker must still dedupe (existence-only)")
+    } finally ps.close()
+  }
+
+  test("routed epoch: per-destination count and destination-set drift fail loudly") {
+    val dbUrl = url("sqlrcnt")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_rc")
+      ps.subscribeInitialize("t_rc2")
+      ps.publishEpoch("t_rc", Seq(msg("seed", "s")).toDF(), "w-seed")
+      val tables = Map("t_rc" -> "graft_t_t_rc", "t_rc2" -> "graft_t_t_rc2")
+      def routedRows(pairs: (String, String)*) = pairs.map { case (u, t) =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t)
+      }.iterator
+      // attempt commits {t_rc: 2 rows, t_rc2: 1 row}
+      SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-m",
+        routedRows("x" -> "t_rc", "y" -> "t_rc", "z" -> "t_rc2"))
+      // clean replay: identical shape — silent skip
+      SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-m",
+        routedRows("x" -> "t_rc", "y" -> "t_rc", "z" -> "t_rc2"))
+      assert(ps.subscribeBatch("t_rc").count() == 3)  // seed + x + y
+      assert(ps.subscribeBatch("t_rc2").count() == 1) // z
+      // count drift: t_rc committed 2 rows, replay carries 1
+      val e1 = intercept[IllegalStateException] {
+        SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-m",
+          routedRows("x" -> "t_rc", "z" -> "t_rc2"))
+      }
+      assert(e1.getMessage.contains("committed 2 rows"), e1.getMessage)
+      // destination-set drift: committed destination missing from replay
+      val e2 = intercept[IllegalStateException] {
+        SqlPubSub.writeRoutedEpochPartition(dbUrl, tables, "w-m",
+          routedRows("x" -> "t_rc", "y" -> "t_rc"))
+      }
+      assert(e2.getMessage.contains("missing from the replay"), e2.getMessage)
+      assert(ps.subscribeBatch("t_rc").count() == 3)
+      assert(ps.subscribeBatch("t_rc2").count() == 1)
+    } finally ps.close()
+  }
+
+  test("epoch dup-replay probe ordering survives PostgreSQL-style transaction abort (fault injection)") {
+    // Derby aborts only the failing STATEMENT; PostgreSQL aborts the
+    // whole transaction — any statement between the duplicate-key hit
+    // and rollback() throws 25P02. The shim enforces the strict
+    // semantics, so a misordered probe fails THIS test even though
+    // plain Derby tolerates it.
+    AbortSimDriver.ensureRegistered()
+    val derbyUrl = url("sqlabort")
+    val simUrl = AbortSimDriver.Prefix + derbyUrl.substring("jdbc:".length)
+    val ps = new SqlPubSub(spark, derbyUrl)
+    try {
+      ps.subscribeInitialize("t_ab")
+      ps.subscribeInitialize("t_ab2")
+      ps.publishEpoch("t_ab", Seq(msg("seed", "s")).toDF(), "w-seed") // creates graft_epochs
+      def rows(us: String*) = us.map(u =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))).iterator
+      def routedRows(pairs: (String, String)*) = pairs.map { case (u, t) =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t)
+      }.iterator
+      // plain path: fresh attempt, then a dup replay THROUGH THE SHIM —
+      // the marker PK hit aborts the transaction; the writer must
+      // rollback FIRST, then run its divergence probes
+      SqlPubSub.writeEpochPartition(simUrl, "graft_t_t_ab", "t_ab", "w-a", rows("a", "b"))
+      SqlPubSub.writeEpochPartition(simUrl, "graft_t_t_ab", "t_ab", "w-a", rows("a", "b"))
+      assert(ps.subscribeBatch("t_ab").count() == 3) // seed + a + b, no dup
+      // routed path: dup-first replay through the shim, multi-destination
+      val tables = Map("t_ab" -> "graft_t_t_ab", "t_ab2" -> "graft_t_t_ab2")
+      SqlPubSub.writeRoutedEpochPartition(simUrl, tables, "w-r",
+        routedRows("x" -> "t_ab", "y" -> "t_ab2"))
+      SqlPubSub.writeRoutedEpochPartition(simUrl, tables, "w-r",
+        routedRows("x" -> "t_ab", "y" -> "t_ab2"))
+      assert(ps.subscribeBatch("t_ab").count() == 4)  // + x, no dup
+      assert(ps.subscribeBatch("t_ab2").count() == 1) // y, no dup
+    } finally ps.close()
+  }
+
+  test("automatic marker sweep bounds graft_epochs while replay inside the horizon still dedupes") {
+    val dbUrl = url("sqlsweep")
+    // sweep on every publish; markers older than 2s prune
+    val ps = new SqlPubSub(spark, dbUrl,
+      epochRetentionMs = 2000, epochSweepIntervalMs = 0)
+    try {
+      def frame(u: String) = Seq(msg(u, u)).toDF()
+      def markerCount(): Int = {
+        val c = java.sql.DriverManager.getConnection(dbUrl)
+        try {
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery("""SELECT COUNT(*) FROM "graft_epochs"""")
+            try { rs.next(); rs.getInt(1) } finally rs.close()
+          } finally st.close()
+        } finally c.close()
+      }
+      // a long-running router's micro-batches: distinct writer ids
+      (0 until 6).foreach(i => ps.publishEpoch("t_sw", frame(s"m$i"), s"w-$i"))
+      // replay INSIDE the horizon (the marker is fresh): still dedupes
+      ps.publishEpoch("t_sw", frame("m5"), "w-5")
+      assert(ps.subscribeBatch("t_sw").count() == 6, "in-horizon replay duplicated")
+      Thread.sleep(2300) // age every marker past the retention horizon
+      ps.publishEpoch("t_sw", frame("m6"), "w-6") // publish triggers the sweep
+      val after = markerCount()
+      assert(after <= 2, s"marker table unbounded after sweep: $after rows")
+      assert(ps.subscribeBatch("t_sw").count() == 7)
+    } finally ps.close()
+  }
+
   test("an epoch committed by a pre-r15 whole-epoch marker skips wholesale on replay") {
     val dbUrl = url("sqllegacy")
     val ps = new SqlPubSub(spark, dbUrl)

@@ -46,35 +46,66 @@ class StreamingBenchSpec extends SparkSpec {
     assert(p.passes.size == 3)
   }
 
+  test("pairedScalar takes best-of-2, reruns over the gate, ratios the two cleanest") {
+    var n = 0
+    val clean = StreamingBench.pairedScalar { n += 1; if (n == 1) 1000.0 else 990.0 }
+    assert(n == 2 && clean.rate == 1000.0 && !clean.extraPass)
+    assert(clean.pairRatio < 1.02)
+    n = 0
+    val dirty = StreamingBench.pairedScalar {
+      n += 1
+      n match { case 1 => 1000.0; case 2 => 100.0; case _ => 980.0 }
+    }
+    assert(n == 3, "over-gate scalar must trigger a third pass")
+    assert(dirty.extraPass && dirty.rate == 1000.0)
+    assert(dirty.pairRatio < 1.1,
+      s"ratio must use the two cleanest samples, got ${dirty.pairRatio}")
+  }
+
   test("evidenceJson carries pair ratios and a median-based contamination verdict") {
     def pr(pub: Double, sub: Double, pubR: Double, subR: Double) =
       StreamingBench.Paired(100, 2, pub, sub, pubR, subR,
         Seq(StreamingBench.Result(100, 2, pub / pubR, sub / subR),
           StreamingBench.Result(100, 2, pub, sub)))
+    def er(rate: Double, ratio: Double) =
+      StreamingBench.ScalarRate(rate, ratio, Seq(rate / ratio, rate))
     // clean run: ratios near 1 -> not contaminated
     val (fullClean, compactClean) = StreamingBench.evidenceJson(
-      pr(5e6, 4e5, 1.05, 1.10), pr(9e4, 3e5, 1.02, 1.20), pr(1e4, 4e4, 1.01, 1.30))
+      pr(5e6, 4e5, 1.05, 1.10), pr(9e4, 3e5, 1.02, 1.20), pr(1e4, 4e4, 1.01, 1.30),
+      er(8e3, 1.08))
     assert(fullClean.contains("\"contaminated\":false"))
     assert(fullClean.contains("\"pair_ratios\":{"))
     assert(fullClean.contains("\"passes\":{"))
+    // the epoch-publish row rides beside sql_pub in both forms
+    assert(fullClean.contains("\"sql_epoch_publish_msgs_per_sec\":8000"))
+    assert(fullClean.contains("\"sql_epoch_pub\":1.08"))
+    assert(compactClean.contains("\"qe\":8000"))
     // the per-metric gate's verdict is IN the artifact per path
-    assert(fullClean.contains("\"extra_pass\":{\"mem\":false,\"file\":false,\"sql\":false}"))
+    assert(fullClean.contains(
+      "\"extra_pass\":{\"mem\":false,\"file\":false,\"sql\":false,\"sql_epoch\":false}"))
     assert(compactClean.contains("\"sc\":false"))
     assert(compactClean.contains("\"spr\":"))
     // sustained load: most metrics scattered >1.5x -> contaminated,
     // even though one path stayed clean (median rule)
     val (fullDirty, compactDirty) = StreamingBench.evidenceJson(
-      pr(5e6, 4e5, 2.1, 1.9), pr(9e4, 3e5, 1.8, 2.4), pr(1e4, 4e4, 1.05, 1.7))
+      pr(5e6, 4e5, 2.1, 1.9), pr(9e4, 3e5, 1.8, 2.4), pr(1e4, 4e4, 1.05, 1.7),
+      er(8e3, 1.9))
     assert(fullDirty.contains("\"contaminated\":true"))
     assert(compactDirty.contains("\"sc\":true"))
     // one-path transient: a single wild ratio keeps the median clean
     val (_, compactSingle) = StreamingBench.evidenceJson(
-      pr(5e6, 4e5, 9.0, 1.1), pr(9e4, 3e5, 1.0, 1.1), pr(1e4, 4e4, 1.1, 1.2))
+      pr(5e6, 4e5, 9.0, 1.1), pr(9e4, 3e5, 1.0, 1.1), pr(1e4, 4e4, 1.1, 1.2),
+      er(8e3, 1.05))
     assert(compactSingle.contains("\"sc\":false"))
     // structural: both forms are balanced single JSON objects
     Seq(fullClean, compactClean, fullDirty, compactDirty).foreach { j =>
       assert(j.count(_ == '{') == j.count(_ == '}'))
       assert(j.count(_ == '"') % 2 == 0)
     }
+  }
+
+  test("runSqlEpochRate delivers every row exactly once and reports a positive rate") {
+    val rate = StreamingBench.runSqlEpochRate(spark, nBatches = 2, perBatch = 500)
+    assert(rate > 0, s"epoch publish rate must be positive, got $rate")
   }
 }

@@ -520,6 +520,49 @@ class StreamingCurationSpec extends SparkSpec {
     assert(ids(b4).isEmpty, s"budgets exhausted, got ${ids(b4)}")
   }
 
+  test("incremental domain quota: cap tracks growing totals, replay admits the same rows, folds match the batch form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdq-").toString + "/state"
+    val dq = new StreamingDomainQuota(spark, dir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("domain", "n_docs", "n_admitted", "admitted_id_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // batch 0: a skewed 8/2 — N=10, D=2, gate 2·rn·2 ≤ 30 ⇒ rn ≤ 7:
+    // domain a admits 7 of 8, b admits both
+    val b0 = ((1L to 8L).map(_ -> "a") ++ Seq(9L -> "b", 10L -> "b"))
+      .toDF("doc_id", "domain")
+    val adm0 = dq.admit(b0, batchId = 0L)
+    val perDom0 = adm0.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom0 == Map("a" -> 7L, "b" -> 2L), s"got $perDom0")
+    // streaming state == the pure fold from empty state (q182 on b0)
+    val fold0 = DomainQuota.admitIncrement(DomainQuota.emptyState(spark), b0)
+    assert(stateRows(dq.state().get) == stateRows(fold0))
+    // batch 1: totals grow to N=20, D=3, gate a0+rn ≤ 10 — a (a0=7)
+    // admits 3 of 4, b (a0=2) all 4, c (new) both
+    val b1 = (Seq(20L, 21L, 22L, 23L).map(_ -> "a") ++
+      Seq(24L, 25L, 26L, 27L).map(_ -> "b") ++
+      Seq(28L, 29L).map(_ -> "c")).toDF("doc_id", "domain")
+    val adm1 = dq.admit(b1, batchId = 1L)
+    val perDom1 = adm1.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom1 == Map("a" -> 3L, "b" -> 4L, "c" -> 2L), s"got $perDom1")
+    val fold1 = DomainQuota.admitIncrement(fold0, b1)
+    assert(stateRows(dq.state().get) == stateRows(fold1),
+      "incremental state must equal the two-slice pure fold")
+    // REPLAY of batch 1: same admitted rows, ledger not double-counted
+    val admitted1 = ids(adm1)
+    val replay = ids(dq.admit(b1, batchId = 1L))
+    assert(replay == admitted1, s"replay drifted: $replay vs $admitted1")
+    assert(stateRows(dq.state().get) == stateRows(fold1),
+      "replay must not double-count the ledger")
+    // compacting folds the deltas without changing the state
+    dq.compact()
+    assert(stateRows(dq.state().get) == stateRows(fold1))
+  }
+
   test("quota upgrade: a pre-batch_id FLAT state layout migrates instead of breaking") {
     // A state dir written by the pre-replay-safety version holds flat
     // part files with NO batch_id column or partition dirs. The first
