@@ -44,7 +44,14 @@ object DomainQuota {
     * admitted_id_sum), all exact Long sums (admitted_id_sum pins exact
     * MEMBERSHIP cross-engine, the q181 keeper-sum rule). Running it
     * from [[emptyState]] over one slice is EXACTLY q182 on that slice
-    * — the incremental and batch forms share the gate arithmetic. */
+    * — the incremental and batch forms share the gate arithmetic.
+    *
+    * Both inputs are read MORE THAN ONCE by the plan (`state` three
+    * times: totals, a0 join, final outer join; `newDocs` three times:
+    * count, domain union, ranking) — pin anything expensive before
+    * calling (q183 SitePins its slice-0 state; the streaming operator
+    * pins its micro-batch projection; stored-parquet state re-reads
+    * are pruned columnar scans and stay cheap). */
   def admitIncrement(state: DataFrame, newDocs: DataFrame,
       domainCol: String = "domain", idCol: String = "doc_id"): DataFrame = {
     val st = state.select(col("domain").cast("string").as("domain"),
@@ -153,15 +160,21 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
     * Pass the foreachBatch `batchId` for replay safety (the -1 default
     * keeps plain append for bounded-loop callers). */
   def admit(batch: DataFrame, batchId: Long = -1L): DataFrame = {
-    val st = stateExcluding(batchId)
-      .getOrElse(DomainQuota.emptyState(spark))
-    val nd = batch.select(col(idCol).cast("long").as("doc_id"),
-      col(domainCol).cast("string").as("domain"))
-    val verdicts = DomainQuota.rankedAdmissions(st, nd)
     val m = materialize.resolveEagerFor(batch)
     require(m.isEager, s"StreamingDomainQuota needs an EAGER Materialize " +
       s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
       "lazy pin could recompute the admitted set against a grown state")
+    val st = stateExcluding(batchId)
+      .getOrElse(DomainQuota.emptyState(spark))
+    // pin the canonical projection ONCE: rankedAdmissions reads its
+    // new-slice input three times (totals, domain union, ranking) and
+    // the verdict frame feeds both the admitted join-back and the
+    // state delta — unpinned, the caller's micro-batch plan would
+    // re-evaluate up to four times per admit (the multi-reference
+    // class the exchange-budget gate exists to catch)
+    val nd = m(batch.select(col(idCol).cast("long").as("doc_id"),
+      col(domainCol).cast("string").as("domain")))
+    val verdicts = m(DomainQuota.rankedAdmissions(st, nd))
     // join back on the id to keep the caller's original schema (the
     // verdict frame carries only the canonical projection)
     val admittedIds = verdicts.filter(col("adm")).select(col("doc_id"))
