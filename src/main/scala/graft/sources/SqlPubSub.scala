@@ -510,17 +510,28 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * Retention contract: keep markers for longer than the maximum
     * redelivery horizon (a marker pruned too early downgrades a
     * late-retried batch to at-least-once) — same as any
-    * idempotency-key store TTL. Returns rows deleted. */
+    * idempotency-key store TTL. Returns rows deleted.
+    *
+    * The cutoff is DB-RELATIVE (`CURRENT_TIMESTAMP` minus the horizon
+    * via the TIMESTAMPADD JDBC escape, the same clock that stamped
+    * `created_at`): a driver-clock cutoff on a remote server with skew
+    * ahead of the driver would prune young markers early — the silent
+    * at-least-once downgrade this retention contract exists to avoid.
+    * Positive horizons round UP to whole seconds (never prune early);
+    * the interval is a computed integer, inlined because Derby's {fn}
+    * escape does not take a parameter marker there. */
   def pruneEpochs(olderThanMs: Long): Int = withConn { c =>
     if (!tableExists(c, "graft_epochs")) 0
     else {
-      val ps = c.prepareStatement(
+      val seconds =
+        if (olderThanMs >= 0) (olderThanMs + 999) / 1000
+        else olderThanMs / 1000
+      val st = c.createStatement()
+      try st.executeUpdate(
         s"""DELETE FROM ${quoted("graft_epochs")}
-           |WHERE ${quoted("created_at")} < ?""".stripMargin)
-      try {
-        ps.setTimestamp(1, new Timestamp(System.currentTimeMillis() - olderThanMs))
-        ps.executeUpdate()
-      } finally ps.close()
+           |WHERE ${quoted("created_at")} <
+           |  {fn TIMESTAMPADD(SQL_TSI_SECOND, ${-seconds}, CURRENT_TIMESTAMP)}""".stripMargin)
+      finally st.close()
     }
   }
 

@@ -85,10 +85,10 @@ object DomainQuota {
     // (N, D) under the NEW totals: one scalar row, broadcast — the
     // distinct-domain count is the only pass that reads both sides
     val consts = st.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_old"))
-      .crossJoin(nd.agg(count(lit(1)).as("n_new")))
-      .crossJoin(st.select(col("domain"))
+      .crossJoin(broadcast(nd.agg(count(lit(1)).as("n_new"))))
+      .crossJoin(broadcast(st.select(col("domain"))
         .union(nd.select(col("domain")))
-        .agg(countDistinct(col("domain")).as("n_domains")))
+        .agg(countDistinct(col("domain")).as("n_domains"))))
       .select((col("n_old") + col("n_new")).as("n_total"), col("n_domains"))
     val w = Window.partitionBy(col("domain"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
