@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream}
+import java.io.{InputStream, InputStreamReader, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 import java.util.Base64
@@ -78,8 +78,19 @@ final class StreamPublisher(out: OutputStream) extends Publisher {
 
 /** Subscriber half: a reader thread drains `in` line by line into the
   * in-process broker, routing each frame to its in-band topic;
-  * `subscribe`/`subscribeBatch` expose the per-topic streams. */
-final class StreamSubscriber(spark: SparkSession, in: InputStream)
+  * `subscribe`/`subscribeBatch` expose the per-topic streams.
+  *
+  * @param maxLineChars decode-bomb bound (the media decoders' rule,
+  *   applied to the stream edge): `BufferedReader.readLine` buffers an
+  *   UNBOUNDED line, so one multi-GB line on an open pipe would OOM
+  *   the DRIVER before any frame parsing could reject it — worse than
+  *   the executor-death class, it kills the whole session. Lines over
+  *   the cap are skipped (logged once per line) and the drain
+  *   continues with the next newline. The default comfortably holds
+  *   any real frame (base64 of a payload far beyond every transport's
+  *   batch sizing) while bounding the buffer. */
+final class StreamSubscriber(spark: SparkSession, in: InputStream,
+    maxLineChars: Int = 64 << 20)
   extends Subscriber with SubscribeInitializer with AutoCloseable {
 
   private val TopicKey = "_io_topic"
@@ -88,31 +99,58 @@ final class StreamSubscriber(spark: SparkSession, in: InputStream)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private val reader = new Thread(() => {
-    val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-    try {
-      var line = r.readLine()
-      while (draining && line != null) {
-        if (line.nonEmpty) {
-          // per-LINE error isolation: Jackson's parse error IS an
-          // IOException, so a single corrupt frame caught by the outer
-          // closed-pipe handler would silently end the whole drain
-          // (every later message lost, no signal) — and a bad base64
-          // payload throws IllegalArgumentException, which previously
-          // killed the thread uncaught. Log and keep reading.
-          try {
-            val m = IoFraming.unmarshal(line)
-            val topic = m.get(TopicKey)
-            broker.publish(if (topic.isEmpty) "io" else topic,
-              Seq(m.copy(metadata = m.metadata - TopicKey)))
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              log.warn(s"io subscriber: dropping malformed frame " +
-                s"(${e.getClass.getSimpleName}: ${e.getMessage})")
-          }
-        }
-        line = r.readLine()
+  private def handleLine(raw: String): Unit = {
+    val line = if (raw.nonEmpty && raw.last == '\r') raw.init else raw
+    if (line.nonEmpty) {
+      // per-LINE error isolation: Jackson's parse error IS an
+      // IOException, so a single corrupt frame caught by the outer
+      // closed-pipe handler would silently end the whole drain
+      // (every later message lost, no signal) — and a bad base64
+      // payload throws IllegalArgumentException, which previously
+      // killed the thread uncaught. Log and keep reading.
+      try {
+        val m = IoFraming.unmarshal(line)
+        val topic = m.get(TopicKey)
+        broker.publish(if (topic.isEmpty) "io" else topic,
+          Seq(m.copy(metadata = m.metadata - TopicKey)))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"io subscriber: dropping malformed frame " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
       }
+    }
+  }
+
+  private val reader = new Thread(() => {
+    val r = new InputStreamReader(in, StandardCharsets.UTF_8)
+    val buf = new Array[Char](8192)
+    val sb = new java.lang.StringBuilder
+    var skipping = false
+    try {
+      var n = r.read(buf)
+      while (draining && n != -1) {
+        var i = 0
+        while (i < n) {
+          val ch = buf(i)
+          if (ch == '\n') {
+            if (skipping) skipping = false // the bomb line ends: resume
+            else { handleLine(sb.toString); () }
+            sb.setLength(0)
+          } else if (!skipping) {
+            sb.append(ch)
+            if (sb.length > maxLineChars) {
+              log.warn(s"io subscriber: dropping oversized line " +
+                s"(> $maxLineChars chars) — skipping to the next newline")
+              skipping = true
+              sb.setLength(0)
+            }
+          }
+          i += 1
+        }
+        n = r.read(buf)
+      }
+      // final unterminated line delivers, matching readLine's contract
+      if (draining && !skipping && sb.length > 0) handleLine(sb.toString)
     } catch { case _: java.io.IOException => () } // closed pipe ends the drain
   }, "graft-io-subscriber")
   reader.setDaemon(true)

@@ -294,15 +294,30 @@ final class SqlPubSub(spark: SparkSession, url: String,
            |(${quoted("topic")}, ${quoted("offset_id")}, ${quoted("grp")})
            |VALUES (?, ?, ?)""".stripMargin)
       try {
+        // a concurrent initializer may have inserted the same offset —
+        // swallow the duplicate PER ROW behind a savepoint: on engines
+        // with transaction-level abort (PostgreSQL), a caught
+        // constraint hit without ROLLBACK TO SAVEPOINT leaves the whole
+        // transaction aborted, the NEXT insert throws 25P02, the outer
+        // catch rolls everything back, and the sentinel never commits —
+        // every initialize for the topic re-wedges forever (the
+        // abort-semantics rule the epoch writers follow, applied to the
+        // backfill's statement loop; Derby's statement-level abort
+        // tolerates the savepoint harmlessly)
+        def insertIgnoreDup(): Unit = {
+          val sp = c.setSavepoint()
+          try { ins.executeUpdate(); c.releaseSavepoint(sp) }
+          catch {
+            case e: java.sql.SQLException if SqlPubSub.isDuplicateKey(e) =>
+              c.rollback(sp)
+          }
+        }
         stamped.foreach { case (off, g) =>
           ins.setString(1, topic); ins.setLong(2, off); ins.setString(3, g)
-          // a concurrent initializer may have inserted the same offset
-          try { ins.executeUpdate(); () }
-          catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+          insertIgnoreDup()
         }
         ins.setString(1, topic); ins.setLong(2, -1L); ins.setString(3, "")
-        try { ins.executeUpdate(); () }
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+        insertIgnoreDup()
       } finally ins.close()
       c.commit()
     } catch { case e: Throwable => c.rollback(); throw e }
@@ -480,7 +495,14 @@ final class SqlPubSub(spark: SparkSession, url: String,
         val st = c.createStatement()
         try { st.executeUpdate(s"""ALTER TABLE ${quoted("graft_epochs")}
              | ADD COLUMN ${quoted("row_count")} BIGINT""".stripMargin); () }
-        catch { case _: java.sql.SQLException => () } // already migrated
+        catch { case e: java.sql.SQLException =>
+          // swallow ONLY the already-migrated case — a real failure
+          // (permissions, connectivity) must surface HERE, not later as
+          // a per-partition marker-UPDATE failure retrying every task
+          val rs = c.getMetaData.getColumns(null, null, "graft_epochs", "row_count")
+          val migrated = try rs.next() finally rs.close()
+          if (!migrated) throw e
+        }
         finally st.close()
       }
     }
@@ -633,7 +655,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
       // lower one still no-ops.
       val raced =
         try { ins.setString(1, group); ins.setString(2, topic); ins.setLong(3, off); ins.executeUpdate(); false }
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => true }
+        catch { case e: java.sql.SQLException if SqlPubSub.isDuplicateKey(e) => true }
         finally ins.close()
       if (raced) {
         val up2 = c.prepareStatement(
@@ -677,7 +699,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
         ps.setString(1, group); ps.setString(2, topic)
         ps.setLong(3, off); ps.setTimestamp(4, due)
         ps.executeUpdate(); ()
-      } catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      } catch { case e: java.sql.SQLException if SqlPubSub.isDuplicateKey(e) => () }
     } finally ps.close()
   }
 
@@ -1012,9 +1034,22 @@ object SqlPubSub {
       s"""INSERT INTO ${q("graft_epochs")}
          |(${q("topic")}, ${q("writer_id")}) VALUES (?, ?)""".stripMargin)
     try { ps.setString(1, topic); ps.setString(2, key); ps.executeUpdate(); true }
-    catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+    catch { case e: java.sql.SQLException if isDuplicateKey(e) => false }
     finally ps.close()
   }
+
+  /** Duplicate-key detection across JDBC drivers: Derby throws the
+    * `SQLIntegrityConstraintViolationException` subclass, but
+    * PostgreSQL's driver throws a PLAIN SQLException carrying SQLState
+    * 23505 (and MySQL 23000) — matching only the subclass turns every
+    * dup-skip path into a fatal error on those engines: a replayed
+    * epoch becomes a task-retry storm instead of a clean skip, and a
+    * raced offset insert kills the ack. SQLState class 23 is the
+    * SQL-standard integrity-constraint-violation class, the portable
+    * signal; the subclass check keeps drivers that set no SQLState. */
+  private[sources] def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
 
   /** Stamp the committed row count onto an open transaction's marker
     * (inserted NULL, updated once the partition iterator is drained —

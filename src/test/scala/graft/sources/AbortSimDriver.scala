@@ -56,7 +56,17 @@ object AbortSimDriver extends java.sql.Driver {
                 case e: InvocationTargetException => e.getCause match {
                   case icv: SQLIntegrityConstraintViolationException =>
                     if (!real.getAutoCommit) aborted.set(true)
-                    throw icv
+                    // PostgreSQL's driver throws a PLAIN SQLException
+                    // carrying SQLState 23505, NEVER the
+                    // SQLIntegrityConstraintViolationException subclass
+                    // Derby uses — rethrow in the PG shape so a
+                    // subclass-only dup catch fails under this shim
+                    // exactly as it would against real PostgreSQL
+                    throw new SQLException(icv.getMessage, "23505", icv)
+                  case sq: SQLException =>
+                    // PG aborts the transaction on ANY statement error
+                    if (!real.getAutoCommit) aborted.set(true)
+                    throw sq
                   case other => throw other
                 }
               }

@@ -67,6 +67,33 @@ class IoSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("an oversized line is skipped at the cap instead of buffering toward driver OOM") {
+    // the decode-bomb rule at the stream edge: readLine-style draining
+    // buffers an UNBOUNDED line, so one multi-GB line on an open pipe
+    // would OOM the driver before frame parsing could reject it. The
+    // reader must drop the line AT the cap (bounded memory), resume at
+    // the next newline, and deliver every later frame.
+    val po = new PipedOutputStream()
+    val pi = new PipedInputStream(po, 1 << 16)
+    val sub = new StreamSubscriber(spark, pi, maxLineChars = 4096)
+    try {
+      val pub = new StreamPublisher(po)
+      pub.publish("io_bomb", Seq(msg("before", "a".getBytes)))
+      // a 64 KiB line against a 4 KiB cap, written in chunks the pipe
+      // buffer can hold — the reader must consume it as it streams
+      val chunk = "x".repeat(8192).getBytes("UTF-8")
+      (0 until 8).foreach { _ => po.write(chunk); po.flush() }
+      po.write('\n'); po.flush()
+      pub.publish("io_bomb", Seq(msg("after", "b".getBytes)))
+      po.close()
+      sub.awaitDrained()
+      val got = sub.subscribeBatch("io_bomb").collect()
+        .map(_.getAs[String]("uuid")).toSet
+      assert(got == Set("before", "after"),
+        s"frames after the oversized line must not be lost: $got")
+    } finally sub.close()
+  }
+
   test("publisher pipe -> subscriber routes frames to their in-band topics") {
     val out = new PipedOutputStream()
     val in = new PipedInputStream(out, 1 << 16)

@@ -674,6 +674,77 @@ class SqlSpec extends SparkSpec {
     } finally ps2.close()
   }
 
+  test("backfill dup-row race survives PostgreSQL-style abort: savepoint skip, sentinel commits") {
+    // two instances racing the one-time backfill: the loser's record
+    // insert hits the winner's primary key INSIDE the atomic
+    // records+sentinel transaction. On PostgreSQL the constraint hit
+    // aborts the whole transaction (plain SQLException, SQLState 23505
+    // — NOT the subclass Derby throws) — without a per-row savepoint
+    // the next insert dies 25P02, the sentinel never commits, and
+    // every initialize for the topic re-wedges forever.
+    AbortSimDriver.ensureRegistered()
+    val db = url("sqlbfa")
+    val simUrl = AbortSimDriver.Prefix + db.substring("jdbc:".length)
+    val ps = new SqlPubSub(spark, db, group = "g1", pollIntervalMs = 20)
+    try ps.publish("t_bfa", Seq(
+      msg("o1", "original"),
+      msg("c1", "released-copy", Map(graft.router.Ctx.DelayGroup -> "g1"))))
+    finally ps.close()
+    val c = java.sql.DriverManager.getConnection(db)
+    val copyOff = try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE \"graft_released\"") finally st.close()
+      // pre-upgrade DB, with the RACING initializer's half-finished
+      // state: the side table exists, the copy's record is already
+      // inserted, the sentinel is NOT (its transaction has not
+      // committed — we simulate the committed-records-first interleave
+      // a concurrent initializer produces)
+      val mk = c.createStatement()
+      try mk.executeUpdate(
+        """CREATE TABLE "graft_released" (
+          |  "topic" VARCHAR(128), "offset_id" BIGINT, "grp" VARCHAR(128),
+          |  PRIMARY KEY ("topic", "offset_id"))""".stripMargin)
+      finally mk.close()
+      val q = c.createStatement()
+      val off = try {
+        val rs = q.executeQuery(
+          """SELECT "offset_id" FROM "graft_t_t_bfa" WHERE "uuid" = 'c1'""")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally q.close()
+      val ins = c.prepareStatement(
+        """INSERT INTO "graft_released" ("topic", "offset_id", "grp")
+          |VALUES (?, ?, ?)""".stripMargin)
+      try { ins.setString(1, "t_bfa"); ins.setLong(2, off); ins.setString(3, "g1")
+        ins.executeUpdate(); () }
+      finally ins.close()
+      off
+    } finally c.close()
+    // upgraded engine through the STRICT-abort shim: the backfill's
+    // duplicate insert must savepoint-skip and the sentinel must commit
+    val ps2 = new SqlPubSub(spark, simUrl, group = "g2", pollIntervalMs = 20)
+    try {
+      ps2.subscribeInitialize("t_bfa")
+      val c2 = java.sql.DriverManager.getConnection(db)
+      try {
+        val st = c2.createStatement()
+        val rs = st.executeQuery(
+          """SELECT "offset_id" FROM "graft_released" WHERE "topic" = 't_bfa'""")
+        val got = try {
+          val b = scala.collection.mutable.Set.empty[Long]
+          while (rs.next()) b += rs.getLong(1)
+          b.toSet
+        } finally { rs.close(); st.close() }
+        assert(got == Set(copyOff, -1L),
+          s"sentinel must commit beside the raced record, got $got")
+      } finally c2.close()
+      // a third instance initializes clean (sentinel gates the rescan)
+      val ps3 = new SqlPubSub(spark, db, group = "g3", pollIntervalMs = 20)
+      try assert(ps3.subscribeBatch("t_bfa").as[Message].collect()
+        .map(_.uuid).toSet == Set("o1"))
+      finally ps3.close()
+    } finally ps2.close()
+  }
+
   test("backfill converges past malformed metadata and an oversize forged stamp (no permanent wedge)") {
     // the topic table is an open surface: ONE foreign pre-upgrade row
     // with unparseable metadata matching the LIKE filter (JsonCodec
