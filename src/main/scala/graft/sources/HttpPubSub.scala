@@ -64,10 +64,29 @@ object HttpWire {
 /** Server half: POSTs to `/<topic>` enqueue into an in-process broker
   * (same MemoryStream mechanics as [[MemoryPubSub]]); `subscribe`
   * exposes the per-topic stream. One server, many topics. */
-final class HttpSubscriber(spark: SparkSession, port: Int = 0)
+final class HttpSubscriber(spark: SparkSession, port: Int = 0,
+    maxBodyBytes: Long = 256L << 20)
   extends Subscriber with SubscribeInitializer with AutoCloseable {
 
   private val broker = new MemoryPubSub(spark)
+
+  /** Bounded body read (the io transport's line-cap rule at the HTTP
+    * edge): an unbounded `readAllBytes` lets ONE hostile multi-GB POST
+    * OOM the driver before any validation runs. None = over the cap —
+    * answered 413, a CALLER error rather than a 500 nack, because a
+    * retry of the same oversized body can never succeed and a nack
+    * would turn it into a permanent retry wedge. */
+  private def readBounded(in: java.io.InputStream): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n != -1) {
+      if (out.size.toLong + n > maxBodyBytes) return None
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
 
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -80,9 +99,11 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0)
           // a POST to "/" has no topic — reject instead of silently
           // filing every such message under the "" topic
           exchange.sendResponseHeaders(404, -1)
-        } else {
+        } else readBounded(exchange.getRequestBody) match {
+          case None =>
+            exchange.sendResponseHeaders(413, -1) // over cap: caller error
+          case Some(body) =>
           val topic = topicOfPath
-          val body = exchange.getRequestBody.readAllBytes()
           val headers = exchange.getRequestHeaders
           val uuid = Option(headers.getFirst(HttpWire.UuidHeader))
             .getOrElse(Ids.newUuid())

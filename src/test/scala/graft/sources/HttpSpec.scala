@@ -174,6 +174,35 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("an over-cap POST body answers 413 at the bound, never buffers toward driver OOM") {
+    // the io transport's line-cap rule at the HTTP edge: readAllBytes
+    // buffered an UNBOUNDED request body, so one hostile multi-GB POST
+    // OOM'd the driver before validation. Over-cap answers 413 (a
+    // caller error — a retry of the same body can never succeed, so a
+    // 500 nack would make a permanent retry wedge) and the server
+    // keeps serving.
+    val sub = new HttpSubscriber(spark, maxBodyBytes = 4096)
+    try {
+      val url = java.net.URI.create(s"http://localhost:${sub.boundPort}/hooks_cap").toURL
+      val post = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      post.setRequestMethod("POST")
+      post.setDoOutput(true)
+      post.setChunkedStreamingMode(8192) // no Content-Length: the cap must bind mid-stream
+      val out = post.getOutputStream
+      try (0 until 8).foreach(_ => out.write(new Array[Byte](8192)))
+      catch { case _: java.io.IOException => () } // server may cut the stream at the cap
+      finally { try out.close() catch { case _: java.io.IOException => () } }
+      assert(post.getResponseCode == 413,
+        s"over-cap body must answer 413, got ${post.getResponseCode}")
+      post.disconnect()
+      // the rejection must not poison the server: a real publish lands
+      new HttpPublisher(s"http://localhost:${sub.boundPort}")
+        .publish("hooks_cap", Seq(msg("small", "ok")))
+      val got = sub.subscribeBatch("hooks_cap").as[Message].collect().map(_.uuid).toSet
+      assert(got == Set("small"), s"delivery must continue after a 413: $got")
+    } finally sub.close()
+  }
+
   test("publishBatch egresses from executors (foreachPartition), no loss") {
     val sub = new HttpSubscriber(spark)
     try {
