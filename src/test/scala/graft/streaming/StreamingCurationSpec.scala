@@ -227,10 +227,26 @@ class StreamingCurationSpec extends SparkSpec {
         (1L, "the quick brown fox jumps over the lazy dog again tonight"))
         .toDF("doc_id", "text"), batchId = 0L)
       assert(kept.count() == 1, "conf=persist must keep via the eager fallback")
+      val dqDir = java.nio.file.Files.createTempDirectory("graft-sdqcf-").toString
+      val dq = new StreamingDomainQuota(spark, dqDir + "/state")
+      val dqAdm = dq.admit(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "domain"), 0L)
+      assert(dqAdm.count() == 2, "conf=persist must admit via the eager fallback")
     } finally {
       spark.conf.unset(Materialize.ConfKey)
       graft.operators.Materialize.releaseSitePins(spark)
     }
+  }
+
+  test("domain quota REJECTS a lazy Materialize strategy loudly (StreamingQuota's contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdqm-").toString
+    val dq = new StreamingDomainQuota(spark, dir + "/state",
+      materialize = graft.operators.Materialize.SitePin("spec.domainquota"))
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      dq.admit(Seq((1L, "a")).toDF("doc_id", "domain"), 0L); ()
+    }
+    assert(e.getMessage.contains("EAGER"), e.getMessage)
+    graft.operators.Materialize.releaseSitePins(spark)
   }
 
   test("CurationStages compose: PII scrub + decontaminate + quality route in one handler") {
