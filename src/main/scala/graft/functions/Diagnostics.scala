@@ -89,13 +89,19 @@ object Diagnostics {
       .filter(col("_v").isNotNull)
       .withColumn("_i", row_number().over(w).cast("long"))
       .groupBy(col("_g"))
+      // the rank-weighted sum and the num/den run in DOUBLE space
+      // (exact below 2^53, never wraps): the Long Σ i·v is an n²·v̄
+      // quantity that wraps past 2^63 around ~1e9 rows × 1e4-unit
+      // values — far below corpus scale — and a wrapped num or den
+      // silently corrupts gini
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"),
-        sum(col("_i") * col("_v")).as("_w"))
+        sum(col("_i").cast("double") * col("_v")).as("_w"))
       .select(col("_g").as("g"), col("n"), {
-        val num = lit(2L) * col("_w") - (col("n") + 1) * col("_s")
-        val den = col("n") * col("_s")
-        when(den === 0, lit(null).cast("double"))
-          .otherwise(num.cast("double") / den.cast("double")).as("gini")
+        val num = lit(2.0) * col("_w") -
+          (col("n") + 1).cast("double") * col("_s")
+        val den = col("n").cast("double") * col("_s")
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(num / den).as("gini")
       })
   }
 

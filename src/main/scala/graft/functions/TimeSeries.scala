@@ -45,11 +45,17 @@ object TimeSeries {
       .groupBy(col("_g"))
       .agg(
         sum(col("_v") * col("_gap")).as("twap_num"),
-        sum(col("_gap")).as("twap_den"))
+        sum(col("_gap")).as("twap_den"),
+        // the statistic's weighted sum in double space (exact below
+        // 2^53): the Long Σ v·gap_µs wraps past 2^63 once a group
+        // holds ~1e8 rows of 1e3-unit values at 1e6-µs gaps — the
+        // Long twap_num diagnostic stays exact while
+        // int64-representable
+        sum(col("_v").cast("double") * col("_gap")).as("_twapd"))
       .select(col("_g").as("g"), col("twap_num"), col("twap_den"),
         when(coalesce(col("twap_den"), lit(0L)) === 0,
           lit(null).cast("double"))
-          .otherwise(col("twap_num").cast("double") /
+          .otherwise(col("_twapd") /
             col("twap_den").cast("double")).as("twap"))
   }
 

@@ -2355,19 +2355,27 @@ object LlmQueries {
         val totals = conf.agg(sum(col("n")).as("n_docs"),
           sum(when(col("lang") === col("pred"), col("n"))
             .otherwise(lit(0L))).as("diag"))
+        // the STATISTIC's arithmetic runs in double space (exact below
+        // 2^53, never wraps): the Long products rn·cn / N·diag / N²
+        // wrap past 2^63 at ~3e9-doc corpora and a wrapped num/den
+        // silently corrupts kappa. The Long `rowcol` diagnostic column
+        // keeps the exact integer while it is int64-representable.
         val marg = conf.groupBy(col("lang").as("k"))
           .agg(sum(col("n")).as("rn"))
           .join(conf.groupBy(col("pred").as("k")).agg(sum(col("n")).as("cn")),
             Seq("k"))
-          .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("rowcol"))
+          .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("rowcol"),
+            coalesce(sum(col("rn").cast("double") * col("cn")), lit(0.0))
+              .as("rowcold"))
         totals.crossJoin(broadcast(marg))
           .select(col("n_docs").cast("long").as("n_docs"),
             col("diag").cast("long").as("diag"),
             col("rowcol").cast("long").as("rowcol"), {
-              val num = col("n_docs") * col("diag") - col("rowcol")
-              val den = col("n_docs") * col("n_docs") - col("rowcol")
-              when(den === 0, lit(null).cast("double"))
-                .otherwise(num.cast("double") / den.cast("double"))
+              val nd = col("n_docs").cast("double")
+              val num = nd * col("diag") - col("rowcold")
+              val den = nd * nd - col("rowcold")
+              when(den === 0.0, lit(null).cast("double"))
+                .otherwise(num / den)
                 .as("kappa")
             })
       },
@@ -2527,14 +2535,24 @@ object LlmQueries {
           .withColumn("num", abs(
             col("cs") * (col("n_g") - col("n_s")) -
               (col("g") - col("cs")) * col("n_s")))
+          // the KS statistic's numerator/denominator run in double
+          // space (exact below 2^53): the Long forms cs·n_r and
+          // n_s·n_r wrap past 2^63 at ~3e9-doc corpora, silently
+          // corrupting ks (the Long `ks_num` diagnostic stays exact
+          // while int64-representable)
+          .withColumn("numd", abs(
+            col("cs").cast("double") * (col("n_g") - col("n_s")) -
+              (col("g") - col("cs")).cast("double") * col("n_s")))
           .groupBy(col("source"))
           .agg(max(col("n_s")).as("n_s"),
             max(col("n_g") - col("n_s")).as("n_r"),
-            max(col("num")).as("ks_num"))
+            max(col("num")).as("ks_num"),
+            max(col("numd")).as("ks_numd"))
           .select(col("source"), col("n_s"), col("n_r"), col("ks_num"),
-            when(col("n_s") * col("n_r") === 0, lit(null).cast("double"))
-              .otherwise(col("ks_num").cast("double") /
-                (col("n_s") * col("n_r")).cast("double")).as("ks"))
+            when(col("n_s") === 0 || col("n_r") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("ks_numd") /
+                (col("n_s").cast("double") * col("n_r"))).as("ks"))
           .orderBy(col("source"))
       },
       Some("""WITH cnt AS (SELECT source, n_chars AS v,
@@ -2675,10 +2693,19 @@ object LlmQueries {
           .withColumn("n_r", col("n_g") - col("n_s"))
           .withColumn("diff",
             col("o") * col("n_r") - (col("c_c") - col("o")) * col("n_s"))
+          // the chi-square term runs in double space (exact below
+          // 2^53): the Long denominator n_s·n_r·c_c is an N³ product
+          // that wraps past 2^63 already around ~2e6 docs per
+          // source/lang margin — far below crawl scale — and the
+          // wrapped product silently corrupts the term (the Long
+          // `diff` diagnostic stays exact while int64-representable)
+          .withColumn("diffd",
+            col("o").cast("double") * col("n_r") -
+              (col("c_c") - col("o")).cast("double") * col("n_s"))
           .withColumn("term",
-            when(col("n_s") * col("n_r") === 0, lit(0.0))
-              .otherwise((col("diff").cast("double") * col("diff").cast("double")) /
-                (col("n_s") * col("n_r") * col("c_c")).cast("double")))
+            when(col("n_s") === 0 || col("n_r") === 0, lit(0.0))
+              .otherwise((col("diffd") * col("diffd")) /
+                (col("n_s").cast("double") * col("n_r") * col("c_c"))))
           .select(col("source"), col("lang"), col("o"), col("n_s"),
             col("c_c"), col("diff"), col("term"))
           .orderBy(col("source"), col("lang"))
@@ -2743,14 +2770,21 @@ object LlmQueries {
         cnt.join(broadcast(ladder), Seq("v"))
           .groupBy(col("event_type"))
           .agg(sum(col("m")).as("n_s"),
-            sum(col("m") * col("mid2")).as("r2"))
+            sum(col("m") * col("mid2")).as("r2"),
+            // the AUC's rank sum in double space (exact below 2^53):
+            // the Long Σ m·mid2 is an N² quantity that wraps past 2^63
+            // at ~2e9 events, and 2·n_s·n_r wraps alongside it —
+            // silently corrupting auc (the Long `u2` diagnostic stays
+            // exact while int64-representable)
+            sum(col("m").cast("double") * col("mid2")).as("r2d"))
           .crossJoin(broadcast(nT))
           .withColumn("n_r", col("n_g") - col("n_s"))
           .withColumn("u2", col("r2") - col("n_s") * (col("n_s") + 1))
           .select(col("event_type"), col("n_s"), col("n_r"), col("u2"),
-            when(col("n_s") * col("n_r") === 0, lit(0.5))
-              .otherwise(col("u2").cast("double") /
-                (lit(2L) * col("n_s") * col("n_r")).cast("double"))
+            when(col("n_s") === 0 || col("n_r") === 0, lit(0.5))
+              .otherwise((col("r2d") -
+                col("n_s").cast("double") * (col("n_s") + 1)) /
+                (lit(2.0) * col("n_s") * col("n_r")))
               .as("auc"))
           .orderBy(col("event_type"))
       },
@@ -3140,8 +3174,12 @@ object LlmQueries {
           .crossJoin(broadcast(total))
           .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
             col("n_docs"),
-            ((col("n_ab") * col("n_docs")).cast("double") /
-              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+            // lift in double space (exact below 2^53): the Long
+            // products n_ab·N and n_a·n_b wrap past 2^63 at ~3e9-doc
+            // corpora, and a wrapped numerator or denominator silently
+            // corrupts the ratio
+            ((col("n_ab").cast("double") * col("n_docs")) /
+              (col("n_a").cast("double") * col("n_b"))).as("lift"))
           .orderBy(col("a"), col("b"))
       },
       Some("""WITH dt AS (SELECT DISTINCT doc_id,
@@ -3594,15 +3632,19 @@ object LlmQueries {
         val d = t(s, dir, "documents")
           .select(col("doc_id"),
             concat_ws("/", col("source"), col("lang")).as("domain"))
+        // gate in the overflow-proof division form (rn ≤ (3N) div (2D)
+        // ⟺ 2·rn·D ≤ 3·N for integer rn — see DomainQuota's scale
+        // note: the product form wraps Long at 1e11 docs × 1e8 domains
+        // and the wrapped-negative left side silently admits the tail)
         val consts = d.agg(count(lit(1)).as("n_total"),
           countDistinct(col("domain")).as("n_domains"))
+          .select(expr("n_total * 3 div (n_domains * 2)").as("adm_cap"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("domain"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         d.withColumn("rn", row_number().over(w))
           .crossJoin(broadcast(consts))
-          .withColumn("adm",
-            col("rn") * col("n_domains") * 2 <= col("n_total") * 3)
+          .withColumn("adm", col("rn") <= col("adm_cap"))
           .groupBy(col("domain"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"),

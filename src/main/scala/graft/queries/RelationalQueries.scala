@@ -2493,6 +2493,16 @@ object RelationalQueries {
             col("y"))
         val num = col("n") * col("sxy") - col("sx") * col("sy")
         val den = col("n") * col("sxx") - col("sx") * col("sx")
+        // the slope's arithmetic runs in double space (exact below
+        // 2^53): the Long cross-products n·sxy and sx·sy wrap past
+        // 2^63 once daily counts reach crawl scale (sy is the corpus
+        // total), silently corrupting the statistic — the Long
+        // slope_num/slope_den diagnostics stay exact while
+        // int64-representable
+        val numd = col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")
+        val dend = col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")
         daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -2500,8 +2510,8 @@ object RelationalQueries {
             sum(col("x") * col("x")).as("sxx"))
           .select(col("event_type"), col("n"),
             num.as("slope_num"), den.as("slope_den"),
-            when(den === 0, lit(null).cast("double"))
-              .otherwise(num.cast("double") / den.cast("double"))
+            when(dend === 0.0, lit(null).cast("double"))
+              .otherwise(numd / dend)
               .as("slope"))
           .orderBy(col("event_type"))
       },
@@ -2898,11 +2908,21 @@ object RelationalQueries {
         val num = col("n") * col("sxy") - col("sx") * col("sy")
         val dx = col("n") * col("sxx") - col("sx") * col("sx")
         val dy = col("n") * col("syy") - col("sy") * col("sy")
+        // the correlation's arithmetic runs in double space (exact
+        // below 2^53): the Long cross-products n·sxy / sx·sy / n·sxx
+        // wrap past 2^63 once daily counts reach crawl scale,
+        // silently corrupting r — the Long r_num/dx/dy diagnostics
+        // stay exact while int64-representable
+        val numd = col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")
+        val dxd = col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")
+        val dyd = col("n").cast("double") * col("syy") -
+          col("sy").cast("double") * col("sy")
         agg.select(col("event_type"), col("n"),
             num.as("r_num"), dx.as("dx"), dy.as("dy"),
-            when(dx === 0 || dy === 0, lit(null).cast("double"))
-              .otherwise(num.cast("double") /
-                (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+            when(dxd === 0.0 || dyd === 0.0, lit(null).cast("double"))
+              .otherwise(numd / (sqrt(dxd) * sqrt(dyd)))
               .as("r"))
           .orderBy(col("event_type"))
       },

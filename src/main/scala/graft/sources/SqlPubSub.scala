@@ -514,16 +514,31 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * like `epochTableReady` so the steady-state cost between sweeps is
     * one volatile read — never a JDBC round-trip per publish. The
     * timestamp is claimed BEFORE the delete so concurrent publishers
-    * don't stampede the sweep. */
+    * don't stampede the sweep.
+    *
+    * Housekeeping must never fail the data path it piggybacks on: the
+    * sweep DELETE scans `graft_epochs` while executor partition
+    * transactions hold write locks on freshly inserted markers, so
+    * under load it can hit the engine's lock timeout
+    * (SQLTransactionRollbackException on Derby) — an error that says
+    * nothing about the PUBLISH being wrapped. Sweep failures log and
+    * defer to the next interval; only the explicit [[pruneEpochs]] API
+    * still throws to its caller. */
   @volatile private var lastEpochSweepMs = 0L
   private def maybeSweepEpochs(): Unit =
     if (epochRetentionMs > 0) {
       val now = System.currentTimeMillis()
       if (now - lastEpochSweepMs >= epochSweepIntervalMs) {
         lastEpochSweepMs = now
-        val n = pruneEpochs(epochRetentionMs)
-        if (n > 0) log.info(s"pruned $n epoch markers older than " +
-          s"${epochRetentionMs}ms", Map("pruned" -> n.toString))
+        try {
+          val n = pruneEpochs(epochRetentionMs)
+          if (n > 0) log.info(s"pruned $n epoch markers older than " +
+            s"${epochRetentionMs}ms", Map("pruned" -> n.toString))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error("epoch marker sweep failed; markers retained " +
+              "until the next interval", e, Map.empty)
+        }
       }
     }
 

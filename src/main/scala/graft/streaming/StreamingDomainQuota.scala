@@ -89,7 +89,18 @@ object DomainQuota {
       .crossJoin(broadcast(st.select(col("domain"))
         .union(nd.select(col("domain")))
         .agg(countDistinct(col("domain")).as("n_domains"))))
-      .select((col("n_old") + col("n_new")).as("n_total"), col("n_domains"))
+      // the gate 2·rank·D ≤ 3·N evaluated in its overflow-proof
+      // equivalent form rank ≤ (3·N) div (2·D): identical booleans for
+      // every in-range integer (rank ≤ x ⟺ rank ≤ floor(x) for integer
+      // rank), but the PRODUCT form wraps Long at crawl scale (rank
+      // ~1e11 on a mega-domain × D ~1e8 registrable domains ≈ 2e19 >
+      // 2^63) and the wrapped-negative left side silently ADMITS the
+      // whole tail — the decode-bomb wrap class, in the admission
+      // arithmetic. 3·N can't wrap below 3e18 docs; 2·D below 2^62
+      // domains. (The DuckDB oracle keeps the literal product: it
+      // errors loudly on overflow rather than wrapping, and the oracle
+      // only runs at small SF.)
+      .select(expr("(n_old + n_new) * 3 div (n_domains * 2)").as("adm_cap"))
     val w = Window.partitionBy(col("domain"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     nd.withColumn("rn", row_number().over(w))
@@ -97,8 +108,7 @@ object DomainQuota {
         Seq("domain"), "left")
       .na.fill(0L, Seq("a0"))
       .crossJoin(broadcast(consts))
-      .withColumn("adm",
-        (col("a0") + col("rn")) * col("n_domains") * 2 <= col("n_total") * 3)
+      .withColumn("adm", col("a0") + col("rn") <= col("adm_cap"))
   }
 }
 

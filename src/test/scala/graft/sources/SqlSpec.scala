@@ -458,6 +458,30 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("a failing marker sweep logs and defers — it never fails the publish it piggybacks on") {
+    val dbUrl = url("sqlsweepfail")
+    // sweep attempts on every publish
+    val ps = new SqlPubSub(spark, dbUrl,
+      epochRetentionMs = 1, epochSweepIntervalMs = 0)
+    try {
+      def frame(u: String) = Seq(msg(u, u)).toDF()
+      ps.publishEpoch("t_swf", frame("m0"), "w-0") // creates graft_epochs
+      // break the sweep's DELETE out from under it: housekeeping must
+      // not escalate its own failure into a data-path publish failure
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate("""ALTER TABLE "graft_epochs" DROP COLUMN "created_at"""")
+        finally st.close()
+      } finally c.close()
+      ps.publishEpoch("t_swf", frame("m1"), "w-1") // sweep fails inside; publish survives
+      assert(ps.subscribeBatch("t_swf").count() == 2,
+        "publish lost rows when the piggybacked sweep failed")
+      // the EXPLICIT housekeeping API still surfaces the failure
+      intercept[java.sql.SQLException](ps.pruneEpochs(1))
+    } finally ps.close()
+  }
+
   test("an epoch committed by a pre-r15 whole-epoch marker skips wholesale on replay") {
     val dbUrl = url("sqllegacy")
     val ps = new SqlPubSub(spark, dbUrl)

@@ -579,6 +579,28 @@ class StreamingCurationSpec extends SparkSpec {
     assert(stateRows(dq.state().get) == stateRows(fold1))
   }
 
+  test("domain-quota gate holds at crawl-scale totals where the product form wraps Long") {
+    // a0 = 2.5e18 admitted on domain a, N just over 3e18, D = 2: the
+    // literal gate product (a0+rn)·D·2 ≈ 1e19 wraps past 2^63 to a
+    // NEGATIVE, so the product form would silently ADMIT the doc; the
+    // shipped division form (cap = 3N div 2D ≈ 2.25e18 < a0+rn) must
+    // reject it — and still admit on a domain whose a0 is under the cap
+    val a0 = 2500000000000000000L // 2.5e18
+    val half = 1500000000000000000L // n_docs per domain; N = 3e18 + 2
+    val st = Seq(
+      ("a", half, a0, 0L),
+      ("b", half, 42L, 0L))
+      .toDF("domain", "n_docs", "n_admitted", "admitted_id_sum")
+    val nd = Seq(1L -> "a", 2L -> "b").toDF("doc_id", "domain")
+    val next = DomainQuota.admitIncrement(st, nd)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(next("a") == ((half + 1, a0)),
+      s"domain a over cap must stay rejected at wrap-scale totals: $next")
+    assert(next("b") == ((half + 1, 43L)),
+      s"domain b under cap must still admit at wrap-scale totals: $next")
+  }
+
   test("quota upgrade: a pre-batch_id FLAT state layout migrates instead of breaking") {
     // A state dir written by the pre-replay-safety version holds flat
     // part files with NO batch_id column or partition dirs. The first
