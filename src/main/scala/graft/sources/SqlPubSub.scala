@@ -572,6 +572,101 @@ final class SqlPubSub(spark: SparkSession, url: String,
     }
   }
 
+  /** Housekeeping: delete a topic's records that EVERY consumer group
+    * with a durable offset has acked (offset ≤ the minimum committed
+    * offset across `graft_offsets` rows for the topic) — the record
+    * table otherwise grows forever, the transport's last unbounded
+    * surface at corpus scale. Explicit-only (never piggybacked on the
+    * data path): records are USER DATA, not engine bookkeeping, so the
+    * operator decides when history may go. Returns rows deleted.
+    *
+    * Safety rules:
+    *  - No registered group ⇒ nothing is deleted (MIN over an empty
+    *    set is NULL and the comparison never matches) — an unconsumed
+    *    topic can't be silently emptied.
+    *  - Offsets parked in `graft_delayed` (any group) survive
+    *    regardless of acks: the release transaction re-reads the
+    *    source row to build the re-published copy.
+    *  - `olderThanMs` > 0 additionally keeps rows whose message `ts`
+    *    is inside the horizon — a replay/audit window. `ts` is the
+    *    PRODUCER's event time (the only per-row time the schema has),
+    *    so the horizon is a convenience bound, not a trust boundary;
+    *    the full-ack rule is what makes deletion safe.
+    *  - Dead weight in `graft_released` (visibility markers whose copy
+    *    row was pruned) sweeps in the same call; the backfill sentinel
+    *    (offset −1) is never touched.
+    *
+    * Contracts this trades away, deliberately (Kafka's retention
+    * tradeoff): a group that subscribed but has never acked holds no
+    * `graft_offsets` row and does NOT pin retention; a NEW group (or a
+    * `subscribeBatch` replay/audit read) sees only surviving history.
+    * A group that is gone forever pins retention at its last ack until
+    * [[dropGroup]] removes it. */
+  def pruneConsumed(topic: String, olderThanMs: Long = 0L): Int = withConn { c =>
+    requireBookkeepable(topic, "topic")
+    if (!tableExists(c, table(topic))) 0
+    else {
+      val seconds =
+        if (olderThanMs >= 0) (olderThanMs + 999) / 1000
+        else olderThanMs / 1000
+      val del = c.prepareStatement(
+        s"""DELETE FROM ${quoted(table(topic))}
+           |WHERE ${quoted("offset_id")} <= (
+           |    SELECT MIN(${quoted("last_offset")})
+           |    FROM ${quoted("graft_offsets")}
+           |    WHERE ${quoted("topic")} = ?)
+           |  AND ${quoted("offset_id")} NOT IN (
+           |    SELECT ${quoted("offset_id")} FROM ${quoted("graft_delayed")}
+           |    WHERE ${quoted("topic")} = ?)
+           |  AND ${quoted("ts")} <
+           |    {fn TIMESTAMPADD(SQL_TSI_SECOND, ${-seconds}, CURRENT_TIMESTAMP)}""".stripMargin)
+      val n =
+        try { del.setString(1, topic); del.setString(2, topic); del.executeUpdate() }
+        finally del.close()
+      if (n > 0) {
+        // released-copy visibility markers whose record is gone are
+        // dead weight (the LEFT-JOIN filter has nothing to hide);
+        // markers for SURVIVING copies must stay — dropping one would
+        // expose a group's private redelivery to every other group
+        val sweep = c.prepareStatement(
+          s"""DELETE FROM ${quoted("graft_released")}
+             |WHERE ${quoted("topic")} = ? AND ${quoted("offset_id")} >= 0
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM ${quoted(table(topic))} m
+             |    WHERE m.${quoted("offset_id")} =
+             |      ${quoted("graft_released")}.${quoted("offset_id")})""".stripMargin)
+        try { sweep.setString(1, topic); sweep.executeUpdate(); () }
+        finally sweep.close()
+      }
+      n
+    }
+  }
+
+  /** Deregister a consumer group from a topic: removes its durable
+    * offset (so an abandoned group stops pinning [[pruneConsumed]]'s
+    * retention at its last ack) and its parked delayed rows (a dropped
+    * group's private redeliveries can never be released — leaving them
+    * would pin their source records forever). Its `graft_released`
+    * visibility markers stay: they hide already-released copies from
+    * OTHER groups, and removing them would turn those copies into
+    * duplicate deliveries; the markers sweep with [[pruneConsumed]]
+    * once the copies themselves age out. A group re-subscribing after
+    * a drop restarts from offset 0, like any new group. */
+  def dropGroup(grp: String, topic: String): Unit = withConn { c =>
+    requireBookkeepable(grp, "group")
+    requireBookkeepable(topic, "topic")
+    val off = c.prepareStatement(
+      s"""DELETE FROM ${quoted("graft_offsets")}
+         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+    try { off.setString(1, grp); off.setString(2, topic); off.executeUpdate(); () }
+    finally off.close()
+    val parked = c.prepareStatement(
+      s"""DELETE FROM ${quoted("graft_delayed")}
+         |WHERE ${quoted("grp")} = ? AND ${quoted("topic")} = ?""".stripMargin)
+    try { parked.setString(1, grp); parked.setString(2, topic); parked.executeUpdate(); () }
+    finally parked.close()
+  }
+
   private def envelope(df: DataFrame): DataFrame =
     df.select(col("uuid"),
       from_json(col("metadata"), MapType(StringType, StringType)).as("metadata"),

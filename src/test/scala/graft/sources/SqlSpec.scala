@@ -482,6 +482,78 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("pruneConsumed deletes only below the min group ack, never parked or in-horizon rows") {
+    val dbUrl = url("sqlpruneco")
+    val ps = new SqlPubSub(spark, dbUrl) // group "default"
+    val ps2 = new SqlPubSub(spark, dbUrl, group = "g2")
+    try {
+      ps.subscribeInitialize("t_pc")
+      ps.publish("t_pc", (1 to 6).map(i => msg(s"m$i", s"m$i"))) // offsets 1..6
+      // no group has a durable offset yet: nothing may be deleted
+      assert(ps.pruneConsumed("t_pc") == 0, "pruned an unconsumed topic")
+      ps.ack("t_pc", 5)
+      ps2.ack("t_pc", 3) // g2 pins the min at 3
+      // park offset 2 for g2 (direct insert pins the exclusion rule —
+      // the release transaction re-reads the source row, so a parked
+      // offset must survive any prune)
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val st = c.prepareStatement(
+          """INSERT INTO "graft_delayed" ("grp", "topic", "offset_id", "due_at")
+            |VALUES ('g2', 't_pc', 2, ?)""".stripMargin)
+        try { st.setTimestamp(1, new Timestamp(System.currentTimeMillis() + 3600000)); st.executeUpdate() }
+        finally st.close()
+      } finally c.close()
+      // in-horizon rows survive: message ts is 2023-11, a ~5-year
+      // horizon keeps everything
+      assert(ps.pruneConsumed("t_pc", olderThanMs = 5L * 365 * 24 * 3600 * 1000) == 0,
+        "horizon did not protect in-window rows")
+      // past the horizon: offsets 1 and 3 go (<= min ack 3, not parked)
+      assert(ps.pruneConsumed("t_pc") == 2)
+      assert(ps.subscribeBatch("t_pc").count() == 4) // 2 (parked), 4, 5, 6
+      // dropGroup removes the abandoned group's pin AND its parked row
+      ps.dropGroup("g2", "t_pc")
+      assert(ps.pruneConsumed("t_pc") == 3) // 2, 4, 5 (min now default's 5)
+      assert(ps.subscribeBatch("t_pc").count() == 1) // offset 6
+    } finally { ps.close(); ps2.close() }
+  }
+
+  test("pruneConsumed sweeps dead released markers, keeps live ones and the backfill sentinel") {
+    val dbUrl = url("sqlprunerel")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_rm") // writes the backfill sentinel (offset -1)
+      ps.publish("t_rm", (1 to 3).map(i => msg(s"r$i", s"r$i"))) // offsets 1..3
+      ps.ack("t_rm", 2)
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      def markers(): Set[Long] = {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            """SELECT "offset_id" FROM "graft_released" WHERE "topic" = 't_rm'""")
+          try {
+            val b = Set.newBuilder[Long]
+            while (rs.next()) b += rs.getLong(1)
+            b.result()
+          } finally rs.close()
+        } finally st.close()
+      }
+      try {
+        val st = c.prepareStatement(
+          """INSERT INTO "graft_released" ("topic", "offset_id", "grp")
+            |VALUES ('t_rm', ?, 'x')""".stripMargin)
+        try {
+          st.setLong(1, 1L); st.executeUpdate() // marker whose record will prune
+          st.setLong(1, 3L); st.executeUpdate() // marker on a SURVIVING record
+        } finally st.close()
+        assert(ps.pruneConsumed("t_rm") == 2) // offsets 1 and 2
+        // dead marker swept; live marker and the sentinel stay — dropping
+        // a live marker would expose a private redelivery to every group
+        assert(markers() == Set(-1L, 3L), s"got ${markers()}")
+      } finally c.close()
+    } finally ps.close()
+  }
+
   test("an epoch committed by a pre-r15 whole-epoch marker skips wholesale on replay") {
     val dbUrl = url("sqllegacy")
     val ps = new SqlPubSub(spark, dbUrl)
