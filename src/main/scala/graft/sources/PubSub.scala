@@ -429,8 +429,21 @@ class FilePubSub(spark: SparkSession, root: String)
     * `_epochs_manifest`, and [[publishEpoch]] consults it — a
     * checkpoint-replayed epoch from inside the redelivery horizon
     * skips instead of duplicating rows the consolidated file already
-    * holds. */
-  def compact(topic: String, targetFiles: Int = 1): Unit = {
+    * holds.
+    *
+    * `retentionMs` > 0 additionally DROPS rows whose message `ts` is
+    * older than the horizon during the rewrite — the file log's
+    * retention story (Kafka's retention.ms), closing the transport's
+    * unbounded-history growth the same way the SQL transport's
+    * pruneConsumed does. `ts` is the producer's event time (the only
+    * per-row time the log has), the cutoff is taken once on the
+    * driver clock, and expired epochs stay in the manifest so a
+    * checkpoint replay from inside the redelivery horizon still skips
+    * instead of resurrecting dropped rows. Subscribers started after
+    * the compact see only surviving history — retention is an
+    * operator decision, default off. */
+  def compact(topic: String, targetFiles: Int = 1,
+      retentionMs: Long = 0L): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val live = new HPath(path(topic))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -475,7 +488,18 @@ class FilePubSub(spark: SparkSession, root: String)
         spark.read.schema(Message.schema)
           .option("recursiveFileLookup", "true")
           .parquet(dataPaths.toSeq: _*)
-    consolidated.coalesce(targetFiles)
+    val retained =
+      if (retentionMs > 0)
+        // NULL-ts rows are kept explicitly (a bare ts >= cutoff is
+        // UNKNOWN on null and would silently expire a foreign writer's
+        // unstamped rows); the predicate still pushes to the scan
+        consolidated.filter {
+          import org.apache.spark.sql.functions.col
+          col("ts").isNull || col("ts") >=
+            new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
+        }
+      else consolidated
+    retained.coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     // the folded epoch dirs (cumulative with prior compacts) come from
     // the SAME listing the data pass read, and are written BEFORE the

@@ -158,6 +158,29 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(ps.subscribeBatch("cmp").count() == 10)
   }
 
+  test("file transport: compaction retention drops expired rows, keeps fresh/null-ts rows, replay still skips") {
+    val ps = new FilePubSub(spark, Files.createTempDirectory("graft-ret-").toString)
+    ps.publishEpoch("ret", frame("old1", "old2"), writerId = "w-old") // ts = 2023
+    ps.publish("ret", Seq(
+      Message("fresh", Map.empty, "x".getBytes,
+        new Timestamp(System.currentTimeMillis())),
+      // a foreign writer's unstamped row must never silently expire
+      Message("nots", Map.empty, "y".getBytes, null)))
+    assert(ps.subscribeBatch("ret").count() == 4)
+    ps.compact("ret", retentionMs = 3600000L) // 1h horizon
+    val got = ps.subscribeBatch("ret").collect().map(_.getAs[String]("uuid")).toSet
+    assert(got == Set("fresh", "nots"), s"retention kept wrong rows: $got")
+    // the expired epoch stays in the manifest: a checkpoint replay from
+    // inside the redelivery horizon skips instead of resurrecting rows
+    // that retention deliberately dropped
+    ps.publishEpoch("ret", frame("old1", "old2"), writerId = "w-old")
+    assert(ps.subscribeBatch("ret").collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("fresh", "nots"), "replayed expired epoch resurrected dropped rows")
+    // retention off (the default) keeps everything on a further compact
+    ps.compact("ret")
+    assert(ps.subscribeBatch("ret").count() == 2)
+  }
+
   test("file transport: a checkpoint-replayed epoch after compaction does not duplicate") {
     // the compacted file already holds epoch w-1's rows; a replay of
     // w-1 from inside the redelivery horizon (driver crashed before
