@@ -601,28 +601,65 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * `graft_offsets` row and does NOT pin retention; a NEW group (or a
     * `subscribeBatch` replay/audit read) sees only surviving history.
     * A group that is gone forever pins retention at its last ack until
-    * [[dropGroup]] removes it. */
-  def pruneConsumed(topic: String, olderThanMs: Long = 0L): Int = withConn { c =>
+    * [[dropGroup]] removes it.
+    *
+    * Deletes run in `batchSize`-offset RANGES over the primary key,
+    * one transaction each: the first prune of a long-lived topic can
+    * face billions of acked rows, and a single unbounded DELETE at
+    * that size is an undo-log/lock-escalation failure on any real
+    * engine. A crash mid-prune leaves a prefix deleted — harmless
+    * (every deleted row was acked; the next prune resumes from the
+    * surviving minimum). */
+  def pruneConsumed(topic: String, olderThanMs: Long = 0L,
+      batchSize: Long = 1000000L): Long = withConn { c =>
     requireBookkeepable(topic, "topic")
-    if (!tableExists(c, table(topic))) 0
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    if (!tableExists(c, table(topic))) 0L
     else {
       val seconds =
         if (olderThanMs >= 0) (olderThanMs + 999) / 1000
         else olderThanMs / 1000
-      val del = c.prepareStatement(
-        s"""DELETE FROM ${quoted(table(topic))}
-           |WHERE ${quoted("offset_id")} <= (
-           |    SELECT MIN(${quoted("last_offset")})
-           |    FROM ${quoted("graft_offsets")}
-           |    WHERE ${quoted("topic")} = ?)
-           |  AND ${quoted("offset_id")} NOT IN (
-           |    SELECT ${quoted("offset_id")} FROM ${quoted("graft_delayed")}
-           |    WHERE ${quoted("topic")} = ?)
-           |  AND ${quoted("ts")} <
-           |    {fn TIMESTAMPADD(SQL_TSI_SECOND, ${-seconds}, CURRENT_TIMESTAMP)}""".stripMargin)
-      val n =
-        try { del.setString(1, topic); del.setString(2, topic); del.executeUpdate() }
-        finally del.close()
+      def scalarLong(sql: String, args: String*): Option[Long] = {
+        val ps = c.prepareStatement(sql)
+        try {
+          args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) }
+          val rs = ps.executeQuery()
+          try {
+            if (!rs.next()) None
+            else { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+          } finally rs.close()
+        } finally ps.close()
+      }
+      // the prune ceiling: the minimum committed ack across groups —
+      // taken ONCE, so acks advancing mid-prune never widen the sweep
+      val ceil = scalarLong(
+        s"""SELECT MIN(${quoted("last_offset")})
+           |FROM ${quoted("graft_offsets")}
+           |WHERE ${quoted("topic")} = ?""".stripMargin, topic)
+      val floor = scalarLong(
+        s"SELECT MIN(${quoted("offset_id")}) FROM ${quoted(table(topic))}")
+      var n = 0L
+      (ceil, floor) match {
+        case (Some(hiAll), Some(lo0)) if lo0 <= hiAll =>
+          val del = c.prepareStatement(
+            s"""DELETE FROM ${quoted(table(topic))}
+               |WHERE ${quoted("offset_id")} > ? AND ${quoted("offset_id")} <= ?
+               |  AND ${quoted("offset_id")} NOT IN (
+               |    SELECT ${quoted("offset_id")} FROM ${quoted("graft_delayed")}
+               |    WHERE ${quoted("topic")} = ?)
+               |  AND ${quoted("ts")} <
+               |    {fn TIMESTAMPADD(SQL_TSI_SECOND, ${-seconds}, CURRENT_TIMESTAMP)}""".stripMargin)
+          try {
+            var lo = lo0 - 1
+            while (lo < hiAll) {
+              val hi = math.min(lo + batchSize, hiAll)
+              del.setLong(1, lo); del.setLong(2, hi); del.setString(3, topic)
+              n += del.executeUpdate()
+              lo = hi
+            }
+          } finally del.close()
+        case _ => () // no registered group, or nothing below the ceiling
+      }
       if (n > 0) {
         // released-copy visibility markers whose record is gone are
         // dead weight (the LEFT-JOIN filter has nothing to hide);

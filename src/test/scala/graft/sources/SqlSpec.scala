@@ -508,8 +508,9 @@ class SqlSpec extends SparkSpec {
       // horizon keeps everything
       assert(ps.pruneConsumed("t_pc", olderThanMs = 5L * 365 * 24 * 3600 * 1000) == 0,
         "horizon did not protect in-window rows")
-      // past the horizon: offsets 1 and 3 go (<= min ack 3, not parked)
-      assert(ps.pruneConsumed("t_pc") == 2)
+      // past the horizon: offsets 1 and 3 go (<= min ack 3, not parked);
+      // batchSize = 1 drives the range loop one offset at a time
+      assert(ps.pruneConsumed("t_pc", batchSize = 1) == 2)
       assert(ps.subscribeBatch("t_pc").count() == 4) // 2 (parked), 4, 5, 6
       // dropGroup removes the abandoned group's pin AND its parked row
       ps.dropGroup("g2", "t_pc")
