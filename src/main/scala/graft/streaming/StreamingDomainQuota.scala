@@ -127,10 +127,18 @@ object DomainQuota {
   *   resolve EAGER (the StreamingQuota contract): the returned rows
   *   must be the exact set whose delta was just written; a lazy pin
   *   could recompute against a grown state. */
+/** @param compactEvery fold the delta partitions automatically every N
+  *   batches (0 = off) — StreamingQuota's mid-stream-safe discipline:
+  *   everything EXCEPT the triggering batch's own partition folds into
+  *   the -2 sentinel (only the current, uncommitted id can replay
+  *   under foreachBatch; earlier ids' attribution is dead weight).
+  *   Without it the state dir grows one partition dir per micro-batch
+  *   forever. Requires monotonically increasing batch ids. */
 final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
     domainCol: String = "domain", idCol: String = "doc_id",
     materialize: graft.operators.Materialize =
-      graft.operators.Materialize.SessionDefault("StreamingDomainQuota.admitted")) {
+      graft.operators.Materialize.SessionDefault("StreamingDomainQuota.admitted"),
+    compactEvery: Int = 0) {
 
   private def fs = new org.apache.hadoop.fs.Path(stateDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -170,6 +178,8 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
     * Pass the foreachBatch `batchId` for replay safety (the -1 default
     * keeps plain append for bounded-loop callers). */
   def admit(batch: DataFrame, batchId: Long = -1L): DataFrame = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactExcluding(batchId)
     val m = materialize.resolveEagerFor(batch)
     require(m.isEager, s"StreamingDomainQuota needs an EAGER Materialize " +
       s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
@@ -208,6 +218,29 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
   // broadcast is safe by construction — marked explicitly so AQE
   // never sorts a micro-batch for a 3-row join
   private def broadcastIfSafe(df: DataFrame): DataFrame = broadcast(df)
+
+  /** The mid-stream-safe fold behind `compactEvery` (StreamingQuota's
+    * discipline): every delta EXCEPT `batchId`'s own partition
+    * collapses into the -2 sentinel; the live id's partition carries
+    * over untouched so a replay of it still excludes and overwrites
+    * its first attempt. Idempotent under replay re-triggering. */
+  private def compactExcluding(batchId: Long): Unit = if (hasState) {
+    val all = spark.read.parquet(stateDir)
+    def cols(df: DataFrame) = df.select(col("domain"), col("n_docs"),
+      col("n_admitted"), col("admitted_id_sum"), col("batch_id"))
+    val folded = all.filter(col("batch_id") =!= batchId)
+      .groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_admitted")).as("n_admitted"),
+        sum(col("admitted_id_sum")).as("admitted_id_sum"))
+      .withColumn("batch_id", lit(-2L))
+    val keep = all.filter(col("batch_id") === batchId)
+    val tmp = stateDir + ".compact"
+    cols(folded).unionByName(cols(keep))
+      .repartition(1).write.partitionBy("batch_id")
+      .mode("overwrite").parquet(tmp)
+    GenerationSwap.replaceLive(fs, stateDir, tmp)
+  }
 
   /** Fold the delta partitions into one `batch_id=-2` sentinel
     * partition (StreamingQuota.compact's convention and crash-safe

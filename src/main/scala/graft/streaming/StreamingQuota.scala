@@ -42,10 +42,24 @@ import org.apache.spark.sql.functions._
   *   frame must be the exact rows whose delta was just written to the
   *   state; a lazy pin could recompute against a state that has since
   *   grown and return a DIFFERENT admitted set than was counted. */
+/** @param compactEvery fold the delta partitions automatically every N
+  *   batches (0 = off, the default). The quiescent [[compact]] erases
+  *   per-batch attribution, so the automatic form folds everything
+  *   EXCEPT the triggering batch's own partition: under the
+  *   foreachBatch contract only the CURRENT (uncommitted) batch id can
+  *   ever replay — earlier ids are checkpoint-committed before the
+  *   next invocation — so their attribution is dead weight and folding
+  *   them mid-stream is safe, while the live id keeps its partition
+  *   for the replay exclusion/overwrite. Requires monotonically
+  *   increasing batch ids (foreachBatch's own contract); without the
+  *   sweep, the state dir grows one partition dir per micro-batch
+  *   forever — millions of small files on a months-running stream,
+  *   the object-store listing death the epoch sweep exists to stop. */
 final class StreamingQuota(spark: SparkSession, stateDir: String,
     keyCol: String, orderCol: String, tieCol: String, budget: Int,
     materialize: graft.operators.Materialize =
-      graft.operators.Materialize.SessionDefault("StreamingQuota.admitted")) {
+      graft.operators.Materialize.SessionDefault("StreamingQuota.admitted"),
+    compactEvery: Int = 0) {
   require(budget > 0, "budget must be positive")
 
   private def fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -151,6 +165,8 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     * [[compact]] only for ids past the stream's committed checkpoint
     * (folding erases per-batch attribution). */
   def admit(batch: DataFrame, batchId: Long = -1L): DataFrame = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactExcluding(batchId)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
     val ranked = batch.withColumn("graft_rk", row_number().over(w))
     val withUsed = usedExcluding(batchId)
@@ -180,6 +196,27 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     * contract as StreamingNearDup.compact / FilePubSub.compact). The
     * folded view writes to a sibling dir FIRST — the fold is fully
     * materialized before the old state is dropped. */
+  /** The mid-stream-safe fold behind `compactEvery`: every delta
+    * EXCEPT `batchId`'s own partition collapses into the -2 sentinel;
+    * the live id's partition carries over untouched so a replay of it
+    * still excludes and overwrites its first attempt. Same crash-safe
+    * swap as [[compact]] — idempotent, so the same batch replaying
+    * re-triggers it harmlessly (a fold of folded state is stable). */
+  private def compactExcluding(batchId: Long): Unit = if (hasState) {
+    val all = spark.read.parquet(stateDir)
+    val folded = all.filter(col("batch_id") =!= batchId)
+      .groupBy(col(keyCol)).agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(-2L))
+      .select(col(keyCol), col("n"), col("batch_id"))
+    val keep = all.filter(col("batch_id") === batchId)
+      .select(col(keyCol), col("n"), col("batch_id"))
+    val tmp = stateDir + ".compact"
+    folded.unionByName(keep)
+      .repartition(1).write.partitionBy("batch_id")
+      .mode("overwrite").parquet(tmp)
+    GenerationSwap.replaceLive(fs, stateDir, tmp)
+  }
+
   def compact(): Unit = used().foreach { u =>
     val tmp = stateDir + ".compact"
     // folded rows carry the -2 sentinel id: never excluded by any

@@ -601,6 +601,70 @@ class StreamingCurationSpec extends SparkSpec {
       s"domain b under cap must still admit at wrap-scale totals: $next")
   }
 
+  test("compactEvery folds the state mid-stream: dir bounded, budgets intact, triggering batch still replay-safe") {
+    def partDirs(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).collect {
+        case s if s.getPath.getName.startsWith("batch_id=") => s.getPath.getName
+      }.toSet
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // per-key quota: compact on every even batch id
+    val qdir = java.nio.file.Files.createTempDirectory("graft-sqce").toString + "/state"
+    val quota = new StreamingQuota(spark, qdir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 3,
+      compactEvery = 2)
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "source")
+    quota.admit(batch(1L -> "a", 2L -> "a"), batchId = 1L)
+    quota.admit(batch(3L -> "a", 4L -> "a"), batchId = 2L)   // folds batch 1
+    val b3 = quota.admit(batch(5L -> "a", 20L -> "c"), batchId = 3L)
+    assert(ids(b3) == Set(20L), s"budget must survive the fold, got ${ids(b3)}")
+    val b4 = quota.admit(batch(21L -> "c"), batchId = 4L)    // folds 2,3
+    assert(ids(b4) == Set(21L))
+    assert(partDirs(qdir) == Set("batch_id=-2", "batch_id=4"),
+      s"state dir unbounded after compactEvery: ${partDirs(qdir)}")
+    // REPLAY of the triggering batch: same admissions, no double-count
+    // (the fold kept its partition out, so the exclusion still works;
+    // the re-triggered fold is idempotent)
+    assert(ids(quota.admit(batch(21L -> "c"), batchId = 4L)) == Set(21L))
+    val used = quota.used().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(used == Map("a" -> 3L, "c" -> 2L), s"ledger drifted: $used")
+
+    // domain quota: same discipline, richer state columns
+    val ddir = java.nio.file.Files.createTempDirectory("graft-sdqce").toString + "/state"
+    val dq = new StreamingDomainQuota(spark, ddir, compactEvery = 2)
+    def dbatch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "domain")
+    dq.admit(dbatch(1L -> "a", 2L -> "a", 9L -> "b"), batchId = 1L)
+    dq.admit(dbatch(3L -> "a", 10L -> "b"), batchId = 2L)    // folds batch 1
+    val d3 = dq.admit(dbatch(4L -> "a", 11L -> "b"), batchId = 3L)
+    val d3ids = ids(d3)
+    val replay = ids(dq.admit(dbatch(4L -> "a", 11L -> "b"), batchId = 3L))
+    assert(replay == d3ids, s"replay drifted after fold: $replay vs $d3ids")
+    dq.admit(dbatch(5L -> "a"), batchId = 4L)                // folds 2,3
+    assert(partDirs(ddir) == Set("batch_id=-2", "batch_id=4"),
+      s"domain state dir unbounded: ${partDirs(ddir)}")
+    // the folded streaming state still equals the pure two-fold —
+    // attribution is gone, the sums are not
+    val pure = DomainQuota.admitIncrement(
+      DomainQuota.admitIncrement(
+        DomainQuota.admitIncrement(
+          DomainQuota.admitIncrement(DomainQuota.emptyState(spark),
+            dbatch(1L -> "a", 2L -> "a", 9L -> "b")),
+          dbatch(3L -> "a", 10L -> "b")),
+        dbatch(4L -> "a", 11L -> "b")),
+      dbatch(5L -> "a"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("domain", "n_docs", "n_admitted", "admitted_id_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(rows(dq.state().get) == rows(pure),
+      "folded streaming state must equal the pure incremental fold")
+  }
+
   test("quota upgrade: a pre-batch_id FLAT state layout migrates instead of breaking") {
     // A state dir written by the pre-replay-safety version holds flat
     // part files with NO batch_id column or partition dirs. The first
