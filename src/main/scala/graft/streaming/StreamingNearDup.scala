@@ -49,13 +49,25 @@ import graft.functions.{DedupFunctions, TextFunctions}
   *   whose bands were just appended to the index, and a LAZY pin with
   *   lineage kept could legally recompute — re-evaluating
   *   current_timestamp() and drifting from the persisted index. */
+/** @param compactEvery fold the index's batch partitions automatically
+  *   every N batches (0 = off) — StreamingQuota's mid-stream-safe
+  *   discipline: rows of every batch EXCEPT the triggering one relabel
+  *   into the `batch_id=-2` sentinel (only the current, uncommitted id
+  *   can replay under foreachBatch, and its exclusion/overwrite needs
+  *   its own partition — older attribution is dead weight), expired
+  *   rows drop in the same rewrite when `retention` is set (they are
+  *   already invisible to the live view), and the band layout +
+  *   band_key sort carry through. Without the sweep the index grows
+  *   batches × bands directories forever. Requires monotonically
+  *   increasing batch ids. */
 final class StreamingNearDup(spark: SparkSession, indexDir: String,
     idCol: String = "doc_id", textCol: String = "text",
     shingleN: Int = 3, k: Int = 12, r: Int = 2,
     minSim: Double = 0.7, retention: Option[String] = None,
     materialize: graft.operators.Materialize =
       graft.operators.Materialize.SessionDefault(
-        "StreamingNearDup.kept")) {
+        "StreamingNearDup.kept"),
+    compactEvery: Int = 0) {
 
   private def fs = new org.apache.hadoop.fs.Path(indexDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -201,6 +213,8 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
     * keeps the legacy append-only behavior for bounded-loop callers
     * outside foreachBatch. */
   def processBatch(batch: DataFrame, batchId: Long = -1L): DataFrame = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactExcluding(batchId)
     val bs = bandSigs(batch).persist() // batch-sized; read by 3 consumers
     try {
       // cross-batch: similar to any indexed (retained) doc → drop.
@@ -277,6 +291,26 @@ final class StreamingNearDup(spark: SparkSession, indexDir: String,
 
   /** Rows currently in the index (state-size observability/tests). */
   def indexSize(): Long = if (hasIndex) spark.read.parquet(indexDir).count() else 0L
+
+  /** The mid-stream-safe fold behind `compactEvery`: rows of every
+    * batch EXCEPT `batchId`'s relabel into the -2 sentinel (a pure
+    * relabel — index rows are individual entries, nothing aggregates),
+    * expired rows drop when `retention` is set, and the live id's
+    * partition carries over untouched for its replay exclusion and
+    * dynamic overwrite. Idempotent under replay re-triggering. */
+  private def compactExcluding(batchId: Long): Unit = if (hasIndex) {
+    val all = spark.read.parquet(indexDir)
+    val old = all.filter(col("batch_id") =!= batchId)
+    val folded = retention.fold(old)(h =>
+        old.filter(col("ingest_ts") >= current_timestamp() - expr(s"INTERVAL $h")))
+      .withColumn("batch_id", lit(-2L))
+    val tmp = indexDir + ".compact"
+    folded.unionByName(all.filter(col("batch_id") === batchId))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("band_key"))
+      .write.partitionBy("batch_id", "band").mode("overwrite").parquet(tmp)
+    GenerationSwap.replaceLive(fs, indexDir, tmp)
+  }
 
   /** Rewrite the index keeping only rows within the retention horizon
     * — reclaims storage for long-running pipelines. No-op without a

@@ -601,6 +601,30 @@ class StreamingCurationSpec extends SparkSpec {
       s"domain b under cap must still admit at wrap-scale totals: $next")
   }
 
+  test("near-dup compactEvery folds index batches mid-stream: dirs bounded, dedup intact, replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndce-").toString + "/index"
+    val nd = new StreamingNearDup(spark, dir, minSim = 0.5, compactEvery = 2)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val tA = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val tB = "colorless green ideas sleep furiously while syntax dreams of semantic rivers flowing"
+    val tC = "spark structured streaming joins minhash bands against a persistent parquet index"
+    assert(ids(nd.processBatch(docs(1L -> tA), batchId = 1L)) == Set(1L))
+    assert(ids(nd.processBatch(docs(2L -> tB), batchId = 2L)) == Set(2L)) // folds batch 1
+    // cross-batch dedup must survive the fold: tA is now under the sentinel
+    assert(ids(nd.processBatch(docs(3L -> tA, 4L -> tC), batchId = 3L)) == Set(4L))
+    val b4 = ids(nd.processBatch(docs(5L -> tB), batchId = 4L)) // folds 2,3
+    assert(b4.isEmpty, s"tB is indexed, got $b4")
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(dirs == Set("batch_id=-2"),
+      s"index dirs unbounded after compactEvery: $dirs") // batch 4 kept nothing
+    // replay of the triggering batch: same (empty) survivors, fold idempotent
+    assert(ids(nd.processBatch(docs(5L -> tB), batchId = 4L)).isEmpty)
+    assert(nd.indexSize() == 3 * (12 / 2), "3 retained docs x 6 bands")
+  }
+
   test("compactEvery folds the state mid-stream: dir bounded, budgets intact, triggering batch still replay-safe") {
     def partDirs(dir: String): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
