@@ -69,15 +69,16 @@ object Diagnostics {
     * whose contribution is Gini-concentrated is one boilerplate giant,
     * not a diverse corpus.
     *
-    * Exact-integer discipline: with tie-broken ranks i = 1..n (asc by
+    * Determinism discipline: with tie-broken ranks i = 1..n (asc by
     * value) the classic estimator G = (2Σi·x − (n+1)Σx) / (n·Σx)
-    * folds to integer sums; only the FINAL divide is floating point,
-    * on two exact integers — bit-identical cross-engine (q141).
-    * Requires non-negative values (negative mass makes Gini
-    * undefined); n·Σx = 0 yields null.
+    * folds to sums computed in double space — exact below 2^53, so
+    * bit-identical cross-engine at every oracle scale (q141), and
+    * never overflowing at corpus scale (the Long form aborts under
+    * ANSI past 2^63, around ~1e9 rows × 1e4-unit values). Requires
+    * non-negative values (negative mass makes Gini undefined);
+    * n·Σx = 0 yields null.
     *
-    * One shuffle on `group` carries the rank window and the fold;
-    * overflow guard: Σ i·x peaks at n·Σx (ANSI throws past 2^63). */
+    * One shuffle on `group` carries the rank window and the fold. */
   def gini(df: DataFrame, group: Column, value: Column,
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -90,10 +91,10 @@ object Diagnostics {
       .withColumn("_i", row_number().over(w).cast("long"))
       .groupBy(col("_g"))
       // the rank-weighted sum and the num/den run in DOUBLE space
-      // (exact below 2^53, never wraps): the Long Σ i·v is an n²·v̄
-      // quantity that wraps past 2^63 around ~1e9 rows × 1e4-unit
-      // values — far below corpus scale — and a wrapped num or den
-      // silently corrupts gini
+      // (exact below 2^53, never overflows): the Long Σ i·v is an
+      // n²·v̄ quantity that overflows 2^63 around ~1e9 rows ×
+      // 1e4-unit values — far below corpus scale — an ANSI abort by
+      // default, silent gini corruption under ansi=false
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"),
         sum(col("_i").cast("double") * col("_v")).as("_w"))
       .select(col("_g").as("g"), col("n"), {

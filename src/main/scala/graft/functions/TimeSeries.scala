@@ -22,9 +22,11 @@ object TimeSeries {
     * group: `(g, twap_num, twap_den, twap)` with num/den the exact
     * integer sum of value×gap and gap (microseconds).
     *
-    * Overflow guard: Σ value·gap peaks at max|value| × total span in
-    * µs; ANSI mode throws rather than wraps past 2^63 — scale the
-    * value units down for multi-year × 10^9-unit series.
+    * Overflow: the `twap` statistic's own sum runs in double space
+    * (exact below 2^53, never overflows), so the average stays
+    * correct for multi-year × 10^9-unit series; the exact-integer
+    * `twap_num` diagnostic column is the one that peaks at max|value|
+    * × total span in µs and aborts under ANSI past 2^63.
     *
     * ONE shuffle on `g` carries the lead window and the fold. */
   def twap(df: DataFrame, group: Column, value: Column, ts: Column,
@@ -47,8 +49,9 @@ object TimeSeries {
         sum(col("_v") * col("_gap")).as("twap_num"),
         sum(col("_gap")).as("twap_den"),
         // the statistic's weighted sum in double space (exact below
-        // 2^53): the Long Σ v·gap_µs wraps past 2^63 once a group
-        // holds ~1e8 rows of 1e3-unit values at 1e6-µs gaps — the
+        // 2^53): the Long Σ v·gap_µs overflows 2^63 once a group
+        // holds ~1e8 rows of 1e3-unit values at 1e6-µs gaps — an ANSI
+        // abort by default, silent corruption under ansi=false; the
         // Long twap_num diagnostic stays exact while
         // int64-representable
         sum(col("_v").cast("double") * col("_gap")).as("_twapd"))

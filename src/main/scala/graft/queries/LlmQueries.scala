@@ -2356,9 +2356,9 @@ object LlmQueries {
           sum(when(col("lang") === col("pred"), col("n"))
             .otherwise(lit(0L))).as("diag"))
         // the STATISTIC's arithmetic runs in double space (exact below
-        // 2^53, never wraps): the Long products rn·cn / N·diag / N²
-        // wrap past 2^63 at ~3e9-doc corpora and a wrapped num/den
-        // silently corrupts kappa. The Long `rowcol` diagnostic column
+        // 2^53, never overflows): the Long products rn·cn / N·diag /
+        // N² overflow 2^63 at ~3e9-doc corpora — an ANSI abort by
+        // default, silent num/den corruption under ansi=false. The Long `rowcol` diagnostic column
         // keeps the exact integer while it is int64-representable.
         val marg = conf.groupBy(col("lang").as("k"))
           .agg(sum(col("n")).as("rn"))
@@ -2537,9 +2537,10 @@ object LlmQueries {
               (col("g") - col("cs")) * col("n_s")))
           // the KS statistic's numerator/denominator run in double
           // space (exact below 2^53): the Long forms cs·n_r and
-          // n_s·n_r wrap past 2^63 at ~3e9-doc corpora, silently
-          // corrupting ks (the Long `ks_num` diagnostic stays exact
-          // while int64-representable)
+          // n_s·n_r overflow 2^63 at ~3e9-doc corpora — an ANSI abort
+          // by default, silent ks corruption under ansi=false (the
+          // Long `ks_num` diagnostic stays exact while
+          // int64-representable)
           .withColumn("numd", abs(
             col("cs").cast("double") * (col("n_g") - col("n_s")) -
               (col("g") - col("cs")).cast("double") * col("n_s")))
@@ -2695,10 +2696,11 @@ object LlmQueries {
             col("o") * col("n_r") - (col("c_c") - col("o")) * col("n_s"))
           // the chi-square term runs in double space (exact below
           // 2^53): the Long denominator n_s·n_r·c_c is an N³ product
-          // that wraps past 2^63 already around ~2e6 docs per
-          // source/lang margin — far below crawl scale — and the
-          // wrapped product silently corrupts the term (the Long
-          // `diff` diagnostic stays exact while int64-representable)
+          // that overflows 2^63 already around ~2e6 docs per
+          // source/lang margin — far below crawl scale — an ANSI
+          // abort by default, silent term corruption under ansi=false
+          // (the Long `diff` diagnostic stays exact while
+          // int64-representable)
           .withColumn("diffd",
             col("o").cast("double") * col("n_r") -
               (col("c_c") - col("o")).cast("double") * col("n_s"))
@@ -2772,10 +2774,11 @@ object LlmQueries {
           .agg(sum(col("m")).as("n_s"),
             sum(col("m") * col("mid2")).as("r2"),
             // the AUC's rank sum in double space (exact below 2^53):
-            // the Long Σ m·mid2 is an N² quantity that wraps past 2^63
-            // at ~2e9 events, and 2·n_s·n_r wraps alongside it —
-            // silently corrupting auc (the Long `u2` diagnostic stays
-            // exact while int64-representable)
+            // the Long Σ m·mid2 is an N² quantity that overflows 2^63
+            // at ~2e9 events, with 2·n_s·n_r alongside it — an ANSI
+            // abort by default, silent auc corruption under
+            // ansi=false (the Long `u2` diagnostic stays exact while
+            // int64-representable)
             sum(col("m").cast("double") * col("mid2")).as("r2d"))
           .crossJoin(broadcast(nT))
           .withColumn("n_r", col("n_g") - col("n_s"))
@@ -3175,9 +3178,9 @@ object LlmQueries {
           .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
             col("n_docs"),
             // lift in double space (exact below 2^53): the Long
-            // products n_ab·N and n_a·n_b wrap past 2^63 at ~3e9-doc
-            // corpora, and a wrapped numerator or denominator silently
-            // corrupts the ratio
+            // products n_ab·N and n_a·n_b overflow 2^63 at ~3e9-doc
+            // corpora — an ANSI abort by default, a silently corrupted
+            // ratio under ansi=false
             ((col("n_ab").cast("double") * col("n_docs")) /
               (col("n_a").cast("double") * col("n_b"))).as("lift"))
           .orderBy(col("a"), col("b"))
@@ -3634,8 +3637,9 @@ object LlmQueries {
             concat_ws("/", col("source"), col("lang")).as("domain"))
         // gate in the overflow-proof division form (rn ≤ (3N) div (2D)
         // ⟺ 2·rn·D ≤ 3·N for integer rn — see DomainQuota's scale
-        // note: the product form wraps Long at 1e11 docs × 1e8 domains
-        // and the wrapped-negative left side silently admits the tail)
+        // note: the product form overflows Long at 1e11 docs × 1e8
+        // domains — an ANSI ARITHMETIC_OVERFLOW abort by default, a
+        // silent wrapped-negative admit-the-tail under ansi=false)
         val consts = d.agg(count(lit(1)).as("n_total"),
           countDistinct(col("domain")).as("n_domains"))
           .select(expr("n_total * 3 div (n_domains * 2)").as("adm_cap"))

@@ -2494,11 +2494,11 @@ object RelationalQueries {
         val num = col("n") * col("sxy") - col("sx") * col("sy")
         val den = col("n") * col("sxx") - col("sx") * col("sx")
         // the slope's arithmetic runs in double space (exact below
-        // 2^53): the Long cross-products n·sxy and sx·sy wrap past
+        // 2^53): the Long cross-products n·sxy and sx·sy overflow
         // 2^63 once daily counts reach crawl scale (sy is the corpus
-        // total), silently corrupting the statistic — the Long
-        // slope_num/slope_den diagnostics stay exact while
-        // int64-representable
+        // total) — an ANSI abort by default, a silently corrupted
+        // statistic under ansi=false; the Long slope_num/slope_den
+        // diagnostics stay exact while int64-representable
         val numd = col("n").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")
         val dend = col("n").cast("double") * col("sxx") -
@@ -2910,9 +2910,10 @@ object RelationalQueries {
         val dy = col("n") * col("syy") - col("sy") * col("sy")
         // the correlation's arithmetic runs in double space (exact
         // below 2^53): the Long cross-products n·sxy / sx·sy / n·sxx
-        // wrap past 2^63 once daily counts reach crawl scale,
-        // silently corrupting r — the Long r_num/dx/dy diagnostics
-        // stay exact while int64-representable
+        // overflow 2^63 once daily counts reach crawl scale — an ANSI
+        // abort by default, silent r corruption under ansi=false; the
+        // Long r_num/dx/dy diagnostics stay exact while
+        // int64-representable
         val numd = col("n").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")
         val dxd = col("n").cast("double") * col("sxx") -

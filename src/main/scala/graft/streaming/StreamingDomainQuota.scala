@@ -92,11 +92,12 @@ object DomainQuota {
       // the gate 2·rank·D ≤ 3·N evaluated in its overflow-proof
       // equivalent form rank ≤ (3·N) div (2·D): identical booleans for
       // every in-range integer (rank ≤ x ⟺ rank ≤ floor(x) for integer
-      // rank), but the PRODUCT form wraps Long at crawl scale (rank
-      // ~1e11 on a mega-domain × D ~1e8 registrable domains ≈ 2e19 >
-      // 2^63) and the wrapped-negative left side silently ADMITS the
-      // whole tail — the decode-bomb wrap class, in the admission
-      // arithmetic. 3·N can't wrap below 3e18 docs; 2·D below 2^62
+      // rank), but the PRODUCT form overflows Long at crawl scale
+      // (rank ~1e11 on a mega-domain × D ~1e8 registrable domains ≈
+      // 2e19 > 2^63): an ANSI ARITHMETIC_OVERFLOW abort by default —
+      // the whole admission query dies exactly when the corpus gets
+      // big — and a wrapped-negative silent ADMIT-the-tail under
+      // ansi=false. 3·N can't wrap below 3e18 docs; 2·D below 2^62
       // domains. (The DuckDB oracle keeps the literal product: it
       // errors loudly on overflow rather than wrapping, and the oracle
       // only runs at small SF.)

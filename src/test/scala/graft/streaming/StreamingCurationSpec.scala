@@ -581,10 +581,11 @@ class StreamingCurationSpec extends SparkSpec {
 
   test("domain-quota gate holds at crawl-scale totals where the product form wraps Long") {
     // a0 = 2.5e18 admitted on domain a, N just over 3e18, D = 2: the
-    // literal gate product (a0+rn)·D·2 ≈ 1e19 wraps past 2^63 to a
-    // NEGATIVE, so the product form would silently ADMIT the doc; the
-    // shipped division form (cap = 3N div 2D ≈ 2.25e18 < a0+rn) must
-    // reject it — and still admit on a domain whose a0 is under the cap
+    // literal gate product (a0+rn)·D·2 ≈ 1e19 exceeds 2^63 — an ANSI
+    // ARITHMETIC_OVERFLOW abort by default, a wrapped-negative silent
+    // ADMIT under ansi=false; the shipped division form (cap = 3N div
+    // 2D ≈ 2.25e18 < a0+rn) must instead compute fine and reject it —
+    // and still admit on a domain whose a0 is under the cap
     val a0 = 2500000000000000000L // 2.5e18
     val half = 1500000000000000000L // n_docs per domain; N = 3e18 + 2
     val st = Seq(
