@@ -163,13 +163,13 @@ object Diagnostics {
     * rank columns are permutations of 1..n and the classical form
     * applies with EXACT integer aggregates:
     *   ρ = 1 − 6·Σ(rx−ry)² / (n·(n²−1))
-    * Only the final divide touches floating point, and both operands
-    * are single exact integers — the value is bit-identical across
-    * engines (the q131 gate), the same exactness discipline as the
-    * rank-pick medians and integer-rational Jaccard thresholds.
-    *
-    * Guard: Σd² ≤ n³/3, so the fold is exact to n ≈ 3 M rows per group
-    * (ANSI mode throws past it rather than wrapping silently).
+    * The fold and the denominator run in DOUBLE space: exact below
+    * 2^53 — bit-identical across engines at every oracle scale (the
+    * q131 gate), the same discipline as gini — and never overflowing
+    * at corpus scale. The Long forms (Σd² ≤ n³/3 and n·(n²−1)) abort
+    * under ANSI already at n ≈ 2–3 M rows per group, far below a
+    * per-source group at crawl scale; past 2^53 the double form
+    * rounds at ~1e-16 relative, noise for a correlation.
     *
     * Scale shape: ONE hash shuffle on `group` carries both rank
     * windows (per-partition sorts), then a per-group fold to two
@@ -189,12 +189,13 @@ object Diagnostics {
       .withColumn("ry",
         row_number().over(wG.orderBy(col("y"), col("tb"))).cast("long"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
+      .agg(count(lit(1)).as("n"),
+        sum(d.cast("double") * d).as("sd2"))
       .select(col("g"), col("n"), {
-        val den = col("n") * (col("n") * col("n") - lit(1L))
-        when(den === 0, lit(null).cast("double"))
-          .otherwise(lit(1.0) -
-            lit(6.0) * col("sd2").cast("double") / den.cast("double"))
+        val nd = col("n").cast("double")
+        val den = nd * (nd * nd - lit(1.0))
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - lit(6.0) * col("sd2") / den)
           .as("rho")
       })
   }
