@@ -25,8 +25,8 @@ object TimeSeries {
     * Overflow: the `twap` statistic's own sum runs in double space
     * (exact below 2^53, never overflows), so the average stays
     * correct for multi-year × 10^9-unit series; the exact-integer
-    * `twap_num` diagnostic column is the one that peaks at max|value|
-    * × total span in µs and aborts under ANSI past 2^63.
+    * `twap_num` diagnostic rides try_* forms — exact while the Σ is
+    * int64-representable, NULL beyond, never an abort.
     *
     * ONE shuffle on `g` carries the lead window and the fold. */
   def twap(df: DataFrame, group: Column, value: Column, ts: Column,
@@ -46,14 +46,13 @@ object TimeSeries {
       .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
       .groupBy(col("_g"))
       .agg(
-        sum(col("_v") * col("_gap")).as("twap_num"),
+        try_sum(try_multiply(col("_v"), col("_gap"))).as("twap_num"),
         sum(col("_gap")).as("twap_den"),
         // the statistic's weighted sum in double space (exact below
         // 2^53): the Long Σ v·gap_µs overflows 2^63 once a group
-        // holds ~1e8 rows of 1e3-unit values at 1e6-µs gaps — an ANSI
-        // abort by default, silent corruption under ansi=false; the
-        // Long twap_num diagnostic stays exact while
-        // int64-representable
+        // holds ~1e8 rows of 1e3-unit values at 1e6-µs gaps — and the
+        // try_* twap_num diagnostic goes NULL there instead of
+        // aborting or silently wrapping
         sum(col("_v").cast("double") * col("_gap")).as("_twapd"))
       .select(col("_g").as("g"), col("twap_num"), col("twap_den"),
         when(coalesce(col("twap_den"), lit(0L)) === 0,

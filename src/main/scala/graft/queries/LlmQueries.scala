@@ -2358,13 +2358,16 @@ object LlmQueries {
         // the STATISTIC's arithmetic runs in double space (exact below
         // 2^53, never overflows): the Long products rn·cn / N·diag /
         // N² overflow 2^63 at ~3e9-doc corpora — an ANSI abort by
-        // default, silent num/den corruption under ansi=false. The Long `rowcol` diagnostic column
+        // default, silent num/den corruption under ansi=false. The
+        // Long `rowcol` diagnostic rides try_* forms: exact while
+        // int64-representable, NULL beyond — never an abort. The Long `rowcol` diagnostic column
         // keeps the exact integer while it is int64-representable.
         val marg = conf.groupBy(col("lang").as("k"))
           .agg(sum(col("n")).as("rn"))
           .join(conf.groupBy(col("pred").as("k")).agg(sum(col("n")).as("cn")),
             Seq("k"))
-          .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("rowcol"),
+          .agg(coalesce(try_sum(try_multiply(col("rn"), col("cn"))),
+            lit(0L)).as("rowcol"),
             coalesce(sum(col("rn").cast("double") * col("cn")), lit(0.0))
               .as("rowcold"))
         totals.crossJoin(broadcast(marg))
@@ -2532,15 +2535,15 @@ object LlmQueries {
         perSrc.join(glob, Seq("v"))
           .join(ns, Seq("source"))
           .crossJoin(broadcast(tot))
-          .withColumn("num", abs(
-            col("cs") * (col("n_g") - col("n_s")) -
-              (col("g") - col("cs")) * col("n_s")))
+          .withColumn("num", abs(try_subtract(
+            try_multiply(col("cs"), col("n_g") - col("n_s")),
+            try_multiply(col("g") - col("cs"), col("n_s")))))
           // the KS statistic's numerator/denominator run in double
           // space (exact below 2^53): the Long forms cs·n_r and
           // n_s·n_r overflow 2^63 at ~3e9-doc corpora — an ANSI abort
-          // by default, silent ks corruption under ansi=false (the
-          // Long `ks_num` diagnostic stays exact while
-          // int64-representable)
+          // by default, silent ks corruption under ansi=false. The
+          // Long `ks_num` diagnostic rides try_* forms: exact while
+          // int64-representable, NULL beyond — never an abort
           .withColumn("numd", abs(
             col("cs").cast("double") * (col("n_g") - col("n_s")) -
               (col("g") - col("cs")).cast("double") * col("n_s")))
@@ -2692,15 +2695,16 @@ object LlmQueries {
           .join(broadcast(colT), Seq("lang"))
           .crossJoin(broadcast(nT))
           .withColumn("n_r", col("n_g") - col("n_s"))
-          .withColumn("diff",
-            col("o") * col("n_r") - (col("c_c") - col("o")) * col("n_s"))
+          .withColumn("diff", try_subtract(
+            try_multiply(col("o"), col("n_r")),
+            try_multiply(col("c_c") - col("o"), col("n_s"))))
           // the chi-square term runs in double space (exact below
           // 2^53): the Long denominator n_s·n_r·c_c is an N³ product
           // that overflows 2^63 already around ~2e6 docs per
           // source/lang margin — far below crawl scale — an ANSI
-          // abort by default, silent term corruption under ansi=false
-          // (the Long `diff` diagnostic stays exact while
-          // int64-representable)
+          // abort by default, silent term corruption under ansi=false.
+          // The Long `diff` diagnostic rides try_* forms: exact while
+          // int64-representable, NULL beyond — never an abort
           .withColumn("diffd",
             col("o").cast("double") * col("n_r") -
               (col("c_c") - col("o")).cast("double") * col("n_s"))
@@ -2772,17 +2776,19 @@ object LlmQueries {
         cnt.join(broadcast(ladder), Seq("v"))
           .groupBy(col("event_type"))
           .agg(sum(col("m")).as("n_s"),
-            sum(col("m") * col("mid2")).as("r2"),
+            try_sum(try_multiply(col("m"), col("mid2"))).as("r2"),
             // the AUC's rank sum in double space (exact below 2^53):
             // the Long Σ m·mid2 is an N² quantity that overflows 2^63
             // at ~2e9 events, with 2·n_s·n_r alongside it — an ANSI
             // abort by default, silent auc corruption under
-            // ansi=false (the Long `u2` diagnostic stays exact while
-            // int64-representable)
+            // ansi=false. The Long `u2` diagnostic rides try_* forms:
+            // exact while int64-representable, NULL beyond — never an
+            // abort
             sum(col("m").cast("double") * col("mid2")).as("r2d"))
           .crossJoin(broadcast(nT))
           .withColumn("n_r", col("n_g") - col("n_s"))
-          .withColumn("u2", col("r2") - col("n_s") * (col("n_s") + 1))
+          .withColumn("u2", try_subtract(col("r2"),
+            try_multiply(col("n_s"), col("n_s") + 1)))
           .select(col("event_type"), col("n_s"), col("n_r"), col("u2"),
             when(col("n_s") === 0 || col("n_r") === 0, lit(0.5))
               .otherwise((col("r2d") -

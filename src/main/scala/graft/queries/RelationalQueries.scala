@@ -2491,14 +2491,17 @@ object RelationalQueries {
           .agg(count(lit(1)).as("y"))
           .select(col("event_type"), col("x").cast("long").as("x"),
             col("y"))
-        val num = col("n") * col("sxy") - col("sx") * col("sy")
-        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val num = try_subtract(try_multiply(col("n"), col("sxy")),
+          try_multiply(col("sx"), col("sy")))
+        val den = try_subtract(try_multiply(col("n"), col("sxx")),
+          try_multiply(col("sx"), col("sx")))
         // the slope's arithmetic runs in double space (exact below
         // 2^53): the Long cross-products n·sxy and sx·sy overflow
         // 2^63 once daily counts reach crawl scale (sy is the corpus
         // total) — an ANSI abort by default, a silently corrupted
-        // statistic under ansi=false; the Long slope_num/slope_den
-        // diagnostics stay exact while int64-representable
+        // statistic under ansi=false. The Long slope_num/slope_den/sxy
+        // diagnostics ride try_* forms: exact while
+        // int64-representable, NULL beyond — never an abort
         val numd = col("n").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")
         val dend = col("n").cast("double") * col("sxx") -
@@ -2506,7 +2509,7 @@ object RelationalQueries {
         daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
+            try_sum(try_multiply(col("x"), col("y"))).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
           .select(col("event_type"), col("n"),
             num.as("slope_num"), den.as("slope_den"),
@@ -2902,18 +2905,22 @@ object RelationalQueries {
         val agg = pairs.groupBy(col("event_type")).agg(
           count(lit(1)).as("n"),
           sum(col("y")).as("sx"), sum(col("y2")).as("sy"),
-          sum(col("y") * col("y2")).as("sxy"),
-          sum(col("y") * col("y")).as("sxx"),
-          sum(col("y2") * col("y2")).as("syy"))
-        val num = col("n") * col("sxy") - col("sx") * col("sy")
-        val dx = col("n") * col("sxx") - col("sx") * col("sx")
-        val dy = col("n") * col("syy") - col("sy") * col("sy")
+          try_sum(try_multiply(col("y"), col("y2"))).as("sxy"),
+          try_sum(try_multiply(col("y"), col("y"))).as("sxx"),
+          try_sum(try_multiply(col("y2"), col("y2"))).as("syy"))
+        val num = try_subtract(try_multiply(col("n"), col("sxy")),
+          try_multiply(col("sx"), col("sy")))
+        val dx = try_subtract(try_multiply(col("n"), col("sxx")),
+          try_multiply(col("sx"), col("sx")))
+        val dy = try_subtract(try_multiply(col("n"), col("syy")),
+          try_multiply(col("sy"), col("sy")))
         // the correlation's arithmetic runs in double space (exact
         // below 2^53): the Long cross-products n·sxy / sx·sy / n·sxx
         // overflow 2^63 once daily counts reach crawl scale — an ANSI
-        // abort by default, silent r corruption under ansi=false; the
-        // Long r_num/dx/dy diagnostics stay exact while
-        // int64-representable
+        // abort by default, silent r corruption under ansi=false. The
+        // Long r_num/dx/dy/sxy/sxx/syy diagnostics ride try_* forms:
+        // exact while int64-representable, NULL beyond — never an
+        // abort
         val numd = col("n").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")
         val dxd = col("n").cast("double") * col("sxx") -
