@@ -688,7 +688,10 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * OTHER groups, and removing them would turn those copies into
     * duplicate deliveries; the markers sweep with [[pruneConsumed]]
     * once the copies themselves age out. A group re-subscribing after
-    * a drop restarts from offset 0, like any new group. */
+    * a drop restarts from offset 0, like any new group. Call it for
+    * groups with NO live subscriber: a live poller keeps its in-memory
+    * position, and its next ack simply re-registers the group at the
+    * high offset instead of restarting. */
   def dropGroup(grp: String, topic: String): Unit = withConn { c =>
     requireBookkeepable(grp, "group")
     requireBookkeepable(topic, "topic")
