@@ -579,6 +579,56 @@ class StreamingCurationSpec extends SparkSpec {
     assert(stateRows(dq.state().get) == stateRows(fold1))
   }
 
+  test("domain-quota fold invariants hold over randomized slices") {
+    // seeded pseudo-random slices (deterministic in CI): skewed domain
+    // draws, varying slice sizes — the shapes a crawl actually feeds.
+    // Invariants checked per fold: per-domain 0 <= n_admitted <= n_docs;
+    // admission MONOTONE (history never un-admits); n_docs conservation
+    // (state total == rows fed); id-sum consistency (zero admitted ⇒
+    // zero sum; admitted ⇒ positive sum — ids are positive here); and
+    // the cap rule per fold: the gate admits only while a0 + rank ≤
+    // cap_t = 3N_t div 2D_t, so after each fold n_admitted ≤
+    // max(previous n_admitted, cap_t) — NOT "≤ cap_t" alone, because a
+    // cap can SHRINK when new domains grow D faster than N and monotone
+    // history legitimately stays above it.
+    val rnd = new scala.util.Random(20260816L)
+    var state = DomainQuota.emptyState(spark)
+    var prevAdmitted = Map.empty[String, Long]
+    var fed = 0L
+    var nextId = 1L
+    (0 until 5).foreach { _ =>
+      val rows = (0 until (1 + rnd.nextInt(40))).map { _ =>
+        // skew: domain d0 is drawn quadratically more often
+        val d = s"d${math.min(rnd.nextInt(6), rnd.nextInt(6))}"
+        val id = nextId; nextId += 1
+        (id, d)
+      }
+      fed += rows.size
+      state = DomainQuota.admitIncrement(state, rows.toDF("doc_id", "domain"))
+        .localCheckpoint() // the fold re-reads state three times next round
+      val s = state.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      s.foreach { case (d, (nd, na, idSum)) =>
+        assert(na >= 0 && na <= nd, s"domain $d: admitted $na of $nd docs")
+        assert(na >= prevAdmitted.getOrElse(d, 0L),
+          s"domain $d un-admitted history: $na < ${prevAdmitted.getOrElse(d, 0L)}")
+        assert((na == 0) == (idSum == 0),
+          s"domain $d: admitted $na but id sum $idSum")
+      }
+      assert(s.values.map(_._1).sum == fed,
+        s"state lost docs: ${s.values.map(_._1).sum} != $fed")
+      val cap = 3 * fed / (2 * s.size)
+      s.foreach { case (d, (_, na, _)) =>
+        assert(na <= math.max(prevAdmitted.getOrElse(d, 0L), cap),
+          s"domain $d admitted $na over cap $cap without prior history")
+      }
+      prevAdmitted = s.map { case (d, (_, na, _)) => d -> na }
+    }
+    // the skewed domain must actually have been capped at least once
+    assert(prevAdmitted.values.sum < fed,
+      "test shapes never hit the cap — weaken the skew or grow slices")
+  }
+
   test("domain-quota gate holds at crawl-scale totals where the product form wraps Long") {
     // a0 = 2.5e18 admitted on domain a, N just over 3e18, D = 2: the
     // literal gate product (a0+rn)·D·2 ≈ 1e19 exceeds 2^63 — an ANSI
