@@ -13,7 +13,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * stream checkpoint advances past the batch, and its changes are lost
   * with no error anywhere. These wrappers turn every false into an
   * IOException so the swap either completes or the batch retries.
-  */
+  *
+  * FILESYSTEM CONTRACT: the choreography relies on directory `rename`
+  * being atomic and O(1) — true on HDFS and POSIX, FALSE on raw object
+  * stores (S3A emulates rename as copy+delete: non-atomic, and a crash
+  * mid-"rename" leaves a partial copy the recovery probe can adopt).
+  * Point state/index dirs at an HDFS-semantics filesystem (HDFS,
+  * cluster-local disk, ABFS/GCS connectors with directory support);
+  * for S3, front the state with an HDFS-compatible layer rather than
+  * s3a paths. Same contract as Spark's own checkpoint dirs. */
 private[graft] object GenerationSwap {
 
   def deleteIfExists(fs: FileSystem, p: Path): Unit =
