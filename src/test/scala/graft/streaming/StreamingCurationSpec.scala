@@ -579,6 +579,38 @@ class StreamingCurationSpec extends SparkSpec {
     assert(stateRows(dq.state().get) == stateRows(fold1))
   }
 
+  test("streaming quota matches a greedy per-batch simulation over randomized batches") {
+    // seeded random skewed batches vs a 10-line in-test oracle: per
+    // batch, per key, rows sorted by (orderCol, tieCol) fill the
+    // remaining budget — the operator's admitted sets must match the
+    // simulation EXACTLY, every batch
+    val rnd = new scala.util.Random(816L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqrand").toString + "/state"
+    val quota = new StreamingQuota(spark, dir,
+      keyCol = "source", orderCol = "doc_id", tieCol = "doc_id", budget = 5,
+      compactEvery = 2) // folds mid-run too: the invariants must survive them
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    var nextId = 1L
+    (1 to 6).foreach { b =>
+      val rows = (0 until 1 + rnd.nextInt(25)).map { _ =>
+        val s = s"s${math.min(rnd.nextInt(4), rnd.nextInt(4))}" // skewed
+        val id = nextId; nextId += 1
+        (id, s)
+      }
+      val expect = rows.groupBy(_._2).flatMap { case (s, xs) =>
+        val take = math.max(0, 5 - used.getOrElse(s, 0))
+        val adm = xs.map(_._1).sorted.take(take)
+        used(s) = used.getOrElse(s, 0) + adm.size
+        adm
+      }.toSet
+      val got = quota.admit(rows.toDF("doc_id", "source"), batchId = b.toLong)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"batch $b diverged from the greedy oracle: " +
+        s"got ${got.toSeq.sorted}, expect ${expect.toSeq.sorted}")
+    }
+    assert(used.values.exists(_ == 5), "shapes never exhausted a budget")
+  }
+
   test("domain-quota fold invariants hold over randomized slices") {
     // seeded pseudo-random slices (deterministic in CI): skewed domain
     // draws, varying slice sizes — the shapes a crawl actually feeds.
