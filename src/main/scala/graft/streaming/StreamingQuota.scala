@@ -192,10 +192,6 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     admitted
   }
 
-  /** Fold the delta files into one row per key (storage reclaim; same
-    * contract as StreamingNearDup.compact / FilePubSub.compact). The
-    * folded view writes to a sibling dir FIRST — the fold is fully
-    * materialized before the old state is dropped. */
   /** The mid-stream-safe fold behind `compactEvery`: every delta
     * EXCEPT `batchId`'s own partition collapses into the -2 sentinel;
     * the live id's partition carries over untouched so a replay of it
@@ -217,6 +213,10 @@ final class StreamingQuota(spark: SparkSession, stateDir: String,
     GenerationSwap.replaceLive(fs, stateDir, tmp)
   }
 
+  /** Fold the delta files into one row per key (storage reclaim; same
+    * contract as StreamingNearDup.compact / FilePubSub.compact). The
+    * folded view writes to a sibling dir FIRST — the fold is fully
+    * materialized before the old state is dropped. */
   def compact(): Unit = used().foreach { u =>
     val tmp = stateDir + ".compact"
     // folded rows carry the -2 sentinel id: never excluded by any
