@@ -591,7 +591,10 @@ final class SqlPubSub(spark: SparkSession, url: String,
     *    is inside the horizon — a replay/audit window. `ts` is the
     *    PRODUCER's event time (the only per-row time the schema has),
     *    so the horizon is a convenience bound, not a trust boundary;
-    *    the full-ack rule is what makes deletion safe.
+    *    the full-ack rule is what makes deletion safe. NULL-ts rows
+    *    (a foreign writer's unstamped inserts) are never pruned — the
+    *    comparison is UNKNOWN on null, the same conservative keep the
+    *    file transport's retention applies explicitly.
     *  - Dead weight in `graft_released` (visibility markers whose copy
     *    row was pruned) sweeps in the same call; the backfill sentinel
     *    (offset −1) is never touched.
