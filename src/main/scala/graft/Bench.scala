@@ -681,8 +681,17 @@ object Bench {
     // tail budget; full names live in BENCH_FULL.json
     def qsJson(decimals: Int): String = results
       .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
-          s"%.${decimals}f".format(v)
+        // LOSSLESS shrink after rounding: strip redundant trailing
+        // zeros ("9.00" → "9", "0.50" → "0.5") — the number is
+        // unchanged, and at 184 registered queries the bought-back
+        // chars are what keep per-query decimals (and the calib v2
+        // extension) on the line instead of falling down the ladder
+        val s = s"%.${decimals}f".format(v)
+        val num =
+          if (s.contains('.'))
+            s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+          else s
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + num
       }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last // full path lives in BENCH_FULL.json
     // bookkeeping keys compressed for the tail budget (long forms in

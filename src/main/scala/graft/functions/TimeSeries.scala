@@ -25,8 +25,12 @@ object TimeSeries {
     * Overflow: the `twap` statistic's own sum runs in double space
     * (exact below 2^53, never overflows), so the average stays
     * correct for multi-year × 10^9-unit series; the exact-integer
-    * `twap_num` diagnostic rides try_* forms — exact while the Σ is
-    * int64-representable, NULL beyond, never an abort.
+    * `twap_num` diagnostic rides try_* forms — exact while every
+    * per-row product AND the Σ are int64-representable, NULL beyond,
+    * never an abort. A PER-ROW product overflow poisons the whole
+    * fold to NULL (see [[TryAgg]]) — SUM would otherwise skip the
+    * overflowed row's NULL and report a wrong non-NULL partial sum;
+    * the last sample's legitimately-NULL gap does NOT poison.
     *
     * ONE shuffle on `g` carries the lead window and the fold. */
   def twap(df: DataFrame, group: Column, value: Column, ts: Column,
@@ -46,7 +50,13 @@ object TimeSeries {
       .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
       .groupBy(col("_g"))
       .agg(
-        try_sum(try_multiply(col("_v"), col("_gap"))).as("twap_num"),
+        // poison flag: _v is non-null (filtered) and _gap's NULL on
+        // the group's last row is legitimate — only a non-null-input
+        // row whose product is NULL overflowed
+        TryAgg.unlessOverflow(
+          col("_gap").isNotNull &&
+            try_multiply(col("_v"), col("_gap")).isNull,
+          try_sum(try_multiply(col("_v"), col("_gap")))).as("twap_num"),
         sum(col("_gap")).as("twap_den"),
         // the statistic's weighted sum in double space (exact below
         // 2^53): the Long Σ v·gap_µs overflows 2^63 once a group

@@ -302,6 +302,17 @@ object MediaCodec {
     require(h <= Int.MaxValue / (w.toLong * channels + 1),
       s"PNG dimensions overflow: ${w}x$h x$channels")
     val stride = w * channels
+    // blob-proportionality for the COMPRESSED format: deflate's
+    // worst-case expansion is < 1032:1 (5 bytes of block overhead per
+    // ≤ 64 KB stored run), so declared pixel rows beyond idat·1032
+    // cannot come from ANY zlib stream — reject before allocating.
+    // Without this, a ~100-byte blob with a crafted IHDR allocates up
+    // to 2 GB that the truncated-stream check only rejects AFTERWARDS:
+    // the OOM-escapes-poison class on any executor heap smaller than
+    // the declared raster
+    require((stride + 1).toLong * h <= idat.size().toLong * 1032 + 64,
+      s"PNG declared pixels exceed the deflate bound: ${w}x$h x$channels " +
+        s"from ${idat.size()} compressed bytes")
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -440,7 +451,17 @@ object MediaCodec {
     require(n >= 0 && n.toLong * 4 <= bytes.length - 12L,
       s"corrupt GVID header: $n frames vs ${bytes.length} blob bytes")
     val offsets = (0 until n).map { _ =>
-      val len = buf.getInt; val pos = buf.position(); buf.position(pos + len)
+      val len = buf.getInt; val pos = buf.position()
+      // the per-frame length is untrusted too: a SMALL negative value
+      // (≥ −pos) keeps position() in bounds, silently returning an
+      // out-of-blob range and re-indexing already-walked bytes — a
+      // deferred crash in whatever slices the frame later. Long
+      // comparison for the oversize side (pos + len wraps for len near
+      // Int.MaxValue and would pass an int check)
+      require(len >= 0 && pos.toLong + len <= bytes.length,
+        s"corrupt GVID frame record at $pos: len=$len vs " +
+          s"${bytes.length} blob bytes")
+      buf.position(pos + len)
       (pos, len)
     }
     (fps, offsets)

@@ -2360,14 +2360,21 @@ object LlmQueries {
         // N² overflow 2^63 at ~3e9-doc corpora — an ANSI abort by
         // default, silent num/den corruption under ansi=false. The
         // Long `rowcol` diagnostic rides try_* forms: exact while
-        // int64-representable, NULL beyond — never an abort. The Long `rowcol` diagnostic column
-        // keeps the exact integer while it is int64-representable.
+        // int64-representable, NULL beyond — never an abort; a PER-ROW
+        // rn·cn overflow poisons the fold to NULL (SUM would skip the
+        // try_multiply NULL and report a wrong non-NULL partial sum),
+        // and only the genuinely EMPTY fold coalesces to 0.
         val marg = conf.groupBy(col("lang").as("k"))
           .agg(sum(col("n")).as("rn"))
           .join(conf.groupBy(col("pred").as("k")).agg(sum(col("n")).as("cn")),
             Seq("k"))
-          .agg(coalesce(try_sum(try_multiply(col("rn"), col("cn"))),
-            lit(0L)).as("rowcol"),
+          .agg({
+            val term = try_multiply(col("rn"), col("cn"))
+            when(sum(when(term.isNull, 1L).otherwise(0L)) > 0,
+              lit(null).cast("long"))
+              .when(count(lit(1)) === 0, lit(0L))
+              .otherwise(try_sum(term)).as("rowcol")
+          },
             coalesce(sum(col("rn").cast("double") * col("cn")), lit(0.0))
               .as("rowcold"))
         totals.crossJoin(broadcast(marg))
@@ -2543,14 +2550,17 @@ object LlmQueries {
           // n_s·n_r overflow 2^63 at ~3e9-doc corpora — an ANSI abort
           // by default, silent ks corruption under ansi=false. The
           // Long `ks_num` diagnostic rides try_* forms: exact while
-          // int64-representable, NULL beyond — never an abort
+          // int64-representable, NULL beyond — never an abort; a
+          // per-row overflow poisons the MAX to NULL via TryAgg (MAX
+          // would otherwise skip the overflowed row and report the
+          // max of the rest — a wrong non-NULL supremum)
           .withColumn("numd", abs(
             col("cs").cast("double") * (col("n_g") - col("n_s")) -
               (col("g") - col("cs")).cast("double") * col("n_s")))
           .groupBy(col("source"))
           .agg(max(col("n_s")).as("n_s"),
             max(col("n_g") - col("n_s")).as("n_r"),
-            max(col("num")).as("ks_num"),
+            graft.functions.TryAgg.tryMaxExact(col("num")).as("ks_num"),
             max(col("numd")).as("ks_numd"))
           .select(col("source"), col("n_s"), col("n_r"), col("ks_num"),
             when(col("n_s") === 0 || col("n_r") === 0,
@@ -2776,13 +2786,16 @@ object LlmQueries {
         cnt.join(broadcast(ladder), Seq("v"))
           .groupBy(col("event_type"))
           .agg(sum(col("m")).as("n_s"),
-            try_sum(try_multiply(col("m"), col("mid2"))).as("r2"),
+            graft.functions.TryAgg.trySumExact(
+              try_multiply(col("m"), col("mid2"))).as("r2"),
             // the AUC's rank sum in double space (exact below 2^53):
             // the Long Σ m·mid2 is an N² quantity that overflows 2^63
             // at ~2e9 events, with 2·n_s·n_r alongside it — an ANSI
             // abort by default, silent auc corruption under
             // ansi=false. The Long `u2` diagnostic rides try_* forms:
-            // exact while int64-representable, NULL beyond — never an
+            // exact while int64-representable, NULL beyond (a per-row
+            // m·mid2 overflow poisons the fold via TryAgg — SUM would
+            // skip it and report a wrong non-NULL partial) — never an
             // abort
             sum(col("m").cast("double") * col("mid2")).as("r2d"))
           .crossJoin(broadcast(nT))
@@ -3645,10 +3658,14 @@ object LlmQueries {
         // ⟺ 2·rn·D ≤ 3·N for integer rn — see DomainQuota's scale
         // note: the product form overflows Long at 1e11 docs × 1e8
         // domains — an ANSI ARITHMETIC_OVERFLOW abort by default, a
-        // silent wrapped-negative admit-the-tail under ansi=false)
+        // silent wrapped-negative admit-the-tail under ansi=false).
+        // Divisor floored at 1: an EMPTY documents table has
+        // n_domains = 0, and under ANSI the raw div is a
+        // DIVIDE_BY_ZERO abort where the answer is simply zero rows
         val consts = d.agg(count(lit(1)).as("n_total"),
           countDistinct(col("domain")).as("n_domains"))
-          .select(expr("n_total * 3 div (n_domains * 2)").as("adm_cap"))
+          .select(expr("n_total * 3 div (greatest(n_domains, 1) * 2)")
+            .as("adm_cap"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("domain"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -3750,7 +3767,81 @@ object LlmQueries {
              |  CAST(coalesce(s_sum, 0) + coalesce(i_sum, 0)
              |    AS BIGINT) AS admitted_id_sum
              |FROM st FULL OUTER JOIN inc ON st.domain = inc.domain
-             |ORDER BY domain""".stripMargin))
+             |ORDER BY domain""".stripMargin)),
+
+    // ---- INCREMENTAL target-share mixture (q57's data-mixing goal
+    // maintained against stored per-stratum admission state — the q183
+    // discipline applied to mixing, completing the continuous-
+    // ingestion curation trio quota/dedup/mixture): the corpus arrives
+    // in two slices; slice 0 folds from empty state, slice 1 ranks
+    // ONLY its own rows (md5 order), offsets by the state's consumed
+    // slots, and re-evaluates each stratum's cap
+    // (target_bp · N) div 10^4 under the UPDATED total N — admission
+    // monotone (caps only grow), exact integers only, admitted_id_sum
+    // pins exact membership. q57's hash-rate draw is deliberately NOT
+    // reused here: its rate falls as a stratum dominates, which would
+    // un-admit history (see [[graft.streaming.MixtureQuota]]).
+    // Scale notes there: per-stratum rank window, one broadcast N,
+    // control-plane-sized state ----
+    QuerySpec("q184_incremental_mixture",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("stratum"))
+        val tb = Map("en" -> 2000, "de" -> 2000, "es" -> 2000,
+          "fr" -> 2000, "zh" -> 2000)
+        // pin the slice-0 state (the q183 rule: fold 1 reads it three
+        // times — totals, a0 join, final outer join)
+        val st0 = graft.operators.Materialize.SitePin("q184.state0")(
+          graft.streaming.MixtureQuota.admitIncrement(
+            graft.streaming.MixtureQuota.emptyState(s),
+            d.filter(col("doc_id") % 3 =!= 0), tb))
+        graft.streaming.MixtureQuota.admitIncrement(
+            st0, d.filter(col("doc_id") % 3 === 0), tb)
+          .orderBy(col("stratum"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang AS stratum FROM documents
+             |    WHERE lang IS NOT NULL),
+             |tb AS (SELECT * FROM (VALUES ('de', 2000), ('en', 2000),
+             |    ('es', 2000), ('fr', 2000), ('zh', 2000))
+             |  t(stratum, bp)),
+             |old AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+             |nw  AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+             |c0 AS (SELECT count(*) AS n0 FROM old),
+             |r0 AS (SELECT doc_id, stratum, row_number() OVER (
+             |    PARTITION BY stratum
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM old),
+             |st AS (SELECT r0.stratum, count(*) AS s_docs,
+             |    CAST(sum(CASE WHEN rn * 10000 <= coalesce(bp, 0) * n0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS s_adm,
+             |    CAST(sum(CASE WHEN rn * 10000 <= coalesce(bp, 0) * n0
+             |      THEN doc_id ELSE 0 END) AS BIGINT) AS s_sum
+             |  FROM r0 LEFT JOIN tb ON r0.stratum = tb.stratum, c0
+             |  GROUP BY r0.stratum),
+             |c1 AS (SELECT
+             |    (SELECT coalesce(CAST(sum(s_docs) AS BIGINT), 0) FROM st)
+             |      + (SELECT count(*) FROM nw) AS n1),
+             |r1 AS (SELECT n.doc_id, n.stratum,
+             |    coalesce(st.s_adm, 0) AS a0,
+             |    row_number() OVER (PARTITION BY n.stratum
+             |      ORDER BY md5(CAST(n.doc_id AS VARCHAR)), n.doc_id) AS rn
+             |  FROM nw n LEFT JOIN st ON n.stratum = st.stratum),
+             |inc AS (SELECT r1.stratum, count(*) AS i_docs,
+             |    CAST(sum(CASE WHEN (a0 + rn) * 10000 <= coalesce(bp, 0) * n1
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS i_adm,
+             |    CAST(sum(CASE WHEN (a0 + rn) * 10000 <= coalesce(bp, 0) * n1
+             |      THEN doc_id ELSE 0 END) AS BIGINT) AS i_sum
+             |  FROM r1 LEFT JOIN tb ON r1.stratum = tb.stratum, c1
+             |  GROUP BY r1.stratum)
+             |SELECT coalesce(st.stratum, inc.stratum) AS stratum,
+             |  CAST(coalesce(s_docs, 0) + coalesce(i_docs, 0)
+             |    AS BIGINT) AS n_docs,
+             |  CAST(coalesce(s_adm, 0) + coalesce(i_adm, 0)
+             |    AS BIGINT) AS n_admitted,
+             |  CAST(coalesce(s_sum, 0) + coalesce(i_sum, 0)
+             |    AS BIGINT) AS admitted_id_sum
+             |FROM st FULL OUTER JOIN inc ON st.stratum = inc.stratum
+             |ORDER BY stratum""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

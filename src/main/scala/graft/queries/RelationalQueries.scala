@@ -2495,22 +2495,28 @@ object RelationalQueries {
           try_multiply(col("sx"), col("sy")))
         val den = try_subtract(try_multiply(col("n"), col("sxx")),
           try_multiply(col("sx"), col("sx")))
-        // the slope's arithmetic runs in double space (exact below
-        // 2^53): the Long cross-products n·sxy and sx·sy overflow
-        // 2^63 once daily counts reach crawl scale (sy is the corpus
-        // total) — an ANSI abort by default, a silently corrupted
-        // statistic under ansi=false. The Long slope_num/slope_den/sxy
-        // diagnostics ride try_* forms: exact while
-        // int64-representable, NULL beyond — never an abort
-        val numd = col("n").cast("double") * col("sxy") -
+        // the slope's arithmetic runs in double space END TO END:
+        // dedicated double-space sums sxyd/sxxd (exact below 2^53,
+        // never overflowing), NOT the try_* Long aggregates — a
+        // statistic derived from sxy would go NULL on Σ overflow and
+        // silently PARTIAL when a per-row product overflows (SUM
+        // skips the try_multiply NULL). sx/sy stay exact Longs: sy is
+        // the row count and sx ≤ n·days, both int64-safe. The Long
+        // slope_num/slope_den/sxy diagnostics ride try_* forms: exact
+        // while int64-representable, NULL beyond (any overflowed row
+        // poisons the fold via TryAgg) — never an abort
+        val numd = col("n").cast("double") * col("sxyd") -
           col("sx").cast("double") * col("sy")
-        val dend = col("n").cast("double") * col("sxx") -
+        val dend = col("n").cast("double") * col("sxxd") -
           col("sx").cast("double") * col("sx")
         daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            try_sum(try_multiply(col("x"), col("y"))).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"))
+            graft.functions.TryAgg.trySumExact(
+              try_multiply(col("x"), col("y"))).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x").cast("double") * col("y")).as("sxyd"),
+            sum(col("x").cast("double") * col("x")).as("sxxd"))
           .select(col("event_type"), col("n"),
             num.as("slope_num"), den.as("slope_den"),
             when(dend === 0.0, lit(null).cast("double"))
@@ -2905,27 +2911,36 @@ object RelationalQueries {
         val agg = pairs.groupBy(col("event_type")).agg(
           count(lit(1)).as("n"),
           sum(col("y")).as("sx"), sum(col("y2")).as("sy"),
-          try_sum(try_multiply(col("y"), col("y2"))).as("sxy"),
-          try_sum(try_multiply(col("y"), col("y"))).as("sxx"),
-          try_sum(try_multiply(col("y2"), col("y2"))).as("syy"))
+          graft.functions.TryAgg.trySumExact(
+            try_multiply(col("y"), col("y2"))).as("sxy"),
+          graft.functions.TryAgg.trySumExact(
+            try_multiply(col("y"), col("y"))).as("sxx"),
+          graft.functions.TryAgg.trySumExact(
+            try_multiply(col("y2"), col("y2"))).as("syy"),
+          sum(col("y").cast("double") * col("y2")).as("sxyd"),
+          sum(col("y").cast("double") * col("y")).as("sxxd"),
+          sum(col("y2").cast("double") * col("y2")).as("syyd"))
         val num = try_subtract(try_multiply(col("n"), col("sxy")),
           try_multiply(col("sx"), col("sy")))
         val dx = try_subtract(try_multiply(col("n"), col("sxx")),
           try_multiply(col("sx"), col("sx")))
         val dy = try_subtract(try_multiply(col("n"), col("syy")),
           try_multiply(col("sy"), col("sy")))
-        // the correlation's arithmetic runs in double space (exact
-        // below 2^53): the Long cross-products n·sxy / sx·sy / n·sxx
-        // overflow 2^63 once daily counts reach crawl scale — an ANSI
-        // abort by default, silent r corruption under ansi=false. The
-        // Long r_num/dx/dy/sxy/sxx/syy diagnostics ride try_* forms:
-        // exact while int64-representable, NULL beyond — never an
-        // abort
-        val numd = col("n").cast("double") * col("sxy") -
+        // the correlation's arithmetic runs in double space END TO
+        // END: dedicated double-space sums sxyd/sxxd/syyd (exact below
+        // 2^53, never overflowing), NOT the try_* Long aggregates — an
+        // r derived from sxy/sxx/syy would go NULL on Σ overflow and
+        // silently PARTIAL when a per-row product overflows (SUM skips
+        // the try_multiply NULL). sx/sy stay exact Longs (sums of
+        // daily counts, int64-safe). The Long r_num/dx/dy/sxy/sxx/syy
+        // diagnostics ride try_* forms: exact while
+        // int64-representable, NULL beyond (any overflowed row
+        // poisons the fold via TryAgg) — never an abort
+        val numd = col("n").cast("double") * col("sxyd") -
           col("sx").cast("double") * col("sy")
-        val dxd = col("n").cast("double") * col("sxx") -
+        val dxd = col("n").cast("double") * col("sxxd") -
           col("sx").cast("double") * col("sx")
-        val dyd = col("n").cast("double") * col("syy") -
+        val dyd = col("n").cast("double") * col("syyd") -
           col("sy").cast("double") * col("sy")
         agg.select(col("event_type"), col("n"),
             num.as("r_num"), dx.as("dx"), dy.as("dy"),

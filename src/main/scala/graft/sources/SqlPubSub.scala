@@ -83,7 +83,20 @@ final class SqlPubSub(spark: SparkSession, url: String,
     // at-least-once — same contract as any idempotency-key TTL);
     // epochRetentionMs <= 0 disables the automatic sweep.
     epochRetentionMs: Long = 7L * 24 * 3600 * 1000,
-    epochSweepIntervalMs: Long = 10L * 60 * 1000)
+    epochSweepIntervalMs: Long = 10L * 60 * 1000,
+    // consumed-record retention: the topic table is otherwise the
+    // transport's only unbounded-by-default resource. OPT-IN (default
+    // 0 = off), unlike the epoch sweep: records are USER DATA, not
+    // engine bookkeeping, so deleting history is an operator decision.
+    // > 0 runs pruneConsumed(topic, consumedRetentionMs) automatically
+    // at most once per consumedSweepIntervalMs per topic, piggybacked
+    // on ack and subscribeInitialize (ack is the moment the prune
+    // ceiling can advance) — with every pruneConsumed safety rule
+    // intact: only below the min committed ack across groups, parked
+    // delayed rows survive, NULL-ts rows are never pruned, and rows
+    // inside the horizon stay for replay/audit reads.
+    consumedRetentionMs: Long = 0L,
+    consumedSweepIntervalMs: Long = 10L * 60 * 1000)
   extends PubSub with RoutedPublisher with AckableSubscriber
   with AutoCloseable {
 
@@ -163,6 +176,7 @@ final class SqlPubSub(spark: SparkSession, url: String,
     withConn(c => initializeImpl(c, topic))
     initialized.put(topic, true)
     maybeSweepEpochs() // lifecycle hook: long-lived routers re-init topics
+    maybeSweepConsumed(topic)
   }
 
   private def initializeImpl(c: Connection, topic: String): Unit = {
@@ -523,7 +537,14 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * (SQLTransactionRollbackException on Derby) — an error that says
     * nothing about the PUBLISH being wrapped. Sweep failures log and
     * defer to the next interval; only the explicit [[pruneEpochs]] API
-    * still throws to its caller. */
+    * still throws to its caller.
+    *
+    * The cadence is deliberately PROCESS-LOCAL: N concurrent publisher
+    * instances each sweep on their own clock. The deletes are
+    * idempotent, so the only cost is an occasional redundant DELETE —
+    * cross-process coordination (a sweep lock row) would serialize
+    * publishers to save exactly that, a bad trade. Do not "fix" this
+    * into a lock. */
   @volatile private var lastEpochSweepMs = 0L
   private def maybeSweepEpochs(): Unit =
     if (epochRetentionMs > 0) {
@@ -538,6 +559,39 @@ final class SqlPubSub(spark: SparkSession, url: String,
           case scala.util.control.NonFatal(e) =>
             log.error("epoch marker sweep failed; markers retained " +
               "until the next interval", e, Map.empty)
+        }
+      }
+    }
+
+  /** Automatic consumed-record retention (the class-param contract):
+    * [[maybeSweepEpochs]]' discipline applied to the TOPIC table, the
+    * transport's last unbounded-by-default resource — but OPT-IN
+    * (`consumedRetentionMs` defaults to 0 = off) because records are
+    * user data, not engine bookkeeping. Memoized per topic: the
+    * steady-state cost between sweeps is one map read per ack, never
+    * a JDBC round-trip; the timestamp is claimed BEFORE the delete
+    * (same non-stampede shape as the epoch sweep, same process-local
+    * cadence — pruneConsumed's range deletes are idempotent).
+    * Housekeeping never fails the ack it piggybacks on: failures log
+    * and defer to the next interval; only the explicit
+    * [[pruneConsumed]] API still throws. */
+  private val lastConsumedSweepMs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def maybeSweepConsumed(topic: String): Unit =
+    if (consumedRetentionMs > 0) {
+      val now = System.currentTimeMillis()
+      if (now - lastConsumedSweepMs.getOrElse(topic, 0L) >=
+          consumedSweepIntervalMs) {
+        lastConsumedSweepMs.put(topic, now)
+        try {
+          val n = pruneConsumed(topic, consumedRetentionMs)
+          if (n > 0) log.info(s"pruned $n fully-acked records of " +
+            s"'$topic' older than ${consumedRetentionMs}ms",
+            Map("topic" -> topic, "pruned" -> n.toString))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error(s"consumed-record sweep failed for '$topic'; " +
+              "records retained until the next interval", e, Map.empty)
         }
       }
     }
@@ -596,8 +650,14 @@ final class SqlPubSub(spark: SparkSession, url: String,
     *    comparison is UNKNOWN on null, the same conservative keep the
     *    file transport's retention applies explicitly.
     *  - Dead weight in `graft_released` (visibility markers whose copy
-    *    row was pruned) sweeps in the same call; the backfill sentinel
-    *    (offset −1) is never touched.
+    *    row was pruned) sweeps in the same call, UNCONDITIONALLY —
+    *    markers orphaned by a crash between a previous prune's record
+    *    deletes and its sweep clean up on the next call even when it
+    *    deletes nothing; the backfill sentinel (offset −1) is never
+    *    touched.
+    *  - `olderThanMs` must be >= 0: a negative horizon would flip the
+    *    cutoff into the future and widen pruning to rows with future
+    *    event-times — rejected loudly.
     *
     * Contracts this trades away, deliberately (Kafka's retention
     * tradeoff): a group that subscribed but has never acked holds no
@@ -617,11 +677,13 @@ final class SqlPubSub(spark: SparkSession, url: String,
       batchSize: Long = 1000000L): Long = withConn { c =>
     requireBookkeepable(topic, "topic")
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    // a negative horizon flips TIMESTAMPADD into the FUTURE, silently
+    // widening the sweep to rows with future event-times — reject it
+    // loudly (still full-ack-safe, but never what the caller meant)
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0: $olderThanMs")
     if (!tableExists(c, table(topic))) 0L
     else {
-      val seconds =
-        if (olderThanMs >= 0) (olderThanMs + 999) / 1000
-        else olderThanMs / 1000
+      val seconds = (olderThanMs + 999) / 1000
       def scalarLong(sql: String, args: String*): Option[Long] = {
         val ps = c.prepareStatement(sql)
         try {
@@ -663,11 +725,15 @@ final class SqlPubSub(spark: SparkSession, url: String,
           } finally del.close()
         case _ => () // no registered group, or nothing below the ceiling
       }
-      if (n > 0) {
+      locally {
         // released-copy visibility markers whose record is gone are
         // dead weight (the LEFT-JOIN filter has nothing to hide);
         // markers for SURVIVING copies must stay — dropping one would
-        // expose a group's private redelivery to every other group
+        // expose a group's private redelivery to every other group.
+        // UNCONDITIONAL (not gated on n > 0): the sweep is cheap and
+        // idempotent, and markers orphaned by a crash between a
+        // previous prune's record deletes and its sweep must clean on
+        // the next call even when that call deletes nothing
         val sweep = c.prepareStatement(
           s"""DELETE FROM ${quoted("graft_released")}
              |WHERE ${quoted("topic")} = ? AND ${quoted("offset_id")} >= 0
@@ -825,8 +891,12 @@ final class SqlPubSub(spark: SparkSession, url: String,
     * offset to `upTo` (monotonic). Called by the router sink after a
     * successful downstream commit with the batch's max
     * `metadata[Ctx.AckOffset]`. */
-  override def ack(topic: String, upTo: Long): Unit =
+  override def ack(topic: String, upTo: Long): Unit = {
     withConn { c => storeOffset(c, topic, upTo) }
+    // lifecycle hook: the ack just advanced (or re-affirmed) the
+    // group's committed offset — the moment the prune ceiling can move
+    maybeSweepConsumed(topic)
+  }
 
   /** Delay metadata → due timestamp. Absent or malformed metadata
     * (foreign writers can stamp anything) means deliverable now. */

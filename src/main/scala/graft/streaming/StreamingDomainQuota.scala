@@ -100,8 +100,13 @@ object DomainQuota {
       // ansi=false. 3·N can't wrap below 3e18 docs; 2·D below 2^62
       // domains. (The DuckDB oracle keeps the literal product: it
       // errors loudly on overflow rather than wrapping, and the oracle
-      // only runs at small SF.)
-      .select(expr("(n_old + n_new) * 3 div (n_domains * 2)").as("adm_cap"))
+      // only runs at small SF.) The divisor floors at 1: with empty
+      // state AND an empty batch n_domains = 0, and under ANSI mode
+      // the raw div is a DIVIDE_BY_ZERO abort that would kill the
+      // stream on an empty micro-batch — the floor keeps it a no-op
+      // (no rows exist for adm_cap to gate when D = 0)
+      .select(expr("(n_old + n_new) * 3 div (greatest(n_domains, 1) * 2)")
+        .as("adm_cap"))
     val w = Window.partitionBy(col("domain"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     nd.withColumn("rn", row_number().over(w))
@@ -141,38 +146,13 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
       graft.operators.Materialize.SessionDefault("StreamingDomainQuota.admitted"),
     compactEvery: Int = 0) {
 
-  private def fs = new org.apache.hadoop.fs.Path(stateDir)
-    .getFileSystem(spark.sessionState.newHadoopConf())
-
-  @volatile private var recovered = false
-  private def recoverCompact(): Unit = {
-    if (recovered) return
-    GenerationSwap.recoverReplace(fs, stateDir)
-    recovered = true
-  }
-
-  private def hasState: Boolean = {
-    recoverCompact()
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.startsWith("batch_id="))
-  }
+  // durable-state machinery shared with StreamingMixtureQuota — the
+  // rule-specific part of this class is ONLY the admission gate
+  private val store = new AdmissionDeltaStore(spark, stateDir, "domain")
 
   /** Live per-domain state (the fold of all deltas); None before the
     * first admission. */
-  def state(): Option[DataFrame] = stateExcluding(-1L)
-
-  private def stateExcluding(batchId: Long): Option[DataFrame] =
-    if (!hasState) None
-    else {
-      val all = spark.read.parquet(stateDir)
-      val visible =
-        if (batchId >= 0) all.filter(col("batch_id") =!= batchId) else all
-      Some(visible.groupBy(col("domain"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("n_admitted")).as("n_admitted"),
-          sum(col("admitted_id_sum")).as("admitted_id_sum")))
-    }
+  def state(): Option[DataFrame] = store.state()
 
   /** Admit `batch`'s rows under the updated domain cap, append the
     * per-domain delta, return the admitted rows (original schema).
@@ -180,12 +160,12 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
     * keeps plain append for bounded-loop callers). */
   def admit(batch: DataFrame, batchId: Long = -1L): DataFrame = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactExcluding(batchId)
+      store.compactExcluding(batchId)
     val m = materialize.resolveEagerFor(batch)
     require(m.isEager, s"StreamingDomainQuota needs an EAGER Materialize " +
       s"strategy (LocalCheckpoint or ReliableCheckpoint), got $m — a " +
       "lazy pin could recompute the admitted set against a grown state")
-    val st = stateExcluding(batchId)
+    val st = store.stateExcluding(batchId)
       .getOrElse(DomainQuota.emptyState(spark))
     // pin the canonical projection ONCE: rankedAdmissions reads its
     // new-slice input three times (totals, domain union, ranking) and
@@ -202,16 +182,11 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
     val admitted = m(batch.join(
       broadcastIfSafe(admittedIds.withColumnRenamed("doc_id", "__adm_id")),
       col(idCol).cast("long") === col("__adm_id")).drop("__adm_id"))
-    val delta = verdicts.groupBy(col("domain"))
+    store.writeDelta(verdicts.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"),
-        sum(when(col("adm"), col("doc_id")).otherwise(0L)).as("admitted_id_sum"))
-      .withColumn("batch_id", lit(batchId))
-    val dw = delta.write.partitionBy("batch_id")
-    if (batchId >= 0)
-      dw.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(stateDir)
-    else dw.mode("append").parquet(stateDir)
+        sum(when(col("adm"), col("doc_id")).otherwise(0L))
+          .as("admitted_id_sum")), batchId)
     admitted
   }
 
@@ -220,38 +195,9 @@ final class StreamingDomainQuota(spark: SparkSession, stateDir: String,
   // never sorts a micro-batch for a 3-row join
   private def broadcastIfSafe(df: DataFrame): DataFrame = broadcast(df)
 
-  /** The mid-stream-safe fold behind `compactEvery` (StreamingQuota's
-    * discipline): every delta EXCEPT `batchId`'s own partition
-    * collapses into the -2 sentinel; the live id's partition carries
-    * over untouched so a replay of it still excludes and overwrites
-    * its first attempt. Idempotent under replay re-triggering. */
-  private def compactExcluding(batchId: Long): Unit = if (hasState) {
-    val all = spark.read.parquet(stateDir)
-    def cols(df: DataFrame) = df.select(col("domain"), col("n_docs"),
-      col("n_admitted"), col("admitted_id_sum"), col("batch_id"))
-    val folded = all.filter(col("batch_id") =!= batchId)
-      .groupBy(col("domain"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("n_admitted")).as("n_admitted"),
-        sum(col("admitted_id_sum")).as("admitted_id_sum"))
-      .withColumn("batch_id", lit(-2L))
-    val keep = all.filter(col("batch_id") === batchId)
-    val tmp = stateDir + ".compact"
-    cols(folded).unionByName(cols(keep))
-      .repartition(1).write.partitionBy("batch_id")
-      .mode("overwrite").parquet(tmp)
-    GenerationSwap.replaceLive(fs, stateDir, tmp)
-  }
-
   /** Fold the delta partitions into one `batch_id=-2` sentinel
     * partition (StreamingQuota.compact's convention and crash-safe
     * GenerationSwap choreography — a crash can never silently reset
     * domain budgets). */
-  def compact(): Unit = state().foreach { s =>
-    val tmp = stateDir + ".compact"
-    s.withColumn("batch_id", lit(-2L))
-      .repartition(1).write.partitionBy("batch_id")
-      .mode("overwrite").parquet(tmp)
-    GenerationSwap.replaceLive(fs, stateDir, tmp)
-  }
+  def compact(): Unit = store.compact()
 }

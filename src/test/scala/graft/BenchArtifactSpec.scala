@@ -31,13 +31,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     // realistic regime, distribution-shaped: every recorded round has
     // a short heavy tail over a sub-second body (r12: 10 queries >= 2s,
     // max 5.2 s, median 0.45 s). Model 2x-regression headroom on that
-    // SHAPE — the 16 slowest at 8.99 s, the body at 0.99 s — rather
-    // than all-queries-at-8.99 (a 1,400+ s bench total, which no
-    // regression short of a broken machine produces, and which at
-    // 161 queries would force the whole-second fallback this spec
-    // exists to keep exceptional)
+    // SHAPE — the 16 slowest at 8.99 s, the body at the documented
+    // 0.45 s median — rather than all-queries-at-8.99 (a 1,400+ s
+    // bench total, which no regression short of a broken machine
+    // produces, and which would force the whole-second fallback this
+    // spec exists to keep exceptional)
     val results = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 16) 8.99 else 0.99)
+      n -> (if (i < 16) 8.99 else 0.45)
     }
     val streaming =
       """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922,"spr":1.23,"sc":false}"""
@@ -60,14 +60,16 @@ class BenchArtifactSpec extends AnyFunSuite {
     // local receipts (the r12 +22% load confound)
     assert(line.contains("\"calib\":["),
       s"calib index missing from the compact line: ${line.take(200)}")
-    // at 147 queries the 2-decimal form exceeds the window and the
+    // at 184 queries the 2-decimal form exceeds the window and the
     // ladder steps down — the per-query value must survive at >= 1
     // decimal in this regime (whole-second rounding is reserved for
-    // the 3-digit fallback regime). sx/streaming are allowed to fall
-    // off first (they ride BENCH_FULL.json with full keys); when
-    // present they must be intact, never truncated mid-object
-    assert(line.contains("\"queries\":{\"01\":8.99") ||
-      line.contains("\"queries\":{\"01\":9.0"),
+    // the 3-digit fallback regime). Values are zero-stripped
+    // losslessly ("9.0" prints as "9"), so the surviving-decimal
+    // witness is the 0.45 body: ":0.5" at 1 decimal, ":0.45" at 2 —
+    // a 0-decimal collapse would print ":0". sx/streaming are allowed
+    // to fall off first (they ride BENCH_FULL.json with full keys);
+    // when present they must be intact, never truncated mid-object
+    assert(line.contains(":0.5") || line.contains(":0.45"),
       s"per-query seconds must keep >=1 decimal: ${line.takeRight(300)}")
     if (line.contains("\"sx\":")) assert(line.contains(sx))
     if (line.contains("\"streaming\":")) assert(line.contains(streaming))
@@ -89,7 +91,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     // ceiling is ~186 entries — beyond that the whole-second final
     // fallback is arithmetically forced and correct)
     val grown = (1 to 180).map(i => f"q$i%02d_synthetic" ->
-      (if (i <= 16) 8.99 else 0.99))
+      (if (i <= 16) 8.99 else 0.45))
     val streaming =
       """{"pub":5615072,"sub":392980,"fp":87881,"fs":355519,"qp":11987,"qs":40922,"spr":1.23,"sc":false}"""
     val sx = """{"49":0.82,"58":-0.95,"97":1.10,"48":0.88,"107":1.02}"""
@@ -100,7 +102,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(line.length <= 1880, s"grown-registry line ${line.length} chars")
     assert(line.contains("\"contaminated\":false"),
       "the contamination verdict never leaves the line")
-    assert(line.contains(":9.0") || line.contains(":8.99"),
+    assert(line.contains(":0.5") || line.contains(":0.45"),
       s"per-query decimals lost before the droppable summaries: ${line.take(200)}")
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.count(_ == '"') % 2 == 0)
@@ -186,7 +188,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(v2.length - "[8.800,2.600]".length <= 9,
       s"v2 extension too wide for the tail budget: $v2")
     val results = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 16) 8.99 else 0.99)
+      n -> (if (i < 16) 8.99 else 0.45)
     }
     val line = Bench.compactLine(results, failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
@@ -207,7 +209,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     // silently degraded the driver-contract decimals at 181 queries)
     val v2 = Bench.calibArrayV2Json((6.1, 2.7), (1.9, 0.7))
     def mk(n: Int) = Bench.compactLine(
-      (1 to n).map(i => f"q$i%02d_synthetic" -> (if (i <= 16) 8.99 else 0.99)),
+      (1 to n).map(i => f"q$i%02d_synthetic" -> (if (i <= 16) 8.99 else 0.45)),
       failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
       streaming = """{"error":true}""", scaleExp = """{"error":true}""",
@@ -215,9 +217,12 @@ class BenchArtifactSpec extends AnyFunSuite {
       calibJson = "[8.800,2.600]", calibJsonV2 = v2)
     // find the registry width where 1-decimal fits ONLY without the
     // extension — exactly there the ladder must shed v2, not decimals
-    val window = (178 to 186).find { n =>
+    // (":0.5" is the 1-decimal witness under lossless zero-stripping;
+    // the zero-strip pushed the shedding point past 186, hence the
+    // wider sweep)
+    val window = (178 to 260).find { n =>
       val l = mk(n)
-      l.length <= 1880 && !l.contains(v2) && l.contains(":9.0")
+      l.length <= 1880 && !l.contains(v2) && l.contains(":0.5")
     }
     assert(window.isDefined,
       "no registry width sheds the v2 extension before decimals — ladder broken")

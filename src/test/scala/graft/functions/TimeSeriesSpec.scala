@@ -42,6 +42,27 @@ class TimeSeriesSpec extends SparkSpec {
       s"one null tick must not bias the TWAP toward zero, got ${out._4}")
   }
 
+  test("TWAP: a per-row product overflow poisons twap_num to NULL; the double-space twap survives") {
+    // value Long.MaxValue held for 100s: v*gap_us overflows 2^63 ->
+    // try_multiply NULL. Pre-fix, SUM skipped that row and twap_num
+    // reported only the second row's product - a wrong NON-NULL
+    // "exact diagnostic". The statistic itself (double space) stays
+    // finite and correct to double precision.
+    val rows = Seq(
+      ("g", Long.MaxValue, ts(100), 1L), ("g", 4L, ts(200), 2L),
+      ("g", 7L, ts(210), 3L))
+      .toDF("k", "c", "t", "id")
+    val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))
+      .as[(String, Option[Long], Option[Long], Option[Double])].collect().head
+    assert(out._2.isEmpty,
+      s"overflowed per-row product must poison twap_num, got ${out._2}")
+    assert(out._3 == Some(110000000L)) // exact integer denominator intact
+    val expect = (Long.MaxValue.toDouble * 100000000L + 4.0 * 10000000L) /
+      110000000L
+    assert(out._4.exists(v => math.abs(v / expect - 1) < 1e-12),
+      s"double-space twap must survive the poison, got ${out._4}")
+  }
+
   test("TWAP: a single-sample group has null average (zero total weight)") {
     val rows = Seq(("solo", 42L, ts(100), 1L)).toDF("k", "c", "t", "id")
     val out = TimeSeries.twap(rows, col("k"), col("c"), col("t"), col("id"))

@@ -4,42 +4,77 @@ import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, 
 import java.sql.{Connection, DriverManager, SQLException, SQLIntegrityConstraintViolationException}
 import java.util.concurrent.atomic.AtomicBoolean
 
-/** Test-only JDBC shim simulating PostgreSQL's TRANSACTION-LEVEL abort
-  * semantics on top of embedded Derby. Derby aborts only the failing
-  * STATEMENT and leaves the transaction usable — the lenient case — so
-  * a probe misordered after a duplicate-key hit passes on Derby but
-  * wedges every task retry on PostgreSQL ("current transaction is
-  * aborted, commands ignored until end of transaction block", SQLSTATE
-  * 25P02). This shim pins the strict contract the epoch writers'
-  * rollback-before-probe ordering relies on: after ANY statement in an
-  * open transaction hits an integrity-constraint violation, every
-  * further execute on that connection throws until `rollback()`.
+/** Test-only JDBC shim simulating OTHER ENGINES' error semantics on
+  * top of embedded Derby, in two modes:
   *
-  * URL shape: `jdbc:abortsim:<rest>` delegates to `jdbc:<rest>`, e.g.
-  * `jdbc:abortsim:derby:memory:db;create=true`. Executor-side writers
-  * resolve connections through `DriverManager.getConnection(url)`, so
-  * passing a shim URL injects the fault without touching the code
-  * under test. */
-object AbortSimDriver extends java.sql.Driver {
+  *  - PostgreSQL (`jdbc:abortsim:`): TRANSACTION-LEVEL abort. Derby
+  *    aborts only the failing STATEMENT and leaves the transaction
+  *    usable — the lenient case — so a probe misordered after a
+  *    duplicate-key hit passes on Derby but wedges every task retry on
+  *    PostgreSQL ("current transaction is aborted, commands ignored
+  *    until end of transaction block", SQLSTATE 25P02). This mode pins
+  *    the strict contract the epoch writers' rollback-before-probe
+  *    ordering relies on: after ANY statement in an open transaction
+  *    errors, every further execute on that connection throws until
+  *    `rollback()` (full or to a savepoint). Duplicate keys rethrow in
+  *    PG's shape: a PLAIN SQLException with SQLState 23505, never
+  *    Derby's SQLIntegrityConstraintViolationException subclass.
+  *
+  *  - MySQL (`jdbc:mysim:`): NO transaction-level abort (InnoDB
+  *    rolls back only the failing statement), but duplicate keys
+  *    rethrow in MySQL's shape — a plain SQLException with SQLState
+  *    23000 (integrity-constraint class, no subclass). A dup-skip site
+  *    that matches Derby's exception subclass or PG's 23505 literal
+  *    misclassifies this shape as fatal; only the SQLState-class-23
+  *    rule ([[SqlPubSub.isDuplicateKey]]) passes both modes.
+  *
+  * URL shape: `jdbc:abortsim:<rest>` / `jdbc:mysim:<rest>` delegate
+  * to `jdbc:<rest>`, e.g. `jdbc:abortsim:derby:memory:db;create=true`.
+  * Executor-side writers resolve connections through
+  * `DriverManager.getConnection(url)`, so passing a shim URL injects
+  * the fault without touching the code under test. */
+object AbortSimDriver {
   val Prefix = "jdbc:abortsim:"
+  // NOT "jdbc:mysqlsim:": Spark's MySQLDialect claims any URL starting
+  // with "jdbc:mysql", switching identifier quoting to backticks and
+  // breaking partitioned reads against the underlying Derby store —
+  // the shim must simulate MySQL's ERROR SHAPES, not its SQL dialect
+  val MysqlPrefix = "jdbc:mysim:"
 
   @volatile private var registered = false
   def ensureRegistered(): Unit = synchronized {
-    if (!registered) { DriverManager.registerDriver(this); registered = true }
+    if (!registered) {
+      DriverManager.registerDriver(new AbortSimDriver); registered = true
+    }
   }
+}
+
+/** A CLASS (public no-arg constructor), not an object: Spark's
+  * DriverRegistry resolves the driver for a shim URL by class name and
+  * constructs it reflectively, so Spark-side JDBC reads/writes through
+  * `jdbc:abortsim:`/`jdbc:mysim:` work exactly like driver-side
+  * DriverManager lookups. */
+final class AbortSimDriver extends java.sql.Driver {
+  import AbortSimDriver.{Prefix, MysqlPrefix}
 
   override def acceptsURL(url: String): Boolean =
-    url != null && url.startsWith(Prefix)
+    url != null && (url.startsWith(Prefix) || url.startsWith(MysqlPrefix))
 
   override def connect(url: String, info: java.util.Properties): Connection =
-    if (!acceptsURL(url)) null
-    else wrap(DriverManager.getConnection("jdbc:" + url.substring(Prefix.length), info))
+    if (url == null) null
+    else if (url.startsWith(Prefix))
+      wrap(DriverManager.getConnection(
+        "jdbc:" + url.substring(Prefix.length), info), pgAbort = true)
+    else if (url.startsWith(MysqlPrefix))
+      wrap(DriverManager.getConnection(
+        "jdbc:" + url.substring(MysqlPrefix.length), info), pgAbort = false)
+    else null
 
   private def unwrapInvoke(target: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
     try m.invoke(target, args: _*)
     catch { case e: InvocationTargetException => throw e.getCause }
 
-  private def wrap(real: Connection): Connection = {
+  private def wrap(real: Connection, pgAbort: Boolean): Connection = {
     val aborted = new AtomicBoolean(false)
 
     def wrapStmt(st: AnyRef, iface: Class[_]): AnyRef =
@@ -55,17 +90,21 @@ object AbortSimDriver extends java.sql.Driver {
               catch {
                 case e: InvocationTargetException => e.getCause match {
                   case icv: SQLIntegrityConstraintViolationException =>
-                    if (!real.getAutoCommit) aborted.set(true)
+                    if (pgAbort && !real.getAutoCommit) aborted.set(true)
+                    // neither engine throws Derby's
+                    // SQLIntegrityConstraintViolationException subclass:
                     // PostgreSQL's driver throws a PLAIN SQLException
-                    // carrying SQLState 23505, NEVER the
-                    // SQLIntegrityConstraintViolationException subclass
-                    // Derby uses — rethrow in the PG shape so a
-                    // subclass-only dup catch fails under this shim
-                    // exactly as it would against real PostgreSQL
-                    throw new SQLException(icv.getMessage, "23505", icv)
+                    // with SQLState 23505, MySQL's a plain SQLException
+                    // with the bare class code 23000 — rethrow in the
+                    // mode's shape so a subclass-only (or
+                    // 23505-literal) dup catch fails under this shim
+                    // exactly as it would against the real engine
+                    throw new SQLException(icv.getMessage,
+                      if (pgAbort) "23505" else "23000", icv)
                   case sq: SQLException =>
-                    // PG aborts the transaction on ANY statement error
-                    if (!real.getAutoCommit) aborted.set(true)
+                    // PG aborts the transaction on ANY statement error;
+                    // MySQL rolls back only the failing statement
+                    if (pgAbort && !real.getAutoCommit) aborted.set(true)
                     throw sq
                   case other => throw other
                 }

@@ -428,6 +428,157 @@ class SqlSpec extends SparkSpec {
     } finally ps.close()
   }
 
+  test("MySQL-shape duplicates (plain 23000, no abort): epoch replay, routed replay, raced ack, and a re-parked delayed row all skip") {
+    // MySQL's driver throws a PLAIN SQLException with the bare class
+    // code 23000 — NOT Derby's subclass, NOT PG's 23505 — and InnoDB
+    // rolls back only the failing statement (no transaction-level
+    // abort). A dup-skip site matching Derby's subclass or PG's
+    // literal misclassifies this shape as fatal: a replayed epoch
+    // becomes a task-retry storm. This drives the dup-skip sites
+    // through the MySQL shim.
+    AbortSimDriver.ensureRegistered()
+    val derbyUrl = url("sqlmy")
+    val simUrl = AbortSimDriver.MysqlPrefix + derbyUrl.substring("jdbc:".length)
+    // protocol paths (poller, ack, park, epoch writers) run through the
+    // shim; psv reads verification state over the plain URL (Spark's
+    // JDBC reader resolves registered drivers by URL prefix — keep the
+    // shim off the read path, like the PG rows do)
+    val ps = new SqlPubSub(spark, simUrl, pollIntervalMs = 20)
+    val psv = new SqlPubSub(spark, derbyUrl, group = "verify")
+    try {
+      ps.subscribeInitialize("t_my")
+      ps.subscribeInitialize("t_my2")
+      ps.publishEpoch("t_my", Seq(msg("seed", "s")).toDF(), "w-seed")
+      def rows(us: String*) = us.map(u =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L))).iterator
+      def routedRows(pairs: (String, String)*) = pairs.map { case (u, t) =>
+        org.apache.spark.sql.Row(u, null, u.getBytes("UTF-8"),
+          new Timestamp(1700000000000L), t)
+      }.iterator
+      // site 1: plain epoch marker replay
+      SqlPubSub.writeEpochPartition(simUrl, "graft_t_t_my", "t_my", "w-a", rows("a", "b"))
+      SqlPubSub.writeEpochPartition(simUrl, "graft_t_t_my", "t_my", "w-a", rows("a", "b"))
+      assert(psv.subscribeBatch("t_my").count() == 3) // seed + a + b, no dup
+      // site 2: routed epoch replay, multi-destination
+      val tables = Map("t_my" -> "graft_t_t_my", "t_my2" -> "graft_t_t_my2")
+      SqlPubSub.writeRoutedEpochPartition(simUrl, tables, "w-r",
+        routedRows("x" -> "t_my", "y" -> "t_my2"))
+      SqlPubSub.writeRoutedEpochPartition(simUrl, tables, "w-r",
+        routedRows("x" -> "t_my", "y" -> "t_my2"))
+      assert(psv.subscribeBatch("t_my").count() == 4)  // + x, no dup
+      assert(psv.subscribeBatch("t_my2").count() == 1) // y, no dup
+      // site 3: raced offset insert — an ack BELOW the stored offset
+      // takes storeOffset's INSERT branch onto the existing PK (the
+      // monotonic-guard UPDATE matched 0 rows); the 23000 dup must
+      // classify as raced and the re-run guarded update must no-op
+      ps.ack("t_my", 3)
+      ps.ack("t_my", 1) // dup-skip, then monotonic no-op
+      // site 4: delayed re-park — the park INSERT hits a pre-existing
+      // (grp, topic, offset) row (the crash-between-park-and-offset-
+      // store replay) in MySQL's shape; the poller must skip it and
+      // keep delivering, not wedge
+      val due = java.time.Instant.ofEpochMilli(
+        System.currentTimeMillis() + 3600000).toString
+      ps.publish("t_my", Seq(
+        msg("d1", "delayed", Map(graft.router.Ctx.DelayedUntil -> due))))
+      val c = java.sql.DriverManager.getConnection(derbyUrl)
+      try {
+        val q0 = c.createStatement()
+        val off = try {
+          val rs = q0.executeQuery(
+            """SELECT "offset_id" FROM "graft_t_t_my" WHERE "uuid" = 'd1'""")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally q0.close()
+        val ins = c.prepareStatement(
+          """INSERT INTO "graft_delayed" ("grp", "topic", "offset_id", "due_at")
+            |VALUES ('default', 't_my', ?, ?)""".stripMargin)
+        try {
+          ins.setLong(1, off)
+          ins.setTimestamp(2, new Timestamp(System.currentTimeMillis() + 3600000))
+          ins.executeUpdate(); ()
+        } finally ins.close()
+      } finally c.close()
+      ps.publish("t_my", Seq(msg("after", "after-delayed")))
+      val stream = ps.subscribe("t_my")
+      ps.awaitCaughtUp("t_my", timeoutMs = 10000)
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqlmy-").toString)
+        .format("memory").queryName("sql_mysql_mode_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("sql_mysql_mode_out").collect()
+          .map(_.getAs[String]("uuid")).toSet
+        assert(got.contains("after"),
+          s"poller wedged on the re-parked dup under MySQL shape: $got")
+        assert(!got.contains("d1"), s"parked row leaked into delivery: $got")
+      } finally q.stop()
+    } finally { ps.close(); psv.close() }
+  }
+
+  test("backfill dup-row race under MySQL shape: plain-23000 skip, sentinel commits") {
+    // the PG twin above pins abort + savepoint semantics; this pins
+    // the CLASSIFICATION — the backfill's raced record insert throws
+    // MySQL's plain 23000, which a Derby-subclass or PG-literal catch
+    // would escalate to a permanent initialize wedge
+    AbortSimDriver.ensureRegistered()
+    val db = url("sqlbfm")
+    val simUrl = AbortSimDriver.MysqlPrefix + db.substring("jdbc:".length)
+    val ps = new SqlPubSub(spark, db, group = "g1", pollIntervalMs = 20)
+    try ps.publish("t_bfm", Seq(
+      msg("o1", "original"),
+      msg("c1", "released-copy", Map(graft.router.Ctx.DelayGroup -> "g1"))))
+    finally ps.close()
+    val c = java.sql.DriverManager.getConnection(db)
+    val copyOff = try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE \"graft_released\"") finally st.close()
+      val mk = c.createStatement()
+      try mk.executeUpdate(
+        """CREATE TABLE "graft_released" (
+          |  "topic" VARCHAR(128), "offset_id" BIGINT, "grp" VARCHAR(128),
+          |  PRIMARY KEY ("topic", "offset_id"))""".stripMargin)
+      finally mk.close()
+      val q = c.createStatement()
+      val off = try {
+        val rs = q.executeQuery(
+          """SELECT "offset_id" FROM "graft_t_t_bfm" WHERE "uuid" = 'c1'""")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally q.close()
+      val ins = c.prepareStatement(
+        """INSERT INTO "graft_released" ("topic", "offset_id", "grp")
+          |VALUES (?, ?, ?)""".stripMargin)
+      try { ins.setString(1, "t_bfm"); ins.setLong(2, off); ins.setString(3, "g1")
+        ins.executeUpdate(); () }
+      finally ins.close()
+      off
+    } finally c.close()
+    val ps2 = new SqlPubSub(spark, simUrl, group = "g2", pollIntervalMs = 20)
+    try {
+      ps2.subscribeInitialize("t_bfm")
+      val c2 = java.sql.DriverManager.getConnection(db)
+      try {
+        val st = c2.createStatement()
+        val rs = st.executeQuery(
+          """SELECT "offset_id" FROM "graft_released" WHERE "topic" = 't_bfm'""")
+        val got = try {
+          val b = scala.collection.mutable.Set.empty[Long]
+          while (rs.next()) b += rs.getLong(1)
+          b.toSet
+        } finally { rs.close(); st.close() }
+        assert(got == Set(copyOff, -1L),
+          s"sentinel must commit beside the raced record, got $got")
+      } finally c2.close()
+      // a third instance over the plain URL initializes clean and
+      // reads the backfilled state (sentinel gates the rescan)
+      val ps3 = new SqlPubSub(spark, db, group = "g3", pollIntervalMs = 20)
+      try assert(ps3.subscribeBatch("t_bfm").as[Message].collect()
+        .map(_.uuid).toSet == Set("o1"))
+      finally ps3.close()
+    } finally ps2.close()
+  }
+
   test("automatic marker sweep bounds graft_epochs while replay inside the horizon still dedupes") {
     val dbUrl = url("sqlsweep")
     // sweep on every publish; markers older than 2s prune
@@ -583,6 +734,112 @@ class SqlSpec extends SparkSpec {
         // a live marker would expose a private redelivery to every group
         assert(markers() == Set(-1L, 3L), s"got ${markers()}")
       } finally c.close()
+    } finally ps.close()
+  }
+
+  test("pruneConsumed rejects a negative horizon loudly") {
+    val ps = new SqlPubSub(spark, url("sqlprneg"))
+    try {
+      ps.publish("t_ng", Seq(msg("n1", "n1")))
+      ps.ack("t_ng", 1)
+      // a negative horizon flips the TIMESTAMPADD cutoff into the
+      // FUTURE, silently widening the sweep to future-event-time rows
+      // (still full-ack-safe, but never what the caller meant)
+      intercept[IllegalArgumentException](
+        ps.pruneConsumed("t_ng", olderThanMs = -1))
+      assert(ps.subscribeBatch("t_ng").count() == 1)
+    } finally ps.close()
+  }
+
+  test("a no-op prune still sweeps crash-orphaned released markers") {
+    val dbUrl = url("sqlorph")
+    val ps = new SqlPubSub(spark, dbUrl)
+    try {
+      ps.subscribeInitialize("t_or") // writes the backfill sentinel (-1)
+      ps.publish("t_or", Seq(msg("a", "a"), msg("b", "b")))
+      ps.ack("t_or", 2)
+      assert(ps.pruneConsumed("t_or") == 2)
+      // simulate a crash BETWEEN a prune's record deletes and its
+      // marker sweep: a marker whose record is already gone
+      val c = java.sql.DriverManager.getConnection(dbUrl)
+      try {
+        val ins = c.prepareStatement(
+          """INSERT INTO "graft_released" ("topic", "offset_id", "grp")
+            |VALUES ('t_or', 1, 'x')""".stripMargin)
+        try { ins.executeUpdate(); () } finally ins.close()
+        // nothing left to delete (n = 0) — the orphan must still sweep
+        assert(ps.pruneConsumed("t_or") == 0)
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            """SELECT "offset_id" FROM "graft_released" WHERE "topic" = 't_or'""")
+          val got = try {
+            val b = Set.newBuilder[Long]
+            while (rs.next()) b += rs.getLong(1)
+            b.result()
+          } finally rs.close()
+          assert(got == Set(-1L),
+            s"orphaned marker survived a no-op prune: $got")
+        } finally st.close()
+      } finally c.close()
+    } finally ps.close()
+  }
+
+  test("automatic consumed-record retention bounds the topic table under a live router; in-horizon and default-off stay intact") {
+    val dbUrl = url("sqlautopr")
+    // opt-in retention, sweep attempted on every ack; the fixed message
+    // ts (2023-11) is far past the 1s horizon, so fully-acked rows
+    // qualify immediately
+    val ps = new SqlPubSub(spark, dbUrl, group = "ga", pollIntervalMs = 20,
+      consumedRetentionMs = 1000, consumedSweepIntervalMs = 0)
+    try {
+      ps.publish("t_ap", (1 to 3).map(i => msg(s"m1_$i", s"m1_$i")))
+      val stream = ps.subscribe("t_ap")
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sqlap-").toString)
+        .format("memory").queryName("sql_auto_prune_out").start()
+      try {
+        var off = 0L
+        (1 to 5).foreach { b =>
+          if (b > 1)
+            ps.publish("t_ap", (1 to 3).map(i => msg(s"m${b}_$i", s"m${b}_$i")))
+          off += 3
+          ps.awaitCaughtUp("t_ap", timeoutMs = 10000)
+          ps.ack("t_ap", off) // downstream committed; the ack sweeps
+          // bounded: every fully-acked past-horizon row is gone — a
+          // silently-failing sweep (it only logs) would fail this
+          assert(ps.subscribeBatch("t_ap").count() == 0,
+            s"topic table unbounded after micro-batch $b")
+        }
+        q.processAllAvailable()
+        val got = spark.table("sql_auto_prune_out").collect()
+          .map(_.getAs[String]("uuid")).toSeq.sorted
+        val want = (1 to 5).flatMap(b => (1 to 3).map(i => s"m${b}_$i"))
+          .sorted
+        assert(got == want,
+          s"live poller lost or duplicated rows across automatic prunes: $got")
+      } finally q.stop()
+      // in-horizon: a retention wider than the data's age deletes
+      // nothing — replay/audit reads keep their window
+      val psH = new SqlPubSub(spark, dbUrl, group = "gh",
+        consumedRetentionMs = 10L * 365 * 24 * 3600 * 1000,
+        consumedSweepIntervalMs = 0)
+      try {
+        psH.publish("t_hz", Seq(msg("h1", "h1"), msg("h2", "h2")))
+        psH.ack("t_hz", 2)
+        assert(psH.subscribeBatch("t_hz").count() == 2,
+          "in-horizon rows were pruned by the automatic sweep")
+      } finally psH.close()
+      // default instance: retention off — records are user data, the
+      // operator opts in; an ack must never delete
+      val psD = new SqlPubSub(spark, dbUrl, group = "gd")
+      try {
+        psD.publish("t_def", Seq(msg("d1", "d1")))
+        psD.ack("t_def", 1)
+        assert(psD.subscribeBatch("t_def").count() == 1,
+          "default-off retention deleted records")
+      } finally psD.close()
     } finally ps.close()
   }
 

@@ -171,6 +171,24 @@ class TransportAcceptanceSpec extends SparkSpec {
       },
       ps => ps.asInstanceOf[SqlPubSub].close(),
       features = Features(restartable = true, resumeViaCheckpoint = false)),
+    // the SQL transport again, with EVERY JDBC connection (driver-side
+    // protocol, executor-side epoch writers, Spark bulk reads/writes)
+    // rewrapped in MySQL error semantics — plain-23000 duplicates, no
+    // exception subclass, no transaction-level abort. The whole
+    // behavior battery doubles as the portability matrix row: any
+    // dup-skip or error-classification path that only handles Derby's
+    // exception shapes fails here.
+    Harness("sql-mysql",
+      scope => {
+        AbortSimDriver.ensureRegistered()
+        new SqlPubSub(spark, AbortSimDriver.MysqlPrefix +
+          s"derby:memory:acc_$scope;create=true")
+      },
+      (ps, topic, r) => {
+        ps.asInstanceOf[SqlPubSub].awaitCaughtUp(topic); r.processAllAvailable()
+      },
+      ps => ps.asInstanceOf[SqlPubSub].close(),
+      features = Features(restartable = true, resumeViaCheckpoint = false)),
     Harness("http",
       _ => {
         val sub = new HttpSubscriber(spark)

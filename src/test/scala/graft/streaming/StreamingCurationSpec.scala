@@ -684,6 +684,95 @@ class StreamingCurationSpec extends SparkSpec {
       s"domain b under cap must still admit at wrap-scale totals: $next")
   }
 
+  test("incremental mixture: target-share caps track growing totals, replay admits the same rows, folds match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smx-").toString + "/state"
+    val tb = Map("a" -> 5000, "b" -> 2500) // c unlisted → cap 0
+    val mx = new StreamingMixtureQuota(spark, dir, tb)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("stratum", "n_docs", "n_admitted", "admitted_id_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // batch 0: N=12 → caps a: 5000·12/10⁴ = 6, b: 3, c: 0 —
+    // a admits all 6, b admits 3 of 4, c tracked but never admitted
+    val b0 = ((1L to 6L).map(_ -> "a") ++ (7L to 10L).map(_ -> "b") ++
+      Seq(11L -> "c", 12L -> "c")).toDF("doc_id", "stratum")
+    val adm0 = mx.admit(b0, batchId = 0L)
+    val per0 = adm0.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per0 == Map("a" -> 6L, "b" -> 3L), s"got $per0")
+    val fold0 = MixtureQuota.admitIncrement(
+      MixtureQuota.emptyState(spark), b0, tb)
+    assert(stateRows(mx.state().get) == stateRows(fold0))
+    // batch 1: N grows to 20 → caps a: 10, b: 5 — a (a0=6) admits all
+    // 4 new, b (a0=3) both, c still capped at 0
+    val b1 = (Seq(20L, 21L, 22L, 23L).map(_ -> "a") ++
+      Seq(24L, 25L).map(_ -> "b") ++
+      Seq(26L, 27L).map(_ -> "c")).toDF("doc_id", "stratum")
+    val adm1 = mx.admit(b1, batchId = 1L)
+    val per1 = adm1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per1 == Map("a" -> 4L, "b" -> 2L), s"got $per1")
+    val fold1 = MixtureQuota.admitIncrement(fold0, b1, tb)
+    assert(stateRows(mx.state().get) == stateRows(fold1),
+      "incremental state must equal the two-slice pure fold")
+    // REPLAY of batch 1: identical admitted set, ledger not
+    // double-counted (the AdmissionDeltaStore batch-id exclusion)
+    val admitted1 = ids(adm1)
+    val replay = ids(mx.admit(b1, batchId = 1L))
+    assert(replay == admitted1, s"replay drifted: $replay vs $admitted1")
+    assert(stateRows(mx.state().get) == stateRows(fold1),
+      "replay must not double-count the ledger")
+    // compaction preserves the state
+    mx.compact()
+    assert(stateRows(mx.state().get) == stateRows(fold1))
+    // monotone end state: no stratum exceeds its final-total cap
+    val fin = stateRows(mx.state().get).map(t => t._1 -> t._3).toMap
+    assert(fin("a") <= 10 && fin("b") <= 5 && fin("c") == 0, s"got $fin")
+  }
+
+  test("mixture gate holds at crawl-scale totals where the product form wraps Long") {
+    // N ≈ 5e18: the literal cap product bp·N ≈ 1e22 wraps Long (an
+    // ANSI abort / silent garbage cap) — the shipped decomposed form
+    // bp·(N div 10⁴) + (bp·(N mod 10⁴)) div 10⁴ is exact for every
+    // Long N. cap = 2000·N/10⁴ = 1e18 ≫ a0, so the new rows admit;
+    // the unlisted stratum stays capped at 0 even at wrap scale
+    val huge = 5000000000000000000L // 5e18
+    val st = Seq(("a", huge, 10L, 0L))
+      .toDF("stratum", "n_docs", "n_admitted", "admitted_id_sum")
+    val nd = Seq(1L -> "a", 2L -> "a", 3L -> "z").toDF("doc_id", "stratum")
+    val next = MixtureQuota.admitIncrement(st, nd, Map("a" -> 2000))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(next("a") == ((huge + 2, 12L)),
+      s"under-cap stratum must admit at wrap-scale totals: $next")
+    assert(next("z") == ((1L, 0L)),
+      s"unlisted stratum must stay at cap 0: $next")
+  }
+
+  test("domain quota and mixture survive an empty micro-batch over empty state (no ANSI divide-by-zero)") {
+    // regression: with empty state AND an empty batch n_domains = 0,
+    // and the raw `div (n_domains * 2)` was a DIVIDE_BY_ZERO abort
+    // under Spark 4's default ANSI mode — killing a stream on exactly
+    // the batch where there is nothing to do
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "domain")
+    val out = DomainQuota.admitIncrement(
+      DomainQuota.emptyState(spark), emptyDocs)
+    assert(out.count() == 0)
+    val dirD = java.nio.file.Files.createTempDirectory("graft-sdqe-")
+      .toString + "/state"
+    val dq = new StreamingDomainQuota(spark, dirD)
+    assert(dq.admit(emptyDocs, batchId = 0L).count() == 0)
+    // and the batch that FOLLOWS the empty one still admits normally
+    assert(dq.admit(Seq(1L -> "a").toDF("doc_id", "domain"),
+      batchId = 1L).count() == 1)
+    val emptyStrata = Seq.empty[(Long, String)].toDF("doc_id", "stratum")
+    val outM = MixtureQuota.admitIncrement(
+      MixtureQuota.emptyState(spark), emptyStrata, Map("a" -> 5000))
+    assert(outM.count() == 0)
+  }
+
   test("near-dup compactEvery folds index batches mid-stream: dirs bounded, dedup intact, replay-safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sndce-").toString + "/index"
     val nd = new StreamingNearDup(spark, dir, minSim = 0.5, compactEvery = 2)
