@@ -2,57 +2,103 @@ package graft.tools
 
 import graft.GraftSession
 import graft.core.Message
-import graft.sources.{BulkRead, FilePubSub}
+import graft.sources.{BulkRead, FilePubSub, PubSub, SqlPubSub}
 
-/** CLI producer/consumer over file-backed topics, parity with the
-  * `mill` tool (reference: tools/mill/README.md:1-13) — the
-  * spark-submit-able driver app form.
+/** CLI producer/consumer over file- or SQL-backed topics, parity with
+  * the `mill` tool (reference: tools/mill/README.md:1-13) — the
+  * spark-submit-able driver app form. `<root>` selects the transport:
+  * a `jdbc:` URL opens [[SqlPubSub]], anything else is a
+  * [[FilePubSub]] directory root.
   *
   *   runMain graft.tools.Mill produce <root> <topic> <payload> [k=v ...]
   *   runMain graft.tools.Mill consume <root> <topic> [limit]
-  *   runMain graft.tools.Mill compact <root> <topic> [targetFiles] [retentionMs]
+  *   runMain graft.tools.Mill compact <fileRoot> <topic> [targetFiles] [retentionMs]
+  *   runMain graft.tools.Mill prune <jdbcUrl> <topic> [olderThanMs] [batchSize]
+  *   runMain graft.tools.Mill drop-group <jdbcUrl> <group> <topic>
   *
-  * `compact` is the maintenance entry ([[FilePubSub.compact]]):
-  * consolidates the topic's per-epoch small files and, with a
-  * retentionMs horizon, drops expired rows — run it quiescent (no
-  * live publishers/subscribers on the topic), the operator contract
-  * documented on the method. */
+  * Maintenance entries (each a thin wrapper over the spec-tested
+  * method, operator contract documented there):
+  *  - `compact` (file): consolidates per-epoch small files, optional
+  *    retention horizon ([[FilePubSub.compact]]) — run quiescent.
+  *  - `prune` (SQL): deletes a topic's records every registered group
+  *    has acked, keeping parked/delayed, NULL-ts, and in-horizon rows
+  *    ([[SqlPubSub.pruneConsumed]]) — the explicit form of the
+  *    `consumedRetentionMs` automatic sweep, safe under live traffic.
+  *  - `drop-group` (SQL): deregisters an abandoned consumer group so
+  *    it stops pinning retention at its last ack
+  *    ([[SqlPubSub.dropGroup]]). */
 object Mill {
   private val Usage = "usage: Mill produce <root> <topic> <payload> [k=v ...] " +
     "| Mill consume <root> <topic> [limit] " +
-    "| Mill compact <root> <topic> [targetFiles] [retentionMs]"
+    "| Mill compact <fileRoot> <topic> [targetFiles] [retentionMs] " +
+    "| Mill prune <jdbcUrl> <topic> [olderThanMs] [batchSize] " +
+    "| Mill drop-group <jdbcUrl> <group> <topic>"
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(Usage)
       sys.exit(2)
     }
+    val root = args(1)
+    val isSql = root.startsWith("jdbc:")
     val spark = GraftSession.local()
     try {
-      val ps = new FilePubSub(spark, args(1))
-      args(0) match {
-        case "produce" if args.length < 4 =>
-          System.err.println("usage: Mill produce <root> <topic> <payload> [k=v ...]")
-          sys.exit(2)
-        case "produce" =>
-          val meta = args.drop(4).flatMap { kv =>
-            kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
-          }.toMap
-          ps.publish(args(2), Seq(Message.of(args(3), meta)))
-          println(s"published 1 message to ${args(2)}")
-        case "consume" =>
-          val limit = if (args.length > 3) args(3).toInt else 10
-          BulkRead(ps, args(2), limit).foreach { m =>
-            println(s"${m.uuid}\t${m.metadata}\t${m.payloadString}")
-          }
-        case "compact" =>
-          val targetFiles = if (args.length > 3) args(3).toInt else 1
-          val retentionMs = if (args.length > 4) args(4).toLong else 0L
-          ps.compact(args(2), targetFiles, retentionMs)
-          println(s"compacted ${args(2)} to <= $targetFiles files" +
-            (if (retentionMs > 0) s", retention ${retentionMs}ms" else ""))
-        case other =>
-          System.err.println(s"unknown command: $other"); sys.exit(2)
+      lazy val ps: PubSub =
+        if (isSql) new SqlPubSub(spark, root) else new FilePubSub(spark, root)
+      try {
+        args(0) match {
+          case "produce" if args.length < 4 =>
+            System.err.println("usage: Mill produce <root> <topic> <payload> [k=v ...]")
+            sys.exit(2)
+          case "produce" =>
+            val meta = args.drop(4).flatMap { kv =>
+              kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+            }.toMap
+            ps.publish(args(2), Seq(Message.of(args(3), meta)))
+            println(s"published 1 message to ${args(2)}")
+          case "consume" =>
+            val limit = if (args.length > 3) args(3).toInt else 10
+            BulkRead(ps, args(2), limit).foreach { m =>
+              println(s"${m.uuid}\t${m.metadata}\t${m.payloadString}")
+            }
+          case "compact" if isSql =>
+            System.err.println(
+              "compact is the FILE transport's maintenance entry; for SQL use prune")
+            sys.exit(2)
+          case "compact" =>
+            val targetFiles = if (args.length > 3) args(3).toInt else 1
+            val retentionMs = if (args.length > 4) args(4).toLong else 0L
+            ps.asInstanceOf[FilePubSub].compact(args(2), targetFiles, retentionMs)
+            println(s"compacted ${args(2)} to <= $targetFiles files" +
+              (if (retentionMs > 0) s", retention ${retentionMs}ms" else ""))
+          case "prune" if !isSql =>
+            System.err.println(
+              "prune is the SQL transport's maintenance entry; for file use compact")
+            sys.exit(2)
+          case "prune" =>
+            val olderThanMs = if (args.length > 3) args(3).toLong else 0L
+            val n =
+              if (args.length > 4)
+                ps.asInstanceOf[SqlPubSub]
+                  .pruneConsumed(args(2), olderThanMs, args(4).toLong)
+              else ps.asInstanceOf[SqlPubSub].pruneConsumed(args(2), olderThanMs)
+            println(s"pruned $n fully-acked records of ${args(2)}" +
+              (if (olderThanMs > 0) s" older than ${olderThanMs}ms" else ""))
+          case "drop-group" if !isSql =>
+            System.err.println("drop-group is a SQL transport maintenance entry")
+            sys.exit(2)
+          case "drop-group" if args.length < 4 =>
+            System.err.println("usage: Mill drop-group <jdbcUrl> <group> <topic>")
+            sys.exit(2)
+          case "drop-group" =>
+            ps.asInstanceOf[SqlPubSub].dropGroup(args(2), args(3))
+            println(s"dropped group ${args(2)} from ${args(3)}")
+          case other =>
+            System.err.println(s"unknown command: $other"); sys.exit(2)
+        }
+      } finally ps match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
       }
     } finally spark.stop()
   }
