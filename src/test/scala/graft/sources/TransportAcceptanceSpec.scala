@@ -189,6 +189,23 @@ class TransportAcceptanceSpec extends SparkSpec {
       },
       ps => ps.asInstanceOf[SqlPubSub].close(),
       features = Features(restartable = true, resumeViaCheckpoint = false)),
+    // and once more under PostgreSQL error semantics: transaction-level
+    // abort after ANY in-transaction statement error, plain-23505
+    // duplicates. The targeted fault rows in SqlSpec drive the dup
+    // replay windows deterministically; the full battery here proves
+    // the MAINLINE protocol (poll, ack, park/release, restart, epoch)
+    // never relies on Derby's statement-level leniency
+    Harness("sql-pg",
+      scope => {
+        AbortSimDriver.ensureRegistered()
+        new SqlPubSub(spark, AbortSimDriver.Prefix +
+          s"derby:memory:acc_$scope;create=true")
+      },
+      (ps, topic, r) => {
+        ps.asInstanceOf[SqlPubSub].awaitCaughtUp(topic); r.processAllAvailable()
+      },
+      ps => ps.asInstanceOf[SqlPubSub].close(),
+      features = Features(restartable = true, resumeViaCheckpoint = false)),
     Harness("http",
       _ => {
         val sub = new HttpSubscriber(spark)
