@@ -158,39 +158,61 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
   * partition) — the driver never funnels the data, so throughput
   * scales with the cluster, bounded by the receiving endpoint. A non-
   * 2xx response throws, failing the micro-batch for redelivery (the
-  * nack path). */
-final class HttpPublisher(baseUrl: String) extends Publisher with Serializable {
+  * nack path).
+  *
+  * Every request carries `requestTimeoutMs` (connect is bounded too):
+  * an endpoint that ACCEPTS the connection and never answers would
+  * otherwise hang the posting task forever — a silently stuck
+  * executor slot, not the documented throw-and-redeliver nack path.
+  * On expiry `HttpClient.send` throws `HttpTimeoutException` (an
+  * IOException), the micro-batch fails, and at-least-once redelivery
+  * applies exactly as for a non-2xx response. Size the timeout above
+  * the endpoint's slowest legitimate response — an expiry DOES
+  * redeliver (the receiver dedupes by uuid, the transport contract). */
+final class HttpPublisher(baseUrl: String,
+    requestTimeoutMs: Long = 30000) extends Publisher with Serializable {
+  require(requestTimeoutMs > 0,
+    s"requestTimeoutMs must be positive: $requestTimeoutMs")
 
   // one client per INSTANCE side (driver here, per-partition in
   // publishBatch) — HttpClient owns a connection pool and executor
   // threads and pre-JDK21 has no close(), so a client per publish CALL
   // leaks thread churn under chatty publishers. @transient: the lazy
   // re-materializes after closure serialization.
-  @transient private lazy val driverClient = HttpClient.newHttpClient()
+  @transient private lazy val driverClient =
+    HttpPublisher.newClient(requestTimeoutMs)
 
   override def publish(topic: String, msgs: Seq[Message]): Unit =
-    msgs.foreach(m => HttpPublisher.post(driverClient, baseUrl, topic, m))
+    msgs.foreach(m =>
+      HttpPublisher.post(driverClient, baseUrl, topic, m, requestTimeoutMs))
 
   override def publishBatch(topic: String, df: DataFrame): Unit = {
     val url = baseUrl // local only — `this` must not serialize
+    val timeoutMs = requestTimeoutMs
     df.select(Message.columns.map(org.apache.spark.sql.functions.col): _*)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val client = HttpClient.newHttpClient()
+        val client = HttpPublisher.newClient(timeoutMs)
         rows.foreach { r =>
           HttpPublisher.post(client, url, topic, Message(
             r.getAs[String]("uuid"),
             Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
             Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray),
-            r.getAs[Timestamp]("ts")))
+            r.getAs[Timestamp]("ts")), timeoutMs)
         }
       }
   }
 }
 
 object HttpPublisher {
+  private[sources] def newClient(timeoutMs: Long): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
   private[sources] def post(client: HttpClient, baseUrl: String, topic: String,
-      m: Message): Unit = {
+      m: Message, timeoutMs: Long = 30000): Unit = {
     val b = HttpRequest.newBuilder(java.net.URI.create(s"$baseUrl/$topic"))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
       .POST(HttpRequest.BodyPublishers.ofByteArray(
         Option(m.payload).getOrElse(Array.emptyByteArray)))
       .header(HttpWire.UuidHeader, m.uuid)

@@ -203,6 +203,32 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("a silent endpoint (accepts, never answers) throws within the request timeout instead of hanging the task") {
+    // pre-fix: HttpClient.send had no request timeout, so an endpoint
+    // that ACCEPTS the TCP connection and never responds parked the
+    // posting task forever - a silently stuck executor slot, not the
+    // documented throw-and-redeliver nack path. The timeout converts
+    // the hang into HttpTimeoutException (an IOException): batch
+    // fails, at-least-once redelivery applies.
+    val silent = new java.net.ServerSocket(0)
+    val sink = new Thread(() => {
+      try while (true) { silent.accept(); () } // accept, never respond
+      catch { case _: Exception => () }
+    })
+    sink.setDaemon(true); sink.start()
+    try {
+      val pub = new HttpPublisher(
+        s"http://127.0.0.1:${silent.getLocalPort}", requestTimeoutMs = 400)
+      val t0 = System.nanoTime()
+      intercept[java.io.IOException] {
+        pub.publish("hooks", Seq(msg("t1", "timeout-me")))
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs < 10000,
+        s"publish to a silent endpoint must fail within the timeout, took ${elapsedMs}ms")
+    } finally silent.close()
+  }
+
   test("publishBatch egresses from executors (foreachPartition), no loss") {
     val sub = new HttpSubscriber(spark)
     try {
