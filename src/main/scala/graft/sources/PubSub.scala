@@ -270,6 +270,20 @@ class FilePubSub(spark: SparkSession, root: String)
     s"$root/$topic"
   }
 
+  /** writerId names the epoch directory (`epoch_<writerId>` /
+    * `.routed_epoch_<writerId>`), so the topic rule applies to it too:
+    * a separator would ESCAPE the topic dir entirely ("w/../../x"
+    * writes outside the root, and its `_SUCCESS` skip-probe follows it
+    * there — exactly-once bookkeeping landing wherever the traversal
+    * points). The SQL transport rejects its reserved writer shapes
+    * loudly (`requireWriterId`); same rule here. The `epoch_` prefix
+    * already protects the hidden-dir namespace, so only separators
+    * need rejecting. */
+  private def requireWriterId(w: String): Unit =
+    require(w != null && w.nonEmpty && !w.contains("/") && !w.contains("\\"),
+      s"invalid writerId '$w': must be a single path segment " +
+        "(it names the epoch directory)")
+
   override def publish(topic: String, msgs: Seq[Message]): Unit =
     publishBatch(topic, msgs.toDF())
 
@@ -294,6 +308,7 @@ class FilePubSub(spark: SparkSession, root: String)
     * flat appends and epoch dirs coexist. */
   override def publishEpoch(topic: String, df: DataFrame, writerId: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    requireWriterId(writerId)
     val dir = new HPath(s"${path(topic)}/epoch_$writerId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new HPath(dir, "_SUCCESS"))) return
@@ -344,6 +359,7 @@ class FilePubSub(spark: SparkSession, root: String)
       writerId: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.functions.col
+    requireWriterId(writerId)
     val staging = s"$root/.routed_epoch_$writerId" // dot-prefixed: hidden from readers
     df.select((Message.columns.map(col) :+ col(topicCol).as("_topic")): _*)
       .write.mode("overwrite").partitionBy("_topic").parquet(staging)

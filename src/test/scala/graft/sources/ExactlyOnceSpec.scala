@@ -81,6 +81,26 @@ class ExactlyOnceSpec extends SparkSpec {
     ()
   }
 
+  test("file transport rejects path-escaping writer ids loudly (epoch dir traversal)") {
+    // writerId names the epoch directory, so the topic rule applies:
+    // pre-fix, "w/../../x" escaped the topic dir entirely — the epoch
+    // rows AND the _SUCCESS skip-probe landed wherever the traversal
+    // pointed, outside the transport's root
+    val root = Files.createTempDirectory("graft-eo-wid-").toString
+    val ps = new FilePubSub(spark, root)
+    intercept[IllegalArgumentException] {
+      ps.publishEpoch("t", frame("x"), "w/../../escape")
+    }
+    intercept[IllegalArgumentException] {
+      ps.publishRoutedEpoch(
+        frame("x").withColumn("dest",
+          org.apache.spark.sql.functions.lit("t")), "dest", "a/b")
+    }
+    // a legal writerId still round-trips
+    ps.publishEpoch("t", frame("ok"), "w-1")
+    assert(ps.subscribeBatch("t").count() == 1)
+  }
+
   test("file transport: same-epoch rewrite overwrites, not appends") {
     val ps = new FilePubSub(spark, Files.createTempDirectory("graft-eo-").toString)
     ps.publishEpoch("eo", frame("a", "b"), writerId = "h1-0")
