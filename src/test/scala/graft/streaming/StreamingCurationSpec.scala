@@ -859,6 +859,34 @@ class StreamingCurationSpec extends SparkSpec {
           r.getLong(3))).toSet
     assert(rows(dq.state().get) == rows(pure),
       "folded streaming state must equal the pure incremental fold")
+
+    // mixture quota: the shared AdmissionDeltaStore fold through the
+    // third operator's plumb-through — dir bounded, caps intact
+    val mdir = java.nio.file.Files.createTempDirectory("graft-smxce")
+      .toString + "/state"
+    val mq = new StreamingMixtureQuota(spark, mdir, Map("a" -> 5000),
+      compactEvery = 2)
+    def mbatch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "stratum")
+    mq.admit(mbatch(1L -> "a", 2L -> "a", 3L -> "b"), batchId = 1L)
+    mq.admit(mbatch(4L -> "a", 5L -> "b"), batchId = 2L)     // folds batch 1
+    mq.admit(mbatch(6L -> "a"), batchId = 3L)
+    mq.admit(mbatch(7L -> "a", 8L -> "b"), batchId = 4L)     // folds 2,3
+    assert(partDirs(mdir) == Set("batch_id=-2", "batch_id=4"),
+      s"mixture state dir unbounded: ${partDirs(mdir)}")
+    val mpure = MixtureQuota.admitIncrement(
+      MixtureQuota.admitIncrement(
+        MixtureQuota.admitIncrement(
+          MixtureQuota.admitIncrement(MixtureQuota.emptyState(spark),
+            mbatch(1L -> "a", 2L -> "a", 3L -> "b"), Map("a" -> 5000)),
+          mbatch(4L -> "a", 5L -> "b"), Map("a" -> 5000)),
+        mbatch(6L -> "a"), Map("a" -> 5000)),
+      mbatch(7L -> "a", 8L -> "b"), Map("a" -> 5000))
+    def mrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("stratum", "n_docs", "n_admitted", "admitted_id_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(mrows(mq.state().get) == mrows(mpure),
+      "folded mixture state must equal the pure incremental fold")
   }
 
   test("quota upgrade: a pre-batch_id FLAT state layout migrates instead of breaking") {
