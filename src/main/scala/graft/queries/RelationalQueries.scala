@@ -2512,8 +2512,15 @@ object RelationalQueries {
         daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            graft.functions.TryAgg.trySumExact(
-              try_multiply(col("x"), col("y"))).as("sxy"),
+            // poison flag is EXPLICIT here (not term.isNull): x is a
+            // group key that is legitimately NULL for NULL-ts events
+            // (both engines group NULL days identically and SUM skips
+            // them in sx/sxy alike) — only a non-null-x row whose
+            // product is NULL overflowed
+            graft.functions.TryAgg.unlessOverflow(
+              col("x").isNotNull &&
+                try_multiply(col("x"), col("y")).isNull,
+              try_sum(try_multiply(col("x"), col("y")))).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("x").cast("double") * col("y")).as("sxyd"),
             sum(col("x").cast("double") * col("x")).as("sxxd"))
