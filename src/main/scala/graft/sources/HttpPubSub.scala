@@ -88,6 +88,11 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
     Some(out.toByteArray)
   }
 
+  // declared BEFORE server: class-body initializers run in order, and
+  // a later `= null` initializer would wipe the assignment made inside
+  // server's init block
+  @volatile private var executor: java.util.concurrent.ExecutorService = null
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", exchange => {
@@ -139,7 +144,21 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
           exchange.sendResponseHeaders(500, -1) // nack: sender retries
       } finally exchange.close()
     })
-    s.setExecutor(null)
+    // a POOL, not the dispatch thread (metrics' setExecutor(null) is
+    // fine for scrape-rate GETs): this is the INGEST edge, and with a
+    // single serving thread one slow-bodied client parks every other
+    // producer behind it for the duration of its dribble — a
+    // one-connection denial of ingestion. Per-publisher ordering
+    // survives the pool: a publisher sends request N+1 only after N's
+    // response, which is written after the enqueue. Daemon threads;
+    // close() shuts the pool down. (For a hard per-request wall-clock
+    // bound, the JDK server also honors -Dsun.net.httpserver.maxReqTime
+    // in seconds.)
+    executor = java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-http-ingest")
+      t.setDaemon(true); t
+    })
+    s.setExecutor(executor)
     s.start()
     s
   }
@@ -150,7 +169,10 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
   override def subscribeBatch(topic: String): DataFrame = broker.subscribeBatch(topic)
   override def subscribeInitialize(topic: String): Unit =
     broker.subscribeInitialize(topic)
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    if (executor != null) { executor.shutdownNow(); () }
+  }
 }
 
 /** Client half: POSTs every row to `<baseUrl>/<topic>`. `publishBatch`
