@@ -55,20 +55,78 @@ object HttpWire {
     java.net.URLEncoder.encode(
       new String(graft.cqrs.JsonCodec.write(entries), "UTF-8"), "UTF-8")
 
-  private[sources] def decodeUnsafe(h: String): Map[String, String] =
-    graft.cqrs.JsonCodec.read(
+  private[sources] def decodeUnsafe(h: String): Map[String, String] = {
+    // decode as Map[String, Any] and validate EVERY value is a string:
+    // erasure means Jackson honors only the raw Map class, so a
+    // hand-crafted carrier like {"a":1} or {"a":{"b":2}} would pass a
+    // Map[String, String]-typed read with non-String values smuggled
+    // in — failing much later at Row-encode time inside publish, which
+    // 500s on every retry (a permanent wedge). Throwing HERE lands in
+    // the subscriber's drop-the-carrier catch instead.
+    val m = graft.cqrs.JsonCodec.read(
       java.net.URLDecoder.decode(h, "UTF-8").getBytes("UTF-8"),
-      classOf[Map[String, String]])
+      classOf[Map[String, Any]])
+    m.map {
+      case (k, v: String) => k -> v
+      case (k, v) => throw new IllegalArgumentException(
+        s"carrier entry '$k' is not a string: " +
+          (if (v == null) "null" else v.getClass.getName))
+    }
+  }
+}
+
+object HttpSubscriber {
+  /** Hard per-request wall-clock bound for the JDK server, in seconds.
+    * `ServerConfig` latches system properties ONCE, when the
+    * HttpServer class initializes — so this default is applied
+    * (best-effort, and only when the operator hasn't set the property
+    * themselves) before the first server of this JVM is created.
+    * Without it a hostile client that dribbles its body forever holds
+    * its handler thread forever — including the small drain a 503'd
+    * or 413'd unread body triggers at exchange close. Operators with
+    * legitimately slower producers set the property explicitly. */
+  private[sources] val ensureMaxReqTime: Unit = {
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null) {
+      System.setProperty("sun.net.httpserver.maxReqTime", "120"); ()
+    }
+  }
+
+  /** Default ingest-concurrency gate: enough permits that a handful
+    * of slow producers never block a fast one, capped so the
+    * worst-case buffered-body memory (permits × maxBodyBytes) and the
+    * long-held thread count stay hard-bounded on any box. */
+  private[sources] def defaultPermits: Int =
+    math.min(64, math.max(8, 2 * Runtime.getRuntime.availableProcessors()))
 }
 
 /** Server half: POSTs to `/<topic>` enqueue into an in-process broker
   * (same MemoryStream mechanics as [[MemoryPubSub]]); `subscribe`
-  * exposes the per-topic stream. One server, many topics. */
+  * exposes the per-topic stream. One server, many topics.
+  *
+  * Ingest concurrency is HARD-BOUNDED: at most `maxConcurrentBodies`
+  * requests buffer bodies at once (worst-case driver heap held by
+  * this edge = `maxConcurrentBodies × maxBodyBytes`), served from a
+  * fixed pool of `maxConcurrentBodies + 4` daemon threads. Excess
+  * requests answer **503 before any body byte is read** — the
+  * retryable nack path ([[HttpPublisher]] throws on non-2xx, the
+  * batch fails, at-least-once redelivery applies), so saturation
+  * degrades to retries, never to unbounded threads or memory. */
 final class HttpSubscriber(spark: SparkSession, port: Int = 0,
-    maxBodyBytes: Long = 256L << 20)
+    maxBodyBytes: Long = 256L << 20,
+    maxConcurrentBodies: Int = HttpSubscriber.defaultPermits)
   extends Subscriber with SubscribeInitializer with AutoCloseable {
+  require(maxConcurrentBodies > 0,
+    s"maxConcurrentBodies must be positive: $maxConcurrentBodies")
 
   private val broker = new MemoryPubSub(spark)
+
+  /** Gates the expensive section (body buffering + enqueue); the
+    * cheap rejections (405/404/503) never need a permit. */
+  private val ingestGate =
+    new java.util.concurrent.Semaphore(maxConcurrentBodies)
+  /** Spec hook: observe gate occupancy without racing the handlers. */
+  private[sources] def availableIngestPermits: Int =
+    ingestGate.availablePermits()
 
   /** Bounded body read (the io transport's line-cap rule at the HTTP
     * edge): an unbounded `readAllBytes` lets ONE hostile multi-GB POST
@@ -94,6 +152,7 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
   @volatile private var executor: java.util.concurrent.ExecutorService = null
 
   private val server: HttpServer = {
+    HttpSubscriber.ensureMaxReqTime // must precede the first create()
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", exchange => {
       try {
@@ -104,7 +163,15 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
           // a POST to "/" has no topic — reject instead of silently
           // filing every such message under the "" topic
           exchange.sendResponseHeaders(404, -1)
-        } else readBounded(exchange.getRequestBody) match {
+        } else if (!ingestGate.tryAcquire()) {
+          // every permit is held by an in-flight body read: reject
+          // BEFORE touching the body, keeping both bounds hard
+          // (≤ permits bodies buffering, ≤ permits long-held
+          // threads). 503 = retryable server condition — the
+          // publisher's non-2xx throw → batch fail → at-least-once
+          // redelivery, exactly the documented nack contract.
+          exchange.sendResponseHeaders(503, -1)
+        } else try readBounded(exchange.getRequestBody) match {
           case None =>
             exchange.sendResponseHeaders(413, -1) // over cap: caller error
           case Some(body) =>
@@ -138,26 +205,39 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
           broker.publish(topic, Seq(Message(uuid, meta, body,
             new Timestamp(System.currentTimeMillis()))))
           exchange.sendResponseHeaders(200, -1) // enqueued = acked
-        }
+        } finally ingestGate.release()
       } catch {
         case _: Throwable =>
           exchange.sendResponseHeaders(500, -1) // nack: sender retries
       } finally exchange.close()
     })
-    // a POOL, not the dispatch thread (metrics' setExecutor(null) is
-    // fine for scrape-rate GETs): this is the INGEST edge, and with a
-    // single serving thread one slow-bodied client parks every other
-    // producer behind it for the duration of its dribble — a
-    // one-connection denial of ingestion. Per-publisher ordering
-    // survives the pool: a publisher sends request N+1 only after N's
-    // response, which is written after the enqueue. Daemon threads;
-    // close() shuts the pool down. (For a hard per-request wall-clock
-    // bound, the JDK server also honors -Dsun.net.httpserver.maxReqTime
-    // in seconds.)
-    executor = java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "graft-http-ingest")
-      t.setDaemon(true); t
-    })
+    // a BOUNDED pool, not the dispatch thread (metrics'
+    // setExecutor(null) is fine for scrape-rate GETs): this is the
+    // INGEST edge, and with a single serving thread one slow-bodied
+    // client parks every other producer behind it for the duration of
+    // its dribble — a one-connection denial of ingestion. An
+    // UNbounded (cached) pool just trades that for thread/memory
+    // exhaustion on the same untrusted edge: N hostile dribblers = N
+    // threads × maxBodyBytes buffering. Hence fixed size
+    // permits + 4: the semaphore caps body-readers at `permits`, so
+    // ≥ 4 threads are always free to drain the queue with
+    // microsecond-fast answers (405/404/413/503) — a fast producer is
+    // served (or told to retry) regardless of how many dribblers are
+    // mid-body. Per-publisher ordering survives the pool: a publisher
+    // sends request N+1 only after N's response, which is written
+    // after the enqueue. Daemon threads; close() shuts the pool down.
+    executor = {
+      val p = new java.util.concurrent.ThreadPoolExecutor(
+        maxConcurrentBodies + 4, maxConcurrentBodies + 4,
+        60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-http-ingest")
+          t.setDaemon(true); t
+        })
+      p.allowCoreThreadTimeOut(true) // idle edge holds no threads
+      p
+    }
     s.setExecutor(executor)
     s.start()
     s

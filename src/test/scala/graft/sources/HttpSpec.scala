@@ -229,6 +229,82 @@ class HttpSpec extends SparkSpec {
     } finally silent.close()
   }
 
+  /** A hostile "dribbler": opens a raw socket, sends a complete POST
+    * header block promising a large body, writes a few bytes, then
+    * stalls with the connection open — holding its handler in
+    * readBounded until closed. */
+  private def dribbler(port: Int, topic: String): java.net.Socket = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    val out = s.getOutputStream
+    out.write((s"POST /$topic HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+      "Content-Length: 1000000\r\n\r\n").getBytes("US-ASCII"))
+    out.write("partial".getBytes("US-ASCII"))
+    out.flush()
+    s
+  }
+
+  private def awaitPermits(sub: HttpSubscriber, n: Int): Unit = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (sub.availableIngestPermits != n) {
+      assert(System.currentTimeMillis() < deadline,
+        s"gate never reached $n free permits (at ${sub.availableIngestPermits})")
+      Thread.sleep(20)
+    }
+  }
+
+  test("slow-bodied clients neither starve a fast publisher nor grow the ingest pool unbounded") {
+    // pre-fix (r17): ingest ran on newCachedThreadPool — one thread
+    // per concurrent request, each buffering up to maxBodyBytes, so N
+    // hostile dribblers held N threads and N×256 MB of driver heap.
+    // Now a fixed pool of permits+4 threads with a semaphore capping
+    // concurrent body reads: dribblers occupy permits, the spare
+    // threads keep serving fast producers.
+    val sub = new HttpSubscriber(spark, maxConcurrentBodies = 6)
+    val socks = scala.collection.mutable.ArrayBuffer[java.net.Socket]()
+    try {
+      (0 until 3).foreach(_ => socks += dribbler(sub.boundPort, "hooks_drb"))
+      awaitPermits(sub, 3) // all three dribblers are mid-body, holding permits
+      // the fast client is served while the dribblers dribble
+      new HttpPublisher(s"http://localhost:${sub.boundPort}",
+        requestTimeoutMs = 5000)
+        .publish("hooks_drb", Seq(msg("fast1", "through")))
+      val got = sub.subscribeBatch("hooks_drb").as[Message].collect().map(_.uuid).toSet
+      assert(got == Set("fast1"), s"fast publish must land mid-dribble: $got")
+      // long-held thread bound: the pool is fixed at permits+4
+      val ingestThreads = Thread.getAllStackTraces.keySet.toArray
+        .count(_.asInstanceOf[Thread].getName == "graft-http-ingest")
+      assert(ingestThreads <= 6 + 4,
+        s"ingest pool must stay bounded at permits+4, saw $ingestThreads")
+    } finally {
+      socks.foreach(s => try s.close() catch { case _: Exception => () })
+      sub.close()
+    }
+  }
+
+  test("at capacity (every permit mid-body) an excess POST answers 503 — the retryable nack — and service resumes when a permit frees") {
+    val sub = new HttpSubscriber(spark, maxConcurrentBodies = 1)
+    val slow = dribbler(sub.boundPort, "hooks_cap2")
+    try {
+      awaitPermits(sub, 0) // the dribbler holds the only permit
+      val pub = new HttpPublisher(s"http://localhost:${sub.boundPort}",
+        requestTimeoutMs = 5000)
+      // rejected BEFORE any body byte is read: publisher sees non-2xx
+      // and throws — the documented batch-fail/redeliver nack path
+      intercept[java.io.IOException] {
+        pub.publish("hooks_cap2", Seq(msg("rej1", "bounced")))
+      }
+      slow.close() // dribbler gone: its read fails, permit released
+      awaitPermits(sub, 1)
+      pub.publish("hooks_cap2", Seq(msg("ok1", "after"))) // the "retry" lands
+      val got = sub.subscribeBatch("hooks_cap2").as[Message].collect().map(_.uuid).toSet
+      assert(got == Set("ok1"),
+        s"rejected publish must not enqueue, freed permit must serve: $got")
+    } finally {
+      try slow.close() catch { case _: Exception => () }
+      sub.close()
+    }
+  }
+
   test("publishBatch egresses from executors (foreachPartition), no loss") {
     val sub = new HttpSubscriber(spark)
     try {
