@@ -686,7 +686,11 @@ object Bench {
         // unchanged, and at 184 registered queries the bought-back
         // chars are what keep per-query decimals (and the calib v2
         // extension) on the line instead of falling down the ladder
-        val s = s"%.${decimals}f".format(v)
+        // ROOT locale: the default-locale format under a comma-decimal
+        // locale yields "9,00" — invalid JSON on the compact line, and
+        // silently bypassing the '.'-keyed zero-strip below
+        val s = String.format(java.util.Locale.ROOT,
+          s"%.${decimals}f", Double.box(v))
         val num =
           if (s.contains('.'))
             s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
@@ -702,15 +706,18 @@ object Bench {
     // BENCH_FULL.json. "contaminated" and the driver-contract fields
     // (metric/value/unit/queries/sf) keep their full names.
     def line(qs: String, withStreaming: Boolean, withSx: Boolean,
-        withCalibV2: Boolean = true): String = {
+        withCalibV2: Boolean = true, lean: Boolean = false): String = {
       val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
-      val epPart = if (extraPass) """"ep":true,""" else ""
+      // the lean floor drops the conditional flags + load (ALL
+      // duplicated with full keys in BENCH_FULL.json) so per-query
+      // numbers never have to
+      val epPart = if (extraPass && !lean) """"ep":true,""" else ""
       // rr = count of pass-disagreement reruns (samples in BENCH_FULL
       // "reruns"); omitted when zero, like ep/failed
-      val rrPart = if (rerunCount > 0) s""""rr":$rerunCount,""" else ""
+      val rrPart = if (rerunCount > 0 && !lean) s""""rr":$rerunCount,""" else ""
       // pf = count of passes that started hot despite the pre-flight
       // wait (details in BENCH_FULL "preflight"); omitted when zero
-      val pfPart = if (preflightHot > 0) s""""pf":$preflightHot,""" else ""
+      val pfPart = if (preflightHot > 0 && !lean) s""""pf":$preflightHot,""" else ""
       val streamingPart =
         if (withStreaming) s""""streaming":$streaming,""" else ""
       val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
@@ -720,19 +727,29 @@ object Bench {
       // The v2 form appends the split terms + version to the SAME
       // array (see calibArrayV2Json); on a registry too fat for the
       // 16 extra chars the ladder falls back to the 2-element v1 form
-      // BEFORE per-query decimals pay for it.
-      val calibPart = if (withCalibV2 && calibJsonV2.nonEmpty)
-        calibJsonV2 else calibJson
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibPart,$streamingPart$sxPart"load":$loadAvg%.2f,"sf":"$sfShort","queries":$qs}"""
+      // BEFORE per-query decimals pay for it. The lean floor keeps
+      // the v1 VALUES but zero-strips them ([-1.000,-1.000] →
+      // [-1,-1]) — lossless, like the per-query strip.
+      val calibPart = {
+        val base = if (withCalibV2 && calibJsonV2.nonEmpty)
+          calibJsonV2 else calibJson
+        if (lean)
+          base.replaceAll("(\\.\\d*?)0+(?=[,\\]])", "$1")
+            .replaceAll("\\.(?=[,\\]])", "")
+        else base
+      }
+      val loadPart = if (lean) "" else f""""load":$loadAvg%.2f,"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
     // Degradation priority as the registry grows: per-query seconds at
     // >= 1 decimal are the driver contract and yield LAST; the sx and
-    // streaming summaries, then the calib v2 extension (all duplicated
-    // with full keys in BENCH_FULL.json + stderr) fall off the line
-    // first; whole-second rounding is the final fallback — no query's
-    // number ever falls off the line entirely
+    // streaming summaries, then the calib v2 extension, then the
+    // bookkeeping flags + load (all duplicated with full keys in
+    // BENCH_FULL.json + stderr) fall off the line first;
+    // whole-second rounding + the lean floor is the final fallback —
+    // no query's number ever falls off the line entirely
     val candidates = Iterator(
       line(qsJson(2), withStreaming = true, withSx = true),
       line(qsJson(1), withStreaming = true, withSx = true),
@@ -741,9 +758,11 @@ object Bench {
       line(qsJson(1), withStreaming = false, withSx = false,
         withCalibV2 = false),
       line(qsJson(0), withStreaming = false, withSx = false,
-        withCalibV2 = false))
+        withCalibV2 = false),
+      line(qsJson(0), withStreaming = false, withSx = false,
+        withCalibV2 = false, lean = true))
     candidates.find(_.length <= 1880)
       .getOrElse(line(qsJson(0), withStreaming = false, withSx = false,
-        withCalibV2 = false))
+        withCalibV2 = false, lean = true))
   }
 }
