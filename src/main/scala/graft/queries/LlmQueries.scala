@@ -2686,45 +2686,15 @@ object LlmQueries {
         // lang normalized against NULLs in BOTH engines: Spark's
         // equi-joins drop NULL keys while the oracle's CROSS JOIN
         // grid keeps them — a latent cross-engine divergence on any
-        // corpus with unlabeled docs
+        // corpus with unlabeled docs. The grid/marginal/term plan
+        // lives in [[graft.streaming.LangMix.chisq]] (shared verbatim
+        // with q185's incremental path — one computation, two
+        // state-feeding forms; arithmetic-bound notes there)
         val cells = t(s, dir, "documents")
           .groupBy(col("source"),
             coalesce(col("lang"), lit("(null)")).as("lang"))
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint(true) // 4 consumers: grid ×2, marginals, cells
-        val rowT = cells.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
-        val colT = cells.groupBy(col("lang")).agg(sum(col("o")).as("c_c"))
-        val nT = cells.agg(sum(col("o")).as("n_g"))
-        // dense grid: a lang a source has ZERO docs of still
-        // contributes (its absence is the evidence)
-        cells.select(col("source")).distinct()
-          .crossJoin(broadcast(cells.select(col("lang")).distinct()))
-          .join(cells, Seq("source", "lang"), "left")
-          .withColumn("o", coalesce(col("o"), lit(0L)))
-          .join(broadcast(rowT), Seq("source"))
-          .join(broadcast(colT), Seq("lang"))
-          .crossJoin(broadcast(nT))
-          .withColumn("n_r", col("n_g") - col("n_s"))
-          .withColumn("diff", try_subtract(
-            try_multiply(col("o"), col("n_r")),
-            try_multiply(col("c_c") - col("o"), col("n_s"))))
-          // the chi-square term runs in double space (exact below
-          // 2^53): the Long denominator n_s·n_r·c_c is an N³ product
-          // that overflows 2^63 already around ~2e6 docs per
-          // source/lang margin — far below crawl scale — an ANSI
-          // abort by default, silent term corruption under ansi=false.
-          // The Long `diff` diagnostic rides try_* forms: exact while
-          // int64-representable, NULL beyond — never an abort
-          .withColumn("diffd",
-            col("o").cast("double") * col("n_r") -
-              (col("c_c") - col("o")).cast("double") * col("n_s"))
-          .withColumn("term",
-            when(col("n_s") === 0 || col("n_r") === 0, lit(0.0))
-              .otherwise((col("diffd") * col("diffd")) /
-                (col("n_s").cast("double") * col("n_r") * col("c_c"))))
-          .select(col("source"), col("lang"), col("o"), col("n_s"),
-            col("c_c"), col("diff"), col("term"))
-          .orderBy(col("source"), col("lang"))
+        graft.streaming.LangMix.chisq(cells)
       },
       Some("""WITH cells AS (
              |  SELECT source, coalesce(lang, '(null)') AS lang,
@@ -3841,7 +3811,62 @@ object LlmQueries {
              |  CAST(coalesce(s_sum, 0) + coalesce(i_sum, 0)
              |    AS BIGINT) AS admitted_id_sum
              |FROM st FULL OUTER JOIN inc ON st.stratum = inc.stratum
-             |ORDER BY stratum""".stripMargin))
+             |ORDER BY stratum""".stripMargin)),
+
+    // ---- INCREMENTAL language-mix maintenance (q158's χ² drift
+    // dimension served from STORED cell state as slices arrive — the
+    // q183/q184 discipline applied to the drift screen, whose χ² input
+    // was previously last-batch-only): the corpus arrives in two
+    // slices; each folds ONLY its own (source, lang) counts and merges
+    // into state (counts are exactly mergeable — the sketch-shelf
+    // store/merge lifecycle with the test's sufficient statistic as
+    // the sketch); the full q158 output (dense grid, marginals, terms)
+    // is then served from state with zero history rescan. The grid
+    // computation is [[graft.streaming.LangMix.chisq]], shared
+    // VERBATIM with q158 — the incremental and batch forms cannot
+    // drift apart. Scale notes in [[graft.streaming.LangMix]] (state =
+    // sources × langs control-plane rows; per-epoch cost = one slice
+    // fold) ----
+    QuerySpec("q185_incremental_langmix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+        val st0 = graft.streaming.LangMix.observeIncrement(
+          graft.streaming.LangMix.emptyState(s),
+          d.filter(col("doc_id") % 3 =!= 0))
+        val st1 = graft.streaming.LangMix.observeIncrement(
+          st0, d.filter(col("doc_id") % 3 === 0))
+        graft.streaming.LangMix.chisq(st1)
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    coalesce(lang, '(null)') AS lang FROM documents),
+             |c_old AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             |  FROM d WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+             |c_new AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+             |cells AS (SELECT source, lang, CAST(sum(o) AS BIGINT) AS o
+             |  FROM (SELECT * FROM c_old UNION ALL SELECT * FROM c_new)
+             |  GROUP BY 1, 2),
+             |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c_c
+             |       FROM cells GROUP BY 1),
+             |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n_g FROM cells),
+             |x AS (
+             |  SELECT r.source, c.lang,
+             |    CAST(coalesce(cl.o, 0) AS BIGINT) AS o,
+             |    r.n_s, c.c_c, tt.n_g - r.n_s AS n_r
+             |  FROM rt r CROSS JOIN ct c CROSS JOIN tt
+             |  LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang),
+             |y AS (
+             |  SELECT source, lang, o, n_s, c_c,
+             |    CAST(o * n_r - (c_c - o) * n_s AS BIGINT) AS diff, n_r
+             |  FROM x)
+             |SELECT source, lang, o, n_s, c_c, diff,
+             |  CASE WHEN n_s * n_r = 0 THEN 0.0
+             |    ELSE (CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)) /
+             |      CAST(n_s * n_r * c_c AS DOUBLE) END AS term
+             |FROM y ORDER BY source, lang""".stripMargin))
   )
 
   /** Every 20th embedding gains two EXACT copies at offset ids — the

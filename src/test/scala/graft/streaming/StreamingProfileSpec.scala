@@ -214,6 +214,34 @@ class StreamingProfileSpec extends SparkSpec {
     }
   }
 
+  test("LangMix: K-slice incremental state equals the one-shot fold, and chisq served from state equals the direct q158 form") {
+    // the q185 endurance property (q147/q183/q184 discipline): cells
+    // are the test's exact sufficient statistic, so ANY slicing must
+    // merge to the one-shot fold — and the chisq output is the SAME
+    // plan either way (shared helper), so equality here pins that the
+    // incremental path serves the full drift screen from state alone
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"src${i % 3}", if (i % 11 == 0) null else s"l${i % 5}")
+    }
+    val d = rows.toDF("doc_id", "source", "lang")
+    val oneShot = LangMix.observeIncrement(LangMix.emptyState(spark), d)
+    val incr = (0 until 5).foldLeft(LangMix.emptyState(spark)) { (st, k) =>
+      LangMix.observeIncrement(st, d.filter(col("doc_id") % 5 === k))
+    }
+    def cellMap(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cellMap(incr) == cellMap(oneShot),
+      "5-slice merged state must equal the one-shot cells fold")
+    assert(cellMap(oneShot)(("src0", "(null)")) > 0,
+      "NULL lang must normalize into the (null) cell, not vanish from join keys")
+    val direct = LangMix.chisq(
+      d.groupBy(col("source"), coalesce(col("lang"), lit("(null)")).as("lang"))
+        .agg(count(lit(1)).as("o"))).collect().map(_.toSeq)
+    val served = LangMix.chisq(incr).collect().map(_.toSeq)
+    assert(served.toSeq == direct.toSeq,
+      "chisq from 5-slice state must equal the direct last-batch form")
+  }
+
   test("replayed batch ids are skipped (foreachBatch at-least-once)") {
     val p = new StreamingProfile(spark, tmp() + "/state")
     p.applyBatch(df(b1), 0L)
