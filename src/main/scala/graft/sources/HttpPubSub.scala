@@ -89,6 +89,17 @@ object HttpSubscriber {
     if (System.getProperty("sun.net.httpserver.maxReqTime") == null) {
       System.setProperty("sun.net.httpserver.maxReqTime", "120"); ()
     }
+    // close rejected exchanges instead of draining them: on a 503/413
+    // the request body is (partly) unread, and the server's default
+    // close() DRAINS up to 64 KB before reusing the connection — a
+    // dribbler that was just rejected could hold the spare pool
+    // thread in that drain until the maxReqTime timer fires.
+    // drainAmount=0 skips the read and drops the connection; losing
+    // keep-alive reuse on a rejected request costs nothing (the 200
+    // path consumed its body fully and never drains).
+    if (System.getProperty("sun.net.httpserver.drainAmount") == null) {
+      System.setProperty("sun.net.httpserver.drainAmount", "0"); ()
+    }
   }
 
   /** Default ingest-concurrency gate: enough permits that a handful

@@ -20,6 +20,10 @@ object Pq {
       sys.exit(2)
     }
     val spark = GraftSession.local()
+    // the Mill rule: usage errors RETURN a code instead of sys.exit'ing
+    // inside the try (System.exit does not unwind finally blocks — the
+    // SparkSession would be abandoned to JVM teardown)
+    var exitCode = 0
     try {
       val ps = new FilePubSub(spark, args(1))
       val dlq = args(2)
@@ -69,8 +73,9 @@ object Pq {
             println(s"requeued $n message(s) to $origin")
           }
         case other =>
-          System.err.println(s"unknown command: $other"); sys.exit(2)
+          System.err.println(s"unknown command: $other"); exitCode = 2
       }
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }
