@@ -2286,6 +2286,65 @@ object RelationalQueries {
              |    AS matched
              |FROM j2 ORDER BY a_id""".stripMargin)),
 
+    // ---- CEP negation CHAIN (q142's guard generalized to arbitrary
+    // A-then-not-B-within-T sequences — the absence/SLA-monitoring
+    // staple): per user, view → click within 6h → purchase within 12h
+    // OF THE CLICK, with no error between click and purchase
+    // (interval [click, purchase), q142's inclusive-start/exclusive-
+    // end rules) and no error within 2h AFTER the purchase (trailing
+    // negation — time-bounded, because "never again" cannot be
+    // decided on a growing corpus). One forward-asof union-carry pass
+    // per step from that step's anchor: linear, one hash exchange
+    // each, no pair-space join, no state machine; dead chains keep
+    // their row with matched=false and NULL step columns (the null
+    // anchor is masked, never joined through). q142 itself now runs
+    // on this engine (firstMatch = a 2-step chain), so its oracle
+    // re-validates the core on every round ----
+    QuerySpec("q186_cep_negation_chain",
+      (s, dir) => graft.operators.EventPattern.chain(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          seedType = "view", steps = Seq(
+            graft.operators.EventPattern.Pos("click", expr("INTERVAL 6 HOURS")),
+            graft.operators.EventPattern.Neg("error"),
+            graft.operators.EventPattern.Pos("purchase", expr("INTERVAL 12 HOURS")),
+            graft.operators.EventPattern.Neg("error",
+              Some(expr("INTERVAL 2 HOURS")))))
+        .orderBy(col("a_id")),
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_ts
+             |           FROM events WHERE event_type = 'view'),
+             |s1r AS (SELECT user_id, ts, max(event_id) AS id
+             |        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |s3r AS (SELECT user_id, ts, max(event_id) AS id
+             |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |g AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'error' GROUP BY 1, 2),
+             |j1 AS (SELECT a.a_id, a.user_id, a.a_ts,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.id END AS s1_id,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.ts END AS s1_ts
+             |       FROM a ASOF LEFT JOIN s1r
+             |         ON a.user_id = s1r.user_id AND a.a_ts <= s1r.ts),
+             |j2 AS (SELECT j1.*, g.ts AS n2_ts
+             |       FROM j1 ASOF LEFT JOIN g
+             |         ON j1.user_id = g.user_id AND j1.s1_ts <= g.ts),
+             |j3 AS (SELECT j2.*,
+             |         CASE WHEN s3r.ts - j2.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s3r.id END AS s3_id,
+             |         CASE WHEN s3r.ts - j2.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s3r.ts END AS s3_ts
+             |       FROM j2 ASOF LEFT JOIN s3r
+             |         ON j2.user_id = s3r.user_id AND j2.s1_ts <= s3r.ts),
+             |j4 AS (SELECT j3.*, g.ts AS n4_ts
+             |       FROM j3 ASOF LEFT JOIN g
+             |         ON j3.user_id = g.user_id AND j3.s3_ts <= g.ts)
+             |SELECT user_id, a_id, a_ts, s1_id, s1_ts, s3_id, s3_ts,
+             |  (s1_ts IS NOT NULL AND s3_ts IS NOT NULL
+             |    AND NOT coalesce(n2_ts < s3_ts, false)
+             |    AND NOT coalesce(n4_ts <= s3_ts + INTERVAL 2 HOUR, false))
+             |    AS matched
+             |FROM j4 ORDER BY a_id""".stripMargin)),
+
     // ---- global running total (cumulative revenue curve) WITHOUT the
     // single-partition window the naive SUM() OVER (ORDER BY) plans:
     // GlobalPrefix range-partitions, runs the local prefix per task,

@@ -57,4 +57,87 @@ class EventPatternSpec extends SparkSpec {
     val got = run((1L, 1L, 100L, "A"), (2L, 2L, 150L, "B"))
     assert(got(1L) == (None, false))
   }
+
+  // ---- chain (the generalized form firstMatch now runs on) ----
+
+  private def runChain(steps: Seq[EventPattern.Step],
+      rows: (Long, Long, Long, String)*) =
+    EventPattern.chain(
+      rows.map { case (id, k, t, ty) => (id, k, ts(t), ty) }
+        .toDF("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", "event_type", seedType = "A", steps = steps)
+
+  private val within100 = expr("INTERVAL 100 SECONDS")
+
+  test("chain: each positive step anchors on the previous match, not the seed") {
+    // A@100 → B@150 (within 100 of A) → D@240 (within 100 of B but 140
+    // after A): a seed-anchored matcher would reject D
+    val got = runChain(
+      Seq(EventPattern.Pos("B", within100), EventPattern.Pos("D", within100)),
+      (1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (3L, 1L, 240L, "D"))
+      .collect().head
+    assert(got.getAs[Long]("s1_id") == 2L && got.getAs[Long]("s2_id") == 3L)
+    assert(got.getAs[Boolean]("matched"))
+  }
+
+  test("chain: a dead step leaves later step columns NULL, never the globally-earliest event") {
+    // no B for user 1 → the D pass must NOT surface user 1's D@50
+    // (which precedes the null anchor in the carry) as a match
+    val out = runChain(
+      Seq(EventPattern.Pos("B", within100), EventPattern.Pos("D", within100)),
+      (1L, 1L, 100L, "A"), (2L, 1L, 50L, "D"), (3L, 1L, 110L, "D"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("s1_id")), "no B: step 1 null")
+    assert(out.isNullAt(out.fieldIndex("s2_id")),
+      "dead chain must mask step 2, not asof-join a null anchor")
+    assert(!out.getAs[Boolean]("matched"))
+  }
+
+  test("chain: a between-Neg guards [anchor, nextAnchor) with q142's boundary rules") {
+    val steps = Seq(EventPattern.Pos("B", within100),
+      EventPattern.Neg("C"), EventPattern.Pos("D", within100))
+    def m(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head.getAs[Boolean]("matched")
+    // C between B and D blocks
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 170L, "C"), (4L, 1L, 200L, "D")))
+    // C at B's instant blocks (inclusive start)
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 150L, "C"), (4L, 1L, 200L, "D")))
+    // C at D's instant passes (exclusive end)
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 200L, "C"), (4L, 1L, 200L, "D")))
+    // C before the B anchor is history, not a guard
+    assert(m((1L, 1L, 100L, "A"), (3L, 1L, 120L, "C"),
+      (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
+  }
+
+  test("chain: a trailing Neg is time-bounded from the last anchor, inclusive end") {
+    val steps = Seq(EventPattern.Pos("B", within100),
+      EventPattern.Neg("C", Some(expr("INTERVAL 50 SECONDS"))))
+    def m(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head.getAs[Boolean]("matched")
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (3L, 1L, 180L, "C")),
+      "C inside the trailing window fires")
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (3L, 1L, 200L, "C")),
+      "inclusive end: C at anchor+within fires")
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (3L, 1L, 201L, "C")),
+      "C past the trailing window does not fire")
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B")),
+      "no C at all passes")
+  }
+
+  test("chain: a trailing Neg without `within` is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      runChain(Seq(EventPattern.Pos("B", within100), EventPattern.Neg("C")),
+        (1L, 1L, 100L, "A"))
+    }
+    assert(e.getMessage.contains("trailing"))
+  }
+
+  test("chain: an empty step list returns every seed, matched") {
+    val out = runChain(Seq.empty, (1L, 1L, 100L, "A"), (2L, 1L, 200L, "A"))
+      .collect()
+    assert(out.length == 2 && out.forall(_.getAs[Boolean]("matched")))
+  }
 }
