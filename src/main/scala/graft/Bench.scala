@@ -739,7 +739,13 @@ object Bench {
         else base
       }
       val loadPart = if (lean) "" else f""""load":$loadAvg%.2f,"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,"contaminated":$contaminated,"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
+      // on the lean rungs a CLEAN run drops "contaminated":false —
+      // omission-means-false is already this line's convention (ep/
+      // rr/pf/failed); a contaminated=true verdict ALWAYS rides, on
+      // every rung: that is the alarm the flag exists for
+      val contaminatedPart = if (lean && !contaminated) ""
+        else s""""contaminated":$contaminated,"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
@@ -757,6 +763,12 @@ object Bench {
       line(qsJson(1), withStreaming = false, withSx = false),
       line(qsJson(1), withStreaming = false, withSx = false,
         withCalibV2 = false),
+      // the lean 1-DECIMAL rung comes before any whole-second
+      // rounding: at 186 registered queries the flags+load chars were
+      // exactly what pushed 1-decimal over the window, silently
+      // costing every query its sub-second resolution
+      line(qsJson(1), withStreaming = false, withSx = false,
+        withCalibV2 = false, lean = true),
       line(qsJson(0), withStreaming = false, withSx = false,
         withCalibV2 = false),
       line(qsJson(0), withStreaming = false, withSx = false,

@@ -20,6 +20,22 @@ object JsonCodec {
   }
   def write(v: Any): Array[Byte] = mapper.writeValueAsBytes(v)
   def read[T](bytes: Array[Byte], cls: Class[T]): T = mapper.readValue(bytes, cls)
+
+  /** Metadata-map read with the element types VALIDATED: erasure means
+    * `read(bytes, classOf[Map[String, String]])` honors only the raw
+    * Map class, so `{"a":1}` would "succeed" with a non-String value
+    * that detonates far from the parse (at Row-encode inside
+    * publish/poll) — outside any catch that knows the input. Throwing
+    * HERE lands in each caller's documented malformed-input path
+    * (HTTP: drop the carrier; SQL backfill: skip the row; SQL poll: a
+    * loud, named parse error instead of an encoder stack trace). */
+  def readStringMap(bytes: Array[Byte]): Map[String, String] =
+    read(bytes, classOf[Map[String, Any]]).map {
+      case (k, v: String) => k -> v
+      case (k, v) => throw new IllegalArgumentException(
+        s"metadata entry '$k' is not a string: " +
+          (if (v == null) "null" else v.getClass.getName))
+    }
 }
 
 /** Type-name generation, parity with `FullyQualifiedStructName` /

@@ -55,24 +55,14 @@ object HttpWire {
     java.net.URLEncoder.encode(
       new String(graft.cqrs.JsonCodec.write(entries), "UTF-8"), "UTF-8")
 
-  private[sources] def decodeUnsafe(h: String): Map[String, String] = {
-    // decode as Map[String, Any] and validate EVERY value is a string:
-    // erasure means Jackson honors only the raw Map class, so a
-    // hand-crafted carrier like {"a":1} or {"a":{"b":2}} would pass a
-    // Map[String, String]-typed read with non-String values smuggled
-    // in — failing much later at Row-encode time inside publish, which
-    // 500s on every retry (a permanent wedge). Throwing HERE lands in
-    // the subscriber's drop-the-carrier catch instead.
-    val m = graft.cqrs.JsonCodec.read(
-      java.net.URLDecoder.decode(h, "UTF-8").getBytes("UTF-8"),
-      classOf[Map[String, Any]])
-    m.map {
-      case (k, v: String) => k -> v
-      case (k, v) => throw new IllegalArgumentException(
-        s"carrier entry '$k' is not a string: " +
-          (if (v == null) "null" else v.getClass.getName))
-    }
-  }
+  private[sources] def decodeUnsafe(h: String): Map[String, String] =
+    // validated read ([[graft.cqrs.JsonCodec.readStringMap]]): a
+    // hand-crafted carrier like {"a":1} must throw HERE, into the
+    // subscriber's drop-the-carrier catch — an erasure-smuggled
+    // non-String value would otherwise fail much later at Row-encode
+    // time inside publish, 500ing every retry (a permanent wedge)
+    graft.cqrs.JsonCodec.readStringMap(
+      java.net.URLDecoder.decode(h, "UTF-8").getBytes("UTF-8"))
 }
 
 object HttpSubscriber {

@@ -282,8 +282,10 @@ final class SqlPubSub(spark: SparkSession, url: String,
         // forever — skip it; it carries no trustworthy stamp anyway
         val meta =
           try Option(rs.getString(2))
-            .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
-              classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+            // validated read: ill-TYPED values ({"a":1}) skip like
+            // ill-FORMED ones, instead of erasure-smuggling through
+            .map(s => graft.cqrs.JsonCodec.readStringMap(s.getBytes("UTF-8")))
+            .getOrElse(Map.empty[String, String])
           catch { case _: Exception =>
             log.info(s"backfill: skipping row ${rs.getLong(1)} of topic " +
               s"'$topic' with unparseable metadata")
@@ -1015,9 +1017,12 @@ final class SqlPubSub(spark: SparkSession, url: String,
 
   /** Envelope off a (offset_id, uuid, metadata, payload, ts) result row. */
   private def rowMessage(rs: java.sql.ResultSet): Message = {
+    // validated read: this engine only ever WRITES string values, so a
+    // non-string here is row corruption — fail at the parse with the
+    // offending key named, not at Row-encode with an encoder trace
     val meta = Option(rs.getString(3))
-      .map(s => graft.cqrs.JsonCodec.read(s.getBytes("UTF-8"),
-        classOf[Map[String, String]])).getOrElse(Map.empty[String, String])
+      .map(s => graft.cqrs.JsonCodec.readStringMap(s.getBytes("UTF-8")))
+      .getOrElse(Map.empty[String, String])
     Message(rs.getString(2), meta,
       Option(rs.getBytes(4)).getOrElse(Array.emptyByteArray),
       Option(rs.getTimestamp(5)).getOrElse(new Timestamp(0L)))

@@ -285,6 +285,23 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(mk(2).length <= 1880)
   }
 
+  test("realistic sf0.1 values keep >= 1 decimal at the LIVE registry size (flags present)") {
+    // the r18 regression this pins: at 186 queries the ep/rr flags +
+    // load were exactly what pushed the 1-decimal form over the
+    // window, silently rounding every per-query second to an integer
+    // on the driver-facing line. The lean 1-decimal rung must absorb
+    // that before any whole-second rounding.
+    val results = names.map(_ -> 0.83) // typical sf0.1 per-query cost
+    val line = Bench.compactLine(results, failed = "[]", total = 154.38,
+      extraPass = true, medianPairRatio = 1.14, contaminated = false,
+      streaming = """{"error":true}""", scaleExp = """{"error":true}""",
+      loadAvg = 2.38, sfDir = "/root/testdata/sf0.1",
+      calibJson = "[5.772,6.318]", rerunCount = 1)
+    assert(line.length <= 1880, s"${line.length} chars")
+    assert(line.contains("\"01\":0.8"),
+      s"per-query sub-second resolution lost: ${line.takeRight(200)}")
+  }
+
   test("compact line degrades to 1-decimal seconds rather than exceed the budget") {
     // pathological regime: every query at 100+ s (3-digit values). The
     // 2-decimal form would blow the window; the builder must fall back,

@@ -1164,6 +1164,16 @@ class SqlSpec extends SparkSpec {
           Map(graft.router.Ctx.DelayGroup -> ("g" * 200))), "UTF-8"))
         bad.setBytes(3, "y".getBytes("UTF-8"))
         bad.setTimestamp(4, new Timestamp(1700000000000L))
+        bad.executeUpdate()
+        // foreign row: valid JSON but an ILL-TYPED stamp value — the
+        // erasure-validated read (JsonCodec.readStringMap) must make
+        // it skip like the ill-FORMED row, not smuggle an Integer
+        // through a Map[String, String]-typed parse
+        bad.setString(1, "f3")
+        bad.setString(2,
+          s"""{"${graft.router.Ctx.DelayGroup}": 5}""")
+        bad.setBytes(3, "z".getBytes("UTF-8"))
+        bad.setTimestamp(4, new Timestamp(1700000000000L))
         bad.executeUpdate(); ()
       } finally bad.close()
     } finally c.close()
@@ -1173,7 +1183,7 @@ class SqlSpec extends SparkSpec {
     val ps2 = new SqlPubSub(spark, db, group = "g2", pollIntervalMs = 20)
     try {
       val replay = ps2.subscribeBatch("t_bfw").as[Message].collect().map(_.uuid).toSet
-      assert(replay == Set("o1", "f1", "f2"),
+      assert(replay == Set("o1", "f1", "f2", "f3"),
         s"backfill must skip the poison rows but still hide the real copy, got $replay")
       // and the sentinel committed: a THIRD instance initializes clean
       val ps3 = new SqlPubSub(spark, db, group = "g3")
