@@ -704,7 +704,12 @@ object Bench {
     // raw times in the full file), load = load_avg_1m. "failed" rides
     // only when non-empty; n_cpu is static context and lives only in
     // BENCH_FULL.json. "contaminated" and the driver-contract fields
-    // (metric/value/unit/queries/sf) keep their full names.
+    // (metric/value/unit/queries/sf) keep their full names — and on
+    // the LEAN rungs a clean run's "contaminated":false is OMITTED
+    // (omission-means-false, the same convention ep/rr/pf/failed
+    // already use; a true verdict always rides, on every rung), so a
+    // consumer must treat a missing key as false, never as unknown.
+    // BENCH_FULL.json carries the flag unconditionally.
     def line(qs: String, withStreaming: Boolean, withSx: Boolean,
         withCalibV2: Boolean = true, lean: Boolean = false): String = {
       val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
@@ -731,9 +736,14 @@ object Bench {
       // the v1 VALUES but zero-strips them ([-1.000,-1.000] →
       // [-1,-1]) — lossless, like the per-query strip.
       val calibPart = {
-        val base = if (withCalibV2 && calibJsonV2.nonEmpty)
-          calibJsonV2 else calibJson
-        if (lean)
+        val useV2 = withCalibV2 && calibJsonV2.nonEmpty
+        val base = if (useV2) calibJsonV2 else calibJson
+        // the zero-strip is string-blind, safe ONLY on the v1 form (a
+        // pure numeric array): guard on !useV2 so a future v2 element
+        // carrying a non-numeric token ending in ".x0" before ','/']'
+        // can never be corrupted by it — today lean always rides v1,
+        // but line() accepts lean=true with withCalibV2=true
+        if (lean && !useV2)
           base.replaceAll("(\\.\\d*?)0+(?=[,\\]])", "$1")
             .replaceAll("\\.(?=[,\\]])", "")
         else base

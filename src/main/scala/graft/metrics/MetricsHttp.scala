@@ -70,6 +70,12 @@ object MetricsHttp {
   def serve(metrics: GraftMetrics, port: Int = 0,
       namespace: String = "graft",
       bindAddress: String = "127.0.0.1"): Endpoint = {
+    // the JDK latches sun.net.httpserver.* properties at HttpServer
+    // class init: if THIS server is the JVM's first (a common init
+    // order — metrics up before the first subscriber), the ingest
+    // edge's dribbler bound and no-drain-on-reject defaults must
+    // already be in place or they are silently inert for the whole JVM
+    graft.core.JdkHttpServerDefaults.ensure()
     val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/metrics", exchange => {
       // close the exchange on EVERY path: an exception before the

@@ -2345,6 +2345,60 @@ object RelationalQueries {
              |    AS matched
              |FROM j4 ORDER BY a_id""".stripMargin)),
 
+    // ---- CEP chain with a CAPPED between-negation (q186's one
+    // untested interval form, now oracle-gated): per user, view →
+    // click within 6h → purchase within 12h of the click, with no
+    // error in [click, min(purchase, click+1h)) — the guard watches
+    // only the first hour AFTER the click instead of the whole
+    // click→purchase span (the "grace window" SLA shape: a late error
+    // is a separate incident, not a funnel-killer). Same linear
+    // one-asof-pass-per-step engine as q186; the cap is a row-local
+    // predicate on the already-joined earliest guard, so the plan
+    // shape (and budget) is q142's. The 1h cap vs the 12h window
+    // makes the cap BITE at this SF: errors between click and
+    // purchase but past click+1h match here and are blocked in the
+    // uncapped form ----
+    QuerySpec("q187_cep_capped_guard",
+      (s, dir) => graft.operators.EventPattern.chain(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          seedType = "view", steps = Seq(
+            graft.operators.EventPattern.Pos("click", expr("INTERVAL 6 HOURS")),
+            graft.operators.EventPattern.Neg("error",
+              Some(expr("INTERVAL 1 HOUR"))),
+            graft.operators.EventPattern.Pos("purchase", expr("INTERVAL 12 HOURS"))))
+        .orderBy(col("a_id")),
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_ts
+             |           FROM events WHERE event_type = 'view'),
+             |s1r AS (SELECT user_id, ts, max(event_id) AS id
+             |        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |s3r AS (SELECT user_id, ts, max(event_id) AS id
+             |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |g AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'error' GROUP BY 1, 2),
+             |j1 AS (SELECT a.a_id, a.user_id, a.a_ts,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.id END AS s1_id,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.ts END AS s1_ts
+             |       FROM a ASOF LEFT JOIN s1r
+             |         ON a.user_id = s1r.user_id AND a.a_ts <= s1r.ts),
+             |j2 AS (SELECT j1.*, g.ts AS n2_ts
+             |       FROM j1 ASOF LEFT JOIN g
+             |         ON j1.user_id = g.user_id AND j1.s1_ts <= g.ts),
+             |j3 AS (SELECT j2.*,
+             |         CASE WHEN s3r.ts - j2.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s3r.id END AS s3_id,
+             |         CASE WHEN s3r.ts - j2.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s3r.ts END AS s3_ts
+             |       FROM j2 ASOF LEFT JOIN s3r
+             |         ON j2.user_id = s3r.user_id AND j2.s1_ts <= s3r.ts)
+             |SELECT user_id, a_id, a_ts, s1_id, s1_ts, s3_id, s3_ts,
+             |  (s1_ts IS NOT NULL AND s3_ts IS NOT NULL
+             |    AND NOT coalesce(n2_ts < s3_ts
+             |      AND n2_ts <= s1_ts + INTERVAL 1 HOUR, false))
+             |    AS matched
+             |FROM j3 ORDER BY a_id""".stripMargin)),
+
     // ---- global running total (cumulative revenue curve) WITHOUT the
     // single-partition window the naive SUM() OVER (ORDER BY) plans:
     // GlobalPrefix range-partitions, runs the local prefix per task,

@@ -494,6 +494,37 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
 
   def running: Map[String, StreamingQuery] = queries.toMap
 
+  /** Stop ONE handler's streaming query while its siblings keep
+    * consuming, parity with `Handler.Stop()` (reference:
+    * message/router.go:702-708). Blocks until the query's execution
+    * thread has terminated (`StreamingQuery.stop` semantics), then
+    * deregisters it — the handler definition stays, so a later
+    * [[run]] restarts exactly this handler from its checkpoint
+    * (offsets intact: stop is between micro-batches, the ack unit).
+    * Unknown names fail fast; a handler that is registered but not
+    * currently running is a no-op. */
+  def stopHandler(name: String): Unit = {
+    require(handlers.contains(name), s"unknown handler $name")
+    queries.get(name).foreach { q =>
+      q.stop()
+      queries.remove(name); ()
+    }
+  }
+
+  /** Block until handler `name` has stopped, parity with
+    * `Handler.Stopped()` (message/router.go:716-723). Returns true
+    * when the handler is not running (stopped, or never started);
+    * false if it is still running after `timeoutMs`. Usable from a
+    * thread other than the one calling [[stopHandler]]: it awaits the
+    * underlying query's termination, not the registry entry. */
+  def awaitHandlerStopped(name: String, timeoutMs: Long = 30000): Boolean = {
+    require(handlers.contains(name), s"unknown handler $name")
+    queries.get(name) match {
+      case None => true
+      case Some(q) => q.awaitTermination(timeoutMs)
+    }
+  }
+
   /** Test/drain helper: block until every handler has consumed all
     * currently-available input (the `BlockPublishUntilSubscriberAck`
     * analogue, pubsub/gochannel/pubsub.go:132-150). */

@@ -66,31 +66,20 @@ object HttpWire {
 }
 
 object HttpSubscriber {
-  /** Hard per-request wall-clock bound for the JDK server, in seconds.
-    * `ServerConfig` latches system properties ONCE, when the
-    * HttpServer class initializes — so this default is applied
-    * (best-effort, and only when the operator hasn't set the property
-    * themselves) before the first server of this JVM is created.
-    * Without it a hostile client that dribbles its body forever holds
-    * its handler thread forever — including the small drain a 503'd
-    * or 413'd unread body triggers at exchange close. Operators with
-    * legitimately slower producers set the property explicitly. */
-  private[sources] val ensureMaxReqTime: Unit = {
-    if (System.getProperty("sun.net.httpserver.maxReqTime") == null) {
-      System.setProperty("sun.net.httpserver.maxReqTime", "120"); ()
-    }
-    // close rejected exchanges instead of draining them: on a 503/413
-    // the request body is (partly) unread, and the server's default
-    // close() DRAINS up to 64 KB before reusing the connection — a
-    // dribbler that was just rejected could hold the spare pool
-    // thread in that drain until the maxReqTime timer fires.
-    // drainAmount=0 skips the read and drops the connection; losing
-    // keep-alive reuse on a rejected request costs nothing (the 200
-    // path consumed its body fully and never drains).
-    if (System.getProperty("sun.net.httpserver.drainAmount") == null) {
-      System.setProperty("sun.net.httpserver.drainAmount", "0"); ()
-    }
-  }
+  /** Hard per-request wall-clock bound for the JDK server (without it
+    * a hostile client that dribbles its body forever holds its handler
+    * thread forever) and no-drain-on-reject (a 503'd/413'd unread body
+    * would otherwise be drained up to 64 KB at exchange close, holding
+    * the spare pool thread until the timer fires; losing keep-alive
+    * reuse on a rejected request costs nothing — the 200 path consumed
+    * its body fully and never drains). The JDK latches both properties
+    * once, at HttpServer class init, so the defaulting lives in
+    * [[graft.core.JdkHttpServerDefaults]] and is called from EVERY
+    * graft creation site (MetricsHttp too — a metrics server starting
+    * first used to leave these silently inert). Operators with
+    * legitimately slower producers set the properties explicitly. */
+  private[sources] def ensureMaxReqTime: Unit =
+    graft.core.JdkHttpServerDefaults.ensure()
 
   /** Default ingest-concurrency gate: enough permits that a handful
     * of slow producers never block a fast one, capped so the
@@ -128,6 +117,11 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
   /** Spec hook: observe gate occupancy without racing the handlers. */
   private[sources] def availableIngestPermits: Int =
     ingestGate.availablePermits()
+
+  /** Spec seam: runs inside the gated ingest section, before the body
+    * read — lets a spec inject a handler-path fault (an `Exception`
+    * must answer 500; a JVM-fatal must PROPAGATE) without a real OOM. */
+  @volatile private[sources] var ingestFault: () => Unit = () => ()
 
   /** Bounded body read (the io transport's line-cap rule at the HTTP
     * edge): an unbounded `readAllBytes` lets ONE hostile multi-GB POST
@@ -172,7 +166,9 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
           // publisher's non-2xx throw → batch fail → at-least-once
           // redelivery, exactly the documented nack contract.
           exchange.sendResponseHeaders(503, -1)
-        } else try readBounded(exchange.getRequestBody) match {
+        } else try {
+          ingestFault()
+          readBounded(exchange.getRequestBody) match {
           case None =>
             exchange.sendResponseHeaders(413, -1) // over cap: caller error
           case Some(body) =>
@@ -206,9 +202,15 @@ final class HttpSubscriber(spark: SparkSession, port: Int = 0,
           broker.publish(topic, Seq(Message(uuid, meta, body,
             new Timestamp(System.currentTimeMillis()))))
           exchange.sendResponseHeaders(200, -1) // enqueued = acked
-        } finally ingestGate.release()
+        } } finally ingestGate.release()
       } catch {
-        case _: Throwable =>
+        // NonFatal ONLY: a JVM-fatal state (an OOM on the 256 MB body
+        // path, a stack overflow) must PROPAGATE — converting it to a
+        // retryable 500 would advertise a healthy edge from a JVM that
+        // is dying. The fatal kills this worker thread (the fixed pool
+        // replaces it); the permit and the exchange still release via
+        // the finally blocks, so service resumes for other clients.
+        case scala.util.control.NonFatal(_) =>
           exchange.sendResponseHeaders(500, -1) // nack: sender retries
       } finally exchange.close()
     })

@@ -187,16 +187,28 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(v2 == "[8.80,2.60,6.1,1.9," + Bench.calibVersion + "]", v2)
     assert(v2.length - "[8.800,2.600]".length <= 9,
       s"v2 extension too wide for the tail budget: $v2")
-    val results = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 16) 8.99 else 0.45)
-    }
-    val line = Bench.compactLine(results, failed = "[]", total = 999.999,
+    // the v2 extension rides the compact form whenever the budget
+    // allows — pinned at a fixed width: at the LIVE registry size the
+    // ladder may legitimately shed it (per-query decimals outrank it,
+    // the neighboring test pins exactly where), so the live-size
+    // assertion below is rung-aware instead of demanding v2
+    def mkLine(nm: Seq[String]) = Bench.compactLine(
+      nm.zipWithIndex.map { case (n, i) => n -> (if (i < 16) 8.99 else 0.45) },
+      failed = "[]", total = 999.999,
       extraPass = false, medianPairRatio = 1.23, contaminated = false,
       streaming = """{"error":true}""", scaleExp = """{"error":true}""",
       loadAvg = 9.99, sfDir = "/root/testdata/sf0.1",
       calibJson = "[8.800,2.600]", calibJsonV2 = v2)
-    assert(line.contains("\"calib\":" + v2), line.take(300))
-    assert(line.length <= 1880, s"line ${line.length} chars with calib v2 fields")
+    val at150 = mkLine(names.take(150))
+    assert(at150.contains("\"calib\":" + v2), at150.take(300))
+    val line = mkLine(names)
+    // whichever rung wins at the live size: the line fits, stays
+    // well-formed, and SOME calib array (v2 when it fits, else the
+    // never-dropped v1 index) is in-band
+    assert(line.contains("\"calib\":" + v2) ||
+      line.contains("\"calib\":[8.800,2.600]") ||
+      line.contains("\"calib\":[8.8,2.6]"), line.take(300))
+    assert(line.length <= 1880, s"line ${line.length} chars with calib fields")
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.count(_ == '"') % 2 == 0)
   }

@@ -112,6 +112,55 @@ class EventPatternSpec extends SparkSpec {
       (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
   }
 
+  test("chain: a CAPPED between-Neg guards [anchor, min(nextAnchor, anchor+within)] — inclusive cap boundary") {
+    // Neg("C", Some(50s)) between B and D: the guard interval is
+    // [b_ts, d_ts) further capped at b_ts + 50 (inclusive — the
+    // trailing form's boundary rule). A C inside the cap blocks; a C
+    // past the cap but still before D is OUTSIDE the guard.
+    val steps = Seq(EventPattern.Pos("B", within100),
+      EventPattern.Neg("C", Some(expr("INTERVAL 50 SECONDS"))),
+      EventPattern.Pos("D", within100))
+    def m(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head.getAs[Boolean]("matched")
+    // C inside both the interval and the cap blocks
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 180L, "C"), (4L, 1L, 240L, "D")))
+    // boundary: C exactly AT anchor+within (150+50=200) blocks —
+    // inclusive cap, same rule as the trailing form
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 200L, "C"), (4L, 1L, 240L, "D")))
+    // boundary: C one past the cap (201 > 200), still before D — passes
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 201L, "C"), (4L, 1L, 240L, "D")))
+    // the interval end still applies inside the cap: C at D's instant
+    // passes (exclusive end) even though it is within anchor+within
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 180L, "C"), (4L, 1L, 180L, "D")))
+    // C before the B anchor is history even when the cap would reach it
+    assert(m((1L, 1L, 100L, "A"), (3L, 1L, 120L, "C"),
+      (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
+  }
+
+  test("chain: input column names colliding with generated step names are rejected loudly") {
+    // a key column named s1_id would be silently shadowed by step 1's
+    // generated id column — chain must fail fast (AsofJoin's
+    // reserveNames discipline), naming the offending parameter
+    val df = Seq((1L, 1L, ts(100L), "A"))
+      .toDF("event_id", "s1_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      EventPattern.chain(df, "s1_id", "ts", "event_id", "event_type",
+        seedType = "A", steps = Seq(EventPattern.Pos("B", within100)))
+    }
+    assert(e.getMessage.contains("keyCol") && e.getMessage.contains("s1_id"))
+    // a collision with a step index BEYOND the chain's length is not a
+    // collision: n9_ts is never generated by a 1-step chain
+    val ok = Seq((1L, 1L, ts(100L), "A"))
+      .toDF("event_id", "n9_ts", "ts", "event_type")
+    assert(EventPattern.chain(ok, "n9_ts", "ts", "event_id", "event_type",
+      seedType = "A", steps = Seq(EventPattern.Pos("B", within100)))
+      .collect().length == 1)
+  }
+
   test("chain: a trailing Neg is time-bounded from the last anchor, inclusive end") {
     val steps = Seq(EventPattern.Pos("B", within100),
       EventPattern.Neg("C", Some(expr("INTERVAL 50 SECONDS"))))

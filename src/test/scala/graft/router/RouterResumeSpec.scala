@@ -46,6 +46,51 @@ class RouterResumeSpec extends SparkSpec {
     assert(out.toSet == Set("m1", "m2", "m3", "m4")) // no loss, no dups
   }
 
+  test("stopHandler stops ONE handler; siblings keep consuming; run() restarts it from its checkpoint") {
+    // parity with Handler.Stop()/Stopped() (message/router.go:702-723):
+    // stopping one handler must not disturb a sibling's consumption,
+    // and the stopped handler must resume from its committed offsets —
+    // no loss, no reprocessing — when run() is called again.
+    val root = Files.createTempDirectory("graft-stop1-").toString
+    val ckpt = Files.createTempDirectory("graft-stop1-ck-").toString
+    val ps = new FilePubSub(spark, root)
+    Seq("h1_in", "h1_out", "h2_in", "h2_out").foreach(ps.subscribeInitialize)
+    ps.publish("h1_in", Seq(msg("a1", "x")))
+    ps.publish("h2_in", Seq(msg("b1", "x")))
+
+    val r = new Router(spark, checkpointRoot = Some(ckpt))
+    r.addHandler("stoppable", "h1_in", ps, "h1_out", ps, Middlewares.passthrough)
+    r.addHandler("sibling", "h2_in", ps, "h2_out", ps, Middlewares.passthrough)
+    r.run(); r.processAllAvailable()
+    assert(ps.subscribeBatch("h1_out").count() == 1)
+    assert(ps.subscribeBatch("h2_out").count() == 1)
+
+    r.stopHandler("stoppable")
+    assert(r.awaitHandlerStopped("stoppable"), "stop must complete")
+    assert(r.running.keySet == Set("sibling"), "only the sibling stays registered")
+    assert(r.running("sibling").isActive, "the sibling must keep running")
+
+    // traffic while ONE handler is down: the sibling consumes it, the
+    // stopped handler's input parks at its committed offset
+    ps.publish("h1_in", Seq(msg("a2", "y")))
+    ps.publish("h2_in", Seq(msg("b2", "y")))
+    r.running("sibling").processAllAvailable()
+    assert(ps.subscribeBatch("h2_out").count() == 2, "sibling undisturbed")
+    assert(ps.subscribeBatch("h1_out").count() == 1, "stopped handler consumes nothing")
+
+    // run() restarts ONLY the stopped handler (the sibling's query is
+    // still registered) — from its checkpoint: a2 arrives, a1 does not replay
+    r.run(); r.processAllAvailable()
+    val out = ps.subscribeBatch("h1_out").collect().map(_.getAs[String]("uuid"))
+    assert(out.length == 2 && out.toSet == Set("a1", "a2"),
+      s"checkpoint resume after stopHandler: no loss, no reprocessing — got ${out.toSeq}")
+    // awaiting a registered-but-running handler times out false; an
+    // unknown name fails fast
+    assert(!r.awaitHandlerStopped("sibling", timeoutMs = 200))
+    intercept[IllegalArgumentException](r.stopHandler("nope"))
+    r.close()
+  }
+
   test("pre-group-layout checkpoints are adopted on restart: no replay, no loss") {
     // Upgrade scenario (ADVICE r11): a deployment whose checkpoints
     // were written by the pre-`grp_`/`nogroup` path scheme restarts on

@@ -203,6 +203,48 @@ class HttpSpec extends SparkSpec {
     } finally sub.close()
   }
 
+  test("a handler Exception answers 500 (retryable nack); a JVM-fatal PROPAGATES instead of masquerading as one") {
+    // pre-fix: the ingest handler caught Throwable, converting a
+    // JVM-fatal state (an OOM on the 256 MB body path) into a
+    // retryable 500 — a dying JVM advertising a healthy edge. Now the
+    // catch is NonFatal: an Exception still answers 500, a fatal kills
+    // the worker thread LOUDLY (the fixed pool replaces it; permit and
+    // exchange release via the finally blocks, so service resumes).
+    val sub = new HttpSubscriber(spark)
+    try {
+      def post(expectStatus: Option[Int]): Option[Int] = {
+        val url = java.net.URI.create(s"http://localhost:${sub.boundPort}/hooks_f").toURL
+        val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        try {
+          val out = c.getOutputStream
+          try out.write("x".getBytes("UTF-8")) finally out.close()
+          val code = Some(c.getResponseCode)
+          assert(expectStatus.forall(code.contains),
+            s"expected $expectStatus got $code")
+          code
+        } catch {
+          // a propagated fatal closes the connection with NO response:
+          // the client sees an IOException, never an HTTP status
+          case _: java.io.IOException =>
+            assert(expectStatus.isEmpty, "expected an HTTP status, got a cut connection")
+            None
+        } finally c.disconnect()
+      }
+      sub.ingestFault = () => throw new RuntimeException("synthetic handler failure")
+      post(expectStatus = Some(500))
+      sub.ingestFault = () => throw new OutOfMemoryError("synthetic fatal (no real allocation)")
+      assert(post(expectStatus = None).isEmpty,
+        "a fatal must cut the connection, not answer 500")
+      // the fatal must not leak its permit or wedge the edge
+      sub.ingestFault = () => ()
+      assert(sub.availableIngestPermits > 0, "permit must be released after a fatal")
+      post(expectStatus = Some(200))
+      val got = sub.subscribeBatch("hooks_f").as[Message].collect()
+      assert(got.length == 1, "service resumes after the fatal")
+    } finally sub.close()
+  }
+
   test("a silent endpoint (accepts, never answers) throws within the request timeout instead of hanging the task") {
     // pre-fix: HttpClient.send had no request timeout, so an endpoint
     // that ACCEPTS the TCP connection and never responds parked the
