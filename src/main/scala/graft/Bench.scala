@@ -755,7 +755,16 @@ object Bench {
       // every rung: that is the alarm the flag exists for
       val contaminatedPart = if (lean && !contaminated) ""
         else s""""contaminated":$contaminated,"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
+      // lean also slims the TOTAL to 1 decimal (zero-stripped): on a
+      // ~150 s total the lost milliseconds are noise, and the 2-4
+      // chars are per-query decimals at the 188-query registry size
+      val valuePart =
+        if (!lean) String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+        else {
+          val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+      f"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
     }
     // the capture window is ~2000 chars and includes sbt's trailing
     // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
@@ -766,24 +775,33 @@ object Bench {
     // BENCH_FULL.json + stderr) fall off the line first;
     // whole-second rounding + the lean floor is the final fallback —
     // no query's number ever falls off the line entirely
+    // two floors, both against the MEASURED capture: the driver keeps
+    // the last 2000 chars of stdout, and sbt's trailing "[success]
+    // Total time: …" line plus the "[info] " prefix consume ~85-90 of
+    // them (the BENCH_r16-r18 artifacts all show exactly this tail
+    // shape), leaving ~1910 for the line itself. Standard rungs keep
+    // the conservative 1880; the LEAN rungs — already stripped to the
+    // driver contract + integrity fields — may use 1900, which is
+    // what keeps 1-decimal per-query seconds alive at 188 registered
+    // queries (1884 chars in the all-sub-second worst case)
     val candidates = Iterator(
-      line(qsJson(2), withStreaming = true, withSx = true),
-      line(qsJson(1), withStreaming = true, withSx = true),
-      line(qsJson(1), withStreaming = true, withSx = false),
-      line(qsJson(1), withStreaming = false, withSx = false),
-      line(qsJson(1), withStreaming = false, withSx = false,
-        withCalibV2 = false),
+      (line(qsJson(2), withStreaming = true, withSx = true), 1880),
+      (line(qsJson(1), withStreaming = true, withSx = true), 1880),
+      (line(qsJson(1), withStreaming = true, withSx = false), 1880),
+      (line(qsJson(1), withStreaming = false, withSx = false), 1880),
+      (line(qsJson(1), withStreaming = false, withSx = false,
+        withCalibV2 = false), 1880),
       // the lean 1-DECIMAL rung comes before any whole-second
       // rounding: at 186 registered queries the flags+load chars were
       // exactly what pushed 1-decimal over the window, silently
       // costing every query its sub-second resolution
-      line(qsJson(1), withStreaming = false, withSx = false,
-        withCalibV2 = false, lean = true),
-      line(qsJson(0), withStreaming = false, withSx = false,
-        withCalibV2 = false),
-      line(qsJson(0), withStreaming = false, withSx = false,
-        withCalibV2 = false, lean = true))
-    candidates.find(_.length <= 1880)
+      (line(qsJson(1), withStreaming = false, withSx = false,
+        withCalibV2 = false, lean = true), 1900),
+      (line(qsJson(0), withStreaming = false, withSx = false,
+        withCalibV2 = false), 1880),
+      (line(qsJson(0), withStreaming = false, withSx = false,
+        withCalibV2 = false, lean = true), 1900))
+    candidates.collectFirst { case (c, limit) if c.length <= limit => c }
       .getOrElse(line(qsJson(0), withStreaming = false, withSx = false,
         withCalibV2 = false, lean = true))
   }

@@ -2399,6 +2399,60 @@ object RelationalQueries {
              |    AS matched
              |FROM j3 ORDER BY a_id""".stripMargin)),
 
+    // ---- CEP chain with a QUANTIFIED step (B{2,} within T — the
+    // engagement/escalation staple, the chain engine's last
+    // MATCH_RECOGNIZE staple): per user, view → at least TWO clicks
+    // within 48h (the 2nd click binds and anchors — all n must land
+    // in the window; every RAW event counts, ordered by (ts, id)) →
+    // purchase within 48h of the 2nd click. The 48h windows make all
+    // three verdict populations real at sf0.01 (215 matched, 400
+    // quantifier-met, 1982 seeds). Stays linear: the step's
+    // events are ranked per key ONCE (one window pass), each anchor
+    // asof-joins its first successor's rank, and the n-th is fetched
+    // by ONE (key, rank) equi-join — never the pair-space
+    // count-matches-per-anchor expansion a range join would plan ----
+    QuerySpec("q188_cep_quantified",
+      (s, dir) => graft.operators.EventPattern.chain(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          seedType = "view", steps = Seq(
+            graft.operators.EventPattern.Pos("click",
+              expr("INTERVAL 48 HOURS"), atLeast = 2),
+            graft.operators.EventPattern.Pos("purchase",
+              expr("INTERVAL 48 HOURS"))))
+        .orderBy(col("a_id")),
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_ts
+             |           FROM events WHERE event_type = 'view'),
+             |c AS (SELECT user_id, ts, event_id,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS rk
+             |      FROM events WHERE event_type = 'click'),
+             |cmin AS (SELECT user_id, ts, min(rk) AS rk0
+             |         FROM c GROUP BY 1, 2),
+             |j1 AS (SELECT a.a_id, a.user_id, a.a_ts,
+             |         CASE WHEN cmin.ts - a.a_ts <= INTERVAL 48 HOUR
+             |              THEN cmin.rk0 END AS rk0
+             |       FROM a ASOF LEFT JOIN cmin
+             |         ON a.user_id = cmin.user_id AND a.a_ts <= cmin.ts),
+             |j2 AS (SELECT j1.a_id, j1.user_id, j1.a_ts,
+             |         CASE WHEN c2.ts - j1.a_ts <= INTERVAL 48 HOUR
+             |              THEN c2.event_id END AS s1_id,
+             |         CASE WHEN c2.ts - j1.a_ts <= INTERVAL 48 HOUR
+             |              THEN c2.ts END AS s1_ts
+             |       FROM j1 LEFT JOIN c c2
+             |         ON j1.user_id = c2.user_id AND c2.rk = j1.rk0 + 1),
+             |p AS (SELECT user_id, ts, max(event_id) AS id
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |j3 AS (SELECT j2.*,
+             |         CASE WHEN p.ts - j2.s1_ts <= INTERVAL 48 HOUR
+             |              THEN p.id END AS s2_id,
+             |         CASE WHEN p.ts - j2.s1_ts <= INTERVAL 48 HOUR
+             |              THEN p.ts END AS s2_ts
+             |       FROM j2 ASOF LEFT JOIN p
+             |         ON j2.user_id = p.user_id AND j2.s1_ts <= p.ts)
+             |SELECT user_id, a_id, a_ts, s1_id, s1_ts, s2_id, s2_ts,
+             |  (s1_ts IS NOT NULL AND s2_ts IS NOT NULL) AS matched
+             |FROM j3 ORDER BY a_id""".stripMargin)),
+
     // ---- global running total (cumulative revenue curve) WITHOUT the
     // single-partition window the naive SUM() OVER (ORDER BY) plans:
     // GlobalPrefix range-partitions, runs the local prefix per task,

@@ -141,6 +141,49 @@ class EventPatternSpec extends SparkSpec {
       (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
   }
 
+  test("chain: a quantified step (atLeast=n) needs n events inside the window; the n-th binds and anchors") {
+    val steps = Seq(EventPattern.Pos("B", within100, atLeast = 2),
+      EventPattern.Pos("D", within100))
+    def head(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head
+    // two Bs inside the window: the 2nd (B@160) binds step 1 and the
+    // chain anchors there — D@250 is within 100 of B@160, not of B@150
+    val ok = head((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 160L, "B"), (4L, 1L, 250L, "D"))
+    assert(ok.getAs[Long]("s1_id") == 3L && ok.getAs[Long]("s2_id") == 4L)
+    assert(ok.getAs[Boolean]("matched"))
+    // only ONE B: the quantifier is unmet — step 1 null, chain dead
+    val one = head((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"))
+    assert(one.isNullAt(one.fieldIndex("s1_id")) && !one.getAs[Boolean]("matched"))
+    // 2nd B OUTSIDE the window (201 > 100+100): dead even though the
+    // 1st is inside — ALL n must land within `within` of the anchor
+    val late = head((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 201L, "B"))
+    assert(late.isNullAt(late.fieldIndex("s1_id")) && !late.getAs[Boolean]("matched"))
+    // boundary: 2nd B exactly AT anchor+within (200) counts (inclusive)
+    val edge = head((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 200L, "B"), (4L, 1L, 250L, "D"))
+    assert(edge.getAs[Long]("s1_id") == 3L && edge.getAs[Boolean]("matched"))
+    // same-instant events both count (raw-event quantifier, (ts, id)
+    // order): two Bs at 150 satisfy atLeast=2, the larger id binds
+    val tie = head((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 150L, "B"), (4L, 1L, 200L, "D"))
+    assert(tie.getAs[Long]("s1_id") == 3L && tie.getAs[Boolean]("matched"))
+  }
+
+  test("chain: a between-Neg before a quantified step guards up to the n-th event's instant") {
+    val steps = Seq(EventPattern.Neg("C"),
+      EventPattern.Pos("B", within100, atLeast = 2))
+    def m(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head.getAs[Boolean]("matched")
+    // C between the seed and the 2nd B fires — even BETWEEN the two Bs
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 155L, "C"), (4L, 1L, 160L, "B")))
+    // C at the 2nd B's instant passes (exclusive interval end)
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 160L, "C"), (4L, 1L, 160L, "B")))
+  }
+
   test("chain: input column names colliding with generated step names are rejected loudly") {
     // a key column named s1_id would be silently shadowed by step 1's
     // generated id column — chain must fail fast (AsofJoin's
