@@ -766,15 +766,18 @@ object Bench {
         }
       f"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
     }
-    // the capture window is ~2000 chars and includes sbt's trailing
-    // "[success] Total time: …" line (~80 chars); 1880 leaves margin.
     // Degradation priority as the registry grows: per-query seconds at
     // >= 1 decimal are the driver contract and yield LAST; the sx and
     // streaming summaries, then the calib v2 extension, then the
     // bookkeeping flags + load (all duplicated with full keys in
-    // BENCH_FULL.json + stderr) fall off the line first;
-    // whole-second rounding + the lean floor is the final fallback —
-    // no query's number ever falls off the line entirely
+    // BENCH_FULL.json + stderr) fall off the line first; whole-second
+    // rounding + the lean floor is the final fallback. The builder
+    // never DROPS a query's number — but in a regime the window
+    // physically cannot hold (188 queries ALL at 3-digit seconds is
+    // ~2080 chars even whole-second lean), the emitted line exceeds
+    // the capture and the driver's tail keeps its END: per-query
+    // entries survive, the head fields front-truncate, and
+    // BENCH_FULL.json (+ stderr) is the evidence path
     // two floors, both against the MEASURED capture: the driver keeps
     // the last 2000 chars of stdout, and sbt's trailing "[success]
     // Total time: …" line plus the "[info] " prefix consume ~85-90 of

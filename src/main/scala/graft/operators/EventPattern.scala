@@ -91,9 +91,17 @@ object EventPattern {
       steps: Seq[Step]): DataFrame = {
     // generated names fail fast (the AsofJoin reserveNames discipline):
     // a key column named "a_ts" or "s1_id" would be silently shadowed
-    // by the step columns and echoed back corrupted in the output
-    val generated = Seq("a_id", "a_ts", "matched", "_q_rk", "_q_rk0") ++
-      (1 to steps.length).flatMap(i => Seq(s"s${i}_id", s"s${i}_ts", s"n${i}_ts"))
+    // by the step columns and echoed back corrupted in the output.
+    // Only the names THIS chain actually generates are reserved —
+    // rejecting e.g. a key named n1_ts when step 1 is a Pos (which
+    // generates s1_*, never n1_ts) would break a working call.
+    val generated = Seq("a_id", "a_ts", "matched") ++
+      steps.zipWithIndex.flatMap {
+        case (Pos(_, _, n), i0) =>
+          Seq(s"s${i0 + 1}_id", s"s${i0 + 1}_ts") ++
+            (if (n > 1) Seq("_q_rk", "_q_rk0") else Nil)
+        case (Neg(_, _), i0) => Seq(s"n${i0 + 1}_ts")
+      }.distinct
     Seq("keyCol" -> keyCol, "tsCol" -> tsCol, "idCol" -> idCol,
         "typeCol" -> typeCol).foreach { case (param, name) =>
       require(!generated.contains(name),

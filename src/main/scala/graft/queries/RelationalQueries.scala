@@ -2348,7 +2348,8 @@ object RelationalQueries {
     // ---- CEP chain with a CAPPED between-negation (q186's one
     // untested interval form, now oracle-gated): per user, view →
     // click within 6h → purchase within 12h of the click, with no
-    // error in [click, min(purchase, click+1h)) — the guard watches
+    // error in [click, purchase) ∩ [click, click+1h] — the guard watches
+    // (cap edge INCLUSIVE, interval end exclusive, q142's rules);
     // only the first hour AFTER the click instead of the whole
     // click→purchase span (the "grace window" SLA shape: a late error
     // is a separate incident, not a funnel-killer). Same linear

@@ -443,12 +443,23 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       throw new java.io.IOException(s"checkpoint adopt: rename failed: $oldP -> $newP")
   }
 
+  /** Plugins run once per Router, not once per run() call: run() is
+    * re-callable (the documented [[stopHandler]] restart path), and a
+    * plugin that mutates router state — addMiddleware is the common
+    * case — would otherwise stack its effect onto every RESTARTED
+    * handler's rebuilt chain while untouched siblings keep the single
+    * application. The reference's Run executes plugins exactly once
+    * too (message/router.go:395-400: a closed router is not re-run). */
+  private var pluginsRan = false
+
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers
     * (message/router.go:386-493). Returns once all queries are started
     * (the reference's `Running()` gate); callers await with
-    * [[awaitAnyTermination]] or drive with [[processAllAvailable]]. */
+    * [[awaitAnyTermination]] or drive with [[processAllAvailable]].
+    * Re-callable: handlers already running are untouched, stopped ones
+    * restart from their checkpoints. */
   def run(): this.type = {
-    plugins.foreach(p => p(this))
+    if (!pluginsRan) { plugins.foreach(p => p(this)); pluginsRan = true }
     handlers.values.foreach { h =>
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
@@ -513,15 +524,23 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
 
   /** Block until handler `name` has stopped, parity with
     * `Handler.Stopped()` (message/router.go:716-723). Returns true
-    * when the handler is not running (stopped, or never started);
-    * false if it is still running after `timeoutMs`. Usable from a
-    * thread other than the one calling [[stopHandler]]: it awaits the
-    * underlying query's termination, not the registry entry. */
+    * when the handler is not running (stopped, never started, or
+    * TERMINATED WITH AN ERROR — "is it down" must answer yes for a
+    * crashed handler, which is exactly when an operator asks; the
+    * error itself still surfaces through `running(name).exception` or
+    * [[awaitAnyTermination]]); false if it is still running after
+    * `timeoutMs`. Usable from a thread other than the one calling
+    * [[stopHandler]]: it awaits the underlying query's termination,
+    * not the registry entry. */
   def awaitHandlerStopped(name: String, timeoutMs: Long = 30000): Boolean = {
     require(handlers.contains(name), s"unknown handler $name")
     queries.get(name) match {
       case None => true
-      case Some(q) => q.awaitTermination(timeoutMs)
+      case Some(q) =>
+        try q.awaitTermination(timeoutMs)
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+        }
     }
   }
 

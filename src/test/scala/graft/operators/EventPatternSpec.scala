@@ -112,10 +112,10 @@ class EventPatternSpec extends SparkSpec {
       (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
   }
 
-  test("chain: a CAPPED between-Neg guards [anchor, min(nextAnchor, anchor+within)] — inclusive cap boundary") {
+  test("chain: a CAPPED between-Neg guards [anchor, nextAnchor) ∩ [anchor, anchor+within] — inclusive cap boundary") {
     // Neg("C", Some(50s)) between B and D: the guard interval is
-    // [b_ts, d_ts) further capped at b_ts + 50 (inclusive — the
-    // trailing form's boundary rule). A C inside the cap blocks; a C
+    // [b_ts, d_ts) ∩ [b_ts, b_ts + 50] (cap edge INCLUSIVE — the
+    // trailing form's boundary rule; interval end stays exclusive). A C inside the cap blocks; a C
     // past the cap but still before D is OUTSIDE the guard.
     val steps = Seq(EventPattern.Pos("B", within100),
       EventPattern.Neg("C", Some(expr("INTERVAL 50 SECONDS"))),
@@ -195,13 +195,26 @@ class EventPatternSpec extends SparkSpec {
         seedType = "A", steps = Seq(EventPattern.Pos("B", within100)))
     }
     assert(e.getMessage.contains("keyCol") && e.getMessage.contains("s1_id"))
-    // a collision with a step index BEYOND the chain's length is not a
-    // collision: n9_ts is never generated by a 1-step chain
+    // only names THIS chain actually generates are reserved: n1_ts is
+    // never generated when step 1 is a Pos (which makes s1_*), and
+    // _q_rk only exists for quantified steps — both accepted here
     val ok = Seq((1L, 1L, ts(100L), "A"))
-      .toDF("event_id", "n9_ts", "ts", "event_type")
-    assert(EventPattern.chain(ok, "n9_ts", "ts", "event_id", "event_type",
+      .toDF("event_id", "n1_ts", "ts", "event_type")
+    assert(EventPattern.chain(ok, "n1_ts", "ts", "event_id", "event_type",
       seedType = "A", steps = Seq(EventPattern.Pos("B", within100)))
       .collect().length == 1)
+    val ok2 = Seq((1L, 1L, ts(100L), "A"))
+      .toDF("event_id", "_q_rk", "ts", "event_type")
+    assert(EventPattern.chain(ok2, "_q_rk", "ts", "event_id", "event_type",
+      seedType = "A", steps = Seq(EventPattern.Pos("B", within100)))
+      .collect().length == 1)
+    // ... but a quantified chain DOES generate _q_rk: rejected there
+    val e2 = intercept[IllegalArgumentException] {
+      EventPattern.chain(ok2, "_q_rk", "ts", "event_id", "event_type",
+        seedType = "A",
+        steps = Seq(EventPattern.Pos("B", within100, atLeast = 2)))
+    }
+    assert(e2.getMessage.contains("_q_rk"))
   }
 
   test("chain: a trailing Neg is time-bounded from the last anchor, inclusive end") {

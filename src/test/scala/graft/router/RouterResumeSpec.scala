@@ -61,6 +61,12 @@ class RouterResumeSpec extends SparkSpec {
     val r = new Router(spark, checkpointRoot = Some(ckpt))
     r.addHandler("stoppable", "h1_in", ps, "h1_out", ps, Middlewares.passthrough)
     r.addHandler("sibling", "h2_in", ps, "h2_out", ps, Middlewares.passthrough)
+    // plugins must run ONCE per router, not once per run(): the
+    // restart path below re-calls run(), and a plugin that mutates
+    // router state (addMiddleware is the common case) would stack its
+    // effect onto the restarted handler's rebuilt chain
+    val pluginRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    r.addPlugin(_ => { pluginRuns.incrementAndGet(); () })
     r.run(); r.processAllAvailable()
     assert(ps.subscribeBatch("h1_out").count() == 1)
     assert(ps.subscribeBatch("h2_out").count() == 1)
@@ -88,6 +94,27 @@ class RouterResumeSpec extends SparkSpec {
     // unknown name fails fast
     assert(!r.awaitHandlerStopped("sibling", timeoutMs = 200))
     intercept[IllegalArgumentException](r.stopHandler("nope"))
+    assert(pluginRuns.get() == 1,
+      s"plugins must run once per router, ran ${pluginRuns.get()} times across 2 run() calls")
+    r.close()
+  }
+
+  test("awaitHandlerStopped answers true for a CRASHED handler instead of rethrowing its exception") {
+    // "is it down" must answer yes for a handler whose query
+    // terminated WITH an error — that is exactly when an operator
+    // asks before redeploying; the error itself still surfaces via
+    // running(name).exception / awaitAnyTermination
+    val root = Files.createTempDirectory("graft-crash-").toString
+    val ps = new FilePubSub(spark, root)
+    ps.subscribeInitialize("c_in")
+    ps.subscribeInitialize("c_out")
+    ps.publish("c_in", Seq(msg("m1", "a")))
+    val r = new Router(spark)
+    r.addHandler("crasher", "c_in", ps, "c_out", ps,
+      (_: Message) => throw new RuntimeException("synthetic handler crash"))
+    r.run()
+    assert(r.awaitHandlerStopped("crasher", timeoutMs = 60000),
+      "a crashed handler is stopped, not a rethrow")
     r.close()
   }
 
