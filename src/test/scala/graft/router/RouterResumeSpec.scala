@@ -116,6 +116,10 @@ class RouterResumeSpec extends SparkSpec {
     assert(r.awaitHandlerStopped("crasher", timeoutMs = 60000),
       "a crashed handler is stopped, not a rethrow")
     r.close()
+    // the shared test session must not remember this deliberate crash:
+    // a later test calling spark.streams.awaitAnyTermination() would
+    // otherwise rethrow it
+    spark.streams.resetTerminated()
   }
 
   test("pre-group-layout checkpoints are adopted on restart: no replay, no loss") {
