@@ -106,8 +106,8 @@ object EventPattern {
         "typeCol" -> typeCol).foreach { case (param, name) =>
       require(!generated.contains(name),
         s"$param = $name collides with a column name generated by " +
-          "EventPattern.chain (a_*/s<i>_*/n<i>_*/matched) — rename the " +
-          "input column")
+          s"EventPattern.chain for this step sequence " +
+          s"(${generated.mkString(", ")}) — rename the input column")
     }
     var df = events.filter(col(typeCol) === seedType)
       .select(col(keyCol), col(idCol).as("a_id"), col(tsCol).as("a_ts"))

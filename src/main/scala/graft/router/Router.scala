@@ -450,17 +450,26 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * handler's rebuilt chain while untouched siblings keep the single
     * application. The reference's Run executes plugins exactly once
     * too (message/router.go:395-400: a closed router is not re-run). */
-  private var pluginsRan = false
+  private var pluginsRan = 0
 
   /** Start one StreamingQuery per handler, parity with Run + RunHandlers
     * (message/router.go:386-493). Returns once all queries are started
     * (the reference's `Running()` gate); callers await with
     * [[awaitAnyTermination]] or drive with [[processAllAvailable]].
-    * Re-callable: handlers already running are untouched, stopped ones
-    * restart from their checkpoints. */
+    * Re-callable: handlers already running are untouched; stopped AND
+    * CRASHED ones restart from their checkpoints (a query that
+    * terminated with an error is replaced, not silently kept as a dead
+    * registry entry — the crash never committed its batch, so the
+    * restart redelivers it: at-least-once, the documented contract). */
   def run(): this.type = {
-    if (!pluginsRan) { plugins.foreach(p => p(this)); pluginsRan = true }
+    // each plugin runs exactly once per router — including plugins
+    // added AFTER a previous run() (they run on the next one)
+    plugins.drop(pluginsRan).foreach(p => p(this))
+    pluginsRan = plugins.length
     handlers.values.foreach { h =>
+      queries.get(h.name).foreach { q =>
+        if (!q.isActive) { queries.remove(h.name); () }
+      }
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
         // the handler's output-row count in every progress event —

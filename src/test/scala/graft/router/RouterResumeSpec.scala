@@ -14,6 +14,13 @@ import graft.sources.FilePubSub
   * reprocessing) and the Throttle source-rate mapping
   * (middleware/throttle.go:11-31).
   */
+/** Executor-side fault toggle for the crash-restart row: the handler
+  * closure must capture a static, never the enclosing spec (Spark
+  * serializes closures per task even in local mode). */
+object CrashToggle {
+  val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+}
+
 class RouterResumeSpec extends SparkSpec {
 
   private def msg(u: String, p: String) =
@@ -96,30 +103,52 @@ class RouterResumeSpec extends SparkSpec {
     intercept[IllegalArgumentException](r.stopHandler("nope"))
     assert(pluginRuns.get() == 1,
       s"plugins must run once per router, ran ${pluginRuns.get()} times across 2 run() calls")
+    // a plugin added AFTER a run() still executes — exactly once — on
+    // the next run(); the earlier plugin does not re-run
+    val latePlugin = new java.util.concurrent.atomic.AtomicInteger(0)
+    r.addPlugin(_ => { latePlugin.incrementAndGet(); () })
+    r.run(); r.run()
+    assert(latePlugin.get() == 1 && pluginRuns.get() == 1,
+      s"late plugin ran ${latePlugin.get()}x, early ${pluginRuns.get()}x — each must be exactly 1")
     r.close()
   }
 
-  test("awaitHandlerStopped answers true for a CRASHED handler instead of rethrowing its exception") {
+  test("a CRASHED handler: awaitHandlerStopped answers true (no rethrow) and run() restarts it, redelivering the batch") {
     // "is it down" must answer yes for a handler whose query
     // terminated WITH an error — that is exactly when an operator
     // asks before redeploying; the error itself still surfaces via
-    // running(name).exception / awaitAnyTermination
+    // running(name).exception. And run() must then actually RESTART
+    // it: a dead query must not linger in the registry as if running.
+    // The crash never committed its batch, so the restart redelivers
+    // it — no loss (the at-least-once contract).
     val root = Files.createTempDirectory("graft-crash-").toString
     val ps = new FilePubSub(spark, root)
     ps.subscribeInitialize("c_in")
     ps.subscribeInitialize("c_out")
     ps.publish("c_in", Seq(msg("m1", "a")))
     val r = new Router(spark)
-    r.addHandler("crasher", "c_in", ps, "c_out", ps,
-      (_: Message) => throw new RuntimeException("synthetic handler crash"))
-    r.run()
-    assert(r.awaitHandlerStopped("crasher", timeoutMs = 60000),
-      "a crashed handler is stopped, not a rethrow")
-    r.close()
-    // the shared test session must not remember this deliberate crash:
-    // a later test calling spark.streams.awaitAnyTermination() would
-    // otherwise rethrow it
-    spark.streams.resetTerminated()
+    try {
+      CrashToggle.crash.set(true)
+      r.addHandler("crasher", "c_in", ps, "c_out", ps, (m: Message) => {
+        if (CrashToggle.crash.get()) throw new RuntimeException("synthetic handler crash")
+        Seq(m)
+      })
+      r.run()
+      assert(r.awaitHandlerStopped("crasher", timeoutMs = 60000),
+        "a crashed handler is stopped, not a rethrow")
+      // recover the fault and restart: the uncommitted m1 redelivers
+      CrashToggle.crash.set(false)
+      r.run(); r.processAllAvailable()
+      val out = ps.subscribeBatch("c_out").collect().map(_.getAs[String]("uuid"))
+      assert(out.toSeq == Seq("m1"),
+        s"restart after crash must redeliver the uncommitted batch: ${out.toSeq}")
+    } finally {
+      r.close()
+      // the shared test session must not remember the deliberate
+      // crash: a later test calling spark.streams.awaitAnyTermination()
+      // would otherwise rethrow it
+      spark.streams.resetTerminated()
+    }
   }
 
   test("pre-group-layout checkpoints are adopted on restart: no replay, no loss") {
