@@ -246,7 +246,7 @@ object Bench {
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map(t => Bench.num(t, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val passTotals = totals
     // (qs/failed/total move BELOW the ladder: its exponent gate can
@@ -482,7 +482,7 @@ object Bench {
     // with 2-decimal seconds would overflow the capture window); the
     // full ladder with raw times is in BENCH_FULL.json
     val scaleExpCompact = ladderAll.map(_.take(5).map { case (n, _, e, _) =>
-      "\"" + n.takeWhile(_ != '_').stripPrefix("q") + f"""\":$e%.2f"""
+      "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + Bench.num(e, 2)
     }.mkString("{", ",", "}")).getOrElse("""{"error":true}""")
 
     // headline per-query map: min over passes, targeted reruns, and
@@ -490,7 +490,7 @@ object Bench {
     val finalResults = results.map { case (n, v) =>
       n -> (if (v >= 0) math.min(v, ladderCorrections.getOrElse(n, v)) else v)
     }
-    val qs = finalResults.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + Bench.num(v, 3) }
       .mkString("{", ",", "}")
     val failed = finalResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -503,16 +503,16 @@ object Bench {
     val calibPost = try calibrate() catch { case _: Throwable => (-1.0, -1.0) }
     val calibJson = Bench.calibSumJson(calibPre, calibPost)
     val preflightJson = preflights.map { case (l, w, hot) =>
-      f"""{"load":$l%.2f,"waits":$w,"hot":$hot}"""
+      s"""{"load":${Bench.num(l, 2)},"waits":$w,"hot":$hot}"""
     }.mkString("[", ",", "]")
     val preflightHot = preflights.count(_._3)
-    val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val passTotalsJson = passTotals.map(t => Bench.num(t, 3)).mkString("[", ",", "]")
     val passQueriesJson = passes.map(p =>
-      p.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"))
+      p.map { case (k, v) => "\"" + k + "\":" + Bench.num(v, 3) }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    val passLoadJson = passRuns.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+    val passLoadJson = passRuns.map(r => Bench.num(r._2, 2)).mkString("[", ",", "]")
     val shuffleJson = shuffleMb
-      .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + Bench.num(v, 1) }.mkString("{", ",", "}")
 
     // ---- artifact layout (tail-safety) ----
     // The driver keeps only the TRAILING ~2 KB of this process's
@@ -525,7 +525,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":$medianPairRatio%.2f,"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":$loadAvg%.2f,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":${Bench.num(medianPairRatio, 2)},"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":${Bench.num(loadAvg, 2)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -624,15 +624,23 @@ object Bench {
 
   /** The summed (r14-comparable) calib index — the non-droppable
     * `calib`/`calib_sec` value both artifact forms carry. */
+  /** ROOT-locale numeric rendering: every number on the bench artifacts
+    * must be '.'-decimal JSON regardless of the JVM's default locale —
+    * a comma-decimal locale (de_DE) would otherwise emit "mpr":1,23 and
+    * break the driver's parse (the r17 ADVICE class, swept repo-wide
+    * here: the first fix covered only the per-query map). */
+  private[graft] def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.$decimals" + "f", Double.box(v))
+
   private[graft] def calibSumJson(pre: (Double, Double),
       post: (Double, Double)): String =
-    f"""[${sumTerm(pre)}%.3f,${sumTerm(post)}%.3f]"""
+    s"""[${num(sumTerm(pre), 3)},${num(sumTerm(post), 3)}]"""
 
   /** Full-evidence split-term fields (see [[calibVersion]]). */
   private[graft] def calibTermsFullJson(pre: (Double, Double),
       post: (Double, Double)): String =
-    f""""calib_terms":{"cpu_shuffle":[${pre._1}%.3f,${post._1}%.3f],""" +
-      f""""disk":[${pre._2}%.3f,${post._2}%.3f]},""" +
+    s""""calib_terms":{"cpu_shuffle":[${num(pre._1, 3)},${num(post._1, 3)}],""" +
+      s""""disk":[${num(pre._2, 3)},${num(post._2, 3)}]},""" +
       s""""calib_version":$calibVersion"""
 
   /** Compact-line v2 calib array: `[sumPre, sumPost, cpuPre, cpuPost,
@@ -649,8 +657,8 @@ object Bench {
     * 3-decimal values ride BENCH_FULL.json. */
   private[graft] def calibArrayV2Json(pre: (Double, Double),
       post: (Double, Double)): String =
-    f"""[${sumTerm(pre)}%.2f,${sumTerm(post)}%.2f,""" +
-      f"""${pre._1}%.1f,${post._1}%.1f,$calibVersion]"""
+    s"""[${num(sumTerm(pre), 2)},${num(sumTerm(post), 2)},""" +
+      s"""${num(pre._1, 1)},${num(post._1, 1)},$calibVersion]"""
 
   /** scale_ladder JSON builder, factored so BenchArtifactSpec pins the
     * shape (warm-run evidence + per-query times/exponent + the
@@ -661,8 +669,8 @@ object Bench {
     ladder.map { l =>
       val qs = l.map { case (n, ts, e, suspect) =>
         "\"" + n + "\":{\"times\":" +
-          ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
-          f""","exponent":$e%.2f""" +
+          ts.map(t => num(t, 3)).mkString("[", ",", "]") +
+          s""","exponent":${num(e, 2)}""" +
           (if (suspect) ""","suspect":true}""" else "}")
       }.mkString("{", ",", "}")
       s"""{"warm_runs":$ladderWarmRuns,"rung_runs":$ladderRungRuns,""" +
@@ -711,7 +719,8 @@ object Bench {
     // consumer must treat a missing key as false, never as unknown.
     // BENCH_FULL.json carries the flag unconditionally.
     def line(qs: String, withStreaming: Boolean, withSx: Boolean,
-        withCalibV2: Boolean = true, lean: Boolean = false): String = {
+        withCalibV2: Boolean = true, lean: Boolean = false,
+        alarmsLast: Boolean = false): String = {
       val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
       // the lean floor drops the conditional flags + load (ALL
       // duplicated with full keys in BENCH_FULL.json) so per-query
@@ -748,7 +757,7 @@ object Bench {
             .replaceAll("\\.(?=[,\\]])", "")
         else base
       }
-      val loadPart = if (lean) "" else f""""load":$loadAvg%.2f,"""
+      val loadPart = if (lean) "" else s""""load":${num(loadAvg, 2)},"""
       // on the lean rungs a CLEAN run drops "contaminated":false —
       // omission-means-false is already this line's convention (ep/
       // rr/pf/failed); a contaminated=true verdict ALWAYS rides, on
@@ -759,12 +768,23 @@ object Bench {
       // ~150 s total the lost milliseconds are noise, and the 2-4
       // chars are per-query decimals at the 188-query registry size
       val valuePart =
-        if (!lean) String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+        if (!lean) num(total, 3)
         else {
-          val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
+          val s = num(total, 1)
           if (s.endsWith(".0")) s.dropRight(2) else s
         }
-      f"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":$medianPairRatio%.2f,$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
+      if (!alarmsLast)
+        s"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
+      else {
+        // over-capture fallback ordering: the driver keeps the TAIL of
+        // stdout, so a line that cannot fit must carry its integrity
+        // alarms (failed / contaminated:true) at the END — the head
+        // (metric/value and the first query entries) is what truncates,
+        // never the alarm the compact line exists to surface
+        val alarms = (failedPart + contaminatedPart).stripSuffix(",")
+        val tail = if (alarms.isEmpty) "" else "," + alarms
+        s"""{"metric":"total","value":$valuePart,"unit":"sec",$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs$tail}"""
+      }
     }
     // Degradation priority as the registry grows: per-query seconds at
     // >= 1 decimal are the driver contract and yield LAST; the sx and
@@ -806,6 +826,6 @@ object Bench {
         withCalibV2 = false, lean = true), 1900))
     candidates.collectFirst { case (c, limit) if c.length <= limit => c }
       .getOrElse(line(qsJson(0), withStreaming = false, withSx = false,
-        withCalibV2 = false, lean = true))
+        withCalibV2 = false, lean = true, alarmsLast = true))
   }
 }

@@ -463,9 +463,14 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * restart redelivers it: at-least-once, the documented contract). */
   def run(): this.type = {
     // each plugin runs exactly once per router — including plugins
-    // added AFTER a previous run() (they run on the next one)
-    plugins.drop(pluginsRan).foreach(p => p(this))
-    pluginsRan = plugins.length
+    // added AFTER a previous run() (they run on the next one) and
+    // plugins added BY a running plugin (indexed walk, not a snapshot:
+    // a dropped-collection iteration would mark them ran unexecuted)
+    while (pluginsRan < plugins.length) {
+      val p = plugins(pluginsRan)
+      pluginsRan += 1
+      p(this)
+    }
     handlers.values.foreach { h =>
       queries.get(h.name).foreach { q =>
         if (!q.isActive) { queries.remove(h.name); () }

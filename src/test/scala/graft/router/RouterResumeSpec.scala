@@ -110,6 +110,15 @@ class RouterResumeSpec extends SparkSpec {
     r.run(); r.run()
     assert(latePlugin.get() == 1 && pluginRuns.get() == 1,
       s"late plugin ran ${latePlugin.get()}x, early ${pluginRuns.get()}x — each must be exactly 1")
+    // a plugin registered BY a running plugin executes too (the walk
+    // is indexed, not a snapshot that would mark it ran unexecuted)
+    val nested = new java.util.concurrent.atomic.AtomicInteger(0)
+    r.addPlugin(rt => {
+      rt.addPlugin(_ => { nested.incrementAndGet(); () }); ()
+    })
+    r.run()
+    assert(nested.get() == 1,
+      s"a plugin registered by a running plugin must execute once, ran ${nested.get()}x")
     r.close()
   }
 
