@@ -72,10 +72,13 @@ object EventPattern {
     * the step's anchor (first-match semantics need only each anchor's
     * EARLIEST successor of the step type): linear in |events| per
     * step, one hash exchange each, never a pair-space join or a
-    * per-key state machine. A chain already dead at step k (no match
-    * within the window) keeps its row with `matched = false` and NULL
-    * step columns from k on — the null anchor is masked, never joined
-    * through.
+    * per-key state machine. A quantified step (`Pos(..., atLeast = n)`,
+    * n > 1) adds exactly one more hash exchange — a per-key ranking
+    * window whose `lead(n-1)` carries the n-th successor into the same
+    * asof pass — and still scans its event side once. A chain already
+    * dead at step k (no match within the window) keeps its row with
+    * `matched = false` and NULL step columns from k on — the null
+    * anchor is masked, never joined through.
     *
     * Output: every seed row `(keyCol, a_id, a_ts)`, then
     * `s<i>_id`/`s<i>_ts` for each positive step i (1-based over
