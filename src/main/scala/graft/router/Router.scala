@@ -134,6 +134,39 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   private val plugins = mutable.ArrayBuffer.empty[Router => Unit]
   private val handlers = mutable.LinkedHashMap.empty[String, HandlerDef]
   private val queries = TrieMap.empty[String, StreamingQuery]
+
+  /** Control-plane lock. [[run]]'s check-replace-start, [[stopHandler]]'s
+    * stop-and-remove, and [[close]]'s stop-everything are each a
+    * multi-step sequence over `queries` + `spark.streams`; TrieMap makes
+    * the individual steps atomic but not the sequences. Unserialized, a
+    * concurrent stopHandler/run pair can interleave so that run()
+    * observes the stopped-but-not-yet-removed entry, replaces it and
+    * starts a NEW query — which stopHandler's pending remove then
+    * deregisters while it keeps running: a live StreamingQuery invisible
+    * to [[running]] and unreachable by [[close]], and a later run()
+    * fails with Spark's same-checkpoint-already-active error. One lock
+    * over all three control-plane mutators (the reference serializes its
+    * lifecycle the same way — message/router.go:563-609's close-once
+    * discipline). [[awaitHandlerStopped]] deliberately does NOT take it:
+    * it blocks up to its timeout on the query, not the registry. */
+  private val controlLock = new Object
+
+  /** Test seam: runs inside [[stopHandler]]'s critical section, between
+    * `q.stop()` returning and the registry removal — the exact window
+    * the control lock exists to protect. Production value is a no-op. */
+  private[router] var afterStopBeforeRemove: () => Unit = () => ()
+
+  /** Test seam for [[close]]: how one query is stopped. Production value
+    * is `StreamingQuery.stop()`; specs substitute a thrower to drive the
+    * fatal-vs-NonFatal paths, which real queries can't be made to take
+    * on demand. */
+  private[router] var closeStopSeam: StreamingQuery => Unit = _.stop()
+
+  /** Pluggable logger, parity with RouterConfig.Logger
+    * (message/router.go:96-99). */
+  private[graft] var log: graft.core.LoggerAdapter =
+    new graft.core.Slf4jLogger("graft.router")
+  def withLogger(l: graft.core.LoggerAdapter): this.type = { log = l; this }
   private val ckptBase =
     checkpointRoot.getOrElse(Files.createTempDirectory("graft-router-").toString)
 
@@ -460,8 +493,14 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * CRASHED ones restart from their checkpoints (a query that
     * terminated with an error is replaced, not silently kept as a dead
     * registry entry — the crash never committed its batch, so the
-    * restart redelivers it: at-least-once, the documented contract). */
-  def run(): this.type = {
+    * restart redelivers it: at-least-once, the documented contract).
+    * Replacing a crashed query also clears the session's
+    * terminated-query record (`spark.streams.resetTerminated()`, which
+    * is session-global — see the in-body note), so the supervision
+    * pattern `run(); awaitAnyTermination()` waits for the NEXT
+    * termination instead of rethrowing the stale, already-recovered
+    * crash forever. */
+  def run(): this.type = controlLock.synchronized {
     // each plugin runs exactly once per router — including plugins
     // added AFTER a previous run() (they run on the next one) and
     // plugins added BY a running plugin (indexed walk, not a snapshot:
@@ -471,9 +510,13 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       pluginsRan += 1
       p(this)
     }
+    var replacedCrashed = false
     handlers.values.foreach { h =>
       queries.get(h.name).foreach { q =>
-        if (!q.isActive) { queries.remove(h.name); () }
+        if (!q.isActive) {
+          if (q.exception.isDefined) replacedCrashed = true
+          queries.remove(h.name); ()
+        }
       }
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
@@ -514,6 +557,16 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         writer.start()
       })
     }
+    // A replaced CRASH stays in spark.streams' terminated-query record,
+    // so a supervisor's awaitAnyTermination() would rethrow the STALE
+    // crash right after every restart — the documented
+    // run-then-await supervision pattern would never observe the
+    // recovered state. Clear it once the replacements are started.
+    // resetTerminated is SESSION-global: other routers sharing this
+    // SparkSession lose their terminated-query records too — acceptable
+    // because a record is only consumed by awaitAnyTermination, whose
+    // contract here is "wait for the NEXT termination after this run()".
+    if (replacedCrashed) spark.streams.resetTerminated()
     this
   }
 
@@ -530,9 +583,16 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * currently running is a no-op. */
   def stopHandler(name: String): Unit = {
     require(handlers.contains(name), s"unknown handler $name")
-    queries.get(name).foreach { q =>
-      q.stop()
-      queries.remove(name); ()
+    controlLock.synchronized {
+      queries.get(name).foreach { q =>
+        q.stop()
+        afterStopBeforeRemove()
+        // remove THIS query object only (conditional remove): even with
+        // the lock held, belt-and-braces against any future unlocked
+        // path swapping the entry — a restarted query must never be
+        // silently deregistered by a stale stop
+        queries.remove(name, q); ()
+      }
     }
   }
 
@@ -565,10 +625,29 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
 
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 
-  /** Parity with Close (message/router.go:563-609): stop every query. */
-  def close(): Unit = {
-    queries.values.foreach(q => try q.stop() catch { case _: Throwable => () })
+  /** Parity with Close (message/router.go:563-609): stop every query.
+    * Best-effort — every query gets a stop attempt even if an earlier
+    * one fails. A NonFatal stop failure is logged loud and suppressed
+    * (the query is already terminating or the session is tearing down;
+    * close must still reach its siblings). A FATAL (OOM, …) is NOT
+    * swallowed: it is rethrown after the remaining queries have had
+    * their stop attempt — a close() that reports success over a dying
+    * JVM is the same lie the HTTP edge's catch was narrowed for. */
+  def close(): Unit = controlLock.synchronized {
+    var fatal: Throwable = null
+    queries.foreach { case (name, q) =>
+      try closeStopSeam(q)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          log.warn(s"close: suppressed failure stopping handler '$name': $e")
+        case e: Throwable =>
+          log.error(s"close: FATAL stopping handler '$name' — " +
+            "still attempting the remaining queries, then rethrowing", e)
+          if (fatal == null) fatal = e else fatal.addSuppressed(e)
+      }
+    }
     queries.clear()
+    if (fatal != null) throw fatal
   }
 }
 

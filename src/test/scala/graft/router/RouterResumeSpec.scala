@@ -151,6 +151,13 @@ class RouterResumeSpec extends SparkSpec {
       val out = ps.subscribeBatch("c_out").collect().map(_.getAs[String]("uuid"))
       assert(out.toSeq == Seq("m1"),
         s"restart after crash must redeliver the uncommitted batch: ${out.toSeq}")
+      // the supervision pattern run(); awaitAnyTermination() must wait
+      // for the NEXT termination, not rethrow the STALE crash run()
+      // just replaced: run() clears the session's terminated-query
+      // record when it swaps out a crashed query (no manual
+      // resetTerminated needed here — that's the point)
+      assert(!spark.streams.awaitAnyTermination(300L),
+        "no stale termination may linger after a crash-replacing run()")
     } finally {
       r.close()
       // the shared test session must not remember the deliberate
@@ -158,6 +165,66 @@ class RouterResumeSpec extends SparkSpec {
       // would otherwise rethrow it
       spark.streams.resetTerminated()
     }
+  }
+
+  test("control plane: a run() racing stopHandler blocks on the lock — a restarted query is never stranded outside the registry") {
+    // The unserialized interleaving (VERDICT r19 #1): stopHandler stops
+    // the query, then — before its registry remove — a concurrent run()
+    // sees the inactive entry, replaces it and starts a NEW query,
+    // which stopHandler's pending remove then deregisters while it
+    // keeps running: live but invisible to running()/close(), and the
+    // next run() dies on same-checkpoint-already-active. The control
+    // lock must make run() WAIT. Driven deterministically through the
+    // afterStopBeforeRemove seam, which runs inside stopHandler's
+    // critical section at exactly the hazardous instant.
+    val root = Files.createTempDirectory("graft-cplane-").toString
+    val ckpt = Files.createTempDirectory("graft-cplane-ck-").toString
+    val ps = new FilePubSub(spark, root)
+    ps.subscribeInitialize("cp_in")
+    ps.subscribeInitialize("cp_out")
+    ps.publish("cp_in", Seq(msg("p1", "a")))
+
+    val r = new Router(spark, checkpointRoot = Some(ckpt))
+    r.addHandler("cp_h", "cp_in", ps, "cp_out", ps, Middlewares.passthrough)
+    r.run(); r.processAllAvailable()
+
+    val inSeam = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    r.afterStopBeforeRemove = () => {
+      inSeam.countDown()
+      assert(proceed.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "seam release must arrive")
+    }
+    val stopper = new Thread(() => r.stopHandler("cp_h"), "cplane-stopper")
+    stopper.start()
+    assert(inSeam.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "stopHandler must reach its critical section")
+    // stopHandler is now INSIDE stop-and-remove: query stopped, entry
+    // still registered. The racing run() must block on the lock instead
+    // of replacing the entry.
+    val runner = new Thread(() => { r.run(); () }, "cplane-runner")
+    runner.start()
+    runner.join(500)
+    assert(runner.isAlive,
+      "run() must block while stopHandler holds the control lock")
+    proceed.countDown()
+    stopper.join(30000); runner.join(30000)
+    assert(!stopper.isAlive && !runner.isAlive, "both control calls finish")
+    r.afterStopBeforeRemove = () => ()
+
+    // invariant: the registry and the live-query set AGREE. The queued
+    // run() restarted the handler AFTER the removal — so it is running
+    // AND registered (not a stranded anonymous duplicate).
+    assert(r.running.keySet == Set("cp_h"), s"registered: ${r.running.keySet}")
+    assert(r.running("cp_h").isActive, "the restarted query is live")
+    val live = spark.streams.active
+      .filter(q => Option(q.name).contains("graft-cp_h"))
+    assert(live.length == 1,
+      s"exactly ONE live query for the handler, got ${live.length}")
+    // close() reaches it — nothing survives outside the registry
+    r.close()
+    assert(!spark.streams.active.exists(q => Option(q.name).contains("graft-cp_h")),
+      "close() must stop the restarted query — nothing stranded")
   }
 
   test("pre-group-layout checkpoints are adopted on restart: no replay, no loss") {

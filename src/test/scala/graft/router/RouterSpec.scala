@@ -227,6 +227,62 @@ class RouterSpec extends SparkSpec {
     val got = ps.subscribeBatch("out5").collect().map(_.getAs[String]("uuid")).toSet
     assert(got == ms.map(_.uuid).toSet) // AssertAllMessagesReceived semantics
   }
+
+  test("close(): a NonFatal stop failure is logged and suppressed; every sibling still gets its stop attempt") {
+    val ps = new MemoryPubSub(spark)
+    val r = new Router(spark)
+    val cap = new graft.core.CaptureLogger
+    r.withLogger(cap)
+    r.addHandler("cnf_a", "cnf_in1", ps, "cnf_out1", ps, Middlewares.passthrough)
+    r.addHandler("cnf_b", "cnf_in2", ps, "cnf_out2", ps, Middlewares.passthrough)
+    r.run()
+    val attempted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // real StreamingQueries can't be made to fail stop() on demand —
+    // the seam substitutes the stop call itself: first query throws
+    // NonFatal, the rest stop for real
+    r.closeStopSeam = { q =>
+      attempted += q.name
+      if (attempted.length == 1) throw new RuntimeException("synthetic stop failure")
+      q.stop()
+    }
+    r.close() // must NOT throw
+    assert(attempted.length == 2, s"both queries get a stop attempt: $attempted")
+    assert(r.running.isEmpty, "registry cleared")
+    assert(cap.has("warn", "suppressed failure stopping handler"),
+      s"the suppressed NonFatal must be logged loud, got ${cap.entries}")
+    // the first query never actually stopped (the seam threw instead) —
+    // stop the leftover so the shared session stays clean
+    spark.streams.active.filter(q => Option(q.name).exists(_.startsWith("graft-cnf_")))
+      .foreach(_.stop())
+    spark.streams.resetTerminated()
+  }
+
+  test("close(): a FATAL from one stop propagates — after the remaining queries still got their stop attempt") {
+    val ps = new MemoryPubSub(spark)
+    val r = new Router(spark)
+    val cap = new graft.core.CaptureLogger
+    r.withLogger(cap)
+    r.addHandler("cf_a", "cf_in1", ps, "cf_out1", ps, Middlewares.passthrough)
+    r.addHandler("cf_b", "cf_in2", ps, "cf_out2", ps, Middlewares.passthrough)
+    r.run()
+    val attempted = scala.collection.mutable.ArrayBuffer.empty[String]
+    r.closeStopSeam = { q =>
+      attempted += q.name
+      if (attempted.length == 1) throw new OutOfMemoryError("synthetic fatal")
+      q.stop()
+    }
+    val thrown = intercept[OutOfMemoryError](r.close())
+    assert(thrown.getMessage == "synthetic fatal",
+      "the fatal must propagate, not be swallowed as success")
+    assert(attempted.length == 2,
+      s"the sibling still got its stop attempt before the rethrow: $attempted")
+    assert(r.running.isEmpty, "registry cleared even on the fatal path")
+    assert(cap.has("error", "FATAL stopping handler"),
+      s"the fatal is logged before rethrow, got ${cap.entries}")
+    spark.streams.active.filter(q => Option(q.name).exists(_.startsWith("graft-cf_")))
+      .foreach(_.stop())
+    spark.streams.resetTerminated()
+  }
 }
 
 /** Static executor-visible sinks — closure capture would serialize a
