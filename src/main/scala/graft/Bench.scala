@@ -502,6 +502,7 @@ object Bench {
     val loadAvg = osBean.getSystemLoadAverage
     val calibPost = try calibrate() catch { case _: Throwable => (-1.0, -1.0) }
     val calibJson = Bench.calibSumJson(calibPre, calibPost)
+    val calibUnstable = Bench.calibDisagree(calibPre, calibPost)
     val preflightJson = preflights.map { case (l, w, hot) =>
       s"""{"load":${Bench.num(l, 2)},"waits":$w,"hot":$hot}"""
     }.mkString("[", ",", "]")
@@ -525,7 +526,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":${Bench.num(medianPairRatio, 2)},"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":${Bench.num(loadAvg, 2)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":${Bench.num(medianPairRatio, 2)},"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"calib_unstable":$calibUnstable,"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":${Bench.num(loadAvg, 2)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -543,7 +544,8 @@ object Bench {
       scaleExpCompact, loadAvg, sfDir, calibJson,
       rerunCount = reruns.size,
       calibJsonV2 = Bench.calibArrayV2Json(calibPre, calibPost),
-      preflightHot = preflightHot))
+      preflightHot = preflightHot,
+      calibUnstable = calibUnstable))
     Console.out.flush()
     spark.stop()
   }
@@ -587,6 +589,28 @@ object Bench {
     * "suspect": true instead of shipping silently (r13 shipped q147 at
     * exponent 1.3 ungated). */
   private[graft] val ladderExponentGate = 1.1
+
+  /** Calib pass-disagreement gate: the pre and post calibration runs
+    * measure the SAME fixed workload, so a term-wise ratio over this is
+    * co-tenant contamination of the machine-speed index itself (r19's
+    * committed artifact had cpu_shuffle terms 1.411 vs 10.301 — 7.3×)
+    * and every total/calib normalization that round is suspect. Over
+    * the gate the artifact carries `calib_unstable` (compact: `cu`,
+    * alarm semantics — a true verdict rides EVERY rung like
+    * `contaminated:true`), so the driver's single glance at the compact
+    * line catches it without opening BENCH_FULL.json. */
+  private[graft] val calibDisagreeGate = 2.0
+
+  /** Term-wise pre/post disagreement: true when either calib term's
+    * max/min ratio exceeds the gate. A failed term (-1) or a
+    * degenerate ~0 term can't be judged and never flags — a failed
+    * calibration is already visible as the -1 itself. */
+  private[graft] def calibDisagree(pre: (Double, Double),
+      post: (Double, Double), gate: Double = calibDisagreeGate): Boolean = {
+    def termOver(a: Double, b: Double): Boolean =
+      a > 1e-9 && b > 1e-9 && math.max(a, b) / math.min(a, b) > gate
+    termOver(pre._1, post._1) || termOver(pre._2, post._2)
+  }
 
   /** Calibration schema version. v1 (≤ r13): CPU+shuffle workload
     * only. Unversioned r14: CPU+shuffle AND disk folded into one
@@ -683,7 +707,7 @@ object Bench {
       streaming: String, scaleExp: String, loadAvg: Double,
       sfDir: String, calibJson: String = "[-1.000,-1.000]",
       rerunCount: Int = 0, calibJsonV2: String = "",
-      preflightHot: Int = 0): String = {
+      preflightHot: Int = 0, calibUnstable: Boolean = false): String = {
     // keys are the bare query NUMBERS ("01" = q01_…): the 'q' prefix
     // carried no information and cost one char × |queries| against the
     // tail budget; full names live in BENCH_FULL.json
@@ -764,6 +788,13 @@ object Bench {
       // every rung: that is the alarm the flag exists for
       val contaminatedPart = if (lean && !contaminated) ""
         else s""""contaminated":$contaminated,"""
+      // cu = calib_unstable (pre/post calib terms disagree beyond the
+      // calibDisagreeGate — the machine-speed index itself is
+      // contaminated, so total/calib normalization is suspect). Alarm
+      // semantics: a TRUE verdict rides every rung, false is omitted
+      // everywhere on the compact line (omission-means-false);
+      // BENCH_FULL.json carries calib_unstable unconditionally.
+      val cuPart = if (calibUnstable) """"cu":true,""" else ""
       // lean also slims the TOTAL to 1 decimal (zero-stripped): on a
       // ~150 s total the lost milliseconds are noise, and the 2-4
       // chars are per-query decimals at the 188-query registry size
@@ -774,14 +805,14 @@ object Bench {
           if (s.endsWith(".0")) s.dropRight(2) else s
         }
       if (!alarmsLast)
-        s"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},$contaminatedPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
+        s"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},$contaminatedPart$cuPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
       else {
         // over-capture fallback ordering: the driver keeps the TAIL of
         // stdout, so a line that cannot fit must carry its integrity
-        // alarms (failed / contaminated:true) at the END — the head
-        // (metric/value and the first query entries) is what truncates,
-        // never the alarm the compact line exists to surface
-        val alarms = (failedPart + contaminatedPart).stripSuffix(",")
+        // alarms (failed / contaminated:true / cu:true) at the END —
+        // the head (metric/value and the first query entries) is what
+        // truncates, never the alarm the compact line exists to surface
+        val alarms = (failedPart + contaminatedPart + cuPart).stripSuffix(",")
         val tail = if (alarms.isEmpty) "" else "," + alarms
         s"""{"metric":"total","value":$valuePart,"unit":"sec",$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs$tail}"""
       }

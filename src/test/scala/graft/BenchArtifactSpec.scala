@@ -304,6 +304,48 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(mk(2).length <= 1900)
   }
 
+  test("calib pre/post disagreement: gate math, and the cu alarm rides every rung") {
+    // term-wise max/min ratio over calibDisagreeGate (2.0), -1-safe
+    assert(!Bench.calibDisagree((5.0, 1.0), (5.5, 1.1)),
+      "agreeing calib passes must not flag")
+    assert(Bench.calibDisagree((1.411, 0.9), (10.301, 0.9)),
+      "the r19 artifact's 7.3x cpu_shuffle disagreement must flag")
+    assert(Bench.calibDisagree((5.0, 0.78), (5.0, 1.9)),
+      "a disk-term-only disagreement must flag (term-wise, not sum-wise)")
+    assert(!Bench.calibDisagree((-1.0, -1.0), (10.0, 10.0)),
+      "a failed calib (-1) cannot be judged — the -1 is its own alarm")
+    assert(!Bench.calibDisagree((4.0, 1.0), (8.0, 2.0)),
+      "exactly the gate is not over it (strict >)")
+    // a true verdict is an integrity alarm and must survive even the
+    // LEAN rung (the r18 lesson: flags that only ride fat rungs vanish
+    // exactly when the registry is big enough to matter); false is
+    // omitted everywhere on the compact line — omission-means-false,
+    // the documented ep/rr/pf/contaminated convention
+    val results = names.map(_ -> 0.83) // forces the lean 1-decimal rung
+    def mk(cu: Boolean) = Bench.compactLine(results, failed = "[]",
+      total = 154.38, extraPass = true, medianPairRatio = 1.14,
+      contaminated = false, streaming = """{"error":true}""",
+      scaleExp = """{"error":true}""", loadAvg = 2.38,
+      sfDir = "/root/testdata/sf0.1", calibJson = "[5.772,6.318]",
+      rerunCount = 1, calibUnstable = cu)
+    val unstable = mk(true)
+    assert(unstable.contains("\"cu\":true"),
+      s"cu alarm lost on the lean rung: ${unstable.take(200)}")
+    assert(unstable.length <= 1900,
+      s"cu alarm must fit the lean budget: ${unstable.length} chars")
+    assert(!mk(false).contains("\"cu\""),
+      "a stable calib is omitted (omission-means-false), never printed")
+    // and in the over-capture fallback the alarm sits in the TAIL the
+    // driver keeps, with the other integrity alarms
+    val fat = names.map(_ -> 123.456)
+    val fallback = Bench.compactLine(fat, failed = "[]", total = 14444.352,
+      extraPass = true, medianPairRatio = 9.99, contaminated = true,
+      streaming = """{"error":true}""", scaleExp = """{"error":true}""",
+      loadAvg = 32.0, sfDir = "/root/testdata/sf0.1", calibUnstable = true)
+    assert(fallback.takeRight(60).contains("\"cu\":true"),
+      s"over-capture fallback must keep cu in the kept tail: ${fallback.takeRight(80)}")
+  }
+
   test("realistic sf0.1 values keep >= 1 decimal at the LIVE registry size (flags present)") {
     // the r18 regression this pins: at 186 queries the ep/rr flags +
     // load were exactly what pushed the 1-decimal form over the
