@@ -47,10 +47,24 @@ object EventPattern {
     * rule firstMatch pins). For `atLeast > 1` every RAW event counts
     * toward the quantifier, ordered by `(ts, id)` — two events at one
     * instant are two occurrences, and the n-th in that total order
-    * binds (deterministic for any input). */
+    * binds (deterministic for any input).
+    *
+    * Alternation (`A then (B|C) within T`, MATCH_RECOGNIZE's `(B|C)`):
+    * `orTypes` widens the step's event pool to the UNION of
+    * `eventType +: orTypes` — the earliest pool event in the window
+    * binds (or the n-th, under a quantifier: occurrences of ANY
+    * alternative count toward it), and the output gains `s<i>_type`
+    * naming which alternative bound. Same tie rules over the pooled
+    * events (max-id at an instant for n=1, its type riding along via
+    * arg-max). The pool is ONE widened filter on the same single scan
+    * of the step's side — alternation adds no exchange and no extra
+    * pass (never one-pass-per-alternative unioned after the fact). */
   final case class Pos(eventType: String, within: Column,
-      atLeast: Int = 1) extends Step {
+      atLeast: Int = 1, orTypes: Seq[String] = Nil) extends Step {
     require(atLeast >= 1, s"atLeast must be >= 1: $atLeast")
+    require(!orTypes.contains(eventType),
+      s"orTypes repeats the step's own eventType '$eventType'")
+    require(orTypes.distinct == orTypes, s"orTypes has duplicates: $orTypes")
   }
   /** Negated step: NO event of `eventType` may occur in the guarded
     * interval. Followed by a later [[Pos]], the interval is
@@ -82,7 +96,8 @@ object EventPattern {
     *
     * Output: every seed row `(keyCol, a_id, a_ts)`, then
     * `s<i>_id`/`s<i>_ts` for each positive step i (1-based over
-    * `steps`), and `matched`.
+    * `steps`; plus `s<i>_type` when the step is an alternation —
+    * which alternative bound), and `matched`.
     */
   def chain(
       events: DataFrame,
@@ -100,8 +115,9 @@ object EventPattern {
     // generates s1_*, never n1_ts) would break a working call.
     val generated = Seq("a_id", "a_ts", "matched") ++
       steps.zipWithIndex.flatMap {
-        case (Pos(_, _, n), i0) =>
+        case (Pos(_, _, n, alts), i0) =>
           Seq(s"s${i0 + 1}_id", s"s${i0 + 1}_ts") ++
+            (if (alts.nonEmpty) Seq(s"s${i0 + 1}_type") else Nil) ++
             (if (n > 1) Seq("_q_rk", "_q_rk0") else Nil)
         case (Neg(_, _), i0) => Seq(s"n${i0 + 1}_ts")
       }.distinct
@@ -127,28 +143,45 @@ object EventPattern {
     steps.zipWithIndex.foreach { case (st, i0) =>
       val i = i0 + 1
       st match {
-        case Pos(tpe, within, atLeast) =>
+        case Pos(tpe, within, atLeast, orTypes) =>
           val idN = s"s${i}_id"; val tsN = s"s${i}_ts"
+          // alternation: ONE widened filter on the same single scan —
+          // the pooled alternatives ride every downstream step
+          // unchanged, and s<i>_type records which alternative bound
+          val hasAlt = orTypes.nonEmpty
+          val typeN = s"s${i}_type"
+          val poolFilter =
+            if (!hasAlt) col(typeCol) === tpe
+            else col(typeCol).isin(tpe +: orTypes: _*)
           if (atLeast == 1) {
             // unique per (key, ts), ties to max id — the
-            // latestPerKeyTime determinism rule firstMatch pins
-            val b = events.filter(col(typeCol) === tpe)
+            // latestPerKeyTime determinism rule firstMatch pins; under
+            // alternation the bound type is the max-id event's own
+            // (arg-max, so the tie rule decides the type too)
+            val b = events.filter(poolFilter)
               .groupBy(col(keyCol), col(tsCol))
-              .agg(max(col(idCol)).as(idN))
+              .agg(max(col(idCol)).as(idN),
+                (if (hasAlt) Seq(max_by(col(typeCol), col(idCol)).as(typeN))
+                 else Nil): _*)
               .withColumn(tsN, col(tsCol))
             val joined = AsofJoin.asofJoinForward(
               df.withColumn(tsCol, col(anchor)), b, keyCol, tsCol,
-              payloadCols = Seq(idN, tsN), inner = false,
+              payloadCols = Seq(idN, tsN) ++ (if (hasAlt) Seq(typeN) else Nil),
+              inner = false,
               tolerance = Some((lt, rt) => rt <= lt + within))
             // mask through a dead chain: a null anchor sorts PAST every
             // right row in the descending carry and would surface the
             // globally-earliest event as its "match"
-            df = joined
+            val masked = joined
               .withColumn(idN,
                 when(col(anchor).isNotNull, col(s"asof_$idN")))
               .withColumn(tsN,
                 when(col(anchor).isNotNull, col(s"asof_$tsN")))
               .drop(s"asof_$idN", s"asof_$tsN")
+            df = if (!hasAlt) masked else masked
+              .withColumn(typeN,
+                when(col(anchor).isNotNull, col(s"asof_$typeN")))
+              .drop(s"asof_$typeN")
           } else {
             // quantified step (B{n,} within T): rank the step's RAW
             // events per key by (ts, id) — a total order, so the n-th
@@ -167,20 +200,28 @@ object EventPattern {
             val rkW = Window.partitionBy(col(keyCol))
               .orderBy(col(tsCol), col(idCol))
             val instW = Window.partitionBy(col(keyCol), col(tsCol))
-            val nthAhead = events.filter(col(typeCol) === tpe)
-              .select(col(keyCol), col(tsCol), col(idCol))
+            val ranked0 = events.filter(poolFilter)
+              .select(Seq(col(keyCol), col(tsCol), col(idCol)) ++
+                (if (hasAlt) Seq(col(typeCol)) else Nil): _*)
               .withColumn("_q_rk", row_number().over(rkW))
               .withColumn(idN, lead(col(idCol), atLeast - 1).over(rkW))
               .withColumn(tsN, lead(col(tsCol), atLeast - 1).over(rkW))
+            // under alternation the n-th event's own type rides the
+            // same lead pass (no extra window, no second reference)
+            val ranked = if (!hasAlt) ranked0 else ranked0
+              .withColumn(typeN, lead(col(typeCol), atLeast - 1).over(rkW))
+            val nthAhead = ranked
               // unique per (key, ts) — the asof determinism contract:
               // keep the instant's FIRST raw event (its lead spans the
               // whole same-instant group, so every raw event counts)
               .withColumn("_q_rk0", min(col("_q_rk")).over(instW))
               .filter(col("_q_rk") === col("_q_rk0"))
-              .select(col(keyCol), col(tsCol), col(idN), col(tsN))
+              .select(Seq(col(keyCol), col(tsCol), col(idN), col(tsN)) ++
+                (if (hasAlt) Seq(col(typeN)) else Nil): _*)
             val joined = AsofJoin.asofJoinForward(
               df.withColumn(tsCol, col(anchor)), nthAhead, keyCol, tsCol,
-              payloadCols = Seq(idN, tsN), inner = false,
+              payloadCols = Seq(idN, tsN) ++ (if (hasAlt) Seq(typeN) else Nil),
+              inner = false,
               // early prune only — if even the FIRST successor is
               // outside the window the n-th cannot be inside it; the
               // binding check is the n-th's own bound below
@@ -192,10 +233,15 @@ object EventPattern {
             // falls out of the same `when`
             val bind = col(anchor).isNotNull &&
               col(s"asof_$tsN") <= col(anchor) + within
-            df = joined
+            // bind references asof_<tsN>: every when() must land before
+            // the asof_* columns drop
+            val bound = joined
               .withColumn(idN, when(bind, col(s"asof_$idN")))
               .withColumn(tsN, when(bind, col(s"asof_$tsN")))
-              .drop(s"asof_$idN", s"asof_$tsN")
+            val typed = if (!hasAlt) bound else bound
+              .withColumn(typeN, when(bind, col(s"asof_$typeN")))
+            df = typed.drop(Seq(s"asof_$idN", s"asof_$tsN") ++
+              (if (hasAlt) Seq(s"asof_$typeN") else Nil): _*)
           }
           pending.foreach { p =>
             val inInterval = col(p.tsName) < col(tsN)
@@ -233,8 +279,9 @@ object EventPattern {
       .reduceOption(_ && _).getOrElse(lit(true))
     val guarded = fired.result().reduceOption(_ || _).getOrElse(lit(false))
     val keep = Seq(keyCol, "a_id", "a_ts") ++
-      steps.zipWithIndex.collect { case (Pos(_, _, _), i0) =>
-        Seq(s"s${i0 + 1}_id", s"s${i0 + 1}_ts")
+      steps.zipWithIndex.collect { case (Pos(_, _, _, alts), i0) =>
+        Seq(s"s${i0 + 1}_id", s"s${i0 + 1}_ts") ++
+          (if (alts.nonEmpty) Seq(s"s${i0 + 1}_type") else Nil)
       }.flatten
     df.withColumn("matched", present && !guarded)
       .select((keep :+ "matched").map(col): _*)

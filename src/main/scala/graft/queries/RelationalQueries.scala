@@ -2407,10 +2407,13 @@ object RelationalQueries {
     // in the window; every RAW event counts, ordered by (ts, id)) →
     // purchase within 48h of the 2nd click. The 48h windows make all
     // three verdict populations real at sf0.01 (215 matched, 400
-    // quantifier-met, 1982 seeds). Stays linear: the step's
-    // events are ranked per key ONCE (one window pass), each anchor
-    // asof-joins its first successor's rank, and the n-th is fetched
-    // by ONE (key, rank) equi-join — never the pair-space
+    // quantifier-met, 1982 seeds). Stays linear: the ENGINE ranks the
+    // step's events per key ONCE and carries each instant's n-th-ahead
+    // (id, ts) on that SAME window pass via lead(n-1) — one hash
+    // exchange, one scan of the step's side, no second reference to
+    // the ranked subtree. (The DuckDB oracle twin below formulates the
+    // n-th lookup as a (key, rank) equi-join instead — equivalent
+    // semantics, NOT the engine's plan.) Never the pair-space
     // count-matches-per-anchor expansion a range join would plan ----
     QuerySpec("q188_cep_quantified",
       (s, dir) => graft.operators.EventPattern.chain(
@@ -2453,6 +2456,59 @@ object RelationalQueries {
              |SELECT user_id, a_id, a_ts, s1_id, s1_ts, s2_id, s2_ts,
              |  (s1_ts IS NOT NULL AND s2_ts IS NOT NULL) AS matched
              |FROM j3 ORDER BY a_id""".stripMargin)),
+
+    // ---- CEP chain with an ALTERNATION step (A then (B|C) within T —
+    // MATCH_RECOGNIZE's (B|C), the other union-carry staple): per
+    // user, view → first click OR signup ≤6h (whichever comes first
+    // binds, anchors, and s1_type names it; same-instant ties across
+    // the alternatives resolve to max event_id, the type riding by
+    // arg-max) → purchase ≤12h of the bound alternative. The ENGINE's
+    // pool is ONE widened isin filter on the same single scan — the
+    // alternation adds NO exchange and NO extra pass (never
+    // one-asof-pass-per-alternative unioned after the fact), so the
+    // plan is byte-identical in shape to the plain q186 step class.
+    // Windows chosen so every population is real at sf0.01: 222 seeds
+    // bind click, 199 bind signup (the alternation BITES — a
+    // click-only step gives those 199 a different/absent binding),
+    // 80 matched, 1561 unbound ----
+    QuerySpec("q189_cep_alternation",
+      (s, dir) => graft.operators.EventPattern.chain(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          seedType = "view", steps = Seq(
+            graft.operators.EventPattern.Pos("click",
+              expr("INTERVAL 6 HOURS"), orTypes = Seq("signup")),
+            graft.operators.EventPattern.Pos("purchase",
+              expr("INTERVAL 12 HOURS"))))
+        .orderBy(col("a_id")),
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_ts
+             |           FROM events WHERE event_type = 'view'),
+             |s1r AS (SELECT user_id, ts, max(event_id) AS id,
+             |          arg_max(event_type, event_id) AS tpe
+             |        FROM events WHERE event_type IN ('click', 'signup')
+             |        GROUP BY 1, 2),
+             |s2r AS (SELECT user_id, ts, max(event_id) AS id
+             |        FROM events WHERE event_type = 'purchase'
+             |        GROUP BY 1, 2),
+             |j1 AS (SELECT a.a_id, a.user_id, a.a_ts,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.id END AS s1_id,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.ts END AS s1_ts,
+             |         CASE WHEN s1r.ts - a.a_ts <= INTERVAL 6 HOUR
+             |              THEN s1r.tpe END AS s1_type
+             |       FROM a ASOF LEFT JOIN s1r
+             |         ON a.user_id = s1r.user_id AND a.a_ts <= s1r.ts),
+             |j2 AS (SELECT j1.*,
+             |         CASE WHEN s2r.ts - j1.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s2r.id END AS s2_id,
+             |         CASE WHEN s2r.ts - j1.s1_ts <= INTERVAL 12 HOUR
+             |              THEN s2r.ts END AS s2_ts
+             |       FROM j1 ASOF LEFT JOIN s2r
+             |         ON j1.user_id = s2r.user_id AND j1.s1_ts <= s2r.ts)
+             |SELECT user_id, a_id, a_ts, s1_id, s1_ts, s1_type,
+             |  s2_id, s2_ts,
+             |  (s1_ts IS NOT NULL AND s2_ts IS NOT NULL) AS matched
+             |FROM j2 ORDER BY a_id""".stripMargin)),
 
     // ---- global running total (cumulative revenue curve) WITHOUT the
     // single-partition window the naive SUM() OVER (ORDER BY) plans:

@@ -141,6 +141,40 @@ class EventPatternSpec extends SparkSpec {
       (2L, 1L, 150L, "B"), (4L, 1L, 200L, "D")))
   }
 
+  test("chain: TWO consecutive Negs (one capped, one not) both resolve against the SAME next anchor") {
+    // Pos(B) → Neg(C, uncapped) → Neg(E, capped 50s) → Pos(D): both
+    // pendings anchor at B's instant and fold against D's — the
+    // multi-pending accumulate-then-fold path (EventPattern.chain's
+    // `pending` list) that q186-style interleaved chains never drive
+    // with more than one entry.
+    val steps = Seq(EventPattern.Pos("B", within100),
+      EventPattern.Neg("C"),
+      EventPattern.Neg("E", Some(expr("INTERVAL 50 SECONDS"))),
+      EventPattern.Pos("D", within100))
+    def m(rows: (Long, Long, Long, String)*) =
+      runChain(steps, rows: _*).collect().head.getAs[Boolean]("matched")
+    // neither guard fires
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (4L, 1L, 240L, "D")))
+    // the UNCAPPED C fires alone — anywhere in [B, D)
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 230L, "C"), (4L, 1L, 240L, "D")))
+    // the CAPPED E fires alone — inside [B, D) ∩ [B, B+50]
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 180L, "E"), (4L, 1L, 240L, "D")))
+    // the caps are PER-PENDING, not shared: at instant 201 (one past
+    // E's cap of 150+50) an E passes while a C — uncapped — blocks
+    assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 201L, "E"), (4L, 1L, 240L, "D")))
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 201L, "C"), (4L, 1L, 240L, "D")))
+    // both fire → still blocked (the fold is an OR, not a last-wins)
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
+      (3L, 1L, 170L, "C"), (5L, 1L, 180L, "E"), (4L, 1L, 240L, "D")))
+    // and a dead next-Pos defers both to nothing: with no D the
+    // between-guards never decide the chain (it is already unmatched)
+    assert(!m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"), (3L, 1L, 170L, "C")))
+  }
+
   test("chain: a quantified step (atLeast=n) needs n events inside the window; the n-th binds and anchors") {
     val steps = Seq(EventPattern.Pos("B", within100, atLeast = 2),
       EventPattern.Pos("D", within100))
@@ -182,6 +216,80 @@ class EventPatternSpec extends SparkSpec {
     // C at the 2nd B's instant passes (exclusive interval end)
     assert(m((1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"),
       (3L, 1L, 160L, "C"), (4L, 1L, 160L, "B")))
+  }
+
+  test("chain: alternation (B|E) binds the earliest of EITHER type and s<i>_type names it") {
+    val steps = Seq(
+      EventPattern.Pos("B", within100, orTypes = Seq("E")),
+      EventPattern.Pos("D", within100))
+    def first(rows: (Long, Long, Long, String)*) = {
+      val r = runChain(steps, rows: _*).collect().head
+      (r.getAs[Long]("s1_id"), r.getAs[String]("s1_type"),
+        r.getAs[Boolean]("matched"))
+    }
+    // E earlier than B: the alternative binds, anchors, and is named
+    assert(first((1L, 1L, 100L, "A"), (2L, 1L, 120L, "E"),
+      (3L, 1L, 150L, "B"), (4L, 1L, 180L, "D")) == ((2L, "E", true)))
+    // B earlier than E: the primary binds
+    assert(first((1L, 1L, 100L, "A"), (2L, 1L, 120L, "B"),
+      (3L, 1L, 150L, "E"), (4L, 1L, 180L, "D")) == ((2L, "B", true)))
+    // the ANCHOR advances to the bound alternative: D within 100 of
+    // E@120 but 180 after A would fail a seed-anchored matcher — and a
+    // D inside the window measured from the LATER unbound B must not
+    // resurrect a chain whose bound E left it out of reach
+    val r2 = runChain(steps, (1L, 1L, 100L, "A"), (2L, 1L, 120L, "E"),
+      (3L, 1L, 190L, "B"), (4L, 1L, 280L, "D")).collect().head
+    assert(r2.getAs[String]("s1_type") == "E" && !r2.getAs[Boolean]("matched"),
+      "window must be measured from the BOUND alternative (E@120), not B@190")
+    // same-instant tie ACROSS the alternatives: max id decides, and
+    // the surfaced type is that winner's own (arg-max, not primary-
+    // type-wins)
+    assert(first((1L, 1L, 100L, "A"), (2L, 1L, 120L, "B"),
+      (5L, 1L, 120L, "E"), (4L, 1L, 180L, "D")) == ((5L, "E", true)))
+    // both alternatives outside the window: dead step, typed NULL
+    val dead = runChain(steps, (1L, 1L, 100L, "A"), (2L, 1L, 300L, "E"),
+      (3L, 1L, 350L, "B")).collect().head
+    assert(dead.isNullAt(dead.fieldIndex("s1_type")) &&
+      !dead.getAs[Boolean]("matched"))
+  }
+
+  test("chain: a quantified alternation counts occurrences of ANY alternative; the n-th's own type binds") {
+    val steps = Seq(
+      EventPattern.Pos("B", within100, atLeast = 2, orTypes = Seq("E")))
+    def got(rows: (Long, Long, Long, String)*) = {
+      val r = runChain(steps, rows: _*).collect().head
+      (if (r.isNullAt(r.fieldIndex("s1_id"))) None
+       else Some((r.getAs[Long]("s1_id"), r.getAs[String]("s1_type"))),
+        r.getAs[Boolean]("matched"))
+    }
+    // one B + one E inside the window = the quantifier's 2; the 2nd
+    // in (ts, id) order is the E and its type surfaces
+    assert(got((1L, 1L, 100L, "A"), (2L, 1L, 120L, "B"),
+      (3L, 1L, 150L, "E")) == ((Some((3L, "E")), true)))
+    // two of ONE alternative also satisfy (B|E){2,}
+    assert(got((1L, 1L, 100L, "A"), (2L, 1L, 120L, "E"),
+      (3L, 1L, 150L, "E")) == ((Some((3L, "E")), true)))
+    // one of each but the 2nd outside the window: quantifier unmet
+    assert(got((1L, 1L, 100L, "A"), (2L, 1L, 120L, "B"),
+      (3L, 1L, 250L, "E")) == ((None, false)))
+  }
+
+  test("chain: alternation argument hygiene — self-repeats and duplicates are rejected") {
+    intercept[IllegalArgumentException](
+      EventPattern.Pos("B", within100, orTypes = Seq("B")))
+    intercept[IllegalArgumentException](
+      EventPattern.Pos("B", within100, orTypes = Seq("E", "E")))
+    // and s<i>_type is reserved ONLY for alternation steps: a key
+    // column named s1_type under a PLAIN step chain keeps working
+    val df = runChain(Seq(EventPattern.Pos("B", within100)),
+      (1L, 1L, 100L, "A"), (2L, 1L, 150L, "B"))
+    assert(!df.columns.contains("s1_type"))
+    intercept[IllegalArgumentException] {
+      EventPattern.chain(
+        Seq((1L, 1L, ts(100L), "A")).toDF("event_id", "s1_type", "ts", "event_type"),
+        "s1_type", "ts", "event_id", "event_type", seedType = "A",
+        steps = Seq(EventPattern.Pos("B", within100, orTypes = Seq("E"))))
+    }
   }
 
   test("chain: input column names colliding with generated step names are rejected loudly") {
