@@ -151,6 +151,13 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * it blocks up to its timeout on the query, not the registry. */
   private val controlLock = new Object
 
+  /** True when this router deliberately stopped (and deregistered) a
+    * query since the last run() — stopHandler or close. Their stale
+    * clean-stop records would make a restarting run()'s supervisor
+    * spin on awaitAnyTermination; run() consumes the flag (under the
+    * control lock) to clear the session record before restarting. */
+  private var stoppedSinceRun = false
+
   /** Test seam: runs inside [[stopHandler]]'s critical section, between
     * `q.stop()` returning and the registry removal — the exact window
     * the control lock exists to protect. Production value is a no-op. */
@@ -163,8 +170,10 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   private[router] var closeStopSeam: StreamingQuery => Unit = _.stop()
 
   /** Pluggable logger, parity with RouterConfig.Logger
-    * (message/router.go:96-99). */
-  private[graft] var log: graft.core.LoggerAdapter =
+    * (message/router.go:96-99). Volatile: [[close]] may run on the
+    * shutdown-hook thread with no other happens-before edge to a
+    * withLogger call (the JdkHttpServerDefaults.logger rule). */
+  @volatile private[graft] var log: graft.core.LoggerAdapter =
     new graft.core.Slf4jLogger("graft.router")
   def withLogger(l: graft.core.LoggerAdapter): this.type = { log = l; this }
   private val ckptBase =
@@ -494,12 +503,18 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * terminated with an error is replaced, not silently kept as a dead
     * registry entry — the crash never committed its batch, so the
     * restart redelivers it: at-least-once, the documented contract).
-    * Replacing a crashed query also clears the session's
-    * terminated-query record (`spark.streams.resetTerminated()`, which
-    * is session-global — see the in-body note), so the supervision
-    * pattern `run(); awaitAnyTermination()` waits for the NEXT
-    * termination instead of rethrowing the stale, already-recovered
-    * crash forever. */
+    * Replacing ANY terminated query (stopped or crashed) clears the
+    * session's terminated-query record FIRST
+    * (`spark.streams.resetTerminated()` before the replacement walk —
+    * a crash landing mid-run() keeps its record or gets restarted,
+    * never silently wiped), so the supervision pattern
+    * `run(); awaitAnyTermination()` waits for the NEXT termination
+    * instead of rethrowing a stale, already-recovered crash (or
+    * hot-spinning on a stale clean-stop record) forever. The reset is
+    * SESSION-global: do not share one SparkSession across
+    * independently awaitAnyTermination-supervised routers — poll
+    * `running(name).exception` there, or give each router its own
+    * session. */
   def run(): this.type = controlLock.synchronized {
     // each plugin runs exactly once per router — including plugins
     // added AFTER a previous run() (they run on the next one) and
@@ -510,13 +525,37 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       pluginsRan += 1
       p(this)
     }
-    var replacedCrashed = false
+    // A query this run() is about to REPLACE leaves a stale record in
+    // spark.streams' terminated-query list: a supervisor's
+    // awaitAnyTermination() would rethrow an already-recovered crash
+    // forever, and a cleanly-stopped-then-restarted handler's record
+    // would make every await return immediately (a hot supervision
+    // loop). Clear the record BEFORE the replacement walk — ordering
+    // matters: a query that crashes AFTER this reset either (a) is
+    // seen inactive by the walk below and gets replaced/restarted, or
+    // (b) terminates after its walk check and KEEPS its record for the
+    // supervisor. Resetting after the walk instead would silently wipe
+    // exactly those mid-run() crashes (they'd be dead, recordless, and
+    // never restarted).
+    // resetTerminated is SESSION-global: another Router sharing this
+    // SparkSession loses its terminated-query records too, and ITS
+    // supervisor never agreed to this run()'s "wait for the NEXT
+    // termination" contract. Sharing one session across independently
+    // supervised routers therefore requires polling
+    // running(name).exception instead of awaitAnyTermination — or one
+    // session per router (the scaladoc states both).
+    // Two stale-record sources: entries still registered but dead
+    // (crashes — the walk below replaces them), and queries this
+    // router ALREADY deregistered via stopHandler/close (their stop
+    // records are equally stale once run() restarts the handler —
+    // tracked by the flag, since the registry no longer knows them).
+    if (stoppedSinceRun || queries.values.exists(!_.isActive)) {
+      spark.streams.resetTerminated()
+      stoppedSinceRun = false
+    }
     handlers.values.foreach { h =>
       queries.get(h.name).foreach { q =>
-        if (!q.isActive) {
-          if (q.exception.isDefined) replacedCrashed = true
-          queries.remove(h.name); ()
-        }
+        if (!q.isActive) { queries.remove(h.name); () }
       }
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
@@ -557,16 +596,6 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         writer.start()
       })
     }
-    // A replaced CRASH stays in spark.streams' terminated-query record,
-    // so a supervisor's awaitAnyTermination() would rethrow the STALE
-    // crash right after every restart — the documented
-    // run-then-await supervision pattern would never observe the
-    // recovered state. Clear it once the replacements are started.
-    // resetTerminated is SESSION-global: other routers sharing this
-    // SparkSession lose their terminated-query records too — acceptable
-    // because a record is only consumed by awaitAnyTermination, whose
-    // contract here is "wait for the NEXT termination after this run()".
-    if (replacedCrashed) spark.streams.resetTerminated()
     this
   }
 
@@ -586,6 +615,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     controlLock.synchronized {
       queries.get(name).foreach { q =>
         q.stop()
+        stoppedSinceRun = true
         afterStopBeforeRemove()
         // remove THIS query object only (conditional remove): even with
         // the lock held, belt-and-braces against any future unlocked
@@ -628,25 +658,39 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   /** Parity with Close (message/router.go:563-609): stop every query.
     * Best-effort — every query gets a stop attempt even if an earlier
     * one fails. A NonFatal stop failure is logged loud and suppressed
-    * (the query is already terminating or the session is tearing down;
-    * close must still reach its siblings). A FATAL (OOM, …) is NOT
+    * (close must still reach its siblings). A FATAL (OOM, …) is NOT
     * swallowed: it is rethrown after the remaining queries have had
     * their stop attempt — a close() that reports success over a dying
-    * JVM is the same lie the HTTP edge's catch was narrowed for. */
+    * JVM is the same lie the HTTP edge's catch was narrowed for.
+    * Deregistration is PER-QUERY and conditional on the stop actually
+    * landing: an entry whose stop failed while the query is STILL
+    * ACTIVE (e.g. `spark.sql.streaming.stopTimeout` elapsing throws
+    * TimeoutException with the execution thread alive) stays
+    * registered, so it remains visible to [[running]] and reachable by
+    * a close() retry — clearing it would strand a live StreamingQuery
+    * outside the registry, the exact defect the control lock exists to
+    * prevent. */
   def close(): Unit = controlLock.synchronized {
     var fatal: Throwable = null
     queries.foreach { case (name, q) =>
-      try closeStopSeam(q)
+      try { closeStopSeam(q); stoppedSinceRun = true; queries.remove(name, q); () }
       catch {
         case e if scala.util.control.NonFatal(e) =>
-          log.warn(s"close: suppressed failure stopping handler '$name': $e")
+          if (q.isActive)
+            log.warn(s"close: stop of handler '$name' failed and the " +
+              s"query is STILL ACTIVE — kept registered for a retry: $e")
+          else {
+            log.warn(s"close: suppressed failure stopping handler " +
+              s"'$name' (query already terminated): $e")
+            queries.remove(name, q); ()
+          }
         case e: Throwable =>
           log.error(s"close: FATAL stopping handler '$name' — " +
             "still attempting the remaining queries, then rethrowing", e)
+          if (!q.isActive) { queries.remove(name, q); () }
           if (fatal == null) fatal = e else fatal.addSuppressed(e)
       }
     }
-    queries.clear()
     if (fatal != null) throw fatal
   }
 }

@@ -97,6 +97,13 @@ class RouterResumeSpec extends SparkSpec {
     val out = ps.subscribeBatch("h1_out").collect().map(_.getAs[String]("uuid"))
     assert(out.length == 2 && out.toSet == Set("a1", "a2"),
       s"checkpoint resume after stopHandler: no loss, no reprocessing — got ${out.toSeq}")
+    // the CLEAN stop's termination record must not outlive the
+    // restart: a stale record makes every awaitAnyTermination return
+    // immediately — a run(); awaitAnyTermination() supervisor would
+    // spin hot forever. run() clears it when it replaces ANY
+    // terminated query, not only crashed ones.
+    assert(!spark.streams.awaitAnyTermination(200L),
+      "no stale clean-stop termination record after the restarting run()")
     // awaiting a registered-but-running handler times out false; an
     // unknown name fails fast
     assert(!r.awaitHandlerStopped("sibling", timeoutMs = 200))

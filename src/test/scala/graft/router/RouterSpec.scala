@@ -247,13 +247,22 @@ class RouterSpec extends SparkSpec {
     }
     r.close() // must NOT throw
     assert(attempted.length == 2, s"both queries get a stop attempt: $attempted")
-    assert(r.running.isEmpty, "registry cleared")
-    assert(cap.has("warn", "suppressed failure stopping handler"),
-      s"the suppressed NonFatal must be logged loud, got ${cap.entries}")
-    // the first query never actually stopped (the seam threw instead) —
-    // stop the leftover so the shared session stays clean
-    spark.streams.active.filter(q => Option(q.name).exists(_.startsWith("graft-cnf_")))
-      .foreach(_.stop())
+    // the failed query is STILL ACTIVE (the seam threw instead of
+    // stopping) — it must stay registered, visible, and reachable by a
+    // retry; clearing it would strand a live StreamingQuery outside
+    // the registry
+    val kept = attempted.head.stripPrefix("graft-")
+    assert(r.running.keySet == Set(kept),
+      s"still-active failed query must stay registered: ${r.running.keySet}")
+    assert(r.running(kept).isActive)
+    assert(cap.has("warn", "STILL ACTIVE"),
+      s"the kept-registered warn must be logged, got ${cap.entries}")
+    // a close() RETRY (seam restored) reaches it
+    r.closeStopSeam = _.stop()
+    r.close()
+    assert(r.running.isEmpty, "retry close() stops and deregisters the leftover")
+    assert(!spark.streams.active.exists(q =>
+      Option(q.name).exists(_.startsWith("graft-cnf_"))), "nothing stranded")
     spark.streams.resetTerminated()
   }
 
@@ -276,11 +285,17 @@ class RouterSpec extends SparkSpec {
       "the fatal must propagate, not be swallowed as success")
     assert(attempted.length == 2,
       s"the sibling still got its stop attempt before the rethrow: $attempted")
-    assert(r.running.isEmpty, "registry cleared even on the fatal path")
+    // the fatal-path query is still active too: kept registered (the
+    // cleanly-stopped sibling is deregistered)
+    val kept = attempted.head.stripPrefix("graft-")
+    assert(r.running.keySet == Set(kept),
+      s"only the still-active fatal query stays registered: ${r.running.keySet}")
     assert(cap.has("error", "FATAL stopping handler"),
       s"the fatal is logged before rethrow, got ${cap.entries}")
-    spark.streams.active.filter(q => Option(q.name).exists(_.startsWith("graft-cf_")))
-      .foreach(_.stop())
+    r.closeStopSeam = _.stop()
+    r.close()
+    assert(r.running.isEmpty && !spark.streams.active.exists(q =>
+      Option(q.name).exists(_.startsWith("graft-cf_"))), "retry reaches it")
     spark.streams.resetTerminated()
   }
 }
