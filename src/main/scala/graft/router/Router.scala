@@ -682,12 +682,15 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           else {
             log.warn(s"close: suppressed failure stopping handler " +
               s"'$name' (query already terminated): $e")
+            // removed ⇒ a later run() restarts it fresh; its
+            // termination record is stale then, like the success path's
+            stoppedSinceRun = true
             queries.remove(name, q); ()
           }
         case e: Throwable =>
           log.error(s"close: FATAL stopping handler '$name' — " +
             "still attempting the remaining queries, then rethrowing", e)
-          if (!q.isActive) { queries.remove(name, q); () }
+          if (!q.isActive) { stoppedSinceRun = true; queries.remove(name, q); () }
           if (fatal == null) fatal = e else fatal.addSuppressed(e)
       }
     }
