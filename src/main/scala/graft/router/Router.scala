@@ -147,21 +147,39 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * fails with Spark's same-checkpoint-already-active error. One lock
     * over all three control-plane mutators (the reference serializes its
     * lifecycle the same way — message/router.go:563-609's close-once
-    * discipline). [[awaitHandlerStopped]] deliberately does NOT take it:
-    * it blocks up to its timeout on the query, not the registry. */
+    * discipline), AND over the registration surface (addHandler /
+    * addConsumerHandler / addMiddleware / addPlugin / addStage and
+    * their readers) — those collections are plain LinkedHashMap /
+    * ArrayBuffer, and run() iterates them inside its critical section;
+    * an unlocked registration racing that walk is a
+    * ConcurrentModificationException or a silently skipped handler.
+    * Registration inside a running plugin stays legal: Java monitors
+    * are reentrant. [[awaitHandlerStopped]] takes it only for the
+    * lookup — the await itself blocks up to its timeout on the query,
+    * not the registry. */
   private val controlLock = new Object
 
-  /** True when this router deliberately stopped (and deregistered) a
-    * query since the last run() — stopHandler or close. Their stale
-    * clean-stop records would make a restarting run()'s supervisor
-    * spin on awaitAnyTermination; run() consumes the flag (under the
-    * control lock) to clear the session record before restarting. */
+  /** True when this router deregistered a query since the last run()'s
+    * reset — stopHandler, close, or run()'s own replacement walk (a
+    * crash landing between run()'s reset and its walk writes a record
+    * the reset never saw). A deregistered query's stale termination
+    * record would make a supervisor's awaitAnyTermination rethrow an
+    * already-recovered crash (or spin on a clean-stop record); run()
+    * consumes the flag (under the control lock) to clear the session
+    * record before restarting, bounding the rethrow to at most once
+    * per actual termination. */
   private var stoppedSinceRun = false
 
   /** Test seam: runs inside [[stopHandler]]'s critical section, between
     * `q.stop()` returning and the registry removal — the exact window
     * the control lock exists to protect. Production value is a no-op. */
   private[router] var afterStopBeforeRemove: () => Unit = () => ()
+
+  /** Test seam: runs inside [[run]]'s critical section, between the
+    * terminated-record reset and the replacement walk — the window
+    * where a fresh crash writes a record the reset can no longer see.
+    * Production value is a no-op. */
+  private[router] var afterResetBeforeWalk: () => Unit = () => ()
 
   /** Test seam for [[close]]: how one query is stopped. Production value
     * is `StreamingQuery.stop()`; specs substitute a thrower to drive the
@@ -197,15 +215,23 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   }
 
   /** Router-level middleware; first added = outermost
-    * (message/router.go:184,651-659). */
-  def addMiddleware(mw: Middleware*): this.type = { routerMiddlewares ++= mw; this }
+    * (message/router.go:184,651-659). Registration takes the control
+    * lock: run()/stopHandler/close iterate these collections under it,
+    * and the reference documents registration as concurrent-safe with
+    * Run (message/router.go:272 "may be called while the router is
+    * running") — an unlocked `++=` racing run()'s walk would be a
+    * ConcurrentModificationException or a silently skipped handler. */
+  def addMiddleware(mw: Middleware*): this.type =
+    controlLock.synchronized { routerMiddlewares ++= mw; this }
 
   /** Startup hooks, parity with RouterPlugin (message/router.go:61-62,
     * :395-400 — plugins run when Run starts). */
-  def addPlugin(p: (Router => Unit)*): this.type = { plugins ++= p; this }
+  def addPlugin(p: (Router => Unit)*): this.type =
+    controlLock.synchronized { plugins ++= p; this }
 
   /** Router-level dataset stages applied before every handler. */
-  def addStage(st: Stages.Stage*): this.type = { routerStages ++= st; this }
+  def addStage(st: Stages.Stage*): this.type =
+    controlLock.synchronized { routerStages ++= st; this }
 
   /** Parity with AddHandler (message/router.go:272-330): consume
     * `subscribeTopic`, run `handler` through the middleware onion,
@@ -214,19 +240,20 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       publishTopic: String, publisher: Publisher, handler: Handler,
       middlewares: Seq[Middleware] = Nil, stages: Seq[Stages.Stage] = Nil,
       options: HandlerOptions = HandlerOptions(),
-      breaker: Option[CircuitBreaker] = None): this.type = {
-    require(!handlers.contains(name), s"handler $name already added (router.go:278)")
-    handlers(name) = HandlerDef(name, subscribeTopic, subscriber,
-      Some(publishTopic), Some(publisher), handler, middlewares.toSeq,
-      stages.toSeq, options, breaker)
-    this
-  }
+      breaker: Option[CircuitBreaker] = None): this.type =
+    controlLock.synchronized {
+      require(!handlers.contains(name), s"handler $name already added (router.go:278)")
+      handlers(name) = HandlerDef(name, subscribeTopic, subscriber,
+        Some(publishTopic), Some(publisher), handler, middlewares.toSeq,
+        stages.toSeq, options, breaker)
+      this
+    }
 
   /** Parity with AddConsumerHandler / NoPublishHandlerFunc
     * (message/router.go:34-35,342): terminal consumer, no publish. */
   def addConsumerHandler(name: String, subscribeTopic: String,
       subscriber: Subscriber, consume: Message => Unit,
-      middlewares: Seq[Middleware] = Nil): this.type = {
+      middlewares: Seq[Middleware] = Nil): this.type = controlLock.synchronized {
     require(!handlers.contains(name), s"handler $name already added")
     // the consumed message passes through to the sink as an ack
     // carrier — consumerSink publishes ONLY TopicOverride rows, so
@@ -239,11 +266,13 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     this
   }
 
-  def handlerNames: Seq[String] = handlers.keys.toSeq
+  def handlerNames: Seq[String] =
+    controlLock.synchronized { handlers.keys.toSeq }
 
   /** The streaming Dataset for one handler, pre-sink — exposed so tests
     * and `.explain` audits can inspect the plan the router builds. */
-  def plan(name: String): Dataset[Message] = buildPlan(handlers(name))
+  def plan(name: String): Dataset[Message] =
+    controlLock.synchronized { buildPlan(handlers(name)) }
 
   private def buildPlan(h: HandlerDef): Dataset[Message] = {
     import spark.implicits._
@@ -532,11 +561,15 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // would make every await return immediately (a hot supervision
     // loop). Clear the record BEFORE the replacement walk — ordering
     // matters: a query that crashes AFTER this reset either (a) is
-    // seen inactive by the walk below and gets replaced/restarted, or
-    // (b) terminates after its walk check and KEEPS its record for the
-    // supervisor. Resetting after the walk instead would silently wipe
-    // exactly those mid-run() crashes (they'd be dead, recordless, and
-    // never restarted).
+    // seen inactive by the walk below and gets replaced/restarted —
+    // and the removal marks stoppedSinceRun, because its record was
+    // written AFTER this reset and only the NEXT run()'s reset can
+    // clear it (without the mark, no later run() would: the supervisor
+    // rethrows the already-recovered crash at most ONCE, never
+    // forever) — or (b) terminates after its walk check and KEEPS its
+    // record for the supervisor. Resetting after the walk instead
+    // would silently wipe exactly those mid-run() crashes (they'd be
+    // dead, recordless, and never restarted).
     // resetTerminated is SESSION-global: another Router sharing this
     // SparkSession loses its terminated-query records too, and ITS
     // supervisor never agreed to this run()'s "wait for the NEXT
@@ -553,9 +586,10 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       spark.streams.resetTerminated()
       stoppedSinceRun = false
     }
+    afterResetBeforeWalk()
     handlers.values.foreach { h =>
       queries.get(h.name).foreach { q =>
-        if (!q.isActive) { queries.remove(h.name); () }
+        if (!q.isActive) { stoppedSinceRun = true; queries.remove(h.name); () }
       }
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
@@ -611,8 +645,8 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * Unknown names fail fast; a handler that is registered but not
     * currently running is a no-op. */
   def stopHandler(name: String): Unit = {
-    require(handlers.contains(name), s"unknown handler $name")
     controlLock.synchronized {
+      require(handlers.contains(name), s"unknown handler $name")
       queries.get(name).foreach { q =>
         q.stop()
         stoppedSinceRun = true
@@ -637,8 +671,13 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * [[stopHandler]]: it awaits the underlying query's termination,
     * not the registry entry. */
   def awaitHandlerStopped(name: String, timeoutMs: Long = 30000): Boolean = {
-    require(handlers.contains(name), s"unknown handler $name")
-    queries.get(name) match {
+    // lookup under the lock (handlers is mutated under it); the await
+    // itself stays OUTSIDE — it blocks up to timeoutMs on the query,
+    // and holding the registry lock that long would wedge the plane
+    controlLock.synchronized {
+      require(handlers.contains(name), s"unknown handler $name")
+      queries.get(name)
+    } match {
       case None => true
       case Some(q) =>
         try q.awaitTermination(timeoutMs)
@@ -673,7 +712,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   def close(): Unit = controlLock.synchronized {
     var fatal: Throwable = null
     queries.foreach { case (name, q) =>
-      try { closeStopSeam(q); stoppedSinceRun = true; queries.remove(name, q); () }
+      // single-site deregistration: removal ⇒ a later run() restarts
+      // the handler fresh, so its termination record is stale then —
+      // every removal path must mark the flag (the failure-path copies
+      // once missed it)
+      def deregister(): Unit = { stoppedSinceRun = true; queries.remove(name, q); () }
+      try { closeStopSeam(q); deregister() }
       catch {
         case e if scala.util.control.NonFatal(e) =>
           if (q.isActive)
@@ -682,15 +726,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           else {
             log.warn(s"close: suppressed failure stopping handler " +
               s"'$name' (query already terminated): $e")
-            // removed ⇒ a later run() restarts it fresh; its
-            // termination record is stale then, like the success path's
-            stoppedSinceRun = true
-            queries.remove(name, q); ()
+            deregister()
           }
         case e: Throwable =>
           log.error(s"close: FATAL stopping handler '$name' — " +
             "still attempting the remaining queries, then rethrowing", e)
-          if (!q.isActive) { stoppedSinceRun = true; queries.remove(name, q); () }
+          if (!q.isActive) deregister()
           if (fatal == null) fatal = e else fatal.addSuppressed(e)
       }
     }

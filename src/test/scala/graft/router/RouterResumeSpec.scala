@@ -21,6 +21,13 @@ object CrashToggle {
   val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
 }
 
+/** Separate toggles for the mid-run() crash-race row (static for the
+  * same closure-serialization reason). */
+object RaceToggle {
+  val early = new java.util.concurrent.atomic.AtomicBoolean(true)
+  val late = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class RouterResumeSpec extends SparkSpec {
 
   private def msg(u: String, p: String) =
@@ -170,6 +177,88 @@ class RouterResumeSpec extends SparkSpec {
       // the shared test session must not remember the deliberate
       // crash: a later test calling spark.streams.awaitAnyTermination()
       // would otherwise rethrow it
+      spark.streams.resetTerminated()
+    }
+  }
+
+  test("a crash landing between run()'s reset and its walk is restarted AND its record cleared by the NEXT run() — the supervisor rethrows at most once, never forever") {
+    // The one stale-record path the reset ordering alone can't cover:
+    // run() resets the session's terminated-query record, then a query
+    // crashes BEFORE the replacement walk reaches it. The walk replaces
+    // it (restarted, good) but its record was written AFTER the reset —
+    // if the walk's removal didn't mark stoppedSinceRun, no later run()
+    // would ever clear that record and a run(); awaitAnyTermination()
+    // supervisor would rethrow the already-recovered crash forever (a
+    // hot loop: run() sees all-active + flag false, does nothing).
+    // Contract pinned here: the stale record survives the replacing
+    // run() (at most ONE extra supervisor spin), and the NEXT run()
+    // clears it. Driven deterministically via the afterResetBeforeWalk
+    // seam, which runs inside run()'s critical section at exactly the
+    // post-reset instant.
+    val root = Files.createTempDirectory("graft-racecrash-").toString
+    val ckpt = Files.createTempDirectory("graft-racecrash-ck-").toString
+    val ps = new FilePubSub(spark, root)
+    Seq("e_in", "e_out", "l_in", "l_out").foreach(ps.subscribeInitialize)
+    ps.publish("e_in", Seq(msg("me1", "a")))
+    ps.publish("l_in", Seq(msg("ml1", "b")))
+
+    val r = new Router(spark, checkpointRoot = Some(ckpt))
+    try {
+      RaceToggle.early.set(true)
+      RaceToggle.late.set(false)
+      r.addHandler("early", "e_in", ps, "e_out", ps, (m: Message) => {
+        if (RaceToggle.early.get()) throw new RuntimeException("synthetic early crash")
+        Seq(m)
+      })
+      r.addHandler("late", "l_in", ps, "l_out", ps, (m: Message) => {
+        if (RaceToggle.late.get()) throw new RuntimeException("synthetic late crash")
+        Seq(m)
+      })
+      r.run()
+      // crash #1: "early" dies; "late" consumes ml1 and stays up
+      assert(r.awaitHandlerStopped("early", timeoutMs = 60000))
+      r.running("late").processAllAvailable()
+      RaceToggle.early.set(false)
+
+      // the recovering run(): inside the seam (reset already done,
+      // walk not yet started) crash "late" — its record lands in the
+      // window the reset can no longer see
+      val lateQ = r.running("late")
+      r.afterResetBeforeWalk = () => {
+        RaceToggle.late.set(true)
+        ps.publish("l_in", Seq(msg("ml2", "c")))
+        try lateQ.awaitTermination(60000)
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        }
+        assert(!lateQ.isActive, "the mid-run() crash must have landed")
+        RaceToggle.late.set(false) // recover so the walk's restart holds
+      }
+      r.run()
+      r.afterResetBeforeWalk = () => ()
+
+      // both were replaced and are live
+      assert(r.running("early").isActive && r.running("late").isActive)
+      // the stale record survives THIS run (written after its reset):
+      // the supervisor rethrows the recovered crash exactly once...
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        spark.streams.awaitAnyTermination(300L)
+      }
+      // ...and its reacting run() (all queries active — the ONLY
+      // signal is the flag the walk's removal set) clears it
+      r.run()
+      assert(!spark.streams.awaitAnyTermination(300L),
+        "the run() after a mid-run()-crash replacement must clear the stale record")
+
+      // the crashes never committed their batches: both redeliver
+      r.processAllAvailable()
+      val eOut = ps.subscribeBatch("e_out").collect().map(_.getAs[String]("uuid"))
+      val lOut = ps.subscribeBatch("l_out").collect().map(_.getAs[String]("uuid"))
+      assert(eOut.toSeq == Seq("me1"), s"early redelivers: ${eOut.toSeq}")
+      assert(lOut.toSet == Set("ml1", "ml2"), s"late redelivers: ${lOut.toSeq}")
+    } finally {
+      r.afterResetBeforeWalk = () => ()
+      r.close()
       spark.streams.resetTerminated()
     }
   }
