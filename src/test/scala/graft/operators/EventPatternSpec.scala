@@ -353,4 +353,146 @@ class EventPatternSpec extends SparkSpec {
       .collect()
     assert(out.length == 2 && out.forall(_.getAs[Boolean]("matched")))
   }
+
+  // ---- randomized differential oracle ----
+
+  /** Brute-force O(seeds × steps × events) reference implementation of
+    * the chain semantics, written independently of the engine's
+    * asof-pass construction: per seed, each step searches the key's
+    * full event list from the current anchor under the documented
+    * rules (inclusive window start/end, max-id instant ties with
+    * arg-max type, (ts, id)-total-order quantifier counting from the
+    * bound instant's FIRST raw event, Neg `[anchor, nextAnchor)` with
+    * inclusive cap, trailing Neg `[anchor, anchor + w]`). The engine
+    * must agree on every step binding, bound type, and verdict for
+    * every seed across randomized event streams and step mixes —
+    * same-instant ties, dead chains, and guard caps all land by
+    * generation. */
+  private final case class Ev(id: Long, key: Long, t: Long, tpe: String)
+
+  private def bruteChain(events: Seq[Ev], steps: Seq[EventPattern.Step],
+      withinSecs: Map[Int, Long], negCapSecs: Map[Int, Long])
+      : Map[Long, (Seq[Option[(Long, Long, String)]], Boolean)] = {
+    val byKey = events.groupBy(_.key)
+    events.filter(_.tpe == "A").map { seed =>
+      val evts = byKey(seed.key)
+      var anchor: Option[Long] = Some(seed.t)
+      // (guard-instant, anchor at the Neg, cap) pending the next Pos
+      var pending = List.empty[(Option[Long], Long, Option[Long])]
+      val fired = Seq.newBuilder[Boolean]
+      val bounds = Seq.newBuilder[Option[(Long, Long, String)]]
+      steps.zipWithIndex.foreach {
+        case (EventPattern.Pos(tpe, _, n, alts), i0) =>
+          val w = withinSecs(i0)
+          val pool = anchor.toSeq.flatMap { at =>
+            evts.filter(e => (e.tpe == tpe || alts.contains(e.tpe)) &&
+              e.t >= at).sortBy(e => (e.t, e.id))
+          }
+          val bound: Option[(Long, Long, String)] = anchor.flatMap { at =>
+            pool.headOption.map(_.t).filter(_ <= at + w).flatMap { t0 =>
+              if (n == 1) {
+                val e = pool.filter(_.t == t0).maxBy(_.id)
+                Some((e.id, e.t, e.tpe))
+              } else {
+                val nth = pool.indexWhere(_.t == t0) + (n - 1)
+                if (nth < pool.length && pool(nth).t <= at + w)
+                  Some((pool(nth).id, pool(nth).t, pool(nth).tpe))
+                else None
+              }
+            }
+          }
+          pending.foreach { case (gOpt, anch, cap) =>
+            fired += ((gOpt, bound) match {
+              case (Some(g), Some((_, bt, _))) =>
+                g < bt && cap.forall(c => g <= anch + c)
+              case _ => false
+            })
+          }
+          pending = Nil
+          bounds += bound
+          anchor = bound.map(_._2)
+        case (EventPattern.Neg(tpe, capOpt), i0) =>
+          val g = anchor.flatMap(at =>
+            evts.filter(e => e.tpe == tpe && e.t >= at)
+              .map(_.t).minOption)
+          pending ::= ((g, anchor.getOrElse(0L),
+            capOpt.map(_ => negCapSecs(i0))))
+      }
+      pending.foreach { case (gOpt, anch, cap) => // trailing
+        fired += gOpt.exists(_ <= anch + cap.get)
+      }
+      val bs = bounds.result()
+      seed.id -> ((bs,
+        bs.forall(_.isDefined) && !fired.result().contains(true)))
+    }.toMap
+  }
+
+  test("chain: differential oracle — engine agrees with the brute-force reference on randomized streams and step mixes") {
+    val types = Seq("B", "C", "D", "E")
+    (1 to 10).foreach { caseSeed =>
+      val rnd = new scala.util.Random(caseSeed * 7919L)
+      val events = (1 to 28).map { id =>
+        val tpe = if (rnd.nextInt(4) == 0) "A" else types(rnd.nextInt(4))
+        Ev(id.toLong, 1L + rnd.nextInt(3), rnd.nextInt(60).toLong, tpe)
+      } :+ Ev(100L, 1L, 5L, "A") // at least one seed
+      val nSteps = 1 + rnd.nextInt(3)
+      val raw = (0 until nSteps).map { _ =>
+        if (rnd.nextInt(10) < 7) {
+          val t = types(rnd.nextInt(4))
+          val alts = if (rnd.nextInt(10) < 3)
+            Seq(types.filterNot(_ == t)(rnd.nextInt(3))) else Nil
+          val n = if (rnd.nextInt(10) < 4) 2 + rnd.nextInt(2) else 1
+          Left((t, 5L + rnd.nextInt(25), n, alts))
+        } else Right((types(rnd.nextInt(4)),
+          if (rnd.nextInt(2) == 0) Some(5L + rnd.nextInt(20)) else None))
+      }
+      // a Neg with no later Pos is trailing and MUST carry a cap
+      val lastPos = raw.lastIndexWhere(_.isLeft)
+      val withinSecs = raw.zipWithIndex.collect {
+        case (Left((_, w, _, _)), i) => i -> w }.toMap
+      val negCapSecs = raw.zipWithIndex.collect {
+        case (Right((_, c)), i) =>
+          i -> c.getOrElse(5L + (i + 3).toLong) }.toMap
+      val steps = raw.zipWithIndex.map {
+        case (Left((t, w, n, alts)), _) =>
+          EventPattern.Pos(t, expr(s"INTERVAL $w SECONDS"),
+            atLeast = n, orTypes = alts)
+        case (Right((t, cap)), i) =>
+          val capped = if (i > lastPos) Some(negCapSecs(i)) else cap
+          EventPattern.Neg(t,
+            capped.map(c => expr(s"INTERVAL $c SECONDS")))
+      }
+      val expected = bruteChain(events, steps, withinSecs, negCapSecs)
+
+      val got = EventPattern.chain(
+        events.map(e => (e.id, e.key, ts(e.t), e.tpe))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", "event_type", "A", steps)
+        .collect().map { r =>
+          val perStep = steps.zipWithIndex.collect {
+            case (p: EventPattern.Pos, i0) =>
+              val i = i0 + 1
+              if (r.isNullAt(r.fieldIndex(s"s${i}_id"))) None
+              else Some((r.getAs[Long](s"s${i}_id"),
+                r.getAs[Timestamp](s"s${i}_ts").getTime / 1000L,
+                if (p.orTypes.isEmpty) p.eventType
+                else r.getAs[String](s"s${i}_type")))
+          }
+          r.getAs[Long]("a_id") -> ((perStep, r.getAs[Boolean]("matched")))
+        }.toMap
+
+      // the reference records every Pos bound even past a dead step's
+      // None — the engine masks them identically, so compare directly
+      assert(got.keySet == expected.keySet,
+        s"case $caseSeed: seed sets differ (steps=$steps)")
+      expected.foreach { case (aId, (expBounds, expMatched)) =>
+        val (gotBounds, gotMatched) = got(aId)
+        assert(gotBounds == expBounds && gotMatched == expMatched,
+          s"case $caseSeed seed $aId (steps=$steps):\n" +
+            s"  engine: $gotBounds matched=$gotMatched\n" +
+            s"  oracle: $expBounds matched=$expMatched\n" +
+            s"  events: ${events.filter(_.key == events.find(e => e.id == aId).get.key).sortBy(e => (e.t, e.id))}")
+      }
+    }
+  }
 }
