@@ -147,17 +147,27 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * fails with Spark's same-checkpoint-already-active error. One lock
     * over all three control-plane mutators (the reference serializes its
     * lifecycle the same way — message/router.go:563-609's close-once
-    * discipline), AND over the registration surface (addHandler /
-    * addConsumerHandler / addMiddleware / addPlugin / addStage and
-    * their readers) — those collections are plain LinkedHashMap /
-    * ArrayBuffer, and run() iterates them inside its critical section;
-    * an unlocked registration racing that walk is a
-    * ConcurrentModificationException or a silently skipped handler.
-    * Registration inside a running plugin stays legal: Java monitors
-    * are reentrant. [[awaitHandlerStopped]] takes it only for the
-    * lookup — the await itself blocks up to its timeout on the query,
-    * not the registry. */
+    * discipline). Held across q.stop()/writer.start() — potentially
+    * SECONDS — which is why the registration surface gets its own
+    * short-held [[regLock]] instead: an awaitHandlerStopped lookup or
+    * an addHandler must not block behind a wedged stop. Lock order is
+    * controlLock → regLock, never the reverse (registration never
+    * touches the control plane), so the pair cannot deadlock. */
   private val controlLock = new Object
+
+  /** Registration lock: guards the plain LinkedHashMap/ArrayBuffer
+    * collections (`handlers`, `plugins`, `routerMiddlewares`,
+    * `routerStages`) against torn reads — run() snapshots them under
+    * it inside its critical section, so an unlocked registration can
+    * never be a ConcurrentModificationException out of the walk or a
+    * silently skipped handler. Critical sections are map/buffer ops
+    * only (microseconds): [[awaitHandlerStopped]]'s lookup and the
+    * add* methods stay effectively non-blocking even while the
+    * control plane is mid-stop. A handler registered while run() is
+    * walking its snapshot starts on the NEXT run() — same contract as
+    * registering right after run() returns. Registration inside a
+    * running plugin stays legal (monitor reentrancy). */
+  private val regLock = new Object
 
   /** True when this router deregistered a query since the last run()'s
     * reset — stopHandler, close, or run()'s own replacement walk (a
@@ -169,6 +179,20 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * record before restarting, bounding the rethrow to at most once
     * per actual termination. */
   private var stoppedSinceRun = false
+
+  /** The ONE deregistration site (callers hold [[controlLock]]):
+    * removes exactly the given query object (conditional remove —
+    * belt-and-braces against any future unlocked path swapping the
+    * entry; a restarted query must never be silently deregistered by
+    * a stale stop) and, unless the caller knows the record was
+    * already cleared (`markStale = false`, run()'s dead-at-reset
+    * case), marks the session's termination record stale for the
+    * next run()'s reset. */
+  private def deregister(name: String, q: StreamingQuery,
+      markStale: Boolean = true): Unit = {
+    if (markStale) stoppedSinceRun = true
+    queries.remove(name, q); ()
+  }
 
   /** Test seam: runs inside [[stopHandler]]'s critical section, between
     * `q.stop()` returning and the registry removal — the exact window
@@ -215,23 +239,25 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   }
 
   /** Router-level middleware; first added = outermost
-    * (message/router.go:184,651-659). Registration takes the control
-    * lock: run()/stopHandler/close iterate these collections under it,
-    * and the reference documents registration as concurrent-safe with
-    * Run (message/router.go:272 "may be called while the router is
-    * running") — an unlocked `++=` racing run()'s walk would be a
-    * ConcurrentModificationException or a silently skipped handler. */
+    * (message/router.go:184,651-659). Registration takes the SHORT
+    * [[regLock]] (run() snapshots these collections under it): the
+    * reference documents registration as concurrent-safe with Run
+    * (message/router.go:272 "may be called while the router is
+    * running"), and an unlocked `++=` racing run()'s walk would be a
+    * ConcurrentModificationException or a silently skipped handler —
+    * while taking the CONTROL lock here would block a trivial add
+    * behind a wedged q.stop(). */
   def addMiddleware(mw: Middleware*): this.type =
-    controlLock.synchronized { routerMiddlewares ++= mw; this }
+    regLock.synchronized { routerMiddlewares ++= mw; this }
 
   /** Startup hooks, parity with RouterPlugin (message/router.go:61-62,
     * :395-400 — plugins run when Run starts). */
   def addPlugin(p: (Router => Unit)*): this.type =
-    controlLock.synchronized { plugins ++= p; this }
+    regLock.synchronized { plugins ++= p; this }
 
   /** Router-level dataset stages applied before every handler. */
   def addStage(st: Stages.Stage*): this.type =
-    controlLock.synchronized { routerStages ++= st; this }
+    regLock.synchronized { routerStages ++= st; this }
 
   /** Parity with AddHandler (message/router.go:272-330): consume
     * `subscribeTopic`, run `handler` through the middleware onion,
@@ -241,7 +267,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       middlewares: Seq[Middleware] = Nil, stages: Seq[Stages.Stage] = Nil,
       options: HandlerOptions = HandlerOptions(),
       breaker: Option[CircuitBreaker] = None): this.type =
-    controlLock.synchronized {
+    regLock.synchronized {
       require(!handlers.contains(name), s"handler $name already added (router.go:278)")
       handlers(name) = HandlerDef(name, subscribeTopic, subscriber,
         Some(publishTopic), Some(publisher), handler, middlewares.toSeq,
@@ -253,7 +279,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * (message/router.go:34-35,342): terminal consumer, no publish. */
   def addConsumerHandler(name: String, subscribeTopic: String,
       subscriber: Subscriber, consume: Message => Unit,
-      middlewares: Seq[Middleware] = Nil): this.type = controlLock.synchronized {
+      middlewares: Seq[Middleware] = Nil): this.type = regLock.synchronized {
     require(!handlers.contains(name), s"handler $name already added")
     // the consumed message passes through to the sink as an ack
     // carrier — consumerSink publishes ONLY TopicOverride rows, so
@@ -267,12 +293,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   }
 
   def handlerNames: Seq[String] =
-    controlLock.synchronized { handlers.keys.toSeq }
+    regLock.synchronized { handlers.keys.toSeq }
 
   /** The streaming Dataset for one handler, pre-sink — exposed so tests
     * and `.explain` audits can inspect the plan the router builds. */
   def plan(name: String): Dataset[Message] =
-    controlLock.synchronized { buildPlan(handlers(name)) }
+    buildPlan(regLock.synchronized(handlers(name)))
 
   private def buildPlan(h: HandlerDef): Dataset[Message] = {
     import spark.implicits._
@@ -311,13 +337,19 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         Ctx.stripInternal(col("metadata"), keepKeys: _*),
         typedLit(Map.empty[String, String])))
       .as[Message]
-    val staged = (routerStages ++ h.stages).foldLeft(src)((d, st) => st(d))
+    // snapshot the router-level buffers under the registration lock
+    // (mutated by add* under it; run() calls buildPlan outside it)
+    val (stagesSnap, mwSnap) = regLock.synchronized {
+      ((routerStages ++ h.stages).toList,
+        routerMiddlewares.toList ++ h.middlewares)
+    }
+    val staged = stagesSnap.foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.
     // Locals only in the closure — the Router itself must not serialize.
     val hName = h.name
     val subTopic = h.subscribeTopic
     val pubTopic = h.publishTopic.getOrElse("")
-    val composed = Middlewares.chain(routerMiddlewares.toSeq ++ h.middlewares)(h.handler)
+    val composed = Middlewares.chain(mwSnap)(h.handler)
     staged.flatMap { m =>
       val outs = composed(m
         .withMeta(Ctx.HandlerName, hName)
@@ -548,11 +580,22 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // each plugin runs exactly once per router — including plugins
     // added AFTER a previous run() (they run on the next one) and
     // plugins added BY a running plugin (indexed walk, not a snapshot:
-    // a dropped-collection iteration would mark them ran unexecuted)
-    while (pluginsRan < plugins.length) {
-      val p = plugins(pluginsRan)
-      pluginsRan += 1
-      p(this)
+    // a dropped-collection iteration would mark them ran unexecuted).
+    // The buffer access is under regLock per step — the plugin itself
+    // runs OUTSIDE it (a plugin calling addPlugin re-enters regLock
+    // reentrantly either way, but holding it across arbitrary plugin
+    // code would serialize registration behind it for no reason)
+    var morePlugins = true
+    while (morePlugins) {
+      val next = regLock.synchronized {
+        if (pluginsRan < plugins.length) {
+          val p = plugins(pluginsRan); pluginsRan += 1; Some(p)
+        } else None
+      }
+      next match {
+        case Some(p) => p(this)
+        case None => morePlugins = false
+      }
     }
     // A query this run() is about to REPLACE leaves a stale record in
     // spark.streams' terminated-query list: a supervisor's
@@ -562,14 +605,19 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // loop). Clear the record BEFORE the replacement walk — ordering
     // matters: a query that crashes AFTER this reset either (a) is
     // seen inactive by the walk below and gets replaced/restarted —
-    // and the removal marks stoppedSinceRun, because its record was
-    // written AFTER this reset and only the NEXT run()'s reset can
-    // clear it (without the mark, no later run() would: the supervisor
+    // and because it was NOT in the dead-at-reset snapshot, its
+    // removal marks stoppedSinceRun: its record was written AFTER
+    // this reset and only the NEXT run()'s reset can clear it
+    // (without the mark, no later run() would: the supervisor
     // rethrows the already-recovered crash at most ONCE, never
     // forever) — or (b) terminates after its walk check and KEEPS its
     // record for the supervisor. Resetting after the walk instead
     // would silently wipe exactly those mid-run() crashes (they'd be
-    // dead, recordless, and never restarted).
+    // dead, recordless, and never restarted). A query already dead AT
+    // the reset does NOT re-mark the flag — this reset just cleared
+    // its record, and an over-set flag would make the next run()
+    // spuriously wipe the session record (which on a shared session
+    // could swallow an UNRELATED query's crash).
     // resetTerminated is SESSION-global: another Router sharing this
     // SparkSession loses its terminated-query records too, and ITS
     // supervisor never agreed to this run()'s "wait for the NEXT
@@ -582,14 +630,17 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // router ALREADY deregistered via stopHandler/close (their stop
     // records are equally stale once run() restarts the handler —
     // tracked by the flag, since the registry no longer knows them).
-    if (stoppedSinceRun || queries.values.exists(!_.isActive)) {
+    val deadAtReset = queries.iterator
+      .collect { case (n, q) if !q.isActive => n }.toSet
+    if (stoppedSinceRun || deadAtReset.nonEmpty) {
       spark.streams.resetTerminated()
       stoppedSinceRun = false
     }
     afterResetBeforeWalk()
-    handlers.values.foreach { h =>
+    regLock.synchronized(handlers.values.toList).foreach { h =>
       queries.get(h.name).foreach { q =>
-        if (!q.isActive) { stoppedSinceRun = true; queries.remove(h.name); () }
+        if (!q.isActive)
+          deregister(h.name, q, markStale = !deadAtReset.contains(h.name))
       }
       queries.getOrElseUpdate(h.name, {
         // observe() rides the normal pass (no extra job) and surfaces
@@ -645,17 +696,14 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * Unknown names fail fast; a handler that is registered but not
     * currently running is a no-op. */
   def stopHandler(name: String): Unit = {
-    controlLock.synchronized {
+    regLock.synchronized {
       require(handlers.contains(name), s"unknown handler $name")
+    }
+    controlLock.synchronized {
       queries.get(name).foreach { q =>
         q.stop()
-        stoppedSinceRun = true
         afterStopBeforeRemove()
-        // remove THIS query object only (conditional remove): even with
-        // the lock held, belt-and-braces against any future unlocked
-        // path swapping the entry — a restarted query must never be
-        // silently deregistered by a stale stop
-        queries.remove(name, q); ()
+        deregister(name, q)
       }
     }
   }
@@ -671,13 +719,15 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     * [[stopHandler]]: it awaits the underlying query's termination,
     * not the registry entry. */
   def awaitHandlerStopped(name: String, timeoutMs: Long = 30000): Boolean = {
-    // lookup under the lock (handlers is mutated under it); the await
-    // itself stays OUTSIDE — it blocks up to timeoutMs on the query,
-    // and holding the registry lock that long would wedge the plane
-    controlLock.synchronized {
+    // the handlers lookup takes only the SHORT registration lock —
+    // never controlLock, whose holder may be mid-q.stop(): the
+    // documented timeoutMs bound must hold even while the control
+    // plane is wedged. queries is a TrieMap (lock-free read), and the
+    // await itself blocks outside every lock.
+    regLock.synchronized {
       require(handlers.contains(name), s"unknown handler $name")
-      queries.get(name)
-    } match {
+    }
+    queries.get(name) match {
       case None => true
       case Some(q) =>
         try q.awaitTermination(timeoutMs)
@@ -712,12 +762,11 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
   def close(): Unit = controlLock.synchronized {
     var fatal: Throwable = null
     queries.foreach { case (name, q) =>
-      // single-site deregistration: removal ⇒ a later run() restarts
-      // the handler fresh, so its termination record is stale then —
-      // every removal path must mark the flag (the failure-path copies
-      // once missed it)
-      def deregister(): Unit = { stoppedSinceRun = true; queries.remove(name, q); () }
-      try { closeStopSeam(q); deregister() }
+      // every removal goes through the one deregister site: removal ⇒
+      // a later run() restarts the handler fresh, so its termination
+      // record is stale then and must mark the flag (the failure-path
+      // copies once missed it)
+      try { closeStopSeam(q); deregister(name, q) }
       catch {
         case e if scala.util.control.NonFatal(e) =>
           if (q.isActive)
@@ -726,12 +775,12 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
           else {
             log.warn(s"close: suppressed failure stopping handler " +
               s"'$name' (query already terminated): $e")
-            deregister()
+            deregister(name, q)
           }
         case e: Throwable =>
           log.error(s"close: FATAL stopping handler '$name' — " +
             "still attempting the remaining queries, then rethrowing", e)
-          if (!q.isActive) deregister()
+          if (!q.isActive) deregister(name, q)
           if (fatal == null) fatal = e else fatal.addSuppressed(e)
       }
     }

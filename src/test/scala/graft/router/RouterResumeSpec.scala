@@ -303,6 +303,25 @@ class RouterResumeSpec extends SparkSpec {
     runner.join(500)
     assert(runner.isAlive,
       "run() must block while stopHandler holds the control lock")
+    // the REGISTRATION surface must NOT block behind the held control
+    // lock (it takes only the short regLock): an operator probing
+    // "is it down" or wiring a new handler while a stop is wedged
+    // must get an answer inside their own timeout, not the stop's
+    val probe = new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
+    val prober = new Thread(() => {
+      probe.set(Some(r.awaitHandlerStopped("cp_h", timeoutMs = 1000)))
+    }, "cplane-prober")
+    val adder = new Thread(() => {
+      r.addHandler("cp_late", "cp_in", ps, "cp_out", ps,
+        Middlewares.passthrough); ()
+    }, "cplane-adder")
+    prober.start(); adder.start()
+    prober.join(5000); adder.join(5000)
+    assert(!prober.isAlive && probe.get() == Some(true),
+      "awaitHandlerStopped must answer within its timeout while the " +
+        s"control lock is held (got ${probe.get()})")
+    assert(!adder.isAlive,
+      "addHandler must not block behind the held control lock")
     proceed.countDown()
     stopper.join(30000); runner.join(30000)
     assert(!stopper.isAlive && !runner.isAlive, "both control calls finish")
@@ -310,8 +329,11 @@ class RouterResumeSpec extends SparkSpec {
 
     // invariant: the registry and the live-query set AGREE. The queued
     // run() restarted the handler AFTER the removal — so it is running
-    // AND registered (not a stranded anonymous duplicate).
-    assert(r.running.keySet == Set("cp_h"), s"registered: ${r.running.keySet}")
+    // AND registered (not a stranded anonymous duplicate) — and the
+    // handler registered DURING the lock wait was picked up by the
+    // same run()'s snapshot.
+    assert(r.running.keySet == Set("cp_h", "cp_late"),
+      s"registered: ${r.running.keySet}")
     assert(r.running("cp_h").isActive, "the restarted query is live")
     val live = spark.streams.active
       .filter(q => Option(q.name).contains("graft-cp_h"))
