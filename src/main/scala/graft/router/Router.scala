@@ -297,10 +297,16 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
 
   /** The streaming Dataset for one handler, pre-sink — exposed so tests
     * and `.explain` audits can inspect the plan the router builds. */
-  def plan(name: String): Dataset[Message] =
-    buildPlan(regLock.synchronized(handlers(name)))
+  def plan(name: String): Dataset[Message] = {
+    val (h, st, mw) = regLock.synchronized {
+      (handlers(name), routerStages.toList, routerMiddlewares.toList)
+    }
+    buildPlan(h, st, mw)
+  }
 
-  private def buildPlan(h: HandlerDef): Dataset[Message] = {
+  private def buildPlan(h: HandlerDef,
+      routerStagesSnap: List[Stages.Stage],
+      routerMwSnap: List[Middleware]): Dataset[Message] = {
     import spark.implicits._
     // ingress sanitization — AT the subscribe boundary, BEFORE stages:
     // `_graft_` keys are ENGINE state, but the transports are open
@@ -337,19 +343,13 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         Ctx.stripInternal(col("metadata"), keepKeys: _*),
         typedLit(Map.empty[String, String])))
       .as[Message]
-    // snapshot the router-level buffers under the registration lock
-    // (mutated by add* under it; run() calls buildPlan outside it)
-    val (stagesSnap, mwSnap) = regLock.synchronized {
-      ((routerStages ++ h.stages).toList,
-        routerMiddlewares.toList ++ h.middlewares)
-    }
-    val staged = stagesSnap.foldLeft(src)((d, st) => st(d))
+    val staged = (routerStagesSnap ++ h.stages).foldLeft(src)((d, st) => st(d))
     // ctx injection (router.go:766-788) + middleware onion, one flatMap.
     // Locals only in the closure — the Router itself must not serialize.
     val hName = h.name
     val subTopic = h.subscribeTopic
     val pubTopic = h.publishTopic.getOrElse("")
-    val composed = Middlewares.chain(mwSnap)(h.handler)
+    val composed = Middlewares.chain(routerMwSnap ++ h.middlewares)(h.handler)
     staged.flatMap { m =>
       val outs = composed(m
         .withMeta(Ctx.HandlerName, hName)
@@ -630,6 +630,14 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
     // router ALREADY deregistered via stopHandler/close (their stop
     // records are equally stale once run() restarts the handler —
     // tracked by the flag, since the registry no longer knows them).
+    // A crash landing in the microseconds between this snapshot and
+    // the reset call is cleared by the reset yet NOT in the snapshot,
+    // so the walk still marks it stale — one spurious reset on the
+    // next run(). Unobservable from outside (whether a record landed
+    // before or after resetTerminated's internal clear can't be
+    // queried), so the code chooses the benign direction: over-reset
+    // (harmless on the documented one-session-per-supervised-router
+    // deployment) over under-mark (the forever-rethrow hot loop).
     val deadAtReset = queries.iterator
       .collect { case (n, q) if !q.isActive => n }.toSet
     if (stoppedSinceRun || deadAtReset.nonEmpty) {
@@ -637,7 +645,15 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
       stoppedSinceRun = false
     }
     afterResetBeforeWalk()
-    regLock.synchronized(handlers.values.toList).foreach { h =>
+    // ONE frozen registration state for the whole walk: every handler
+    // this run() starts sees the same stages/middlewares — a
+    // concurrent addMiddleware applies to ALL of the next run()'s
+    // handlers, never to a suffix of this one
+    val (hsSnap, stSnap, mwSnap) = regLock.synchronized {
+      (handlers.values.toList, routerStages.toList,
+        routerMiddlewares.toList)
+    }
+    hsSnap.foreach { h =>
       queries.get(h.name).foreach { q =>
         if (!q.isActive)
           deregister(h.name, q, markStale = !deadAtReset.contains(h.name))
@@ -647,7 +663,7 @@ final class Router(spark: SparkSession, checkpointRoot: Option[String] = None,
         // the handler's output-row count in every progress event —
         // foreachBatch sinks report numOutputRows = -1, so this is
         // what feeds the publish counter (GraftMetrics/MetricsHttp).
-        val out = buildPlan(h).toDF()
+        val out = buildPlan(h, stSnap, mwSnap).toDF()
           .observe("graft_sink", count(lit(1)).as("rows"))
         val writer = out.writeStream
           // length-prefixed group, same injective scheme as writerId:
