@@ -345,6 +345,64 @@ class RouterResumeSpec extends SparkSpec {
       "close() must stop the restarted query — nothing stranded")
   }
 
+  test("control plane under randomized concurrent churn: registry and live-query set agree, close() reaches everything") {
+    // The deterministic seam rows pin the KNOWN hazardous
+    // interleavings; this row churns run()/stopHandler/
+    // awaitHandlerStopped from three threads with seeded schedules to
+    // guard the unknown ones. Invariants afterward: a final run()
+    // leaves every handler registered AND active, the session's
+    // graft-named active set equals the registry's queries (no
+    // stranded duplicates, no same-checkpoint-already-active crash
+    // during the churn), and close() stops all of it.
+    val root = Files.createTempDirectory("graft-churn-").toString
+    val ckpt = Files.createTempDirectory("graft-churn-ck-").toString
+    val ps = new FilePubSub(spark, root)
+    val names = Seq("ch_a", "ch_b")
+    Seq("ch_in", "ch_out").foreach(ps.subscribeInitialize)
+    ps.publish("ch_in", Seq(msg("c1", "x")))
+
+    val r = new Router(spark, checkpointRoot = Some(ckpt))
+    names.foreach(n =>
+      r.addHandler(n, "ch_in", ps, "ch_out", ps, Middlewares.passthrough))
+    r.run()
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 3).map { tid =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(4243L + tid)
+        try {
+          (0 until 6).foreach { _ =>
+            rnd.nextInt(3) match {
+              case 0 => r.stopHandler(names(rnd.nextInt(names.length)))
+              case 1 => r.run(); ()
+              case 2 =>
+                r.awaitHandlerStopped(names(rnd.nextInt(names.length)),
+                  timeoutMs = 200); ()
+            }
+          }
+        } catch { case e: Throwable => errors.add(e); () }
+      }, s"churn-$tid")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "churn threads must finish")
+    assert(errors.isEmpty,
+      s"no control-plane call may crash under churn: ${errors.peek()}")
+
+    r.run() // settle: restart anything the churn left stopped
+    assert(r.running.keySet == names.toSet, s"registered: ${r.running.keySet}")
+    assert(names.forall(n => r.running(n).isActive),
+      "every handler active after the settling run()")
+    val live = spark.streams.active
+      .filter(q => Option(q.name).exists(_.startsWith("graft-ch_"))).toSeq
+    assert(live.map(_.id).toSet == names.map(r.running(_).id).toSet,
+      s"session active set must equal the registry: ${live.map(_.name)}")
+    r.close()
+    assert(!spark.streams.active.exists(q =>
+      Option(q.name).exists(_.startsWith("graft-ch_"))),
+      "close() stops everything — nothing stranded")
+  }
+
   test("pre-group-layout checkpoints are adopted on restart: no replay, no loss") {
     // Upgrade scenario (ADVICE r11): a deployment whose checkpoints
     // were written by the pre-`grp_`/`nogroup` path scheme restarts on
