@@ -429,19 +429,23 @@ class EventPatternSpec extends SparkSpec {
 
   test("chain: differential oracle — engine agrees with the brute-force reference on randomized streams and step mixes") {
     val types = Seq("B", "C", "D", "E")
-    (1 to 10).foreach { caseSeed =>
+    (1 to 14).foreach { caseSeed =>
       val rnd = new scala.util.Random(caseSeed * 7919L)
       val events = (1 to 28).map { id =>
         val tpe = if (rnd.nextInt(4) == 0) "A" else types(rnd.nextInt(4))
         Ev(id.toLong, 1L + rnd.nextInt(3), rnd.nextInt(60).toLong, tpe)
       } :+ Ev(100L, 1L, 5L, "A") // at least one seed
-      val nSteps = 1 + rnd.nextInt(3)
+      val nSteps = 1 + rnd.nextInt(4)
       val raw = (0 until nSteps).map { _ =>
         if (rnd.nextInt(10) < 7) {
           val t = types(rnd.nextInt(4))
-          val alts = if (rnd.nextInt(10) < 3)
-            Seq(types.filterNot(_ == t)(rnd.nextInt(3))) else Nil
-          val n = if (rnd.nextInt(10) < 4) 2 + rnd.nextInt(2) else 1
+          val nAlts = rnd.nextInt(10) match {
+            case x if x < 5 => 0
+            case x if x < 8 => 1
+            case _ => 2 // full two-alternative pool: A then (B|C|D)
+          }
+          val alts = rnd.shuffle(types.filterNot(_ == t)).take(nAlts)
+          val n = if (rnd.nextInt(10) < 4) 2 + rnd.nextInt(3) else 1
           Left((t, 5L + rnd.nextInt(25), n, alts))
         } else Right((types(rnd.nextInt(4)),
           if (rnd.nextInt(2) == 0) Some(5L + rnd.nextInt(20)) else None))

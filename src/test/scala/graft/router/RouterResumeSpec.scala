@@ -372,12 +372,13 @@ class RouterResumeSpec extends SparkSpec {
         val rnd = new scala.util.Random(4243L + tid)
         try {
           (0 until 6).foreach { _ =>
-            rnd.nextInt(3) match {
-              case 0 => r.stopHandler(names(rnd.nextInt(names.length)))
-              case 1 => r.run(); ()
-              case 2 =>
+            rnd.nextInt(7) match {
+              case 0 | 1 => r.stopHandler(names(rnd.nextInt(names.length)))
+              case 2 | 3 => r.run(); ()
+              case 4 | 5 =>
                 r.awaitHandlerStopped(names(rnd.nextInt(names.length)),
                   timeoutMs = 200); ()
+              case _ => r.close() // stop-everything joins the churn too
             }
           }
         } catch { case e: Throwable => errors.add(e); () }
