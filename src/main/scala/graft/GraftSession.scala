@@ -30,6 +30,15 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor: with parallelismFirst (default), AQE
+      // merges post-shuffle partitions down to minPartitionSize — at
+      // the default 1 MB a sub-MB shuffle (a grouped window over a few
+      // keys, a small-SF candidate table) collapses to ONE task and
+      // serializes whatever compute follows. 64k keeps such shuffles
+      // spread up to the core count; at production volumes partitions
+      // sit far above 1 MB, so the floor never binds there — this is
+      // a small-data parallelism guard, not a tuning constant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // let AQE coalesce the output partitioning of cached plans too:
       // iterative operators (dup-cluster label propagation) persist a
       // small working set each round, and without this flag every

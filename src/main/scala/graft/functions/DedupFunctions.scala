@@ -98,9 +98,27 @@ object DedupFunctions {
     * size(shingles) > 0 but CHEAP): a filter on the shingle array
     * would be pushed below the projection and re-evaluate the whole
     * HOF expression per row. */
+  /** Widen a narrow relation before compute-heavy per-row work. A
+    * small-SF parquet table scans as ONE partition (single row group),
+    * so every tokenize/shingle/hash pipeline fused onto the scan runs
+    * single-threaded no matter how many cores are idle. Repartition
+    * ONLY when the input has fewer partitions than the session's
+    * default parallelism — at production scale the file count already
+    * exceeds the core count and this is the identity (the shuffle the
+    * scaladocs warn about never happens); below it, one narrow
+    * exchange of the pruned projection buys full-width compute.
+    * Deterministic (round-robin repartition sorts before assigning,
+    * SPARK-23207) and partitioning-invariant for every caller (their
+    * aggregations/joins are key-based). */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def minhashSignatures(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, portable: Boolean): DataFrame = {
-    val sh = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
+    val sh = widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col(idCol), TextFunctions.shinglesFromWords(col("w"), shingleN).as("s"))
     val hashed = sh.select(col(idCol), baseHashes(col("s"), portable).as("hs"))
@@ -149,9 +167,22 @@ object DedupFunctions {
       if (idIsIntegralType(rows, idCol))
         BoundedCollect.longs(col(idCol).cast("long"), maxBucket)
       else BoundedCollect.strings(col(idCol).cast("string"), maxBucket)
+    // The double explode blows each m-member bucket row up to m² pair
+    // rows, but AQE sizes the post-agg stage by the AGG output bytes
+    // (one array row per bucket — tiny), so it coalesces the stage the
+    // explosion runs in down to one or two tasks and the whole
+    // quadratic pair generation runs serially (measured: q49's pair
+    // stage was ONE 1.5 s task on 32 idle cores). A keyless
+    // round-robin repartition of the bucket rows — pinned to the
+    // session's default parallelism, so AQE cannot re-coalesce it —
+    // spreads buckets evenly across tasks; per-task work stays bounded
+    // by maxBucket² (the existing skew cap), and the shuffle moves
+    // only the capped member arrays, never pair space.
+    val spread = rows.sparkSession.sparkContext.defaultParallelism
     val pairs = rows.groupBy(bucketCols.map(col): _*)
       .agg(memberAgg.as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
+      .repartition(spread)
       .select(explode(col("members")).as("d1"), col("members"))
       .select(col("d1"), explode(col("members")).as("d2"))
       .filter(col("d1") < col("d2"))
@@ -344,7 +375,13 @@ object DedupFunctions {
     // sides read the full sets — and recomputing scan+split+shingle+
     // hash per pass is strictly worse at any scale.
     val pruned = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val input = minPartitions.fold(pruned)(n => pruned.repartition(n))
+    // minPartitions pins the width explicitly; unset, widen() adapts —
+    // a single-row-group small-SF scan otherwise runs the whole
+    // shingle+hash pipeline (AND every post-persist pass, which reads
+    // the cache at the same width) on 1-2 tasks (measured: two ~850 ms
+    // 2-task stages inside q81 on 32 idle cores). At scale the file
+    // count exceeds the core count and widen() is the identity.
+    val input = minPartitions.fold(widen(pruned))(n => pruned.repartition(n))
     val shPlan = input
       .select(col("doc_id"), TextFunctions.words(col("_text")).as("w"))
       .filter(size(col("w")) >= shingleN)
@@ -452,7 +489,8 @@ object DedupFunctions {
     // the gate is never stricter than the advertised threshold.
     val thrNum = math.floor(threshold * 1e6).toLong
     val pruned = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val input = minPartitions.fold(pruned)(n => pruned.repartition(n))
+    // same width discipline as jaccardSimilarityJoin (see its note)
+    val input = minPartitions.fold(widen(pruned))(n => pruned.repartition(n))
     val shPlan = input
       .select(col("doc_id"), TextFunctions.words(col("_text")).as("w"))
       .filter(size(col("w")) >= shingleN)
@@ -613,6 +651,19 @@ object DedupFunctions {
     *   [[keepers]] would silently keep extra "duplicates". Default
     *   false preserves the lenient log-and-return behavior for
     *   exploratory use; production dedup pipelines should pass true. */
+  /** Rounds the most recent [[dupClusters]] call ran (init round
+    * included) — a perf diagnostic for the optimization harness, not
+    * part of any result. */
+  private[graft] val lastDupClustersRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Whether the most recent round read its convergence verdict from
+    * the observed metric (vs the defensive count fallback) — pinned by
+    * DedupSpec so a Spark upgrade silently breaking observe-on-
+    * checkpoint shows up as a test failure, not a quiet 2× job count. */
+  private[graft] val lastConvergenceViaObserve =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 10,
       strict: Boolean = false): DataFrame = {
     // undirected edge list + self-loops (so singletons keep their id
@@ -682,15 +733,37 @@ object DedupFunctions {
       // (localCheckpoint is executor-local state — fine here: labels
       // are a small working set and the loop re-materializes each
       // round; a lost executor just fails-fast the job.)
-      val next = prop
+      // convergence metric rides the checkpoint job itself (observe =
+      // CollectMetricsExec accumulators): the previous shape ran a
+      // SECOND action per round (filter+limit+count) that re-read the
+      // whole label table — one full labels pass per round for a
+      // boolean. At any scale the fused form saves that pass; locally
+      // it saves a job launch per round. (A second pointer jump per
+      // round was tried and REVERTED: the extra self-join squares the
+      // round plan's size estimate twice — sizeInBytes on the
+      // checkpointed leaf compounds ×4 per round into ~10⁶-digit
+      // BigIntegers, and the driver burned ~19 s/query in stats-walk
+      // BigInteger.multiply. One jump keeps the compounding at the
+      // benign ×2 the original design measured.)
+      val obs = prop
         .join(prop.select(col("doc_id").as("j_doc"), col("cluster_id").as("j_cl")),
           col("cluster_id") === col("j_doc"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("j_cl"), col("cluster_id"))).as("cluster_id"),
           col("prev"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
+        .observe("graft_cc",
+          sum(when(col("cluster_id") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+      val next = obs.localCheckpoint(true)
+      val observed = obs.queryExecution.observedMetrics.get("graft_cc")
+        .map(r => Option(r.getAs[Any]("changed"))
+          .fold(0L)(_.asInstanceOf[Long]))
+      lastConvergenceViaObserve.set(observed.isDefined)
+      val changed = observed.getOrElse(
+        // defensive: if the metric did not surface (plan shape drift),
+        // fall back to the explicit count — correctness over speed
+        next.filter(col("cluster_id") =!= col("prev")).limit(1).count())
       current.unpersist(); prop.unpersist()
       // `next` is eager, so the previous round's blocks are now
       // unreachable from any live plan — free them instead of waiting
@@ -704,6 +777,7 @@ object DedupFunctions {
       converged = changed == 0
       i += 1
     }
+    lastDupClustersRounds.set(i)
     if (!converged) {
       if (strict) {
         edges.unpersist()
@@ -774,8 +848,8 @@ object DedupFunctions {
     * driver state. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
       passageTokens: Int = 10): DataFrame = {
-    val w = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
+    val w = widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
+      .select(col("doc_id"), TextFunctions.tokens(col("_text")).as("w"))
       .filter(size(col("w")) > 0)
     // consecutive fixed-width windows; the tail passage may be shorter.
     // Tokenization runs ONCE: the passage rows are the only reference
@@ -841,8 +915,12 @@ object DedupFunctions {
       k: Int = 5,
       minDocs: Int = 2,
       minRun: Int = 3): DataFrame =
-    spanRuns(docs.select(col(idCol),
-      TextFunctions.words(col(textCol)).as("_w")), idCol, k, minDocs, minRun)
+    // widen the pruned projection before the gram explode: on a
+    // single-row-group small-SF scan the whole tokenize+k-gram+hash
+    // pipeline otherwise runs in one task (see widen)
+    spanRuns(widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("_w")),
+      idCol, k, minDocs, minRun)
 
   /** [[duplicateSpans]] body over a pre-built (idCol, _w) word frame —
     * the entry point [[scrubDuplicateSpans]] uses so its single
@@ -929,9 +1007,11 @@ object DedupFunctions {
       materialize: graft.operators.Materialize =
         graft.operators.Materialize.SessionDefault(
           "DedupFunctions.scrubDuplicateSpans.words")): DataFrame = {
-    val words = materialize(docs.select(col(idCol),
-      TextFunctions.words(col(textCol)).as("_w")))
-      // one tokenization pass for all three consumers
+    val words = materialize(widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("_w")))
+      // one tokenization pass for all three consumers — WIDENED before
+      // the tokenize so the pass (and the pinned copy every later
+      // branch reads) is parallel on a narrow small-SF scan (see widen)
     val spans = spanRuns(words, idCol, k, minDocs, minRun)
     // span content hash: the exact covered words, not the grams
     val content = spans.join(words, Seq(idCol))

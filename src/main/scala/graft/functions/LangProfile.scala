@@ -41,8 +41,12 @@ object LangProfile {
     * desc, trigram asc) with their rank 1..k. */
   def trainProfiles(seed: DataFrame, langCol: Column, textCol: Column,
       k: Int): DataFrame = {
-    val grams = seed
-      .select(langCol.as("lang"), normalize(textCol).as("_n"))
+    // widen before the normalize+trigram explode: a single-row-group
+    // small-SF scan otherwise runs the whole per-char pipeline in one
+    // task (DedupFunctions.widen — identity at production file counts)
+    val grams = DedupFunctions
+      .widen(seed.select(langCol.as("lang"), textCol.as("_t")))
+      .select(col("lang"), normalize(col("_t")).as("_n"))
       .select(col("lang"), explode(charTrigrams(col("_n"))).as("gram"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
@@ -60,8 +64,10 @@ object LangProfile {
     * Output: (idCol, pred, dist). */
   def classify(docs: DataFrame, idCol: String, textCol: Column,
       profiles: DataFrame, k: Int, m: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol), normalize(textCol).as("_n"))
+    // same width discipline as trainProfiles
+    val grams = DedupFunctions
+      .widen(docs.select(col(idCol), textCol.as("_t")))
+      .select(col(idCol), normalize(col("_t")).as("_n"))
       .select(col(idCol), explode(charTrigrams(col("_n"))).as("gram"))
     val wDoc = Window.partitionBy(col(idCol))
       .orderBy(col("cnt").desc, col("gram"))

@@ -65,10 +65,11 @@ object VectorFunctions {
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0) // zero vectors: no direction, and ANSI throws on 0/0
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    val c = graft.functions.DedupFunctions
+      .widen(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", l2Norm(col("cv")))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0) // probe side widened — see cosineNearDupPairs
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       // zero-norm vectors (failed encoders) make sim = 0/0 = NaN, and
@@ -100,11 +101,12 @@ object VectorFunctions {
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0) // zero-norm guard, see bruteForceTopK
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = graft.functions.DedupFunctions
+      .widen(corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nlabel"),
-        col(vecCol).cast("array<double>").as("cv"))
+        col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", l2Norm(col("cv")))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0) // probe side widened — see cosineNearDupPairs
     val scored = c.join(broadcast(q),
         col("neighbor_id") =!= col("query_id") &&
           !(col("nlabel") <=> col("qlabel")))
@@ -126,8 +128,13 @@ object VectorFunctions {
     * per pair. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("d1"),
-        col(vecCol).cast("array<double>").as("v1"))
+    // widen the PROBE side of the nested-loop join: the |pairs| × dim
+    // dot-product work runs at the probe's partition count, and a
+    // small-SF single-row-group scan gives it ONE task (identity at
+    // production file counts — DedupFunctions.widen)
+    val a = graft.functions.DedupFunctions
+      .widen(vecs.select(col(idCol).as("d1"),
+        col(vecCol).cast("array<double>").as("v1")))
       .withColumn("n1", l2Norm(col("v1")))
       .filter(col("n1") > 0) // zero-norm guard, see bruteForceTopK
     val b = vecs.select(col(idCol).as("d2"),
@@ -154,8 +161,12 @@ object VectorFunctions {
   def cosineNearDupBucketed(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val base = vecs.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // widened once: the per-band SRP hashing AND both verify-join
+    // sides read this projection, all at its partition count (see
+    // cosineNearDupPairs / DedupFunctions.widen)
+    val base = graft.functions.DedupFunctions
+      .widen(vecs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
     val bandCols = (0 until bands).map(bd =>
       struct(lit(bd).as("band"),
         srpBucket(col("v"), dim, nBits, seed = 1000 * bd + 7).as("key")))
@@ -230,8 +241,9 @@ object VectorFunctions {
       dim: Int, threshold: Double, cents: Array[Array[Double]],
       maxCluster: Int = 100000, probes: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= cents.length, "probes out of range")
-    val base = vecs.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val base = graft.functions.DedupFunctions
+      .widen(vecs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
       // zero vectors have no direction: unit() would NaN every
       // component and poison the centroid assignment
       .filter(size(col("v")) === dim && l2Norm(col("v")) > 0)

@@ -37,8 +37,15 @@ object PageRank {
     // invariant. localCheckpoint is executor-local (re-lost on
     // executor failure); a 1000-executor production run writes the
     // adjacency to parquet instead — same math, durable lineage cut.
-    val und = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // both directions from ONE reference to `edges` via explode — the
+    // union form referenced the caller's whole edge-derivation
+    // pipeline from two plan branches, and Catalyst re-evaluates each
+    // reference (the dupClusters edge-list rule; measured as a 2×
+    // final-agg in q97's checkpoint job)
+    val und = edges.select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val adj = und.join(deg, "u").localCheckpoint()

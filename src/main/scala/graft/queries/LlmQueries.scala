@@ -1536,7 +1536,13 @@ object LlmQueries {
         val keepers = DedupFunctions.exactDedup(corpus, "text", "doc_id")
           .select(col("keeper_id").as("doc_id"))
         val deduped = corpus.join(keepers, Seq("doc_id"))
-        val sh = docs
+        // widened before the 5-gram + md5 pipeline (the query's
+        // heaviest per-row work; single-task on a small-SF scan
+        // otherwise — DedupFunctions.widen, identity at production
+        // file counts). The disjoint doc_id branch filters still prune:
+        // predicates push below the round-robin exchange.
+        val sh = graft.functions.DedupFunctions
+          .widen(docs.select(col("doc_id"), col("text")))
           .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
           .select(col("doc_id"),
             explode(TextFunctions.shinglesFromWords(col("w"), 5)).as("shg"))
@@ -1703,7 +1709,12 @@ object LlmQueries {
     // in DistinctSketchSpec ----
     QuerySpec("q125_sketch_overlap",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
+        // widened before the shingle explode: the single-row-group
+        // small-SF scan otherwise runs the whole shingle+hash+sketch
+        // partial-agg pipeline in one task (DedupFunctions.widen —
+        // identity at production file counts)
+        val sh = graft.functions.DedupFunctions
+          .widen(t(s, dir, "documents").select(col("source"), col("text")))
           .select(col("source"), TextFunctions.words(col("text")).as("w"))
           .select(col("source"),
             explode(TextFunctions.shinglesFromWords(col("w"), 3)).as("sh"))

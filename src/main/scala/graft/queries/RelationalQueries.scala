@@ -26,7 +26,19 @@ object RelationalQueries {
       .distinct()
       .groupBy(col("d"))
       .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      // spread the quadratic per-day pair explode across tasks: the
+      // day rows are tiny in BYTES, so AQE coalesces the post-agg
+      // stage to one task and the whole |users/day|² explode runs
+      // serially (measured: one 1.7 s task inside q97/q107/q172 on 32
+      // idle cores). Explode the first level, then repartition by `u`
+      // BEFORE the second explode — every (u, *) pair instance from
+      // every day lands in the same task, so the map-side partial
+      // aggregation of the supp count stays as effective as the old
+      // single-task plan (a keyless day-row spread was measured to
+      // 2.3× the shuffle and push the combine work into the final
+      // agg), while the quadratic explode runs parallel across users.
       .select(explode(col("us")).as("u"), col("us"))
+      .repartition(col("u"))
       .select(col("u"), explode(col("us")).as("v"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
@@ -1512,11 +1524,15 @@ object RelationalQueries {
     // (parent = id div 2; the TREE is synthetic, the OPERATOR isn't).
     // Spark has no recursive CTE — the iterative walk is the engine
     // shape: 16 fixed left-join rounds (covers depth ≤ 16, ids < 2^16;
-    // already-rooted rows pass through unchanged), each round
-    // localCheckpoint'ed so the plan stays constant-size instead of
-    // 16 joins deep (same discipline as q33/q97). One hash shuffle
-    // per round on the frontier key; the oracle recursion is exact at
-    // any depth, so the fixed bound is pinned by the gate. The
+    // already-rooted rows pass through unchanged), all 16 chained in
+    // ONE lazy plan. The per-round localCheckpoint the loop used to
+    // carry was paying 16 EAGER materialization jobs for a plan-size
+    // problem this loop does not have: the walk references the
+    // previous round exactly once (no self-join, unlike q33's label
+    // propagation), so the plan grows LINEARLY — 16 broadcast joins of
+    // the checkpointed edge leaf, planned and run as one job
+    // (measured: 1.84 s → ~0.6 s at sf0.1; at scale it removes 15
+    // full materializations of the corpus-sized walk table). The
     // O(log d) production form is graft.operators.Hierarchy.flatten
     // (pointer doubling; HierarchySpec pins it to this walk's
     // semantics) ----
@@ -1535,7 +1551,6 @@ object RelationalQueries {
               (col("depth") + when(col("parent").isNotNull, 1L).otherwise(0L))
                 .as("depth"),
               (col("path_sum") + coalesce(col("parent"), lit(0L))).as("path_sum"))
-            .localCheckpoint()
         }
         walk.groupBy(col("depth"))
           .agg(count(lit(1)).as("n"), sum(col("cur")).as("root_sum"),

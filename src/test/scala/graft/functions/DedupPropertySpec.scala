@@ -445,6 +445,23 @@ class DedupPropertySpec extends SparkSpec {
     assert(ks == Set((1L, 1L, 3L), (10L, 10L, 2L)))
   }
 
+  test("dupClusters convergence verdict rides the checkpoint job's observed metric") {
+    // the per-round convergence boolean is read from the round's OWN
+    // materialization (Dataset.observe on the checkpointed frame), not
+    // a second count job re-reading the labels; the defensive fallback
+    // exists but firing it would silently double the per-round job
+    // count (and, at scale, re-read the label table once per round) —
+    // pin that the fast path actually engages on this Spark version
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val labels = DedupFunctions.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(DedupFunctions.lastConvergenceViaObserve.get(),
+      "convergence verdict fell back to the explicit count job — " +
+        "observe-on-localCheckpoint stopped surfacing metrics")
+    assert(DedupFunctions.lastDupClustersRounds.get() >= 1)
+  }
+
   test("dupClusters converges on a long chain (diameter > 2)") {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
     val labels = DedupFunctions.dupClusters(chain)
