@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-readable JSON lines on stdout
+// for the driver. With the default LoggedOutput strategy sbt prefixes
+// every forked-process line with "[info] ", so no stdout line ever
+// starts with '{' and a line-based JSON parser can never match the
+// contract line. StdoutOutput passes the forked JVM's stdout/stderr
+// through unprefixed.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

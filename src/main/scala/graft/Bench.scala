@@ -177,12 +177,20 @@ object Bench {
     // the load; above nCpu/4, wait bounded and re-check; still hot →
     // proceed FLAGGED, so the artifact says the pass started
     // contaminated instead of charging a wasted pass to find out.
-    val nCpu = osBean.getAvailableProcessors
+    // host cores drive the pre-flight load threshold (the OS load
+    // average is a host-wide number); the ARTIFACT's n_cpu reports the
+    // HONORED core count (SPARK_GRAFT_CPUS → master local[N]) — the
+    // r20 8-core driver run printed "n_cpu":32 because this field used
+    // host cores, which poisons any scaling analysis keyed on it.
+    val hostCpu = osBean.getAvailableProcessors
+    val nCpu = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(hostCpu)
     val preflights =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Boolean)]
     def gatedPass(recordShuffle: Boolean = false) = {
       preflights += Bench.preflightGate(() => osBean.getSystemLoadAverage,
-        threshold = nCpu / 4.0, maxWaits = Bench.preflightMaxWaits,
+        threshold = hostCpu / 4.0, maxWaits = Bench.preflightMaxWaits,
         sleep = Thread.sleep, waitMs = Bench.preflightWaitMs)
       runPass(recordShuffle)
     }
@@ -526,7 +534,7 @@ object Bench {
     // ("q01" for "q01_pricing_summary"; every numeric prefix is unique,
     // asserted by BenchArtifactSpec) with the contamination verdict and
     // summary fields in front of it.
-    val fullLine = s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":${Bench.num(medianPairRatio, 2)},"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"calib_unstable":$calibUnstable,"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":${Bench.num(loadAvg, 2)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotalsJson,"pass_queries":$passQueriesJson,"pass_load_max_1m":$passLoadJson,"preflight":$preflightJson,"extra_pass":$extraPass,"median_pair_ratio":${Bench.num(medianPairRatio, 2)},"contaminated":$contaminated,"calib_sec":$calibJson,${Bench.calibTermsFullJson(calibPre, calibPost)},"calib_unstable":$calibUnstable,"reruns":$rerunsJson,"shuffle_write_mb":$shuffleJson,"aux":$aux,"streaming":$streaming,"scale_ladder":$scaleLadderJson,"anchors":$anchorsJson,"load_avg_1m":${Bench.num(loadAvg, 2)},"n_cpu":$nCpu,"host_cpu":$hostCpu,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -745,20 +753,20 @@ object Bench {
     def line(qs: String, withStreaming: Boolean, withSx: Boolean,
         withCalibV2: Boolean = true, lean: Boolean = false,
         alarmsLast: Boolean = false): String = {
-      val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
+      val failedPart = if (failed == "[]") None else Some(s""""failed":$failed""")
       // the lean floor drops the conditional flags + load (ALL
       // duplicated with full keys in BENCH_FULL.json) so per-query
       // numbers never have to
-      val epPart = if (extraPass && !lean) """"ep":true,""" else ""
+      val epPart = if (extraPass && !lean) Some(""""ep":true""") else None
       // rr = count of pass-disagreement reruns (samples in BENCH_FULL
       // "reruns"); omitted when zero, like ep/failed
-      val rrPart = if (rerunCount > 0 && !lean) s""""rr":$rerunCount,""" else ""
+      val rrPart = if (rerunCount > 0 && !lean) Some(s""""rr":$rerunCount""") else None
       // pf = count of passes that started hot despite the pre-flight
       // wait (details in BENCH_FULL "preflight"); omitted when zero
-      val pfPart = if (preflightHot > 0 && !lean) s""""pf":$preflightHot,""" else ""
+      val pfPart = if (preflightHot > 0 && !lean) Some(s""""pf":$preflightHot""") else None
       val streamingPart =
-        if (withStreaming) s""""streaming":$streaming,""" else ""
-      val sxPart = if (withSx) s""""sx":$scaleExp,""" else ""
+        if (withStreaming) Some(s""""streaming":$streaming""") else None
+      val sxPart = if (withSx) Some(s""""sx":$scaleExp""") else None
       // calib is NON-droppable like mpr/contaminated: it is the
       // machine-speed index that makes round-over-round totals
       // comparable under different co-tenant load (divide by it).
@@ -776,25 +784,27 @@ object Bench {
         // carrying a non-numeric token ending in ".x0" before ','/']'
         // can never be corrupted by it — today lean always rides v1,
         // but line() accepts lean=true with withCalibV2=true
-        if (lean && !useV2)
-          base.replaceAll("(\\.\\d*?)0+(?=[,\\]])", "$1")
-            .replaceAll("\\.(?=[,\\]])", "")
-        else base
+        val stripped =
+          if (lean && !useV2)
+            base.replaceAll("(\\.\\d*?)0+(?=[,\\]])", "$1")
+              .replaceAll("\\.(?=[,\\]])", "")
+          else base
+        Some(s""""calib":$stripped""")
       }
-      val loadPart = if (lean) "" else s""""load":${num(loadAvg, 2)},"""
+      val loadPart = if (lean) None else Some(s""""load":${num(loadAvg, 2)}""")
       // on the lean rungs a CLEAN run drops "contaminated":false —
       // omission-means-false is already this line's convention (ep/
       // rr/pf/failed); a contaminated=true verdict ALWAYS rides, on
       // every rung: that is the alarm the flag exists for
-      val contaminatedPart = if (lean && !contaminated) ""
-        else s""""contaminated":$contaminated,"""
+      val contaminatedPart = if (lean && !contaminated) None
+        else Some(s""""contaminated":$contaminated""")
       // cu = calib_unstable (pre/post calib terms disagree beyond the
       // calibDisagreeGate — the machine-speed index itself is
       // contaminated, so total/calib normalization is suspect). Alarm
       // semantics: a TRUE verdict rides every rung, false is omitted
       // everywhere on the compact line (omission-means-false);
       // BENCH_FULL.json carries calib_unstable unconditionally.
-      val cuPart = if (calibUnstable) """"cu":true,""" else ""
+      val cuPart = if (calibUnstable) Some(""""cu":true""") else None
       // lean also slims the TOTAL to 1 decimal (zero-stripped): on a
       // ~150 s total the lost milliseconds are noise, and the 2-4
       // chars are per-query decimals at the 188-query registry size
@@ -804,18 +814,28 @@ object Bench {
           val s = num(total, 1)
           if (s.endsWith(".0")) s.dropRight(2) else s
         }
-      if (!alarmsLast)
-        s"""{"metric":"total","value":$valuePart,"unit":"sec",$failedPart$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},$contaminatedPart$cuPart"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs}"""
-      else {
-        // over-capture fallback ordering: the driver keeps the TAIL of
-        // stdout, so a line that cannot fit must carry its integrity
-        // alarms (failed / contaminated:true / cu:true) at the END —
-        // the head (metric/value and the first query entries) is what
-        // truncates, never the alarm the compact line exists to surface
-        val alarms = (failedPart + contaminatedPart + cuPart).stripSuffix(",")
-        val tail = if (alarms.isEmpty) "" else "," + alarms
-        s"""{"metric":"total","value":$valuePart,"unit":"sec",$epPart$rrPart$pfPart"mpr":${num(medianPairRatio, 2)},"calib":$calibPart,$streamingPart$sxPart$loadPart"sf":"$sfShort","queries":$qs$tail}"""
-      }
+      // Driver-contract head, in the DOCUMENTED field order —
+      // {"metric", "value", "unit", "queries", "sf"} — so a
+      // prefix/order-sensitive parser matches it; everything else
+      // (bookkeeping flags, alarms, indices) follows AFTER "sf".
+      // Every driver-visible round (r01-r20) shipped parsed:null with
+      // the extras interleaved before "queries"; this ordering plus
+      // the unprefixed stdout line (build.sbt StdoutOutput) is the fix.
+      val head = Seq(
+        s""""metric":"total"""", s""""value":$valuePart""",
+        s""""unit":"sec"""", s""""queries":$qs""", s""""sf":"$sfShort"""")
+      val mprPart = Some(s""""mpr":${num(medianPairRatio, 2)}""")
+      val alarms = Seq(failedPart, contaminatedPart, cuPart).flatten
+      val rest = Seq(epPart, rrPart, pfPart, mprPart, calibPart,
+        streamingPart, sxPart, loadPart).flatten
+      // over-capture fallback ordering (alarmsLast): the driver keeps
+      // the TAIL of stdout, so a line that cannot fit must carry its
+      // integrity alarms (failed / contaminated:true / cu:true) at the
+      // very END — the head (metric/value and the first query entries)
+      // is what truncates, never the alarm the line exists to surface
+      val body = if (alarmsLast) head ++ rest ++ alarms
+        else head ++ alarms ++ rest
+      body.mkString("{", ",", "}")
     }
     // Degradation priority as the registry grows: per-query seconds at
     // >= 1 decimal are the driver contract and yield LAST; the sx and

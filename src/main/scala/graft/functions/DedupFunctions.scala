@@ -109,10 +109,40 @@ object DedupFunctions {
     * exchange of the pruned projection buys full-width compute.
     * Deterministic (round-robin repartition sorts before assigning,
     * SPARK-23207) and partitioning-invariant for every caller (their
-    * aggregations/joins are key-based). */
+    * aggregations/joins are key-based).
+    *
+    * PRECONDITION (enforced, not just documented): the input must be a
+    * scan-shaped plan — projections/filters over leaf relations. The
+    * width probe (`df.rdd.getNumPartitions`) finalizes a physical plan,
+    * and under AQE that EAGERLY EXECUTES any upstream shuffle stages as
+    * real jobs which are then thrown away when the actual query
+    * re-plans (the r20 ADVICE hazard). For scan-shaped plans there are
+    * no exchanges, so the probe is free; for anything else widen() is
+    * the identity — a derived frame either already went through an
+    * exchange (so it is as wide as its shuffle partitioning chose) or
+    * the caller must widen the scan side explicitly before deriving. */
   private[graft] def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (!scanShaped(df.queryExecution.logical)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
+  /** True when the plan is projections/filters/unions over leaves only
+    * — the shapes whose physical planning cannot contain an exchange,
+    * so probing `df.rdd` cannot trigger eager AQE stage execution.
+    * (Union is exchange-free: it concatenates child partitions — the
+    * planted-dup corpora q71/q72 feed through here.) */
+  private[graft] def scanShaped(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Union =>
+        p.children.forall(scanShaped)
+      case _: LeafNode => true
+      case _ => false
+    }
   }
 
   private def minhashSignatures(docs: DataFrame, idCol: String,
@@ -676,6 +706,13 @@ object DedupFunctions {
     // explode — a 4-way union would evaluate the upstream candidate
     // pipeline once per branch (Catalyst does not CSE across union
     // branches), quadrupling the expensive shingle/minhash/banding work.
+    // localCheckpoint (eager), not persist: a persisted frame keeps its
+    // full candidate-pipeline LOGICAL tree, and every round's self-join
+    // references it 4x (two pointer jumps × two prop references) — the
+    // analyzer re-walks the whole tree per reference per round. The
+    // checkpoint leaf makes each round's analyzed plan constant-sized.
+    // Same materialization cost (persist ran the pipeline on round 1
+    // anyway); executor-local durability is the documented trade.
     val edges = pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
@@ -684,7 +721,7 @@ object DedupFunctions {
         struct(col("d2").as("a"), col("d2").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // init IS the first propagation round: every node takes the min id
     // of its closed neighborhood (self-loops included), which already
     // converges the near-cliques banding emits — so the loop usually
@@ -738,32 +775,57 @@ object DedupFunctions {
       // SECOND action per round (filter+limit+count) that re-read the
       // whole label table — one full labels pass per round for a
       // boolean. At any scale the fused form saves that pass; locally
-      // it saves a job launch per round. (A second pointer jump per
-      // round was tried and REVERTED: the extra self-join squares the
-      // round plan's size estimate twice — sizeInBytes on the
-      // checkpointed leaf compounds ×4 per round into ~10⁶-digit
-      // BigIntegers, and the driver burned ~19 s/query in stats-walk
-      // BigInteger.multiply. One jump keeps the compounding at the
-      // benign ×2 the original design measured.)
-      val obs = prop
-        .join(prop.select(col("doc_id").as("j_doc"), col("cluster_id").as("j_cl")),
+      // it saves a job launch per round.
+      // ADAPTIVE pointer jump: reach ×2 in the first loop round, ×4
+      // (a second jump) from round 2 on. Banding emits near-cliques
+      // that converge in 1-2 rounds — for those the second self-join
+      // is pure per-round overhead (measured: q33/q71/q72 regressed
+      // 30-60% under an unconditional double jump) — while a graph
+      // still unconverged after the first loop round is the
+      // chain-heavy class (q44 measured diameter 16 at sf0.1) where
+      // halving the remaining rounds wins. The r20 double-jump attempt
+      // was catastrophic for a different reason: each extra self-join
+      // reference SQUARES the size estimate the next checkpoint leaf
+      // inherits (×4 refs → size^4 per round → 10⁶-digit BigInteger
+      // stats walks on the driver); the leaf is now stats-CLAMPED to
+      // its observed row count (see below), so the compounding term is
+      // gone at any jump depth. Jumps only lower labels toward the
+      // min-reachable fixed point — the fixed point, and so the
+      // converged result, is unchanged by jump depth.
+      def jump(d: DataFrame): DataFrame = d
+        .join(d.select(col("doc_id").as("j_doc"), col("cluster_id").as("j_cl")),
           col("cluster_id") === col("j_doc"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("j_cl"), col("cluster_id"))).as("cluster_id"),
           col("prev"))
+      val jumped = if (i == 0) jump(prop) else jump(jump(prop))
+      val obs = jumped
         .observe("graft_cc",
           sum(when(col("cluster_id") =!= col("prev"), 1L).otherwise(0L))
-            .as("changed"))
-      val next = obs.localCheckpoint(true)
-      val observed = obs.queryExecution.observedMetrics.get("graft_cc")
-        .map(r => Option(r.getAs[Any]("changed"))
-          .fold(0L)(_.asInstanceOf[Long]))
+            .as("changed"),
+          count(lit(1)).as("n"))
+      val next0 = obs.localCheckpoint(true)
+      val row = obs.queryExecution.observedMetrics.get("graft_cc")
+      val observed = row.map(r => Option(r.getAs[Any]("changed"))
+        .fold(0L)(_.asInstanceOf[Long]))
       lastConvergenceViaObserve.set(observed.isDefined)
       val changed = observed.getOrElse(
         // defensive: if the metric did not surface (plan shape drift),
         // fall back to the explicit count — correctness over speed
-        next.filter(col("cluster_id") =!= col("prev")).limit(1).count())
+        next0.filter(col("cluster_id") =!= col("prev")).limit(1).count())
+      // clamp the checkpoint leaf's inherited stats to the row count
+      // the SAME job observed: localCheckpoint copies the optimized
+      // plan's size estimate (a product over the round's joins) onto
+      // the leaf, and the next round's references compound it — the
+      // BigInteger stats-walk burn documented above. ~56 bytes/row =
+      // three numeric/short-string columns + row overhead; the point
+      // is the ORDER of magnitude (small, broadcastable), not the
+      // exact byte count.
+      val next = row.map(r => Option(r.getAs[Any]("n"))
+          .fold(0L)(_.asInstanceOf[Long]))
+        .fold(next0)(n =>
+          org.apache.spark.sql.graft.StatsBridge.clampStats(next0, n, 56L))
       current.unpersist(); prop.unpersist()
       // `next` is eager, so the previous round's blocks are now
       // unreachable from any live plan — free them instead of waiting
@@ -780,7 +842,7 @@ object DedupFunctions {
     lastDupClustersRounds.set(i)
     if (!converged) {
       if (strict) {
-        edges.unpersist()
+        checkpointRdd(edges).foreach(_.unpersist(blocking = false))
         throw new IllegalStateException(
           s"dupClusters: round cap $maxIter hit before convergence — " +
             "labels are partial (clusters under-merged); raise maxIter")
@@ -801,7 +863,7 @@ object DedupFunctions {
     // (Dataset.unpersist does not free localCheckpoint blocks — those
     // are reclaimed by ContextCleaner GC when the RDD is unreferenced).
     if (i == 0) current.unpersist()
-    edges.unpersist()
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     labels
   }
 

@@ -48,9 +48,12 @@ object VectorFunctions {
   /** Brute-force top-k cosine neighbors of `queries` within `corpus`.
     * Shape: broadcast the (small) query set against the corpus, then a
     * per-query window top-k. At cluster scale this is the exact
-    * baseline: the corpus never shuffles — each partition scores its
-    * rows against the broadcast queries; only k rows per query survive
-    * to the final (tiny) sort.
+    * baseline: the corpus's DATA never shuffles by key — each
+    * partition scores its rows against the broadcast queries; only k
+    * rows per query survive to the final (tiny) sort. (The pruned
+    * corpus projection is round-robin widened ONLY below
+    * defaultParallelism partitions — identity at production file
+    * counts; see [[DedupFunctions.widen]].)
     *
     * @param queries frame with (`idCol`, `vecCol`) — must be small
     *                (broadcast side).
@@ -90,8 +93,10 @@ object VectorFunctions {
     * pipeline converges to).
     *
     * Same scale shape as [[bruteForceTopK]] (queries broadcast, corpus
-    * never shuffles, norms hoisted per-row) with the label-mismatch
-    * predicate IN the join condition, so same-label pairs never score.
+    * never key-shuffled — widened round-robin only below
+    * defaultParallelism, identity at production file counts; norms
+    * hoisted per-row) with the label-mismatch predicate IN the join
+    * condition, so same-label pairs never score.
     * For corpora past brute force, feed the IVF/SRP candidate sets and
     * re-rank with this on the survivors. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -327,44 +332,56 @@ object VectorFunctions {
     val vAll = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(unitize(col("v0")).as("v"))
-    val v = trainSample(vAll, math.max(trainSampleN, 64 * k))
-    var cents: Array[Array[Double]] = v
-      .withColumn("h", xxhash64(col("v").cast("string")))
-      .orderBy(col("h")).limit(k)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val (v, seeds) = trainSample(vAll, math.max(trainSampleN, 64 * k), k)
+    var cents: Array[Array[Double]] = seeds
     require(cents.nonEmpty, "ivfTrain: no input vectors of the declared dim")
-    (0 until iters).foreach { _ =>
-      val cells = v.withColumn("c", nearestCentroid(col("v"), cents))
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      cells.groupBy(_.getAs[Int]("c")).foreach { case (c, rows) =>
-        val mean = new Array[Double](dim)
-        rows.foreach(r => mean(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
-        val norm = math.sqrt(mean.map(x => x * x).sum)
-        if (norm > 0) next(c) = mean.map(_ / norm)
+    try {
+      (0 until iters).foreach { _ =>
+        val cells = v.withColumn("c", nearestCentroid(col("v"), cents))
+          .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("c"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        cells.groupBy(_.getAs[Int]("c")).foreach { case (c, rows) =>
+          val mean = new Array[Double](dim)
+          rows.foreach(r => mean(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm > 0) next(c) = mean.map(_ / norm)
+        }
+        cents = next
       }
-      cents = next
-    }
+    } finally v.unpersist(blocking = false)
     cents
   }
 
   /** Deterministic hash-top-N training sample over a unit-vector frame
     * with column `v` (the ivfTrain/pqTrain bounded-scan contract):
-    * top-N by the content hash the seeding already orders on, pinned
-    * once so Lloyd rounds never re-read the corpus. Hash-partitioned
-    * after the limit: the global top-N funnels through one task, and
-    * re-spreading by the deterministic hash gives the rounds a stable,
-    * parallel layout. */
-  private def trainSample(vAll: DataFrame, n: Int): DataFrame = {
+    * top-N by the content hash the seeding orders on, pinned once so
+    * Lloyd rounds never re-read the corpus. Hash-partitioned after the
+    * limit: the global top-N funnels through one task, and re-spreading
+    * by the deterministic hash gives the rounds a stable, parallel
+    * layout.
+    *
+    * Returns the pinned sample AND the `k` lowest-hash seed vectors
+    * from ONE job: the sample is persisted (not eagerly checkpointed)
+    * and the seed collect is the action that materializes it — the
+    * seed plan is a global ordered top-k, which scans every partition,
+    * so the cache is fully populated by that single job. The previous
+    * shape paid two jobs (an eager localCheckpoint pass, then a
+    * re-hash + sort + collect over the pin) for the same rows; the
+    * seed values are identical (same hash, same order, same top-k).
+    * Callers unpersist the returned frame when training ends. */
+  private def trainSample(vAll: DataFrame, n: Int,
+      k: Int): (DataFrame, Array[Array[Double]]) = {
     val par = vAll.sparkSession.sparkContext.defaultParallelism
-    vAll.withColumn("h", xxhash64(col("v").cast("string")))
+    val sampled = vAll.withColumn("h", xxhash64(col("v").cast("string")))
       .orderBy(col("h")).limit(n)
       .repartition(par, col("h"))
-      .select(col("v"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = sampled.orderBy(col("h")).limit(k).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (sampled.select(col("v")), seeds)
   }
 
   /** Argmax-similarity centroid id for a UNIT vector column. Native
@@ -573,31 +590,31 @@ object VectorFunctions {
     val vAll = vecs.select(col(vecCol).cast("array<double>").as("v0"))
       .filter(size(col("v0")) === dim && l2Norm(col("v0")) > 0)
       .select(unitize(col("v0")).as("v"))
-    val v = trainSample(vAll, math.max(trainSampleN, 64 * ksub))
-    // one lowest-hash pass seeds every subspace (sliced per codebook)
-    val seed = v.withColumn("h", xxhash64(col("v").cast("string")))
-      .orderBy(col("h")).limit(ksub)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // one lowest-hash pass seeds every subspace (sliced per codebook);
+    // sample pin + seed collect share ONE job (see trainSample)
+    val (v, seed) = trainSample(vAll, math.max(trainSampleN, 64 * ksub), ksub)
     require(seed.nonEmpty, "pqTrain: no input vectors of the declared dim")
     var books = Array.tabulate(m) { s =>
       seed.map(_.slice(s * dsub, (s + 1) * dsub))
     }
-    (0 until iters).foreach { _ =>
-      val cells = v.withColumn("codes", pqCodes(col("v"), books))
-        .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
-        .select(expr(s"pos div $dsub").cast("int").as("s"),
-          expr(s"pos % $dsub").as("j"),
-          expr(s"codes[pos div $dsub]").as("c"), col("x"))
-        .groupBy(col("s"), col("c"), col("j"))
-        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      cells.foreach { r =>
-        next(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("j")) =
-          r.getAs[Double]("sm") / r.getAs[Long]("n")
+    try {
+      (0 until iters).foreach { _ =>
+        val cells = v.withColumn("codes", pqCodes(col("v"), books))
+          .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+          .select(expr(s"pos div $dsub").cast("int").as("s"),
+            expr(s"pos % $dsub").as("j"),
+            expr(s"codes[pos div $dsub]").as("c"), col("x"))
+          .groupBy(col("s"), col("c"), col("j"))
+          .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        cells.foreach { r =>
+          next(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("j")) =
+            r.getAs[Double]("sm") / r.getAs[Long]("n")
+        }
+        books = next
       }
-      books = next
-    }
+    } finally v.unpersist(blocking = false)
     books
   }
 

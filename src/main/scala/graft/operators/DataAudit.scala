@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * don't let it poison downstream — `message/router.go`'s ack/nack
   * boundary generalized to batch constraints).
   *
-  * Scale shape: ALL scalar rules on a table fold into ONE conditional-
-  * aggregation pass (a single scan, map-side partial aggs, one
-  * 1-row result — adding a rule adds a column, not a job), and each
-  * referential rule is one LEFT join against the DISTINCT parent keys
-  * (no row multiplication; Catalyst/AQE broadcasts the key set when it
-  * is dimension-sized). Nothing here is per-row driver work; the audit
-  * of a 10^11-row table is one scan for ALL scalar rules, plus one
-  * child-side scan + join per foreign key.
+  * Scale shape: ALL rules on a table fold into ONE pass — the audited
+  * table is scanned ONCE, left-joined against each referential rule's
+  * DISTINCT parent keys (row-count-preserving: parent keys are
+  * distinct, so no multiplication; Catalyst/AQE broadcasts a
+  * dimension-sized key set), and every rule (scalar and referential)
+  * becomes a conditional aggregate over that single joined scan —
+  * adding a rule adds a column, not a job or a scan. Nothing here is
+  * per-row driver work; the audit of a 10^11-row table is one scan
+  * plus one parent-key-side scan per foreign key. (The previous shape
+  * ran one extra full child scan PER referential rule.)
   *
   * Semantics (pinned by DataAuditSpec and the q123 gate):
   *  - [[NotNull]]: violation when ANY listed column is null; checked =
@@ -63,55 +65,58 @@ object DataAudit {
         s"NotNull rule '$n' needs at least one column")
       case _ => ()
     }
-    val scalar = rules.filter(!_.isInstanceOf[RefIntegrity])
     val referential = rules.collect { case r: RefIntegrity => r }
 
-    val scalarOut: Option[DataFrame] =
-      if (scalar.isEmpty) None
-      else {
-        val aggs = scalar.flatMap {
-          case NotNull(n, cols) => Seq(
-            count(lit(1)).as(s"_c_$n"),
-            sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L)
-              .otherwise(0L)).as(s"_v_$n"))
-          case Unique(n, k) => Seq(
-            count(col(k)).as(s"_c_$n"),
-            (count(col(k)) - count_distinct(col(k))).as(s"_v_$n"))
-          case Satisfies(n, p) => Seq(
-            count(lit(1)).as(s"_c_$n"),
-            sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"_v_$n"))
-          case r: RefIntegrity =>
-            throw new IllegalStateException(s"unreachable: ${r.name}")
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*)
-        val triples = scalar.map(r => struct(
-          lit(r.name).as("rule"),
-          col(s"_c_${r.name}").cast("long").as("checked"),
-          coalesce(col(s"_v_${r.name}"), lit(0L)).cast("long").as("violations")))
-        Some(row.select(explode(array(triples: _*)).as("_r")).select("_r.*"))
-      }
-
-    val refOuts = referential.map { r =>
-      // reserved internal names, same fail-fast as Merge (_t_ex/_s_ex)
-      // and TableDiff (_l_ex/_r_ex): a child table carrying its own
-      // _pk/_hit (a prior audit's intermediate, a join product) would
-      // otherwise resolve ambiguously and kill the whole audit
-      val clash = df.columns.filter(Seq("_pk", "_hit").contains)
+    // reserved internal names, same fail-fast as Merge (_t_ex/_s_ex)
+    // and TableDiff (_l_ex/_r_ex): a child table carrying its own
+    // _pk_i/_hit_i (a prior audit's intermediate, a join product) would
+    // otherwise resolve ambiguously and kill the whole audit
+    locally {
+      val reserved = referential.indices
+        .flatMap(i => Seq(s"_pk_$i", s"_hit_$i")).toSet
+      val clash = df.columns.filter(reserved.contains)
       require(clash.isEmpty,
         s"DataAudit: column names ${clash.mkString(", ")} are reserved " +
-          s"by RefIntegrity '${r.name}'")
-      val keys = r.parent.select(col(r.parentCol).as("_pk"))
-        .where(col("_pk").isNotNull).distinct()
-      df.where(col(r.childCol).isNotNull)
-        .join(keys.withColumn("_hit", lit(1)),
-          col(r.childCol) === col("_pk"), "left")
-        .agg(
-          count(lit(1)).cast("long").as("checked"),
-          coalesce(sum(when(col("_hit").isNull, 1L).otherwise(0L)), lit(0L))
-            .cast("long").as("violations"))
-        .select(lit(r.name).as("rule"), col("checked"), col("violations"))
+          "by RefIntegrity rules")
     }
-
-    (scalarOut.toSeq ++ refOuts).reduce(_ unionByName _)
+    // ONE audited-table scan for every rule: each referential rule
+    // left-joins the DISTINCT non-null parent keys (row-count
+    // preserving — each child row matches at most one distinct key),
+    // then scalar AND referential rules aggregate over the single
+    // joined scan. FK semantics unchanged: checked counts non-null
+    // child keys, a violation is a non-null child key with no parent
+    // hit (null children vacuously pass).
+    val withHits = referential.zipWithIndex.foldLeft(df) {
+      case (acc, (r, i)) =>
+        val keys = r.parent.select(col(r.parentCol).as(s"_pk_$i"))
+          .where(col(s"_pk_$i").isNotNull).distinct()
+        acc.join(keys.withColumn(s"_hit_$i", lit(1)),
+          acc(r.childCol) === col(s"_pk_$i"), "left")
+    }
+    val refIdx = referential.zipWithIndex.toMap
+    val aggs = rules.flatMap {
+      case NotNull(n, cols) => Seq(
+        count(lit(1)).as(s"_c_$n"),
+        sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as(s"_v_$n"))
+      case Unique(n, k) => Seq(
+        count(col(k)).as(s"_c_$n"),
+        (count(col(k)) - count_distinct(col(k))).as(s"_v_$n"))
+      case Satisfies(n, p) => Seq(
+        count(lit(1)).as(s"_c_$n"),
+        sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"_v_$n"))
+      case r: RefIntegrity =>
+        val i = refIdx(r)
+        Seq(
+          count(col(r.childCol)).as(s"_c_${r.name}"),
+          sum(when(col(r.childCol).isNotNull && col(s"_hit_$i").isNull, 1L)
+            .otherwise(0L)).as(s"_v_${r.name}"))
+    }
+    val row = withHits.agg(aggs.head, aggs.tail: _*)
+    val triples = rules.map(r => struct(
+      lit(r.name).as("rule"),
+      col(s"_c_${r.name}").cast("long").as("checked"),
+      coalesce(col(s"_v_${r.name}"), lit(0L)).cast("long").as("violations")))
+    row.select(explode(array(triples: _*)).as("_r")).select("_r.*")
   }
 }

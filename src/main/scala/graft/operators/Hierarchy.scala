@@ -30,6 +30,17 @@ object Hierarchy {
     var jump = edges.select(col("id").as("v"), col("parent").as("anc"),
         lit(1L).as("d"), col("parent").as("s"))
       .localCheckpoint()
+    // the jump table NEVER changes size (always |non-root nodes| rows:
+    // the self-join is a left join composing pointers in place), so
+    // round 0's honest scan-derived estimate is the right statistics
+    // for every round's checkpoint leaf. Unclamped, each leaf inherits
+    // the self-join's PRODUCT estimate (size² per round — digits
+    // double per round, and the inflated numbers block the broadcast
+    // the small-at-this-scale jump side should get); the clamp keeps
+    // the estimate constant and honest at zero extra jobs, so the
+    // planner's broadcast-vs-shuffle choice tracks the REAL size at
+    // any scale (big at 100 TB → shuffle join, as before).
+    val st0 = jump.queryExecution.optimizedPlan.stats
     var prevCkpt = checkpointRdd(jump)
     var span = 1L
     while (span < maxDepth) {
@@ -43,6 +54,7 @@ object Hierarchy {
           (col("d") + coalesce(col("d2"), lit(0L))).as("d"),
           (col("s") + coalesce(col("s2"), lit(0L))).as("s"))
         .localCheckpoint()
+      jump = org.apache.spark.sql.graft.StatsBridge.clampStatsTo(jump, st0)
       // free the previous round's checkpoint blocks AT THE RDD — the
       // eager checkpoint above no longer references them, and
       // Dataset.unpersist would be a no-op (checkpoint blocks never

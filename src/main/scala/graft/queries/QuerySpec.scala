@@ -29,9 +29,23 @@ object QuerySpec {
     * so re-cast to LTZ — value-preserving because the session zone is
     * pinned UTC ([[graft.GraftSession]]), and identical to what DuckDB
     * sees (naive TIMESTAMP). */
+  /** Schema-inference cache, keyed by parquet path: without it every
+    * t() call re-reads the file footer ON THE DRIVER to infer the
+    * schema — a per-query fixed cost paid once per referenced table
+    * per construction (the ~150-query sub-second tail pays it 1-3×
+    * each, every bench pass). The tables are immutable driver
+    * fixtures, so the first inference is definitive; this is METADATA
+    * only (what a catalog provides in production — the data itself is
+    * recomputed from parquet on every read). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) =>

@@ -23,18 +23,41 @@ object TimeMany {
     val all = SparkEntry.queries
     def resolve(q: String): String =
       if (all.contains(q)) q
-      else all.keys.find(_.stripPrefix("q").takeWhile(_ != '_') == q.stripPrefix("q"))
-        .getOrElse {
-          System.err.println(s"unknown query '$q'"); sys.exit(2); ""
+      else {
+        // ALL matches, not .find: with a single find, two queries
+        // sharing a numeric prefix would silently time whichever the
+        // map iterates first (the r20 ADVICE wrong-query-timing bug)
+        val ms = all.keys.filter(
+          _.stripPrefix("q").takeWhile(_ != '_') == q.stripPrefix("q")).toSeq
+        ms match {
+          case Seq(one) => one
+          case Seq() =>
+            System.err.println(s"unknown query '$q'"); sys.exit(2); ""
+          case many =>
+            System.err.println(
+              s"ambiguous query '$q': ${many.sorted.mkString(", ")}")
+            sys.exit(2); ""
         }
+      }
     val names = args(2).split(',').map(_.trim).filter(_.nonEmpty).map(resolve)
     val spark = GraftSession.local()
     // per-stage metrics collector: empirical decomposition of each
     // query's time (guide §1.1 — where is the time actually going)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[
       (Int, String, Long, Int, Long, Long, Long, Long)]()
+    // per-task durations per stage: the skew evidence (max vs median
+    // task time, guide §2.5) a stage-aggregate listener cannot show
+    val taskDur = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskDur.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(te.taskInfo.duration)
+          ()
+        }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
@@ -71,7 +94,7 @@ object TimeMany {
       }
       val ts = (1 to reps).map { i =>
         isolate()
-        if (i == reps) stages.clear() // profile the warmest rep only
+        if (i == reps) { stages.clear(); taskDur.clear() } // profile the warmest rep only
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -80,9 +103,14 @@ object TimeMany {
       }
       Thread.sleep(300) // let async stage events drain
       val st = stages.toArray(Array.empty[(Int, String, Long, Int, Long, Long, Long, Long)])
-      println(s"[stages] $name — stageId wall(ms) tasks runTime(ms) cpu(ms) fetchWait(ms) shufWrKB name")
+      println(s"[stages] $name — stageId wall(ms) tasks runTime(ms) cpu(ms) fetchWait(ms) shufWrKB taskMax/Med(ms) name")
       st.sortBy(-_._3).take(12).foreach { case (id, nm, w, nt, rt, cpu, fw, sw) =>
-        println(f"[stages]   $id%5d $w%7d $nt%5d $rt%8d $cpu%8d $fw%6d ${sw / 1024}%8d  $nm")
+        val ds = Option(taskDur.get(id))
+          .map(_.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted)
+          .getOrElse(Array.empty[Long])
+        val (mx, md) =
+          if (ds.isEmpty) (-1L, -1L) else (ds.last, ds(ds.length / 2))
+        println(f"[stages]   $id%5d $w%7d $nt%5d $rt%8d $cpu%8d $fw%6d ${sw / 1024}%8d $mx%6d/$md%-6d $nm")
       }
       println(f"[stages]   total-wall=${st.map(_._3).sum}%d ms over ${st.length} stages")
       name -> ts.min

@@ -481,6 +481,50 @@ class DedupPropertySpec extends SparkSpec {
     assert(out.values.forall(_ == 0L), s"all labels must reach the min id: $out")
   }
 
+  test("widen: identity on non-scan-shaped input (no eager AQE probe), widens narrow scans") {
+    // the width probe (df.rdd.getNumPartitions) finalizes a physical
+    // plan; under AQE that EXECUTES upstream shuffle stages as thrown-
+    // away jobs. widen must therefore refuse anything but scan shapes —
+    // reference equality is the no-probe witness (the probe would have
+    // required building a new frame)
+    val derived = (1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(DedupFunctions.widen(derived) eq derived,
+      "widen must be the identity on aggregated (non-scan) input")
+    assert(!DedupFunctions.scanShaped(derived.queryExecution.logical))
+    // scan shapes (projection/filter over a leaf) stay eligible, and a
+    // 1-partition local relation widens to defaultParallelism
+    val narrow = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+      .select(col("id"), col("t")).filter(col("id") > 0)
+    assert(DedupFunctions.scanShaped(narrow.queryExecution.logical))
+    val widened = DedupFunctions.widen(narrow)
+    assert(widened.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(widened.select(sum(col("id"))).collect().head.getLong(0) == 55L)
+  }
+
+  test("dupClusters clamps each round's checkpoint leaf stats to the observed row count") {
+    // localCheckpoint copies the round plan's PRODUCT size estimate
+    // onto the leaf; unclamped, r references per round store size^r on
+    // the next leaf and the driver burns stats walks on huge
+    // BigIntegers (the r20 double-jump blocker). The clamp pins the
+    // leaf to the observed count — small, honest, broadcastable.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = DedupFunctions.dupClusters(pairs)
+    // the clamped stats live on the checkpoint LEAF (the Project above
+    // it re-derives sizeInBytes and drops rowCount — size-only visitor)
+    val leafStats = labels.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.stats
+    }
+    assert(leafStats.nonEmpty, "no checkpoint leaf in the labels plan")
+    assert(leafStats.head.rowCount.contains(BigInt(5)),
+      s"leaf rowCount must be the observed 5 labels: $leafStats")
+    assert(leafStats.head.sizeInBytes <= BigInt(5 * 56),
+      s"leaf sizeInBytes must be clamped, not a join-product estimate: $leafStats")
+    // and the whole-frame estimate stays small (no compounding term)
+    assert(labels.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(5 * 56))
+  }
+
   test("multi-probe SRP recall is a superset of single-probe at same params") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))

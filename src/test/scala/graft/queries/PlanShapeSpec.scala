@@ -145,12 +145,26 @@ class PlanShapeSpec extends SparkSpec {
     * guards below: invoking a query's builder re-runs its eager side
     * effects (q147's index write, the localCheckpoint folds), so each
     * guard walking separately would multiply that cost per guard. */
-  private lazy val registryWalk: Map[String,
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)] =
-    graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+  private lazy val (registryWalk: Map[String,
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)],
+      constructionShuffles: Map[String, Int]) = {
+    // construction-time shuffles (eager localCheckpoint/SitePin jobs)
+    // are attributed per query via job groups — the exchanges the
+    // final plan string hides behind checkpoint leaves, counted by the
+    // budget gate below (the r20 blind spot)
+    val cs = new graft.tools.PlanBudget.ConstructionShuffles
+    spark.sparkContext.addSparkListener(cs)
+    val walk = graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      spark.sparkContext.setJobGroup(name, name)
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
-      name -> ((qe.optimizedPlan, qe.executedPlan.toString))
+      val r = name -> ((qe.optimizedPlan, qe.executedPlan.toString))
+      spark.sparkContext.clearJobGroup()
+      r
     }.toMap
+    val hidden = cs.drain()
+    spark.sparkContext.removeSparkListener(cs)
+    (walk, hidden)
+  }
 
   test("no corpus-scale relation feeds a partitionless Window anywhere in the registry") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -193,11 +207,16 @@ class PlanShapeSpec extends SparkSpec {
       .get("src/test/resources/exchange_budgets.txt")
     assert(java.nio.file.Files.exists(budgetFile),
       "exchange_budgets.txt missing — run `sbt 'runMain graft.tools.PlanBudget'`")
-    val budgets: Map[String, Int] =
+    // two columns per query: deterministic final-plan exchanges, and
+    // construction-time (checkpoint-hidden) shuffle stages
+    val budgets: Map[String, (Int, Int)] =
       scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(budgetFile)).asScala
         .filter(_.nonEmpty)
-        .map { l => val Array(n, c) = l.split(" "); n -> c.toInt }.toMap
+        .map { l =>
+          val parts = l.split(" ")
+          parts(0) -> ((parts(1).toInt, parts(2).toInt))
+        }.toMap
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val missing = names.filterNot(budgets.contains)
     assert(missing.isEmpty,
@@ -206,8 +225,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"budgets for queries no longer registered (re-run PlanBudget): ${stale.mkString(", ")}")
     val over = names.flatMap { name =>
-      val got = graft.tools.PlanBudget.dataExchanges(registryWalk(name)._2)
-      if (got > budgets(name)) Some(s"$name: $got exchanges > budget ${budgets(name)}")
+      // STRICT on the deterministic final-plan exchange count; +2
+      // slack on the construction-time (checkpoint-hidden) shuffle
+      // stages, whose executed count wobbles ±1 between identical
+      // runs (AQE decisions inside iterative dupClusters rounds).
+      // Before r21 the construction side wasn't bounded at all — the
+      // r20 ADVICE blind spot this closes.
+      val (planBudget, consBudget) = budgets(name)
+      val planGot = graft.tools.PlanBudget.dataExchanges(registryWalk(name)._2)
+      val consGot = constructionShuffles.getOrElse(name, 0)
+      if (planGot > planBudget)
+        Some(s"$name: $planGot plan exchanges > budget $planBudget")
+      else if (consGot > consBudget + 2)
+        Some(s"$name: $consGot construction shuffles > budget $consBudget (+2 slack)")
       else None
     }
     assert(over.isEmpty,
